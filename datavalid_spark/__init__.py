@@ -1,0 +1,33 @@
+"""datavalid_spark — a PySpark-native schema + constraint validation engine.
+
+Built from scratch with the query semantics of ``pckhoi/datavalid`` (the
+reference at /root/reference, v0.3.6) re-expressed Spark-first: lazy
+DataFrame composition, window functions instead of Python row loops,
+salted aggregation for skew, anti-joins for referential checks, and a
+single-pass Arrow profiler — none of which exist in the reference.
+
+Public surface::
+
+    from datavalid_spark import load_config, Config
+    conf = load_config("/data/dir")          # reads datavalid.yml
+    ok = conf.run(spark)                     # verdicts + report, exit-style bool
+
+Design stance (SURVEY.md §7): the reference's *semantics* (checker
+verdicts, violation-row multisets, error taxonomy, config shape) are the
+spec; its *execution* (eager pandas, group iteration, per-row Python) is
+replaced wholesale by declarative DataFrame plans that Catalyst optimizes.
+"""
+
+from datavalid_spark.version import __version__
+
+
+def __getattr__(name):
+    # lazy: keep `import datavalid_spark` cheap for executors
+    if name in ("BadConfigError", "Config", "load_config"):
+        from datavalid_spark.plans import config as _config
+
+        return getattr(_config, name)
+    raise AttributeError(name)
+
+
+__all__ = ["BadConfigError", "Config", "load_config", "__version__"]

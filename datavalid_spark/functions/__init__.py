@@ -1,0 +1,4 @@
+from datavalid_spark.functions.conditions import compile_condition
+from datavalid_spark.functions.dates import DateExprs
+
+__all__ = ["compile_condition", "DateExprs"]

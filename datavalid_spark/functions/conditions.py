@@ -1,0 +1,98 @@
+"""Predicate compiler: condition specs → pyspark ``Column`` expressions.
+
+Covers SURVEY.md §2.1 P1–P5 (reference: /root/reference/datavalid/
+condition.py:15-135).  The reference evaluates an AST of comparison
+leaves combined with and/or against a pandas frame; here the same spec
+compiles to a single Catalyst boolean expression so predicate pushdown,
+constant folding and codegen apply for free.
+
+Spec shape (identical to the reference's YAML)::
+
+    {"column": "age", "op": "greater_than", "value": 25}        # leaf
+    {"and": [<spec>, ...]}                                      # conjunction
+    {"or":  [<spec>, ...]}                                      # disjunction
+    None / {}                                                   # all-true (P4)
+
+NULL semantics (SURVEY.md §2.1 P1): pandas ``ne`` yields True for
+``NaN != v`` while Spark ``!=`` yields NULL (row dropped by a filter).
+``not_equal`` therefore compiles to ``~eqNullSafe`` to preserve the
+reference's behaviour.  For ``equal`` and the ordered ops pandas yields
+False on NaN and Spark yields NULL — identical filtering effect.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Any, Mapping, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+class BadConditionError(ValueError):
+    """Raised for malformed condition specs (reference: BadConfigError
+    paths from /root/reference/datavalid/condition.py:34-106)."""
+
+
+_OPS = frozenset(
+    ["equal", "not_equal", "greater_than", "less_than", "greater_equal", "less_equal"]
+)
+
+
+def _leaf(column: str, op: str, value: Any) -> Column:
+    # validate BEFORE touching F.col/F.lit: config errors must surface
+    # even without an active SparkSession (driver-side plan validation)
+    if op not in _OPS:
+        raise BadConditionError(f"unknown op {op!r}; expected one of {sorted(_OPS)}")
+    if not isinstance(column, str):
+        raise BadConditionError(f"'column' must be a string, got {type(column).__name__}")
+    col = F.col(column)
+    lit = F.lit(value)
+    if op == "equal":
+        return col == lit
+    if op == "not_equal":
+        # pandas: NaN != v → True; Spark !=  → NULL. Null-safe negation matches.
+        return ~col.eqNullSafe(lit)
+    if op == "greater_than":
+        return col > lit
+    if op == "less_than":
+        return col < lit
+    if op == "greater_equal":
+        return col >= lit
+    if op == "less_equal":
+        return col <= lit
+    raise BadConditionError(f"unknown op {op!r}; expected one of {sorted(_OPS)}")
+
+
+def compile_condition(spec: Optional[Mapping[str, Any]]) -> Column:
+    """Compile a condition spec into a boolean ``Column``.
+
+    Empty/None spec → ``lit(True)`` (P4, reference condition.py:124).
+    """
+    if not spec:
+        return F.lit(True)
+    if not isinstance(spec, Mapping):
+        raise BadConditionError(f"condition must be a mapping, got {type(spec).__name__}")
+    keys = set(spec.keys())
+    if "column" in keys:
+        extra = keys - {"column", "op", "value"}
+        if extra:
+            raise BadConditionError(f"unexpected keys in comparison condition: {sorted(extra)}")
+        if "op" not in spec or "value" not in spec:
+            raise BadConditionError("comparison condition requires 'column', 'op' and 'value'")
+        return _leaf(spec["column"], spec["op"], spec["value"])
+    if "and" in keys or "or" in keys:
+        if keys not in ({"and"}, {"or"}):
+            raise BadConditionError(
+                "combinator condition must have exactly one of 'and'/'or', got "
+                f"{sorted(keys)}"
+            )
+        key = "and" if "and" in keys else "or"
+        children = spec[key]
+        if not isinstance(children, (list, tuple)) or not children:
+            raise BadConditionError(f"'{key}' must be a non-empty list of conditions")
+        exprs = [compile_condition(c) for c in children]
+        return reduce((Column.__and__ if key == "and" else Column.__or__), exprs)
+    raise BadConditionError(
+        f"condition must contain 'column' or 'and'/'or'; got keys {sorted(keys)}"
+    )

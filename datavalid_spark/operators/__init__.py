@@ -1,0 +1,25 @@
+from datavalid_spark.operators.fields import (
+    FIELD_CHECKERS,
+    FieldChecker,
+    build_field_checker,
+)
+from datavalid_spark.operators.checks import (
+    EmptyCheck,
+    NoConsecutiveDateCheck,
+    NoMoreThanOncePerNDaysCheck,
+    UniqueCheck,
+    ValidDateCheck,
+    build_table_check,
+)
+
+__all__ = [
+    "FIELD_CHECKERS",
+    "FieldChecker",
+    "build_field_checker",
+    "EmptyCheck",
+    "NoConsecutiveDateCheck",
+    "NoMoreThanOncePerNDaysCheck",
+    "UniqueCheck",
+    "ValidDateCheck",
+    "build_table_check",
+]

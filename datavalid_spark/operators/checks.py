@@ -1,0 +1,378 @@
+"""Table-level checks T1–T5 as window/aggregate formulations.
+
+Semantics from /root/reference/datavalid/checkers.py (SURVEY.md §2.3),
+re-expressed without per-row Python loops:
+
+- T1 ``unique``            — groupBy-count + semi-join back (checkers.py:10-52)
+- T2 ``empty``             — a filter (checkers.py:55-88)
+- T3 ``no_consecutive_date`` — lag window, adjacent sorted pair exactly
+  1 day apart (checkers.py:91-151).  NOTE the reference has a loop bug:
+  ``prev_date`` is never advanced (checkers.py:140-146), so it only
+  detects dates equal to ``min_date + 1 day``.  This engine implements
+  the *documented intent* (any adjacent consecutive pair) — a strict
+  superset: whenever the reference fails, the min-date pair is itself an
+  adjacent pair, so this engine fails too (golden test
+  test_checkers.py:72-84 passes either way).
+- T4 ``no_more_than_once_per_30_days`` — lag/lead window marks
+  (checkers.py:154-218).  Sorted-adjacency is sufficient: a row is
+  within N days of *some* other row iff it is within N days of an
+  adjacent row in date order.
+- T5 ``valid_date``        — date-classification expressions + pure
+  y/m/d tuple comparison against ``min_date`` (checkers.py:221-296);
+  NA month/day rows must pass, so ``make_date`` is never compared.
+
+Grouping (``group_by`` in a task): the reference iterates pandas groups
+in sorted key order and stops at the first failing group
+(task.py:145-148).  The engine computes ALL groups in one pass with
+``Window.partitionBy(*group_cols)`` / ``groupBy`` and reports per-group
+verdicts — a strict superset; ``first_failing_group`` recovers the
+reference's report for parity.
+
+Scale note (north rule): the window checks partition by the task's
+group key (e.g. uid / repo) — fine at 10^12 rows as long as single
+groups fit an executor; pathological groups are handled by AQE skew
+settings upstream.  The ungrouped case degenerates to a single
+partition; for that case T3 is equivalently a distinct-date self-join
+(``date+1`` exists) and T4 a date-range self-join — both distributed.
+``UniqueCheck`` offers a ``salted`` two-phase aggregation path for
+skewed keys (SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+import datetime
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from datavalid_spark.functions.conditions import compile_condition
+from datavalid_spark.functions.dates import ERROR_CLASSES, DateExprs, parse_single_date
+
+_ERR = "__dv_error"
+_DATE = "__dv_date"
+
+
+@dataclass
+class CheckResult:
+    """Outcome of one table check over one (possibly grouped) frame."""
+
+    passed: bool
+    err_msg: Optional[str]
+    violations: Optional[DataFrame]  # lazy; original columns only
+    n_violations: int
+
+
+class TableCheck:
+    """Base contract: ``violations`` is lazy and composable; ``run``
+    triggers the minimal actions to produce a verdict + message."""
+
+    key: str = ""
+
+    def violations(self, df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+        """All offending rows (original columns), across all groups."""
+        raise NotImplementedError
+
+    def run(self, df: DataFrame, group_cols: Sequence[str] = ()) -> CheckResult:
+        viol = self.violations(df, group_cols)
+        n = viol.count()
+        if n == 0:
+            return CheckResult(True, None, None, 0)
+        return CheckResult(False, self._err_msg(n), viol, n)
+
+    def group_verdicts(
+        self, df: DataFrame, group_cols: Sequence[str]
+    ) -> DataFrame:
+        """Per-group ``(*group_cols, n_violations, passed)`` in one pass."""
+        viol_counts = (
+            self.violations(df, group_cols)
+            .groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+        )
+        all_groups = df.select(*group_cols).dropDuplicates()
+        return (
+            all_groups.join(viol_counts, list(group_cols), "left")
+            .withColumn("n_violations", F.coalesce(F.col("n_violations"), F.lit(0)))
+            .withColumn("passed", F.col("n_violations") == 0)
+        )
+
+    def _err_msg(self, n: int) -> str:
+        raise NotImplementedError
+
+    def to_markdown(self) -> str:
+        raise NotImplementedError
+
+
+class UniqueCheck(TableCheck):
+    """T1 — fail iff any duplicate on the column subset (within each
+    group); violations = all rows of every duplicated key.
+
+    strategy:
+      - ``"auto"``   — plain ``groupBy(keys).count()`` (Spark's partial
+        map-side aggregation already absorbs key skew for counts) and a
+        broadcast semi-join back on the (usually tiny) duplicate keys.
+      - ``"salted"`` — explicit two-phase: stage 1 counts per
+        ``(keys, salt)`` where ``salt = pmod(xxhash64(all cols), B)``,
+        stage 2 sums per ``keys``.  Useful template for aggregations
+        without partial support; results are identical (tested).
+    """
+
+    key = "unique"
+
+    def __init__(self, columns, strategy: str = "auto", salt_buckets: int = 64):
+        if isinstance(columns, str):
+            columns = [columns]
+        if not isinstance(columns, list) or not columns:
+            raise ValueError("should be a column name or a list of column names")
+        self.columns = list(columns)
+        self.strategy = strategy
+        self.salt_buckets = salt_buckets
+
+    def duplicate_keys(
+        self, df: DataFrame, group_cols: Sequence[str] = ()
+    ) -> DataFrame:
+        keys = list(group_cols) + self.columns
+        if self.strategy == "salted":
+            salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(self.salt_buckets))
+            stage1 = (
+                df.withColumn("__dv_salt", salt)
+                .groupBy(*keys, "__dv_salt")
+                .agg(F.count(F.lit(1)).alias("__dv_partial"))
+            )
+            counts = stage1.groupBy(*keys).agg(F.sum("__dv_partial").alias("__dv_n"))
+        else:
+            counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__dv_n"))
+        return counts.filter(F.col("__dv_n") > 1).select(*keys)
+
+    def violations(self, df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+        keys = list(group_cols) + self.columns
+        left = df.alias("__dv_l")
+        right = F.broadcast(self.duplicate_keys(df, group_cols).alias("__dv_r"))
+        # null-safe: pandas `duplicated` groups NaN keys together
+        cond = None
+        for k in keys:
+            c = F.col("__dv_l." + k).eqNullSafe(F.col("__dv_r." + k))
+            cond = c if cond is None else (cond & c)
+        return left.join(right, cond, "left_semi").select(*df.columns)
+
+    def _err_msg(self, n: int) -> str:
+        return "Table contains duplicates"
+
+    def to_markdown(self) -> str:
+        return "Ensure uniqueness for the following columns: %s" % ", ".join(
+            "`%s`" % c for c in self.columns
+        )
+
+
+class EmptyCheck(TableCheck):
+    """T2 — fail iff any row satisfies the condition (checkers.py:55-88)."""
+
+    key = "empty"
+
+    def __init__(self, **condition_spec):
+        self._spec = condition_spec
+        self._expr_spec = condition_spec  # validated eagerly:
+        compile_condition(condition_spec)
+
+    def violations(self, df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+        return df.filter(compile_condition(self._spec))
+
+    def _err_msg(self, n: int) -> str:
+        return "There are %d such rows" % n
+
+    def to_markdown(self) -> str:
+        return "Ensure this table is devoid of such rows"
+
+
+class _DateCheck(TableCheck):
+    """Shared machinery: date-classification gate before the real check
+    (reference raises BadDateError from DateParser.parse — date.py:53-84)."""
+
+    def __init__(self, date_from: Optional[dict] = None, today: Optional[datetime.date] = None):
+        if date_from is None:
+            raise ValueError('should contain key "date_from"')
+        if not isinstance(date_from, dict):
+            raise ValueError('"date_from" should be a dict')
+        self.exprs = DateExprs(
+            year_column=date_from["year_column"],
+            month_column=date_from["month_column"],
+            day_column=date_from["day_column"],
+            today=today,
+        )
+
+    def date_error_result(self, df: DataFrame) -> Optional[CheckResult]:
+        """If any rows fall in a validity error class, the check fails
+        with the FIRST class (precedence) and that class's rows, like
+        BadDateError.  One small aggregate action decides."""
+        tagged = df.withColumn(_ERR, self.exprs.error_class())
+        counts = {
+            r[_ERR]: r["n"]
+            for r in tagged.filter(F.col(_ERR).isNotNull())
+            .groupBy(_ERR)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for cls in ERROR_CLASSES:
+            if counts.get(cls, 0) > 0:
+                viol = tagged.filter(F.col(_ERR) == cls).drop(_ERR)
+                return CheckResult(False, cls, viol, counts[cls])
+        return None
+
+    def with_date(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(_DATE, self.exprs.date())
+
+
+class NoConsecutiveDateCheck(_DateCheck):
+    """T3 — adjacent sorted dates exactly 1 day apart (per group).
+
+    Two rows on the *same* date do NOT fail this check — only a gap of
+    exactly 1 day (checkers.py:144).  Violations: both rows of every
+    offending adjacent pair.
+    """
+
+    key = "no_consecutive_date"
+
+    def violations(self, df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+        d = self.with_date(df)
+        w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+            F.col(_DATE).asc_nulls_last()
+        )
+        gap_prev = F.datediff(F.col(_DATE), F.lag(_DATE).over(w))
+        gap_next = F.datediff(F.lead(_DATE).over(w), F.col(_DATE))
+        marked = d.withColumn(
+            "__dv_bad",
+            (gap_prev == 1) | (gap_next == 1),
+        )
+        return marked.filter(F.col("__dv_bad")).drop("__dv_bad", _DATE)
+
+    def _err_msg(self, n: int) -> str:
+        return "Consecutive dates detected"
+
+    def run(self, df: DataFrame, group_cols: Sequence[str] = ()) -> CheckResult:
+        bad = self.date_error_result(df)
+        if bad is not None:
+            return bad
+        return super().run(df, group_cols)
+
+    def to_markdown(self) -> str:
+        return "Ensure no row occur on consecutive days"
+
+
+class NoMoreThanOncePerNDaysCheck(_DateCheck):
+    """T4 — mark every row whose adjacent sorted neighbour (within the
+    group) is ≤ N days away, including 0 (checkers.py:204-210); fail iff
+    any marks.  Equivalent to "some other row within N days" because the
+    nearest other row is always sort-adjacent.
+    """
+
+    key = "no_more_than_once_per_30_days"
+
+    def __init__(self, date_from=None, days: int = 30, today=None):
+        super().__init__(date_from, today)
+        self.days = days
+
+    def violations(self, df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+        d = self.with_date(df)
+        w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+            F.col(_DATE).asc_nulls_last()
+        )
+        gap_prev = F.datediff(F.col(_DATE), F.lag(_DATE).over(w))
+        gap_next = F.datediff(F.lead(_DATE).over(w), F.col(_DATE))
+        marked = d.withColumn(
+            "__dv_bad", (gap_prev <= self.days) | (gap_next <= self.days)
+        )
+        return marked.filter(F.col("__dv_bad")).drop("__dv_bad", _DATE)
+
+    def _err_msg(self, n: int) -> str:
+        return "%d rows detected occur too close together" % n
+
+    def run(self, df: DataFrame, group_cols: Sequence[str] = ()) -> CheckResult:
+        bad = self.date_error_result(df)
+        if bad is not None:
+            return bad
+        return super().run(df, group_cols)
+
+    def to_markdown(self) -> str:
+        return "Ensure no 2 rows occur closer than %d days apart" % self.days
+
+
+class ValidDateCheck(_DateCheck):
+    """T5 — date classification must be clean; optionally no date may
+    precede ``min_date`` via pure y/m/d tuple comparison (NA month/day
+    pass — golden test_checkers.py:119-149)."""
+
+    key = "valid_date"
+
+    def __init__(self, date_from=None, min_date: Optional[str] = None, today=None):
+        super().__init__(date_from, today)
+        self.min_date = parse_single_date(min_date) if min_date is not None else None
+
+    def violations(self, df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+        err_rows = df.filter(self.exprs.error_class().isNotNull())
+        if self.min_date is None:
+            return err_rows
+        return err_rows.unionByName(
+            df.filter(self.exprs.error_class().isNull() & self.exprs.before(self.min_date))
+        )
+
+    def run(self, df: DataFrame, group_cols: Sequence[str] = ()) -> CheckResult:
+        bad = self.date_error_result(df)
+        if bad is not None:
+            return bad
+        if self.min_date is None:
+            return CheckResult(True, None, None, 0)
+        viol = df.filter(self.exprs.before(self.min_date))
+        n = viol.count()
+        if n == 0:
+            return CheckResult(True, None, None, 0)
+        return CheckResult(False, self._err_msg(n), viol, n)
+
+    def _err_msg(self, n: int) -> str:
+        return 'dates less than "%s" detected' % self.min_date.strftime("%Y-%m-%d")
+
+    def to_markdown(self) -> str:
+        if self.min_date is not None:
+            return "Ensure dates are valid and no date is less than %s" % (
+                self.min_date.strftime("%Y-%m-%d")
+            )
+        return "Ensure dates are valid"
+
+
+#: task config key → check class (reference task.py:87-130)
+TABLE_CHECKS = {
+    "unique": UniqueCheck,
+    "empty": EmptyCheck,
+    "no_consecutive_date": NoConsecutiveDateCheck,
+    "no_more_than_once_per_30_days": NoMoreThanOncePerNDaysCheck,
+    "valid_date": ValidDateCheck,
+}
+
+
+def build_table_check(key: str, value, today: Optional[datetime.date] = None) -> TableCheck:
+    if key not in TABLE_CHECKS:
+        raise ValueError("unknown check %s" % key)
+    cls = TABLE_CHECKS[key]
+    if key == "unique":
+        return cls(value)
+    if key == "empty":
+        return cls(**(value or {}))
+    kwargs = dict(value or {})
+    kwargs["today"] = today
+    return cls(**kwargs)
+
+
+def first_failing_group(
+    check: TableCheck, df: DataFrame, group_cols: Sequence[str]
+) -> Optional[list]:
+    """Reference-parity helper: pandas iterates groups in sorted key
+    order and stops at the first failure (task.py:145-148).  Returns the
+    minimal sorted failing group key, or None if all groups pass."""
+    verdicts = check.group_verdicts(df, group_cols)
+    row = (
+        verdicts.filter(~F.col("passed"))
+        .orderBy(*[F.col(c).asc() for c in group_cols])
+        .limit(1)
+        .collect()
+    )
+    return list(row[0][: len(group_cols)]) if row else None

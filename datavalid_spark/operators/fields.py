@@ -1,0 +1,303 @@
+"""Column-level checkers F1–F8 as native Column expressions.
+
+Semantics from /root/reference/datavalid/field_checkers.py (SURVEY.md
+§2.2) — each checker classifies individual values of one column as
+bad/clean.  The reference materialises the offending values as a pandas
+Series; here each checker exposes:
+
+- ``bad_expr(df, column) -> Column`` — boolean "this value is bad";
+  composable, push-down friendly, no action.
+- ``violations(df, column) -> DataFrame`` — rows with bad values.
+- ``bad_values(df, column) -> DataFrame`` — **deduplicated** offending
+  values (one column), matching the reference's report payload
+  (exceptions.py:138 ``series.drop_duplicates()``).
+
+Dtype dispatch (integer/float/range) keys off the Spark schema instead
+of pandas dtype names: integral types ≙ int64, fractional types ≙
+float64, everything else ≙ object/string.
+
+The ``unique`` checker is the one non-pointwise member: a value is bad
+iff its value-group has count > 1 (pandas ``duplicated(keep=False)``,
+field_checkers.py:41).  At scale this is a shuffle on the column; the
+implementation counts per key (map-side partial aggregation handles
+skew) and joins the duplicate keys back — broadcast when small.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class BadFieldConfigError(ValueError):
+    pass
+
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_FRACTIONAL = (T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def _dtype(df: DataFrame, column: str) -> T.DataType:
+    for f_ in df.schema.fields:
+        if f_.name == column:
+            return f_.dataType
+    raise KeyError(column)
+
+
+def _is_na(df: DataFrame, column: str) -> Column:
+    """NULL, plus NaN for fractional columns (pandas isna covers both)."""
+    col = F.col(column)
+    if isinstance(_dtype(df, column), (T.FloatType, T.DoubleType)):
+        return col.isNull() | F.isnan(col)
+    return col.isNull()
+
+
+class FieldChecker:
+    """Base: pointwise checkers override ``bad_expr``."""
+
+    key: str = ""
+
+    def bad_expr(self, df: DataFrame, column: str) -> Column:
+        raise NotImplementedError
+
+    def violations(self, df: DataFrame, column: str) -> DataFrame:
+        return df.filter(self.bad_expr(df, column))
+
+    def bad_values(self, df: DataFrame, column: str) -> DataFrame:
+        return self.violations(df, column).select(column).dropDuplicates()
+
+    def to_markdown(self) -> str:
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class UniqueFieldChecker(FieldChecker):
+    """F1 — all members of any duplicated value group are bad
+    (field_checkers.py:37-44). NULLs group together, like pandas NaN."""
+
+    key = "unique"
+
+    def bad_expr(self, df: DataFrame, column: str) -> Column:  # pragma: no cover
+        raise TypeError("unique is not pointwise; use violations()")
+
+    def violations(self, df: DataFrame, column: str) -> DataFrame:
+        dup_keys = (
+            df.groupBy(column)
+            .agg(F.count(F.lit(1)).alias("__dv_n"))
+            .filter(F.col("__dv_n") > 1)
+            .select(column)
+        )
+        # dup keys are typically a tiny fraction → broadcast the join back;
+        # null-safe equality: pandas `duplicated` groups NaN values together
+        left = df.alias("__dv_l")
+        right = F.broadcast(dup_keys.alias("__dv_r"))
+        cond = F.col("__dv_l." + column).eqNullSafe(F.col("__dv_r." + column))
+        return left.join(right, cond, "left_semi").select(*df.columns)
+
+    def to_markdown(self) -> str:
+        return "- Unique"
+
+
+@dataclass(frozen=True)
+class NoNAFieldChecker(FieldChecker):
+    """F2 — NA values are bad (field_checkers.py:47-54)."""
+
+    key = "no_na"
+
+    def bad_expr(self, df: DataFrame, column: str) -> Column:
+        return _is_na(df, column)
+
+    def to_markdown(self) -> str:
+        return "- No NA"
+
+
+@dataclass(frozen=True)
+class OptionsFieldChecker(FieldChecker):
+    """F3 — non-NA values outside the allowed set are bad
+    (field_checkers.py:57-81)."""
+
+    options: tuple[str, ...] = field(default=())
+
+    key = "options"
+
+    def __init__(self, *options: str) -> None:
+        if not options or not all(isinstance(o, str) for o in options):
+            raise BadFieldConfigError("must be a list of strings")
+        object.__setattr__(self, "options", tuple(options))
+
+    def bad_expr(self, df: DataFrame, column: str) -> Column:
+        col = F.col(column)
+        return ~col.isin(*self.options) & ~_is_na(df, column)
+
+    def to_markdown(self) -> str:
+        return "\n".join(["- Options:"] + ["  - " + o for o in self.options])
+
+
+@dataclass(frozen=True)
+class IntegerFieldChecker(FieldChecker):
+    """F4 — dtype dispatch (field_checkers.py:84-98):
+    integral → nothing bad; fractional → fractional part > 0 bad;
+    string/other → strings failing ``^\\d+$`` bad (NA and '' pass;
+    only non-negative unsigned digit strings accepted — reference quirk).
+    """
+
+    key = "integer"
+
+    def bad_expr(self, df: DataFrame, column: str) -> Column:
+        dt = _dtype(df, column)
+        col = F.col(column)
+        if isinstance(dt, _INTEGRAL):
+            return F.lit(False)
+        if isinstance(dt, _FRACTIONAL):
+            # pandas sr.mod(1) > 0: NaN → False (passes); pmod matches
+            # pandas' sign-of-divisor mod for negatives.  Spark quirk:
+            # NaN > 0 is TRUE (NaN sorts greatest), so mask NaN out.
+            return ~F.isnan(col) & (F.pmod(col, F.lit(1)) > 0)
+        s = col.cast("string")
+        return ~s.rlike(r"^\d+$") & col.isNotNull() & (s != "")
+
+    def to_markdown(self) -> str:
+        return "- Integer"
+
+
+@dataclass(frozen=True)
+class FloatFieldChecker(FieldChecker):
+    """F5 — numeric dtypes always pass; strings failing
+    ``^(\\d*\\.)?\\d+$`` are bad (field_checkers.py:101-111)."""
+
+    key = "float"
+
+    def bad_expr(self, df: DataFrame, column: str) -> Column:
+        dt = _dtype(df, column)
+        if isinstance(dt, _INTEGRAL + _FRACTIONAL):
+            return F.lit(False)
+        col = F.col(column)
+        s = col.cast("string")
+        return ~s.rlike(r"^(\d*\.)?\d+$") & col.isNotNull() & (s != "")
+
+    def to_markdown(self) -> str:
+        return "- Float"
+
+
+@dataclass(frozen=True)
+class RangeFieldChecker(FloatFieldChecker):
+    """F6 — two-stage (field_checkers.py:114-145): values failing the
+    float check are reported as THE violation set; only when the column
+    is float-clean are values compared against [low, high] (inclusive).
+
+    ``bad_expr`` returns the pointwise union (float-bad OR out-of-range),
+    which has identical verdict semantics; ``violations`` preserves the
+    reference's two-stage reporting (float failures shadow range
+    failures) at the cost of one extra short-circuit action.
+    """
+
+    low: float = 0.0
+    high: float = 0.0
+
+    key = "range"
+
+    def __init__(self, low, high) -> None:
+        if not isinstance(low, (int, float)) or not isinstance(high, (int, float)):
+            raise BadFieldConfigError("must be 2 numbers")
+        object.__setattr__(self, "low", low)
+        object.__setattr__(self, "high", high)
+
+    def _range_expr(self, df: DataFrame, column: str) -> Column:
+        col = F.col(column)
+        dt = _dtype(df, column)
+        if not isinstance(dt, _INTEGRAL + _FRACTIONAL):
+            col = col.cast("double")
+        return (col < F.lit(self.low)) | (col > F.lit(self.high))
+
+    def bad_expr(self, df: DataFrame, column: str) -> Column:
+        return super().bad_expr(df, column) | self._range_expr(df, column)
+
+    def violations(self, df: DataFrame, column: str) -> DataFrame:
+        float_bad = df.filter(super().bad_expr(df, column))
+        if not float_bad.isEmpty():
+            return float_bad
+        return df.filter(self._range_expr(df, column))
+
+    def to_markdown(self) -> str:
+        return "- Range: `%d` -> `%d`" % (self.low, self.high)
+
+
+@dataclass(frozen=True)
+class TitleCaseFieldChecker(FieldChecker):
+    """F7 — a value is bad iff EVERY space-split word is non-empty and
+    starts with a character whose upper() differs from itself
+    (field_checkers.py:148-163).  'GREY' passes, 'Sullivan Jr' passes,
+    'earl' fails, '' passes (split → [''] → not all non-empty).
+    Higher-order function, no Python UDF."""
+
+    key = "title_case"
+
+    def bad_expr(self, df: DataFrame, column: str) -> Column:
+        col = F.col(column).cast("string")
+        words = F.split(col, " ")
+        all_lower_start = F.forall(
+            words,
+            lambda w: (w != "")
+            & (F.upper(F.substring(w, 1, 1)) != F.substring(w, 1, 1)),
+        )
+        return F.col(column).isNotNull() & all_lower_start
+
+    def to_markdown(self) -> str:
+        return "- Title case"
+
+
+@dataclass(frozen=True)
+class MatchRegexFieldChecker(FieldChecker):
+    """F8 — non-NA values failing a start-anchored match are bad
+    (field_checkers.py:166-181).  pandas ``str.match`` anchors at the
+    start only; Spark ``rlike`` searches anywhere, so the pattern is
+    wrapped as ``^(?:pattern)``."""
+
+    pattern: str = ""
+
+    key = "match_regex"
+
+    def __init__(self, pattern: str) -> None:
+        if not isinstance(pattern, str):
+            raise BadFieldConfigError("pattern must be a string")
+        object.__setattr__(self, "pattern", pattern)
+
+    def bad_expr(self, df: DataFrame, column: str) -> Column:
+        col = F.col(column)
+        s = col.cast("string")
+        return col.isNotNull() & ~s.rlike("^(?:" + self.pattern + ")")
+
+    def to_markdown(self) -> str:
+        return "<li>Match regexp: <code>%s</code></li>" % self.pattern
+
+
+#: config key → checker class (reference column_schema.py:12-21)
+FIELD_CHECKERS: dict[str, type] = {
+    "unique": UniqueFieldChecker,
+    "no_na": NoNAFieldChecker,
+    "options": OptionsFieldChecker,
+    "integer": IntegerFieldChecker,
+    "float": FloatFieldChecker,
+    "range": RangeFieldChecker,
+    "title_case": TitleCaseFieldChecker,
+    "match_regex": MatchRegexFieldChecker,
+}
+
+
+def build_field_checker(key: str, value) -> FieldChecker:
+    """Config wiring, reference column_schema.py:71-84: ``True`` → no-arg
+    constructor; list → splat; str → single arg."""
+    if key not in FIELD_CHECKERS:
+        raise BadFieldConfigError("unknown option %s" % key)
+    cls = FIELD_CHECKERS[key]
+    if value is True:
+        return cls()
+    if isinstance(value, list):
+        return cls(*value)
+    if isinstance(value, str):
+        return cls(value)
+    raise BadFieldConfigError("invalid option")

@@ -1,0 +1,34 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("datavalid_spark-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "4g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+def rows_as_tuples(df, *cols):
+    """Order-insensitive multiset of row tuples for golden comparison
+    (Spark has no pandas index; SURVEY.md §5)."""
+    out = df.select(*cols) if cols else df
+    return sorted(
+        [tuple(r) for r in out.collect()],
+        key=lambda t: tuple((v is None, str(v)) for v in t),
+    )

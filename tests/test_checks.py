@@ -1,0 +1,294 @@
+"""Golden parity for table checks T1–T5 (reference test_checkers.py),
+violation rows compared as order-insensitive multisets (SURVEY.md §5)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import types as T
+
+from datavalid_spark.operators.checks import (
+    EmptyCheck,
+    NoConsecutiveDateCheck,
+    NoMoreThanOncePerNDaysCheck,
+    UniqueCheck,
+    ValidDateCheck,
+    build_table_check,
+    first_failing_group,
+)
+from tests.conftest import rows_as_tuples
+
+TODAY = datetime.date(2021, 8, 17)
+
+PEOPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("first", T.StringType()),
+        T.StructField("last", T.StringType()),
+        T.StructField("age", T.LongType()),
+    ]
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event", T.StringType()),
+        T.StructField("event_year", T.LongType()),
+        T.StructField("event_month", T.LongType()),
+        T.StructField("event_day", T.LongType()),
+    ]
+)
+
+DATE_FROM = {
+    "year_column": "event_year",
+    "month_column": "event_month",
+    "day_column": "event_day",
+}
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    return spark.createDataFrame(
+        [("john", "doe", 23), ("jean", "smith", 43), ("jane", "smith", 30)],
+        PEOPLE_SCHEMA,
+    )
+
+
+# --- T1 unique (test_checkers.py:12-29) --------------------------------
+
+
+def test_unique_pass(people):
+    res = UniqueCheck(["first", "last"]).run(people)
+    assert res.passed and res.err_msg is None and res.n_violations == 0
+
+
+@pytest.mark.parametrize("strategy", ["auto", "salted"])
+def test_unique_fail(people, strategy):
+    check = UniqueCheck("last", strategy=strategy)
+    res = check.run(people)
+    assert not res.passed
+    assert res.err_msg == "Table contains duplicates"
+    assert rows_as_tuples(res.violations) == [
+        ("jane", "smith", 30),
+        ("jean", "smith", 43),
+    ]
+
+
+def test_unique_null_keys_group_together(spark):
+    df = spark.createDataFrame([("a", None), ("b", None), ("c", 1)], ["k", "v"])
+    res = UniqueCheck("v").run(df)
+    assert not res.passed and res.n_violations == 2
+
+
+def test_unique_salted_equals_plain(spark):
+    import random
+
+    random.seed(7)
+    rows = [("k%d" % random.randint(0, 50), i) for i in range(500)]
+    df = spark.createDataFrame(rows, ["k", "i"])
+    plain = UniqueCheck("k").run(df)
+    salted = UniqueCheck("k", strategy="salted").run(df)
+    assert plain.n_violations == salted.n_violations
+    assert rows_as_tuples(plain.violations) == rows_as_tuples(salted.violations)
+
+
+# --- T2 empty (test_checkers.py:32-57) ----------------------------------
+
+
+def test_empty_pass(people):
+    assert EmptyCheck(column="first", op="equal", value="smith").run(people).passed
+
+
+def test_empty_and_condition(people):
+    res = EmptyCheck(
+        **{
+            "and": [
+                {"column": "last", "op": "equal", "value": "smith"},
+                {"column": "age", "op": "greater_equal", "value": 30},
+            ]
+        }
+    ).run(people)
+    assert not res.passed and res.n_violations == 2
+
+
+def test_empty_fail_message(people):
+    res = EmptyCheck(column="first", op="equal", value="john").run(people)
+    assert not res.passed
+    assert res.err_msg == "There are 1 such rows"
+    assert rows_as_tuples(res.violations) == [("john", "doe", 23)]
+
+
+# --- T3 no_consecutive_date (test_checkers.py:60-84) --------------------
+
+
+def test_no_consecutive_pass(spark):
+    df = spark.createDataFrame(
+        [
+            ("officer_join", 2000, 1, 3),
+            ("promotion", 2001, 10, 2),
+            ("officer_left", 2010, 9, 3),
+        ],
+        EVENT_SCHEMA,
+    )
+    assert NoConsecutiveDateCheck(DATE_FROM, today=TODAY).run(df).passed
+
+
+def test_no_consecutive_fail(spark):
+    df = spark.createDataFrame(
+        [
+            ("promotion", 2000, 1, 4),
+            ("officer_join", 2000, 1, 3),
+            ("officer_left", 2010, 9, 3),
+        ],
+        EVENT_SCHEMA,
+    )
+    res = NoConsecutiveDateCheck(DATE_FROM, today=TODAY).run(df)
+    assert not res.passed
+    assert res.err_msg == "Consecutive dates detected"
+    assert rows_as_tuples(res.violations) == [
+        ("officer_join", 2000, 1, 3),
+        ("promotion", 2000, 1, 4),
+    ]
+
+
+def test_no_consecutive_same_date_ok(spark):
+    # two rows on the SAME date do not fail T3 (gap must be exactly 1)
+    df = spark.createDataFrame(
+        [("a", 2000, 1, 3), ("b", 2000, 1, 3), ("c", 2000, 3, 1)], EVENT_SCHEMA
+    )
+    assert NoConsecutiveDateCheck(DATE_FROM, today=TODAY).run(df).passed
+
+
+def test_no_consecutive_date_error_shadows(spark):
+    df = spark.createDataFrame([("a", 2000, 13, 3), ("b", 2000, 1, 4)], EVENT_SCHEMA)
+    res = NoConsecutiveDateCheck(DATE_FROM, today=TODAY).run(df)
+    assert not res.passed
+    assert res.err_msg == "impossible months detected"
+    assert rows_as_tuples(res.violations) == [("a", 2000, 13, 3)]
+
+
+# --- T4 no_more_than_once_per_30_days (test_checkers.py:87-112) ---------
+
+
+def test_once_per_30_pass(spark):
+    df = spark.createDataFrame(
+        [
+            ("officer_join", 2000, 1, 3),
+            ("promotion", 2001, 10, 2),
+            ("officer_left", 2010, 9, 3),
+        ],
+        EVENT_SCHEMA,
+    )
+    assert NoMoreThanOncePerNDaysCheck(DATE_FROM, today=TODAY).run(df).passed
+
+
+def test_once_per_30_fail(spark):
+    df = spark.createDataFrame(
+        [
+            ("promotion", 2000, 1, 4),
+            ("officer_join", 2000, 1, 3),
+            ("officer_join", 1999, 12, 23),
+            ("officer_left", 2010, 9, 3),
+        ],
+        EVENT_SCHEMA,
+    )
+    res = NoMoreThanOncePerNDaysCheck(DATE_FROM, today=TODAY).run(df)
+    assert not res.passed
+    assert res.err_msg == "3 rows detected occur too close together"
+    assert rows_as_tuples(res.violations) == [
+        ("officer_join", 1999, 12, 23),
+        ("officer_join", 2000, 1, 3),
+        ("promotion", 2000, 1, 4),
+    ]
+
+
+def test_once_per_30_same_day_counts(spark):
+    # gap of 0 days (same date) IS a violation (checkers.py:206 >=)
+    df = spark.createDataFrame([("a", 2000, 1, 3), ("b", 2000, 1, 3)], EVENT_SCHEMA)
+    res = NoMoreThanOncePerNDaysCheck(DATE_FROM, today=TODAY).run(df)
+    assert not res.passed and res.n_violations == 2
+
+
+def test_once_per_30_grouped(spark):
+    # same date in different groups is NOT a violation (FIXTURES.md §3)
+    schema = T.StructType(
+        [T.StructField("uid", T.StringType())] + list(EVENT_SCHEMA.fields)
+    )
+    df = spark.createDataFrame(
+        [
+            ("u1", "e", 2000, 1, 3),
+            ("u2", "e", 2000, 1, 3),
+            ("u2", "e", 2005, 1, 1),
+            ("u3", "e", 2005, 1, 1),
+            ("u3", "e", 2005, 1, 20),
+        ],
+        schema,
+    )
+    check = NoMoreThanOncePerNDaysCheck(DATE_FROM, today=TODAY)
+    viol = check.violations(df, group_cols=["uid"])
+    got = {(r["uid"], r["event_year"], r["event_month"], r["event_day"]) for r in viol.collect()}
+    assert got == {("u3", 2005, 1, 1), ("u3", 2005, 1, 20)}
+    assert first_failing_group(check, df, ["uid"]) == ["u3"]
+    verdicts = {
+        r["uid"]: (r["passed"], r["n_violations"])
+        for r in check.group_verdicts(df, ["uid"]).collect()
+    }
+    assert verdicts == {"u1": (True, 0), "u2": (True, 0), "u3": (False, 2)}
+
+
+# --- T5 valid_date (test_checkers.py:115-149) ----------------------------
+
+
+def test_valid_date_pass_with_na(spark):
+    df = spark.createDataFrame(
+        [
+            ("officer_join", 2000, 1, 3),
+            ("promotion", 2001, 10, None),
+            ("officer_left", 2010, None, None),
+        ],
+        EVENT_SCHEMA,
+    )
+    check = ValidDateCheck(DATE_FROM, min_date="1900-02-03", today=TODAY)
+    assert check.run(df).passed
+
+
+def test_valid_date_future_fail(spark):
+    df = spark.createDataFrame(
+        [("officer_join", 2050, 3, 2), ("officer_join", 2000, 4, 3)], EVENT_SCHEMA
+    )
+    check = ValidDateCheck(DATE_FROM, min_date="1900-02-03", today=TODAY)
+    res = check.run(df)
+    assert not res.passed
+    assert res.err_msg == "future dates detected"
+    assert rows_as_tuples(res.violations) == [("officer_join", 2050, 3, 2)]
+
+
+def test_valid_date_min_date_fail(spark):
+    df = spark.createDataFrame(
+        [
+            ("officer_join", 1899, 4, 5),
+            ("officer_join", 1900, 1, 2),
+            ("officer_join", 1900, 2, 1),
+            ("officer_join", 2000, 4, 3),
+        ],
+        EVENT_SCHEMA,
+    )
+    check = ValidDateCheck(DATE_FROM, min_date="1900-02-03", today=TODAY)
+    res = check.run(df)
+    assert not res.passed
+    assert res.err_msg == 'dates less than "1900-02-03" detected'
+    assert res.n_violations == 3
+
+
+# --- builder -------------------------------------------------------------
+
+
+def test_build_table_check():
+    assert isinstance(build_table_check("unique", "last"), UniqueCheck)
+    assert isinstance(
+        build_table_check("empty", {"column": "a", "op": "equal", "value": 1}),
+        EmptyCheck,
+    )
+    assert isinstance(
+        build_table_check("valid_date", {"date_from": DATE_FROM}, today=TODAY),
+        ValidDateCheck,
+    )
+    with pytest.raises(ValueError):
+        build_table_check("bogus", {})

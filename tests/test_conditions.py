@@ -1,0 +1,97 @@
+"""Golden parity for the condition compiler (reference
+test_condition.py:26-48 — a 9-case table over every op + and/or),
+plus the not_equal NULL-semantics trap (SURVEY.md §7 'Hard parts')."""
+
+import pytest
+from pyspark.sql import Row
+
+from datavalid_spark.functions.conditions import BadConditionError, compile_condition
+from tests.conftest import rows_as_tuples
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    return spark.createDataFrame(
+        [
+            Row(first="john", last="doe", age=23),
+            Row(first="jean", last="smith", age=43),
+            Row(first="jane", last="smith", age=30),
+        ]
+    )
+
+
+CASES = [
+    ({"column": "first", "op": "equal", "value": "john"}, {"john"}),
+    ({"column": "last", "op": "not_equal", "value": "doe"}, {"jean", "jane"}),
+    ({"column": "age", "op": "greater_than", "value": 30}, {"jean"}),
+    ({"column": "age", "op": "less_than", "value": 30}, {"john"}),
+    ({"column": "age", "op": "greater_equal", "value": 30}, {"jean", "jane"}),
+    ({"column": "age", "op": "less_equal", "value": 30}, {"john", "jane"}),
+    (
+        {
+            "and": [
+                {"column": "last", "op": "equal", "value": "smith"},
+                {"column": "age", "op": "greater_equal", "value": 40},
+            ]
+        },
+        {"jean"},
+    ),
+    (
+        {
+            "or": [
+                {"column": "first", "op": "equal", "value": "john"},
+                {"column": "age", "op": "equal", "value": 30},
+            ]
+        },
+        {"john", "jane"},
+    ),
+    (None, {"john", "jean", "jane"}),
+    ({}, {"john", "jean", "jane"}),
+]
+
+
+@pytest.mark.parametrize("spec,expected", CASES)
+def test_condition_cases(people, spec, expected):
+    got = {r[0] for r in people.filter(compile_condition(spec)).select("first").collect()}
+    assert got == expected
+
+
+def test_not_equal_null_semantics(spark):
+    """pandas: NaN != v → True (row kept); naive Spark != drops it."""
+    df = spark.createDataFrame([("a",), (None,)], ["x"])
+    kept = rows_as_tuples(
+        df.filter(compile_condition({"column": "x", "op": "not_equal", "value": "b"}))
+    )
+    assert kept == [("a",), (None,)]
+
+
+def test_nested_combinators(people):
+    spec = {
+        "or": [
+            {
+                "and": [
+                    {"column": "last", "op": "equal", "value": "smith"},
+                    {"column": "age", "op": "less_than", "value": 40},
+                ]
+            },
+            {"column": "first", "op": "equal", "value": "john"},
+        ]
+    }
+    got = {r[0] for r in people.filter(compile_condition(spec)).select("first").collect()}
+    assert got == {"jane", "john"}
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        {"column": "a", "op": "nope", "value": 1},
+        {"column": "a"},
+        {"and": []},
+        {"and": [{"column": "a", "op": "equal", "value": 1}], "or": []},
+        {"bogus": 1},
+        [1, 2],
+    ],
+)
+def test_bad_specs(bad):
+    with pytest.raises(BadConditionError):
+        compile_condition(bad)

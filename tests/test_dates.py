@@ -1,0 +1,123 @@
+"""Golden parity for the date subsystem (reference test_date.py:41-93,
+clock pinned to 2021-08-17 — here `today` is an injected parameter
+instead of time_machine)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import types as T
+from pyspark.sql import functions as F
+
+from datavalid_spark.functions.dates import (
+    FUTURE_DATE,
+    IMPOSSIBLE_DATE,
+    IMPOSSIBLE_MONTH,
+    NEGATIVE_DAY,
+    DateExprs,
+    parse_single_date,
+)
+
+TODAY = datetime.date(2021, 8, 17)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event", T.StringType()),
+        T.StructField("y", T.LongType()),
+        T.StructField("m", T.LongType()),
+        T.StructField("d", T.LongType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def exprs():
+    return DateExprs("y", "m", "d", today=TODAY)
+
+
+def classify(spark, exprs, rows):
+    df = spark.createDataFrame(rows, SCHEMA)
+    return [
+        r["e"] for r in df.select(exprs.error_class().alias("e")).collect()
+    ]
+
+
+def test_impossible_months(spark, exprs):
+    rows = [("a", 2000, 0, 1), ("b", 2000, 13, 1), ("c", 2000, 12, 1), ("d", 2000, None, 1)]
+    assert classify(spark, exprs, rows) == [IMPOSSIBLE_MONTH, IMPOSSIBLE_MONTH, None, None]
+
+
+def test_future_dates(spark, exprs):
+    rows = [
+        ("a", 2022, 1, 1),      # future year
+        ("b", 2021, 9, 1),      # future month same year
+        ("c", 2021, 8, 18),     # future day same month
+        ("d", 2021, 8, 17),     # today passes
+        ("e", 2021, None, None),  # NA month: cannot be future within same year
+        ("f", 2022, None, None),  # future year with NA components still future
+    ]
+    assert classify(spark, exprs, rows) == [
+        FUTURE_DATE, FUTURE_DATE, FUTURE_DATE, None, None, FUTURE_DATE
+    ]
+
+
+def test_negative_days(spark, exprs):
+    rows = [("a", 2000, 1, -2), ("b", 2000, 1, 0), ("c", 2000, 1, 2)]
+    # day == 0 is NOT flagged — reference quirk (date.py:70-72)
+    assert classify(spark, exprs, rows) == [NEGATIVE_DAY, None, None]
+
+
+def test_impossible_dates_and_leap_years(spark, exprs):
+    rows = [
+        ("a", 2000, 4, 31),   # 30-day month
+        ("b", 2000, 1, 32),   # 31-day month
+        ("c", 2000, 2, 29),   # 2000 IS a leap year (÷400)
+        ("d", 1900, 2, 29),   # 1900 is NOT a leap year (÷100, not ÷400)
+        ("e", 2004, 2, 29),   # ÷4 not ÷100 → leap
+        ("f", 2003, 2, 29),   # non-leap
+        ("g", 2003, 2, 28),   # fine
+    ]
+    assert classify(spark, exprs, rows) == [
+        IMPOSSIBLE_DATE, IMPOSSIBLE_DATE, None, IMPOSSIBLE_DATE, None, IMPOSSIBLE_DATE, None
+    ]
+
+
+def test_precedence_order(spark, exprs):
+    # a row that is both future and has impossible month → impossible month wins
+    rows = [("a", 2050, 13, 1)]
+    assert classify(spark, exprs, rows) == [IMPOSSIBLE_MONTH]
+
+
+def test_date_construction(spark, exprs):
+    df = spark.createDataFrame([("a", 2000, 1, 3), ("b", 2000, None, 3)], SCHEMA)
+    got = [r["dt"] for r in df.select(exprs.date().alias("dt")).collect()]
+    assert got == [datetime.date(2000, 1, 3), None]
+
+
+def test_before_min_date(spark, exprs):
+    # golden test_checkers.py:119-149 — NA month/day rows must pass
+    min_date = parse_single_date("1900-02-03")
+    rows = [
+        ("a", 1899, 4, 5),
+        ("b", 1900, 1, 2),
+        ("c", 1900, 2, 1),
+        ("d", 2000, 4, 3),
+        ("e", 1900, None, None),  # NA month passes
+        ("f", 1900, 2, None),     # NA day passes
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r["event"] for r in df.filter(exprs.before(min_date)).collect()}
+    assert got == {"a", "b", "c"}
+
+
+def test_parse_single_date():
+    assert parse_single_date("1900-02-03") == datetime.date(1900, 2, 3)
+    with pytest.raises(ValueError):
+        parse_single_date("02/03/1900")
+    with pytest.raises(ValueError):
+        parse_single_date(123)
+
+
+def test_current_date_default(spark):
+    exprs = DateExprs("y", "m", "d")  # today=None → current_date()
+    df = spark.createDataFrame([("a", 2200, 1, 1)], SCHEMA)
+    assert classify(spark, exprs, [("a", 2200, 1, 1)]) == [FUTURE_DATE]

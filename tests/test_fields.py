@@ -1,0 +1,129 @@
+"""Golden parity for field checkers F1–F8 (reference
+test_field_checkers.py; load-bearing edge cases from FIXTURES.md §4)."""
+
+import math
+
+import pytest
+from pyspark.sql import types as T
+
+from datavalid_spark.operators.fields import (
+    BadFieldConfigError,
+    build_field_checker,
+)
+from tests.conftest import rows_as_tuples
+
+
+def col_df(spark, values, dtype):
+    schema = T.StructType([T.StructField("v", dtype, True)])
+    return spark.createDataFrame([(v,) for v in values], schema)
+
+
+def bad_set(checker, df):
+    return {r[0] for r in checker.violations(df, "v").collect()}
+
+
+def bad_list(checker, df):
+    return sorted(
+        [r[0] for r in checker.violations(df, "v").collect()],
+        key=lambda v: (v is None, str(v)),
+    )
+
+
+def test_unique(spark):
+    c = build_field_checker("unique", True)
+    df = col_df(spark, [1, 2, 2], T.LongType())
+    assert bad_list(c, df) == [2, 2]
+    assert bad_set(c, col_df(spark, [1, 2, 3], T.LongType())) == set()
+    # deduplicated report payload (exceptions.py:138)
+    assert rows_as_tuples(c.bad_values(df, "v")) == [(2,)]
+
+
+def test_no_na(spark):
+    c = build_field_checker("no_na", True)
+    assert bad_list(c, col_df(spark, [1, None, 2], T.LongType())) == [None]
+    # NaN in a double column counts as NA, like pandas
+    assert bad_list(c, col_df(spark, [1.0, float("nan")], T.DoubleType())) == [
+        pytest.approx(float("nan"), nan_ok=True)
+    ]
+
+
+def test_options(spark):
+    c = build_field_checker("options", ["a", "b", "c"])
+    df = col_df(spark, ["a", "d", None, "b"], T.StringType())
+    assert bad_set(c, df) == {"d"}
+    with pytest.raises(BadFieldConfigError):
+        build_field_checker("options", [1, 2])
+
+
+def test_integer_dtype_dispatch(spark):
+    c = build_field_checker("integer", True)
+    # int64 → never bad
+    assert bad_set(c, col_df(spark, [1, 2, 0], T.LongType())) == set()
+    # float64 → fractional part > 0 bad; NaN passes
+    assert bad_set(
+        c, col_df(spark, [2.0, 3.0, 4.1, float("nan"), None], T.DoubleType())
+    ) == {4.1}
+    # object/string → non-negative digit strings only; '' and NULL pass
+    assert bad_set(c, col_df(spark, ["3", "400", "0", ""], T.StringType())) == set()
+    assert bad_set(c, col_df(spark, ["2", "a", "-1", "3.0", None], T.StringType())) == {
+        "a",
+        "-1",
+        "3.0",
+    }
+
+
+def test_float(spark):
+    c = build_field_checker("float", True)
+    assert bad_set(
+        c, col_df(spark, ["a", "2.1", "3", "4.5", "6", "", ".5", None], T.StringType())
+    ) == {"a"}
+    assert bad_set(c, col_df(spark, [1.5, float("nan")], T.DoubleType())) == set()
+
+
+def test_range(spark):
+    c = build_field_checker("range", [1900, 2020])
+    # bounds inclusive (test_field_checkers.py:83-88)
+    assert bad_set(c, col_df(spark, [20, 1899, 1970, 2021, 1900, 2020], T.LongType())) == {
+        20,
+        1899,
+        2021,
+    }
+    # two-stage: float failures shadow range failures
+    df = col_df(spark, ["abc", "10"], T.StringType())
+    assert bad_set(c, df) == {"abc"}
+    # float-clean strings get range-compared
+    df2 = col_df(spark, ["10", "1950"], T.StringType())
+    assert bad_set(c, df2) == {"10"}
+    with pytest.raises(BadFieldConfigError):
+        build_field_checker("range", ["a", "b"])
+
+
+def test_title_case(spark):
+    c = build_field_checker("title_case", True)
+    good = col_df(
+        spark, [None, "", "John", "Sullivan Jr", "Ivan III", "GREY"], T.StringType()
+    )
+    assert bad_set(c, good) == set()
+    assert bad_set(c, col_df(spark, ["earl", "GREY", "von neumann"], T.StringType())) == {
+        "earl",
+        "von neumann",
+    }
+    # a single uppercase-starting word rescues the value
+    assert bad_set(c, col_df(spark, ["earl Grey"], T.StringType())) == set()
+
+
+def test_match_regex(spark):
+    c = build_field_checker("match_regex", r"\d{2}:\d{2}$")
+    df = col_df(spark, [None, "10:30", "03:45", "", "1030", "15:03"], T.StringType())
+    # pandas str.match anchors at start; '' and '1030' fail, NULL passes
+    assert bad_set(c, df) == {"", "1030"}
+    # match-at-start, not fullmatch: '15:03extra' passes for pattern without $
+    c2 = build_field_checker("match_regex", r"\d{2}:\d{2}")
+    assert bad_set(c2, col_df(spark, ["15:03extra", "x15:03"], T.StringType())) == {
+        "x15:03"
+    }
+
+
+def test_unknown_key():
+    with pytest.raises(BadFieldConfigError):
+        build_field_checker("bogus", True)
