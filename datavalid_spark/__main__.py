@@ -1,0 +1,53 @@
+"""CLI entry: ``python -m datavalid_spark [--dir DATADIR] [--doc OUT.md]``
+(reference __main__.py:13-38)."""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+
+
+def build_spark(parallelism: str = "local[*]"):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(parallelism)
+        .appName("datavalid_spark")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser("datavalid_spark")
+    parser.add_argument(
+        "--dir", type=pathlib.Path, default=None, help="directory containing datavalid.yml"
+    )
+    parser.add_argument(
+        "--doc", type=pathlib.Path, default=None, help="write schema doc markdown and exit"
+    )
+    parser.add_argument(
+        "--master", type=str, default="local[*]", help="Spark master (default local[*])"
+    )
+    args = parser.parse_args(argv)
+    datadir = args.dir if args.dir is not None else pathlib.Path.cwd()
+
+    from datavalid_spark.plans.config import load_config
+
+    conf = load_config(datadir)
+    if args.doc is not None:
+        with open(args.doc, "w") as f:
+            f.write(conf.to_markdown(relative_to=datadir))
+        print("wrote %s" % args.doc)
+        return 0
+    spark = build_spark(args.master)
+    try:
+        return conf.run(spark)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -64,6 +64,52 @@ def _leaf(column: str, op: str, value: Any) -> Column:
     raise BadConditionError(f"unknown op {op!r}; expected one of {sorted(_OPS)}")
 
 
+def validate_condition(spec: Optional[Mapping[str, Any]]) -> None:
+    """Shape-validate a condition spec WITHOUT building Column objects.
+
+    Column construction needs an active SparkSession (pyspark 4 classic
+    resolves ``F.col`` through the JVM), but plan validation must work
+    driver-side before any session exists (SURVEY.md §3.4: the check
+    compiler is pure).  Raises BadConditionError on malformed specs.
+    """
+    if not spec:
+        return
+    if not isinstance(spec, Mapping):
+        raise BadConditionError(f"condition must be a mapping, got {type(spec).__name__}")
+    keys = set(spec.keys())
+    if "column" in keys:
+        extra = keys - {"column", "op", "value"}
+        if extra:
+            raise BadConditionError(f"unexpected keys in comparison condition: {sorted(extra)}")
+        if "op" not in spec or "value" not in spec:
+            raise BadConditionError("comparison condition requires 'column', 'op' and 'value'")
+        if spec["op"] not in _OPS:
+            raise BadConditionError(
+                f"unknown op {spec['op']!r}; expected one of {sorted(_OPS)}"
+            )
+        if not isinstance(spec["column"], str):
+            raise BadConditionError(
+                f"'column' must be a string, got {type(spec['column']).__name__}"
+            )
+        return
+    if "and" in keys or "or" in keys:
+        if keys not in ({"and"}, {"or"}):
+            raise BadConditionError(
+                "combinator condition must have exactly one of 'and'/'or', got "
+                f"{sorted(keys)}"
+            )
+        key = "and" if "and" in keys else "or"
+        children = spec[key]
+        if not isinstance(children, (list, tuple)) or not children:
+            raise BadConditionError(f"'{key}' must be a non-empty list of conditions")
+        for c in children:
+            validate_condition(c)
+        return
+    raise BadConditionError(
+        f"condition must contain 'column' or 'and'/'or'; got keys {sorted(keys)}"
+    )
+
+
 def compile_condition(spec: Optional[Mapping[str, Any]]) -> Column:
     """Compile a condition spec into a boolean ``Column``.
 

@@ -47,7 +47,7 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from datavalid_spark.functions.conditions import compile_condition
+from datavalid_spark.functions.conditions import compile_condition, validate_condition
 from datavalid_spark.functions.dates import ERROR_CLASSES, DateExprs, parse_single_date
 
 _ERR = "__dv_error"
@@ -172,8 +172,7 @@ class EmptyCheck(TableCheck):
 
     def __init__(self, **condition_spec):
         self._spec = condition_spec
-        self._expr_spec = condition_spec  # validated eagerly:
-        compile_condition(condition_spec)
+        validate_condition(condition_spec)  # shape errors surface at plan time
 
     def violations(self, df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
         return df.filter(compile_condition(self._spec))

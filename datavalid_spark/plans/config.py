@@ -1,0 +1,346 @@
+"""Plan layer: YAML/dict config → validated plan objects.
+
+Mirrors the reference's object tree ``Config → {Schema →
+[ColumnSchema], [Task]}`` (/root/reference/datavalid/config.py:21-94,
+schema.py:15-84, column_schema.py:41-84, task.py:26-130) with the same
+config shape and JSON-path-style ``BadConfigError`` locations — but the
+plan is pure driver-side metadata: no data is touched and no
+SparkSession is needed until ``Config.run(spark)``.
+
+Config shape (identical to the reference's ``datavalid.yml``)::
+
+    files:
+      data/people.csv: {schema: person}
+    schemas:
+      person:
+        columns:
+          - name: first
+            title_case: true
+        validation_tasks:
+          - name: age should be reasonable
+            empty: {column: age, op: greater_than, value: 200}
+            warn_only: true
+    save_bad_rows_to: bad_rows.csv
+"""
+
+from __future__ import annotations
+
+import datetime
+import pathlib
+from typing import Optional
+
+import yaml
+
+from datavalid_spark.functions.conditions import BadConditionError, validate_condition
+from datavalid_spark.operators.checks import TABLE_CHECKS
+from datavalid_spark.operators.fields import (
+    BadFieldConfigError,
+    FIELD_CHECKERS,
+    FieldChecker,
+    build_field_checker,
+)
+
+
+class BadConfigError(Exception):
+    """Config error with a JSON-path-like location (reference
+    exceptions.py:7-51)."""
+
+    def __init__(self, path: list, msg: str) -> None:
+        super().__init__(path, msg)
+        self.path = path
+        self.msg = msg
+
+    def __str__(self) -> str:
+        if not self.path:
+            return self.msg
+        sl = []
+        for key in self.path:
+            if isinstance(key, int):
+                sl.append("[%d]" % key)
+            elif " " in str(key):
+                sl.append('."%s"' % key)
+            else:
+                sl.append(".%s" % key)
+        return "error at %s: %s" % ("".join(sl), self.msg)
+
+
+class ColumnSpec:
+    """Per-column constraint set, declaration-ordered
+    (reference column_schema.py:41-84)."""
+
+    def __init__(self, name: str, description: Optional[str] = None, **kwargs) -> None:
+        self.name = name
+        self.description = None if description is None else description.strip()
+        self.checkers: dict[str, FieldChecker] = {}
+        for k, v in kwargs.items():
+            if k not in FIELD_CHECKERS:
+                raise BadConfigError([], "unknown option %s" % k)
+            try:
+                if v is True:
+                    self.checkers[k] = build_field_checker(k, True)
+                elif isinstance(v, list) or isinstance(v, str):
+                    self.checkers[k] = build_field_checker(k, v)
+                else:
+                    raise BadConfigError([k], "invalid option")
+            except BadFieldConfigError as e:
+                raise BadConfigError([k], str(e))
+            except TypeError as e:
+                raise BadConfigError([k], str(e))
+
+    def to_markdown(self) -> str:
+        parts = ["- **%s**:" % self.name]
+        if self.description is not None:
+            parts.append("  - Description: %s\n" % self.description)
+        if self.checkers:
+            parts.append(
+                "\n".join(
+                    ["  - Attributes:"]
+                    + [
+                        "    " + c.to_markdown().replace("\n", "\n    ")
+                        for c in self.checkers.values()
+                    ]
+                    + [""]
+                )
+            )
+        return "\n".join(parts)
+
+
+_CHECK_KEYS = tuple(TABLE_CHECKS.keys())
+
+
+class TaskSpec:
+    """name + optional where/group_by + exactly one table checker
+    (reference task.py:26-130)."""
+
+    def __init__(
+        self,
+        name: Optional[str] = None,
+        where: Optional[dict] = None,
+        group_by=None,
+        warn_only: bool = False,
+        today: Optional[datetime.date] = None,
+        **kwargs,
+    ) -> None:
+        if name is None:
+            raise BadConfigError([], 'task must have a name specified with "name" key')
+        self.name = name
+        self.warn_only = warn_only
+        if where is not None and not isinstance(where, dict):
+            raise BadConfigError(["where"], "should be a dict")
+        try:
+            validate_condition(where)
+        except BadConditionError as e:
+            raise BadConfigError(["where"], str(e))
+        self.where = where
+        if group_by is None:
+            self.group_by: list[str] = []
+        elif isinstance(group_by, str):
+            self.group_by = [group_by]
+        elif isinstance(group_by, list):
+            self.group_by = group_by
+        else:
+            raise BadConfigError(["group_by"], "should be a column name or list thereof")
+
+        given = [k for k in kwargs if k in _CHECK_KEYS]
+        unknown = [k for k in kwargs if k not in _CHECK_KEYS]
+        if unknown:
+            raise BadConfigError([unknown[0]], "unknown option")
+        if len(given) != 1:
+            raise BadConfigError(
+                [],
+                "exactly one checker should be specified for this task. "
+                "Available checkers are %s" % ", ".join('"%s"' % k for k in _CHECK_KEYS),
+            )
+        self.check_key = given[0]
+        self.check_conf = kwargs[self.check_key]
+        # build eagerly to surface config errors at plan time
+        from datavalid_spark.operators.checks import build_table_check
+
+        try:
+            self.check = build_table_check(self.check_key, self.check_conf, today=today)
+        except (ValueError, KeyError, TypeError) as e:
+            raise BadConfigError([self.check_key], str(e))
+
+    def to_markdown(self) -> str:
+        return "- %s" % self.name
+
+
+class Schema:
+    """Named, ordered table schema (reference schema.py:15-84)."""
+
+    def __init__(
+        self,
+        name: str,
+        columns: Optional[list] = None,
+        validation_tasks: Optional[list] = None,
+        today: Optional[datetime.date] = None,
+    ) -> None:
+        self.name = name
+        self.column_order: list[str] = []
+        self.columns: dict[str, ColumnSpec] = {}
+        self.tasks: list[TaskSpec] = []
+        if columns is not None:
+            if not isinstance(columns, list):
+                raise BadConfigError(
+                    ["columns"], "should be a list of columns and their description"
+                )
+            for idx, obj in enumerate(columns):
+                if not isinstance(obj, dict):
+                    raise BadConfigError(["columns", idx], "column schema must be a dictionary")
+                if "name" not in obj:
+                    raise BadConfigError(
+                        ["columns", idx, "name"], 'each column must have field "name"'
+                    )
+                if obj["name"] in self.columns:
+                    raise BadConfigError(
+                        ["columns", idx, "name"], 'repeating column "%s"' % obj["name"]
+                    )
+                try:
+                    self.columns[obj["name"]] = ColumnSpec(**obj)
+                except BadConfigError as e:
+                    raise BadConfigError(["columns", idx] + e.path, e.msg)
+                except TypeError as e:
+                    raise BadConfigError(["columns", idx], str(e))
+                self.column_order.append(obj["name"])
+        if validation_tasks is not None:
+            if not isinstance(validation_tasks, list):
+                raise BadConfigError(
+                    ["validation_tasks"], "should be a list of validation tasks"
+                )
+            for i, task in enumerate(validation_tasks):
+                try:
+                    self.tasks.append(TaskSpec(today=today, **task))
+                except BadConfigError as e:
+                    raise BadConfigError(["validation_tasks", i] + e.path, e.msg)
+                except TypeError as e:
+                    raise BadConfigError(["validation_tasks", i], str(e))
+
+    def to_markdown(self) -> str:
+        """Markdown doc — note: fixes the reference's ``schema.py:144``
+        crash (``self._tasks`` attribute typo, SURVEY.md §3.3)."""
+        lines = ["## Schema %s" % self.name, ""]
+        if self.columns:
+            lines += ["### Columns", ""] + [c.to_markdown() for c in self.columns.values()]
+        if self.tasks:
+            lines += ["### Validation tasks", ""] + [t.to_markdown() for t in self.tasks] + [""]
+        return "\n".join(lines)
+
+
+class FileSpec:
+    """One table to validate: path + schema reference
+    (reference file.py:28-62)."""
+
+    def __init__(
+        self,
+        datadir: pathlib.Path,
+        filename: str,
+        schema: Schema,
+        save_bad_rows_to: Optional[str] = None,
+        **kwargs,
+    ) -> None:
+        self.datadir = datadir
+        self.filename = filename
+        self.filepath = datadir / filename
+        self.schema = schema
+        self.save_bad_rows_to = save_bad_rows_to
+
+
+class Config:
+    """Top-level plan (reference config.py:21-109)."""
+
+    def __init__(
+        self,
+        datadir,
+        files: Optional[dict] = None,
+        schemas: Optional[dict] = None,
+        save_bad_rows_to: Optional[str] = None,
+        today: Optional[datetime.date] = None,
+        no_spinner: bool = False,  # accepted for config parity; unused
+    ) -> None:
+        if isinstance(datadir, str):
+            datadir = pathlib.Path(datadir)
+        self.datadir = datadir
+        self.files: dict[str, FileSpec] = {}
+        self.schemas: dict[str, Schema] = {}
+        if save_bad_rows_to is not None and not isinstance(save_bad_rows_to, str):
+            raise BadConfigError(
+                [], 'key "save_bad_rows_to" should be a file path relative to data dir'
+            )
+        if files is None:
+            raise BadConfigError([], 'key "files" should appear at top level')
+        if not isinstance(files, dict):
+            raise BadConfigError(
+                [], '"files" should contain a map of file paths and corresponding schema'
+            )
+        if schemas is None:
+            raise BadConfigError([], 'key "schemas" should appear at the top level')
+        if not isinstance(schemas, dict):
+            raise BadConfigError([], '"schemas" should contain a map of schema definitions')
+        for name, schema in schemas.items():
+            try:
+                self.schemas[name] = Schema(name, today=today, **schema)
+            except BadConfigError as e:
+                raise BadConfigError(["schemas", name] + e.path, e.msg)
+        for name, file_conf in files.items():
+            conf = dict(file_conf)
+            if "schema" not in conf or not isinstance(conf["schema"], str):
+                raise BadConfigError(
+                    ["files", name],
+                    '"schema" should be the name of a defined schema in the "schemas" '
+                    "section at the top level",
+                )
+            schema_name = conf.pop("schema")
+            if schema_name not in self.schemas:
+                raise BadConfigError(["files", name, "schema"], "unknown schema")
+            try:
+                self.files[name] = FileSpec(
+                    datadir,
+                    name,
+                    schema=self.schemas[schema_name],
+                    save_bad_rows_to=save_bad_rows_to,
+                    **conf,
+                )
+            except BadConfigError as e:
+                raise BadConfigError(["files", name] + e.path, e.msg)
+
+    def run(self, spark, out=None) -> int:
+        """Run all validation (lazy import: the runner needs pyspark)."""
+        from datavalid_spark.runner import run_config
+
+        return run_config(self, spark, out=out)
+
+    def rearrange_columns(self, schema_name: str, df):
+        from datavalid_spark.runner import rearrange_columns
+
+        return rearrange_columns(self.schemas[schema_name], df)
+
+    def to_markdown(self, relative_to: Optional[pathlib.Path] = None) -> str:
+        if relative_to is None:
+            relative_to = pathlib.Path.cwd()
+        parts = []
+        for f in self.files.values():
+            parts.append(
+                "\n".join(
+                    [
+                        "## File %s" % f.filepath.relative_to(relative_to),
+                        "",
+                        "- schema: [%s](#schema-%s)"
+                        % (f.schema.name, f.schema.name.lower().replace(" ", "-")),
+                    ]
+                )
+            )
+        for s in self.schemas.values():
+            parts.append(s.to_markdown())
+        return "\n".join(parts)
+
+
+def load_config(datadir) -> Config:
+    """Read DATADIR/datavalid.yml (reference config.py:132-140)."""
+    if isinstance(datadir, str):
+        datadir = pathlib.Path(datadir)
+    conf_file = datadir / "datavalid.yml"
+    if not conf_file.exists():
+        raise FileNotFoundError("%s does not exist" % conf_file)
+    with conf_file.open() as f:
+        obj = yaml.load(f.read(), Loader=yaml.Loader)
+    return Config(datadir, **obj)

@@ -1,0 +1,51 @@
+"""Terminal report rendering (reference file.py:81-142, exceptions.py).
+
+Driver-side only: everything rendered here is either plan metadata or a
+small sampled violation frame (``limit(k).toPandas()``) — never a full
+collect of violations.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+_COLORS = {
+    "red": "31",
+    "green": "32",
+    "yellow": "33",
+    "magenta": "35",
+    "cyan": "36",
+}
+
+#: max violation rows rendered to the terminal; the full set goes to
+#: ``save_bad_rows_to`` when configured
+SAMPLE_ROWS = 20
+
+
+def use_color(out) -> bool:
+    if os.environ.get("NO_COLOR"):
+        return False
+    target = out if out is not None else sys.stdout
+    return hasattr(target, "isatty") and target.isatty()
+
+
+def colored(s: str, color: str, enable: bool = True) -> str:
+    if not enable or color not in _COLORS:
+        return s
+    return "\x1b[%sm%s\x1b[0m" % (_COLORS[color], s)
+
+
+def indent(s: str, n: int) -> str:
+    spaces = " " * n
+    return spaces + s.replace("\n", "\n" + spaces)
+
+
+def render_frame(df, limit: int = SAMPLE_ROWS) -> str:
+    """Small sample of a violation DataFrame as text."""
+    pdf = df.limit(limit).toPandas()
+    body = pdf.to_string(index=False)
+    total_note = ""
+    if len(pdf) == limit:
+        total_note = "\n(showing first %d rows)" % limit
+    return body + total_note

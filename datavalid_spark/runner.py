@@ -1,0 +1,234 @@
+"""Execution: plan objects × SparkSession → verdicts, report, exit code.
+
+Reference lifecycle (SURVEY.md §3.1): per file — load, schema column
+pass, task pass, render ✓/✕/⚠, optionally persist bad rows, exit 0/1.
+Key differences by design:
+
+- loading is a lazy ``spark.read.csv(header=True, inferSchema=True)``
+  (pandas ``read_csv`` parity) or parquet/table — checks compose onto
+  the one scan and Catalyst prunes columns per check;
+- grouped tasks compute ALL group verdicts in one pass; the report
+  then mirrors the reference's "first failing group" (minimal sorted
+  key) for output parity (task.py:145-148);
+- the task pass stops rendering after the first hard failure
+  (file.py:99-100) but schema-column failures never abort tasks
+  (file.py:124-140).
+"""
+
+from __future__ import annotations
+
+import sys
+import traceback
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datavalid_spark.functions.conditions import compile_condition
+from datavalid_spark.operators.checks import CheckResult
+from datavalid_spark.plans.config import Config, FileSpec, Schema, TaskSpec
+from datavalid_spark.report import SAMPLE_ROWS, colored, indent, render_frame, use_color
+
+
+@dataclass
+class ColumnVerdict:
+    column: str
+    failed_check: Optional[str]  # None → missing column
+    n_bad_values: int
+    bad_values: Optional[DataFrame]
+    missing: bool = False
+
+
+@dataclass
+class TaskVerdict:
+    name: str
+    passed: bool
+    warn_only: bool
+    err_msg: Optional[str] = None
+    violations: Optional[DataFrame] = None
+    n_violations: int = 0
+    failing_group: Optional[list] = None
+    error: Optional[str] = None  # unexpected exception text
+
+
+@dataclass
+class FileReport:
+    filename: str
+    schema_ok: bool = True
+    column_verdicts: list = field(default_factory=list)
+    task_verdicts: list = field(default_factory=list)
+
+    @property
+    def ok(self) -> bool:
+        return self.schema_ok and all(
+            t.passed or t.warn_only for t in self.task_verdicts
+        )
+
+
+def load_file(spec: FileSpec, spark: SparkSession) -> DataFrame:
+    """CSV with header + schema inference = pandas read_csv parity
+    (reference file.py:121). Parquet supported for fixtures."""
+    path = str(spec.filepath)
+    if path.endswith(".parquet"):
+        return spark.read.parquet(path)
+    return spark.read.csv(path, header=True, inferSchema=True)
+
+
+def validate_columns(schema: Schema, df: DataFrame) -> list[ColumnVerdict]:
+    """Schema column pass: declaration order, first failing checker per
+    column (reference schema.py:86-105, column_schema.py:86-103)."""
+    out = []
+    present = set(df.columns)
+    for name in schema.column_order:
+        spec = schema.columns[name]
+        if name not in present:
+            out.append(ColumnVerdict(name, None, 0, None, missing=True))
+            continue
+        for key, checker in spec.checkers.items():
+            bad = checker.bad_values(df, name)
+            n = bad.count()
+            if n > 0:
+                out.append(ColumnVerdict(name, key, n, bad))
+                break  # first failing checker only (column_schema.py:99-102)
+    return out
+
+
+def run_task(task: TaskSpec, df: DataFrame) -> TaskVerdict:
+    """One task: where-filter, then grouped or whole-frame check."""
+    try:
+        filtered = df.filter(compile_condition(task.where)) if task.where else df
+        if task.group_by:
+            from datavalid_spark.operators.checks import first_failing_group
+
+            group = first_failing_group(task.check, filtered, task.group_by)
+            if group is None:
+                return TaskVerdict(task.name, True, task.warn_only)
+            # reference parity: report the minimal sorted failing group
+            cond = None
+            for col, val in zip(task.group_by, group):
+                c = F.col(col).eqNullSafe(F.lit(val))
+                cond = c if cond is None else (cond & c)
+            res: CheckResult = task.check.run(filtered.filter(cond))
+        else:
+            res = task.check.run(filtered)
+        if res.passed:
+            return TaskVerdict(task.name, True, task.warn_only)
+        return TaskVerdict(
+            task.name,
+            False,
+            task.warn_only,
+            err_msg=res.err_msg,
+            violations=res.violations,
+            n_violations=res.n_violations,
+            failing_group=None if not task.group_by else group,
+        )
+    except Exception:
+        exc_type, exc_value, _ = sys.exc_info()
+        return TaskVerdict(
+            task.name,
+            False,
+            False,
+            error="".join(traceback.format_exception_only(exc_type, exc_value)).strip(),
+        )
+
+
+def validate_file(spec: FileSpec, spark: SparkSession, out=None) -> FileReport:
+    def p(*args):
+        print(*args, file=out)
+
+    color = use_color(out)
+    report = FileReport(filename=str(spec.filepath))
+    p("Validating %s" % spec.filepath)
+    df = load_file(spec, spark)
+
+    if spec.schema.columns:
+        verdicts = validate_columns(spec.schema, df)
+        report.column_verdicts = verdicts
+        if not verdicts:
+            p(colored("  ✓ All columns match schema", "green", color))
+        else:
+            report.schema_ok = False
+            p(colored("  ✕ Does not match schema", "red", color))
+            for v in verdicts:
+                if v.missing:
+                    msg = "is not present"
+                else:
+                    msg = "failed %s check. %s offending values:\n%s" % (
+                        colored(v.failed_check, "magenta", color),
+                        colored(str(v.n_bad_values), "cyan", color),
+                        indent(render_frame(v.bad_values), 2),
+                    )
+                p(
+                    indent(
+                        "%s column %s %s"
+                        % (
+                            colored("✕", "red", color),
+                            colored(v.column, "yellow", color),
+                            msg,
+                        ),
+                        4,
+                    )
+                )
+
+    for task in spec.schema.tasks:
+        tv = run_task(task, df)
+        report.task_verdicts.append(tv)
+        if tv.error is not None:
+            p(indent(colored("✕ %s" % task.name, "red", color), 2))
+            p(indent("an error occured during task execution: %s" % tv.error, 4))
+            return report
+        if tv.passed:
+            p(indent(colored("✓ %s" % task.name, "green", color), 2))
+            continue
+        if tv.warn_only:
+            p(indent(colored("⚠ %s" % task.name, "yellow", color), 2))
+        else:
+            p(indent(colored("✕ %s" % task.name, "red", color), 2))
+        msg = tv.err_msg or ""
+        if tv.failing_group:
+            msg = "%s (group %s)" % (msg, tv.failing_group)
+        p(indent(msg, 4))
+        if not tv.warn_only and spec.save_bad_rows_to is not None:
+            rows_path = spec.datadir / spec.save_bad_rows_to
+            (
+                tv.violations.coalesce(1)
+                .toPandas()
+                .to_csv(rows_path, index=False)
+            )
+            p(indent("Saved bad rows to %s" % rows_path, 4))
+        elif tv.violations is not None:
+            p(indent(render_frame(tv.violations), 4))
+        if not tv.warn_only:
+            # hard failure aborts remaining tasks of this file (file.py:99-100)
+            return report
+    return report
+
+
+def run_config(config: Config, spark: SparkSession, out=None) -> int:
+    """Validate every file; 0 iff all good (reference config.py:96-109)."""
+    succeed = True
+    for spec in config.files.values():
+        rep = validate_file(spec, spark, out=out)
+        if not rep.ok:
+            succeed = False
+    if not succeed:
+        return 1
+    print("All good!", file=out)
+    return 0
+
+
+def rearrange_columns(schema: Schema, df: DataFrame) -> DataFrame:
+    """Project + reorder to schema order, drop exact-duplicate rows,
+    validate present columns (reference schema.py:107-123).  Raises
+    ValueError on the first violating column."""
+    existing = set(df.columns)
+    ordered = [c for c in schema.column_order if c in existing]
+    out = df.select(*ordered).dropDuplicates()
+    for name in ordered:
+        spec = schema.columns[name]
+        for key, checker in spec.checkers.items():
+            bad = checker.bad_values(out, name)
+            if not bad.isEmpty():
+                raise ValueError("column %s failed %s check" % (name, key))
+    return out

@@ -1,0 +1,272 @@
+"""End-to-end: YAML config → plan → Spark run → report + exit code
+(reference test_config.py:34-75, test_file.py:40-188)."""
+
+import datetime
+import io
+import os
+
+import pytest
+
+from datavalid_spark.plans.config import BadConfigError, Config, load_config
+from datavalid_spark.runner import rearrange_columns, run_config, validate_file
+
+TODAY = datetime.date(2021, 8, 17)
+
+PEOPLE_CSV = "first,last,age\njohn,doe,23\njean,smith,43\njane,smith,30\n"
+
+EVENT_CSV = (
+    "event,event_year,event_month,event_day\n"
+    "officer_join,2000,1,3\n"
+    "promotion,2000,1,4\n"
+    "officer_left,2010,9,3\n"
+)
+
+
+@pytest.fixture()
+def datadir(tmp_path):
+    (tmp_path / "people.csv").write_text(PEOPLE_CSV)
+    (tmp_path / "event.csv").write_text(EVENT_CSV)
+    return tmp_path
+
+
+def people_config(datadir, **extra):
+    return Config(
+        datadir,
+        files={"people.csv": {"schema": "person"}},
+        schemas={
+            "person": {
+                "columns": [
+                    {"name": "first", "no_na": True},
+                    {"name": "last", "no_na": True},
+                    {"name": "age", "integer": True},
+                ],
+                "validation_tasks": [
+                    {
+                        "name": "age should be less than 100",
+                        "empty": {"column": "age", "op": "greater_equal", "value": 100},
+                    }
+                ],
+            }
+        },
+        today=TODAY,
+        **extra,
+    )
+
+
+def test_run_all_good(spark, datadir):
+    out = io.StringIO()
+    code = run_config(people_config(datadir), spark, out=out)
+    text = out.getvalue()
+    assert code == 0
+    assert "All good!" in text
+    assert "✓ All columns match schema" in text
+    assert "✓ age should be less than 100" in text
+
+
+def test_run_task_failure_exit_code(spark, datadir):
+    conf = Config(
+        datadir,
+        files={"people.csv": {"schema": "person"}},
+        schemas={
+            "person": {
+                "validation_tasks": [
+                    {"name": "last names unique", "unique": "last"},
+                ]
+            }
+        },
+        today=TODAY,
+    )
+    out = io.StringIO()
+    code = run_config(conf, spark, out=out)
+    text = out.getvalue()
+    assert code == 1
+    assert "✕ last names unique" in text
+    assert "Table contains duplicates" in text
+    assert "smith" in text
+
+
+def test_warn_only_does_not_fail(spark, datadir):
+    conf = Config(
+        datadir,
+        files={"people.csv": {"schema": "person"}},
+        schemas={
+            "person": {
+                "validation_tasks": [
+                    {"name": "last names unique", "unique": "last", "warn_only": True},
+                    {"name": "second task runs", "empty": {"column": "age", "op": "greater_than", "value": 100}},
+                ]
+            }
+        },
+        today=TODAY,
+    )
+    out = io.StringIO()
+    code = run_config(conf, spark, out=out)
+    text = out.getvalue()
+    assert code == 0
+    assert "⚠ last names unique" in text
+    assert "✓ second task runs" in text
+
+
+def test_schema_column_failure(spark, datadir):
+    conf = Config(
+        datadir,
+        files={"people.csv": {"schema": "person"}},
+        schemas={
+            "person": {
+                "columns": [
+                    {"name": "last", "unique": True},
+                    {"name": "missing_col", "no_na": True},
+                ],
+                "validation_tasks": [
+                    {"name": "still runs", "empty": {"column": "age", "op": "greater_than", "value": 100}},
+                ],
+            }
+        },
+        today=TODAY,
+    )
+    out = io.StringIO()
+    code = run_config(conf, spark, out=out)
+    text = out.getvalue()
+    assert code == 1
+    assert "✕ Does not match schema" in text
+    assert "failed unique check" in text
+    assert "is not present" in text
+    # schema failure does NOT abort tasks (reference file.py:124-140)
+    assert "✓ still runs" in text
+
+
+def test_save_bad_rows(spark, datadir):
+    conf = Config(
+        datadir,
+        files={"people.csv": {"schema": "person"}},
+        schemas={
+            "person": {
+                "validation_tasks": [{"name": "unique last", "unique": "last"}]
+            }
+        },
+        save_bad_rows_to="bad_rows.csv",
+        today=TODAY,
+    )
+    out = io.StringIO()
+    code = run_config(conf, spark, out=out)
+    assert code == 1
+    assert "Saved bad rows to" in out.getvalue()
+    saved = (datadir / "bad_rows.csv").read_text().strip().splitlines()
+    assert saved[0] == "first,last,age"
+    assert sorted(saved[1:]) == ["jane,smith,30", "jean,smith,43"]
+
+
+def test_grouped_task_and_where(spark, datadir):
+    conf = Config(
+        datadir,
+        files={"event.csv": {"schema": "event"}},
+        schemas={
+            "event": {
+                "validation_tasks": [
+                    {
+                        "name": "no consecutive promotions",
+                        "where": {"column": "event", "op": "not_equal", "value": "officer_left"},
+                        "no_consecutive_date": {
+                            "date_from": {
+                                "year_column": "event_year",
+                                "month_column": "event_month",
+                                "day_column": "event_day",
+                            }
+                        },
+                    }
+                ]
+            }
+        },
+        today=TODAY,
+    )
+    out = io.StringIO()
+    code = run_config(conf, spark, out=out)
+    text = out.getvalue()
+    assert code == 1
+    assert "Consecutive dates detected" in text
+
+
+def test_yaml_load_config(spark, tmp_path):
+    (tmp_path / "people.csv").write_text(PEOPLE_CSV)
+    (tmp_path / "datavalid.yml").write_text(
+        """
+files:
+  people.csv:
+    schema: person
+schemas:
+  person:
+    columns:
+      - name: first
+        no_na: true
+    validation_tasks:
+      - name: age sane
+        empty: {column: age, op: greater_than, value: 200}
+"""
+    )
+    conf = load_config(tmp_path)
+    out = io.StringIO()
+    assert run_config(conf, spark, out=out) == 0
+
+
+def test_rearrange_columns(spark, datadir):
+    conf = people_config(datadir)
+    df = spark.createDataFrame(
+        [(30, "jane", "smith", "x"), (30, "jane", "smith", "x")],
+        ["age", "first", "last", "extra"],
+    )
+    out = rearrange_columns(conf.schemas["person"], df)
+    assert out.columns == ["first", "last", "age"]
+    assert out.count() == 1
+
+
+def test_to_markdown(datadir):
+    md = people_config(datadir).to_markdown(relative_to=datadir)
+    assert "## File people.csv" in md
+    assert "## Schema person" in md
+    assert "- **first**:" in md
+    assert "- age should be less than 100" in md
+
+
+@pytest.mark.parametrize(
+    "kwargs,path_frag",
+    [
+        (dict(files=None, schemas={}), '"files"'),
+        (dict(files={}, schemas=None), '"schemas"'),
+        (dict(files={"f.csv": {}}, schemas={}), "files"),
+        (
+            dict(
+                files={"f.csv": {"schema": "s"}},
+                schemas={"s": {"columns": [{"no_name": 1}]}},
+            ),
+            "columns",
+        ),
+        (
+            dict(
+                files={"f.csv": {"schema": "s"}},
+                schemas={"s": {"validation_tasks": [{"name": "t"}]}},
+            ),
+            "validation_tasks",
+        ),
+        (
+            dict(
+                files={"f.csv": {"schema": "s"}},
+                schemas={"s": {"validation_tasks": [{"unique": "a"}]}},
+            ),
+            "name",
+        ),
+    ],
+)
+def test_bad_configs(tmp_path, kwargs, path_frag):
+    with pytest.raises(BadConfigError) as ei:
+        Config(tmp_path, **kwargs)
+    assert path_frag in str(ei.value)
+
+
+def test_duplicate_column_rejected(tmp_path):
+    with pytest.raises(BadConfigError) as ei:
+        Config(
+            tmp_path,
+            files={"f.csv": {"schema": "s"}},
+            schemas={"s": {"columns": [{"name": "a"}, {"name": "a"}]}},
+        )
+    assert "repeating column" in str(ei.value)
