@@ -1,0 +1,164 @@
+"""Distribution-drift checks over mergeable sketches (north rule:
+"distribution-drift via two-sample chi-square/KS over t-digest sketches
+compared against a baseline snapshot").
+
+Workflow::
+
+    baseline = profile_arrow(df_t0)          # one Arrow pass
+    save_baseline(baseline, path)            # tiny JSON snapshot
+    current  = profile_arrow(df_t1)
+    report   = drift_report(load_baseline(path), current)
+
+Statistics (numpy-only — scipy is not in the sandbox):
+
+- numeric columns: two-sample Kolmogorov–Smirnov on the sketch CDFs
+  evaluated at the union of centroid locations; p-value from the
+  asymptotic Kolmogorov distribution Q(λ) = 2 Σ (-1)^{k-1} e^{-2k²λ²}.
+- categorical columns: Pearson chi-square over the union of top-K
+  value counts (plus an "other" bucket); p-value via the
+  Wilson–Hilferty cube-root normal approximation of the chi² CDF.
+
+Both statistics run on sketches, so the comparison is O(sketch size)
+driver-side regardless of table size; the sketches themselves come
+from the single distributed Arrow pass in profile.py.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import pathlib
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from datavalid_spark.operators.profile import ColumnSketch, QuantileSketch
+
+
+def kolmogorov_pvalue(lam: float, terms: int = 100) -> float:
+    """Asymptotic Kolmogorov Q(λ); Q(0)=1."""
+    if lam <= 0:
+        return 1.0
+    s = 0.0
+    for k in range(1, terms + 1):
+        s += (-1) ** (k - 1) * math.exp(-2.0 * k * k * lam * lam)
+    return max(0.0, min(1.0, 2.0 * s))
+
+
+def ks_two_sample(a: QuantileSketch, b: QuantileSketch) -> tuple[float, float]:
+    """(D statistic, p-value) from two quantile sketches."""
+    xs = np.unique(np.concatenate([a.values, b.values]))
+    if len(xs) == 0:
+        return 0.0, 1.0
+    d = float(np.max(np.abs(a.cdf(xs) - b.cdf(xs))))
+    na, nb = a.total_weight, b.total_weight
+    if na == 0 or nb == 0:
+        return d, 1.0
+    ne = na * nb / (na + nb)
+    lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * d
+    return d, kolmogorov_pvalue(lam)
+
+
+def chi2_pvalue(stat: float, dof: int) -> float:
+    """Wilson–Hilferty: (χ²/k)^(1/3) ≈ N(1 - 2/9k, 2/9k)."""
+    if dof <= 0:
+        return 1.0
+    z = ((stat / dof) ** (1.0 / 3.0) - (1.0 - 2.0 / (9.0 * dof))) / math.sqrt(
+        2.0 / (9.0 * dof)
+    )
+    # survival function of the standard normal
+    return 0.5 * math.erfc(z / math.sqrt(2.0))
+
+
+def chi2_two_sample(
+    counts_a: dict, counts_b: dict, min_expected: float = 5.0
+) -> tuple[float, float, int]:
+    """Pearson chi-square homogeneity test over two count dicts.
+
+    Categories below ``min_expected`` expected count pool into 'other'.
+    Returns (statistic, p-value, dof).
+    """
+    keys = sorted(set(counts_a) | set(counts_b))
+    na = sum(counts_a.values())
+    nb = sum(counts_b.values())
+    if na == 0 or nb == 0 or not keys:
+        return 0.0, 1.0, 0
+    a = np.array([counts_a.get(k, 0) for k in keys], dtype="f8")
+    b = np.array([counts_b.get(k, 0) for k in keys], dtype="f8")
+    tot = a + b
+    exp_a = tot * na / (na + nb)
+    # pool sparse categories
+    small = exp_a < min_expected
+    if small.any() and (~small).any():
+        a = np.append(a[~small], a[small].sum())
+        b = np.append(b[~small], b[small].sum())
+        tot = a + b
+        exp_a = tot * na / (na + nb)
+    exp_b = tot * nb / (na + nb)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        stat = np.nansum((a - exp_a) ** 2 / exp_a) + np.nansum((b - exp_b) ** 2 / exp_b)
+    dof = max(len(a) - 1, 1)
+    return float(stat), chi2_pvalue(float(stat), dof), dof
+
+
+@dataclass
+class DriftVerdict:
+    column: str
+    kind: str  # 'ks' | 'chi2'
+    statistic: float
+    p_value: float
+    drifted: bool
+
+
+def drift_report(
+    baseline: dict[str, ColumnSketch],
+    current: dict[str, ColumnSketch],
+    alpha: float = 0.01,
+) -> list[DriftVerdict]:
+    """Compare two sketch snapshots column by column."""
+    out = []
+    for col, base in baseline.items():
+        cur = current.get(col)
+        if cur is None:
+            continue
+        if base.numeric is not None and cur.numeric is not None and base.numeric.total_weight > 0:
+            d, p = ks_two_sample(base.numeric, cur.numeric)
+            out.append(DriftVerdict(col, "ks", d, p, p < alpha))
+        elif base.topk is not None and cur.topk is not None:
+            stat, p, _ = chi2_two_sample(base.topk, cur.topk)
+            out.append(DriftVerdict(col, "chi2", stat, p, p < alpha))
+    return out
+
+
+# ------------------------------------------------------------ snapshots
+
+
+def save_baseline(sketches: dict[str, ColumnSketch], path) -> None:
+    payload = {}
+    for c, sk in sketches.items():
+        payload[c] = {
+            "n": sk.n,
+            "n_null": sk.n_null,
+            "total_bytes": sk.total_bytes,
+            "numeric": sk.numeric.to_json() if sk.numeric else None,
+            "byte_hist": sk.byte_hist.tolist() if sk.byte_hist is not None else None,
+            "topk": sk.topk,
+        }
+    pathlib.Path(path).write_text(json.dumps(payload))
+
+
+def load_baseline(path) -> dict[str, ColumnSketch]:
+    payload = json.loads(pathlib.Path(path).read_text())
+    out = {}
+    for c, d in payload.items():
+        out[c] = ColumnSketch(
+            c,
+            d["n"],
+            d["n_null"],
+            d["total_bytes"],
+            QuantileSketch.from_json(d["numeric"]) if d["numeric"] else None,
+            np.array(d["byte_hist"], dtype="i8") if d["byte_hist"] is not None else None,
+            d["topk"],
+        )
+    return out

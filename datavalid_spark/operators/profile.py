@@ -1,0 +1,310 @@
+"""Per-column statistics: one-pass native aggregation + a single
+mapInPandas Arrow pass for sketches (north rule: "per-column stats
+(null-rate, distinct approx via HLL, length/byte histograms) in a
+single mapInPandas Arrow pass").
+
+Two complementary implementations:
+
+- ``profile_native(df)`` — one wide ``agg`` (per column: count, nulls,
+  approx_count_distinct [HLL], min/max/avg, length stats for strings).
+  Whole-stage-codegen'd, zero Python in the data path; partial+final
+  aggregation handles skew automatically.  Preferred for plain stats.
+
+- ``profile_arrow(df)`` — ONE ``mapInPandas`` pass that emits small
+  per-partition sketch rows (counts, numeric moments + quantile
+  sketch, byte-length histogram, capped distinct sample), merged on
+  the driver.  This is the scale path for stats Spark lacks natively
+  (mergeable quantile sketches for drift §drift.py) — Arrow-batched,
+  no per-row Python, driver merge is O(partitions × sketch size).
+
+The quantile sketch is a deterministic weighted-centroid digest
+(t-digest style with uniform compression): per-partition sorted values
+collapse into ≤ ``QSKETCH_SIZE`` (value, weight) centroids; merges
+concatenate + re-compress.  Quantile error is bounded by 1/size —
+assert tolerance bands, not equality (SURVEY.md §7 risks).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+QSKETCH_SIZE = 256
+HIST_BINS = 64
+TOPK = 64
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+# ---------------------------------------------------------------- native
+
+
+def profile_native(df: DataFrame, columns: Optional[list[str]] = None) -> DataFrame:
+    """One job, one pass: per-column stats as a tall DataFrame
+    ``(column, n, n_null, approx_distinct, min, max, avg, avg_len)``.
+
+    All values stringified for min/max so heterogeneous columns fit one
+    schema; numeric min/max/avg computed on the raw value, strings on
+    ``length``.
+    """
+    cols = columns or df.columns
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        is_num = isinstance(dtypes[c], _NUMERIC)
+        metric = col if is_num else F.length(col.cast("string"))
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(col.isNull().cast("long")).alias(f"{c}__n_null"),
+            F.approx_count_distinct(c).alias(f"{c}__distinct"),
+            F.min(col.cast("string")).alias(f"{c}__min"),
+            F.max(col.cast("string")).alias(f"{c}__max"),
+            F.avg(metric).alias(f"{c}__avg"),
+            F.avg(F.octet_length(col.cast("string"))).alias(f"{c}__avg_bytes"),
+        ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    spark = df.sparkSession
+    out_rows = [
+        (
+            c,
+            row[f"{c}__n"],
+            row[f"{c}__n_null"],
+            row[f"{c}__distinct"],
+            row[f"{c}__min"],
+            row[f"{c}__max"],
+            float(row[f"{c}__avg"]) if row[f"{c}__avg"] is not None else None,
+            float(row[f"{c}__avg_bytes"]) if row[f"{c}__avg_bytes"] is not None else None,
+        )
+        for c in cols
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("column", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("n_null", T.LongType()),
+            T.StructField("approx_distinct", T.LongType()),
+            T.StructField("min", T.StringType()),
+            T.StructField("max", T.StringType()),
+            T.StructField("avg", T.DoubleType()),
+            T.StructField("avg_bytes", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(out_rows, schema)
+
+
+# ------------------------------------------------------------- sketches
+
+
+@dataclass
+class QuantileSketch:
+    """Deterministic mergeable weighted-centroid quantile digest."""
+
+    values: np.ndarray = field(default_factory=lambda: np.array([], dtype="f8"))
+    weights: np.ndarray = field(default_factory=lambda: np.array([], dtype="f8"))
+    size: int = QSKETCH_SIZE
+
+    @classmethod
+    def of(cls, arr: np.ndarray, size: int = QSKETCH_SIZE) -> "QuantileSketch":
+        arr = np.asarray(arr, dtype="f8")
+        arr = arr[~np.isnan(arr)]
+        sk = cls(np.sort(arr), np.ones(len(arr)), size)
+        sk._compress()
+        return sk
+
+    def _compress(self) -> None:
+        if len(self.values) <= self.size:
+            return
+        # uniform-weight bucketing over cumulative weight → deterministic
+        order = np.argsort(self.values, kind="stable")
+        v, w = self.values[order], self.weights[order]
+        cw = np.cumsum(w)
+        total = cw[-1]
+        bucket = np.minimum((cw - w / 2) / total * self.size, self.size - 1).astype("i8")
+        nv = np.zeros(self.size)
+        nw = np.zeros(self.size)
+        np.add.at(nw, bucket, w)
+        np.add.at(nv, bucket, v * w)
+        mask = nw > 0
+        self.values = nv[mask] / nw[mask]
+        self.weights = nw[mask]
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        out = QuantileSketch(
+            np.concatenate([self.values, other.values]),
+            np.concatenate([self.weights, other.weights]),
+            self.size,
+        )
+        out._compress()
+        return out
+
+    @property
+    def total_weight(self) -> float:
+        return float(self.weights.sum())
+
+    def cdf(self, xs: np.ndarray) -> np.ndarray:
+        """P(X <= x) from the centroid set."""
+        if len(self.values) == 0:
+            return np.zeros(len(xs))
+        order = np.argsort(self.values, kind="stable")
+        v, w = self.values[order], self.weights[order]
+        cw = np.cumsum(w)
+        idx = np.searchsorted(v, xs, side="right")
+        out = np.where(idx > 0, cw[np.minimum(idx - 1, len(cw) - 1)], 0.0)
+        return out / cw[-1]
+
+    def quantile(self, q: float) -> float:
+        order = np.argsort(self.values, kind="stable")
+        v, w = self.values[order], self.weights[order]
+        cw = np.cumsum(w) - w / 2
+        return float(np.interp(q * w.sum(), cw, v))
+
+    def to_json(self) -> str:
+        return json.dumps({"v": self.values.tolist(), "w": self.weights.tolist()})
+
+    @classmethod
+    def from_json(cls, s: str) -> "QuantileSketch":
+        d = json.loads(s)
+        return cls(np.array(d["v"], dtype="f8"), np.array(d["w"], dtype="f8"))
+
+
+@dataclass
+class ColumnSketch:
+    """Mergeable per-column sketch emitted per partition."""
+
+    column: str
+    n: int = 0
+    n_null: int = 0
+    total_bytes: int = 0
+    numeric: Optional[QuantileSketch] = None
+    byte_hist: Optional[np.ndarray] = None  # log2 byte-length histogram
+    topk: Optional[dict] = None  # value → count, capped at TOPK via pruning
+
+    def merge(self, other: "ColumnSketch") -> "ColumnSketch":
+        num = (
+            self.numeric.merge(other.numeric)
+            if self.numeric is not None and other.numeric is not None
+            else (self.numeric or other.numeric)
+        )
+        hist = None
+        if self.byte_hist is not None or other.byte_hist is not None:
+            a = self.byte_hist if self.byte_hist is not None else np.zeros(HIST_BINS, "i8")
+            b = other.byte_hist if other.byte_hist is not None else np.zeros(HIST_BINS, "i8")
+            hist = a + b
+        tk = None
+        if self.topk is not None or other.topk is not None:
+            tk = dict(self.topk or {})
+            for k, v in (other.topk or {}).items():
+                tk[k] = tk.get(k, 0) + v
+            if len(tk) > TOPK:
+                tk = dict(sorted(tk.items(), key=lambda kv: (-kv[1], kv[0]))[:TOPK])
+        return ColumnSketch(
+            self.column,
+            self.n + other.n,
+            self.n_null + other.n_null,
+            self.total_bytes + other.total_bytes,
+            num,
+            hist,
+            tk,
+        )
+
+
+_SKETCH_SCHEMA = T.StructType(
+    [
+        T.StructField("column", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("n_null", T.LongType()),
+        T.StructField("total_bytes", T.LongType()),
+        T.StructField("numeric_sketch", T.StringType()),
+        T.StructField("byte_hist", T.ArrayType(T.LongType())),
+        T.StructField("topk", T.StringType()),
+    ]
+)
+
+
+def _sketch_partition(cols: list[str], numeric_cols: set[str]):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[str, ColumnSketch] = {}
+        for pdf in batches:
+            for c in cols:
+                s = pdf[c]
+                n = len(s)
+                null_mask = s.isna()
+                n_null = int(null_mask.sum())
+                as_str = s[~null_mask].astype(str)
+                byte_lens = as_str.str.encode("utf-8").str.len().to_numpy(dtype="i8") if len(as_str) else np.array([], "i8")
+                hist = np.zeros(HIST_BINS, "i8")
+                if len(byte_lens):
+                    bins = np.minimum(
+                        np.floor(np.log2(np.maximum(byte_lens, 1))).astype("i8") + 1,
+                        HIST_BINS - 1,
+                    )
+                    bins[byte_lens == 0] = 0
+                    np.add.at(hist, bins, 1)
+                num = None
+                if c in numeric_cols:
+                    num = QuantileSketch.of(
+                        pd.to_numeric(s, errors="coerce").to_numpy(dtype="f8")
+                    )
+                vc = as_str.value_counts()
+                tk = {str(k): int(v) for k, v in vc.head(TOPK).items()}
+                sk = ColumnSketch(c, n, n_null, int(byte_lens.sum()), num, hist, tk)
+                acc[c] = acc[c].merge(sk) if c in acc else sk
+        rows = []
+        for c, sk in acc.items():
+            rows.append(
+                {
+                    "column": c,
+                    "n": sk.n,
+                    "n_null": sk.n_null,
+                    "total_bytes": sk.total_bytes,
+                    "numeric_sketch": sk.numeric.to_json() if sk.numeric else None,
+                    "byte_hist": sk.byte_hist.tolist() if sk.byte_hist is not None else None,
+                    "topk": json.dumps(sk.topk) if sk.topk is not None else None,
+                }
+            )
+        yield pd.DataFrame(rows, columns=[f.name for f in _SKETCH_SCHEMA.fields])
+
+    return fn
+
+
+def profile_arrow(
+    df: DataFrame, columns: Optional[list[str]] = None
+) -> dict[str, ColumnSketch]:
+    """Single mapInPandas Arrow pass → merged per-column sketches.
+
+    Executor side emits one tiny sketch row per (partition, column);
+    the driver merge is two-level-safe (sketches are associative), so
+    at very large partition counts the same rows could be tree-reduced
+    with one extra ``groupBy(column)`` stage instead.
+    """
+    cols = columns or df.columns
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    numeric_cols = {c for c in cols if isinstance(dtypes[c], _NUMERIC)}
+    part_rows = df.select(*cols).mapInPandas(
+        _sketch_partition(cols, numeric_cols), schema=_SKETCH_SCHEMA
+    )
+    merged: dict[str, ColumnSketch] = {}
+    for r in part_rows.collect():
+        sk = ColumnSketch(
+            r["column"],
+            r["n"],
+            r["n_null"],
+            r["total_bytes"],
+            QuantileSketch.from_json(r["numeric_sketch"]) if r["numeric_sketch"] else None,
+            np.array(r["byte_hist"], dtype="i8") if r["byte_hist"] is not None else None,
+            json.loads(r["topk"]) if r["topk"] is not None else None,
+        )
+        merged[sk.column] = merged[sk.column].merge(sk) if sk.column in merged else sk
+    return merged

@@ -1,0 +1,74 @@
+"""Referential-integrity checks via anti-joins (north rule; SURVEY.md
+§2.6 — absent in the reference, whose README only *describes* the
+``complaint.uid → personnel.uid`` relationship, README.md:19-22).
+
+Violations are orphan child rows: child keys with no matching parent.
+Strategy:
+
+- ``broadcast=True`` (default None = auto) hints the parent side for
+  broadcast — right for dimension tables (repos, customers);
+- otherwise Spark picks sort-merge with AQE skew-join splitting
+  pathological keys (configs set in the CLI/bench session builders).
+
+NULL child keys: a NULL never matches any parent under SQL semantics;
+the reference's pandas ``isin`` analogue treats NaN as non-member too,
+so NULL child keys count as orphans only when ``null_is_orphan=True``
+(default False → NULL keys are ignored, matching ``left_anti`` with an
+explicit null filter).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class ReferentialCheck:
+    """child.(fk...) ⊆ parent.(pk...)"""
+
+    key = "referential"
+
+    def __init__(
+        self,
+        child_keys: Sequence[str] | str,
+        parent_keys: Sequence[str] | str,
+        broadcast: Optional[bool] = None,
+        null_is_orphan: bool = False,
+    ) -> None:
+        self.child_keys = [child_keys] if isinstance(child_keys, str) else list(child_keys)
+        self.parent_keys = (
+            [parent_keys] if isinstance(parent_keys, str) else list(parent_keys)
+        )
+        if len(self.child_keys) != len(self.parent_keys):
+            raise ValueError("child and parent key lists must have equal length")
+        self.broadcast = broadcast
+        self.null_is_orphan = null_is_orphan
+
+    def orphans(self, child: DataFrame, parent: DataFrame) -> DataFrame:
+        """Child rows whose key has no parent (left_anti)."""
+        pk = parent.select(
+            *[F.col(p).alias(c) for c, p in zip(self.child_keys, self.parent_keys)]
+        ).dropDuplicates()
+        if self.broadcast is None or self.broadcast:
+            pk = F.broadcast(pk)
+        out = child.join(pk, on=self.child_keys, how="left_anti")
+        if not self.null_is_orphan:
+            for c in self.child_keys:
+                out = out.filter(F.col(c).isNotNull())
+        return out.select(*child.columns)
+
+    def run(self, child: DataFrame, parent: DataFrame):
+        from datavalid_spark.operators.checks import CheckResult
+
+        viol = self.orphans(child, parent)
+        n = viol.count()
+        if n == 0:
+            return CheckResult(True, None, None, 0)
+        return CheckResult(
+            False,
+            "%d orphan rows: %s not found in parent" % (n, self.child_keys),
+            viol,
+            n,
+        )

@@ -1,0 +1,153 @@
+"""Deterministic synthetic source-code table (north-rule input,
+BASELINE.json.input_hint: ``(repo, path, commit, lang, content)``;
+FIXTURES.md §5).
+
+Fully distributed generation: ``spark.range(n)`` + pure Column
+expressions (xxhash64-derived), so a 10^9-row bench table materialises
+with zero shuffles and no driver loops, and any row is reproducible
+from its id alone.  Seeded — same (n, seed) → same table, any
+parallelism.
+
+Planted defects (all deterministic fractions of rows):
+- duplicates of the previous row's key → exercises `unique`
+- a hot "mono-repo" key holding ~`skew_frac` of rows → exercises skew
+- orphan repos absent from the `repos` dimension → referential check
+- a few invalid commit dates (month 13) when ``plant_bad_dates``
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LANGS = ["python", "go", "java", "js", "rust", "c", "cpp", "ruby"]
+
+_VOCAB = [
+    "def", "return", "import", "class", "self", "for", "while", "if", "else",
+    "try", "except", "lambda", "yield", "async", "await", "match", "case",
+    "func", "var", "const", "let", "struct", "impl", "trait", "enum", "pub",
+    "static", "void", "int", "float", "string", "bool", "map", "list", "set",
+    "None", "null", "nil", "true", "false", "print", "len", "range", "open",
+    "read", "write", "close", "init", "main", "test", "assert", "raise",
+    "catch", "throw", "new", "delete", "this", "super", "public", "private",
+    "package", "module", "export", "interface",
+]
+
+
+def _h(seed: int, *cols):
+    return F.xxhash64(F.lit(seed), *cols)
+
+
+def source_code_table(
+    spark: SparkSession,
+    n_rows: int,
+    n_orgs: int = 20,
+    n_repos: int = 200,
+    skew_frac: float = 0.3,
+    dup_frac: float = 0.002,
+    orphan_frac: float = 0.002,
+    plant_bad_dates: bool = False,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The main fact table: one row per (repo, path, commit) file version."""
+    df = spark.range(0, n_rows, 1, num_partitions) if num_partitions else spark.range(n_rows)
+    rid = F.col("id")
+
+    # planted duplicates: a small fraction of rows clone the previous id
+    dup = F.pmod(_h(seed + 1, rid), F.lit(int(1 / dup_frac))) == 0
+    base = F.when(dup & (rid > 0), rid - 1).otherwise(rid)
+
+    # skew: `skew_frac` of rows land on the mono-repo hot key
+    hot = F.pmod(_h(seed + 2, base), F.lit(1000)) < int(skew_frac * 1000)
+    org = F.pmod(_h(seed + 3, base), F.lit(n_orgs))
+    rep = F.pmod(_h(seed + 4, base), F.lit(n_repos))
+    orphan = F.pmod(_h(seed + 5, base), F.lit(int(1 / orphan_frac))) == 0
+    repo = (
+        F.when(hot, F.lit("bigcorp/monorepo"))
+        .when(orphan, F.concat(F.lit("ghost/repo"), (rep % 7).cast("string")))
+        .otherwise(
+            F.concat(
+                F.lit("org"), org.cast("string"), F.lit("/repo"), rep.cast("string")
+            )
+        )
+    )
+
+    lang_arr = F.array(*[F.lit(x) for x in LANGS])
+    lang = F.element_at(lang_arr, (F.pmod(_h(seed + 6, base), F.lit(len(LANGS))) + 1).cast("int"))
+
+    path = F.concat(
+        F.lit("src/m"),
+        F.pmod(_h(seed + 7, base), F.lit(97)).cast("string"),
+        F.lit("/f"),
+        F.pmod(_h(seed + 8, base), F.lit(9973)).cast("string"),
+        F.lit("."),
+        F.element_at(
+            F.array(*[F.lit(x) for x in ["py", "go", "java", "js", "rs", "c", "cc", "rb"]]),
+            (F.pmod(_h(seed + 6, base), F.lit(8)) + 1).cast("int"),
+        ),
+    )
+
+    # sha1-shaped commit: 40 hex chars, derived deterministically
+    commit = F.substring(F.sha2(F.concat(repo, path, base.cast("string")), 256), 1, 40)
+
+    # content: variable-length token sequence from a code-ish vocab
+    vocab = F.array(*[F.lit(w) for w in _VOCAB])
+    n_words = (F.pmod(_h(seed + 9, base), F.lit(120)) + 5).cast("int")
+    content = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_words - 1),
+            lambda i: F.element_at(
+                vocab, (F.pmod(F.xxhash64(F.lit(seed + 10), base, i), F.lit(len(_VOCAB))) + 1).cast("int")
+            ),
+        ),
+        " ",
+    )
+
+    year = (F.pmod(_h(seed + 11, base), F.lit(15)) + 2005).cast("bigint")
+    month = (F.pmod(_h(seed + 12, base), F.lit(12)) + 1).cast("bigint")
+    if plant_bad_dates:
+        month = F.when(F.pmod(_h(seed + 13, base), F.lit(5000)) == 0, F.lit(13)).otherwise(month).cast("bigint")
+    day = (F.pmod(_h(seed + 14, base), F.lit(28)) + 1).cast("bigint")
+
+    out = df.select(
+        repo.alias("repo"),
+        path.alias("path"),
+        commit.alias("commit"),
+        lang.alias("lang"),
+        content.alias("content"),
+        year.alias("commit_year"),
+        month.alias("commit_month"),
+        day.alias("commit_day"),
+    )
+    return out.withColumn("size", F.octet_length("content")).withColumn(
+        "n_lines", F.size(F.split(F.col("content"), " "))
+    )
+
+
+def repos_dim(
+    spark: SparkSession, n_orgs: int = 20, n_repos: int = 200
+) -> DataFrame:
+    """Parent dimension: every non-orphan repo name (+ the hot key).
+    Orphan 'ghost/*' repos are deliberately absent → referential check
+    violations."""
+    rows = [("bigcorp/monorepo",)] + [
+        (f"org{o}/repo{r}",) for o in range(n_orgs) for r in range(n_repos)
+    ]
+    return spark.createDataFrame(rows, "repo string").withColumn(
+        "repo_id", F.xxhash64("repo")
+    )
+
+
+def shifted_source_code_table(spark: SparkSession, n_rows: int, seed: int = 43, **kw) -> DataFrame:
+    """Second seeded batch with a shifted size/lang distribution — the
+    drift-check fixture (longer contents, lang mix skewed to python)."""
+    df = source_code_table(spark, n_rows, seed=seed, **kw)
+    return df.withColumn(
+        "content", F.concat(F.col("content"), F.lit(" extra padding tokens added"))
+    ).withColumn(
+        "lang",
+        F.when(F.pmod(F.xxhash64(F.lit(seed), "path"), F.lit(3)) < 2, F.lit("python")).otherwise(
+            F.col("lang")
+        ),
+    ).withColumn("size", F.octet_length("content"))

@@ -1,0 +1,174 @@
+"""Referential checks, profiler (native vs Arrow parity), drift, and
+the deterministic synth table (north-rule operators, SURVEY.md §7.5)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.operators.drift import (
+    chi2_two_sample,
+    drift_report,
+    ks_two_sample,
+    load_baseline,
+    save_baseline,
+)
+from datavalid_spark.operators.profile import (
+    QuantileSketch,
+    profile_arrow,
+    profile_native,
+)
+from datavalid_spark.operators.refint import ReferentialCheck
+from datavalid_spark.sources.synth import (
+    repos_dim,
+    shifted_source_code_table,
+    source_code_table,
+)
+
+
+# ----------------------------------------------------------- referential
+
+
+def test_refint_orphans(spark):
+    child = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (None, "d")], "fk int, v string"
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "pk int")
+    check = ReferentialCheck("fk", "pk")
+    res = check.run(child, parent)
+    assert not res.passed and res.n_violations == 1
+    assert [r["v"] for r in res.violations.collect()] == ["c"]
+    # null_is_orphan flips NULL handling
+    check2 = ReferentialCheck("fk", "pk", null_is_orphan=True)
+    assert check2.run(child, parent).n_violations == 2
+
+
+def test_refint_passes(spark):
+    child = spark.createDataFrame([(1,), (2,)], "fk int")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    assert ReferentialCheck("fk", "pk").run(child, parent).passed
+
+
+def test_refint_multi_key_sort_merge(spark):
+    child = spark.createDataFrame([(1, "x", "v1"), (2, "y", "v2")], "a int, b string, v string")
+    parent = spark.createDataFrame([(1, "x")], "a int, b string")
+    check = ReferentialCheck(["a", "b"], ["a", "b"], broadcast=False)
+    res = check.run(child, parent)
+    assert res.n_violations == 1 and res.violations.collect()[0]["v"] == "v2"
+
+
+# -------------------------------------------------------------- profiler
+
+
+def test_profile_native(spark):
+    df = spark.createDataFrame(
+        [(1, "aa", 1.5), (2, "bbbb", None), (None, "aa", 2.5)], "i int, s string, d double"
+    )
+    prof = {r["column"]: r for r in profile_native(df).collect()}
+    assert prof["i"]["n"] == 3 and prof["i"]["n_null"] == 1
+    assert prof["s"]["n_null"] == 0
+    assert prof["d"]["n_null"] == 1
+    assert prof["s"]["avg"] == pytest.approx((2 + 4 + 2) / 3)
+    assert prof["i"]["approx_distinct"] == 2
+
+
+def test_profile_arrow_matches_native(spark):
+    df = source_code_table(spark, 2000, seed=7).repartition(8)
+    native = {r["column"]: r for r in profile_native(df, ["size", "lang"]).collect()}
+    arrow = profile_arrow(df, ["size", "lang"])
+    assert arrow["size"].n == native["size"]["n"] == 2000
+    assert arrow["size"].n_null == native["size"]["n_null"] == 0
+    # quantile sketch ≈ exact percentiles within tolerance
+    exact = df.select(F.expr("percentile(size, array(0.5, 0.9))").alias("p")).collect()[0]["p"]
+    sk = arrow["size"].numeric
+    assert sk.total_weight == 2000
+    assert sk.quantile(0.5) == pytest.approx(exact[0], rel=0.05)
+    assert sk.quantile(0.9) == pytest.approx(exact[1], rel=0.05)
+    # topk counts are exact for low-cardinality columns
+    lang_counts = {r["lang"]: r["c"] for r in df.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert arrow["lang"].topk == lang_counts
+
+
+def test_quantile_sketch_merge_associative():
+    rng = np.random.RandomState(0)
+    a, b = rng.normal(0, 1, 5000), rng.normal(0, 1, 5000)
+    sk = QuantileSketch.of(a).merge(QuantileSketch.of(b))
+    both = np.concatenate([a, b])
+    for q in (0.1, 0.5, 0.99):
+        assert sk.quantile(q) == pytest.approx(np.quantile(both, q), abs=0.05)
+
+
+# ----------------------------------------------------------------- drift
+
+
+def test_ks_same_distribution_no_drift():
+    rng = np.random.RandomState(1)
+    a = QuantileSketch.of(rng.normal(0, 1, 20000))
+    b = QuantileSketch.of(rng.normal(0, 1, 20000))
+    d, p = ks_two_sample(a, b)
+    assert p > 0.01
+
+
+def test_ks_shifted_distribution_drifts():
+    rng = np.random.RandomState(2)
+    a = QuantileSketch.of(rng.normal(0, 1, 20000))
+    b = QuantileSketch.of(rng.normal(1.0, 1, 20000))
+    d, p = ks_two_sample(a, b)
+    assert d > 0.3 and p < 1e-6
+
+
+def test_chi2_counts():
+    same = {"a": 500, "b": 500}
+    stat, p, _ = chi2_two_sample(same, {"a": 510, "b": 490})
+    assert p > 0.01
+    stat, p, _ = chi2_two_sample({"a": 900, "b": 100}, {"a": 100, "b": 900})
+    assert p < 1e-6
+
+
+def test_drift_report_roundtrip(spark, tmp_path):
+    base_df = source_code_table(spark, 3000, seed=11)
+    cur_df = shifted_source_code_table(spark, 3000, seed=11)
+    base = profile_arrow(base_df, ["size", "lang"])
+    save_baseline(base, tmp_path / "baseline.json")
+    loaded = load_baseline(tmp_path / "baseline.json")
+    report = {v.column: v for v in drift_report(loaded, profile_arrow(cur_df, ["size", "lang"]))}
+    assert report["size"].kind == "ks" and report["size"].drifted
+    assert report["lang"].kind == "chi2" and report["lang"].drifted
+    # no drift against itself
+    self_report = drift_report(loaded, base)
+    assert not any(v.drifted for v in self_report)
+
+
+# ----------------------------------------------------------------- synth
+
+
+def test_synth_deterministic(spark):
+    a = source_code_table(spark, 500, seed=5).orderBy("repo", "path", "commit").collect()
+    b = source_code_table(spark, 500, seed=5, num_partitions=7).orderBy(
+        "repo", "path", "commit"
+    ).collect()
+    assert a == b
+
+
+def test_synth_planted_defects(spark):
+    df = source_code_table(spark, 20000, seed=42).cache()
+    # duplicates exist on the full key
+    dups = (
+        df.groupBy("repo", "path", "commit").count().filter("count > 1").count()
+    )
+    assert dups > 0
+    # hot key holds roughly skew_frac of rows
+    hot = df.filter(F.col("repo") == "bigcorp/monorepo").count()
+    assert 0.2 < hot / 20000 < 0.4
+    # orphans exist and are the only repos missing from the dim
+    orphans = ReferentialCheck("repo", "repo").orphans(df, repos_dim(spark))
+    got = {r["repo"] for r in orphans.select("repo").distinct().collect()}
+    assert got and all(r.startswith("ghost/") for r in got)
+    # commit shape
+    bad_commit = df.filter(~F.col("commit").rlike("^[0-9a-f]{40}$")).count()
+    assert bad_commit == 0
+    # sha256(content) invariant: engine expr == python hashlib
+    import hashlib
+
+    row = df.select("content", F.sha2("content", 256).alias("h")).first()
+    assert row["h"] == hashlib.sha256(row["content"].encode()).hexdigest()
+    df.unpersist()
