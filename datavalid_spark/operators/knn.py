@@ -1,0 +1,151 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- ``brute_force_topk``  — exact cosine top-k: crossJoin (queries
+  broadcast) + native zip_with/aggregate dot products + window top-k.
+  The baseline; correct at any scale where |queries| is small.
+- ``ivf_topk``          — IVF-style scale path: k-means-lite coarse
+  centroids (deterministic seeded sample + a few Lloyd iterations via
+  DataFrame ops), cluster assignment for corpus + queries, search only
+  the ``nprobe`` nearest clusters per query.  Cuts the candidate set
+  by ~n_clusters/nprobe at the cost of recall.
+
+Both return ``(query_id, id, cosine, rank)``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from datavalid_spark.operators.dedup import cosine_similarity
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    ``queries`` is expected to be small (it is broadcast); the corpus
+    side streams — one pass, no shuffle except the final per-query
+    top-k (k rows per query via window over a partitioned-by-query
+    key, which AQE keeps tiny)."""
+    qid = query_id_col or id_col
+    q = F.broadcast(
+        queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("qvec"))
+    )
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    scored = q.crossJoin(c).filter(F.col("query_id") != F.col("id")).select(
+        "query_id",
+        "id",
+        cosine_similarity(F.col("qvec"), F.col("vec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _assign(df: DataFrame, centroids: list, vec_col: str) -> DataFrame:
+    """Nearest-centroid id via a greatest-cosine when-chain (centroid
+    count is small; expressions stay JVM-side)."""
+    sims = [
+        cosine_similarity(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+        for c in centroids
+    ]
+    best = F.greatest(*sims) if len(sims) > 1 else sims[0]
+    expr = F.lit(0)
+    for i in range(len(sims) - 1, -1, -1):
+        expr = F.when(sims[i] == best, F.lit(i)).otherwise(expr)
+    return df.withColumn("__dv_cluster", expr)
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    iters: int = 3,
+    seed: int = 42,
+) -> list:
+    """K-means-lite: deterministic seeded sample as init, then a few
+    Lloyd iterations computed with groupBy + element-wise array mean
+    (posexplode/agg) — all DataFrame ops, centroids collected to the
+    driver (n_clusters × dim floats — tiny)."""
+    init = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.lit(seed), F.col("v").cast("string")))
+        .limit(n_clusters)
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in init]
+    for _ in range(iters):
+        assigned = _assign(corpus.select(F.col(vec_col).alias("v")), centroids, "v")
+        means = (
+            assigned.select("__dv_cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("__dv_cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("__dv_cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "__dv_cluster",
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("centroid"),
+            )
+            .collect()
+        )
+        new = {r["__dv_cluster"]: list(r["centroid"]) for r in means}
+        centroids = [new.get(i, centroids[i]) for i in range(n_clusters)]
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe only the ``nprobe`` closest clusters."""
+    centroids = train_centroids(corpus, n_clusters, vec_col, seed=seed)
+    c_assigned = _assign(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), centroids, "vec"
+    )
+
+    # per-query: nprobe nearest clusters (small → computed as array expr)
+    sims = [
+        cosine_similarity(F.col("qvec"), F.array(*[F.lit(float(x)) for x in c]))
+        for c in centroids
+    ]
+    probes = F.slice(
+        F.transform(
+            F.array_sort(
+                F.array(*[
+                    F.struct((-s).alias("neg"), F.lit(i).alias("cid"))
+                    for i, s in enumerate(sims)
+                ])
+            ),
+            lambda st: st["cid"],
+        ),
+        1,
+        nprobe,
+    )
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .withColumn("__dv_cluster", F.explode(probes))
+    )
+    scored = q.join(c_assigned, "__dv_cluster").filter(
+        F.col("query_id") != F.col("id")
+    ).select(
+        "query_id", "id", cosine_similarity(F.col("qvec"), F.col("vec")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,155 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed in Arrow batches.
+
+The decode step itself is STUBBED (no image/audio libraries in this
+container): ``decode_image`` ships a deterministic fake decoder that
+derives stable pseudo-pixels from the byte content, and raises
+``NotImplementedError`` when ``backend="pillow"`` is requested.  The
+Spark-side plumbing — schema contracts, ``mapInPandas`` batch shape,
+partition sizing, metadata propagation — is real and tested; swapping
+in a real decoder changes only the marked inner function.
+
+Schema contract::
+
+    media(doc_id long, kind string, data binary, meta struct<
+          mime string, width int, height int, duration_ms int>)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("data", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _fake_decode(data: bytes, dim: int) -> np.ndarray:
+    """Deterministic fake 'decode → feature vector': bytes → sha256 →
+    seeded uniform floats.  REPLACE with a real decoder (PIL/ffmpeg)
+    outside this sandbox — the contract is bytes → float32[dim]."""
+    seed = int.from_bytes(hashlib.sha256(data).digest()[:8], "big") % (2**32)
+    rng = np.random.RandomState(seed)
+    return rng.uniform(-1, 1, dim).astype("f4")
+
+
+def extract_features(
+    media: DataFrame, dim: int = 32, backend: str = "fake"
+) -> DataFrame:
+    """binary → feature vectors, one Arrow pass.
+
+    ``backend='fake'`` → deterministic stub (sandbox default);
+    any other backend raises until a real decoder is wired in.
+    """
+    if backend != "fake":
+        raise NotImplementedError(
+            "only the deterministic 'fake' decode backend exists in this "
+            "container; wire a real decoder here (contract: bytes -> float32[dim])"
+        )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, hashes, sizes = [], [], []
+            for data in pdf["data"]:
+                b = bytes(data) if data is not None else b""
+                feats.append(_fake_decode(b, dim).tolist())
+                hashes.append(hashlib.sha256(b).hexdigest())
+                sizes.append(len(b))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "sha256": hashes,
+                    "n_bytes": np.array(sizes, dtype="i8"),
+                    "features": feats,
+                }
+            )
+
+    return media.select("doc_id", "data").mapInPandas(fn, schema=_FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: computes the frame timestamps to
+    sample per row from metadata (native exprs — the expensive decode
+    happens downstream in extract_features batches)."""
+    n_frames = F.greatest(
+        (F.col("meta.duration_ms") / every_ms).cast("int"), F.lit(1)
+    )
+    return media.withColumn(
+        "sample_ts_ms",
+        F.when(
+            F.col("kind") == "video",
+            F.transform(F.sequence(F.lit(0), n_frames - 1), lambda i: i * every_ms),
+        ).otherwise(F.array(F.lit(0))),
+    )
+
+
+def validate_media(media: DataFrame) -> DataFrame:
+    """Constraint suite over the media table itself (pure exprs):
+    non-null payload, positive dims for images, mime prefix matches
+    kind.  Returns violation rows + reason."""
+    bad_payload = F.col("data").isNull() | (F.octet_length("data") == 0)
+    bad_dims = (F.col("kind") == "image") & (
+        (F.col("meta.width") <= 0) | (F.col("meta.height") <= 0)
+    )
+    bad_mime = ~F.col("meta.mime").startswith(F.col("kind"))
+    reason = (
+        F.when(bad_payload, "empty payload")
+        .when(bad_dims, "non-positive image dims")
+        .when(bad_mime, "mime/kind mismatch")
+    )
+    return media.withColumn("violation_reason", reason).filter(
+        F.col("violation_reason").isNotNull()
+    )
+
+
+def synth_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
+    """Deterministic fixture: pseudo-binary payloads derived from ids."""
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    kind = F.element_at(kinds, (F.pmod(F.xxhash64(F.lit(seed), "id"), 3) + 1).cast("int"))
+    data = F.to_binary(F.sha2(F.concat(F.lit("payload"), F.col("id").cast("string")), 512), F.lit("hex"))
+    return (
+        spark.range(n_rows)
+        .select(
+            F.col("id").alias("doc_id"),
+            kind.alias("kind"),
+            data.alias("data"),
+            F.struct(
+                F.concat(kind, F.lit("/x-fake")).alias("mime"),
+                F.when(kind == "image", (F.pmod(F.xxhash64(F.lit(seed + 1), "id"), 1024) + 16).cast("int")).otherwise(F.lit(None).cast("int")).alias("width"),
+                F.when(kind == "image", (F.pmod(F.xxhash64(F.lit(seed + 2), "id"), 1024) + 16).cast("int")).otherwise(F.lit(None).cast("int")).alias("height"),
+                F.when(kind != "image", (F.pmod(F.xxhash64(F.lit(seed + 3), "id"), 60000) + 1000).cast("int")).otherwise(F.lit(None).cast("int")).alias("duration_ms"),
+            ).alias("meta"),
+        )
+    )

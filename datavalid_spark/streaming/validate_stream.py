@@ -1,0 +1,90 @@
+"""Streaming validation: the pointwise check suite over Structured
+Streaming sources.
+
+The reference is strictly batch (SURVEY.md §2.6); this module extends
+the same check expressions to streams, because at 10^12-file scale new
+partitions arrive continuously and re-validating from scratch is not
+an option.  Design:
+
+- **Pointwise checks** (field checkers, empty-conditions, date
+  classification) are stateless Column expressions → they apply to a
+  streaming DataFrame unchanged: violations become a violation
+  *stream*.
+- **Windowed uniqueness**: global uniqueness is unbounded state, so
+  the streaming variant checks uniqueness *within event-time windows*
+  (watermark + window groupBy) — duplicate keys inside a window are
+  flagged; cross-window dedup belongs to the batch reconciliation
+  pass.
+- ``run_to_memory`` drives any of these with ``trigger=availableNow``
+  for deterministic tests (file source in, memory sink out).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datavalid_spark.functions.conditions import compile_condition
+from datavalid_spark.operators.fields import FieldChecker
+
+
+def violation_stream(
+    stream_df: DataFrame,
+    field_checks: Sequence[tuple[str, FieldChecker]] = (),
+    empty_conditions: Sequence[tuple[str, dict]] = (),
+) -> DataFrame:
+    """Tag streaming rows with the first failing pointwise check.
+
+    ``field_checks``: (column, checker) pairs — pointwise checkers only
+    (unique is stateful; see windowed_duplicate_keys).
+    ``empty_conditions``: (check_id, condition_spec) pairs.
+    Returns input rows + ``check_id`` for rows failing any check.
+    """
+    reason = F.lit(None).cast("string")
+    clauses = []
+    for col, checker in field_checks:
+        clauses.append((f"{checker.key}:{col}", checker.bad_expr(stream_df, col)))
+    for check_id, spec in empty_conditions:
+        clauses.append((f"empty:{check_id}", compile_condition(spec)))
+    for check_id, expr in reversed(clauses):
+        reason = F.when(expr, F.lit(check_id)).otherwise(reason)
+    return stream_df.withColumn("check_id", reason).filter(F.col("check_id").isNotNull())
+
+
+def windowed_duplicate_keys(
+    stream_df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming uniqueness within event-time windows: keys appearing
+    more than once inside a window.  Watermark bounds state; late rows
+    beyond it are dropped by Spark (recorded by the batch pass)."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), *key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def run_to_memory(
+    result_stream: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    timeout_sec: int = 60,
+):
+    """Drive a streaming result with availableNow into a memory sink;
+    returns the finished DataFrame (deterministic for tests)."""
+    q = (
+        result_stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return result_stream.sparkSession.table(query_name)

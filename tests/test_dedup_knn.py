@@ -1,0 +1,142 @@
+"""Dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding)
+and similarity search (brute-force + IVF)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datavalid_spark.operators import dedup, knn
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river bend today"),  # near dup of 1
+    (4, "completely different text about spark dataframes and shuffle partitions"),
+    (5, "yet another unrelated document mentioning kolmogorov smirnov statistics"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "id long, content string")
+
+
+def test_exact_duplicates(docs):
+    got = dedup.exact_duplicates(docs, "content", ["id"])
+    ids = sorted(r["id"] for r in got.collect())
+    assert ids == [1, 2]
+    assert got.collect()[0]["dup_group_size"] == 2
+
+
+def test_distinct_by_content(docs):
+    kept = dedup.distinct_by_content(docs, "content", tiebreak="id")
+    assert kept.count() == 4
+    assert 1 in {r["id"] for r in kept.collect()}  # min id wins
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = dedup.minhash_lsh_pairs(docs, "id", "content", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dup → jaccard 1.0
+    assert (1, 3) in got and (2, 3) in got  # near dup
+    assert not any({4, 5} & {a, b} for a, b in got)
+
+
+def test_minhash_exact_dup_jaccard_one(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             dedup.minhash_lsh_pairs(docs, "id", "content", threshold=0.5).collect()}
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+
+
+def test_ngram_jaccard_exact(docs, spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, "id", "content", n=3, threshold=0.1).collect()}
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    # 14-word docs differing in word 13 → 12 distinct 3-grams each, the
+    # 2 grams covering the differing word change → |∩|=10, |∪|=14
+    assert pairs[(1, 3)] == pytest.approx(10 / 14)
+    assert (1, 4) not in pairs
+
+
+def test_simhash_near_dups(docs):
+    pairs = dedup.simhash_near_dups(docs, "id", "content", max_hamming=10)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) in got
+    assert (1, 4) not in got and (4, 5) not in got
+
+
+def test_simhash_deterministic(docs):
+    a = {r["id"]: r["simhash"] for r in dedup.simhash64(docs, "id", "content").collect()}
+    b = {r["id"]: r["simhash"] for r in
+         dedup.simhash64(docs.repartition(3), "id", "content").collect()}
+    assert a == b
+    assert a[1] == a[2]  # identical text → identical simhash
+
+
+def _vec_df(spark, rows):
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(3)
+    base = rng.normal(0, 1, (40, 16))
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    # 40/41: near-identical pair
+    rows.append((40, (base[0] + rng.normal(0, 0.01, 16)).tolist()))
+    return _vec_df(spark, rows)
+
+
+def test_cosine_similarity_expr(spark):
+    df = _vec_df(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [2.0, 0.0])])
+    a = df.alias("a"); b = df.alias("b")
+    got = {
+        (r["ia"], r["ib"]): r["cos"]
+        for r in a.crossJoin(b)
+        .select(
+            F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib"),
+            dedup.cosine_similarity(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+        ).collect()
+    }
+    assert got[(0, 1)] == pytest.approx(0.0)
+    assert got[(0, 2)] == pytest.approx(1.0)
+
+
+def test_brute_force_topk_matches_numpy(vectors, spark):
+    queries = vectors.filter(F.col("vec_id") == 0)
+    got = knn.brute_force_topk(vectors, queries, k=5)
+    rows = got.orderBy("rank").collect()
+    assert len(rows) == 5 and rows[0]["id"] == 40  # the planted near-dup
+    # numpy ground truth
+    data = {r["vec_id"]: np.array(r["embedding"]) for r in vectors.collect()}
+    q = data[0]
+    sims = {
+        i: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for i, v in data.items() if i != 0
+    }
+    top = sorted(sims, key=lambda i: (-sims[i], i))[:5]
+    assert [r["id"] for r in rows] == top
+    assert rows[0]["cosine"] == pytest.approx(sims[40])
+
+
+def test_embedding_near_dups(vectors):
+    pairs = dedup.embedding_near_dups(vectors, "vec_id", threshold=0.95)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 40) in got
+
+
+def test_ivf_topk_recall(vectors, spark):
+    queries = vectors.filter(F.col("vec_id") == 0)
+    exact = [r["id"] for r in knn.brute_force_topk(vectors, queries, k=5).orderBy("rank").collect()]
+    approx = [r["id"] for r in
+              knn.ivf_topk(vectors, queries, k=5, n_clusters=4, nprobe=2).orderBy("rank").collect()]
+    # recall@5 ≥ 0.6 with 2/4 probes on random data; top-1 must match
+    assert approx and approx[0] == exact[0]
+    assert len(set(exact) & set(approx)) >= 3

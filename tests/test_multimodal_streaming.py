@@ -1,0 +1,104 @@
+"""Multimodal plumbing (binary columns, Arrow feature extraction,
+stubbed decode) and streaming validation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.operators import multimodal
+from datavalid_spark.operators.fields import build_field_checker
+from datavalid_spark.streaming.validate_stream import (
+    run_to_memory,
+    violation_stream,
+    windowed_duplicate_keys,
+)
+
+
+def test_synth_media_schema(spark):
+    media = multimodal.synth_media(spark, 50)
+    got = [(f.name, f.dataType.simpleString()) for f in media.schema.fields]
+    want = [(f.name, f.dataType.simpleString()) for f in multimodal.MEDIA_SCHEMA.fields]
+    assert got == want  # nullability flags intentionally ignored
+    kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_extract_features_deterministic(spark):
+    media = multimodal.synth_media(spark, 30)
+    a = {r["doc_id"]: r["features"] for r in multimodal.extract_features(media, dim=8).collect()}
+    b = {r["doc_id"]: r["features"] for r in
+         multimodal.extract_features(media.repartition(5), dim=8).collect()}
+    assert a == b
+    assert len(a[0]) == 8
+    # sha256 column matches spark-side sha2 of the binary
+    feat = multimodal.extract_features(media, dim=4)
+    joined = feat.join(media.select("doc_id", F.sha2("data", 256).alias("h")), "doc_id")
+    assert joined.filter(F.col("sha256") != F.col("h")).count() == 0
+
+
+def test_real_backend_stubbed(spark):
+    media = multimodal.synth_media(spark, 5)
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_features(media, backend="pillow")
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.synth_media(spark, 60)
+    planned = multimodal.frame_sample_plan(media, every_ms=5000)
+    vid = planned.filter(F.col("kind") == "video").first()
+    expected = max(vid["meta"]["duration_ms"] // 5000, 1)
+    assert len(vid["sample_ts_ms"]) == expected
+    img = planned.filter(F.col("kind") == "image").first()
+    assert img["sample_ts_ms"] == [0]
+
+
+def test_validate_media(spark):
+    media = multimodal.synth_media(spark, 20)
+    ok = multimodal.validate_media(media)
+    assert ok.count() == 0  # synth fixture is clean
+    # plant a violation
+    broken = media.withColumn(
+        "data", F.when(F.col("doc_id") == 3, F.lit(None).cast("binary")).otherwise(F.col("data"))
+    )
+    viol = multimodal.validate_media(broken).collect()
+    assert len(viol) == 1 and viol[0]["violation_reason"] == "empty payload"
+
+
+# ----------------------------------------------------------- streaming
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "ok", 5.0),
+            (2, "2024-01-01 00:01:00", None, 1.0),     # no_na violation
+            (3, "2024-01-01 00:02:00", "ok", -2.0),    # empty-cond violation
+            (2, "2024-01-01 00:03:00", "dup", 7.0),    # duplicate key in window
+        ],
+        "id long, ts string, status string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    path = str(tmp_path / "in")
+    df.coalesce(1).write.parquet(path)
+    return path
+
+
+def test_violation_stream(spark, stream_dir):
+    static = spark.read.parquet(stream_dir)
+    stream = spark.readStream.schema(static.schema).parquet(stream_dir)
+    result = violation_stream(
+        stream,
+        field_checks=[("status", build_field_checker("no_na", True))],
+        empty_conditions=[("neg_value", {"column": "value", "op": "less_than", "value": 0.0})],
+    )
+    out = run_to_memory(result, "viol_test")
+    got = {(r["id"], r["check_id"]) for r in out.collect()}
+    assert got == {(2, "no_na:status"), (3, "empty:neg_value")}
+
+
+def test_windowed_duplicate_keys(spark, stream_dir):
+    static = spark.read.parquet(stream_dir)
+    stream = spark.readStream.schema(static.schema).parquet(stream_dir)
+    dups = windowed_duplicate_keys(stream, ["id"], "ts", window="10 minutes")
+    out = run_to_memory(dups, "dup_test", output_mode="complete")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["id"] == 2 and rows[0]["n"] == 2

@@ -1,0 +1,72 @@
+"""Text-analysis functions (lang-id, quality, tokens, fingerprints,
+shingles/n-grams) — pure-expression operators over documents."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.functions import text
+
+
+def one(spark, expr, value):
+    df = spark.createDataFrame([(value,)], "t string")
+    return df.select(expr("t").alias("v")).collect()[0]["v"]
+
+
+def test_token_count_ws(spark):
+    assert one(spark, text.token_count_ws, "hello  world foo") == 3
+    assert one(spark, text.token_count_ws, "") == 0
+    assert one(spark, text.token_count_ws, "   ") == 0
+    assert one(spark, text.token_count_ws, "single") == 1
+
+
+def test_token_count_bpe(spark):
+    # letter runs + digit runs + single symbols
+    assert one(spark, text.token_count_bpe, "foo123 bar!") == 4
+    assert one(spark, text.token_count_bpe, "a,b") == 3
+
+
+def test_lang_id(spark):
+    assert one(spark, text.lang_id, "the cat sat on the mat and it is happy") == "en"
+    assert one(spark, text.lang_id, "el perro es grande y la casa es bonita") == "es"
+    assert one(spark, text.lang_id, "le chat est dans la maison pour les vacances") == "fr"
+    assert one(spark, text.lang_id, "der hund ist gross und das haus ist klein") == "de"
+    assert one(spark, text.lang_id, "xyzzy qwerty") is None
+
+
+def test_quality_score_ordering(spark):
+    good = one(spark, text.quality_score, "The quick brown fox jumps over the lazy dog. " * 5)
+    junk = one(spark, text.quality_score, "@@@@ #### $$$$ %%%%")
+    assert good > junk
+    assert 0.0 <= junk <= good <= 1.0
+
+
+def test_fingerprint_normalization(spark):
+    a = one(spark, text.fingerprint, "Hello   World")
+    b = one(spark, text.fingerprint, "  hello world ")
+    c = one(spark, text.fingerprint, "hello worlds")
+    assert a == b != c
+    import hashlib
+
+    assert a == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_shingles(spark):
+    got = one(spark, lambda c: text.shingles(c, 3), "abcd")
+    assert got == ["abc", "bcd"]
+    assert one(spark, lambda c: text.shingles(c, 5), "ab") == []
+
+
+def test_word_ngrams(spark):
+    got = one(spark, lambda c: text.word_ngrams(c, 2), "a b c")
+    assert got == ["a b", "b c"]
+    assert one(spark, lambda c: text.word_ngrams(c, 3), "a b") == []
+
+
+def test_mean_word_length(spark):
+    assert one(spark, text.mean_word_length, "ab abcd") == pytest.approx(3.0)
+    assert one(spark, text.mean_word_length, "") == 0.0
+
+
+def test_ratios(spark):
+    assert one(spark, text.punct_ratio, "ab..") == pytest.approx(0.5)
+    assert one(spark, text.alpha_ratio, "ab12") == pytest.approx(0.5)
