@@ -116,6 +116,14 @@ class UniqueCheck(TableCheck):
         ``(keys, salt)`` where ``salt = pmod(xxhash64(all cols), B)``,
         stage 2 sums per ``keys``.  Useful template for aggregations
         without partial support; results are identical (tested).
+      - ``"hash"``   — hash-compaction for WIDE keys (e.g. the north
+        rule's ``(repo, path, commit)`` string triple, ~100 B/row):
+        stage 1 groups by ``xxhash64(*keys)`` so the shuffle carries
+        8 bytes per row instead of the raw key; rows whose hash count
+        exceeds 1 are duplicate *candidates* (hash collisions only add
+        candidates, never hide a duplicate); stage 2 re-groups just the
+        candidate rows by the exact keys.  ~10× less shuffle I/O at
+        identical results — the default choice at 10^9+ rows.
     """
 
     key = "unique"
@@ -133,7 +141,22 @@ class UniqueCheck(TableCheck):
         self, df: DataFrame, group_cols: Sequence[str] = ()
     ) -> DataFrame:
         keys = list(group_cols) + self.columns
-        if self.strategy == "salted":
+        if self.strategy == "hash":
+            h = F.xxhash64(*[F.col(k) for k in keys])
+            cand = (
+                df.select(h.alias("__dv_h"))
+                .groupBy("__dv_h")
+                .agg(F.count(F.lit(1)).alias("__dv_n"))
+                .filter(F.col("__dv_n") > 1)
+                .select("__dv_h")
+            )
+            cand_rows = df.join(
+                F.broadcast(cand), h == F.col("__dv_h"), "left_semi"
+            )
+            counts = cand_rows.groupBy(*keys).agg(
+                F.count(F.lit(1)).alias("__dv_n")
+            )
+        elif self.strategy == "salted":
             salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(self.salt_buckets))
             stage1 = (
                 df.withColumn("__dv_salt", salt)

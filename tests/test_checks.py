@@ -59,7 +59,7 @@ def test_unique_pass(people):
     assert res.passed and res.err_msg is None and res.n_violations == 0
 
 
-@pytest.mark.parametrize("strategy", ["auto", "salted"])
+@pytest.mark.parametrize("strategy", ["auto", "salted", "hash"])
 def test_unique_fail(people, strategy):
     check = UniqueCheck("last", strategy=strategy)
     res = check.run(people)
@@ -87,6 +87,30 @@ def test_unique_salted_equals_plain(spark):
     salted = UniqueCheck("k", strategy="salted").run(df)
     assert plain.n_violations == salted.n_violations
     assert rows_as_tuples(plain.violations) == rows_as_tuples(salted.violations)
+
+
+def test_unique_hash_equals_plain(spark):
+    """Hash-compaction must be exact: collisions only add candidates,
+    the second-phase exact groupBy filters them (checks.py strategy
+    'hash')."""
+    import random
+
+    random.seed(11)
+    rows = [
+        ("r%d" % random.randint(0, 30), "p%d" % random.randint(0, 40), i % 7)
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, ["a", "b", "c"])
+    plain = UniqueCheck(["a", "b", "c"]).run(df)
+    hashed = UniqueCheck(["a", "b", "c"], strategy="hash").run(df)
+    assert plain.n_violations == hashed.n_violations
+    assert rows_as_tuples(plain.violations) == rows_as_tuples(hashed.violations)
+
+
+def test_unique_hash_null_keys(spark):
+    df = spark.createDataFrame([("a", None), ("b", None), ("c", 1)], ["k", "v"])
+    res = UniqueCheck("v", strategy="hash").run(df)
+    assert not res.passed and res.n_violations == 2
 
 
 # --- T2 empty (test_checkers.py:32-57) ----------------------------------

@@ -1,0 +1,155 @@
+"""Two-cluster-size scaling study (BASELINE.json north rule).
+
+The rule asks for throughput at N and 4N executors with scaling
+efficiency = throughput@4N / (4 x throughput@N) >= 0.8.  This sandbox
+has no real cluster, so the same job runs at two local parallelism
+levels on identical input (the task directive's sanctioned proxy).
+
+Level choice: this VM advertises 32 vCPUs but saturates at ~18.5
+effective cores under pure-CPU load (measured: 32-way sha256
+multiprocessing achieves 18.5x over 1-way, 16-way achieves 15.1x) —
+the host oversubscribes vCPUs.  local[8] -> local[32] therefore cannot
+express a 4x hardware ratio no matter how well the software scales.
+The honest 4x pair inside the effective-core budget is local[4] vs
+local[16]; local[32] numbers are reported as an appendix.
+
+Writes BENCH/BASELINE.md and prints a JSON summary.
+
+Usage: python tools/bench_scaling.py [--rows 40000000] [--iters 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_level(cpus: int, rows: int, iters: int) -> dict:
+    import bench
+
+    spark = bench.build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    bench.ensure_cached_table(spark)
+    spark.read.parquet(bench.CACHE).limit(1000).count()
+    runs = []
+    for _ in range(iters + 1):  # first = warmup, discarded
+        t = bench.run_suite(spark)
+        runs.append(t)
+    spark.stop()
+    warm = runs[1:]
+    best = min(sum(t.values()) for t in warm)
+    med = sorted(sum(t.values()) for t in warm)[len(warm) // 2]
+    stages = {
+        k: round(min(t[k] for t in warm), 2) for k in warm[0]
+    }
+    return {
+        "cpus": cpus,
+        "suite_sec_best": round(best, 2),
+        "suite_sec_median": round(med, 2),
+        "files_per_sec": round(rows / med, 0),
+        "stages_best_sec": stages,
+        "cold_sec": round(sum(runs[0].values()), 2),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=40_000_000)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--levels", type=str, default="4,16,32")
+    args = ap.parse_args()
+
+    os.environ["SPARK_GRAFT_BENCH_ROWS"] = str(args.rows)
+    # each level gets a fresh JVM (subprocess-free: sequential sessions;
+    # bench.build_session stops/creates per level via spark.stop())
+    results = {}
+    for cpus in [int(x) for x in args.levels.split(",")]:
+        t0 = time.time()
+        results[cpus] = run_level(cpus, args.rows, args.iters)
+        print(
+            f"level local[{cpus}] done in {time.time()-t0:.0f}s: "
+            f"{results[cpus]['suite_sec_median']}s median suite",
+            flush=True,
+        )
+
+    n, n4 = 4, 16
+    thr_n = results[n]["files_per_sec"]
+    thr_4n = results[n4]["files_per_sec"]
+    eff = thr_4n / (4 * thr_n)
+    summary = {
+        "rows": args.rows,
+        "levels": results,
+        "N": n,
+        "4N": n4,
+        "throughput_N": thr_n,
+        "throughput_4N": thr_4n,
+        "scaling_efficiency": round(eff, 3),
+        "meets_0.8": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+
+    os.makedirs("BENCH", exist_ok=True)
+    lines = [
+        "# BENCH — measured baseline + scaling efficiency",
+        "",
+        f"Input: deterministic synthetic source-code table per `input_hint` —",
+        f"{args.rows:,} rows of `(repo, path, commit, lang, content, ...)` with",
+        "planted duplicates (0.2%), a 30%-hot mono-repo skew key, orphan repos",
+        "(0.2%) and invalid commit dates (0.02%); 64 parquet files, identical",
+        "input at every parallelism level (`sources/synth.py`, seed 42).",
+        "",
+        "Workload: the full check suite (`bench.py run_suite`) — one-scan",
+        "pointwise field/condition/date-classification pass with",
+        "sha256(content) cardinality, hash-compacted uniqueness on",
+        "`(repo, path, commit)`, broadcast anti-join referential check, and",
+        "the one-pass native column profiler.  Warm-JVM timings (median of",
+        f"{args.iters}; JIT/codegen warmup excluded — a long-lived cluster",
+        "pays it once per job shape).",
+        "",
+        "## Why local[4] vs local[16] is the N / 4N pair",
+        "",
+        "This VM advertises 32 vCPUs, but a pure-CPU probe (32-way sha256",
+        "multiprocessing over 10 GB) reaches only ~18.5x single-core",
+        "throughput (16-way reaches 15.1x): the host oversubscribes vCPUs,",
+        "so 8→32 threads cannot represent a 4x hardware ratio. local[4] →",
+        "local[16] keeps both levels inside the ~18.5 effective-core budget;",
+        "local[32] appears as an appendix.",
+        "",
+        "## Results",
+        "",
+        "| level | suite sec (median warm) | files/sec | stage best (sec) |",
+        "|---|---|---|---|",
+    ]
+    for cpus, r in sorted(results.items()):
+        stages = ", ".join(f"{k}={v}" for k, v in r["stages_best_sec"].items())
+        lines.append(
+            f"| local[{cpus}] | {r['suite_sec_median']} | "
+            f"{int(r['files_per_sec']):,} | {stages} |"
+        )
+    lines += [
+        "",
+        f"**Scaling efficiency (N={n} → 4N={n4}):** "
+        f"throughput@{n4} / (4 × throughput@{n}) = "
+        f"{int(thr_4n):,} / (4 × {int(thr_n):,}) = **{eff:.2f}** "
+        f"({'meets' if eff >= 0.8 else 'below'} the ≥0.8 requirement).",
+        "",
+        "Reference context: the reference engine is single-threaded pandas",
+        "with per-row Python loops (BASELINE.md) — its ceiling is",
+        "~10^5-10^6 rows/s per *individual* check on one core; this suite",
+        "runs *all* checks at the throughputs above.",
+        "",
+        f"Raw summary: `{json.dumps(summary)}`",
+        "",
+    ]
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write("\n".join(lines))
+    print("wrote BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()
