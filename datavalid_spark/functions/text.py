@@ -111,10 +111,15 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
-def shingles(col: Column | str, k: int = 5) -> Column:
-    """Character k-shingles of the normalized text, distinct; built
-    with sequence+transform (no UDF).  Empty array for short texts."""
-    c = normalize_text(col)
+def shingles_of_normalized(c: Column, k: int = 5) -> Column:
+    """Character k-shingles over an ALREADY-normalized string column.
+
+    ``c`` must be a cheap reference (a materialised column, not a
+    normalize_text expression): Catalyst's CollapseProject inlines
+    whatever expression tree ``c`` is into the per-element lambda, so a
+    regexp-based normalizer here would re-run once per shingle
+    (measured: 10× slower on 300-char docs).  Callers materialise the
+    normalized text first — see dedup.minhash_signatures."""
     n = F.length(c)
     return F.when(
         n >= k,
@@ -127,9 +132,19 @@ def shingles(col: Column | str, k: int = 5) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def word_ngrams(col: Column | str, n: int = 3) -> Column:
-    """Word n-grams (space-joined), distinct."""
-    t = F.filter(tokens(col), lambda w: w != "")
+def shingles(col: Column | str, k: int = 5) -> Column:
+    """Character k-shingles of the normalized text, distinct; built
+    with sequence+transform (no UDF).  Empty array for short texts.
+
+    NOTE: inlines the normalizer per shingle (see
+    shingles_of_normalized) — fine for one-off expressions, wrong for
+    hot paths."""
+    return shingles_of_normalized(normalize_text(col), k)
+
+
+def word_ngrams_of_tokens(t: Column, n: int = 3) -> Column:
+    """Word n-grams over an ALREADY-materialised token-array column
+    (same CollapseProject caveat as shingles_of_normalized)."""
     cnt = F.size(t)
     return F.when(
         cnt >= n,
@@ -140,3 +155,12 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def nonempty_tokens(col: Column | str) -> Column:
+    return F.filter(tokens(col), lambda w: w != "")
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word n-grams (space-joined), distinct."""
+    return word_ngrams_of_tokens(nonempty_tokens(col), n)

@@ -29,11 +29,19 @@ from typing import Iterator, Optional, Sequence
 import numpy as np
 import pandas as pd
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from datavalid_spark.functions.text import normalize_text, shingles, word_ngrams
+from datavalid_spark.functions.text import (
+    nonempty_tokens,
+    normalize_text,
+    shingles,
+    shingles_of_normalized,
+    word_ngrams,
+    word_ngrams_of_tokens,
+)
 
 
 # ------------------------------------------------------------------ exact
@@ -89,8 +97,15 @@ def minhash_signatures(
     form computes shingles once and the partial min aggregation
     combines map-side, so the shuffle carries only (id, partial mins).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(F.col(content_col), shingle_k)).alias("s")
+    # materialise the normalized text FIRST: CollapseProject would
+    # otherwise inline the regexp normalizer into the shingle lambda and
+    # re-run it once per shingle (~200x per doc; measured 10x slower)
+    norm = df.select(
+        F.col(id_col).alias("id"), normalize_text(F.col(content_col)).alias("__norm")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    norm.count()
+    sh = norm.select(
+        "id", F.explode(shingles_of_normalized(F.col("__norm"), shingle_k)).alias("s")
     ).select("id", F.xxhash64("s").alias("h"))
     aggs = [F.min(F.xxhash64("h", F.lit(i))).alias(f"__m{i}") for i in range(num_perm)]
     return (
@@ -117,7 +132,16 @@ def minhash_lsh_pairs(
     signature fraction → filter.  Dedup of pairs via ``id_a < id_b``.
     """
     rows_per_band = num_perm // bands
-    with_sig = minhash_signatures(df, id_col, content_col, num_perm, shingle_k)
+    # persist: the band self-join below references the signature plan on
+    # BOTH sides — without materialisation Spark recomputes the full
+    # shingle→minhash pipeline twice (measured 15x slower at sf0.1).
+    # At production scale the signature table is written to storage;
+    # MEMORY_AND_DISK is the in-job equivalent.
+    with_sig = minhash_signatures(df, id_col, content_col, num_perm, shingle_k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    with_sig.count()  # eager: AQE runs both join branches concurrently,
+    # so a lazy persist would still be computed twice
     banded = with_sig.select(
         "id",
         "sig",
@@ -187,9 +211,14 @@ def ngram_jaccard_pairs(
     explode n-grams, equi-join on the n-gram, count intersections, then
     |A∪B| = |A|+|B|−|A∩B|.  Shuffles on n-gram values — exact but
     heavier than MinHash; the verify-stage workhorse."""
-    grams = df.select(
-        F.col(id_col).alias("id"), word_ngrams(F.col(content_col), n).alias("grams")
-    ).filter(F.size("grams") > 0)
+    toks = df.select(
+        F.col(id_col).alias("id"), nonempty_tokens(F.col(content_col)).alias("__t")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    toks.count()  # materialise: keeps the tokenizer out of the n-gram lambda
+    grams = toks.select(
+        "id", word_ngrams_of_tokens(F.col("__t"), n).alias("grams")
+    ).filter(F.size("grams") > 0).persist(StorageLevel.MEMORY_AND_DISK)
+    grams.count()  # eager (see minhash_lsh_pairs)
     sizes = grams.select("id", F.size("grams").alias("n_grams"))
     inv = grams.select("id", F.explode("grams").alias("gram"))
     a, b = inv.alias("a"), inv.alias("b")
@@ -290,7 +319,10 @@ def simhash_near_dups(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "simhash", F.col("bk.block").alias("block"), F.col("bk.key").alias("key"))
+    ).select(
+        "id", "simhash", F.col("bk.block").alias("block"), F.col("bk.key").alias("key")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    blocked.count()  # eager (see minhash_lsh_pairs)
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
         a.join(
@@ -348,7 +380,8 @@ def embedding_near_dups(
         bucket = bit if bucket is None else bucket * 2 + bit
     with_b = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), bucket.alias("bucket")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    with_b.count()  # eager (see minhash_lsh_pairs)
     a, b = with_b.alias("a"), with_b.alias("b")
     cos = cosine_similarity(F.col("a.vec"), F.col("b.vec"))
     return (
