@@ -168,14 +168,18 @@ def run_suite(spark) -> dict[str, float]:
     )
     times["unique_key"] = time.time() - t0
 
-    # -- 3. referential: repo → repos_dim (broadcast anti-join);
-    #       the dimension is a catalog table in production — built
-    #       outside the timed region
+    # -- 3. referential: repo → repos_dim.  The dimension is small
+    #       (4k repos) so the InSet strategy applies: the check is a
+    #       pure filter with no join stages — the broadcast-anti-join
+    #       path costs a constant ~4s of exchange/AQE overhead per run
+    #       that never scales with threads (measured).  The dim is a
+    #       catalog table in production — built outside the timed
+    #       region.
     parent = repos_dim(spark).cache()
     parent.count()
     t0 = time.time()
     n_orphan = (
-        ReferentialCheck("repo", "repo", broadcast=True)
+        ReferentialCheck("repo", "repo", strategy="inset")
         .orphans(df, parent)
         .count()
     )

@@ -1,0 +1,226 @@
+"""Checkpointed per-partition validation with a lineage/metrics table.
+
+North rule (BASELINE.json): "Runs are checkpointed per Iceberg partition
+with lineage (partition id, snapshot id, check id, rows scanned,
+violations) written to a Delta/Iceberg metrics table so a killed job
+resumes without re-validating completed partitions."
+
+The reference has no notion of partitions, snapshots, or resume — it
+validates whole CSV files eagerly (/root/reference/datavalid/file.py:121)
+and a crash restarts from zero.  This module adds:
+
+- ``MetricsStore`` — an append-only metrics table.  In this sandbox it
+  appends parquet files (no Delta/Iceberg jars baked in); the write
+  pattern (tiny append batches, read-side aggregation picking the latest
+  status per key) is exactly what a Delta/Iceberg ``MERGE``/append gives,
+  so swapping the format is a one-line change of ``format(...)``.
+- ``PartitionedRun`` — iterates the table's partitions, runs the check
+  suite per partition with the partition predicate pushed into the scan
+  (partition pruning → only that partition's files are read), appends
+  one lineage row per (partition, check), and on restart skips every
+  (snapshot, partition, check) already recorded ``ok``/``violations``.
+
+At 10^12-file scale the partition list comes from Iceberg metadata
+(``spark.sql("SELECT partition FROM db.tbl.partitions")``) — no data
+scan; the sandbox fallback discovers distinct values of the partition
+column, which on a partition-column-only projection is metadata-cheap
+for columnar layouts.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datavalid_spark.operators.checks import CheckResult
+
+#: terminal statuses that mean "do not re-run this check on resume"
+DONE_STATUSES = ("ok", "violations")
+
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType()),
+        T.StructField("snapshot_id", T.StringType()),
+        T.StructField("partition_id", T.StringType()),
+        T.StructField("check_id", T.StringType()),
+        T.StructField("rows_scanned", T.LongType()),
+        T.StructField("n_violations", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("err_msg", T.StringType()),
+        T.StructField("wall_ms", T.LongType()),
+    ]
+)
+
+
+class MetricsStore:
+    """Append-only lineage/metrics table at ``path`` (parquet append;
+    format swap-in point for Delta/Iceberg)."""
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = str(path)
+
+    def append(self, rows: list[tuple]) -> None:
+        if not rows:
+            return
+        (
+            self.spark.createDataFrame(rows, METRICS_SCHEMA)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(self.path)
+        )
+
+    def read(self) -> Optional[DataFrame]:
+        try:
+            return self.spark.read.schema(METRICS_SCHEMA).parquet(self.path)
+        except Exception:
+            return None  # no runs recorded yet
+
+    def completed(self, snapshot_id: str) -> set[tuple[str, str]]:
+        """(partition_id, check_id) pairs already done for the snapshot."""
+        df = self.read()
+        if df is None:
+            return set()
+        rows = (
+            df.filter(
+                (F.col("snapshot_id") == snapshot_id)
+                & F.col("status").isin(*DONE_STATUSES)
+            )
+            .select("partition_id", "check_id")
+            .dropDuplicates()
+            .collect()
+        )
+        return {(r["partition_id"], r["check_id"]) for r in rows}
+
+
+@dataclass
+class PartitionOutcome:
+    partition_id: str
+    check_id: str
+    rows_scanned: int
+    n_violations: int
+    status: str  # ok | violations | error | skipped
+    err_msg: Optional[str]
+    wall_ms: int
+
+
+class PartitionedRun:
+    """One resumable validation run over a partitioned table.
+
+    ``checks`` maps check_id → callable(df_partition) -> CheckResult
+    (``TableCheck.run`` and ``ReferentialCheck.run`` both fit).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: MetricsStore,
+        snapshot_id: str,
+        run_id: Optional[str] = None,
+    ) -> None:
+        self.spark = spark
+        self.store = store
+        self.snapshot_id = snapshot_id
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+
+    def discover_partitions(self, df: DataFrame, partition_col: str) -> list:
+        """Sandbox fallback: distinct partition values (Iceberg: read
+        the ``.partitions`` metadata table instead — no data scan)."""
+        return sorted(
+            r[0]
+            for r in df.select(partition_col).dropDuplicates().collect()
+            if r[0] is not None
+        )
+
+    def run(
+        self,
+        df: DataFrame,
+        partition_col: str,
+        checks: dict[str, Callable[[DataFrame], CheckResult]],
+        partitions: Optional[Sequence] = None,
+    ) -> list[PartitionOutcome]:
+        """Validate every (partition, check) not yet recorded done for
+        this snapshot; append a lineage row per executed check."""
+        parts = (
+            list(partitions)
+            if partitions is not None
+            else self.discover_partitions(df, partition_col)
+        )
+        done = self.store.completed(self.snapshot_id)
+        outcomes: list[PartitionOutcome] = []
+        for part in parts:
+            pid = str(part)
+            # partition predicate pushes into the scan → file pruning
+            pdf = df.filter(F.col(partition_col) == F.lit(part))
+            n_rows: Optional[int] = None
+            batch: list[tuple] = []
+            for check_id, check_fn in checks.items():
+                if (pid, check_id) in done:
+                    outcomes.append(
+                        PartitionOutcome(pid, check_id, -1, -1, "skipped", None, 0)
+                    )
+                    continue
+                if n_rows is None:
+                    n_rows = pdf.count()
+                t0 = time.time()
+                try:
+                    res = check_fn(pdf)
+                    status = "ok" if res.passed else "violations"
+                    out = PartitionOutcome(
+                        pid,
+                        check_id,
+                        n_rows,
+                        res.n_violations,
+                        status,
+                        res.err_msg,
+                        int((time.time() - t0) * 1000),
+                    )
+                except Exception as exc:  # record, keep going
+                    out = PartitionOutcome(
+                        pid,
+                        check_id,
+                        n_rows,
+                        -1,
+                        "error",
+                        f"{type(exc).__name__}: {exc}"[:500],
+                        int((time.time() - t0) * 1000),
+                    )
+                outcomes.append(out)
+                batch.append(
+                    (
+                        self.run_id,
+                        self.snapshot_id,
+                        out.partition_id,
+                        out.check_id,
+                        out.rows_scanned,
+                        out.n_violations,
+                        out.status,
+                        out.err_msg,
+                        out.wall_ms,
+                    )
+                )
+            # one append per partition: a kill loses at most the current
+            # partition's in-flight checks (at-least-once semantics)
+            self.store.append(batch)
+        return outcomes
+
+    def summary(self) -> Optional[DataFrame]:
+        """Latest status per (snapshot, partition, check) from lineage."""
+        df = self.store.read()
+        if df is None:
+            return None
+        return (
+            df.filter(F.col("snapshot_id") == self.snapshot_id)
+            .groupBy("partition_id", "check_id")
+            .agg(
+                F.max_by("status", "wall_ms").alias("status"),
+                F.max("n_violations").alias("n_violations"),
+                F.max("rows_scanned").alias("rows_scanned"),
+            )
+        )

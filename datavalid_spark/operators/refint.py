@@ -30,12 +30,17 @@ class ReferentialCheck:
 
     key = "referential"
 
+    #: parent-key count up to which the "inset" strategy collects the
+    #: key set to the driver and compiles it into an InSet predicate
+    INSET_LIMIT = 100_000
+
     def __init__(
         self,
         child_keys: Sequence[str] | str,
         parent_keys: Sequence[str] | str,
         broadcast: Optional[bool] = None,
         null_is_orphan: bool = False,
+        strategy: str = "join",
     ) -> None:
         self.child_keys = [child_keys] if isinstance(child_keys, str) else list(child_keys)
         self.parent_keys = (
@@ -43,11 +48,47 @@ class ReferentialCheck:
         )
         if len(self.child_keys) != len(self.parent_keys):
             raise ValueError("child and parent key lists must have equal length")
+        if strategy not in ("join", "inset"):
+            raise ValueError("strategy must be 'join' or 'inset'")
+        if strategy == "inset" and len(self.child_keys) != 1:
+            raise ValueError("'inset' strategy supports single-column keys only")
         self.broadcast = broadcast
         self.null_is_orphan = null_is_orphan
+        self.strategy = strategy
 
     def orphans(self, child: DataFrame, parent: DataFrame) -> DataFrame:
-        """Child rows whose key has no parent (left_anti)."""
+        """Child rows whose key has no parent.
+
+        - ``strategy='join'``: left_anti join, optionally broadcast —
+          the general path (parent of any size, AQE handles skew).
+        - ``strategy='inset'``: collect the distinct parent keys (must
+          be ≤ INSET_LIMIT) and compile ``~isin`` — a pure filter
+          expression with NO join stages, so the check folds into a
+          plain scan job (and can share a scan with other pointwise
+          checks).  Right for dimension tables; Catalyst turns large
+          literal lists into an O(1) InSet hash probe.
+        """
+        if self.strategy == "inset":
+            c = self.child_keys[0]
+            keys = [
+                r[0]
+                for r in parent.select(self.parent_keys[0])
+                .dropDuplicates()
+                .limit(self.INSET_LIMIT + 1)
+                .collect()
+                if r[0] is not None
+            ]
+            if len(keys) > self.INSET_LIMIT:
+                raise ValueError(
+                    "parent key set exceeds INSET_LIMIT=%d; use strategy='join'"
+                    % self.INSET_LIMIT
+                )
+            cond = ~F.col(c).isin(keys)
+            if self.null_is_orphan:
+                cond = cond | F.col(c).isNull()
+            else:
+                cond = cond & F.col(c).isNotNull()
+            return child.filter(cond)
         pk = parent.select(
             *[F.col(p).alias(c) for c, p in zip(self.child_keys, self.parent_keys)]
         ).dropDuplicates()

@@ -1,0 +1,115 @@
+"""Checkpoint/resume lineage (north rule: killed job resumes without
+re-validating completed partitions)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.lineage import MetricsStore, PartitionedRun
+from datavalid_spark.operators.checks import EmptyCheck, UniqueCheck
+
+
+@pytest.fixture()
+def table(spark):
+    rows = [
+        ("p1", 1, "a"),
+        ("p1", 1, "b"),   # dup id within p1
+        ("p1", 2, "c"),
+        ("p2", 1, "d"),
+        ("p2", 2, ""),    # empty v in p2
+        ("p3", 9, "e"),
+    ]
+    return spark.createDataFrame(rows, "part string, id int, v string")
+
+
+def checks():
+    return {
+        "unique_id": lambda df: UniqueCheck("id").run(df),
+        "no_empty_v": lambda df: EmptyCheck(
+            **{"column": "v", "op": "equal", "value": ""}
+        ).run(df),
+    }
+
+
+def test_full_run_records_lineage(spark, table, tmp_path):
+    store = MetricsStore(spark, str(tmp_path / "metrics"))
+    run = PartitionedRun(spark, store, snapshot_id="snap1")
+    outcomes = run.run(table, "part", checks())
+    assert len(outcomes) == 6  # 3 partitions x 2 checks
+    by_key = {(o.partition_id, o.check_id): o for o in outcomes}
+    assert by_key[("p1", "unique_id")].status == "violations"
+    assert by_key[("p1", "unique_id")].n_violations == 2
+    assert by_key[("p2", "no_empty_v")].status == "violations"
+    assert by_key[("p3", "unique_id")].status == "ok"
+    assert by_key[("p1", "unique_id")].rows_scanned == 3
+    # lineage table round-trips
+    recorded = store.read().collect()
+    assert len(recorded) == 6
+    assert {r["snapshot_id"] for r in recorded} == {"snap1"}
+
+
+def test_resume_skips_completed(spark, table, tmp_path):
+    store = MetricsStore(spark, str(tmp_path / "metrics"))
+    # first run covers only p1/p2 (simulates a kill before p3)
+    run1 = PartitionedRun(spark, store, snapshot_id="snap1")
+    run1.run(table, "part", checks(), partitions=["p1", "p2"])
+
+    executed = []
+
+    def spying_checks():
+        base = checks()
+
+        def wrap(cid, fn):
+            def inner(df):
+                executed.append(cid)
+                return fn(df)
+
+            return inner
+
+        return {cid: wrap(cid, fn) for cid, fn in base.items()}
+
+    run2 = PartitionedRun(spark, store, snapshot_id="snap1")
+    outcomes = run2.run(table, "part", spying_checks())
+    # p1/p2 skipped, only p3's two checks actually execute
+    assert sorted(executed) == ["no_empty_v", "unique_id"]
+    skipped = [o for o in outcomes if o.status == "skipped"]
+    assert len(skipped) == 4
+
+
+def test_new_snapshot_revalidates(spark, table, tmp_path):
+    store = MetricsStore(spark, str(tmp_path / "metrics"))
+    PartitionedRun(spark, store, snapshot_id="snap1").run(table, "part", checks())
+    outcomes = PartitionedRun(spark, store, snapshot_id="snap2").run(
+        table, "part", checks()
+    )
+    assert all(o.status != "skipped" for o in outcomes)
+
+
+def test_error_is_recorded_not_fatal(spark, table, tmp_path):
+    store = MetricsStore(spark, str(tmp_path / "metrics"))
+
+    def boom(df):
+        raise RuntimeError("kaput")
+
+    run = PartitionedRun(spark, store, snapshot_id="snap1")
+    outcomes = run.run(
+        table, "part", {"boom": boom, "unique_id": checks()["unique_id"]}
+    )
+    st = {(o.partition_id, o.check_id): o.status for o in outcomes}
+    assert st[("p1", "boom")] == "error"
+    assert st[("p1", "unique_id")] in ("ok", "violations")
+    # errors are NOT done: a resume retries them
+    run2 = PartitionedRun(spark, store, snapshot_id="snap1")
+    outcomes2 = run2.run(table, "part", {"boom": boom})
+    assert all(o.status == "error" for o in outcomes2)
+
+
+def test_summary_latest_status(spark, table, tmp_path):
+    store = MetricsStore(spark, str(tmp_path / "metrics"))
+    run = PartitionedRun(spark, store, snapshot_id="snap1")
+    run.run(table, "part", checks())
+    summ = {
+        (r["partition_id"], r["check_id"]): r["status"]
+        for r in run.summary().collect()
+    }
+    assert summ[("p1", "unique_id")] == "violations"
+    assert summ[("p3", "no_empty_v")] == "ok"

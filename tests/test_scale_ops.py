@@ -42,6 +42,26 @@ def test_refint_orphans(spark):
     assert check2.run(child, parent).n_violations == 2
 
 
+def test_refint_inset_matches_join(spark):
+    """InSet strategy must agree with the anti-join on orphans and on
+    NULL handling (both settings)."""
+    child = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (9, "c"), (None, "d")], "fk int, v string"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (None,)], "pk int")
+    for null_orphan in (False, True):
+        j = ReferentialCheck("fk", "pk", null_is_orphan=null_orphan)
+        i = ReferentialCheck("fk", "pk", null_is_orphan=null_orphan, strategy="inset")
+        jv = sorted(r["v"] for r in j.orphans(child, parent).collect())
+        iv = sorted(r["v"] for r in i.orphans(child, parent).collect())
+        assert jv == iv, (null_orphan, jv, iv)
+
+
+def test_refint_inset_rejects_multi_key():
+    with pytest.raises(ValueError):
+        ReferentialCheck(["a", "b"], ["a", "b"], strategy="inset")
+
+
 def test_refint_passes(spark):
     child = spark.createDataFrame([(1,), (2,)], "fk int")
     parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
