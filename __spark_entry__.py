@@ -307,6 +307,55 @@ def q_text_quality(spark, sf_dir):
     return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
+# ---- engine ops beyond the reference (SURVEY.md §2.6 checklist) ----------
+
+
+def q_sort_limit_topk(spark, sf_dir):
+    # deterministic top-k: price desc, orderkey asc tiebreak
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_agg_pricing(spark, sf_dir):
+    # Q1-style grouped aggregation; money kept as exact integer cents
+    # (round(x*100) -> bigint) so Spark/DuckDB sums are bit-identical
+    li = _t(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(F.col(c) * 100, 0).cast("bigint")  # noqa: E731
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents("l_quantity")).alias("sum_qty_c"),
+        F.sum(cents("l_extendedprice")).alias("sum_price_c"),
+        F.sum(cents("l_discount")).alias("sum_disc_c"),
+    )
+
+
+def q_window_running(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("int").alias("rn"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .over(w)
+        .alias("run_price_c"),
+    )
+
+
+def q_set_except(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    all_users = ev.select("user_id").dropDuplicates()
+    click_users = (
+        ev.filter(F.col("event_type") == "click").select("user_id").dropDuplicates()
+    )
+    return all_users.subtract(click_users)
+
+
 # ---- probabilistic / seeded operators: rows-only (no oracle) -------------
 
 
@@ -397,6 +446,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_metrics": q_text_metrics,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
+        "sort_limit_topk": q_sort_limit_topk,
+        "agg_pricing": q_agg_pricing,
+        "window_running": q_window_running,
+        "set_except": q_set_except,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "embedding_near_dups": q_embedding_near_dups,
@@ -661,4 +714,27 @@ FROM documents
 """,
         "text_lang_id": _lang_id_sql(),
         "text_quality": _quality_sql(),
+        "sort_limit_topk": """
+SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+""",
+        "agg_pricing": """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+       CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "window_running": """
+SELECT o_custkey, o_orderkey,
+       CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS run_price_c
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+        "set_except": """
+SELECT user_id FROM events
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'click'
+""",
     }
