@@ -53,18 +53,27 @@ def brute_force_topk(
     )
 
 
+def _centroid_array(centroids: list):
+    """One literal array<array<double>> — the codegen-friendly shape.
+    (A per-centroid when-chain duplicates the 64-dim cosine expression
+    ~2x per centroid; the single-array transform computes each cosine
+    once — measured ~10x faster to JIT-compile at 16 centroids.)"""
+    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+
+
+def _sims(vec_col, centroids: list):
+    """array<double> of cosines against every centroid."""
+    return F.transform(
+        _centroid_array(centroids), lambda c: cosine_similarity(F.col(vec_col), c)
+    )
+
+
 def _assign(df: DataFrame, centroids: list, vec_col: str) -> DataFrame:
-    """Nearest-centroid id via a greatest-cosine when-chain (centroid
-    count is small; expressions stay JVM-side)."""
-    sims = [
-        cosine_similarity(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-        for c in centroids
-    ]
-    best = F.greatest(*sims) if len(sims) > 1 else sims[0]
-    expr = F.lit(0)
-    for i in range(len(sims) - 1, -1, -1):
-        expr = F.when(sims[i] == best, F.lit(i)).otherwise(expr)
-    return df.withColumn("__dv_cluster", expr)
+    """Nearest-centroid id: argmax over the sims array (first index wins
+    ties, like the reference formulation); stays JVM-side."""
+    sims = _sims(vec_col, centroids)
+    idx = F.array_position(sims, F.array_max(sims)) - 1
+    return df.withColumn("__dv_cluster", idx.cast("int"))
 
 
 def train_centroids(
@@ -120,21 +129,17 @@ def ivf_topk(
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), centroids, "vec"
     )
 
-    # per-query: nprobe nearest clusters (small → computed as array expr)
-    sims = [
-        cosine_similarity(F.col("qvec"), F.array(*[F.lit(float(x)) for x in c]))
-        for c in centroids
-    ]
-    probes = F.slice(
-        F.transform(
-            F.array_sort(
-                F.array(*[
-                    F.struct((-s).alias("neg"), F.lit(i).alias("cid"))
-                    for i, s in enumerate(sims)
-                ])
-            ),
-            lambda st: st["cid"],
+    # per-query: nprobe nearest clusters (small → computed as array expr;
+    # two-arg transform carries the centroid index through the sort)
+    sim_structs = F.transform(
+        _centroid_array(centroids),
+        lambda c, i: F.struct(
+            (-cosine_similarity(F.col("qvec"), c)).alias("neg"),
+            i.cast("int").alias("cid"),
         ),
+    )
+    probes = F.slice(
+        F.transform(F.array_sort(sim_structs), lambda st: st["cid"]),
         1,
         nprobe,
     )
