@@ -8,12 +8,12 @@ deterministically (sources/synth.py), cached as parquet, then validated
 with the composed suite:
 
   1. one-scan pointwise pass: F2/F3/F8 field checks + T2 empty
-     condition + full date-validity classification + sha256(content)
-     distinct estimate — a single ``agg`` so Catalyst shares the scan;
-  2. T1 uniqueness on (repo, path, commit) — groupBy-count with
-     planted duplicates AND a 30%-hot mono-repo skew key (AQE on);
-  3. referential repo → repos_dim via broadcast anti-join;
-  4. one-pass native column profiler.
+     condition + full date-validity classification + InSet referential
+     orphan count + sha256(content) distinct estimate — a single
+     ``agg`` so every expression check shares one scan;
+  2. T1 uniqueness on (repo, path, commit) — hash-compacted groupBy
+     with planted duplicates AND a 30%-hot mono-repo skew key (AQE on);
+  3. one-pass native column profiler.
 
 Also times the driver-contract headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1), forcing full computation through the
@@ -126,8 +126,17 @@ def run_suite(spark) -> dict[str, float]:
     df = spark.read.parquet(CACHE)
     times: dict[str, float] = {}
 
+    # referential dimension: a catalog table in production — built and
+    # collected (4k keys) outside the timed region
+    parent = repos_dim(spark).cache()
+    parent.count()
+    ref = ReferentialCheck("repo", "repo", strategy="inset")
+    ref_cond = ref.orphan_condition(parent)
+    parent.unpersist()
+
     # -- 1. single-scan pointwise pass (field checks + condition + dates
-    #       + content-hash cardinality): ONE job, no shuffle
+    #       + InSet referential + content-hash cardinality): ONE job,
+    #       no shuffle — every expression check shares the scan
     t0 = time.time()
     date = DateExprs("commit_year", "commit_month", "commit_day", today=None)
     err = date.error_class()
@@ -143,6 +152,7 @@ def run_suite(spark) -> dict[str, float]:
             MatchRegexFieldChecker(r"[0-9a-f]{40}$").bad_expr(df, "commit").cast("long")
         ).alias("f8_commit_bad"),
         F.sum(empty_cond.cast("long")).alias("t2_empty_rows"),
+        F.sum(ref_cond.cast("long")).alias("ref_orphans"),
         F.approx_count_distinct(F.sha2("content", 256)).alias("content_hashes"),
         # content profiled by LENGTH here (north rule: length/byte
         # histograms) — value min/max of ~700 B blobs is not a useful
@@ -168,36 +178,16 @@ def run_suite(spark) -> dict[str, float]:
     )
     times["unique_key"] = time.time() - t0
 
-    # -- 3. referential: repo → repos_dim.  The dimension is small
-    #       (4k repos) so the InSet strategy applies: the check is a
-    #       pure filter with no join stages — the broadcast-anti-join
-    #       path costs a constant ~4s of exchange/AQE overhead per run
-    #       that never scales with threads (measured).  The dim is a
-    #       catalog table in production — built outside the timed
-    #       region.
-    parent = repos_dim(spark).cache()
-    parent.count()
-    t0 = time.time()
-    n_orphan = (
-        ReferentialCheck("repo", "repo", strategy="inset")
-        .orphans(df, parent)
-        .count()
-    )
-    times["referential"] = time.time() - t0
-    parent.unpersist()
-
-    # -- 4. one-pass native profiler (content covered by the length
+    # -- 3. one-pass native profiler (content covered by the length
     #       stats in stage 1)
     t0 = time.time()
     profile_native(df, [c for c in df.columns if c != "content"]).collect()
     times["profile"] = time.time() - t0
 
-    times["_verdicts"] = 0.0  # keep key order stable
-    del times["_verdicts"]
     # sanity: planted defects must be found (guards against a bench
     # that silently no-ops)
     assert n_dup > 0, "planted duplicates not detected"
-    assert n_orphan > 0, "planted orphans not detected"
+    assert pointwise["ref_orphans"] > 0, "planted orphans not detected"
     assert pointwise["date_0"] > 0, "planted bad dates not detected"
     return times
 

@@ -69,26 +69,7 @@ class ReferentialCheck:
           literal lists into an O(1) InSet hash probe.
         """
         if self.strategy == "inset":
-            c = self.child_keys[0]
-            keys = [
-                r[0]
-                for r in parent.select(self.parent_keys[0])
-                .dropDuplicates()
-                .limit(self.INSET_LIMIT + 1)
-                .collect()
-                if r[0] is not None
-            ]
-            if len(keys) > self.INSET_LIMIT:
-                raise ValueError(
-                    "parent key set exceeds INSET_LIMIT=%d; use strategy='join'"
-                    % self.INSET_LIMIT
-                )
-            cond = ~F.col(c).isin(keys)
-            if self.null_is_orphan:
-                cond = cond | F.col(c).isNull()
-            else:
-                cond = cond & F.col(c).isNotNull()
-            return child.filter(cond)
+            return child.filter(self.orphan_condition(parent))
         pk = parent.select(
             *[F.col(p).alias(c) for c, p in zip(self.child_keys, self.parent_keys)]
         ).dropDuplicates()
@@ -99,6 +80,32 @@ class ReferentialCheck:
             for c in self.child_keys:
                 out = out.filter(F.col(c).isNotNull())
         return out.select(*child.columns)
+
+    def orphan_condition(self, parent: DataFrame):
+        """The orphan predicate as a pure ``Column`` (inset strategy
+        only): lets callers FOLD the referential check into an existing
+        scan/aggregation — e.g. ``sum(cond.cast('long'))`` alongside
+        other pointwise checks, zero extra jobs."""
+        if self.strategy != "inset":
+            raise ValueError("orphan_condition requires strategy='inset'")
+        c = self.child_keys[0]
+        keys = [
+            r[0]
+            for r in parent.select(self.parent_keys[0])
+            .dropDuplicates()
+            .limit(self.INSET_LIMIT + 1)
+            .collect()
+            if r[0] is not None
+        ]
+        if len(keys) > self.INSET_LIMIT:
+            raise ValueError(
+                "parent key set exceeds INSET_LIMIT=%d; use strategy='join'"
+                % self.INSET_LIMIT
+            )
+        cond = ~F.col(c).isin(keys)
+        if self.null_is_orphan:
+            return cond | F.col(c).isNull()
+        return cond & F.col(c).isNotNull()
 
     def run(self, child: DataFrame, parent: DataFrame):
         from datavalid_spark.operators.checks import CheckResult

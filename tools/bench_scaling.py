@@ -104,10 +104,10 @@ def main() -> None:
         "input at every parallelism level (`sources/synth.py`, seed 42).",
         "",
         "Workload: the full check suite (`bench.py run_suite`) — one-scan",
-        "pointwise field/condition/date-classification pass with",
-        "sha256(content) cardinality, hash-compacted uniqueness on",
-        "`(repo, path, commit)`, broadcast anti-join referential check, and",
-        "the one-pass native column profiler.  Warm-JVM timings (median of",
+        "pointwise field/condition/date-classification pass with InSet",
+        "referential orphan count and sha256(content) cardinality,",
+        "hash-compacted uniqueness on `(repo, path, commit)`, and the",
+        "one-pass native column profiler.  Warm-JVM timings (median of",
         f"{args.iters}; JIT/codegen warmup excluded — a long-lived cluster",
         "pays it once per job shape).",
         "",
