@@ -1,0 +1,35 @@
+#!/usr/bin/env bash
+# Cluster submission (north rule: spark-submit --py-files on
+# multi-executor clusters at N and 4N executors).
+#
+# Packages the library as a zip and submits a validation job.  In this
+# sandbox there is no cluster manager, so the default master is
+# local[*]; on a real cluster pass e.g.
+#   MASTER=yarn EXECUTORS=16 tools/submit.sh job.py --dir /data
+# and the same zip works unchanged — nothing in datavalid_spark
+# assumes a single JVM.
+#
+# JVM flags mirror bench.py: fixed pre-touched heap (see
+# BENCH/BASELINE.md for why), AQE + skew-join on.
+
+set -euo pipefail
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+MASTER="${MASTER:-local[*]}"
+EXECUTORS="${EXECUTORS:-4}"
+EXEC_MEM="${EXEC_MEM:-8g}"
+JOB="${1:-$REPO/datavalid_spark/__main__.py}"
+shift || true
+
+ZIP="$(mktemp -d)/datavalid_spark.zip"
+(cd "$REPO" && zip -qr "$ZIP" datavalid_spark -x '*__pycache__*')
+
+exec spark-submit \
+  --master "$MASTER" \
+  --num-executors "$EXECUTORS" \
+  --executor-memory "$EXEC_MEM" \
+  --conf spark.sql.adaptive.enabled=true \
+  --conf spark.sql.adaptive.skewJoin.enabled=true \
+  --conf spark.sql.shuffle.partitions=$((EXECUTORS * 8)) \
+  --conf "spark.executor.extraJavaOptions=-XX:+AlwaysPreTouch" \
+  --py-files "$ZIP" \
+  "$JOB" "$@"
