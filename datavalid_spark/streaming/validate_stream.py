@@ -88,3 +88,78 @@ def run_to_memory(
     )
     q.awaitTermination(timeout_sec)
     return result_stream.sparkSession.table(query_name)
+
+
+# ------------------------------------------------------- stateful dedup
+
+
+def stateful_first_seen(
+    stream_df: DataFrame,
+    key_col: str,
+    content_col: str = "content",
+    buckets: int = 64,
+    state_timeout_ms: int = 3_600_000,
+):
+    """Cross-micro-batch exact dedup: emit only the FIRST row seen per
+    content hash — a custom stateful operator via
+    ``applyInPandasWithState`` (the batch exact-dedup's streaming twin).
+
+    State layout: rows are bucketed by ``xxhash64(content) % buckets``
+    so state is partitioned and each group holds one bounded hash set
+    (at production scale: buckets ≈ shuffle partitions, state store is
+    RocksDB, and the set per bucket stays small because the stream is
+    windowed/compacted by the batch reconciliation pass).  Processing-
+    time timeout drops idle buckets after ``state_timeout_ms``.
+
+    Returns (id, content_hash) of first-seen rows.
+    """
+    import pandas as pd  # noqa: F401 (executor-side)
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("content_hash", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("seen", T.ArrayType(T.StringType()))]
+    )
+
+    def dedup_fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen = set(state.get[0]) if state.exists else set()
+        out = []
+        for pdf in pdfs:
+            # arrival order within a micro-batch is partition-dependent;
+            # sort by id so "first seen" is deterministic
+            pdf = pdf.sort_values("id")
+            for rid, h in zip(pdf["id"], pdf["content_hash"]):
+                if h not in seen:
+                    seen.add(h)
+                    out.append((int(rid), h))
+        state.update((list(seen),))
+        state.setTimeoutDuration(state_timeout_ms)
+        import pandas as _pd
+
+        yield _pd.DataFrame(out, columns=["id", "content_hash"])
+
+    hashed = stream_df.select(
+        F.col(key_col).alias("id"),
+        F.sha2(F.col(content_col), 256).alias("content_hash"),
+        F.pmod(F.xxhash64(F.col(content_col)), F.lit(buckets)).alias("__bucket"),
+    )
+    return (
+        hashed.groupBy("__bucket")
+        .applyInPandasWithState(
+            dedup_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf="ProcessingTimeTimeout",
+        )
+    )

@@ -102,3 +102,48 @@ def test_windowed_duplicate_keys(spark, stream_dir):
     out = run_to_memory(dups, "dup_test", output_mode="complete")
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["id"] == 2 and rows[0]["n"] == 2
+
+
+def test_stateful_first_seen_across_batches(spark, tmp_path):
+    """applyInPandasWithState dedup: only the first row per content
+    survives, including across restarts (state lives in the streaming
+    checkpoint; availableNow per batch — a ProcessingTime trigger would
+    re-fire empty batches forever to evaluate state timeouts)."""
+    import os
+
+    from datavalid_spark.streaming.validate_stream import stateful_first_seen
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    sink = str(tmp_path / "out")
+
+    def run_batch(qname):
+        # file sink: the memory sink cannot recover from a checkpoint,
+        # and cross-restart state is exactly what this test verifies
+        stream = spark.readStream.schema("id long, content string").parquet(src)
+        out = stateful_first_seen(stream, "id", "content", buckets=4)
+        q = (
+            out.writeStream.format("parquet")
+            .queryName(qname)
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(r.id for r in spark.read.parquet(sink).collect())
+
+    spark.createDataFrame(
+        [(0, "A"), (1, "B"), (2, "C"), (3, "A"), (4, "B")],
+        "id long, content string",
+    ).write.parquet(src, mode="append")
+    assert run_batch("sfs_a") == [0, 1, 2]  # one per distinct content
+
+    # restart with the same checkpoint: B and C already in state, D new
+    spark.createDataFrame(
+        [(5, "B"), (6, "C"), (7, "D"), (8, "D")], "id long, content string"
+    ).write.parquet(src, mode="append")
+    assert run_batch("sfs_b") == [0, 1, 2, 7]  # sink accumulates; only D new
