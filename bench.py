@@ -80,9 +80,14 @@ def build_session(cpus: int):
         # *system* time per GC (measured: 3.2s pauses, User=0.8s
         # Sys=69.9s) — random 5-20s stalls at 32 threads.  Pre-touching
         # the heap once at startup removes the pathology entirely.
+        # GC worker counts sized to the parallelism level: G1 defaults
+        # them to the MACHINE's core count, so an unpinned local[4]
+        # silently burns ~23 extra cores in GC — an unfairly fast
+        # baseline that corrupts N-vs-4N scaling measurements.
         .config(
             "spark.driver.extraJavaOptions",
-            f"-Xms{mem} -XX:+AlwaysPreTouch",
+            f"-Xms{mem} -XX:+AlwaysPreTouch"
+            f" -XX:ParallelGCThreads={cpus} -XX:ConcGCThreads={max(1, cpus // 4)}",
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
@@ -212,6 +217,26 @@ def main() -> None:
     # JVM/codegen warmup outside the timed region
     spark.read.parquet(CACHE).limit(1000).count()
     setup_s = time.time() - t_setup
+
+    # suite-iterations mode (used by tools/bench_scaling.py under
+    # taskset pinning): run the suite N+1 times, print per-iteration
+    # stage timings, skip the sf-dir queries
+    iters = int(os.environ.get("SPARK_GRAFT_SUITE_ITERS", "0"))
+    if iters > 0:
+        runs = [run_suite(spark) for _ in range(iters + 1)]
+        print(
+            json.dumps(
+                {
+                    "rows": ROWS,
+                    "cpus": CPUS,
+                    "iters": [
+                        {k: round(v, 3) for k, v in t.items()} for t in runs
+                    ],
+                    "totals": [round(sum(t.values()), 3) for t in runs],
+                }
+            )
+        )
+        return
 
     # run the suite twice: iteration 1 pays JIT/codegen warmup that a
     # long-lived cluster pays once per job type; the warm iteration is
