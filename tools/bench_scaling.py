@@ -100,7 +100,11 @@ def main() -> None:
             flush=True,
         )
 
-    n, n4 = 4, 16
+    levels_present = sorted(results)
+    n = levels_present[0]
+    n4 = 4 * n
+    if n4 not in results:
+        raise SystemExit(f"need both N={n} and 4N={n4} among --levels")
     thr_n = results[n]["files_per_sec_best"]
     thr_4n = results[n4]["files_per_sec_best"]
     eff = thr_4n / (4 * thr_n)
