@@ -39,7 +39,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "2000000"))
+ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "20000000"))
 SEED = 42
 CACHE = f"/tmp/dv_bench_src_{ROWS}_{SEED}"
 
