@@ -347,6 +347,29 @@ def q_window_running(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    from datavalid_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    out = asof_join(clicks, views, "user_id", "ts", "ts", right_cols=["view_id"])
+    return out.select("event_id", "user_id", F.col("view_id_asof").alias("view_id"))
+
+
+def q_sessionize(spark, sf_dir):
+    from datavalid_spark.operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return sessionize(ev, "user_id", "ts", gap_seconds=1800).select(
+        "event_id", "user_id", "session_id"
+    )
+
+
 def q_set_except(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     all_users = ev.select("user_id").dropDuplicates()
@@ -449,6 +472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_limit_topk": q_sort_limit_topk,
         "agg_pricing": q_agg_pricing,
         "window_running": q_window_running,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
         "set_except": q_set_except,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -736,5 +761,23 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 SELECT user_id FROM events
 EXCEPT
 SELECT user_id FROM events WHERE event_type = 'click'
+""",
+        "asof_join": """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+v AS (SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view')
+SELECT c.event_id, c.user_id, v.view_id
+FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+""",
+        "sessionize": """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+SELECT event_id, user_id,
+       CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM g
 """,
     }

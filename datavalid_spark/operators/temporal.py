@@ -1,0 +1,103 @@
+"""Temporal operators Spark lacks as built-ins: as-of join and
+sessionization (SURVEY.md §2.6 — absent in the reference, standard in
+training-data/event pipelines).
+
+Both are expressed as compositions of existing DataFrame ops — one
+shuffle + sort each, no UDFs — per the engine policy (custom operator
+strategy (a) from the task brief).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__dv_side"  # 0 = right (reference rows), 1 = left (probe rows)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Optional[Sequence[str]] = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the latest right
+    row with ``right_ts <= left_ts`` within the same key group (NULL
+    columns when no earlier right row exists) — i.e. DuckDB/pandas
+    ``ASOF JOIN`` semantics.
+
+    Formulation (scales to any key cardinality, no per-key loops):
+    union both sides tagged, sort per key by ``(ts, side)`` — right
+    rows sort before left rows at equal timestamps so boundary equality
+    matches — then carry the right row forward with
+    ``last(col, ignoreNulls=True)`` over an unbounded-preceding window.
+    One shuffle on the key, one sort; Tungsten radix sort per
+    partition.  Ties among right rows at the same timestamp resolve to
+    the last in ``(ts, side)`` order within the union sort — callers
+    needing strict determinism should pre-dedupe the right side per
+    (key, ts).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    rcols = [c for c in (right_cols or right.columns) if c not in keys]
+    rtypes = {f.name: f.dataType for f in right.schema.fields}
+    ltypes = {f.name: f.dataType for f in left.schema.fields}
+
+    l = left.withColumn("__dv_ts", F.col(left_ts)).withColumn(_SIDE, F.lit(1))
+    for c in rcols:
+        l = l.withColumn(f"{c}{suffix}", F.lit(None).cast(rtypes[c]))
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__dv_ts"),
+        F.lit(0).alias(_SIDE),
+        *[F.col(c).alias(f"{c}{suffix}") for c in rcols],
+    )
+    for c in left.columns:
+        if c not in keys:
+            r = r.withColumn(c, F.lit(None).cast(ltypes[c]))
+    unioned = l.unionByName(r.select(*l.columns))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__dv_ts").asc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *[c for c in unioned.columns if not c.endswith(suffix)],
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in rcols
+        ],
+    )
+    return carried.filter(F.col(_SIDE) == 1).drop(_SIDE, "__dv_ts")
+
+
+def sessionize(
+    df: DataFrame,
+    key: Sequence[str] | str,
+    ts: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap to the
+    previous event of the same key exceeds ``gap_seconds``.
+
+    lag → boundary flag → running sum over the same window: one
+    shuffle + sort, the cumulative-sum reuses the lag's sort order (a
+    single window exchange in the physical plan).  Output: input
+    columns + ``session_id`` (1-based per key)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy(F.col(ts).asc())
+    prev = F.lag(F.col(ts)).over(w)
+    # interval comparison: timezone-free, works for TIMESTAMP and
+    # TIMESTAMP_NTZ alike (a cast to double rejects NTZ in Spark 4)
+    gap = F.expr(f"INTERVAL {int(gap_seconds)} SECOND")
+    new_session = (prev.isNull() | ((F.col(ts) - prev) > gap)).cast("long")
+    return df.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )

@@ -1,0 +1,185 @@
+"""Randomized pandas-parity harness (SURVEY.md §5): re-implement the
+reference's checker semantics in ~40 lines of pandas (from the SURVEY
+spec — no reference code imported) and compare violation multisets
+against the Spark engine on hypothesis-generated frames.
+
+Scope notes (documented divergences, matching how the reference's data
+actually arises):
+
+- NA is represented as None → Spark NULL.  The reference's NaN always
+  comes from ``pd.read_csv`` missing values, which the Spark CSV/parquet
+  path loads as NULL; literal IEEE NaN keys in `unique` would group
+  separately from NULL in Spark, so the strategies use None only for
+  missing (field checkers' own NaN handling is covered by unit tests).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from datavalid_spark.functions.conditions import compile_condition
+from datavalid_spark.operators.checks import UniqueCheck
+from datavalid_spark.operators.fields import (
+    FloatFieldChecker,
+    IntegerFieldChecker,
+    OptionsFieldChecker,
+    RangeFieldChecker,
+    TitleCaseFieldChecker,
+)
+
+SETTLE = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+STR_VALUES = st.sampled_from(
+    ["", "abc", "12", "007", "1.5", ".5", "-3", "1.2.3", "Ab", "ab", "A B", "a b", "GREY", None, " "]
+)
+NUM_VALUES = st.sampled_from([None, -2.0, 0.0, 0.5, 1.0, 2.25, 3.0, 7.0])
+
+str_frames = st.lists(STR_VALUES, min_size=0, max_size=20)
+num_frames = st.lists(NUM_VALUES, min_size=0, max_size=20)
+
+
+def canon(values):
+    """Order-insensitive multiset with NA canonicalized."""
+    out = []
+    for v in values:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            out.append("<NA>")
+        else:
+            out.append(repr(v))
+    return sorted(out)
+
+
+def spark_violations(spark, checker, values, dtype):
+    df = spark.createDataFrame([(v,) for v in values], f"a {dtype}")
+    return canon([r["a"] for r in checker.violations(df, "a").collect()])
+
+
+# ---- pandas reimplementation of the reference semantics (SURVEY §2.2)
+
+
+def pd_integer_bad(sr: pd.Series):
+    if sr.dtype.kind in "iu":
+        return sr[[]]
+    if sr.dtype.kind == "f":
+        return sr[sr.mod(1) > 0]
+    m = sr.astype(str).str.match(r"^\d+$")
+    return sr[~m & sr.notna() & (sr != "")]
+
+
+def pd_float_bad(sr: pd.Series):
+    if sr.dtype.kind in "iuf":
+        return sr[[]]
+    m = sr.astype(str).str.match(r"^(\d*\.)?\d+$")
+    return sr[~m & sr.notna() & (sr != "")]
+
+
+def pd_range_bad(sr: pd.Series, low, high):
+    fb = pd_float_bad(sr)
+    if len(fb):
+        return fb
+    num = pd.to_numeric(sr, errors="coerce") if sr.dtype.kind == "O" else sr
+    return sr[(num < low) | (num > high)]
+
+
+def pd_options_bad(sr: pd.Series, opts):
+    return sr[~sr.isin(opts) & sr.notna()]
+
+
+def pd_title_case_bad(sr: pd.Series):
+    def all_lower_start(v):
+        words = str(v).split(" ")
+        return all(w != "" and w[:1].upper() != w[:1] for w in words)
+
+    mask = sr.notna() & sr.map(lambda v: v is not None and all_lower_start(v))
+    return sr[mask]
+
+
+def pd_unique_bad(sr: pd.Series):
+    return sr[sr.duplicated(keep=False)]
+
+
+# ------------------------------------------------------------- tests
+
+
+@SETTLE
+@given(values=str_frames)
+def test_integer_string_parity(spark, values):
+    got = spark_violations(spark, IntegerFieldChecker(), values, "string")
+    want = canon(pd_integer_bad(pd.Series(values, dtype=object)).tolist())
+    assert got == want
+
+
+@SETTLE
+@given(values=str_frames)
+def test_float_string_parity(spark, values):
+    got = spark_violations(spark, FloatFieldChecker(), values, "string")
+    want = canon(pd_float_bad(pd.Series(values, dtype=object)).tolist())
+    assert got == want
+
+
+@SETTLE
+@given(values=num_frames)
+def test_range_numeric_parity(spark, values):
+    got = spark_violations(spark, RangeFieldChecker(0, 2), values, "double")
+    want = canon(pd_range_bad(pd.Series(values, dtype="float64"), 0, 2).tolist())
+    assert got == want
+
+
+@SETTLE
+@given(values=str_frames)
+def test_options_parity(spark, values):
+    got = spark_violations(spark, OptionsFieldChecker("abc", "12"), values, "string")
+    want = canon(pd_options_bad(pd.Series(values, dtype=object), ["abc", "12"]).tolist())
+    assert got == want
+
+
+@SETTLE
+@given(values=str_frames)
+def test_title_case_parity(spark, values):
+    got = spark_violations(spark, TitleCaseFieldChecker(), values, "string")
+    want = canon(pd_title_case_bad(pd.Series(values, dtype=object)).tolist())
+    assert got == want
+
+
+@SETTLE
+@given(values=num_frames)
+def test_unique_parity(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "a double")
+    res = UniqueCheck("a").violations(df)
+    got = canon([r["a"] for r in res.collect()])
+    want = canon(pd_unique_bad(pd.Series(values, dtype="float64")).tolist())
+    assert got == want
+
+
+CONDITION_OPS = ["equal", "not_equal", "greater_than", "less_than", "greater_equal", "less_equal"]
+
+
+@SETTLE
+@given(values=num_frames, op=st.sampled_from(CONDITION_OPS), rhs=st.sampled_from([0.0, 1.0, 2.25]))
+def test_condition_parity(spark, values, op, rhs):
+    """P1 leaves on a numeric column: pandas NA comparisons are False
+    except ``!=`` which is True — the engine's null-safe not_equal must
+    reproduce that exactly."""
+    import operator
+
+    df = spark.createDataFrame([(v,) for v in values], "a double")
+    expr = compile_condition({"column": "a", "op": op, "value": rhs})
+    got = canon([r["a"] for r in df.filter(expr).collect()])
+    sr = pd.Series(values, dtype="float64")
+    pyop = {
+        "equal": operator.eq, "not_equal": operator.ne,
+        "greater_than": operator.gt, "less_than": operator.lt,
+        "greater_equal": operator.ge, "less_equal": operator.le,
+    }[op]
+    want = canon(sr[pyop(sr, rhs)].tolist())
+    assert got == want

@@ -1,0 +1,97 @@
+"""As-of join + sessionization (operators/temporal.py)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from datavalid_spark.operators.temporal import asof_join, sessionize
+
+
+def ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_backward_basic(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), "l1"),
+         (1, ts("2024-01-01 12:00:00"), "l2"),
+         (2, ts("2024-01-01 09:00:00"), "l3")],
+        "k int, t timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 09:30:00"), "r1"),
+         (1, ts("2024-01-01 11:00:00"), "r2"),
+         (2, ts("2024-01-01 09:30:00"), "r3")],  # after left → no match
+        "k int, t timestamp, rv string",
+    )
+    out = {
+        r["lv"]: r["rv_asof"]
+        for r in asof_join(left, right, "k", "t", "t").collect()
+    }
+    assert out == {"l1": "r1", "l2": "r2", "l3": None}
+
+
+def test_asof_boundary_equality_matches(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), "l")], "k int, t timestamp, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), "r")], "k int, t timestamp, rv string"
+    )
+    row = asof_join(left, right, "k", "t", "t").collect()[0]
+    assert row["rv_asof"] == "r"  # right_ts <= left_ts includes equality
+
+
+def test_asof_matches_duckdb(spark):
+    import duckdb
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    got = {
+        r["event_id"]: r["view_id_asof"]
+        for r in asof_join(
+            clicks, views, "user_id", "ts", "ts", right_cols=["view_id"]
+        ).collect()
+    }
+    want = {
+        eid: vid
+        for eid, vid in duckdb.sql("""
+WITH e AS (SELECT * FROM '/root/testdata/sf0.001/events.parquet'),
+c AS (SELECT event_id, user_id, ts FROM e WHERE event_type='click'),
+v AS (SELECT event_id AS view_id, user_id, ts FROM e WHERE event_type='view')
+SELECT c.event_id, v.view_id FROM c ASOF LEFT JOIN v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+""").fetchall()
+    }
+    assert got == want
+
+
+def test_sessionize(spark):
+    rows = [
+        (1, ts("2024-01-01 10:00:00")),
+        (1, ts("2024-01-01 10:10:00")),   # same session (gap 600s)
+        (1, ts("2024-01-01 12:00:00")),   # new session
+        (2, ts("2024-01-01 10:00:00")),   # per-key restart
+    ]
+    df = spark.createDataFrame(rows, "k int, t timestamp")
+    out = sessionize(df, "k", "t", gap_seconds=1800)
+    got = {(r["k"], str(r["t"])): r["session_id"] for r in out.collect()}
+    assert got[(1, "2024-01-01 10:00:00")] == 1
+    assert got[(1, "2024-01-01 10:10:00")] == 1
+    assert got[(1, "2024-01-01 12:00:00")] == 2
+    assert got[(2, "2024-01-01 10:00:00")] == 1
+
+
+def test_sessionize_gap_boundary(spark):
+    rows = [
+        (1, ts("2024-01-01 10:00:00")),
+        (1, ts("2024-01-01 10:30:00")),   # exactly gap → same session
+        (1, ts("2024-01-01 11:00:01")),   # gap+1s → new
+    ]
+    df = spark.createDataFrame(rows, "k int, t timestamp")
+    out = sessionize(df, "k", "t", gap_seconds=1800)
+    ids = [r["session_id"] for r in out.orderBy("t").collect()]
+    assert ids == [1, 1, 2]
