@@ -109,7 +109,10 @@ class UniqueCheck(TableCheck):
     group); violations = all rows of every duplicated key.
 
     strategy:
-      - ``"auto"``   — plain ``groupBy(keys).count()`` (Spark's partial
+      - ``"auto"``   — width-aware: hash-compaction when any key column
+        is string/binary (wide keys dominate shuffle I/O), else the
+        plain path.
+      - ``"plain"``  — ``groupBy(keys).count()`` (Spark's partial
         map-side aggregation already absorbs key skew for counts) and a
         broadcast semi-join back on the (usually tiny) duplicate keys.
       - ``"salted"`` — explicit two-phase: stage 1 counts per
@@ -137,11 +140,25 @@ class UniqueCheck(TableCheck):
         self.strategy = strategy
         self.salt_buckets = salt_buckets
 
+    def _resolve_strategy(self, df: DataFrame, keys: Sequence[str]) -> str:
+        """``auto`` picks hash-compaction when the key tuple is wide
+        (any string/binary column): shuffling an 8-byte hash instead of
+        wide keys is a pure win there; for narrow fixed-width keys the
+        plain groupBy shuffles less than hash+second-pass would."""
+        if self.strategy != "auto":
+            return self.strategy
+        import pyspark.sql.types as T
+
+        wide = (T.StringType, T.BinaryType)
+        dtypes = {f.name: f.dataType for f in df.schema.fields}
+        return "hash" if any(isinstance(dtypes[k], wide) for k in keys) else "plain"
+
     def duplicate_keys(
         self, df: DataFrame, group_cols: Sequence[str] = ()
     ) -> DataFrame:
         keys = list(group_cols) + self.columns
-        if self.strategy == "hash":
+        strategy = self._resolve_strategy(df, keys)
+        if strategy == "hash":
             h = F.xxhash64(*[F.col(k) for k in keys])
             cand = (
                 df.select(h.alias("__dv_h"))
@@ -156,7 +173,7 @@ class UniqueCheck(TableCheck):
             counts = cand_rows.groupBy(*keys).agg(
                 F.count(F.lit(1)).alias("__dv_n")
             )
-        elif self.strategy == "salted":
+        elif strategy == "salted":
             salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(self.salt_buckets))
             stage1 = (
                 df.withColumn("__dv_salt", salt)
