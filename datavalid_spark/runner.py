@@ -67,11 +67,17 @@ class FileReport:
 
 
 def load_file(spec: FileSpec, spark: SparkSession) -> DataFrame:
-    """CSV with header + schema inference = pandas read_csv parity
-    (reference file.py:121). Parquet supported for fixtures."""
+    """Extension-dispatched source: CSV with header + schema inference
+    is the reference-parity default (pandas read_csv, file.py:121);
+    parquet/ORC/JSON(L) supported so the same config validates columnar
+    lake files and event logs directly."""
     path = str(spec.filepath)
     if path.endswith(".parquet"):
         return spark.read.parquet(path)
+    if path.endswith(".orc"):
+        return spark.read.orc(path)
+    if path.endswith((".json", ".jsonl", ".ndjson")):
+        return spark.read.json(path)
     return spark.read.csv(path, header=True, inferSchema=True)
 
 

@@ -270,3 +270,26 @@ def test_duplicate_column_rejected(tmp_path):
             schemas={"s": {"columns": [{"name": "a"}, {"name": "a"}]}},
         )
     assert "repeating column" in str(ei.value)
+
+
+def test_load_file_formats(spark, tmp_path):
+    """Extension dispatch: the same config shape validates CSV, parquet,
+    ORC, and JSONL files."""
+    import json as _json
+
+    from datavalid_spark.plans.config import Config
+    from datavalid_spark.runner import load_file
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "uid int, name string")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "t.parquet"))
+    df.coalesce(1).write.mode("overwrite").orc(str(tmp_path / "t.orc"))
+    (tmp_path / "t.jsonl").write_text(
+        "\n".join(_json.dumps({"uid": i, "name": n}) for i, n in [(1, "a"), (2, "b")])
+    )
+    (tmp_path / "t.csv").write_text("uid,name\n1,a\n2,b\n")
+    schemas = {"s": {"columns": [{"name": "uid"}, {"name": "name"}]}}
+    for fname in ["t.parquet", "t.orc", "t.jsonl", "t.csv"]:
+        conf = Config(datadir=tmp_path, schemas=schemas, files={fname: {"schema": "s"}})
+        out = load_file(conf.files[fname], spark)
+        rows = {(r["uid"], r["name"]) for r in out.collect()}
+        assert rows == {(1, "a"), (2, "b")}, fname
