@@ -1,0 +1,47 @@
+"""Bucketed-table co-location: a uniqueness check on a table bucketed
+by its key needs NO shuffle — the canonical zero-exchange layout for
+repeated key-aligned checks at 10^12 scale (write once bucketed by
+repo-hash, validate every snapshot shuffle-free)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.operators.checks import UniqueCheck
+
+
+@pytest.fixture()
+def bucketed_table(spark):
+    # uses the session's default warehouse (spark.sql.warehouse.dir is
+    # static); table dropped on teardown
+    name = "dv_bucketed_test"
+    df = spark.range(10_000).select(
+        F.concat(F.lit("k"), (F.col("id") % 4000).cast("string")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    df.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable(name)
+    yield name
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_bucketed_unique_no_shuffle(spark, bucketed_table):
+    t = spark.table(bucketed_table)
+    # plain strategy: groupBy on the bucket column — Catalyst sees the
+    # bucket layout satisfies the clustering, so no Exchange appears
+    dup = UniqueCheck("k", strategy="plain").duplicate_keys(t)
+    plan = dup._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # and the answer matches the shuffling path on the same data
+    n_bucketed = UniqueCheck("k", strategy="plain").violations(t).count()
+    plain_df = t.select("k", "v")  # re-read loses nothing; force non-bucketed
+    n_hash = UniqueCheck("k", strategy="hash").violations(plain_df).count()
+    assert n_bucketed == n_hash > 0
+
+
+def test_unbucketed_same_query_shuffles(spark):
+    df = spark.range(10_000).select(
+        F.concat(F.lit("k"), (F.col("id") % 4000).cast("string")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dup = UniqueCheck("k", strategy="plain").duplicate_keys(df)
+    plan = dup._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan  # the contrast case
