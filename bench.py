@@ -59,6 +59,8 @@ HEADLINE_QUERIES = [
     "knn_bruteforce",
     "text_metrics",
     "text_quality",
+    "asof_join",
+    "sessionize",
 ]
 
 
