@@ -54,6 +54,11 @@ METRICS_SCHEMA = T.StructType(
         T.StructField("status", T.StringType()),
         T.StructField("err_msg", T.StringType()),
         T.StructField("wall_ms", T.LongType()),
+        # epoch-micros stamp: summary() picks the LATEST row per
+        # (partition, check) by this column — wall_ms is a duration and
+        # must never be used for recency (a slow failed attempt would
+        # otherwise shadow a fast successful retry)
+        T.StructField("recorded_at", T.LongType()),
     ]
 )
 
@@ -203,6 +208,7 @@ class PartitionedRun:
                         out.status,
                         out.err_msg,
                         out.wall_ms,
+                        time.time_ns() // 1_000,
                     )
                 )
             # one append per partition: a kill loses at most the current
@@ -211,7 +217,12 @@ class PartitionedRun:
         return outcomes
 
     def summary(self) -> Optional[DataFrame]:
-        """Latest status per (snapshot, partition, check) from lineage."""
+        """Latest status per (snapshot, partition, check) from lineage.
+
+        Every column comes atomically from the most-recent row
+        (``max_by(..., recorded_at)``) so an early 'error' attempt can
+        never surface a stale status / -1 violation count after a
+        successful retry."""
         df = self.store.read()
         if df is None:
             return None
@@ -219,8 +230,8 @@ class PartitionedRun:
             df.filter(F.col("snapshot_id") == self.snapshot_id)
             .groupBy("partition_id", "check_id")
             .agg(
-                F.max_by("status", "wall_ms").alias("status"),
-                F.max("n_violations").alias("n_violations"),
-                F.max("rows_scanned").alias("rows_scanned"),
+                F.max_by("status", "recorded_at").alias("status"),
+                F.max_by("n_violations", "recorded_at").alias("n_violations"),
+                F.max_by("rows_scanned", "recorded_at").alias("rows_scanned"),
             )
         )

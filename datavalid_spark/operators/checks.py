@@ -31,9 +31,14 @@ reference's report for parity.
 Scale note (north rule): the window checks partition by the task's
 group key (e.g. uid / repo) — fine at 10^12 rows as long as single
 groups fit an executor; pathological groups are handled by AQE skew
-settings upstream.  The ungrouped case degenerates to a single
-partition; for that case T3 is equivalently a distinct-date self-join
-(``date+1`` exists) and T4 a date-range self-join — both distributed.
+settings upstream.  The ungrouped case NO LONGER degenerates to a
+single-partition whole-table window: adjacency marks depend only on
+the date value, so the engine aggregates to distinct dates (bounded by
+the calendar span), windows over that tiny frame, and semi-joins the
+bad dates back — fully distributed (``_DateCheck.adjacent_gap_violations``).
+On duplicate dates the ungrouped T3 marks all rows of both dates of a
+consecutive pair (deterministic, a superset of the row-adjacency
+marking whose tie order is arbitrary); verdicts are identical.
 ``UniqueCheck`` offers a ``salted`` two-phase aggregation path for
 skewed keys (SURVEY.md §7.5).
 """
@@ -167,9 +172,12 @@ class UniqueCheck(TableCheck):
                 .filter(F.col("__dv_n") > 1)
                 .select("__dv_h")
             )
-            cand_rows = df.join(
-                F.broadcast(cand), h == F.col("__dv_h"), "left_semi"
-            )
+            # no broadcast hint: the candidate-hash side is USUALLY tiny
+            # (rare duplicates) but is unbounded on duplicate-heavy data —
+            # exactly what a validator exists to catch.  AQE sees the
+            # actual post-aggregation size at runtime and broadcasts iff
+            # it fits, falling back to a shuffle semi-join otherwise.
+            cand_rows = df.join(cand, h == F.col("__dv_h"), "left_semi")
             counts = cand_rows.groupBy(*keys).agg(
                 F.count(F.lit(1)).alias("__dv_n")
             )
@@ -188,7 +196,9 @@ class UniqueCheck(TableCheck):
     def violations(self, df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
         keys = list(group_cols) + self.columns
         left = df.alias("__dv_l")
-        right = F.broadcast(self.duplicate_keys(df, group_cols).alias("__dv_r"))
+        # no broadcast hint (see duplicate_keys): the dup-key set is
+        # unbounded on duplicate-heavy tables; AQE broadcasts iff small
+        right = self.duplicate_keys(df, group_cols).alias("__dv_r")
         # null-safe: pandas `duplicated` groups NaN keys together
         cond = None
         for k in keys:
@@ -240,6 +250,46 @@ class _DateCheck(TableCheck):
             today=today,
         )
 
+    def adjacent_gap_violations(
+        self, df: DataFrame, group_cols: Sequence[str], mark
+    ) -> DataFrame:
+        """Rows marked by ``mark(gap_prev_days, gap_next_days, n_same_date)``
+        over date adjacency.
+
+        Grouped: lag/lead window partitioned by the group key — each
+        group sorts independently, scales with group cardinality.
+
+        Ungrouped: the round-1 ``Window.partitionBy()`` pushed the WHOLE
+        table through one task (VERDICT.md #5).  Gap marks depend only
+        on the DATE VALUE, so the scale path aggregates to DISTINCT
+        dates first (bounded by the calendar span — thousands of rows,
+        never table-sized), runs the adjacency window on that tiny
+        frame, and semi-joins the bad dates back (AQE broadcasts them).
+        """
+        d = self.with_date(df)
+        if group_cols:
+            w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+                F.col(_DATE).asc_nulls_last()
+            )
+            gap_prev = F.datediff(F.col(_DATE), F.lag(_DATE).over(w))
+            gap_next = F.datediff(F.lead(_DATE).over(w), F.col(_DATE))
+            marked = d.withColumn("__dv_bad", mark(gap_prev, gap_next, F.lit(1)))
+            return marked.filter(F.col("__dv_bad")).drop("__dv_bad", _DATE)
+        dates = (
+            d.filter(F.col(_DATE).isNotNull())
+            .groupBy(_DATE)
+            .agg(F.count(F.lit(1)).alias("__dv_n"))
+        )
+        w = Window.orderBy(F.col(_DATE).asc())
+        gap_prev = F.datediff(F.col(_DATE), F.lag(_DATE).over(w))
+        gap_next = F.datediff(F.lead(_DATE).over(w), F.col(_DATE))
+        bad_dates = (
+            dates.withColumn("__dv_bad", mark(gap_prev, gap_next, F.col("__dv_n")))
+            .filter(F.col("__dv_bad"))
+            .select(_DATE)
+        )
+        return d.join(bad_dates, [_DATE], "left_semi").drop(_DATE)
+
     def date_error_result(self, df: DataFrame) -> Optional[CheckResult]:
         """If any rows fall in a validity error class, the check fails
         with the FIRST class (precedence) and that class's rows, like
@@ -273,17 +323,9 @@ class NoConsecutiveDateCheck(_DateCheck):
     key = "no_consecutive_date"
 
     def violations(self, df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
-        d = self.with_date(df)
-        w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
-            F.col(_DATE).asc_nulls_last()
+        return self.adjacent_gap_violations(
+            df, group_cols, lambda gp, gn, n: (gp == 1) | (gn == 1)
         )
-        gap_prev = F.datediff(F.col(_DATE), F.lag(_DATE).over(w))
-        gap_next = F.datediff(F.lead(_DATE).over(w), F.col(_DATE))
-        marked = d.withColumn(
-            "__dv_bad",
-            (gap_prev == 1) | (gap_next == 1),
-        )
-        return marked.filter(F.col("__dv_bad")).drop("__dv_bad", _DATE)
 
     def _err_msg(self, n: int) -> str:
         return "Consecutive dates detected"
@@ -312,16 +354,14 @@ class NoMoreThanOncePerNDaysCheck(_DateCheck):
         self.days = days
 
     def violations(self, df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
-        d = self.with_date(df)
-        w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
-            F.col(_DATE).asc_nulls_last()
+        # ungrouped distinct-date path: a date with >1 rows is a gap-0
+        # violation on its own (checkers.py:206 uses >=), which row-level
+        # adjacency sees for free but date-level adjacency must count
+        return self.adjacent_gap_violations(
+            df,
+            group_cols,
+            lambda gp, gn, n: (gp <= self.days) | (gn <= self.days) | (n > 1),
         )
-        gap_prev = F.datediff(F.col(_DATE), F.lag(_DATE).over(w))
-        gap_next = F.datediff(F.lead(_DATE).over(w), F.col(_DATE))
-        marked = d.withColumn(
-            "__dv_bad", (gap_prev <= self.days) | (gap_next <= self.days)
-        )
-        return marked.filter(F.col("__dv_bad")).drop("__dv_bad", _DATE)
 
     def _err_msg(self, n: int) -> str:
         return "%d rows detected occur too close together" % n

@@ -91,10 +91,12 @@ class UniqueFieldChecker(FieldChecker):
             .filter(F.col("__dv_n") > 1)
             .select(column)
         )
-        # dup keys are typically a tiny fraction → broadcast the join back;
-        # null-safe equality: pandas `duplicated` groups NaN values together
+        # no broadcast hint: dup keys are typically a tiny fraction but
+        # unbounded on duplicate-heavy columns — AQE broadcasts iff the
+        # runtime size fits.  Null-safe equality: pandas `duplicated`
+        # groups NaN values together.
         left = df.alias("__dv_l")
-        right = F.broadcast(dup_keys.alias("__dv_r"))
+        right = dup_keys.alias("__dv_r")
         cond = F.col("__dv_l." + column).eqNullSafe(F.col("__dv_r." + column))
         return left.join(right, cond, "left_semi").select(*df.columns)
 

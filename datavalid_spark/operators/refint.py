@@ -89,13 +89,17 @@ class ReferentialCheck:
         if self.strategy != "inset":
             raise ValueError("orphan_condition requires strategy='inset'")
         c = self.child_keys[0]
+        # NULLs are dropped BEFORE the limit: a NULL inside the limited
+        # sample would otherwise displace a real key and let a parent set
+        # of exactly INSET_LIMIT+1 distinct non-null keys slip past the
+        # guard — silently reporting valid children as orphans
         keys = [
             r[0]
             for r in parent.select(self.parent_keys[0])
+            .filter(F.col(self.parent_keys[0]).isNotNull())
             .dropDuplicates()
             .limit(self.INSET_LIMIT + 1)
             .collect()
-            if r[0] is not None
         ]
         if len(keys) > self.INSET_LIMIT:
             raise ValueError(

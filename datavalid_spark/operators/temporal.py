@@ -47,14 +47,24 @@ def asof_join(
     rtypes = {f.name: f.dataType for f in right.schema.fields}
     ltypes = {f.name: f.dataType for f in left.schema.fields}
 
-    l = left.withColumn("__dv_ts", F.col(left_ts)).withColumn(_SIDE, F.lit(1))
-    for c in rcols:
-        l = l.withColumn(f"{c}{suffix}", F.lit(None).cast(rtypes[c]))
+    # ALL right payload columns travel inside ONE non-null struct per
+    # right row, and last(struct, ignoreNulls) carries that struct as a
+    # unit.  Carrying columns independently would skip a matched right
+    # row's NULL column (taking the value from an OLDER row) and could
+    # mix columns from different right rows — diverging from
+    # DuckDB/pandas ASOF semantics on nullable right payloads.
+    l = (
+        left.withColumn("__dv_ts", F.col(left_ts))
+        .withColumn(_SIDE, F.lit(1))
+        .withColumn("__dv_r", F.lit(None).cast("struct<" + ",".join(
+            f"`{c}`:{rtypes[c].simpleString()}" for c in rcols
+        ) + ">"))
+    )
     r = right.select(
         *keys,
         F.col(right_ts).alias("__dv_ts"),
         F.lit(0).alias(_SIDE),
-        *[F.col(c).alias(f"{c}{suffix}") for c in rcols],
+        F.struct(*[F.col(c) for c in rcols]).alias("__dv_r"),
     )
     for c in left.columns:
         if c not in keys:
@@ -65,14 +75,16 @@ def asof_join(
         .orderBy(F.col("__dv_ts").asc(), F.col(_SIDE).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        *[c for c in unioned.columns if not c.endswith(suffix)],
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in rcols
-        ],
+    carried = unioned.withColumn(
+        "__dv_r", F.last("__dv_r", ignorenulls=True).over(w)
     )
-    return carried.filter(F.col(_SIDE) == 1).drop(_SIDE, "__dv_ts")
+    return (
+        carried.filter(F.col(_SIDE) == 1)
+        .select(
+            *[c for c in carried.columns if c not in (_SIDE, "__dv_ts", "__dv_r")],
+            *[F.col(f"__dv_r.{c}").alias(f"{c}{suffix}") for c in rcols],
+        )
+    )
 
 
 def sessionize(

