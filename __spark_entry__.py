@@ -9,9 +9,11 @@ equivalent for every SQL-expressible query.
 
 Column names AND types are aligned pairwise between the Spark plan and
 the oracle SQL (the driver hashes values after sorting columns by
-name).  Probabilistic / hash-seeded operators (minhash, simhash,
-random-hyperplane LSH, IVF) have no oracle entry by design — the
-driver records the weaker rows-only check for those.
+name).  EVERY query has an oracle: the LSH/ANN/drift/multimodal
+operators run in exact-verify mode (true jaccard / cosine / full-probe
+ranks / exact KS over the production candidate-generation machinery),
+so their outputs are deterministic and bit-comparable to DuckDB —
+see the "exact-verify" section below for the recall arguments.
 """
 
 from __future__ import annotations
@@ -21,7 +23,6 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from datavalid_spark.functions.conditions import compile_condition
 from datavalid_spark.functions.dates import DateExprs
@@ -49,7 +50,7 @@ from datavalid_spark.operators.dedup import (
     exact_duplicates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    simhash_near_dups,
+    simhash_near_dups_exact,
 )
 from datavalid_spark.operators.fields import (
     FloatFieldChecker,
@@ -206,7 +207,16 @@ def q_f1_unique_field(spark, sf_dir):
 
 
 def q_f2_no_na(spark, sf_dir):
-    return NoNAFieldChecker().violations(_t(spark, sf_dir, "events"), "value")
+    # derived nullable column: the raw fixtures contain no NULLs, so a
+    # check on them is trivially green (VERDICT.md round 1) — NULLIF the
+    # metric for 'error' events to exercise the violation path (~2k rows)
+    ev = _t(spark, sf_dir, "events")
+    derived = ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("metric"),
+    )
+    return NoNAFieldChecker().violations(derived, "metric")
 
 
 def q_f3_options(spark, sf_dir):
@@ -261,8 +271,15 @@ def q_profile_stats(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
+    # the documents fixture has no byte-identical pairs — plant exact
+    # copies (every 10th doc re-id'd) so the dup-group machinery runs on
+    # non-empty output; the oracle builds the identical union
+    docs = _t(spark, sf_dir, "documents")
+    plant = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
     return exact_duplicates(
-        _t(spark, sf_dir, "documents"), content_col="text", id_cols=["doc_id"]
+        docs.unionByName(plant), content_col="text", id_cols=["doc_id"]
     )
 
 
@@ -371,15 +388,33 @@ def q_sessionize(spark, sf_dir):
 
 
 def q_set_except(spark, sf_dir):
+    # composite-key EXCEPT on (user, day): every user clicks at least
+    # once over the fixture's span (so user-level EXCEPT was empty /
+    # trivially green) — day-granular sets differ on thousands of rows
     ev = _t(spark, sf_dir, "events")
-    all_users = ev.select("user_id").dropDuplicates()
-    click_users = (
-        ev.filter(F.col("event_type") == "click").select("user_id").dropDuplicates()
+    # day as a STRING: DuckDB date32 surfaces as pandas Timestamp while
+    # Spark DateType surfaces as datetime.date — string-typed days keep
+    # the value-hash comparison representation-independent
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    all_days = ev.select("user_id", day).dropDuplicates()
+    click_days = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", day)
+        .dropDuplicates()
     )
-    return all_users.subtract(click_users)
+    return all_days.subtract(click_days)
 
 
-# ---- probabilistic / seeded operators: rows-only (no oracle) -------------
+# ---- LSH / ANN / drift / multimodal: exact-verify, oracle-checked --------
+#
+# Round 1 ran these probabilistic operators in estimate mode (rows-only,
+# no oracle).  Round 2 gates each one end-to-end: candidate generation
+# stays the production LSH/blocking/IVF machinery, but the REPORTED
+# values are exact (true jaccard / cosine / full-probe ranks / exact KS),
+# so a DuckDB oracle checks them bit-for-bit.  Seeds are frozen, the
+# fixture's true-pair margin is wide (jaccard ≥0.93 vs next ≤0.31;
+# cosine 1.0 vs ≤0.52), and every true pair provably collides — any
+# candidate-generation regression surfaces as a hash mismatch.
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -387,57 +422,76 @@ def q_minhash_lsh(spark, sf_dir):
         _t(spark, sf_dir, "documents"),
         "doc_id",
         "text",
-        num_perm=32,
-        bands=8,
+        num_perm=64,
+        bands=32,
         threshold=0.5,
+        verify="exact",
     )
 
 
 def q_simhash(spark, sf_dir):
-    return simhash_near_dups(_t(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-def q_embedding_near_dups(spark, sf_dir):
-    return embedding_near_dups(
-        _t(spark, sf_dir, "embeddings"), "vec_id", threshold=0.9, planes=8
+    # same exact shingle-jaccard verify (and thus the same oracle) as
+    # minhash_lsh, reached through the independent simhash-block
+    # candidate path — a recall bug in either generator breaks exactly
+    # one of the two queries
+    return simhash_near_dups_exact(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", blocks=8, threshold=0.5
     )
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    # planted exact copies (every 10th vector re-id'd): the fixture's
+    # real max cosine is ~0.51, so pairs ≥0.95 are exactly the planted
+    # ones and banded-LSH recall on identical vectors is provably 1.
+    # Output is the pair ids only — cross-engine float summation quirks
+    # never enter the hash.
+    emb = _t(spark, sf_dir, "embeddings")
+    plant = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100_000
+    )
+    pairs = embedding_near_dups(
+        emb.unionByName(plant), "vec_id", threshold=0.95, planes=16, bands=4
+    )
+    return pairs.select("id_a", "id_b")
+
+
 def q_ivf_topk(spark, sf_dir):
+    # full-probe mode (nprobe = n_clusters): exercises the complete IVF
+    # machinery — centroid training, cluster assignment, per-cluster
+    # candidate join, ranking — while guaranteeing exact results, so the
+    # brute-force SQL is a true oracle.  Partial-probe recall is covered
+    # by tests/test_dedup_knn.py::test_ivf_topk_recall.
     emb = _t(spark, sf_dir, "embeddings")
     out = ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 8), k=5, n_clusters=8, nprobe=2
+        emb, emb.filter(F.col("vec_id") < 8), k=5, n_clusters=8, nprobe=8
     )
     return out.select("query_id", "id", "rank")
 
 
 def q_drift_two_sample(spark, sf_dir):
-    from datavalid_spark.operators.drift import drift_report
-    from datavalid_spark.operators.profile import profile_arrow
+    # EXACT distributed two-sample KS (per-value counts -> distinct-value
+    # cumulative window -> max |ΔCDF|): every division is int/int and the
+    # final max is order-insensitive, so the statistic is bit-identical
+    # across engines.  The sketch-based approximate path stays covered by
+    # tests/test_scale_ops.py.
+    from datavalid_spark.operators.drift import ks_exact_two_sample
 
     docs = _t(spark, sf_dir, "documents")
-    base = profile_arrow(docs.filter(F.col("doc_id") % 2 == 0), ["n_chars", "lang"])
-    cur = profile_arrow(docs.filter(F.col("doc_id") % 2 == 1), ["n_chars", "lang"])
-    rows = [
-        (v.column, v.kind, float(v.statistic), float(v.p_value), bool(v.drifted))
-        for v in drift_report(base, cur)
-    ]
-    schema = T.StructType(
-        [
-            T.StructField("column", T.StringType()),
-            T.StructField("kind", T.StringType()),
-            T.StructField("statistic", T.DoubleType()),
-            T.StructField("p_value", T.DoubleType()),
-            T.StructField("drifted", T.BooleanType()),
-        ]
+    return ks_exact_two_sample(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "n_chars",
     )
-    return spark.createDataFrame(rows, schema)
 
 
 def q_multimodal_validate(spark, sf_dir):
-    from datavalid_spark.operators.multimodal import synth_media, validate_media
+    # binary payloads derived deterministically from the documents table
+    # (magic ‖ utf8(text)) with planted defects; validation runs through
+    # the real mapInPandas Arrow-binary plumbing and the oracle rebuilds
+    # and re-checks the same blobs with DuckDB encode/decode
+    from datavalid_spark.operators.multimodal import media_from_text, validate_payloads
 
-    return validate_media(synth_media(spark, 200))
+    return validate_payloads(media_from_text(_t(spark, sf_dir, "documents")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -544,6 +598,34 @@ FROM b
 """
 
 
+#: exact char-5-shingle Jaccard over all pairs — the shared oracle for
+#: minhash_lsh AND simhash (both exact-verify to this same ground truth
+#: through independent candidate generators).  Normalization mirrors
+#: functions/text.py::normalize_text; t[i:i+4] is DuckDB's INCLUSIVE
+#: slice = 5 chars.
+_SHINGLE_JACCARD_SQL = """
+WITH n AS (
+  SELECT doc_id AS id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents),
+g AS (
+  SELECT id, list_distinct(list_transform(range(1, len(t) - 5 + 2),
+         i -> t[i:i+4])) AS gr
+  FROM n WHERE len(t) >= 5),
+inv AS (SELECT id, unnest(gr) AS s FROM g),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS ni
+  FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id
+  GROUP BY a.id, b.id)
+SELECT id_a, id_b,
+       ni::DOUBLE / (len(ga.gr) + len(gb.gr) - ni) AS jaccard
+FROM inter
+JOIN g ga ON inter.id_a = ga.id
+JOIN g gb ON inter.id_b = gb.id
+WHERE ni::DOUBLE / (len(ga.gr) + len(gb.gr) - ni) >= 0.5
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     leap = "((y2 % 400 = 0) OR (y2 % 4 = 0 AND y2 % 100 <> 0))"
     return {
@@ -627,7 +709,13 @@ SELECT d.* FROM documents d
 WHERE d.n_chars IN (
   SELECT n_chars FROM documents GROUP BY n_chars HAVING COUNT(*) > 1)
 """,
-        "f2_no_na": "SELECT * FROM events WHERE value IS NULL OR isnan(value)",
+        "f2_no_na": """
+WITH d AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_type <> 'error' THEN value END AS metric
+  FROM events)
+SELECT * FROM d WHERE metric IS NULL OR isnan(metric)
+""",
         "f3_options": """
 SELECT * FROM documents
 WHERE lang NOT IN ('en', 'de') AND lang IS NOT NULL
@@ -677,7 +765,11 @@ SELECT 'l_linestatus', COUNT(*), COUNT(*) - COUNT(l_linestatus),
        MIN(l_linestatus), MAX(l_linestatus) FROM lineitem
 """,
         "dedup_exact": """
-WITH h AS (SELECT doc_id, sha256(text) AS content_hash FROM documents),
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+h AS (SELECT doc_id, sha256(text) AS content_hash FROM u),
 c AS (SELECT content_hash, COUNT(*) AS dup_group_size
       FROM h GROUP BY content_hash HAVING COUNT(*) > 1)
 SELECT h.content_hash, h.doc_id, c.dup_group_size FROM h JOIN c USING (content_hash)
@@ -758,9 +850,10 @@ FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """,
         "set_except": """
-SELECT user_id FROM events
+SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day FROM events
 EXCEPT
-SELECT user_id FROM events WHERE event_type = 'click'
+SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day FROM events
+WHERE event_type = 'click'
 """,
         "asof_join": """
 WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
@@ -779,5 +872,68 @@ SELECT event_id, user_id,
        CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
 FROM g
+""",
+        "minhash_lsh": _SHINGLE_JACCARD_SQL,
+        "simhash": _SHINGLE_JACCARD_SQL,
+        "embedding_near_dups": """
+WITH u AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 10 = 0)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+""",
+        "ivf_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+           FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, c.vec_id AS id,
+    (SELECT SUM(x.a * x.b) FROM
+      (SELECT UNNEST(q.qvec)::DOUBLE AS a, UNNEST(c.embedding)::DOUBLE AS b) x)
+    / (sqrt((SELECT SUM(x.a * x.a) FROM (SELECT UNNEST(q.qvec)::DOUBLE AS a) x))
+     * sqrt((SELECT SUM(x.b * x.b) FROM (SELECT UNNEST(c.embedding)::DOUBLE AS b) x)))
+    AS cos
+  FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.query_id)
+SELECT query_id, id, rank FROM (
+  SELECT query_id, id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, id ASC) AS INT) AS rank
+  FROM scored)
+WHERE rank <= 5
+""",
+        "drift_two_sample": """
+WITH u AS (
+  SELECT n_chars AS v,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS a,
+         CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS b
+  FROM documents WHERE n_chars IS NOT NULL),
+pv AS (SELECT v, SUM(a) AS ca, SUM(b) AS cb FROM u GROUP BY v),
+c AS (
+  SELECT SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+         SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b,
+         SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+  FROM pv)
+SELECT 'n_chars' AS "column",
+       MAX(ABS(cum_a::DOUBLE / na - cum_b::DOUBLE / nb)) AS ks_stat,
+       CAST(MAX(na) AS BIGINT) AS n_base,
+       CAST(MAX(nb) AS BIGINT) AS n_cur
+FROM c
+""",
+        "multimodal_validate": """
+WITH m AS (
+  SELECT doc_id,
+    encode(CASE WHEN doc_id % 37 = 0 THEN 'XXXX' ELSE 'MEDI' END || text)
+      AS payload,
+    octet_length(encode(text))
+      + CASE WHEN doc_id % 41 = 0 THEN 7 ELSE 0 END AS declared_size
+  FROM documents WHERE text IS NOT NULL)
+SELECT doc_id,
+  CASE WHEN substring(decode(payload), 1, 4) <> 'MEDI' THEN 'bad magic'
+       WHEN octet_length(payload) - 4 <> declared_size THEN 'size mismatch'
+  END AS reason
+FROM m
+WHERE substring(decode(payload), 1, 4) <> 'MEDI'
+   OR octet_length(payload) - 4 <> declared_size
 """,
     }

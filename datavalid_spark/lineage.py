@@ -235,3 +235,68 @@ class PartitionedRun:
                 F.max_by("rows_scanned", "recorded_at").alias("rows_scanned"),
             )
         )
+
+
+# ----------------------------------------------------------- snapshots
+
+
+def table_snapshot_id(spark: SparkSession, source: str) -> str:
+    """Resolve a snapshot id for ``source`` (a catalog table name or a
+    parquet path) — the key the resume logic scopes completion to.
+
+    Resolution order:
+
+    1. **Iceberg**: ``SELECT snapshot_id FROM <tbl>.snapshots`` — the
+       real snapshot id from table metadata.  (This sandbox ships no
+       iceberg-spark-runtime jar and has no network to fetch one, so
+       the probe fails here; on a cluster with the Iceberg catalog
+       configured this branch is what runs.  Verified absent:
+       ``pyspark/jars`` contains hive/parquet/orc only.)
+    2. **Delta**: ``DESCRIBE HISTORY <tbl>`` latest version — same
+       situation.
+    3. **Fallback (always works)**: a deterministic content hash of the
+       table's file listing ``(relative path, size, modification
+       time)``.  Appending/rewriting any data file changes the id, so
+       "resume skips partitions done for this snapshot" behaves like
+       Iceberg's snapshot semantics: unchanged data → same id → skip;
+       changed data → new id → re-validate.  Listing is metadata-only
+       (driver-side filesystem walk, no data scan).
+    """
+    try:
+        rows = spark.sql(
+            f"SELECT snapshot_id FROM {source}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        if rows:
+            return f"iceberg-{rows[0][0]}"
+    except Exception:
+        pass
+    try:
+        rows = spark.sql(f"DESCRIBE HISTORY {source} LIMIT 1").collect()
+        if rows:
+            return f"delta-{rows[0]['version']}"
+    except Exception:
+        pass
+    import hashlib
+    import os
+
+    if os.path.isdir(source):
+        root = source
+    else:
+        # catalog table → its storage location
+        try:
+            detail = spark.sql(f"DESCRIBE TABLE EXTENDED {source}").collect()
+            loc = next(r["data_type"] for r in detail if r["col_name"] == "Location")
+            root = loc.removeprefix("file:")
+        except Exception:
+            raise ValueError(f"cannot resolve a snapshot id for {source!r}")
+    h = hashlib.sha256()
+    for dirpath, _dirs, files in sorted(os.walk(root)):
+        for name in sorted(files):
+            if name.startswith((".", "_")):
+                continue  # _SUCCESS / CRC / temp markers don't change data
+            full = os.path.join(dirpath, name)
+            st = os.stat(full)
+            rel = os.path.relpath(full, root)
+            h.update(f"{rel}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    return f"files-{h.hexdigest()[:16]}"

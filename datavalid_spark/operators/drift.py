@@ -33,6 +33,8 @@ from typing import Optional
 
 import numpy as np
 
+from pyspark.sql import functions as F
+
 from datavalid_spark.operators.profile import ColumnSketch, QuantileSketch
 
 
@@ -162,3 +164,59 @@ def load_baseline(path) -> dict[str, ColumnSketch]:
             d["topk"],
         )
     return out
+
+
+# ------------------------------------------------- exact distributed KS
+
+
+def ks_exact_two_sample(base, cur, column: str):
+    """EXACT two-sample Kolmogorov–Smirnov statistic as a distributed
+    DataFrame computation (the sketch-based ``ks_two_sample`` above is
+    the O(sketch) approximation; this is the oracle-checkable exact
+    path, and the right choice whenever the compared column has bounded
+    value cardinality — lengths, counts, scores).
+
+    Formulation: union both samples tagged → per-VALUE counts (one
+    shuffle, partial agg; the window below runs over distinct values,
+    never raw rows) → cumulative counts in value order → the statistic
+    is ``max |cum_base/n_base − cum_cur/n_cur|``.  All inputs to the
+    float division are exact integers and the final ``max`` is
+    order-insensitive, so the result is bit-identical across engines —
+    hash-comparable against a SQL oracle.
+
+    Returns a 1-row DataFrame (column, ks_stat, n_base, n_cur).
+    """
+    from pyspark.sql import Window
+
+    u = (
+        base.select(F.col(column).alias("v"), F.lit(1).alias("a"), F.lit(0).alias("b"))
+        .unionAll(
+            cur.select(F.col(column).alias("v"), F.lit(0).alias("a"), F.lit(1).alias("b"))
+        )
+        .filter(F.col("v").isNotNull())
+    )
+    per_value = u.groupBy("v").agg(
+        F.sum("a").alias("ca"), F.sum("b").alias("cb")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stat = per_value.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(wtot).alias("na"),
+        F.sum("cb").over(wtot).alias("nb"),
+    ).select(
+        F.abs(
+            F.col("cum_a").cast("double") / F.col("na")
+            - F.col("cum_b").cast("double") / F.col("nb")
+        ).alias("d"),
+        "na",
+        "nb",
+    )
+    return stat.groupBy().agg(
+        F.max("d").alias("ks_stat"),
+        F.max("na").alias("n_base"),
+        F.max("nb").alias("n_cur"),
+    ).select(F.lit(column).alias("column"), "ks_stat", "n_base", "n_cur")

@@ -153,3 +153,73 @@ def synth_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
             ).alias("meta"),
         )
     )
+
+
+# ----------------------------------------------- payload-level validation
+
+_PAYLOAD_VIOLATION_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("reason", T.StringType()),
+    ]
+)
+
+#: 4-byte container magic for the deterministic fixture format
+PAYLOAD_MAGIC = b"MEDI"
+
+
+def media_from_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corrupt_magic_mod: int = 37,
+    corrupt_size_mod: int = 41,
+) -> DataFrame:
+    """Deterministic media table derived from a text table: payload =
+    4-byte magic ‖ utf8(text), declared_size = payload body bytes, kind
+    from id.  Defects are PLANTED (wrong magic every ``corrupt_magic_mod``
+    ids, wrong declared size every ``corrupt_size_mod``) so the
+    validation path is exercised on non-empty output — and the whole
+    construction is pure SQL-expressible (oracle builds the same blobs
+    with DuckDB ``encode``)."""
+    magic = F.when(F.col(id_col) % corrupt_magic_mod == 0, F.lit("XXXX")).otherwise(
+        F.lit(PAYLOAD_MAGIC.decode())
+    )
+    body = F.encode(F.col(text_col), "UTF-8")
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.element_at(kinds, (F.col(id_col) % 3 + 1).cast("int")).alias("kind"),
+        F.concat(F.encode(magic, "UTF-8"), body).alias("data"),
+        (
+            F.octet_length(body)
+            + F.when(F.col(id_col) % corrupt_size_mod == 0, 7).otherwise(0)
+        ).cast("long").alias("declared_size"),
+    )
+
+
+def validate_payloads(media: DataFrame, magic: bytes = PAYLOAD_MAGIC) -> DataFrame:
+    """Binary payload validation in one Arrow pass (the real plumbing a
+    decoder would sit behind): magic-prefix check, then declared-size
+    consistency.  Returns (doc_id, reason) for violating rows only;
+    reason precedence: 'bad magic' > 'size mismatch'.
+
+    Vectorized pandas bytes ops per batch (``.str`` accessor over the
+    Arrow-delivered bytes column) — no per-row/per-byte Python loops.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            prefix = pdf["data"].str[: len(magic)]
+            n_bytes = pdf["data"].str.len()
+            bad_magic = (prefix != magic) | pdf["data"].isna()
+            bad_size = (n_bytes - len(magic)) != pdf["declared_size"]
+            reason = np.where(
+                bad_magic, "bad magic", np.where(bad_size, "size mismatch", None)
+            )
+            out = pd.DataFrame({"doc_id": pdf["doc_id"], "reason": reason})
+            yield out[out["reason"].notna()]
+
+    return media.select("doc_id", "data", "declared_size").mapInPandas(
+        fn, schema=_PAYLOAD_VIOLATION_SCHEMA
+    )

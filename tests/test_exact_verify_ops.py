@@ -1,0 +1,165 @@
+"""Round-2 exact-verify operators: exact KS, payload validation,
+minhash/simhash exact re-scoring, banded embedding LSH."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.operators.dedup import (
+    embedding_near_dups,
+    minhash_lsh_pairs,
+    release_cached,
+    simhash_near_dups_exact,
+)
+from datavalid_spark.operators.drift import ks_exact_two_sample
+from datavalid_spark.operators.multimodal import (
+    media_from_text,
+    validate_payloads,
+)
+
+
+# --- exact two-sample KS -------------------------------------------------
+
+
+def test_ks_exact_matches_bruteforce(spark):
+    rng = np.random.RandomState(7)
+    a = rng.randint(0, 40, 300).tolist()
+    b = (rng.randint(0, 40, 200) + 5).tolist()
+    df_a = spark.createDataFrame([(int(v),) for v in a], "v int")
+    df_b = spark.createDataFrame([(int(v),) for v in b], "v int")
+    row = ks_exact_two_sample(df_a, df_b, "v").collect()[0]
+    # brute-force: D = max |F_a - F_b| over all observed values
+    xs = sorted(set(a) | set(b))
+    d = max(
+        abs(sum(x <= t for x in a) / len(a) - sum(x <= t for x in b) / len(b))
+        for t in xs
+    )
+    assert row["ks_stat"] == pytest.approx(d, abs=1e-12)
+    assert row["n_base"] == 300 and row["n_cur"] == 200
+    assert row["column"] == "v"
+
+
+def test_ks_exact_identical_samples_zero(spark):
+    df = spark.createDataFrame([(i % 10,) for i in range(100)], "v int")
+    row = ks_exact_two_sample(df, df, "v").collect()[0]
+    assert row["ks_stat"] == 0.0
+
+
+def test_ks_exact_disjoint_samples_one(spark):
+    a = spark.createDataFrame([(i,) for i in range(10)], "v int")
+    b = spark.createDataFrame([(i + 100,) for i in range(10)], "v int")
+    assert ks_exact_two_sample(a, b, "v").collect()[0]["ks_stat"] == 1.0
+
+
+# --- payload validation --------------------------------------------------
+
+
+def test_media_payload_validation(spark):
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i}") for i in range(120)],
+        "doc_id long, text string",
+    )
+    media = media_from_text(docs, corrupt_magic_mod=37, corrupt_size_mod=41)
+    got = {r["doc_id"]: r["reason"] for r in validate_payloads(media).collect()}
+    for i in range(120):
+        if i % 37 == 0:
+            assert got[i] == "bad magic"  # precedence over size
+        elif i % 41 == 0:
+            assert got[i] == "size mismatch"
+        else:
+            assert i not in got
+    assert got  # non-empty by construction
+
+
+def test_media_payload_roundtrip_clean(spark):
+    docs = spark.createDataFrame(
+        [(1, "héllo wörld ✓ unicode")], "doc_id long, text string"
+    )
+    media = media_from_text(docs, corrupt_magic_mod=999, corrupt_size_mod=999)
+    # declared_size counts UTF-8 BYTES of the body, not characters
+    row = media.collect()[0]
+    assert row["declared_size"] == len("héllo wörld ✓ unicode".encode())
+    assert bytes(row["data"])[:4] == b"MEDI"
+    assert validate_payloads(media).count() == 0
+
+
+# --- exact-verify near-dup scoring ---------------------------------------
+
+NEAR_DUPS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (3, "the quick brown fox jumps over the lazy dog near the river bend today"),
+    (4, "completely different text about spark dataframes and shuffle partitions"),
+    (5, "yet another unrelated document mentioning kolmogorov smirnov statistics"),
+]
+
+
+def _exact_shingle_jaccard(a: str, b: str, k: int = 5) -> float:
+    import re
+
+    def sh(t):
+        t = re.sub(r"\s+", " ", t.lower()).strip()
+        return {t[i : i + k] for i in range(len(t) - k + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+@pytest.mark.parametrize(
+    "pairs_fn",
+    [
+        lambda docs: minhash_lsh_pairs(
+            docs, "id", "content", num_perm=64, bands=32, threshold=0.5, verify="exact"
+        ),
+        lambda docs: simhash_near_dups_exact(
+            docs, "id", "content", blocks=8, threshold=0.5
+        ),
+    ],
+    ids=["minhash", "simhash"],
+)
+def test_exact_verify_reports_true_jaccard(spark, pairs_fn):
+    docs = spark.createDataFrame(NEAR_DUPS, "id long, content string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs_fn(docs).collect()}
+    release_cached()
+    texts = dict(NEAR_DUPS)
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    for (a, b), j in got.items():
+        assert j == pytest.approx(_exact_shingle_jaccard(texts[a], texts[b]))
+    assert got[(1, 2)] == 1.0
+
+
+# --- banded embedding LSH recall ----------------------------------------
+
+
+def test_banded_embedding_lsh_beats_single_band(spark):
+    """At 16 planes the single-band (bands=1) variant's per-pair recall
+    is p^16 (collapses); 4 bands recover the planted near-identical
+    pairs.  Deterministic given the frozen seed."""
+    rng = np.random.RandomState(11)
+    base = rng.normal(0, 1, (60, 32))
+    rows = [(i, base[i].tolist()) for i in range(60)]
+    # plant 10 near-dup pairs at cosine ≈ 0.993 (≈7° apart: each of the
+    # 16 hyperplane bits flips with p≈0.038, so single-band survival is
+    # ≈0.54 per pair while 4-band survival is ≈0.9996)
+    for i in range(10):
+        rows.append((100 + i, (base[i] + rng.normal(0, 0.12, 32)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(
+            df, "vec_id", threshold=0.98, planes=16, bands=4
+        ).collect()
+    }
+    release_cached()
+    planted = {(i, 100 + i) for i in range(10)}
+    assert planted <= banded  # full recall on the planted pairs
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(
+            df, "vec_id", threshold=0.98, planes=16, bands=1
+        ).collect()
+    }
+    release_cached()
+    assert len(single & planted) < len(planted)  # single-band misses some

@@ -113,3 +113,43 @@ def test_summary_latest_status(spark, table, tmp_path):
     }
     assert summ[("p1", "unique_id")] == "violations"
     assert summ[("p3", "no_empty_v")] == "ok"
+
+
+def test_table_snapshot_id_tracks_content(spark, table, tmp_path):
+    from datavalid_spark.lineage import table_snapshot_id
+
+    path = str(tmp_path / "tbl")
+    table.write.mode("overwrite").parquet(path)
+    s1 = table_snapshot_id(spark, path)
+    s2 = table_snapshot_id(spark, path)
+    assert s1 == s2 and s1.startswith("files-")  # stable on unchanged data
+    # appending data changes the snapshot → resume re-validates
+    table.limit(1).write.mode("append").parquet(path)
+    assert table_snapshot_id(spark, path) != s1
+
+
+def test_table_snapshot_id_end_to_end_resume(spark, table, tmp_path):
+    """North-rule behavior without Iceberg jars: unchanged data resumes
+    with zero re-execution; changed data re-validates."""
+    from datavalid_spark.lineage import table_snapshot_id
+
+    data_path = str(tmp_path / "data")
+    table.write.mode("overwrite").parquet(data_path)
+    store = MetricsStore(spark, str(tmp_path / "metrics"))
+
+    def go():
+        executed = []
+
+        def spying(df):
+            executed.append(1)
+            return UniqueCheck("id").run(df)
+
+        snap = table_snapshot_id(spark, data_path)
+        run = PartitionedRun(spark, store, snapshot_id=snap)
+        run.run(spark.read.parquet(data_path), "part", {"unique_id": spying})
+        return len(executed)
+
+    assert go() == 3      # 3 partitions validated
+    assert go() == 0      # same snapshot → all skipped
+    table.write.mode("append").parquet(data_path)
+    assert go() == 3      # new snapshot → revalidated
