@@ -42,10 +42,18 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "20000000"))
 SEED = 42
 CACHE = f"/tmp/dv_bench_src_{ROWS}_{SEED}"
+#: external bucketed layout of the same table (64 buckets on the natural
+#: key) — the zero-shuffle uniqueness path; files created once, table
+#: re-registered via DDL in later JVMs (the in-memory catalog does not
+#: persist across sessions)
+BUCKETS = 64
+BUCKETED_TABLE = f"dv_bench_src_bucketed_{ROWS}_{SEED}"
+BUCKETED_LOC = f"/tmp/{BUCKETED_TABLE}"
 
-#: driver-contract queries timed at SF_DIR (subset: the heavy
-#: representative per family; ngram-jaccard excluded — its exact
-#: inverted-index self-join is the verify-stage tool, not a headline)
+#: driver-contract queries timed at SF_DIR — one heavy representative
+#: per operator family, INCLUDING the LLM-pipeline ops (exact n-gram
+#: jaccard / simhash / IVF) so round-over-round regressions on them are
+#: visible (VERDICT.md round 1, item 10)
 HEADLINE_QUERIES = [
     "t1_unique",
     "t2_empty",
@@ -55,8 +63,11 @@ HEADLINE_QUERIES = [
     "ref_orphans",
     "profile_stats",
     "dedup_exact",
+    "dedup_ngram_jaccard",
     "minhash_lsh",
+    "simhash",
     "knn_bruteforce",
+    "ivf_topk",
     "text_metrics",
     "text_quality",
     "asof_join",
@@ -106,6 +117,47 @@ def ensure_cached_table(spark) -> None:
 
     df = source_code_table(spark, ROWS, plant_bad_dates=True, num_partitions=64)
     df.write.mode("overwrite").parquet(CACHE)
+
+
+def ensure_bucketed_table(spark) -> None:
+    """Register (and on first use, materialise) the bucketed layout.
+
+    Production stance: the Iceberg/lake table is WRITTEN bucketed by the
+    validation key once, then every snapshot's uniqueness check runs
+    with zero exchange — the shuffle moves from every-validation-run to
+    one write.  Here: first call writes an external bucketed table
+    (bucket ids encoded in file names); later JVMs re-attach the same
+    files with a CLUSTERED BY DDL, since the default in-memory catalog
+    forgets table metadata on exit.
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {BUCKETED_TABLE}")
+    if not os.path.exists(os.path.join(BUCKETED_LOC, "_SUCCESS")):
+        import pyspark.sql.functions as F
+
+        (
+            spark.read.parquet(CACHE)
+            # align the write partitioning with the bucket spec: without
+            # this every task keeps up to BUCKETS parquet writers open
+            # (input-partitions × buckets open column buffers — OOMs the
+            # JVM at 80M rows); repartition on the bucket columns uses
+            # the same murmur3-hash%N placement bucketBy uses, so each
+            # task streams exactly one bucket file
+            .repartition(BUCKETS, F.col("repo"), F.col("path"), F.col("commit"))
+            .write.mode("overwrite")
+            .bucketBy(BUCKETS, "repo", "path", "commit")
+            .option("path", BUCKETED_LOC)
+            .saveAsTable(BUCKETED_TABLE)
+        )
+        return
+    schema_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in spark.read.parquet(CACHE).schema.fields
+    )
+    spark.sql(
+        f"CREATE TABLE {BUCKETED_TABLE} ({schema_ddl}) USING parquet "
+        f"CLUSTERED BY (repo, path, commit) INTO {BUCKETS} BUCKETS "
+        f"LOCATION '{BUCKETED_LOC}'"
+    )
 
 
 def force(df) -> None:
@@ -185,11 +237,26 @@ def run_suite(spark) -> dict[str, float]:
     )
     times["unique_key"] = time.time() - t0
 
+    # -- 2b. the SAME uniqueness check on the bucketed layout: the
+    #       groupBy clustering is satisfied by the bucket spec, so the
+    #       plan has NO exchange — scan + in-partition agg only.  This
+    #       is the production answer to the uniqueness-shuffle scaling
+    #       floor: pay the shuffle once at write time, validate every
+    #       snapshot shuffle-free.
+    t0 = time.time()
+    n_dup_bucketed = (
+        UniqueCheck(["repo", "path", "commit"], strategy="window")
+        .violations(spark.table(BUCKETED_TABLE))
+        .count()
+    )
+    times["unique_key_bucketed"] = time.time() - t0
+
     # -- 3. one-pass native profiler (content covered by the length
     #       stats in stage 1)
     t0 = time.time()
     profile_native(df, [c for c in df.columns if c != "content"]).collect()
     times["profile"] = time.time() - t0
+    assert n_dup_bucketed == n_dup, "bucketed path must agree with hash path"
 
     # sanity: planted defects must be found (guards against a bench
     # that silently no-ops)
@@ -201,6 +268,7 @@ def run_suite(spark) -> dict[str, float]:
 
 def run_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entrymod
+    from datavalid_spark.operators.dedup import release_cached
 
     qs = entrymod.queries()
     out: dict[str, float] = {}
@@ -208,6 +276,9 @@ def run_queries(spark) -> dict[str, float]:
         t0 = time.time()
         force(qs[name](spark, SF_DIR))
         out[name] = round(time.time() - t0, 3)
+        # long-lived-session hygiene: reclaim the dedup operators'
+        # persisted intermediates between queries
+        release_cached()
     return out
 
 
@@ -216,6 +287,7 @@ def main() -> None:
     spark = build_session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     ensure_cached_table(spark)
+    ensure_bucketed_table(spark)
     # JVM/codegen warmup outside the timed region
     spark.read.parquet(CACHE).limit(1000).count()
     setup_s = time.time() - t_setup
@@ -245,7 +317,14 @@ def main() -> None:
     # the steady-state throughput that scales with executors.
     cold_times = run_suite(spark)
     stage_times = run_suite(spark)
-    suite_s = sum(stage_times.values())
+    # headline total = the round-1-comparable suite (pointwise + hash
+    # uniqueness + profile); the bucketed-layout uniqueness is reported
+    # as the alternative suite total (same checks, zero-shuffle layout)
+    core = ("pointwise_scan", "unique_key", "profile")
+    suite_s = sum(stage_times[k] for k in core)
+    bucketed_suite_s = sum(
+        stage_times[k if k != "unique_key" else "unique_key_bucketed"] for k in core
+    )
 
     queries = {} if os.environ.get("SPARK_GRAFT_SKIP_QUERIES") else run_queries(spark)
 
@@ -268,6 +347,8 @@ def main() -> None:
         "rows": ROWS,
         "cpus": CPUS,
         "suite_stages": {k: round(v, 3) for k, v in stage_times.items()},
+        "bucketed_suite_sec": round(bucketed_suite_s, 3),
+        "files_per_sec_bucketed_layout": round(ROWS / bucketed_suite_s, 1),
         "cold_suite_sec": round(sum(cold_times.values()), 3),
         "setup_sec": round(setup_s, 3),
     }

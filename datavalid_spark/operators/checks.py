@@ -132,6 +132,11 @@ class UniqueCheck(TableCheck):
         candidates, never hide a duplicate); stage 2 re-groups just the
         candidate rows by the exact keys.  ~10× less shuffle I/O at
         identical results — the default choice at 10^9+ rows.
+      - ``"window"`` — per-key count over ``Window.partitionBy(keys)``:
+        ZERO exchange when the table is bucketed/clustered on the keys
+        (the layout already satisfies the window's distribution), one
+        full shuffle+sort otherwise.  The zero-shuffle path for
+        repeated validation of key-bucketed lake tables.
     """
 
     key = "unique"
@@ -195,6 +200,23 @@ class UniqueCheck(TableCheck):
 
     def violations(self, df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
         keys = list(group_cols) + self.columns
+        if self.strategy == "window":
+            # per-key count over a window: NULL keys form a partition
+            # (same null-grouping as pandas `duplicated`), and a window
+            # needs only ClusteredDistribution(keys) — which a table
+            # BUCKETED on the keys already satisfies, so the whole check
+            # runs with ZERO exchange (scan → in-partition sort → count).
+            # The join formulations below can't do this: eqNullSafe join
+            # keys compile to coalesce/isnull composites whose
+            # hashpartitioning never matches the bucket layout.
+            # On unbucketed input this strategy is one full shuffle+sort
+            # of the table — prefer the agg+join paths there.
+            w = Window.partitionBy(*[F.col(k) for k in keys])
+            return (
+                df.withColumn("__dv_n", F.count(F.lit(1)).over(w))
+                .filter(F.col("__dv_n") > 1)
+                .select(*df.columns)
+            )
         left = df.alias("__dv_l")
         # no broadcast hint (see duplicate_keys): the dup-key set is
         # unbounded on duplicate-heavy tables; AQE broadcasts iff small

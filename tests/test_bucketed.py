@@ -37,6 +37,29 @@ def test_bucketed_unique_no_shuffle(spark, bucketed_table):
     assert n_bucketed == n_hash > 0
 
 
+def test_bucketed_window_violations_zero_exchange(spark, bucketed_table):
+    """The FULL violations path (not just dup-key detection) with zero
+    shuffle: the window strategy's ClusteredDistribution(keys) is
+    satisfied by the bucket layout.  (The join formulations can't — the
+    null-safe join keys compile to coalesce/isnull composites that
+    never match the bucket hashpartitioning.)"""
+    t = spark.table(bucketed_table)
+    viol = UniqueCheck("k", strategy="window").violations(t)
+    plan = viol._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    n_window = viol.count()
+    n_hash = UniqueCheck("k", strategy="hash").violations(t.select("k", "v")).count()
+    assert n_window == n_hash > 0
+
+
+def test_window_strategy_null_keys_group_like_pandas(spark):
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), ("a", 3), ("b", 4)], "k string, v int"
+    )
+    got = {r["v"] for r in UniqueCheck("k", strategy="window").violations(df).collect()}
+    assert got == {1, 2}  # two NULL keys are duplicates of each other
+
+
 def test_unbucketed_same_query_shuffles(spark):
     df = spark.range(10_000).select(
         F.concat(F.lit("k"), (F.col("id") % 4000).cast("string")).alias("k"),
