@@ -1,0 +1,30 @@
+"""Tracked persist: operators that must materialise an intermediate
+(signature tables, inverted indexes, dup-key sets) register it here so
+long-lived sessions can reclaim executor storage with one call after
+consuming the (lazy) results — ADVICE round 1: never-unpersisted caches
+accumulate across calls."""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+_CACHED: list[DataFrame] = []
+
+
+def persist_tracked(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Persist MEMORY_AND_DISK and register for ``release_cached``.
+    ``eager=True`` materialises immediately (needed when AQE would
+    otherwise compute both branches of a self-join concurrently,
+    defeating a lazy persist)."""
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    if eager:
+        out.count()
+    _CACHED.append(out)
+    return out
+
+
+def release_cached() -> None:
+    """Unpersist every tracked intermediate."""
+    while _CACHED:
+        _CACHED.pop().unpersist()

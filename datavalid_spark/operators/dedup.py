@@ -40,7 +40,6 @@ import operator
 from functools import reduce
 from typing import Optional, Sequence
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -51,26 +50,16 @@ from datavalid_spark.functions.text import (
     word_ngrams_of_tokens,
 )
 
-#: persisted intermediates awaiting release (ADVICE.md: never-unpersisted
-#: caches accumulate across calls in long-lived sessions)
-_CACHED: list[DataFrame] = []
+from datavalid_spark.cache import persist_tracked, release_cached  # noqa: F401
+# release_cached is re-exported: callers release the dedup operators'
+# tracked intermediates (and any other tracked persists) with one call
 
 
 def _persist(df: DataFrame) -> DataFrame:
     """Materialise eagerly (AQE would otherwise compute both branches of
-    a self-join concurrently, defeating a lazy persist) and register for
+    a self-join concurrently, defeating a lazy persist) and track for
     ``release_cached``."""
-    out = df.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    _CACHED.append(out)
-    return out
-
-
-def release_cached() -> None:
-    """Unpersist every intermediate cached by the dedup operators.
-    Call after the final action that consumes a returned frame."""
-    while _CACHED:
-        _CACHED.pop().unpersist()
+    return persist_tracked(df, eager=True)
 
 
 # ------------------------------------------------------------------ exact

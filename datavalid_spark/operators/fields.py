@@ -84,17 +84,26 @@ class UniqueFieldChecker(FieldChecker):
     def bad_expr(self, df: DataFrame, column: str) -> Column:  # pragma: no cover
         raise TypeError("unique is not pointwise; use violations()")
 
+    #: see checks.UniqueCheck._gated_broadcast — same rationale
+    BROADCAST_KEY_LIMIT = 1_000_000
+
     def violations(self, df: DataFrame, column: str) -> DataFrame:
-        dup_keys = (
+        from datavalid_spark.cache import persist_tracked
+
+        dup_keys = persist_tracked(
             df.groupBy(column)
             .agg(F.count(F.lit(1)).alias("__dv_n"))
             .filter(F.col("__dv_n") > 1)
             .select(column)
         )
-        # no broadcast hint: dup keys are typically a tiny fraction but
-        # unbounded on duplicate-heavy columns — AQE broadcasts iff the
-        # runtime size fits.  Null-safe equality: pandas `duplicated`
-        # groups NaN values together.
+        # size-gated broadcast: static hint iff the dup-key set is
+        # provably small (skips the probe-side shuffle), AQE shuffle
+        # join otherwise — an unconditional hint would OOM on
+        # duplicate-heavy columns.  Null-safe equality: pandas
+        # `duplicated` groups NaN values together.
+        n = dup_keys.limit(self.BROADCAST_KEY_LIMIT + 1).count()
+        if n <= self.BROADCAST_KEY_LIMIT:
+            dup_keys = F.broadcast(dup_keys)
         left = df.alias("__dv_l")
         right = dup_keys.alias("__dv_r")
         cond = F.col("__dv_l." + column).eqNullSafe(F.col("__dv_r." + column))

@@ -99,17 +99,25 @@ def stateful_first_seen(
     content_col: str = "content",
     buckets: int = 64,
     state_timeout_ms: int = 3_600_000,
+    max_state_entries: int = 1_000_000,
 ):
     """Cross-micro-batch exact dedup: emit only the FIRST row seen per
     content hash — a custom stateful operator via
     ``applyInPandasWithState`` (the batch exact-dedup's streaming twin).
 
     State layout: rows are bucketed by ``xxhash64(content) % buckets``
-    so state is partitioned and each group holds one bounded hash set
-    (at production scale: buckets ≈ shuffle partitions, state store is
-    RocksDB, and the set per bucket stays small because the stream is
-    windowed/compacted by the batch reconciliation pass).  Processing-
-    time timeout drops idle buckets after ``state_timeout_ms``.
+    so state is partitioned; each group holds an insertion-ordered hash
+    list BOUNDED by ``max_state_entries`` (FIFO compaction: the oldest
+    hashes are evicted first, so dedup is exact inside the retention
+    horizon and best-effort beyond it — re-emissions of long-evicted
+    content are reconciled by the batch exact-dedup pass).  Two bounds
+    hold regardless of stream length: processing-time timeout drops
+    idle buckets after ``state_timeout_ms``, and the per-bucket entry
+    cap bounds live-bucket state.  At production scale: buckets ≈
+    shuffle partitions, state store RocksDB.
+
+    Per-batch work is vectorized pandas (drop_duplicates + isin), no
+    per-row Python.
 
     Returns (id, content_hash) of first-seen rows.
     """
@@ -129,24 +137,30 @@ def stateful_first_seen(
     )
 
     def dedup_fn(key, pdfs, state: GroupState):
+        import pandas as _pd
+
         if state.hasTimedOut:
             state.remove()
             return
-        seen = set(state.get[0]) if state.exists else set()
-        out = []
+        seen_list = list(state.get[0]) if state.exists else []
+        seen = set(seen_list)
+        outs = []
         for pdf in pdfs:
             # arrival order within a micro-batch is partition-dependent;
             # sort by id so "first seen" is deterministic
             pdf = pdf.sort_values("id")
-            for rid, h in zip(pdf["id"], pdf["content_hash"]):
-                if h not in seen:
-                    seen.add(h)
-                    out.append((int(rid), h))
-        state.update((list(seen),))
+            firsts = pdf.drop_duplicates("content_hash", keep="first")
+            fresh = firsts[~firsts["content_hash"].isin(seen)]
+            outs.append(fresh[["id", "content_hash"]])
+            seen.update(fresh["content_hash"])
+            seen_list.extend(fresh["content_hash"])
+        if len(seen_list) > max_state_entries:
+            seen_list = seen_list[-max_state_entries:]  # FIFO compaction
+        state.update((seen_list,))
         state.setTimeoutDuration(state_timeout_ms)
-        import pandas as _pd
-
-        yield _pd.DataFrame(out, columns=["id", "content_hash"])
+        yield _pd.concat(outs) if outs else _pd.DataFrame(
+            columns=["id", "content_hash"]
+        )
 
     hashed = stream_df.select(
         F.col(key_col).alias("id"),

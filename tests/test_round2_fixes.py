@@ -108,21 +108,35 @@ def _logical_plan(df) -> str:
     return df._jdf.queryExecution().analyzed().toString()
 
 
-def test_unique_check_no_broadcast_hint_majority_dups(spark):
-    # every row a duplicate: the dup-key set is the whole table — a
-    # forced broadcast would ship it to every executor
-    df = spark.range(10_000).select((F.col("id") % 2).alias("k"))
+def test_unique_check_broadcast_is_size_gated(spark):
+    # 2_000 distinct dup keys, gate at 100: NO static broadcast hint —
+    # an unconditional hint would ship an unbounded key set to every
+    # executor on duplicate-heavy tables
+    df = spark.range(10_000).select((F.col("id") % 2_000).alias("k"))
     for strategy in ("plain", "hash", "salted"):
-        viol = UniqueCheck("k", strategy=strategy).violations(df)
-        assert "ResolvedHint" not in _logical_plan(viol), strategy
-        assert viol.count() == 10_000, strategy
+        big = UniqueCheck(
+            "k", strategy=strategy, broadcast_key_limit=100
+        ).violations(df)
+        assert "ResolvedHint" not in _logical_plan(big), strategy
+        assert big.count() == 10_000, strategy
+        # tiny dup-key sets DO get the hint (skips the probe shuffle)
+        small = UniqueCheck(
+            "k", strategy=strategy, broadcast_key_limit=100_000
+        ).violations(df)
+        assert "ResolvedHint" in _logical_plan(small), strategy
+        assert small.count() == 10_000, strategy
 
 
-def test_unique_field_checker_no_broadcast_hint(spark):
-    df = spark.range(1_000).select((F.col("id") % 3).alias("v"))
+def test_unique_field_checker_broadcast_is_size_gated(spark, monkeypatch):
+    df = spark.range(1_000).select((F.col("id") % 300).alias("v"))
+    monkeypatch.setattr(UniqueFieldChecker, "BROADCAST_KEY_LIMIT", 100)
     viol = UniqueFieldChecker().violations(df, "v")
     assert "ResolvedHint" not in _logical_plan(viol)
     assert viol.count() == 1_000
+    monkeypatch.setattr(UniqueFieldChecker, "BROADCAST_KEY_LIMIT", 100_000)
+    viol2 = UniqueFieldChecker().violations(df, "v")
+    assert "ResolvedHint" in _logical_plan(viol2)
+    assert viol2.count() == 1_000
 
 
 # --- VERDICT: distributed bad-rows sink (no toPandas) --------------------
@@ -265,3 +279,61 @@ def test_ngram_jaccard_hot_gram_cap(spark):
     }
     assert uncapped[(100, 101)] == got[(100, 101)]
     release_cached()
+
+
+# --- streaming state compaction is real, not documented-only -------------
+
+
+def test_stateful_first_seen_state_cap(spark, tmp_path):
+    """FIFO compaction bounds per-bucket state: with a cap of 3 hashes,
+    batch 1's oldest content is evicted and re-emits in batch 3, while
+    recent content stays deduped (exact inside the retention horizon,
+    best-effort beyond — reconciled by the batch pass)."""
+    import pandas as pd
+
+    from datavalid_spark.streaming.validate_stream import (
+        run_to_memory,
+        stateful_first_seen,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    chk = tmp_path / "chk"
+
+    def write_batch(name, rows):
+        pd.DataFrame(rows, columns=["id", "content"]).to_json(
+            src / name, orient="records", lines=True
+        )
+
+    import time as _time
+
+    # micro-batch 1: contents a..e (cap 3 keeps only c, d, e after);
+    # micro-batch 2: 'a' evicted → re-emits, 'e' retained → deduped,
+    # 'f' new → emits.  One availableNow run, maxFilesPerTrigger=1
+    # → two micro-batches sharing state (memory sinks cannot recover
+    # a checkpoint across separate query starts).
+    write_batch("b1.json", [(i, c) for i, c in enumerate("abcde")])
+    _time.sleep(1.1)  # file-source batch order follows mtime
+    write_batch("b2.json", [(100, "a"), (101, "e"), (102, "f")])
+    stream = (
+        spark.readStream.schema("id long, content string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    out = stateful_first_seen(
+        stream, "id", "content", buckets=1, max_state_entries=3
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cap_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(chk))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["id"] for r in spark.table("cap_t").collect()}
+    assert set(range(5)) <= got  # batch 1 all first-seen
+    assert 100 in got      # evicted content re-emitted (documented tradeoff)
+    assert 101 not in got  # retained content still deduped
+    assert 102 in got      # genuinely new content emitted
