@@ -140,6 +140,41 @@ def minhash_signatures(
     )
 
 
+def _exact_jaccard_on_candidates(
+    cand: DataFrame, norm: DataFrame, shingle_k: int, threshold: float
+) -> DataFrame:
+    """Exact shingle-set Jaccard for (id_a, id_b) candidate pairs.
+
+    Shingles are xxhash64-compressed to longs before the intersect:
+    ``array_intersect`` over 8-byte longs costs ~4× less than over
+    ~k-char strings, and the Jaccard stays exact up to a 64-bit hash
+    collision inside one pair's union (~|union|²/2⁶⁴ ≈ 10⁻⁸ per pair,
+    deterministic — any occurrence would surface in the oracle gate).
+    """
+    g = norm.select(
+        "id",
+        F.transform(
+            shingles_of_normalized(F.col("__norm"), shingle_k),
+            lambda s: F.xxhash64(s),
+        ).alias("g"),
+    )
+    ga = g.select(F.col("id").alias("id_a"), F.col("g").alias("__ga"))
+    gb = g.select(F.col("id").alias("id_b"), F.col("g").alias("__gb"))
+    inter = F.size(F.array_intersect(F.col("__ga"), F.col("__gb")))
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("__i", inter)
+        .withColumn(
+            "jaccard",
+            F.col("__i").cast("double")
+            / (F.size("__ga") + F.size("__gb") - F.col("__i")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -216,26 +251,6 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    if verify == "exact":
-        sh = norm.select(
-            "id", shingles_of_normalized(F.col("__norm"), shingle_k).alias("g")
-        )
-        ga = sh.select(F.col("id").alias("id_a"), F.col("g").alias("__ga"))
-        gb = sh.select(F.col("id").alias("id_b"), F.col("g").alias("__gb"))
-        inter = F.size(F.array_intersect(F.col("__ga"), F.col("__gb")))
-        return (
-            cand.select("id_a", "id_b")
-            .join(ga, "id_a")
-            .join(gb, "id_b")
-            .withColumn("__i", inter)
-            .withColumn(
-                "jaccard",
-                F.col("__i").cast("double")
-                / (F.size("__ga") + F.size("__gb") - F.col("__i")),
-            )
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
-        )
     est = (
         F.size(
             F.filter(
@@ -245,6 +260,21 @@ def minhash_lsh_pairs(
         ).cast("double")
         / F.lit(num_perm)
     )
+    if verify == "exact":
+        # cheap signature-estimate prefilter before the expensive
+        # shingle-array intersect: a candidate pair whose estimate sits
+        # more than prefilter_margin below the threshold cannot
+        # plausibly pass exact verification (est of a true-jaccard-j
+        # pair concentrates at j with σ = sqrt(j(1−j)/num_perm) ≈ 0.06
+        # at 64 perms — 0.2 is >3σ).  Kills the long tail of
+        # low-overlap band collisions, which dominate verify cost.
+        prefilter_margin = 0.2
+        return _exact_jaccard_on_candidates(
+            cand.filter(est >= threshold - prefilter_margin).select("id_a", "id_b"),
+            norm,
+            shingle_k,
+            threshold,
+        )
     return (
         cand.withColumn("jaccard", est)
         .filter(F.col("jaccard") >= threshold)
@@ -403,22 +433,28 @@ def simhash_near_dups(
         while blocks <= max_hamming and blocks < 64:
             blocks *= 2
     sh = _persist(simhash64(df, id_col, content_col))
-    cand = simhash_block_candidates(sh, blocks)
-    return (
-        cand.withColumn(
-            "hamming",
-            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    cand = simhash_block_candidates(sh, blocks, max_hamming=max_hamming)
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))).alias(
+            "hamming"
+        ),
     )
 
 
-def simhash_block_candidates(sh: DataFrame, blocks: int = 4) -> DataFrame:
+def simhash_block_candidates(
+    sh: DataFrame, blocks: int = 4, max_hamming: Optional[int] = None
+) -> DataFrame:
     """Candidate pairs (id_a, id_b, simhash_a, simhash_b) agreeing on at
     least one of ``blocks`` equal-width blocks of the 64-bit simhash.
     Guaranteed to contain every pair with hamming < blocks (pigeonhole);
-    block width trades candidate volume against that recall bound."""
+    block width trades candidate volume against that recall bound.
+
+    ``max_hamming`` goes INTO the join condition: on corpora with
+    globally-correlated simhashes (templated text) block collisions can
+    approach all-pairs, and filtering during the join keeps the
+    dedup-pairs shuffle sized by survivors, not collisions."""
     width = 64 // blocks
     blocked = sh.select(
         "id",
@@ -440,13 +476,18 @@ def simhash_block_candidates(sh: DataFrame, blocks: int = 4) -> DataFrame:
         "id", "simhash", F.col("bk.block").alias("block"), F.col("bk.key").alias("key")
     )
     a, b = blocked.alias("a"), blocked.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
+    cond = (
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.id") < F.col("b.id"))
+    )
+    if max_hamming is not None:
+        cond = cond & (
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            <= max_hamming
         )
+    return (
+        a.join(b, cond)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -464,35 +505,30 @@ def simhash_near_dups_exact(
     blocks: int = 8,
     shingle_k: int = 5,
     threshold: float = 0.5,
+    prefilter_hamming: int = 24,
 ) -> DataFrame:
     """SimHash-blocked candidates re-scored with the EXACT shingle-set
     Jaccard (same verify as minhash_lsh_pairs(verify='exact')) —
     the oracle-checkable mode: candidate generation is simhash
     blocking, but every reported pair carries the true Jaccard.
-    ``blocks=8`` guarantees recall for pairs within hamming 7."""
+    ``blocks=8`` guarantees recall for pairs within hamming 7.
+
+    ``prefilter_hamming``: cheap ``bit_count(xor)`` gate between
+    blocking and the expensive shingle intersect.  Unrelated docs that
+    happen to share one 8-bit block sit near hamming 32 (binomial
+    64×½, σ=4), while near-dup pairs at jaccard ≥ ~0.5 sit far below
+    24 — the gate kills ~97% of junk candidates at negligible cost.
+    """
     norm = _normalized(df, id_col, content_col)
     sh = _persist(
         simhash64(
             norm.select(F.col("id"), F.col("__norm")), "id", "__norm"
         )
     )
-    cand = simhash_block_candidates(sh, blocks).select("id_a", "id_b")
-    g = norm.select("id", shingles_of_normalized(F.col("__norm"), shingle_k).alias("g"))
-    ga = g.select(F.col("id").alias("id_a"), F.col("g").alias("__ga"))
-    gb = g.select(F.col("id").alias("id_b"), F.col("g").alias("__gb"))
-    inter = F.size(F.array_intersect(F.col("__ga"), F.col("__gb")))
-    return (
-        cand.join(ga, "id_a")
-        .join(gb, "id_b")
-        .withColumn("__i", inter)
-        .withColumn(
-            "jaccard",
-            F.col("__i").cast("double")
-            / (F.size("__ga") + F.size("__gb") - F.col("__i")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    cand = simhash_block_candidates(
+        sh, blocks, max_hamming=prefilter_hamming
+    ).select("id_a", "id_b")
+    return _exact_jaccard_on_candidates(cand, norm, shingle_k, threshold)
 
 
 # ------------------------------------------------------------- embeddings
