@@ -145,6 +145,8 @@ class UniqueCheck(TableCheck):
     #: hint; larger sets fall back to an AQE-planned shuffle join
     BROADCAST_KEY_LIMIT = 1_000_000
 
+    STRATEGIES = ("auto", "plain", "salted", "hash", "window")
+
     def __init__(
         self,
         columns,
@@ -156,6 +158,11 @@ class UniqueCheck(TableCheck):
             columns = [columns]
         if not isinstance(columns, list) or not columns:
             raise ValueError("should be a column name or a list of column names")
+        if strategy not in self.STRATEGIES:
+            raise ValueError(
+                'unknown strategy "%s" (choose from %s)'
+                % (strategy, ", ".join(self.STRATEGIES))
+            )
         self.columns = list(columns)
         self.strategy = strategy
         self.salt_buckets = salt_buckets
@@ -492,6 +499,14 @@ def build_table_check(key: str, value, today: Optional[datetime.date] = None) ->
         raise ValueError("unknown check %s" % key)
     cls = TABLE_CHECKS[key]
     if key == "unique":
+        # short form: `unique: [col, ...]` (reference task.py:87-95);
+        # dict form exposes the physical-strategy knobs to the YAML
+        # surface: `unique: {columns: [repo, path, commit],
+        # strategy: window, broadcast_key_limit: 500000}` — e.g. pick
+        # `window` for key-bucketed lake tables (zero-shuffle plan)
+        # without touching library code
+        if isinstance(value, dict):
+            return cls(**value)
         return cls(value)
     if key == "empty":
         return cls(**(value or {}))

@@ -236,6 +236,7 @@ class FileSpec:
         filename: str,
         schema: Schema,
         save_bad_rows_to: Optional[str] = None,
+        no_spinner: bool = False,
         **kwargs,
     ) -> None:
         self.datadir = datadir
@@ -243,6 +244,7 @@ class FileSpec:
         self.filepath = datadir / filename
         self.schema = schema
         self.save_bad_rows_to = save_bad_rows_to
+        self.no_spinner = no_spinner
 
 
 class Config:
@@ -255,7 +257,7 @@ class Config:
         schemas: Optional[dict] = None,
         save_bad_rows_to: Optional[str] = None,
         today: Optional[datetime.date] = None,
-        no_spinner: bool = False,  # accepted for config parity; unused
+        no_spinner: bool = False,
     ) -> None:
         if isinstance(datadir, str):
             datadir = pathlib.Path(datadir)
@@ -298,6 +300,7 @@ class Config:
                     name,
                     schema=self.schemas[schema_name],
                     save_bad_rows_to=save_bad_rows_to,
+                    no_spinner=no_spinner,
                     **conf,
                 )
             except BadConfigError as e:

@@ -214,8 +214,16 @@ def validate_file(spec: FileSpec, spark: SparkSession, out=None) -> FileReport:
                     )
                 )
 
+    from datavalid_spark.spinner import Spinner
+
     for task in spec.schema.tasks:
-        tv = run_task(task, df)
+        # reference parity (file.py:70-76, 83): animate while the task's
+        # Spark actions run; a no-op when suppressed or output is piped
+        with Spinner(
+            task.name, indent=2, stream=out or sys.stdout,
+            enabled=not spec.no_spinner,
+        ):
+            tv = run_task(task, df)
         report.task_verdicts.append(tv)
         if tv.error is not None:
             p(indent(colored("✕ %s" % task.name, "red", color), 2))

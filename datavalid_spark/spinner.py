@@ -1,0 +1,88 @@
+"""Terminal activity spinner — reference-parity surface
+(/root/reference/datavalid/spinner.py:7-74, file.py:70-76).
+
+The reference animates a braille cursor next to the running task's name
+and erases it when the task finishes.  This implementation keeps the
+same contract (context manager, ``set_text`` / ``set_postfix_text``,
+``indent``/``delay`` knobs, ``no_spinner`` suppression) with two
+Spark-minded differences:
+
+- it only animates on a real TTY: validation output is routinely
+  captured into logs/CI transcripts (and the engine's own tests), where
+  carriage-return animation frames are noise — the reference writes
+  them unconditionally;
+- the animation thread is a daemon and is joined on exit, so a Spark
+  job failing mid-task can't leave a stray thread writing over the
+  traceback.
+"""
+
+from __future__ import annotations
+
+import itertools
+import sys
+import threading
+
+FRAMES = "⠋⠙⠹⠸⠼⠴⠦⠧⠇⠏"
+
+
+class Spinner:
+    """``with Spinner("task name"):`` — animate while the body runs.
+
+    No-op (yields immediately, writes nothing) when ``enabled`` is
+    False or the target stream is not a TTY.
+    """
+
+    def __init__(
+        self,
+        text: str,
+        delay: float = 0.1,
+        indent: int = 0,
+        stream=None,
+        enabled: bool = True,
+    ) -> None:
+        self._text = text
+        self._postfix = ""
+        self._delay = delay if delay else 0.1
+        self._indent = indent
+        self._stream = stream if stream is not None else sys.stdout
+        self._enabled = bool(enabled) and self._isatty()
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def _isatty(self) -> bool:
+        isatty = getattr(self._stream, "isatty", None)
+        try:
+            return bool(isatty()) if callable(isatty) else False
+        except Exception:
+            return False
+
+    def set_text(self, text: str) -> None:
+        self._text = text
+
+    def set_postfix_text(self, text: str) -> None:
+        self._postfix = text
+
+    def _run(self) -> None:
+        for frame in itertools.cycle(FRAMES):
+            if self._stop.is_set():
+                return
+            line = "%s%s %s%s" % (" " * self._indent, frame, self._text, self._postfix)
+            self._stream.write(line)
+            self._stream.flush()
+            self._stop.wait(self._delay)
+            self._stream.write("\r%s\r" % (" " * len(line)))
+            self._stream.flush()
+
+    def __enter__(self) -> "Spinner":
+        if self._enabled:
+            self._stop.clear()
+            self._thread = threading.Thread(target=self._run, daemon=True)
+            self._thread.start()
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if self._thread is not None:
+            self._stop.set()
+            self._thread.join(timeout=2 * self._delay + 1.0)
+            self._thread = None
+        return False

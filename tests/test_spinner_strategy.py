@@ -1,0 +1,113 @@
+"""Round-2 polish: terminal spinner parity + YAML physical-strategy
+surface for `unique` (reference spinner.py:7-74, task.py:87-95)."""
+
+import io
+import time
+
+import pytest
+
+from datavalid_spark.plans.config import BadConfigError, Config
+from datavalid_spark.runner import run_config
+from datavalid_spark.spinner import FRAMES, Spinner
+
+
+class FakeTTY(io.StringIO):
+    def isatty(self):
+        return True
+
+
+def test_spinner_silent_on_piped_output():
+    out = io.StringIO()
+    with Spinner("loading", stream=out):
+        time.sleep(0.15)
+    assert out.getvalue() == ""
+
+
+def test_spinner_silent_when_disabled():
+    out = FakeTTY()
+    with Spinner("loading", stream=out, enabled=False):
+        time.sleep(0.15)
+    assert out.getvalue() == ""
+
+
+def test_spinner_animates_and_clears_on_tty():
+    out = FakeTTY()
+    with Spinner("checking uniqueness", stream=out, delay=0.02) as sp:
+        sp.set_postfix_text(" (2/5)")
+        time.sleep(0.1)
+    text = out.getvalue()
+    assert any(f in text for f in FRAMES)
+    assert "checking uniqueness" in text
+    # every frame is erased with a carriage-return overwrite
+    assert text.endswith("\r")
+
+
+def test_spinner_survives_exception_in_body():
+    out = FakeTTY()
+    with pytest.raises(RuntimeError):
+        with Spinner("boom", stream=out, delay=0.02):
+            raise RuntimeError("task failed")
+    # spinner thread stopped; last write is the line clear
+    assert out.getvalue().endswith("\r")
+
+
+def _uniq_config(datadir, unique_conf, **extra):
+    return Config(
+        datadir,
+        files={"people.csv": {"schema": "person"}},
+        schemas={
+            "person": {
+                "validation_tasks": [
+                    {"name": "last names unique", "unique": unique_conf}
+                ]
+            }
+        },
+        **extra,
+    )
+
+
+@pytest.fixture()
+def datadir(tmp_path):
+    (tmp_path / "people.csv").write_text(
+        "first,last,age\njohn,doe,23\njean,smith,43\njane,smith,30\n"
+    )
+    return tmp_path
+
+
+@pytest.mark.parametrize("strategy", ["plain", "salted", "hash", "window"])
+def test_unique_dict_form_each_strategy(spark, datadir, strategy):
+    """`unique: {columns: ..., strategy: ...}` selects the physical plan
+    from YAML; every strategy agrees on the verdict."""
+    conf = _uniq_config(datadir, {"columns": ["last"], "strategy": strategy})
+    out = io.StringIO()
+    assert run_config(conf, spark, out=out) == 1
+    assert "last names unique" in out.getvalue()
+    check = conf.schemas["person"].tasks[0].check
+    assert check.strategy == strategy
+
+
+def test_unique_short_form_still_works(spark, datadir):
+    conf = _uniq_config(datadir, ["first", "last"])
+    assert run_config(conf, spark, out=io.StringIO()) == 0
+
+
+def test_unique_dict_form_tuning_knobs(datadir):
+    conf = _uniq_config(
+        datadir,
+        {"columns": "last", "strategy": "hash", "broadcast_key_limit": 10},
+    )
+    check = conf.schemas["person"].tasks[0].check
+    assert check.columns == ["last"] and check.broadcast_key_limit == 10
+
+
+def test_unique_dict_form_bad_strategy(datadir):
+    with pytest.raises(BadConfigError) as e:
+        _uniq_config(datadir, {"columns": ["last"], "strategy": "quantum"})
+    assert "unique" in str(e.value) and "strategy" in str(e.value)
+
+
+def test_no_spinner_flag_reaches_file_specs(datadir):
+    conf = _uniq_config(datadir, ["last"], no_spinner=True)
+    assert all(f.no_spinner for f in conf.files.values())
+    conf2 = _uniq_config(datadir, ["last"])
+    assert not any(f.no_spinner for f in conf2.files.values())
