@@ -760,8 +760,8 @@ WHERE e.user_id IS NOT NULL
         "profile_stats": """
 SELECT 'l_orderkey' AS col_name, COUNT(*) AS n,
        COUNT(*) - COUNT(l_orderkey) AS n_null,
-       MIN(CAST(l_orderkey AS VARCHAR)) AS "min",
-       MAX(CAST(l_orderkey AS VARCHAR)) AS "max" FROM lineitem
+       CAST(MIN(l_orderkey) AS VARCHAR) AS "min",
+       CAST(MAX(l_orderkey) AS VARCHAR) AS "max" FROM lineitem
 UNION ALL
 SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
        MIN(l_returnflag), MAX(l_returnflag) FROM lineitem

@@ -54,33 +54,46 @@ def profile_native(df: DataFrame, columns: Optional[list[str]] = None) -> DataFr
     """One job, one pass: per-column stats as a tall DataFrame
     ``(column, n, n_null, approx_distinct, min, max, avg, avg_len)``.
 
-    All values stringified for min/max so heterogeneous columns fit one
-    schema; numeric min/max/avg computed on the raw value, strings on
-    ``length``.
+    min/max are stringified so heterogeneous columns fit one schema —
+    but for non-string columns the ORDER is the native type's (numeric,
+    date) and only the single aggregated value is cast: per-row
+    ``cast(col as string)`` inside min/max tripled the hot loop's work
+    and gave the less useful lexicographic order ("100" < "23").
+    ``avg`` is the raw value for numerics, the rendered length for
+    everything else; ``avg_bytes`` is the rendered UTF-8 byte length
+    (octet_length on the raw column when it is already a string).
+    The shared row count is computed once, not per column, and
+    ``n_null`` derives from ``n - count(col)`` (count skips nulls) —
+    no per-row boolean casts.
     """
     cols = columns or df.columns
     dtypes = {f.name: f.dataType for f in df.schema.fields}
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         col = F.col(c)
         is_num = isinstance(dtypes[c], _NUMERIC)
-        metric = col if is_num else F.length(col.cast("string"))
+        is_str = isinstance(dtypes[c], T.StringType)
+        rendered = col if is_str else col.cast("string")
+        if is_str:
+            mn, mx = F.min(col), F.max(col)
+        else:
+            mn, mx = F.min(col).cast("string"), F.max(col).cast("string")
         aggs += [
-            F.count(F.lit(1)).alias(f"{c}__n"),
-            F.sum(col.isNull().cast("long")).alias(f"{c}__n_null"),
+            F.count(col).alias(f"{c}__n_notnull"),
             F.approx_count_distinct(c).alias(f"{c}__distinct"),
-            F.min(col.cast("string")).alias(f"{c}__min"),
-            F.max(col.cast("string")).alias(f"{c}__max"),
-            F.avg(metric).alias(f"{c}__avg"),
-            F.avg(F.octet_length(col.cast("string"))).alias(f"{c}__avg_bytes"),
+            mn.alias(f"{c}__min"),
+            mx.alias(f"{c}__max"),
+            F.avg(col if is_num else F.length(rendered)).alias(f"{c}__avg"),
+            F.avg(F.octet_length(rendered)).alias(f"{c}__avg_bytes"),
         ]
     row = df.agg(*aggs).collect()[0].asDict()
     spark = df.sparkSession
+    n_total = row["__n"]
     out_rows = [
         (
             c,
-            row[f"{c}__n"],
-            row[f"{c}__n_null"],
+            n_total,
+            n_total - row[f"{c}__n_notnull"],
             row[f"{c}__distinct"],
             row[f"{c}__min"],
             row[f"{c}__max"],

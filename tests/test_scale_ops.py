@@ -89,6 +89,11 @@ def test_profile_native(spark):
     assert prof["d"]["n_null"] == 1
     assert prof["s"]["avg"] == pytest.approx((2 + 4 + 2) / 3)
     assert prof["i"]["approx_distinct"] == 2
+    # numeric columns order natively (NOT lexicographic "10" < "9");
+    # only the single aggregated value is rendered to string
+    assert prof["i"]["min"] == "1" and prof["i"]["max"] == "2"
+    assert prof["d"]["min"] == "1.5" and prof["d"]["max"] == "2.5"
+    assert prof["s"]["min"] == "aa" and prof["s"]["max"] == "bbbb"
 
 
 def test_profile_arrow_matches_native(spark):
