@@ -175,6 +175,40 @@ def _exact_jaccard_on_candidates(
     )
 
 
+def _cap_buckets(
+    banded: DataFrame,
+    keys: Sequence[str],
+    max_bucket_size: Optional[int],
+    order_col: str = "id",
+) -> DataFrame:
+    """Bound LSH self-join fan-out: keep the ``max_bucket_size``
+    smallest ids per bucket.
+
+    A bucket of m members yields m(m−1)/2 candidate pairs, so ONE
+    mega-bucket (boilerplate LICENSE files, byte-identical groups not
+    collapsed upstream) makes the candidate join quadratic — the
+    round-1 scale audit's open risk for every LSH-style operator.  A
+    deterministic ``row_number`` truncation caps that at
+    max_bucket_size² per bucket; the window's clustering is the SAME
+    (band, bucket) hash partitioning the following self-join needs, so
+    the cap adds a sort but no extra exchange.
+
+    Documented recall trade: pairs whose every shared bucket got
+    truncated are missed.  Run ``exact_duplicates`` /
+    ``distinct_by_content`` first so byte-identical mega-groups never
+    reach LSH — then oversized buckets are boilerplate-overlap, not
+    near-dup clusters.
+    """
+    if max_bucket_size is None:
+        return banded
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(order_col))
+    return (
+        banded.withColumn("__dv_rn", F.row_number().over(w))
+        .filter(F.col("__dv_rn") <= max_bucket_size)
+        .drop("__dv_rn")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -184,9 +218,11 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     threshold: float = 0.7,
     verify: str = "estimate",
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """Near-duplicate pairs ``(id_a, id_b, jaccard)`` with Jaccard ≥
-    threshold.
+    threshold.  ``max_bucket_size`` bounds per-bucket join fan-out
+    (see ``_cap_buckets``) — set it at production scale.
 
     Pipeline: signature → explode into ``bands`` band-hashes →
     self-join on (band_id, band_hash) → score → filter.  Dedup of
@@ -233,6 +269,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -417,6 +454,7 @@ def simhash_near_dups(
     content_col: str = "content",
     max_hamming: int = 3,
     blocks: Optional[int] = None,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """Pairs with Hamming(simhash) ≤ max_hamming.  Pigeonhole blocking:
     split 64 bits into ``blocks`` equal blocks; any pair with
@@ -433,7 +471,9 @@ def simhash_near_dups(
         while blocks <= max_hamming and blocks < 64:
             blocks *= 2
     sh = _persist(simhash64(df, id_col, content_col))
-    cand = simhash_block_candidates(sh, blocks, max_hamming=max_hamming)
+    cand = simhash_block_candidates(
+        sh, blocks, max_hamming=max_hamming, max_bucket_size=max_bucket_size
+    )
     return cand.select(
         "id_a",
         "id_b",
@@ -444,7 +484,10 @@ def simhash_near_dups(
 
 
 def simhash_block_candidates(
-    sh: DataFrame, blocks: int = 4, max_hamming: Optional[int] = None
+    sh: DataFrame,
+    blocks: int = 4,
+    max_hamming: Optional[int] = None,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """Candidate pairs (id_a, id_b, simhash_a, simhash_b) agreeing on at
     least one of ``blocks`` equal-width blocks of the 64-bit simhash.
@@ -475,6 +518,7 @@ def simhash_block_candidates(
     ).select(
         "id", "simhash", F.col("bk.block").alias("block"), F.col("bk.key").alias("key")
     )
+    blocked = _cap_buckets(blocked, ["block", "key"], max_bucket_size)
     a, b = blocked.alias("a"), blocked.alias("b")
     cond = (
         (F.col("a.block") == F.col("b.block"))
@@ -506,6 +550,7 @@ def simhash_near_dups_exact(
     shingle_k: int = 5,
     threshold: float = 0.5,
     prefilter_hamming: int = 24,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """SimHash-blocked candidates re-scored with the EXACT shingle-set
     Jaccard (same verify as minhash_lsh_pairs(verify='exact')) —
@@ -526,7 +571,7 @@ def simhash_near_dups_exact(
         )
     )
     cand = simhash_block_candidates(
-        sh, blocks, max_hamming=prefilter_hamming
+        sh, blocks, max_hamming=prefilter_hamming, max_bucket_size=max_bucket_size
     ).select("id_a", "id_b")
     return _exact_jaccard_on_candidates(cand, norm, shingle_k, threshold)
 
@@ -564,6 +609,7 @@ def embedding_near_dups(
     planes: int = 16,
     bands: int = 4,
     seed: int = 42,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold.
 
@@ -590,8 +636,10 @@ def embedding_near_dups(
             F.array(*band_keys).alias("bkeys"),
         )
     )
-    banded = with_b.select(
-        "id", "vec", F.posexplode("bkeys").alias("band", "bucket")
+    banded = _cap_buckets(
+        with_b.select("id", "vec", F.posexplode("bkeys").alias("band", "bucket")),
+        ["band", "bucket"],
+        max_bucket_size,
     )
     a, b = banded.alias("a"), banded.alias("b")
     cos = cosine_similarity(F.col("a.vec"), F.col("b.vec"))

@@ -292,15 +292,57 @@ def _sketch_partition(cols: list[str], numeric_cols: set[str]):
     return fn
 
 
+def _sketch_from_row(r) -> ColumnSketch:
+    return ColumnSketch(
+        r["column"],
+        int(r["n"]),
+        int(r["n_null"]),
+        int(r["total_bytes"]),
+        QuantileSketch.from_json(r["numeric_sketch"]) if r["numeric_sketch"] else None,
+        np.array(r["byte_hist"], dtype="i8") if r["byte_hist"] is not None else None,
+        json.loads(r["topk"]) if r["topk"] is not None else None,
+    )
+
+
+def _sketch_to_row(sk: ColumnSketch) -> dict:
+    return {
+        "column": sk.column,
+        "n": sk.n,
+        "n_null": sk.n_null,
+        "total_bytes": sk.total_bytes,
+        "numeric_sketch": sk.numeric.to_json() if sk.numeric else None,
+        "byte_hist": sk.byte_hist.tolist() if sk.byte_hist is not None else None,
+        "topk": json.dumps(sk.topk) if sk.topk is not None else None,
+    }
+
+
+def _merge_sketch_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas reducer: all of one column's per-partition sketch
+    rows → one merged row (sketch merge is associative+commutative)."""
+    acc: Optional[ColumnSketch] = None
+    for _, r in pdf.iterrows():
+        sk = _sketch_from_row(r)
+        acc = acc.merge(sk) if acc is not None else sk
+    return pd.DataFrame(
+        [_sketch_to_row(acc)], columns=[f.name for f in _SKETCH_SCHEMA.fields]
+    )
+
+
 def profile_arrow(
-    df: DataFrame, columns: Optional[list[str]] = None
+    df: DataFrame,
+    columns: Optional[list[str]] = None,
+    tree_threshold: int = 512,
 ) -> dict[str, ColumnSketch]:
     """Single mapInPandas Arrow pass → merged per-column sketches.
 
-    Executor side emits one tiny sketch row per (partition, column);
-    the driver merge is two-level-safe (sketches are associative), so
-    at very large partition counts the same rows could be tree-reduced
-    with one extra ``groupBy(column)`` stage instead.
+    Executor side emits one tiny sketch row per (partition, column).
+    Up to ``tree_threshold`` input partitions the driver merges the
+    rows directly (no extra stage).  Above it — a 100 TB table is
+    O(10^5) partitions, and collecting partitions × columns sketch
+    rows puts the whole reduction on the driver — a ``groupBy(column).
+    applyInPandas`` tree stage merges each column's rows executor-side
+    first, so the driver collects exactly one row per column regardless
+    of input size.  The shuffle moves only the tiny sketch rows.
     """
     cols = columns or df.columns
     dtypes = {f.name: f.dataType for f in df.schema.fields}
@@ -308,16 +350,12 @@ def profile_arrow(
     part_rows = df.select(*cols).mapInPandas(
         _sketch_partition(cols, numeric_cols), schema=_SKETCH_SCHEMA
     )
+    if df.rdd.getNumPartitions() > tree_threshold:
+        part_rows = part_rows.groupBy("column").applyInPandas(
+            _merge_sketch_group, schema=_SKETCH_SCHEMA
+        )
     merged: dict[str, ColumnSketch] = {}
     for r in part_rows.collect():
-        sk = ColumnSketch(
-            r["column"],
-            r["n"],
-            r["n_null"],
-            r["total_bytes"],
-            QuantileSketch.from_json(r["numeric_sketch"]) if r["numeric_sketch"] else None,
-            np.array(r["byte_hist"], dtype="i8") if r["byte_hist"] is not None else None,
-            json.loads(r["topk"]) if r["topk"] is not None else None,
-        )
+        sk = _sketch_from_row(r)
         merged[sk.column] = merged[sk.column].merge(sk) if sk.column in merged else sk
     return merged

@@ -68,6 +68,43 @@ def test_simhash_near_dups(docs):
     assert (1, 4) not in got and (4, 5) not in got
 
 
+def test_bucket_cap_bounds_mega_cluster(spark):
+    """One mega-bucket (many identical docs) must not go quadratic:
+    max_bucket_size truncates each LSH bucket to the smallest ids,
+    while distinct near-dup pairs outside the cluster survive."""
+    mega = [(i, "license boilerplate text repeated across every single repo here") for i in range(100, 140)]
+    other = [
+        (1, "a genuinely unique document about watermarking streaming state"),
+        (2, "a genuinely unique document about watermarking streaming statex"),
+    ]
+    df = spark.createDataFrame(mega + other, "id long, content string")
+    capped = dedup.minhash_lsh_pairs(
+        df, "id", "content", threshold=0.5, max_bucket_size=5
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # identical docs share every band bucket → the SAME smallest 5 ids
+    # survive in each; pairs are exactly those among ids 100..104
+    mega_pairs = {p for p in got if p[0] >= 100}
+    assert mega_pairs == {(a, b) for a in range(100, 105) for b in range(a + 1, 105)}
+    assert (1, 2) in got  # un-truncated near-dup pair still reported
+
+    sim = dedup.simhash_near_dups(
+        df, "id", "content", max_hamming=10, max_bucket_size=5
+    )
+    sim_mega = {(r["id_a"], r["id_b"]) for r in sim.collect() if r["id_a"] >= 100}
+    assert sim_mega == {(a, b) for a in range(100, 105) for b in range(a + 1, 105)}
+
+
+def test_embedding_bucket_cap(spark):
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(30)]  # one cosine-1 cluster
+    df = _vec_df(spark, rows)
+    capped = dedup.embedding_near_dups(
+        df, "vec_id", "embedding", threshold=0.9, max_bucket_size=4
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(a, b) for a in range(4) for b in range(a + 1, 4)}
+
+
 def test_simhash_deterministic(docs):
     a = {r["id"]: r["simhash"] for r in dedup.simhash64(docs, "id", "content").collect()}
     b = {r["id"]: r["simhash"] for r in

@@ -96,6 +96,23 @@ def test_profile_native(spark):
     assert prof["s"]["min"] == "aa" and prof["s"]["max"] == "bbbb"
 
 
+def test_profile_arrow_tree_reduce_parity(spark):
+    """tree_threshold=0 forces the executor-side groupBy(column) merge
+    stage; results must equal the flat driver merge (sketches are
+    associative) and the driver must see exactly one row per column."""
+    df = source_code_table(spark, 1500, seed=11).repartition(8)
+    flat = profile_arrow(df, ["size", "lang"], tree_threshold=10_000)
+    tree = profile_arrow(df, ["size", "lang"], tree_threshold=0)
+    for c in ("size", "lang"):
+        assert tree[c].n == flat[c].n and tree[c].n_null == flat[c].n_null
+        assert tree[c].total_bytes == flat[c].total_bytes
+        assert (tree[c].byte_hist == flat[c].byte_hist).all()
+    assert tree["lang"].topk == flat["lang"].topk  # low-card → exact
+    assert tree["size"].numeric.quantile(0.5) == pytest.approx(
+        flat["size"].numeric.quantile(0.5), rel=0.02
+    )
+
+
 def test_profile_arrow_matches_native(spark):
     df = source_code_table(spark, 2000, seed=7).repartition(8)
     native = {r["column"]: r for r in profile_native(df, ["size", "lang"]).collect()}
