@@ -242,7 +242,36 @@ class UniqueCheck(TableCheck):
 
     def violations(self, df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
         keys = list(group_cols) + self.columns
-        if self.strategy == "window":
+        strategy = self._resolve_strategy(df, keys)
+        if strategy == "hash":
+            # Two scans total, not three: (1) aggregate 8-byte key
+            # hashes to find candidate hashes with count > 1; (2) pull
+            # the candidate ROWS with one semi-join.  Every row of a
+            # duplicated exact key necessarily lands in the candidate
+            # set (a hash collision can only ADD candidates), so the
+            # exact-key recheck runs entirely inside that tiny frame —
+            # a window count — instead of re-aggregating and joining
+            # back against the full table a third time.
+            h = F.xxhash64(*[F.col(k) for k in keys])
+            cand = (
+                df.select(h.alias("__dv_h"))
+                .groupBy("__dv_h")
+                .agg(F.count(F.lit(1)).alias("__dv_n"))
+                .filter(F.col("__dv_n") > 1)
+                .select("__dv_h")
+            )
+            cand_rows = df.join(
+                self._gated_broadcast(cand), h == F.col("__dv_h"), "left_semi"
+            )
+            # NULL keys form one window partition — same null grouping
+            # as eqNullSafe / pandas `duplicated`
+            w = Window.partitionBy(*[F.col(k) for k in keys])
+            return (
+                cand_rows.withColumn("__dv_n", F.count(F.lit(1)).over(w))
+                .filter(F.col("__dv_n") > 1)
+                .select(*df.columns)
+            )
+        if strategy == "window":
             # per-key count over a window: NULL keys form a partition
             # (same null-grouping as pandas `duplicated`), and a window
             # needs only ClusteredDistribution(keys) — which a table
