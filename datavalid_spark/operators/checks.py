@@ -513,7 +513,10 @@ class ValidDateCheck(_DateCheck):
         return "Ensure dates are valid"
 
 
-#: task config key → check class (reference task.py:87-130)
+#: task config key → check class (reference task.py:87-130;
+#: ``no_near_duplicates`` is engine-only — the YAML surface for the
+#: LLM-pipeline dedup operators and their production caps — and
+#: registers itself below)
 TABLE_CHECKS = {
     "unique": UniqueCheck,
     "empty": EmptyCheck,
@@ -521,6 +524,14 @@ TABLE_CHECKS = {
     "no_more_than_once_per_30_days": NoMoreThanOncePerNDaysCheck,
     "valid_date": ValidDateCheck,
 }
+
+try:
+    # registers "no_near_duplicates" into TABLE_CHECKS; the guard makes
+    # the circular import safe when dedup_check is imported first (its
+    # own bottom-of-module registration then runs instead)
+    from datavalid_spark.operators import dedup_check as _dedup_check  # noqa: E402,F401
+except ImportError:  # pragma: no cover - mid-import of dedup_check
+    pass
 
 
 def build_table_check(key: str, value, today: Optional[datetime.date] = None) -> TableCheck:
@@ -537,7 +548,7 @@ def build_table_check(key: str, value, today: Optional[datetime.date] = None) ->
         if isinstance(value, dict):
             return cls(**value)
         return cls(value)
-    if key == "empty":
+    if key in ("empty", "no_near_duplicates"):
         return cls(**(value or {}))
     kwargs = dict(value or {})
     kwargs["today"] = today

@@ -1,0 +1,207 @@
+"""Pipeline-level near-duplicate checker.
+
+Exposes the LLM-pipeline dedup operators (``operators/dedup.py``) on
+the YAML task surface with the SAME contract as the reference's table
+checkers (reference task.py:26-130): a task fails iff the table
+contains (near-)duplicate content, and ``violations`` returns the
+offending rows with their original columns.
+
+This is the round-2 "caps in the config" thread: every production
+bound — ``max_bucket_size`` (LSH bucket fan-out), ``max_doc_freq``
+(hot-n-gram quadratic guard), thresholds, band/permutation counts —
+is a plain YAML key, so a 100 TB run can be tuned without touching
+library code::
+
+    tasks:
+      - name: no near-duplicate documents
+        no_near_duplicates:
+          id: doc_id
+          content: text
+          method: minhash          # exact | ngram_jaccard | minhash |
+                                   # simhash | embedding
+          threshold: 0.8
+          max_bucket_size: 1000
+
+Scale notes: pair generation is GLOBAL (near-duplication is a property
+of the corpus, not of a task group); ``group_by`` still works — the
+per-group verdict counts that group's rows that participate in any
+near-duplicate pair.  The offending-id set is bounded by the duplicate
+population, so the semi-join back to the table is AQE-broadcastable
+when duplication is rare and degrades to a shuffle join (never an OOM)
+when it is not.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datavalid_spark.operators import dedup
+from datavalid_spark.operators.checks import CheckResult, TableCheck
+
+
+class NoNearDuplicatesCheck(TableCheck):
+    """Fail iff any (near-)duplicate content exists in the table.
+
+    method:
+      - ``"exact"``         — byte-identical content (sha256 groupBy);
+        the only method that needs no ``id`` column.
+      - ``"ngram_jaccard"`` — exact word-n-gram Jaccard >= threshold
+        via inverted index; ``max_doc_freq`` caps hot grams.
+      - ``"minhash"``       — MinHash+LSH banding; ``verify: exact``
+        re-scores candidates with true shingle Jaccard.
+      - ``"simhash"``       — 64-bit SimHash, pigeonhole blocking,
+        Hamming <= max_hamming.
+      - ``"embedding"``     — banded hyperplane LSH over ``vector``
+        column, exact cosine >= threshold inside candidates.
+    """
+
+    key = "no_near_duplicates"
+
+    METHODS = ("exact", "ngram_jaccard", "minhash", "simhash", "embedding")
+
+    def __init__(
+        self,
+        method: str = "exact",
+        id: Optional[str] = None,
+        content: str = "content",
+        vector: str = "embedding",
+        threshold: float = 0.8,
+        n: int = 3,
+        shingle_k: int = 5,
+        num_perm: int = 64,
+        bands: int = 16,
+        verify: str = "estimate",
+        max_hamming: int = 3,
+        blocks: Optional[int] = None,
+        planes: int = 16,
+        embedding_bands: int = 4,
+        seed: int = 42,
+        max_bucket_size: Optional[int] = None,
+        max_doc_freq: Optional[int] = None,
+    ) -> None:
+        if method not in self.METHODS:
+            raise ValueError(
+                'unknown method "%s" (choose from %s)' % (method, ", ".join(self.METHODS))
+            )
+        if method != "exact" and id is None:
+            raise ValueError('method "%s" requires an "id" column' % method)
+        self.method = method
+        self.id = id
+        self.content = content
+        self.vector = vector
+        self.threshold = threshold
+        self.n = n
+        self.shingle_k = shingle_k
+        self.num_perm = num_perm
+        self.bands = bands
+        self.verify = verify
+        self.max_hamming = max_hamming
+        self.blocks = blocks
+        self.planes = planes
+        self.embedding_bands = embedding_bands
+        self.seed = seed
+        self.max_bucket_size = max_bucket_size
+        self.max_doc_freq = max_doc_freq
+
+    # ------------------------------------------------------------ pairs
+
+    def pairs(self, df: DataFrame) -> DataFrame:
+        """The (id_a, id_b, score) pair list for pair-based methods
+        (everything but ``exact``) — the artifact a dedup pipeline
+        would feed its keep/drop policy."""
+        if self.method == "ngram_jaccard":
+            return dedup.ngram_jaccard_pairs(
+                df,
+                self.id,
+                self.content,
+                n=self.n,
+                threshold=self.threshold,
+                max_doc_freq=self.max_doc_freq,
+            )
+        if self.method == "minhash":
+            return dedup.minhash_lsh_pairs(
+                df,
+                self.id,
+                self.content,
+                num_perm=self.num_perm,
+                bands=self.bands,
+                shingle_k=self.shingle_k,
+                threshold=self.threshold,
+                verify=self.verify,
+                max_bucket_size=self.max_bucket_size,
+            )
+        if self.method == "simhash":
+            return dedup.simhash_near_dups(
+                df,
+                self.id,
+                self.content,
+                max_hamming=self.max_hamming,
+                blocks=self.blocks,
+                max_bucket_size=self.max_bucket_size,
+            )
+        if self.method == "embedding":
+            return dedup.embedding_near_dups(
+                df,
+                self.id,
+                vec_col=self.vector,
+                threshold=self.threshold,
+                planes=self.planes,
+                bands=self.embedding_bands,
+                seed=self.seed,
+                max_bucket_size=self.max_bucket_size,
+            )
+        raise ValueError('method "exact" has no pair list; use violations()')
+
+    # ------------------------------------------------------- violations
+
+    def violations(self, df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+        if self.method == "exact":
+            return dedup.exact_duplicates(df, self.content).drop(
+                "content_hash", "dup_group_size"
+            )
+        pairs = self.pairs(df)
+        ids = (
+            pairs.select(F.col("id_a").alias(self.id))
+            .unionByName(pairs.select(F.col("id_b").alias(self.id)))
+            .dropDuplicates()
+        )
+        # semi-join keeps original columns; the id set is bounded by the
+        # duplicate population, AQE picks broadcast vs shuffle
+        return df.join(ids, self.id, "left_semi")
+
+    def _err_msg(self, n: int) -> str:
+        if self.method == "exact":
+            return "There are %d rows with duplicate content" % n
+        return "There are %d rows involved in near-duplicate pairs (%s)" % (
+            n,
+            self.method,
+        )
+
+    def to_markdown(self) -> str:
+        if self.method == "exact":
+            return "Ensure no two rows have byte-identical `%s`" % self.content
+        if self.method == "embedding":
+            return "Ensure no two rows have `%s` cosine similarity >= %s" % (
+                self.vector,
+                self.threshold,
+            )
+        if self.method == "simhash":
+            return "Ensure no two rows have SimHash(`%s`) within Hamming %d" % (
+                self.content,
+                self.max_hamming,
+            )
+        return "Ensure no two rows have `%s` %s similarity >= %s" % (
+            self.content,
+            self.method,
+            self.threshold,
+        )
+
+
+# self-registration keeps the checks<->dedup_check import cycle safe in
+# both import orders (see the guarded import at the bottom of checks.py)
+from datavalid_spark.operators.checks import TABLE_CHECKS  # noqa: E402
+
+TABLE_CHECKS.setdefault("no_near_duplicates", NoNearDuplicatesCheck)

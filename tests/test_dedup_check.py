@@ -1,0 +1,162 @@
+"""YAML-surface near-duplicate checker (operators/dedup_check.py):
+method dispatch, caps plumb-through, grouped verdicts, config errors."""
+
+import pytest
+
+from datavalid_spark.operators.checks import TABLE_CHECKS, build_table_check
+from datavalid_spark.operators.dedup_check import NoNearDuplicatesCheck
+from tests.conftest import rows_as_tuples
+
+
+DOCS = [
+    # (doc_id, grp, text) — rows 1/2 byte-identical, rows 3/4 near-dup
+    # long shared prefix, row 5 unique
+    (1, "a", "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "a", "the quick brown fox jumps over the lazy dog again and again"),
+    (3, "b", "pack my box with five dozen liquor jugs every single day ok"),
+    (4, "b", "pack my box with five dozen liquor jugs every single day no"),
+    (5, "b", "completely unrelated text about spark catalyst optimizers"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "grp", "text"])
+
+
+def test_registered_in_table_checks():
+    assert TABLE_CHECKS["no_near_duplicates"] is NoNearDuplicatesCheck
+
+
+def test_exact_method_via_build(docs):
+    check = build_table_check("no_near_duplicates", {"content": "text"})
+    res = check.run(docs)
+    assert not res.passed
+    assert res.n_violations == 2
+    assert res.err_msg == "There are 2 rows with duplicate content"
+    assert sorted(r.doc_id for r in res.violations.collect()) == [1, 2]
+    # original columns preserved
+    assert res.violations.columns == ["doc_id", "grp", "text"]
+
+
+def test_exact_passes_on_distinct(docs):
+    check = NoNearDuplicatesCheck(method="exact", content="text")
+    res = check.run(docs.filter("doc_id in (1, 3, 5)"))
+    assert res.passed and res.n_violations == 0
+
+
+def test_minhash_exact_verify(docs):
+    check = build_table_check(
+        "no_near_duplicates",
+        {
+            "method": "minhash",
+            "id": "doc_id",
+            "content": "text",
+            "threshold": 0.6,
+            "verify": "exact",
+            "max_bucket_size": 100,
+        },
+    )
+    viol = check.violations(docs)
+    got = sorted(r.doc_id for r in viol.collect())
+    # exact dups (1,2) are jaccard 1.0; near-dups (3,4) share all but
+    # the final word; 5 matches nothing
+    assert got == [1, 2, 3, 4]
+    pairs = rows_as_tuples(check.pairs(docs), "id_a", "id_b")
+    assert (1, 2) in pairs and (3, 4) in pairs
+
+
+def test_simhash_method(docs):
+    check = NoNearDuplicatesCheck(
+        method="simhash", id="doc_id", content="text", max_hamming=10
+    )
+    got = sorted(r.doc_id for r in check.violations(docs).collect())
+    assert 1 in got and 2 in got  # identical text → hamming 0
+    assert 5 not in got
+
+
+def test_embedding_method(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "embedding"])
+    check = NoNearDuplicatesCheck(
+        method="embedding", id="doc_id", vector="embedding", threshold=0.95, planes=8
+    )
+    got = sorted(r.doc_id for r in check.violations(df).collect())
+    assert got == [1, 2]
+    msg = check._err_msg(2)
+    assert "near-duplicate" in msg and "embedding" in msg
+
+
+def test_grouped_verdicts(docs):
+    check = NoNearDuplicatesCheck(method="exact", content="text")
+    verdicts = {
+        r.grp: (r.n_violations, r.passed)
+        for r in check.group_verdicts(docs, ["grp"]).collect()
+    }
+    assert verdicts == {"a": (2, False), "b": (0, True)}
+
+
+def test_ngram_caps_accepted(docs):
+    check = NoNearDuplicatesCheck(
+        method="ngram_jaccard",
+        id="doc_id",
+        content="text",
+        n=2,
+        threshold=0.5,
+        max_doc_freq=100,
+    )
+    got = sorted(r.doc_id for r in check.violations(docs).collect())
+    assert got == [1, 2, 3, 4]
+
+
+def test_config_errors():
+    with pytest.raises(ValueError, match="unknown method"):
+        NoNearDuplicatesCheck(method="levenshtein")
+    with pytest.raises(ValueError, match='requires an "id" column'):
+        NoNearDuplicatesCheck(method="minhash")
+    with pytest.raises(ValueError, match="no pair list"):
+        NoNearDuplicatesCheck(method="exact").pairs(None)
+
+
+def test_yaml_end_to_end(spark, tmp_path):
+    """Full pipeline surface: datavalid.yml with a no_near_duplicates
+    task → run_config → failure report + exit code."""
+    import io
+
+    from datavalid_spark.plans.config import Config
+    from datavalid_spark.runner import run_config
+
+    (tmp_path / "docs.csv").write_text(
+        "doc_id,text\n"
+        "1,the quick brown fox jumps over the lazy dog\n"
+        "2,the quick brown fox jumps over the lazy dog\n"
+        "3,an entirely different document body\n"
+    )
+    conf = Config(
+        tmp_path,
+        files={"docs.csv": {"schema": "doc"}},
+        schemas={
+            "doc": {
+                "validation_tasks": [
+                    {
+                        "name": "no duplicate documents",
+                        "no_near_duplicates": {"content": "text"},
+                    }
+                ]
+            }
+        },
+    )
+    out = io.StringIO()
+    code = run_config(conf, spark, out=out)
+    assert code == 1
+    assert "There are 2 rows with duplicate content" in out.getvalue()
+
+
+def test_to_markdown():
+    assert "byte-identical" in NoNearDuplicatesCheck(method="exact").to_markdown()
+    assert "minhash" in NoNearDuplicatesCheck(method="minhash", id="i").to_markdown()
+    assert "Hamming" in NoNearDuplicatesCheck(method="simhash", id="i").to_markdown()

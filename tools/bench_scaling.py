@@ -80,7 +80,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=40_000_000)
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--levels", type=str, default="4,16,32")
+    ap.add_argument("--levels", type=str, default="2,4,8,16,32")
     args = ap.parse_args()
 
     os.environ["SPARK_GRAFT_BENCH_ROWS"] = str(args.rows)
@@ -105,24 +105,37 @@ def main() -> None:
         )
 
     levels_present = sorted(results)
-    n = levels_present[0]
-    n4 = 4 * n
-    if n4 not in results:
-        raise SystemExit(f"need both N={n} and 4N={n4} among --levels")
-    thr_n = results[n]["files_per_sec_best"]
-    thr_4n = results[n4]["files_per_sec_best"]
-    eff = thr_4n / (4 * thr_n)
-    eff_med = results[n4]["files_per_sec"] / (4 * results[n]["files_per_sec"])
+    pairs = [(n, 4 * n) for n in levels_present if 4 * n in results]
+    if not pairs:
+        raise SystemExit(f"need an N and 4N pair among --levels ({levels_present})")
+    pair_stats = []
+    for n, n4 in pairs:
+        thr_n = results[n]["files_per_sec_best"]
+        thr_4n = results[n4]["files_per_sec_best"]
+        pair_stats.append(
+            {
+                "N": n,
+                "4N": n4,
+                "throughput_N": thr_n,
+                "throughput_4N": thr_4n,
+                "scaling_efficiency": round(thr_4n / (4 * thr_n), 3),
+                "scaling_efficiency_median": round(
+                    results[n4]["files_per_sec"] / (4 * results[n]["files_per_sec"]), 3
+                ),
+            }
+        )
+    head = pair_stats[0]
     summary = {
         "rows": args.rows,
         "levels": results,
-        "N": n,
-        "4N": n4,
-        "throughput_N": thr_n,
-        "throughput_4N": thr_4n,
-        "scaling_efficiency": round(eff, 3),
-        "scaling_efficiency_median": round(eff_med, 3),
-        "meets_0.8": eff >= 0.8,
+        "N": head["N"],
+        "4N": head["4N"],
+        "throughput_N": head["throughput_N"],
+        "throughput_4N": head["throughput_4N"],
+        "scaling_efficiency": head["scaling_efficiency"],
+        "scaling_efficiency_median": head["scaling_efficiency_median"],
+        "meets_0.8": head["scaling_efficiency"] >= 0.8,
+        "pairs": pair_stats,
     }
     print(json.dumps(summary))
 
@@ -142,16 +155,21 @@ def main() -> None:
         "hash-compacted uniqueness on `(repo, path, commit)`, and the",
         "one-pass native column profiler.  Warm-JVM timings (median of",
         f"{args.iters}; JIT/codegen warmup excluded — a long-lived cluster",
-        "pays it once per job shape).",
+        "pays it once per job shape).  The suite additionally times the",
+        "SAME uniqueness check on a key-bucketed copy of the table",
+        "(`unique_key_bucketed`, zero-shuffle plan); the headline suite",
+        "total stays the round-1-comparable three stages, with the",
+        "bucketed stage reported per-level in the table below.",
         "",
-        "## Method: why local[4] vs local[16], pinned",
+        "## Method: pinned N vs 4N pairs inside the effective-core budget",
         "",
         "This VM advertises 32 vCPUs, but a pure-CPU probe (32-way sha256",
         "multiprocessing over 10 GB) reaches only ~18.5x single-core",
         "throughput (16-way reaches 15.1x): the host oversubscribes vCPUs,",
-        "so 8→32 threads cannot represent a 4x hardware ratio. local[4] →",
-        "local[16] keeps both levels inside the ~18.5 effective-core budget;",
-        "local[32] appears as an appendix.",
+        "so 8→32 threads cannot represent a 4x hardware ratio.  The 4x",
+        "pairs reported are local[2]→local[8] (headline) and",
+        "local[4]→local[16] — both entirely inside the ~18.5",
+        "effective-core budget; local[32] appears as an appendix row.",
         "",
         "Each level runs in its own JVM under `taskset -c 0..N-1`, with",
         "`-XX:ParallelGCThreads=N`: without pinning, G1 sizes its GC worker",
