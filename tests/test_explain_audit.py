@@ -1,0 +1,64 @@
+"""Plan-feature extraction in tools/explain_audit.py (pure parsing —
+no SparkSession)."""
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+
+from explain_audit import audit_one
+
+PLAN = """== Physical Plan ==
+AdaptiveSparkPlan (9)
++- BroadcastHashJoin LeftSemi BuildRight (8)
+   :- Scan parquet  (1)
+   +- BroadcastExchange (7)
+      +- == Initial Plan ==
+         HashAggregate (6)
+         +- Exchange (5)
+            +- HashAggregate (4)
+               +- Scan parquet  (1)
+
+(1) Scan parquet
+Output [1]: [k#0L]
+PushedFilters: [IsNotNull(k)]
+ReadSchema: struct<k:bigint>
+
+(4) HashAggregate [codegen id : 1]
+Keys [1]: [k#0L]
+
+(5) Exchange
+Arguments: hashpartitioning(k#0L, 8)
+
+(6) HashAggregate [codegen id : 2]
+Keys [1]: [k#0L]
+
+(7) BroadcastExchange
+Arguments: HashedRelationBroadcastMode
+
+(8) BroadcastHashJoin [codegen id : 3]
+Left keys [1]: [k#0L]
+
+(9) AdaptiveSparkPlan
+Arguments: isFinalPlan=false
+"""
+
+
+def test_audit_counts_detail_ids_once():
+    row = audit_one("q", PLAN)
+    # tree repeats nodes; only detail headers are counted
+    assert row["scans"] == 1
+    assert row["exchanges"] == 1  # BroadcastExchange is not an Exchange row
+    assert row["bhj"] == 1
+    assert row["smj"] == 0
+    assert row["bnlj"] == 0
+    assert row["pushed"] == 1
+    assert row["codegen"] == 3
+    assert row["aqe"] is True
+
+
+def test_audit_empty_pushed_not_counted():
+    row = audit_one("q", "(1) Scan parquet\nPushedFilters: []\n")
+    assert row["scans"] == 1 and row["pushed"] == 0
