@@ -138,13 +138,23 @@ def main() -> None:
         "pairs": pair_stats,
     }
     print(json.dumps(summary))
+    write_md(summary, args.iters)
+
+
+def write_md(summary: dict, iters: int) -> None:
+    """Render BENCH/BASELINE.md from a study summary (the JSON printed
+    by main — so the file can be regenerated from a saved summary
+    without re-running the levels)."""
+    results = {int(k): v for k, v in summary["levels"].items()}
+    pair_stats = summary["pairs"]
+    rows = summary["rows"]
 
     os.makedirs("BENCH", exist_ok=True)
     lines = [
         "# BENCH — measured baseline + scaling efficiency",
         "",
         f"Input: deterministic synthetic source-code table per `input_hint` —",
-        f"{args.rows:,} rows of `(repo, path, commit, lang, content, ...)` with",
+        f"{rows:,} rows of `(repo, path, commit, lang, content, ...)` with",
         "planted duplicates (0.2%), a 30%-hot mono-repo skew key, orphan repos",
         "(0.2%) and invalid commit dates (0.02%); 64 parquet files, identical",
         "input at every parallelism level (`sources/synth.py`, seed 42).",
@@ -154,7 +164,7 @@ def main() -> None:
         "referential orphan count and sha256(content) cardinality,",
         "hash-compacted uniqueness on `(repo, path, commit)`, and the",
         "one-pass native column profiler.  Warm-JVM timings (median of",
-        f"{args.iters}; JIT/codegen warmup excluded — a long-lived cluster",
+        f"{iters}; JIT/codegen warmup excluded — a long-lived cluster",
         "pays it once per job shape).  The suite additionally times the",
         "SAME uniqueness check on a key-bucketed copy of the table",
         "(`unique_key_bucketed`, zero-shuffle plan); the headline suite",
@@ -192,14 +202,20 @@ def main() -> None:
             f"| local[{cpus}] | {r['suite_sec_median']} | "
             f"{int(r['files_per_sec']):,} | {stages} |"
         )
+    lines.append("")
+    for i, p in enumerate(pair_stats):
+        eff, eff_med = p["scaling_efficiency"], p["scaling_efficiency_median"]
+        label = "Scaling efficiency" if i == 0 else f"Additional pair"
+        lines.append(
+            f"**{label} (N={p['N']} → 4N={p['4N']}, best-of-warm):** "
+            f"throughput@{p['4N']} / (4 × throughput@{p['N']}) = "
+            f"{int(p['throughput_4N']):,} / (4 × {int(p['throughput_N']):,}) "
+            f"= **{eff:.2f}** "
+            f"({'meets' if eff >= 0.8 else 'below'} the ≥0.8 requirement; "
+            f"median-based: {eff_med:.2f})."
+        )
+        lines.append("")
     lines += [
-        "",
-        f"**Scaling efficiency (N={n} → 4N={n4}, best-of-warm):** "
-        f"throughput@{n4} / (4 × throughput@{n}) = "
-        f"{int(thr_4n):,} / (4 × {int(thr_n):,}) = **{eff:.2f}** "
-        f"({'meets' if eff >= 0.8 else 'below'} the ≥0.8 requirement; "
-        f"median-based: {eff_med:.2f}).",
-        "",
         "Reference context: the reference engine is single-threaded pandas",
         "with per-row Python loops (BASELINE.md) — its ceiling is",
         "~10^5-10^6 rows/s per *individual* check on one core; this suite",
