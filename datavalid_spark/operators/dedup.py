@@ -151,12 +151,18 @@ def _exact_jaccard_on_candidates(
     collision inside one pair's union (~|union|²/2⁶⁴ ≈ 10⁻⁸ per pair,
     deterministic — any occurrence would surface in the oracle gate).
     """
-    g = norm.select(
-        "id",
-        F.transform(
-            shingles_of_normalized(F.col("__norm"), shingle_k),
-            lambda s: F.xxhash64(s),
-        ).alias("g"),
+    # materialised once: ga and gb are two branches of the SAME per-doc
+    # shingle table — unpersisted, the normalize+shingle+hash pipeline
+    # runs twice (measured 2x verify cost at sf0.1); one row per doc,
+    # MEMORY_AND_DISK spills at scale like every other _persist here
+    g = _persist(
+        norm.select(
+            "id",
+            F.transform(
+                shingles_of_normalized(F.col("__norm"), shingle_k),
+                lambda s: F.xxhash64(s),
+            ).alias("g"),
+        )
     )
     ga = g.select(F.col("id").alias("id_a"), F.col("g").alias("__ga"))
     gb = g.select(F.col("id").alias("id_b"), F.col("g").alias("__gb"))
