@@ -387,6 +387,42 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_interval_join(spark, sf_dir):
+    # range join as a bucketed EQUI-join (never BroadcastNestedLoopJoin):
+    # orders whose date falls inside each lineitem's ship window
+    # [l_shipdate, l_shipdate + l_linenumber days], aggregated so the
+    # compared result is small while the join itself covers ~1.8M pairs
+    # at sf0.01.  max_span_buckets=4 exercises the production fan-out
+    # cap without excluding anything (spans are <= 7 days < 2 buckets).
+    from datavalid_spark.operators.temporal import interval_join
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_linenumber",
+        "l_returnflag",
+        "l_shipdate",
+        F.expr("timestampadd(DAY, l_linenumber, l_shipdate)").alias("l_shipend"),
+    )
+    joined = interval_join(
+        orders,
+        li,
+        "o_orderdate",
+        "l_shipdate",
+        "l_shipend",
+        bucket_width=7 * 86400,
+        max_span_buckets=4,
+    )
+    return joined.groupBy(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("o_orderpriority").alias("orderpriority"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+    )
+
+
 def q_set_except(spark, sf_dir):
     # composite-key EXCEPT on (user, day): every user clicks at least
     # once over the fixture's span (so user-level EXCEPT was empty /
@@ -532,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing": q_agg_pricing,
         "window_running": q_window_running,
         "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
         "sessionize": q_sessionize,
         "set_except": q_set_except,
         "minhash_lsh": q_minhash_lsh,
@@ -865,6 +902,16 @@ WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
 v AS (SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view')
 SELECT c.event_id, c.user_id, v.view_id
 FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+""",
+        "interval_join": """
+SELECT l.l_returnflag AS returnflag,
+       o.o_orderpriority AS orderpriority,
+       count(*) AS n_pairs,
+       count(DISTINCT o.o_orderkey) AS n_orders
+FROM orders o JOIN lineitem l
+  ON o.o_orderdate >= l.l_shipdate
+ AND o.o_orderdate <= l.l_shipdate + to_days(CAST(l.l_linenumber AS INTEGER))
+GROUP BY 1, 2
 """,
         "sessionize": """
 WITH g AS (

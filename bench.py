@@ -71,6 +71,7 @@ HEADLINE_QUERIES = [
     "text_metrics",
     "text_quality",
     "asof_join",
+    "interval_join",
     "sessionize",
 ]
 

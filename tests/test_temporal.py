@@ -95,3 +95,85 @@ def test_sessionize_gap_boundary(spark):
     out = sessionize(df, "k", "t", gap_seconds=1800)
     ids = [r["session_id"] for r in out.orderBy("t").collect()]
     assert ids == [1, 1, 2]
+
+
+# ------------------------------------------------------- interval join
+
+
+def test_interval_join_numeric_matches_bruteforce(spark):
+    import random
+
+    from datavalid_spark.operators.temporal import interval_join
+
+    rng = random.Random(7)
+    pts = [(i, rng.uniform(0, 100)) for i in range(80)]
+    ivs = []
+    for j in range(40):
+        s = rng.uniform(0, 100)
+        ivs.append((j, s, s + rng.uniform(0, 15)))
+    p = spark.createDataFrame(pts, "pid int, x double")
+    iv = spark.createDataFrame(ivs, "iid int, s double, e double")
+
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_join(p, iv, "x", "s", "e", bucket_width=5).collect()
+    )
+    want = sorted((pi, ii) for pi, x in pts for ii, s, e in ivs if s <= x <= e)
+    assert got == want and len(got) > 50
+
+
+def test_interval_join_timestamps_and_boundaries(spark):
+    from datavalid_spark.operators.temporal import interval_join
+
+    p = spark.createDataFrame(
+        [(1, ts("2024-01-05 00:00:00")), (2, ts("2024-01-10 00:00:00"))],
+        "pid int, t timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(10, ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00"))],
+        "iid int, s timestamp, e timestamp",
+    )
+    got = [
+        (r.pid, r.iid)
+        for r in interval_join(p, iv, "t", "s", "e", bucket_width=86400).collect()
+    ]
+    # closed upper bound: point exactly at e matches; point past e does not
+    assert got == [(1, 10)]
+
+
+def test_interval_join_span_cap_and_dup_columns(spark):
+    import pytest
+
+    from datavalid_spark.operators.temporal import interval_join
+
+    p = spark.createDataFrame([(1, 50.0)], "pid int, x double")
+    iv = spark.createDataFrame(
+        [(10, 0.0, 1000.0), (11, 49.0, 51.0)], "iid int, s double, e double"
+    )
+    out = interval_join(p, iv, "x", "s", "e", bucket_width=10, max_span_buckets=5)
+    # the 100-bucket interval is excluded by the fan-out cap
+    assert [(r.pid, r.iid) for r in out.collect()] == [(1, 11)]
+
+    with pytest.raises(ValueError, match="share column names"):
+        interval_join(p, p, "x", "s", "e", bucket_width=1)
+
+
+def test_interval_join_plan_is_equi_join(spark):
+    """The range predicate must ride an equi (hash/merge) join on the
+    bucket id — never a BroadcastNestedLoopJoin."""
+    import contextlib
+    import io
+
+    from datavalid_spark.operators.temporal import interval_join
+
+    p = spark.range(100).select(F.col("id").alias("pid"), (F.col("id") * 1.0).alias("x"))
+    iv = spark.range(50).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 2.0).alias("s"),
+        (F.col("id") * 2.0 + 3).alias("e"),
+    )
+    out = interval_join(p, iv, "x", "s", "e", bucket_width=4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")
+    assert "BroadcastNestedLoopJoin" not in buf.getvalue()
