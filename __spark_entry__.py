@@ -423,6 +423,34 @@ def q_interval_join(spark, sf_dir):
     )
 
 
+def q_time_rollup(spark, sf_dir):
+    # hypertable-style continuous aggregate: day AND month rollups of the
+    # events table in ONE scan + ONE shuffle (GROUPING SETS -> Expand ->
+    # partial agg before the exchange).  Money-safe sums as integer
+    # cents; bucket rendered as a string so Spark/DuckDB timestamp
+    # representations can't diverge.
+    from datavalid_spark.operators.temporal import time_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    out = time_rollup(
+        ev,
+        "ts",
+        ["day", "month"],
+        {
+            "n_rows": F.count(F.lit(1)),
+            "sum_value_c": F.sum(F.round(F.col("value") * 100, 0).cast("bigint")),
+        },
+        keys=["event_type"],
+    )
+    return out.select(
+        "grain",
+        F.date_format("bucket", "yyyy-MM-dd").alias("bucket"),
+        "event_type",
+        "n_rows",
+        "sum_value_c",
+    )
+
+
 def q_set_except(spark, sf_dir):
     # composite-key EXCEPT on (user, day): every user clicks at least
     # once over the fixture's span (so user-level EXCEPT was empty /
@@ -569,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running": q_window_running,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
+        "time_rollup": q_time_rollup,
         "sessionize": q_sessionize,
         "set_except": q_set_except,
         "minhash_lsh": q_minhash_lsh,
@@ -912,6 +941,23 @@ FROM orders o JOIN lineitem l
   ON o.o_orderdate >= l.l_shipdate
  AND o.o_orderdate <= l.l_shipdate + to_days(CAST(l.l_linenumber AS INTEGER))
 GROUP BY 1, 2
+""",
+        "time_rollup": """
+SELECT 'day' AS grain,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+       event_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events WHERE ts IS NOT NULL
+GROUP BY 2, 3
+UNION ALL
+SELECT 'month' AS grain,
+       strftime(date_trunc('month', ts), '%Y-%m-%d') AS bucket,
+       event_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events WHERE ts IS NOT NULL
+GROUP BY 2, 3
 """,
         "sessionize": """
 WITH g AS (

@@ -155,6 +155,64 @@ def interval_join(
     )
 
 
+def time_rollup(
+    df: DataFrame,
+    ts: str,
+    grains: Sequence[str],
+    aggs: dict[str, F.Column],
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: the same aggregates
+    at MULTIPLE time granularities (e.g. hour/day/month) in ONE pass.
+
+    Naive per-grain jobs scan + shuffle the fact table once per grain;
+    this uses ``GROUPING SETS`` so Spark plans a single scan and a
+    single partial+final aggregation whose keys are (grain-truncated
+    buckets) — an Expand node fans each row into one record per
+    grouping set BEFORE the map-side partial agg, so the shuffle
+    carries pre-aggregated buckets, not grain-times-rows.
+
+    ``grains`` are ``date_trunc`` units (``hour``/``day``/``week``/
+    ``month``/``year``); output has one row per (grain, bucket, *keys)
+    with a ``grain`` label column, bucket as timestamp, plus the
+    aggregates.
+    """
+    for g in grains:
+        if g not in ("minute", "hour", "day", "week", "month", "quarter", "year"):
+            raise ValueError(f"unknown grain {g!r}")
+    bcols = [F.date_trunc(g, F.col(ts)).alias(f"__dv_g_{g}") for g in grains]
+    exprs = [c.alias(name) for name, c in aggs.items()]
+    # null timestamps are dropped up front so "exactly one __dv_g_* is
+    # non-null per output row" holds below (date_trunc of a non-null ts
+    # is never null); Catalyst prunes the untouched payload columns
+    grouped = (
+        df.filter(F.col(ts).isNotNull())
+        .select(*bcols, *df.columns)
+        .groupingSets(
+            [[f"__dv_g_{g}", *keys] for g in grains],
+            *[F.col(f"__dv_g_{g}") for g in grains],
+            *[F.col(k) for k in keys],
+        )
+        .agg(*exprs)
+    )
+    grain_label = None
+    bucket = None
+    for g in grains:
+        c = F.col(f"__dv_g_{g}")
+        grain_label = (
+            F.when(c.isNotNull(), F.lit(g))
+            if grain_label is None
+            else grain_label.when(c.isNotNull(), F.lit(g))
+        )
+        bucket = c if bucket is None else F.coalesce(bucket, c)
+    return grouped.select(
+        grain_label.alias("grain"),
+        bucket.alias("bucket"),
+        *keys,
+        *[F.col(name) for name in aggs],
+    )
+
+
 def sessionize(
     df: DataFrame,
     key: Sequence[str] | str,

@@ -177,3 +177,82 @@ def test_interval_join_plan_is_equi_join(spark):
     with contextlib.redirect_stdout(buf):
         out.explain(mode="formatted")
     assert "BroadcastNestedLoopJoin" not in buf.getvalue()
+
+
+# ---------------------------------------------------------------- time_rollup
+
+
+def _rollup_rows(df):
+    return sorted(
+        (r.grain, str(r.bucket), r.k, r.n, r.s) for r in df.collect()
+    )
+
+
+def test_time_rollup_matches_per_grain_groupbys(spark):
+    """One GROUPING SETS pass == the union of independent per-grain jobs."""
+    from datavalid_spark.operators.temporal import time_rollup
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", "a", 10),
+            (2, "2024-01-01 23:59:59", "a", 5),
+            (3, "2024-01-02 00:00:00", "b", 7),
+            (4, "2024-02-15 12:00:00", "a", 1),
+            (5, None, "a", 99),  # null ts is excluded from every grain
+        ],
+        "id int, ts_s string, k string, v int",
+    ).select("id", F.col("ts_s").cast("timestamp").alias("ts"), "k", "v")
+
+    aggs = {"n": F.count(F.lit(1)), "s": F.sum("v")}
+    got = time_rollup(ev, "ts", ["day", "month"], aggs, keys=["k"])
+
+    expected = []
+    for g in ("day", "month"):
+        per = (
+            ev.filter(F.col("ts").isNotNull())
+            .groupBy(F.date_trunc(g, "ts").alias("bucket"), "k")
+            .agg(*[c.alias(n) for n, c in aggs.items()])
+            .select(F.lit(g).alias("grain"), "bucket", "k", "n", "s")
+        )
+        expected.extend(_rollup_rows(per))
+    assert _rollup_rows(got) == sorted(expected)
+    # null-ts row contributes nowhere
+    assert got.filter(F.col("s") == 99).count() == 0
+
+
+def test_time_rollup_single_shuffle_plan(spark):
+    """The whole multi-grain rollup must plan exactly ONE Exchange —
+    Expand fans rows per grouping set BEFORE the map-side partial agg."""
+    import contextlib
+    import io
+
+    from datavalid_spark.operators.temporal import time_rollup
+
+    ev = spark.range(1000).select(
+        F.col("id"),
+        F.timestamp_seconds(F.col("id") * 3600).alias("ts"),
+        (F.col("id") % 3).alias("k"),
+    )
+    out = time_rollup(
+        ev, "ts", ["hour", "day", "month"], {"n": F.count(F.lit(1))}, keys=["k"]
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert plan.count("(") and "Expand" in plan
+    # detail-section headers, not tree lines (AQE prints initial+final trees)
+    import re
+
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 1, plan
+
+
+def test_time_rollup_rejects_unknown_grain(spark):
+    import pytest
+
+    from datavalid_spark.operators.temporal import time_rollup
+
+    ev = spark.range(1).select(F.current_timestamp().alias("ts"))
+    with pytest.raises(ValueError, match="unknown grain"):
+        time_rollup(ev, "ts", ["fortnight"], {"n": F.count(F.lit(1))})
