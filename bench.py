@@ -72,6 +72,7 @@ HEADLINE_QUERIES = [
     "text_quality",
     "asof_join",
     "interval_join",
+    "time_rollup",
     "sessionize",
 ]
 
