@@ -1,0 +1,60 @@
+"""End-to-end `spark-submit --py-files` packaging test (north rule:
+cluster submission path).  tools/submit.sh zips the library and submits
+the CLI job to a fresh JVM — so these tests prove the package imports
+and runs from the zip, not from the repo checkout.  Slowest tests in
+the suite (one spark-submit JVM each); keep to two cases.
+"""
+
+import subprocess
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+YAML = """\
+files:
+  people.csv: {schema: person}
+schemas:
+  person:
+    columns:
+      - name: id
+        unique: true
+        no_na: true
+      - name: name
+        title_case: true
+"""
+
+
+def _submit(job_dir: Path) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [str(REPO / "tools" / "submit.sh"),
+         str(REPO / "datavalid_spark" / "__main__.py"),
+         "--dir", str(job_dir)],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=240,
+    )
+
+
+@pytest.mark.slow
+def test_submit_reports_violations_and_exit_1(tmp_path):
+    (tmp_path / "datavalid.yml").write_text(YAML)
+    (tmp_path / "people.csv").write_text(
+        "id,name\n1,Alice Smith\n2,bob jones\n2,Carol Ray\n"
+    )
+    r = _submit(tmp_path)
+    assert r.returncode == 1, r.stderr[-2000:]
+    assert "unique check" in r.stdout
+    assert "title_case check" in r.stdout
+    assert "bob jones" in r.stdout
+
+
+@pytest.mark.slow
+def test_submit_clean_data_exit_0(tmp_path):
+    (tmp_path / "datavalid.yml").write_text(YAML)
+    (tmp_path / "people.csv").write_text("id,name\n1,Alice Smith\n2,Bob Jones\n")
+    r = _submit(tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "✓" in r.stdout
