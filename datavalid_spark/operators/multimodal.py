@@ -99,6 +99,63 @@ def extract_features(
     return media.select("doc_id", "data").mapInPandas(fn, schema=_FEATURE_SCHEMA)
 
 
+def resize_images(
+    media: DataFrame, width: int, height: int, backend: str = "fake"
+) -> DataFrame:
+    """Image resize in one Arrow pass: rows with ``kind='image'`` get
+    their payload re-encoded at (width, height) and their metadata
+    updated; non-image rows pass through untouched.  Output keeps the
+    MEDIA_SCHEMA contract, so resizes compose with the other media ops.
+
+    ``backend='fake'`` (sandbox default) is the deterministic stub:
+    the "resized" payload is a seeded byte string derived from
+    (sha256(original), width, height) with size proportional to the
+    pixel count — stable across runs and partitionings, so tests can
+    assert exact hashes.  Any other backend raises until a real codec
+    (PIL ``Image.resize`` + re-encode) is wired into the marked inner
+    function; the contract is bytes → bytes at the new dims.
+    """
+    if backend != "fake":
+        raise NotImplementedError(
+            "only the deterministic 'fake' resize backend exists in this "
+            "container; wire PIL/libvips here (contract: bytes -> bytes "
+            "re-encoded at width x height)"
+        )
+    out_len = max(16, (width * height) // 64)
+
+    def _fake_resize(data: bytes) -> bytes:
+        # REPLACE with real decode->resize->encode outside the sandbox
+        seed = hashlib.sha256(
+            data + width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        ).digest()
+        reps = -(-out_len // len(seed))
+        return (seed * reps)[:out_len]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            is_img = pdf["kind"] == "image"
+            data = [
+                _fake_resize(bytes(d) if d is not None else b"") if img else d
+                for img, d in zip(is_img, pdf["data"])
+            ]
+            meta = [
+                {**m, "width": width, "height": height} if img and m is not None else m
+                for img, m in zip(is_img, pdf["meta"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "kind": pdf["kind"],
+                    "data": data,
+                    "meta": meta,
+                }
+            )
+
+    return media.select("doc_id", "kind", "data", "meta").mapInPandas(
+        fn, schema=MEDIA_SCHEMA
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: computes the frame timestamps to
     sample per row from metadata (native exprs — the expensive decode

@@ -147,3 +147,37 @@ def test_stateful_first_seen_across_batches(spark, tmp_path):
         [(5, "B"), (6, "C"), (7, "D"), (8, "D")], "id long, content string"
     ).write.parquet(src, mode="append")
     assert run_batch("sfs_b") == [0, 1, 2, 7]  # sink accumulates; only D new
+
+
+def test_resize_images_fake_backend(spark):
+    media = multimodal.synth_media(spark, 60)
+    out = multimodal.resize_images(media, 64, 48)
+    assert out.schema == multimodal.MEDIA_SCHEMA
+    rows = {r.doc_id: r for r in out.collect()}
+    orig = {r.doc_id: r for r in media.collect()}
+    n_img = 0
+    for i, r in rows.items():
+        if r.kind == "image":
+            n_img += 1
+            assert r.meta.width == 64 and r.meta.height == 48
+            assert bytes(r.data) != bytes(orig[i].data)
+            assert len(r.data) == max(16, 64 * 48 // 64)
+            # untouched metadata fields carried through
+            assert r.meta.mime == orig[i].meta.mime
+        else:
+            assert bytes(r.data) == bytes(orig[i].data)
+            assert r.meta == orig[i].meta
+    assert n_img > 0
+    # deterministic across independent runs / partitionings
+    again = {
+        r.doc_id: bytes(r.data)
+        for r in multimodal.resize_images(media.repartition(7), 64, 48).collect()
+    }
+    assert again == {i: bytes(r.data) for i, r in rows.items()}
+
+
+def test_resize_images_real_backend_stubbed(spark):
+    media = multimodal.synth_media(spark, 5)
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_images(media, 8, 8, backend="pillow")
+
