@@ -177,9 +177,11 @@ def ks_exact_two_sample(base, cur, column: str):
     value cardinality — lengths, counts, scores).
 
     Formulation: union both samples tagged → per-VALUE counts (one
-    shuffle, partial agg; the window below runs over distinct values,
-    never raw rows) → cumulative counts in value order → the statistic
-    is ``max |cum_base/n_base − cum_cur/n_cur|``.  All inputs to the
+    shuffle, partial agg — cumulative work scales with distinct values,
+    never raw rows) → DISTRIBUTED cumulative counts in value order
+    (range-partition by value + partition-local windows + collected
+    prefix offsets; see inline comment) → the statistic is
+    ``max |cum_base/n_base − cum_cur/n_cur|``.  All inputs to the
     float division are exact integers and the final ``max`` is
     order-insensitive, so the result is bit-identical across engines —
     hash-comparable against a SQL oracle.
@@ -198,25 +200,78 @@ def ks_exact_two_sample(base, cur, column: str):
     per_value = u.groupBy("v").agg(
         F.sum("a").alias("ca"), F.sum("b").alias("cb")
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wtot = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+
+    # Distributed cumulative sum — the naive Window.orderBy("v") puts
+    # EVERY distinct value through one task (the single remaining
+    # global-window pattern after the round-2 T3/T4 fix; fatal when the
+    # compared column is near-continuous).  Two-phase instead:
+    # range-partition by value (partition order == value order, equal
+    # values never straddle a boundary), window WITHIN each partition,
+    # and add per-partition prefix offsets computed from a collected
+    # P-row totals table (P = shuffle partitions — driver cost O(P),
+    # never O(values)).  All sums stay exact integers, so the result is
+    # bit-identical to the single-partition formulation.
+    from datavalid_spark.cache import persist_tracked
+
+    # persisted (MEMORY_AND_DISK — spilled, never recomputed): the
+    # range boundaries come from sampling, so a recomputation between
+    # the totals pass and the window pass could repartition differently
+    # and desynchronise the offsets
+    pv = persist_tracked(
+        per_value.repartitionByRange(F.col("v").asc()).withColumn(
+            "__pid", F.spark_partition_id()
+        )
     )
-    stat = per_value.select(
-        F.sum("ca").over(w).alias("cum_a"),
-        F.sum("cb").over(w).alias("cum_b"),
-        F.sum("ca").over(wtot).alias("na"),
-        F.sum("cb").over(wtot).alias("nb"),
-    ).select(
-        F.abs(
-            F.col("cum_a").cast("double") / F.col("na")
-            - F.col("cum_b").cast("double") / F.col("nb")
-        ).alias("d"),
-        "na",
-        "nb",
+    totals = sorted(
+        (r["__pid"], r["ta"], r["tb"])
+        for r in pv.groupBy("__pid")
+        .agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+        .collect()
     )
-    return stat.groupBy().agg(
-        F.max("d").alias("ks_stat"),
-        F.max("na").alias("n_base"),
-        F.max("nb").alias("n_cur"),
-    ).select(F.lit(column).alias("column"), "ks_stat", "n_base", "n_cur")
+    na = sum(t[1] for t in totals)
+    nb = sum(t[2] for t in totals)
+    if na == 0 or nb == 0:
+        empty = u.sparkSession.createDataFrame(
+            [(column, float("nan"), na, nb)],
+            "column string, ks_stat double, n_base long, n_cur long",
+        )
+        return empty
+    off_a, off_b, acc_a, acc_b = {}, {}, 0, 0
+    for pid, ta, tb in totals:
+        off_a[pid], off_b[pid] = acc_a, acc_b
+        acc_a, acc_b = acc_a + ta, acc_b + tb
+    offsets = F.broadcast(
+        u.sparkSession.createDataFrame(
+            [(pid, off_a[pid], off_b[pid]) for pid, _, _ in totals],
+            "__pid int, __off_a long, __off_b long",
+        )
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stat = (
+        pv.join(offsets, "__pid")
+        .select(
+            (F.sum("ca").over(w) + F.col("__off_a")).alias("cum_a"),
+            (F.sum("cb").over(w) + F.col("__off_b")).alias("cum_b"),
+        )
+        .select(
+            F.abs(
+                F.col("cum_a").cast("double") / F.lit(na)
+                - F.col("cum_b").cast("double") / F.lit(nb)
+            ).alias("d")
+        )
+    )
+    out = (
+        stat.groupBy()
+        .agg(F.max("d").alias("ks_stat"))
+        .select(
+            F.lit(column).alias("column"),
+            "ks_stat",
+            F.lit(na).cast("long").alias("n_base"),
+            F.lit(nb).cast("long").alias("n_cur"),
+        )
+    )
+    return out

@@ -163,3 +163,33 @@ def test_banded_embedding_lsh_beats_single_band(spark):
     }
     release_cached()
     assert len(single & planted) < len(planted)  # single-band misses some
+
+
+def test_ks_exact_distributed_cumsum_no_global_window(spark):
+    """The cumulative sums must run in partition-local windows keyed by
+    the range-partition id — never a Window with an empty partition
+    spec (single-task whole-column sort at scale)."""
+    import contextlib
+    import io
+
+    df_a = spark.range(500).select((F.col("id") % 37).alias("v"))
+    df_b = spark.range(400).select((F.col("id") % 41).alias("v"))
+    out = ks_exact_two_sample(df_a, df_b, "v")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")
+    plan = buf.getvalue()
+    specs = [
+        seg for seg in plan.split("windowspecdefinition(")[1:]
+    ]
+    assert specs, "expected a window in the plan"
+    for seg in specs:
+        # partitioned spec lists __pid before the ordering column
+        assert seg.startswith("__pid"), seg[:80]
+
+
+def test_ks_exact_empty_side_nan(spark):
+    df = spark.range(10).select(F.col("id").alias("v"))
+    row = ks_exact_two_sample(df.filter(F.lit(False)), df, "v").collect()[0]
+    assert row.n_base == 0 and row.n_cur == 10
+    assert row.ks_stat != row.ks_stat  # NaN
