@@ -474,6 +474,26 @@ def q_time_rollup(spark, sf_dir):
     )
 
 
+def q_json_props_agg(spark, sf_dir):
+    # semi-structured column handling (SURVEY §2.6 array/map/json row):
+    # parse the events.props JSON string with from_json (JVM-side Jackson,
+    # codegen'd — no Python), extract the numeric field, aggregate per
+    # event type.  Malformed/NULL JSON parses to NULL and is counted,
+    # not dropped — the validator stance on dirty semi-structured data.
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k int")["k"]
+    return (
+        ev.withColumn("__k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("__k").cast("bigint")).alias("sum_k"),
+            F.count(F.when(F.col("__k").isNull(), 1)).alias("n_bad_json"),
+            F.max("__k").cast("int").alias("max_k"),
+        )
+    )
+
+
 def q_set_except(spark, sf_dir):
     # composite-key EXCEPT on (user, day): every user clicks at least
     # once over the fixture's span (so user-level EXCEPT was empty /
@@ -621,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "time_rollup": q_time_rollup,
+        "json_props_agg": q_json_props_agg,
         "sessionize": q_sessionize,
         "set_except": q_set_except,
         "minhash_lsh": q_minhash_lsh,
@@ -964,6 +985,16 @@ FROM orders o JOIN lineitem l
   ON o.o_orderdate >= l.l_shipdate
  AND o.o_orderdate <= l.l_shipdate + to_days(CAST(l.l_linenumber AS INTEGER))
 GROUP BY 1, 2
+""",
+        "json_props_agg": """
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(COUNT(*) - COUNT(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+         AS n_bad_json,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+FROM events
+GROUP BY event_type
 """,
         "time_rollup": """
 SELECT 'day' AS grain,
