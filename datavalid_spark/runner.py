@@ -86,35 +86,54 @@ def load_file(spec: FileSpec, spark: SparkSession) -> DataFrame:
 BAD_ROWS_SINGLE_FILE_CAP = 1_000_000
 
 
+#: sink format by ``save_bad_rows_to`` extension; unknown extensions
+#: fall back to CSV (reference default, file.py:92-95)
+_BAD_ROWS_FORMATS = {
+    ".csv": "csv",
+    ".parquet": "parquet",
+    ".jsonl": "json",
+    ".json": "json",
+}
+
+
 def save_bad_rows(violations: DataFrame, rows_path, n_violations: int) -> str:
     """Persist violation rows WITHOUT materialising them on the driver
     (the round-1 ``coalesce(1).toPandas().to_csv`` pulled every bad row
     into driver memory — VERDICT.md #3).
 
-    ≤ cap: ``coalesce(1).write.csv`` — ONE executor task streams the
-    single CSV file (reference parity: save_bad_rows_to names a file,
+    The format follows the ``save_bad_rows_to`` extension: ``.csv``
+    (reference parity, default), ``.parquet`` (typed — the right sink
+    when bad rows feed a downstream requeue/repair job), ``.jsonl`` /
+    ``.json`` (line-delimited).
+
+    ≤ cap: ``coalesce(1).write`` — ONE executor task streams the
+    single file (reference parity: save_bad_rows_to names a file,
     file.py:92-95), then the part file is renamed into place.
-    > cap: fully distributed ``write.csv`` directory of parts — at
+    > cap: fully distributed write to a directory of parts — at
     validator scale the bad-rows set is unbounded (a systemic defect
     flags the whole table) and must never serialise through one task.
     """
     import glob
+    import os
     import shutil
 
     rows_path = str(rows_path)
+    ext = os.path.splitext(rows_path)[1].lower()
+    fmt = _BAD_ROWS_FORMATS.get(ext, "csv")
+
+    def writer(df):
+        w = df.write.mode("overwrite")
+        return w.option("header", True) if fmt == "csv" else w
+
     if n_violations <= BAD_ROWS_SINGLE_FILE_CAP:
         tmp = rows_path + ".__dv_tmp__"
-        (
-            violations.coalesce(1)
-            .write.mode("overwrite")
-            .option("header", True)
-            .csv(tmp)
-        )
-        part = glob.glob(f"{tmp}/part-*.csv")[0]
-        shutil.move(part, rows_path)
+        writer(violations.coalesce(1)).format(fmt).save(tmp)
+        part = glob.glob(f"{tmp}/part-*")
+        part = [p for p in part if not p.endswith(".crc")]
+        shutil.move(part[0], rows_path)
         shutil.rmtree(tmp, ignore_errors=True)
         return rows_path
-    violations.write.mode("overwrite").option("header", True).csv(rows_path)
+    writer(violations).format(fmt).save(rows_path)
     return rows_path
 
 

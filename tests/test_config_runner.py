@@ -293,3 +293,34 @@ def test_load_file_formats(spark, tmp_path):
         out = load_file(conf.files[fname], spark)
         rows = {(r["uid"], r["name"]) for r in out.collect()}
         assert rows == {(1, "a"), (2, "b")}, fname
+
+
+def test_save_bad_rows_parquet_and_jsonl(spark, datadir):
+    """Typed sinks selected by extension: parquet round-trips with
+    types; .jsonl writes line-delimited records."""
+    import json
+
+    for name in ("bad_rows.parquet", "bad_rows.jsonl"):
+        conf = Config(
+            datadir,
+            files={"people.csv": {"schema": "person"}},
+            schemas={
+                "person": {
+                    "validation_tasks": [{"name": "unique last", "unique": "last"}]
+                }
+            },
+            save_bad_rows_to=name,
+            today=TODAY,
+        )
+        out = io.StringIO()
+        assert run_config(conf, spark, out=out) == 1
+        assert "Saved bad rows to" in out.getvalue()
+
+    pq = spark.read.parquet(str(datadir / "bad_rows.parquet"))
+    assert sorted((r.first, r.last) for r in pq.collect()) == [
+        ("jane", "smith"),
+        ("jean", "smith"),
+    ]
+    lines = (datadir / "bad_rows.jsonl").read_text().strip().splitlines()
+    recs = sorted(json.loads(ln)["first"] for ln in lines)
+    assert recs == ["jane", "jean"]
