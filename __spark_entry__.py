@@ -474,6 +474,28 @@ def q_time_rollup(spark, sf_dir):
     )
 
 
+def q_token_topk(spark, sf_dir):
+    # corpus-wide heavy hitters: top 20 tokens by DOCUMENT frequency.
+    # explode(distinct tokens) -> groupBy count (partial agg map-side,
+    # shuffle carries (token, partial n)) -> global top-k via
+    # orderBy+limit, which Spark plans as TakeOrderedAndProject — a
+    # per-partition k-heap + driver merge of k*P rows, never a global
+    # sort.  Deterministic tie-break on (n desc, token asc); tokens are
+    # lowercase ascii so Spark UTF-8 binary order == DuckDB binary
+    # collation.
+    from datavalid_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.array_distinct(tokens(F.col("text")))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
 def q_json_props_agg(spark, sf_dir):
     # semi-structured column handling (SURVEY §2.6 array/map/json row):
     # parse the events.props JSON string with from_json (JVM-side Jackson,
@@ -642,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "time_rollup": q_time_rollup,
         "json_props_agg": q_json_props_agg,
+        "token_topk": q_token_topk,
         "sessionize": q_sessionize,
         "set_except": q_set_except,
         "minhash_lsh": q_minhash_lsh,
@@ -985,6 +1008,13 @@ FROM orders o JOIN lineitem l
   ON o.o_orderdate >= l.l_shipdate
  AND o.o_orderdate <= l.l_shipdate + to_days(CAST(l.l_linenumber AS INTEGER))
 GROUP BY 1, 2
+""",
+        "token_topk": f"""
+SELECT token, COUNT(*) AS n_docs
+FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+GROUP BY token
+ORDER BY n_docs DESC, token ASC
+LIMIT 20
 """,
         "json_props_agg": """
 SELECT event_type,
