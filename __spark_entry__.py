@@ -78,6 +78,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_fanout(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Heavy-compute-per-row tables (documents, embeddings): at bench SF
+    these are single-MB parquet files, so the scan arrives as ONE input
+    split and everything fused onto it (shingling, signature aggs,
+    per-vector math) runs on one core.  Fan out to the session's
+    parallelism up front — a sub-MB shuffle that unlocks every core.
+    At real scale the files exceed maxPartitionBytes and the
+    repartition collapses to a cheap rebalance."""
+    return _t(spark, sf_dir, name).repartition(spark.sparkContext.defaultParallelism)
+
+
 def _events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per (user_id, calendar day): deterministic y/m/d triple
     base for the date checks (ties on equal dates would otherwise make
@@ -291,12 +302,12 @@ def q_dedup_distinct(spark, sf_dir):
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+        _t_fanout(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
     )
 
 
 def q_knn_bruteforce(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_fanout(spark, sf_dir, "embeddings")
     out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
     return out.select("query_id", "id", "rank")
 
@@ -548,7 +559,7 @@ def q_set_except(spark, sf_dir):
 
 def q_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"),
+        _t_fanout(spark, sf_dir, "documents"),
         "doc_id",
         "text",
         num_perm=64,
@@ -568,7 +579,7 @@ def q_simhash(spark, sf_dir):
     # templated corpus center at ~18 — the gate keeps recall 1.0 here
     # and cuts the exact-verify join ~20x
     return simhash_near_dups_exact(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", blocks=8,
+        _t_fanout(spark, sf_dir, "documents"), "doc_id", "text", blocks=8,
         threshold=0.5, prefilter_hamming=12,
     )
 
@@ -579,7 +590,7 @@ def q_embedding_near_dups(spark, sf_dir):
     # ones and banded-LSH recall on identical vectors is provably 1.
     # Output is the pair ids only — cross-engine float summation quirks
     # never enter the hash.
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_fanout(spark, sf_dir, "embeddings")
     plant = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
         "vec_id", F.col("vec_id") + 100_000
     )
@@ -595,7 +606,7 @@ def q_ivf_topk(spark, sf_dir):
     # candidate join, ranking — while guaranteeing exact results, so the
     # brute-force SQL is a true oracle.  Partial-probe recall is covered
     # by tests/test_dedup_knn.py::test_ivf_topk_recall.
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_fanout(spark, sf_dir, "embeddings")
     out = ivf_topk(
         emb, emb.filter(F.col("vec_id") < 8), k=5, n_clusters=8, nprobe=8
     )
