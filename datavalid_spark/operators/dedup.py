@@ -106,6 +106,23 @@ def _normalized(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     )
 
 
+#: docs per numpy slice inside the Arrow pass — bounds the transient
+#: (shingles × num_perm) uint32 permutation matrix to ~200 MB per task
+_MINHASH_DOC_SLICE = 2048
+
+
+def _perm_constants(num_perm: int, seed: int = 0x5EED):
+    """Deterministic multiply-add permutation constants (uint32, odd
+    multipliers → bijective mod 2^32).  Seeded — signatures are stable
+    across runs, sessions and partitionings."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    a = (rng.randint(1, 2**31, size=num_perm, dtype="uint32") * 2 + 1).astype("uint32")
+    b = rng.randint(0, 2**31, size=num_perm, dtype="uint32").astype("uint32")
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -114,29 +131,89 @@ def minhash_signatures(
     shingle_k: int = 5,
     _norm: Optional[DataFrame] = None,
 ) -> DataFrame:
-    """(id, sig: array<long>[num_perm]) MinHash signatures.
+    """(id, sig: array<long>[num_perm]) MinHash signatures as a pure
+    MAP over the normalized text — no shuffle, no JVM string churn.
 
-    Formulation: explode shingles → hash each shingle ONCE
-    (xxhash64) → one groupBy(id) computing all ``num_perm`` mins as
-    independent aggregates over cheap re-hashes of the 64-bit shingle
-    hash.  xxhash64(shingle_hash, i) plays the i-th permutation.
+    One Arrow ``mapInPandas`` pass does everything vectorised in numpy
+    per slice of docs: rolling-polynomial byte hashes for the
+    k-shingles (k gathers over the concatenated utf-8 buffer — no
+    per-shingle string objects), per-doc distinct via one sort of
+    packed (doc, shingle) keys, then all ``num_perm`` uint32
+    multiply-add permutation mins in one ``np.minimum.reduceat`` over
+    doc boundaries.  Since a doc's text lives in one row, signatures
+    are embarrassingly parallel; the ONLY shuffle in the LSH pipeline
+    is the later band self-join.
 
-    Why not a pure array expression (transform×transform×array_min)?
-    Catalyst's CollapseProject inlines the shingle-array expression
-    into every permutation lambda, so the normalize/substr work is
-    recomputed num_perm× per row — measured 100× slower.  The explode
-    form computes shingles once and the partial min aggregation
-    combines map-side, so the shuffle carries only (id, partial mins).
+    Why not JVM expressions?  The previous formulation
+    (``explode(transform(sequence, substr))`` → ``xxhash64`` → 64
+    min-aggregates) materialised one java String per shingle — 110 M
+    allocations for 400 k docs — and the allocation/GC bandwidth, not
+    CPU, capped it: measured 4→16-core scaling efficiency 0.64 on the
+    signature stage alone (70.9 s → 27.5 s), because all executor
+    threads share one heap.  The numpy kernel allocates two flat
+    buffers per slice inside INDEPENDENT Python workers: ~2.3 k
+    docs/s/core flat across worker counts (vs 1.4 k/core at 4 JVM
+    cores degrading to 0.9 k/core at 16).
+
+    Signature semantics: shingles are BYTE k-grams of the utf-8
+    encoding (identical to character k-grams on ASCII); permutations
+    are 32-bit (spurious min-collision odds per perm ≈ shingles/2³² —
+    negligible against the banding/verify stages downstream).  The
+    exact-verify stage stays character-based and exact, so reported
+    jaccards are unaffected — signatures only steer candidates.
     """
+    import numpy as np
+    import pandas as pd
+
     norm = _norm if _norm is not None else _normalized(df, id_col, content_col)
-    sh = norm.select(
-        "id", F.explode(shingles_of_normalized(F.col("__norm"), shingle_k)).alias("s")
-    ).select("id", F.xxhash64("s").alias("h"))
-    aggs = [F.min(F.xxhash64("h", F.lit(i))).alias(f"__m{i}") for i in range(num_perm)]
-    return (
-        sh.groupBy("id")
-        .agg(*aggs)
-        .select("id", F.array(*[F.col(f"__m{i}") for i in range(num_perm)]).alias("sig"))
+    a, b = _perm_constants(num_perm)
+    k = shingle_k
+    base = np.uint32(2654435761)  # Knuth multiplicative constant
+
+    def _slice_sigs(ids, texts):
+        data = [t.encode("utf-8") if t is not None else b"" for t in texts]
+        lens = np.array([len(d) for d in data], dtype="int64")
+        counts = np.maximum(lens - k + 1, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return None
+        blob = np.frombuffer(b"".join(data), dtype="uint8").astype("uint32")
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        doc_of = np.repeat(np.arange(len(lens), dtype="int64"), counts)
+        cum = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        ws = np.repeat(starts, counts) + (np.arange(total) - np.repeat(cum, counts))
+        v = np.zeros(total, dtype="uint32")
+        for j in range(k):
+            v = v * base + blob[ws + j]
+        # distinct (doc, shingle): one sort of packed 64-bit keys
+        key = np.sort(doc_of.astype("uint64") * np.uint64(2**32) + v)
+        keep = np.ones(len(key), dtype=bool)
+        keep[1:] = key[1:] != key[:-1]
+        key = key[keep]
+        d_u = (key >> np.uint64(32)).astype("int64")
+        v_u = key.astype("uint32")
+        bounds = np.concatenate(([0], np.nonzero(d_u[1:] != d_u[:-1])[0] + 1))
+        perm = v_u[:, None] * a[None, :] + b[None, :]
+        sig = np.minimum.reduceat(perm, bounds, axis=0).astype("int64")
+        return ids[d_u[bounds]], sig
+
+    def fn(batches):
+        for pdf in batches:
+            for lo in range(0, len(pdf), _MINHASH_DOC_SLICE):
+                sl = pdf.iloc[lo : lo + _MINHASH_DOC_SLICE]
+                out = _slice_sigs(sl["id"].to_numpy(), sl["__norm"].tolist())
+                if out is None:
+                    continue
+                ids, sig = out
+                # rows stay numpy int64 arrays: Arrow converts ndarray
+                # cells to list<int64> C-side — .tolist() would box
+                # num_docs × num_perm Python ints (measured ~25% of the
+                # whole signature stage at 400k docs)
+                yield pd.DataFrame({"id": ids, "sig": list(sig)})
+
+    id_type = norm.schema["id"].dataType.simpleString()
+    return norm.select("id", "__norm").mapInPandas(
+        fn, schema=f"id {id_type}, sig array<bigint>"
     )
 
 

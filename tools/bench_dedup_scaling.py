@@ -1,0 +1,179 @@
+"""Two-level scaling study for the dedup/LSH family (companion to
+tools/bench_scaling.py, which covers the validation suite).
+
+Job: capped MinHash-LSH near-duplicate detection (64 perms, 16 bands,
+estimate verify, max_bucket_size=20 — the production fan-out cap is
+load-bearing on this templated corpus, which has byte-identical
+mega-groups) over N docs of the bench source-code table, end-to-end:
+normalize -> shingle -> signatures -> banding self-join -> estimate
+filter.
+
+Levels run in separate taskset-pinned JVMs (same method as
+bench_scaling.py: pinning caps GC/JIT threads too, so local[N] really
+means N cores).  The corpus parquet is materialised once with 64
+partitions — `limit()` alone collapses to ONE input split and would
+serialise the whole pipeline on a single core (measured 107 s vs 10 s
+at 100k docs), which corrupts the small-level baseline.
+
+Usage: python tools/bench_dedup_scaling.py [--docs 400000] [--iters 2]
+       python tools/bench_dedup_scaling.py --level 4   (inner, pinned)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/tmp/dv_bench_src_2000000_42"  # written by bench.py setup
+CORPUS = "/tmp/dv_dedup_scaling_corpus_{docs}"
+
+
+def build_session(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"dedup-scaling-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "12g")
+        .config("spark.ui.enabled", "false")
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:+AlwaysPreTouch -XX:ParallelGCThreads={max(cpus // 2, 2)}",
+        )
+        .getOrCreate()
+    )
+
+
+def ensure_corpus(docs: int) -> str:
+    path = CORPUS.format(docs=docs)
+    if os.path.isdir(path):
+        return path
+    from pyspark.sql import functions as F
+
+    spark = build_session(8)
+    (
+        spark.read.parquet(SRC)
+        .limit(docs)
+        .select(F.xxhash64("repo", "path", "commit").alias("doc_id"), "content")
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    spark.stop()
+    return path
+
+
+def run_level(cpus: int, docs: int, iters: int) -> dict:
+    env = dict(os.environ)
+    cmd = [
+        "taskset",
+        "-c",
+        f"0-{cpus - 1}",
+        sys.executable,
+        os.path.abspath(__file__),
+        "--level",
+        str(cpus),
+        "--docs",
+        str(docs),
+        "--iters",
+        str(iters),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
+    for line in reversed(out.stdout.splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"level {cpus} produced no JSON:\n{out.stderr[-2000:]}")
+
+
+def inner(cpus: int, docs: int, iters: int) -> None:
+    from datavalid_spark.cache import release_cached
+    from datavalid_spark.operators.dedup import minhash_lsh_pairs
+
+    spark = build_session(cpus)
+    # small-files packing: 64 × ~2 MB parquet files coalesce into ~4
+    # input splits at the default maxPartitionBytes/openCost, capping a
+    # map-only pipeline at 4 workers REGARDLESS of cores (measured:
+    # local[16] no faster than local[4]).  Fan out to the level's
+    # parallelism so "local[N]" actually means N workers.
+    df = spark.read.parquet(CORPUS.format(docs=docs)).repartition(cpus * 3).persist()
+    n = df.count()
+    times, pairs = [], 0
+    for _ in range(iters):
+        t = time.time()
+        pairs = minhash_lsh_pairs(
+            df,
+            "doc_id",
+            "content",
+            num_perm=64,
+            bands=16,
+            threshold=0.7,
+            verify="estimate",
+            max_bucket_size=20,
+        ).count()
+        times.append(time.time() - t)
+        release_cached()
+    best = min(times)
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "docs": n,
+                "pairs": pairs,
+                "sec_best": round(best, 2),
+                "sec_all": [round(x, 2) for x in times],
+                "docs_per_sec": round(n / best, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=400000)
+    ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--level", type=int, default=None)
+    args = ap.parse_args()
+
+    if args.level:
+        inner(args.level, args.docs, args.iters)
+        return
+
+    ensure_corpus(args.docs)
+    levels = {}
+    # primary N→4N pair is 2→8, matching the suite study
+    # (BENCH/BASELINE.md): this host saturates its shared memory bus —
+    # and oversubscribes vCPUs — above ~16 concurrent workers, so
+    # larger pairs measure the bus, not the plan.  16/32 are appendix.
+    for cpus in (2, 8, 16, 32):
+        levels[cpus] = run_level(cpus, args.docs, args.iters)
+        print(f"level {cpus}: {levels[cpus]}", file=sys.stderr)
+    pairs = []
+    for n in (2, 4, 8):
+        if n in levels and n * 4 in levels:
+            e = levels[n * 4]["docs_per_sec"] / (4 * levels[n]["docs_per_sec"])
+            pairs.append({"N": n, "4N": n * 4, "scaling_efficiency": round(e, 3)})
+    eff = pairs[0]["scaling_efficiency"] if pairs else None
+    summary = {
+        "job": "minhash_lsh capped near-dup detection",
+        "docs": args.docs,
+        "levels": levels,
+        "N": 2,
+        "4N": 8,
+        "scaling_efficiency": eff,
+        "meets_0.8": bool(eff and eff >= 0.8),
+        "pairs": pairs,
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
