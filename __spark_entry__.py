@@ -44,6 +44,7 @@ from datavalid_spark.operators.checks import (
     UniqueCheck,
     ValidDateCheck,
 )
+from datavalid_spark.operators.components import duplicate_clusters, keep_canonical
 from datavalid_spark.operators.dedup import (
     distinct_by_content,
     embedding_near_dups,
@@ -304,6 +305,33 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(
         _t_fanout(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
     )
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → connected components → (doc, cluster, size).
+
+    Pair generation is the exact word-3-gram Jaccard operator (same
+    ground truth as ``dedup_ngram_jaccard``); the clustering is the
+    large-star/small-star DataFrame algorithm, oracle-checked against
+    a DuckDB recursive-CTE transitive closure over the same pair SQL.
+    """
+    pairs = ngram_jaccard_pairs(
+        _t_fanout(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+    )
+    return duplicate_clusters(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id", "cluster_size"
+    )
+
+
+def q_dedup_keep_canonical(spark, sf_dir):
+    """Corpus after cluster dedup: keep the longest doc per near-dup
+    cluster (ties → lowest id), pass unpaired docs through."""
+    docs = _t_fanout(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    kept = keep_canonical(
+        docs, duplicate_clusters(pairs), "doc_id", prefer_longest="text"
+    )
+    return kept.select("doc_id")
 
 
 def q_knn_bruteforce(spark, sf_dir):
@@ -664,6 +692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_distinct": q_dedup_distinct,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_canonical": q_dedup_keep_canonical,
         "knn_bruteforce": q_knn_bruteforce,
         "text_metrics": q_text_metrics,
         "text_lang_id": q_text_lang_id,
@@ -700,6 +730,28 @@ _TOKS = (
 _TOKS_SEQ = (
     "list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w != '')"
 )
+
+#: exact word-3-gram Jaccard pairs at threshold 0.5 — shared by the
+#: dedup_ngram_jaccard oracle and (as the edge set) the recursive-CTE
+#: connected-components oracles for dedup_clusters/dedup_keep_canonical
+_NGRAM_PAIR_CTES = f"""toks AS (SELECT doc_id AS id, {_TOKS_SEQ} AS t FROM documents),
+grams AS (
+  SELECT id, list_distinct(list_transform(range(1, len(t) - 3 + 2),
+         i -> array_to_string(t[i:i+2], ' '))) AS g
+  FROM toks WHERE len(t) >= 3),
+sz AS (SELECT id, len(g) AS n FROM grams WHERE len(g) > 0),
+inv AS (SELECT id, unnest(g) AS gram FROM grams),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM inv a JOIN inv b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY a.id, b.id),
+jac AS (
+  SELECT id_a, id_b,
+         n_inter::DOUBLE / (sa.n + sb.n - n_inter) AS jaccard
+  FROM inter
+  JOIN sz sa ON inter.id_a = sa.id
+  JOIN sz sb ON inter.id_b = sb.id
+  WHERE n_inter::DOUBLE / (sa.n + sb.n - n_inter) >= 0.5)"""
 
 
 def _lang_id_sql() -> str:
@@ -928,23 +980,40 @@ SELECT * FROM documents
 QUALIFY ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1
 """,
         "dedup_ngram_jaccard": f"""
-WITH toks AS (SELECT doc_id AS id, {_TOKS_SEQ} AS t FROM documents),
-grams AS (
-  SELECT id, list_distinct(list_transform(range(1, len(t) - 3 + 2),
-         i -> array_to_string(t[i:i+2], ' '))) AS g
-  FROM toks WHERE len(t) >= 3),
-sz AS (SELECT id, len(g) AS n FROM grams WHERE len(g) > 0),
-inv AS (SELECT id, unnest(g) AS gram FROM grams),
-inter AS (
-  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
-  FROM inv a JOIN inv b ON a.gram = b.gram AND a.id < b.id
-  GROUP BY a.id, b.id)
-SELECT id_a, id_b,
-       n_inter::DOUBLE / (sa.n + sb.n - n_inter) AS jaccard
-FROM inter
-JOIN sz sa ON inter.id_a = sa.id
-JOIN sz sb ON inter.id_b = sb.id
-WHERE n_inter::DOUBLE / (sa.n + sb.n - n_inter) >= 0.5
+WITH {_NGRAM_PAIR_CTES}
+SELECT id_a, id_b, jaccard FROM jac
+""",
+        "dedup_clusters": f"""
+WITH RECURSIVE {_NGRAM_PAIR_CTES},
+edges AS (SELECT id_a AS u, id_b AS v FROM jac
+          UNION SELECT id_b, id_a FROM jac),
+reach AS (
+  SELECT u AS id, u AS comp FROM edges
+  UNION
+  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+comp AS (SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id)
+SELECT id AS doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
+""",
+        "dedup_keep_canonical": f"""
+WITH RECURSIVE {_NGRAM_PAIR_CTES},
+edges AS (SELECT id_a AS u, id_b AS v FROM jac
+          UNION SELECT id_b, id_a FROM jac),
+reach AS (
+  SELECT u AS id, u AS comp FROM edges
+  UNION
+  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+comp AS (SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+lens AS (SELECT c.id, c.cluster_id, length(d.text) AS len
+         FROM comp c JOIN documents d ON d.doc_id = c.id),
+winners AS (
+  SELECT id FROM (
+    SELECT id, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY len DESC, id) AS rk
+    FROM lens) WHERE rk = 1),
+losers AS (SELECT id FROM comp WHERE id NOT IN (SELECT id FROM winners))
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)
 """,
         "knn_bruteforce": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qvec

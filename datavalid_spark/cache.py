@@ -28,3 +28,19 @@ def release_cached() -> None:
     """Unpersist every tracked intermediate."""
     while _CACHED:
         _CACHED.pop().unpersist()
+
+
+def gated_broadcast(small: DataFrame, limit: int = 1_000_000) -> DataFrame:
+    """Size-gated static broadcast (shared form of
+    ``UniqueCheck._gated_broadcast`` — see checks.py for the full
+    rationale).  A static hint lets the probe side skip its shuffle
+    entirely, but an unconditional hint OOMs when "small" isn't;
+    AQE-only is safe but ~2× slower (the probe's map shuffle write is
+    planned before AQE's SMJ→BHJ conversion).  Persist the small side
+    (tracked), count it with a capped probe, hint only under the
+    limit."""
+    from pyspark.sql import functions as F
+
+    small = persist_tracked(small)
+    n = small.limit(limit + 1).count()
+    return F.broadcast(small) if n <= limit else small

@@ -1,0 +1,190 @@
+"""Connected components over duplicate-pair edges, and the cluster
+step of a dedup pipeline built on it.
+
+A near-duplicate detector (``minhash_lsh_pairs``, ``ngram_jaccard_pairs``,
+``simhash_near_dups``, ``embedding_near_dups`` — see dedup.py) emits
+PAIRS.  A training-data pipeline needs CLUSTERS: "these 40 docs are all
+the same article; keep one".  Pairs → clusters is connected components,
+and at 100 TB it must be a fixed small number of shuffles, not a
+per-component driver loop.
+
+``connected_components`` implements the alternating large-star /
+small-star algorithm (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
+"Connected Components in MapReduce and Beyond", SoCC 2014): each
+iteration is two rounds of (groupBy-min + join) — pure DataFrame ops,
+every node ends up labeled with the minimum node id of its component
+in O(log n) iterations REGARDLESS of component diameter (a plain
+min-label propagation needs O(diameter) rounds — a pathological chain
+of pairwise-similar docs would need thousands).
+
+Scale notes (the parts that matter at 10^12 edges):
+- No ``collect_list`` of neighborhoods — a hub node (one doc paired
+  with millions) would materialise an unbounded array.  The per-node
+  min is a partial-aggregating groupBy and the star re-attachment is a
+  join, so skew is absorbed map-side / by AQE skew handling.
+- Each iteration ``localCheckpoint``\\ s the edge set: an iterative
+  driver loop otherwise nests the logical plan ``iter`` levels deep and
+  Catalyst re-analysis dominates.  (On a multi-executor cluster with
+  dynamic allocation, prefer ``spark.sparkContext.setCheckpointDir`` +
+  ``.checkpoint()`` — localCheckpoint pins blocks to executors.)
+- Convergence = the edge set is a star forest (every edge already
+  points at its component minimum), detected with one count per
+  iteration over the just-materialised frame.
+
+Reference scope note: the reference engine (pckhoi/datavalid) has no
+graph/cluster operator — this extends the dedup family required for
+the LLM-pipeline surface (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star or small-star round.
+
+    ``edges`` holds (u, v) with u > v (the orientation invariant both
+    rounds preserve: every emitted edge is (node, smaller-label)).
+
+    large-star: symmetrize, group by center c, m = min(N(c) ∪ {c});
+    re-attach every STRICTLY LARGER neighbor to m.
+    small-star: group the (u > v) edges by u, m = min(N_small(u));
+    attach u and all its smaller neighbors to m.
+    """
+    if large:
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("__mv"))
+        mins = mins.select("u", F.least("__mv", "u").alias("m"))
+        out = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+    else:
+        mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+        att = edges.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+        out = att.union(mins.select(F.col("u"), F.col("m").alias("v")))
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Label every node of the pair graph with its component minimum.
+
+    Input: a DataFrame of undirected edges (duplicate pairs); self
+    loops and duplicate/reversed edges are tolerated.  Output:
+    ``(id, component)`` — one row per node that appears in any edge,
+    ``component`` = the smallest node id in its connected component
+    (deterministic, engine-independent — this is what makes the result
+    oracle-checkable against a recursive-CTE transitive closure).
+
+    Alternating large-star/small-star; converges when the edge set is
+    a star forest (every node points directly at its component min),
+    which large-star leaves unchanged.  O(log n) iterations; each is
+    2 shuffles (groupBy + join) per round.
+    """
+    cur = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nxt = _star_round(_star_round(cur, large=True), large=False).localCheckpoint(
+            eager=True
+        )
+        # star forest ⇔ no node appears on both sides (u of one edge
+        # and v of another) — i.e. every u points at a root.  Roots
+        # never appear as u (u > v filters them out of their own
+        # groups), so the condition is: no u is also some edge's u's
+        # parent... cheaper and exact: large-star on a star forest is
+        # the identity, so compare sizes after one more half-round.
+        if nxt.count() == cur.count():
+            # equal cardinality is necessary but not sufficient —
+            # confirm set equality before declaring convergence
+            if nxt.exceptAll(cur).isEmpty():
+                cur = nxt
+                break
+        cur = nxt
+    return cur.select(F.col("u").alias("id"), F.col("v").alias("component")).union(
+        cur.select("v", "v").distinct()
+    )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Pairs → ``(id, cluster_id, cluster_size)``.
+
+    ``cluster_id`` = min doc id in the component; ``cluster_size`` =
+    number of member docs.  Only docs that appear in at least one pair
+    are returned (unpaired docs are their own trivial cluster — left
+    join this result and coalesce to taste).
+    """
+    comp = connected_components(pairs, id_a, id_b)
+    w = Window.partitionBy("component")
+    return comp.select(
+        "id",
+        F.col("component").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+
+
+def keep_canonical(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    prefer_longest: Optional[str] = None,
+    broadcast_key_limit: int = 1_000_000,
+) -> DataFrame:
+    """Drop all but one doc per duplicate cluster.
+
+    ``clusters`` is ``duplicate_clusters`` output (or anything with
+    ``id``/``cluster_id``).  The canonical winner is the lowest id, or
+    the LONGEST ``prefer_longest`` column value (ties → lowest id) —
+    the usual "keep the most complete copy" policy.  Docs absent from
+    ``clusters`` (never paired) pass through untouched.
+
+    Scale shape: the base table is NEVER windowed or shuffled.  The
+    winner election runs entirely on the assignment table (one row per
+    CLUSTERED doc — tiny next to the corpus); the base table sees one
+    ``left_anti`` join against the loser-id set, and both small sides
+    go through the size-gated broadcast, so at the usual dup rate the
+    whole op is two map-side joins over the corpus.
+    """
+    from datavalid_spark.cache import gated_broadcast
+
+    assign = clusters.select(F.col("id").alias(id_col), "cluster_id")
+    if prefer_longest is not None:
+        lens = df.select(F.col(id_col), F.length(F.col(prefer_longest)).alias("__len"))
+        # small ⋈ big oriented so the broadcast side is the assignments
+        assign = lens.join(
+            gated_broadcast(assign, broadcast_key_limit), id_col, "inner"
+        )
+        # longest wins; ties → smallest id (struct ordering is
+        # lexicographic, so negate the length to reuse min_by)
+        pref = F.struct((-F.col("__len")).alias("a"), F.col(id_col).alias("b"))
+        winners = assign.groupBy("cluster_id").agg(
+            F.min_by(F.col(id_col), pref).alias("__keep")
+        )
+    else:
+        winners = assign.groupBy("cluster_id").agg(F.min(id_col).alias("__keep"))
+    losers = (
+        assign.join(winners, "cluster_id")
+        .filter(F.col(id_col) != F.col("__keep"))
+        .select(id_col)
+    )
+    return df.join(gated_broadcast(losers, broadcast_key_limit), id_col, "left_anti")

@@ -1,0 +1,134 @@
+"""Connected components + cluster dedup (operators/components.py).
+
+Parity model: a pure-Python union-find over the collected edge list —
+the same ground truth a recursive-CTE oracle computes (the driver gate
+runs that form in DuckDB for the ``dedup_clusters`` query).
+"""
+
+import random
+
+from pyspark.sql import functions as F
+
+from datavalid_spark.operators.components import (
+    connected_components,
+    duplicate_clusters,
+    keep_canonical,
+)
+
+from tests.conftest import rows_as_tuples
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = sorted((r.id, r.component) for r in connected_components(df).collect())
+    want = sorted(_union_find(edges).items())
+    assert got == [tuple(x) for x in want]
+
+
+def test_cc_two_cliques_and_chain(spark):
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (20, 21), (21, 22), (22, 23)]
+    _check(spark, edges)
+
+
+def test_cc_long_chain_needs_log_rounds(spark):
+    # a 64-node path: min-label propagation would need 63 rounds;
+    # star contraction must finish well inside max_iter
+    edges = [(i, i + 1) for i in range(64)]
+    _check(spark, edges)
+
+
+def test_cc_duplicate_reversed_and_self_edges(spark):
+    edges = [(2, 1), (1, 2), (3, 3), (2, 3), (5, 4)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = rows_as_tuples(connected_components(df))
+    # node 3 joins {1,2} via (2,3); the self edge alone creates no node
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)]
+
+
+def test_cc_random_graph_matches_union_find(spark):
+    rng = random.Random(7)
+    nodes = list(range(200))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)]
+    edges = [e for e in edges if e[0] != e[1]]
+    _check(spark, edges)
+
+
+def test_cc_empty(spark):
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(df).count() == 0
+
+
+def test_cc_string_ids(spark):
+    df = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    got = rows_as_tuples(connected_components(df))
+    assert got == [("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")]
+
+
+def test_duplicate_clusters_sizes(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    got = rows_as_tuples(duplicate_clusters(pairs))
+    assert got == [(1, 1, 3), (2, 1, 3), (3, 1, 3), (7, 7, 2), (8, 7, 2)]
+
+
+def test_keep_canonical_min_id(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 4), (2, 5)], "id_a long, id_b long")
+    kept = keep_canonical(docs, duplicate_clusters(pairs), "doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [0, 1, 2, 3]
+
+
+def test_keep_canonical_prefer_longest(spark):
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "the longest text"), (3, "mid text"), (9, "solo")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = keep_canonical(
+        docs, duplicate_clusters(pairs), "doc_id", prefer_longest="text"
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 9]
+
+
+def test_keep_canonical_prefer_longest_tie_breaks_low_id(spark):
+    docs = spark.createDataFrame(
+        [(5, "aaaa"), (4, "bbbb"), (6, "cc")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(4, 5), (5, 6)], "id_a long, id_b long")
+    kept = keep_canonical(
+        docs, duplicate_clusters(pairs), "doc_id", prefer_longest="text"
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == [4]
+
+
+def test_cc_output_one_row_per_node(spark):
+    # regression guard: at convergence every node appears exactly once
+    rng = random.Random(13)
+    edges = [(rng.randrange(50), rng.randrange(50)) for _ in range(80)]
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = connected_components(df).collect()
+    ids = [r.id for r in out]
+    assert len(ids) == len(set(ids))
