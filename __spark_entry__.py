@@ -50,6 +50,7 @@ from datavalid_spark.operators.dedup import (
     embedding_near_dups,
     exact_duplicates,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_between,
     ngram_jaccard_pairs,
     simhash_near_dups_exact,
 )
@@ -332,6 +333,25 @@ def q_dedup_keep_canonical(spark, sf_dir):
         docs, duplicate_clusters(pairs), "doc_id", prefer_longest="text"
     )
     return kept.select("doc_id")
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental ingest: near-dups of a NEW batch (even doc_ids)
+    against the EXISTING corpus (odd doc_ids) via the cross-set LSH
+    band join + exact shingle-Jaccard verify.  Oracle = the shared
+    all-pairs exact-Jaccard SQL restricted to cross-parity pairs."""
+    docs = _t_fanout(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 2 == 0)
+    corpus = docs.filter(F.col("doc_id") % 2 == 1)
+    out = minhash_lsh_pairs_between(
+        batch, corpus, "doc_id", "text", num_perm=64, bands=16,
+        threshold=0.5, verify="exact",
+    )
+    return out.select(
+        F.least("id_new", "id_corpus").alias("id_a"),
+        F.greatest("id_new", "id_corpus").alias("id_b"),
+        "jaccard",
+    )
 
 
 def q_knn_bruteforce(spark, sf_dir):
@@ -694,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_canonical": q_dedup_keep_canonical,
+        "dedup_incremental": q_dedup_incremental,
         "knn_bruteforce": q_knn_bruteforce,
         "text_metrics": q_text_metrics,
         "text_lang_id": q_text_lang_id,
@@ -1136,6 +1157,10 @@ SELECT event_id, user_id,
 FROM g
 """,
         "minhash_lsh": _SHINGLE_JACCARD_SQL,
+        "dedup_incremental": f"""
+SELECT id_a, id_b, jaccard FROM ({_SHINGLE_JACCARD_SQL})
+WHERE (id_a % 2) <> (id_b % 2)
+""",
         "simhash": _SHINGLE_JACCARD_SQL,
         "embedding_near_dups": """
 WITH u AS (

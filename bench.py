@@ -64,6 +64,7 @@ HEADLINE_QUERIES = [
     "profile_stats",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_clusters",
     "minhash_lsh",
     "simhash",
     "knn_bruteforce",

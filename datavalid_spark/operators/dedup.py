@@ -4,10 +4,11 @@ Five strategies, all designed for the 100 TB path:
 
 - ``exact_duplicates``     — hash-groupBy on sha256(content); one
   shuffle on a 64-hex key, partial agg absorbs skew.
-- ``minhash_lsh_pairs``    — shingle → 64-perm MinHash (all native:
-  explode + hash + partial-min aggregation) → band → bucket self-join
-  → Jaccard verify on candidates only.  The self-join shuffles only
-  (band, bucket) keys, so cost scales with collision count, not n².
+- ``minhash_lsh_pairs``    — shingle → 64-perm MinHash (shuffle-free
+  flat-numpy Arrow pass — see ``minhash_signatures`` for why not JVM
+  expressions) → band → bucket self-join → Jaccard verify on
+  candidates only.  The self-join shuffles only (band, bucket) keys,
+  so cost scales with collision count, not n².
   ``verify="exact"`` re-scores candidates with the EXACT shingle-set
   Jaccard (array_intersect on candidate pairs only) — the
   oracle-checkable mode.
@@ -25,7 +26,9 @@ Five strategies, all designed for the 100 TB path:
   cosine verify inside buckets (see knn.py for generic ANN search).
 
 Each keeps the candidate-generation/verify split explicit: candidates
-shuffle small keys; verification touches only candidate pairs.
+shuffle small keys; verification touches only candidate pairs.  The
+cluster step (pairs → connected components → canonical doc per
+cluster) lives in components.py.
 
 Cache lifecycle: intermediates that must be materialised (signature
 tables, inverted indexes) are persisted through ``_persist`` which
@@ -149,24 +152,37 @@ def minhash_signatures(
     min-aggregates) materialised one java String per shingle — 110 M
     allocations for 400 k docs — and the allocation/GC bandwidth, not
     CPU, capped it: measured 4→16-core scaling efficiency 0.64 on the
-    signature stage alone (70.9 s → 27.5 s), because all executor
-    threads share one heap.  The numpy kernel allocates two flat
-    buffers per slice inside INDEPENDENT Python workers: ~2.3 k
-    docs/s/core flat across worker counts (vs 1.4 k/core at 4 JVM
-    cores degrading to 0.9 k/core at 16).
+    signature stage alone, because all executor threads share one
+    heap.
 
-    Signature semantics: shingles are BYTE k-grams of the utf-8
-    encoding (identical to character k-grams on ASCII); permutations
-    are 32-bit (spurious min-collision odds per perm ≈ shingles/2³² —
-    negligible against the banding/verify stages downstream).  The
-    exact-verify stage stays character-based and exact, so reported
-    jaccards are unaffected — signatures only steer candidates.
+    Signature scheme: ONE-PERMUTATION HASHING (Li, Owen, Zhang, "One
+    Permutation Hashing", NIPS 2012) with cyclic densification for
+    empty bins (Shrivastava & Li, ICML 2014): bin = top log2(num_perm)
+    bits of the 32-bit shingle hash, signature value = min hash in the
+    bin.  One pass over the shingles instead of num_perm — the classic
+    k×num_perm permutation matrix was measured 12× slower per core
+    AND memory-bandwidth-bound (per-core throughput halved from 4 to
+    16 workers as the shared bus saturated; OPH removes ~95% of the
+    traffic).  Because bins are the TOP bits, the per-doc ascending
+    sort used for dedup already groups bins contiguously: the bin
+    minimum is just each run head — no extra pass.  Falls back to the
+    multiply-add permutation matrix when num_perm is not a power of
+    two.
+
+    Shingles are BYTE k-grams of the utf-8 encoding (identical to
+    character k-grams on ASCII).  The exact-verify stage stays
+    character-based and exact, so reported jaccards are unaffected —
+    signatures only steer candidates (and the ``verify="estimate"``
+    agreement fraction remains the standard OPH Jaccard estimator).
     """
     import numpy as np
     import pandas as pd
 
     norm = _norm if _norm is not None else _normalized(df, id_col, content_col)
-    a, b = _perm_constants(num_perm)
+    pow2 = num_perm & (num_perm - 1) == 0 and num_perm > 0
+    if not pow2:
+        a, b = _perm_constants(num_perm)
+    shift = np.uint32(32 - int(num_perm).bit_length() + 1) if pow2 else None
     k = shingle_k
     base = np.uint32(2654435761)  # Knuth multiplicative constant
 
@@ -192,10 +208,31 @@ def minhash_signatures(
         key = key[keep]
         d_u = (key >> np.uint64(32)).astype("int64")
         v_u = key.astype("uint32")
-        bounds = np.concatenate(([0], np.nonzero(d_u[1:] != d_u[:-1])[0] + 1))
-        perm = v_u[:, None] * a[None, :] + b[None, :]
-        sig = np.minimum.reduceat(perm, bounds, axis=0).astype("int64")
-        return ids[d_u[bounds]], sig
+        if not pow2:
+            bounds = np.concatenate(([0], np.nonzero(d_u[1:] != d_u[:-1])[0] + 1))
+            perm = v_u[:, None] * a[None, :] + b[None, :]
+            sig = np.minimum.reduceat(perm, bounds, axis=0).view("int32")
+            return ids[d_u[bounds]], sig
+        # OPH: v ascends within each doc and bin = top bits of v, so
+        # (doc, bin) runs are contiguous and each run head is the bin min
+        bin_of = (v_u >> shift).astype("int64")
+        key2 = d_u * num_perm + bin_of
+        head = np.ones(len(key2), dtype=bool)
+        head[1:] = key2[1:] != key2[:-1]
+        # int64 during assembly (-1 = empty sentinel must be outside
+        # the uint32 value range); narrowed to int32 on return
+        sig = np.full((len(lens), num_perm), -1, dtype="int64")
+        sig[d_u[head], bin_of[head]] = v_u[head].astype("int64")
+        # densify: an empty bin borrows from the nearest non-empty bin
+        # to its left, cyclically (deterministic — equal shingle sets
+        # still yield equal signatures)
+        ext = np.concatenate([sig, sig], axis=1)
+        src = np.where(ext >= 0, np.arange(2 * num_perm)[None, :], -1)
+        np.maximum.accumulate(src, axis=1, out=src)
+        take = src[:, num_perm:]
+        sig = np.take_along_axis(ext, np.maximum(take, 0), axis=1)
+        present = np.unique(d_u)
+        return ids[present], sig[present].astype("uint32").view("int32")
 
     def fn(batches):
         for pdf in batches:
@@ -205,34 +242,25 @@ def minhash_signatures(
                 if out is None:
                     continue
                 ids, sig = out
-                # rows stay numpy int64 arrays: Arrow converts ndarray
-                # cells to list<int64> C-side — .tolist() would box
+                # rows stay numpy int32 arrays: Arrow converts ndarray
+                # cells to list<int32> C-side — .tolist() would box
                 # num_docs × num_perm Python ints (measured ~25% of the
-                # whole signature stage at 400k docs)
+                # whole signature stage at 400k docs).  int32 (not
+                # int64): sig values are 32-bit hashes, and the array
+                # is shuffled/broadcast in the scoring join — half the
+                # bytes is half the bus traffic.
                 yield pd.DataFrame({"id": ids, "sig": list(sig)})
 
     id_type = norm.schema["id"].dataType.simpleString()
     return norm.select("id", "__norm").mapInPandas(
-        fn, schema=f"id {id_type}, sig array<bigint>"
+        fn, schema=f"id {id_type}, sig array<int>"
     )
 
 
-def _exact_jaccard_on_candidates(
-    cand: DataFrame, norm: DataFrame, shingle_k: int, threshold: float
-) -> DataFrame:
-    """Exact shingle-set Jaccard for (id_a, id_b) candidate pairs.
-
-    Shingles are xxhash64-compressed to longs before the intersect:
-    ``array_intersect`` over 8-byte longs costs ~4× less than over
-    ~k-char strings, and the Jaccard stays exact up to a 64-bit hash
-    collision inside one pair's union (~|union|²/2⁶⁴ ≈ 10⁻⁸ per pair,
-    deterministic — any occurrence would surface in the oracle gate).
-    """
-    # materialised once: ga and gb are two branches of the SAME per-doc
-    # shingle table — unpersisted, the normalize+shingle+hash pipeline
-    # runs twice (measured 2x verify cost at sf0.1); one row per doc,
-    # MEMORY_AND_DISK spills at scale like every other _persist here
-    g = _persist(
+def _hashed_shingle_table(norm: DataFrame, shingle_k: int) -> DataFrame:
+    """(id, g: array<long>) — per-doc distinct shingles compressed to
+    xxhash64 longs, persisted (both verify branches read it)."""
+    return _persist(
         norm.select(
             "id",
             F.transform(
@@ -241,8 +269,35 @@ def _exact_jaccard_on_candidates(
             ).alias("g"),
         )
     )
+
+
+def _exact_jaccard_on_candidates(
+    cand: DataFrame,
+    norm: DataFrame,
+    shingle_k: int,
+    threshold: float,
+    norm_b: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for (id_a, id_b) candidate pairs.
+
+    Shingles are xxhash64-compressed to longs before the intersect:
+    ``array_intersect`` over 8-byte longs costs ~4× less than over
+    ~k-char strings, and the Jaccard stays exact up to a 64-bit hash
+    collision inside one pair's union (~|union|²/2⁶⁴ ≈ 10⁻⁸ per pair,
+    deterministic — any occurrence would surface in the oracle gate).
+
+    ``norm_b``: when the candidate sides come from two DIFFERENT doc
+    sets (cross-set dedup), id_a resolves against ``norm`` and id_b
+    against ``norm_b``; default is the self-join case.
+    """
+    # materialised once: ga and gb are two branches of the SAME per-doc
+    # shingle table — unpersisted, the normalize+shingle+hash pipeline
+    # runs twice (measured 2x verify cost at sf0.1); one row per doc,
+    # MEMORY_AND_DISK spills at scale like every other _persist here
+    g = _hashed_shingle_table(norm, shingle_k)
+    g2 = g if norm_b is None else _hashed_shingle_table(norm_b, shingle_k)
     ga = g.select(F.col("id").alias("id_a"), F.col("g").alias("__ga"))
-    gb = g.select(F.col("id").alias("id_b"), F.col("g").alias("__gb"))
+    gb = g2.select(F.col("id").alias("id_b"), F.col("g").alias("__gb"))
     inter = F.size(F.array_intersect(F.col("__ga"), F.col("__gb")))
     return (
         cand.join(ga, "id_a")
@@ -292,6 +347,73 @@ def _cap_buckets(
     )
 
 
+def _band_hashes(with_sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bucket) — one row per band per doc; bucket = xxhash64
+    of the band's signature slice.
+
+    Deliberately NARROW: the signature array (~0.5 KB at 64 perms) is
+    NOT carried through — the band table goes through a window (bucket
+    cap) and a self-join, and dragging the array through those shuffles
+    was measured as the dominant cost of the whole pipeline (≈20× the
+    bytes of the 24-byte rows).  Scoring joins signatures back onto the
+    (deduplicated, tiny) candidate pair set instead."""
+    return with_sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def _join_sigs(pairs: DataFrame, sig_a: DataFrame, sig_b: DataFrame) -> DataFrame:
+    """Attach sig_a/sig_b arrays to an (id_a, id_b) pair set.
+
+    The signature sides go through the size-gated broadcast: when the
+    doc set fits (the common case — one ~260 B row per doc), the pair
+    set streams map-side through BOTH joins and the wide
+    (pair × sig_a) intermediate is never shuffled — measured as the
+    dominant cost on collision-heavy corpora (12.9 M candidate pairs
+    dragging 0.5 KB arrays through two exchanges).  Above the gate it
+    degrades to plain shuffle joins, which is the 10^12-doc path."""
+    from datavalid_spark.cache import gated_broadcast
+
+    sa = gated_broadcast(
+        sig_a.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    )
+    sb = gated_broadcast(
+        sig_b.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    )
+    return pairs.join(sa, "id_a").join(sb, "id_b")
+
+
+def _sig_agreement(num_perm: int) -> Column:
+    """Fraction of agreeing signature positions between ``sig_a`` and
+    ``sig_b`` — the classic unbiased LSH Jaccard estimate."""
+    return (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(num_perm)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -331,55 +453,25 @@ def minhash_lsh_pairs(
     with_sig = _persist(
         minhash_signatures(df, id_col, content_col, num_perm, shingle_k, _norm=norm)
     )
-    banded = with_sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
+    banded = _cap_buckets(
+        _band_hashes(with_sig, bands, rows_per_band), ["band", "bucket"], max_bucket_size
+    )
 
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    cand = _join_sigs(
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"]),
+        with_sig,
+        with_sig,
     )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        ).cast("double")
-        / F.lit(num_perm)
-    )
+    est = _sig_agreement(num_perm)
     if verify == "exact":
         # cheap signature-estimate prefilter before the expensive
         # shingle-array intersect: a candidate pair whose estimate sits
@@ -399,6 +491,90 @@ def minhash_lsh_pairs(
         cand.withColumn("jaccard", est)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs_between(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    content_col: str = "content",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+    verify: str = "exact",
+    max_bucket_size: Optional[int] = None,
+    corpus_sigs: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Cross-set near-dup pairs ``(id_new, id_corpus, jaccard)`` — the
+    INCREMENTAL-ingest form: dedupe a new batch against the existing
+    corpus without re-pairing the corpus with itself.
+
+    At 100 TB this is the shape that actually runs daily: the corpus
+    signature table is computed once and stored (pass it via
+    ``corpus_sigs`` — columns ``(id, sig)`` from
+    ``minhash_signatures``); each ingest computes signatures for the
+    new batch only (a shuffle-free Arrow map over the batch) and the
+    band join cost scales with |batch| × collision rate, not
+    |corpus|².  The join shuffles only (band, bucket) keys; when the
+    batch is small relative to the corpus, AQE broadcasts the batch
+    side and the corpus band table is not shuffled at all.
+
+    ``verify`` as in ``minhash_lsh_pairs``: ``"exact"`` re-scores
+    candidates with the true shingle-set Jaccard (needs
+    ``corpus_df``'s text even when ``corpus_sigs`` is given);
+    ``"estimate"`` reports signature agreement.
+    """
+    rows_per_band = num_perm // bands
+    norm_n = _normalized(new_df, id_col, content_col)
+    # persisted: consumed by its band explode AND the pair-scoring join
+    sig_n = _persist(
+        minhash_signatures(new_df, id_col, content_col, num_perm, shingle_k, _norm=norm_n)
+    )
+    if corpus_sigs is None:
+        corpus_sigs = _persist(
+            minhash_signatures(corpus_df, id_col, content_col, num_perm, shingle_k)
+        )
+    bn = _cap_buckets(
+        _band_hashes(sig_n, bands, rows_per_band), ["band", "bucket"], max_bucket_size
+    )
+    bc = _cap_buckets(
+        _band_hashes(corpus_sigs, bands, rows_per_band),
+        ["band", "bucket"],
+        max_bucket_size,
+    )
+    cand = _join_sigs(
+        bn.alias("a")
+        .join(
+            bc.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"]),
+        sig_n,
+        corpus_sigs,
+    )
+    est = _sig_agreement(num_perm)
+    if verify == "exact":
+        norm_c = _normalized(corpus_df, id_col, content_col)
+        out = _exact_jaccard_on_candidates(
+            cand.filter(est >= threshold - 0.2).select("id_a", "id_b"),
+            norm_n,
+            shingle_k,
+            threshold,
+            norm_b=norm_c,
+        )
+    else:
+        out = (
+            cand.withColumn("jaccard", est)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+    return out.select(
+        F.col("id_a").alias("id_new"), F.col("id_b").alias("id_corpus"), "jaccard"
     )
 
 
@@ -674,25 +850,9 @@ def simhash_near_dups_exact(
                 norm, "id", num_perm=est_perm, shingle_k=shingle_k, _norm=norm
             )
         )
-        est = (
-            F.size(
-                F.filter(
-                    F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-                    lambda eq: eq,
-                )
-            ).cast("double")
-            / F.lit(est_perm)
-        )
         cand = (
-            cand.join(
-                sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
-                "id_a",
-            )
-            .join(
-                sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
-                "id_b",
-            )
-            .filter(est >= threshold - 0.2)
+            _join_sigs(cand, sig, sig)
+            .filter(_sig_agreement(est_perm) >= threshold - 0.2)
             .select("id_a", "id_b")
         )
     return _exact_jaccard_on_candidates(cand, norm, shingle_k, threshold)

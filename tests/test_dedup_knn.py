@@ -177,3 +177,40 @@ def test_ivf_topk_recall(vectors, spark):
     # recall@5 ≥ 0.6 with 2/4 probes on random data; top-1 must match
     assert approx and approx[0] == exact[0]
     assert len(set(exact) & set(approx)) >= 3
+
+
+# ------------------------------------------------- cross-set (incremental)
+
+
+def test_minhash_between_finds_cross_dups(spark):
+    corpus = spark.createDataFrame(DOCS, "id long, content string")
+    batch = spark.createDataFrame(
+        [
+            (101, DOCS[0][1]),  # exact copy of doc 1
+            (102, "the quick brown fox jumps over the lazy dog near the river bend now"),
+            (103, "totally fresh content with no counterpart in the corpus at all ok"),
+        ],
+        "id long, content string",
+    )
+    out = dedup.minhash_lsh_pairs_between(
+        batch, corpus, "id", "content", threshold=0.5, verify="exact"
+    )
+    got = {(r["id_new"], r["id_corpus"]): r["jaccard"] for r in out.collect()}
+    assert got[(101, 1)] == pytest.approx(1.0)
+    assert got[(101, 2)] == pytest.approx(1.0)
+    assert (102, 3) in got  # near dup across sets
+    assert not any(n == 103 for n, _ in got)  # fresh doc matches nothing
+    # pairs WITHIN the batch or WITHIN the corpus are never reported
+    assert all(n > 100 and c <= 100 for n, c in got)
+
+
+def test_minhash_between_estimate_and_precomputed_sigs(spark):
+    corpus = spark.createDataFrame(DOCS, "id long, content string")
+    batch = spark.createDataFrame([(201, DOCS[3][1])], "id long, content string")
+    sigs = dedup.minhash_signatures(corpus, "id", "content")
+    out = dedup.minhash_lsh_pairs_between(
+        batch, corpus, "id", "content", threshold=0.5,
+        verify="estimate", corpus_sigs=sigs,
+    )
+    got = {(r["id_new"], r["id_corpus"]): r["jaccard"] for r in out.collect()}
+    assert got == {(201, 4): pytest.approx(1.0)}
