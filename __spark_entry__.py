@@ -354,6 +354,40 @@ def q_dedup_incremental(spark, sf_dir):
     )
 
 
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split by md5(doc_id) — the
+    reproducible-dataset-split primitive of a training pipeline: no
+    RNG state, stable under re-partitioning/re-runs, and any engine
+    (here: DuckDB) derives the identical assignment.  Hex-char
+    buckets: 0..b train (75%), c..d val (12.5%), e..f test."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(h < F.lit("c"), F.lit("train"))
+        .when(h < F.lit("e"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select("doc_id", split.alias("split"))
+
+
+def q_profile_quantiles(spark, sf_dir):
+    """Per-group EXACT interpolated percentiles (native `percentile`,
+    no UDF): Spark's rank formula p·(n−1) with linear interpolation is
+    the same as DuckDB quantile_cont, and quarter fractions over ints
+    are exact in binary — so doubles hash-match across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    q = F.expr("percentile(n_chars, array(0.25, 0.5, 0.75))")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), q.alias("q")
+    ).select(
+        "lang",
+        "n",
+        F.col("q")[0].alias("q25"),
+        F.col("q")[1].alias("q50"),
+        F.col("q")[2].alias("q75"),
+    )
+
+
 def q_knn_bruteforce(spark, sf_dir):
     emb = _t_fanout(spark, sf_dir, "embeddings")
     out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
@@ -715,6 +749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_canonical": q_dedup_keep_canonical,
         "dedup_incremental": q_dedup_incremental,
+        "split_assign": q_split_assign,
+        "profile_quantiles": q_profile_quantiles,
         "knn_bruteforce": q_knn_bruteforce,
         "text_metrics": q_text_metrics,
         "text_lang_id": q_text_lang_id,
@@ -1155,6 +1191,20 @@ SELECT event_id, user_id,
        CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
 FROM g
+""",
+        "split_assign": """
+SELECT doc_id,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+        "profile_quantiles": """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       quantile_cont(n_chars, 0.25) AS q25,
+       quantile_cont(n_chars, 0.5)  AS q50,
+       quantile_cont(n_chars, 0.75) AS q75
+FROM documents GROUP BY lang
 """,
         "minhash_lsh": _SHINGLE_JACCARD_SQL,
         "dedup_incremental": f"""

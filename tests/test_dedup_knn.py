@@ -214,3 +214,46 @@ def test_minhash_between_estimate_and_precomputed_sigs(spark):
     )
     got = {(r["id_new"], r["id_corpus"]): r["jaccard"] for r in out.collect()}
     assert got == {(201, 4): pytest.approx(1.0)}
+
+
+def test_minhash_estimate_tracks_true_jaccard(spark):
+    """Estimator-honesty guard: on a SHARED-VOCABULARY corpus the
+    signature-agreement estimate must track the true shingle jaccard.
+
+    This is the trap that caught two real bugs: a locally-smooth
+    shingle hash (prefix neighborhoods made bin minima systematically
+    the corpus-common shingles → est ≈ 0.3 for true-j ≈ 0.1 pairs) and
+    neighbor-run densification (correlated whole bands on short docs).
+    The end-to-end pair output can't catch these — exact verification
+    turns estimator bias into runtime, not wrong answers."""
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"word{i:03d}" for i in range(300)]
+    texts = [" ".join(rng.choice(vocab) for _ in range(80)) for _ in range(30)]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "id long, content string"
+    )
+    sigs = {
+        r["id"]: r["sig"]
+        for r in dedup.minhash_signatures(df, "id", "content").collect()
+    }
+
+    def shingles(t):
+        import re
+
+        n = re.sub(r"\s+", " ", t.lower()).strip()
+        return {n[i : i + 5] for i in range(len(n) - 4)}
+
+    sh = {i: shingles(t) for i, t in enumerate(texts)}
+    errs, inflated = [], 0
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            true_j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+            est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / 64
+            errs.append(abs(est - true_j))
+            if est >= true_j + 0.2:
+                inflated += 1
+    n_pairs = len(errs)
+    assert sum(errs) / n_pairs < 0.08, f"mean |est-true| {sum(errs)/n_pairs:.3f}"
+    assert inflated / n_pairs < 0.02, f"{inflated}/{n_pairs} pairs inflated >= +0.2"
