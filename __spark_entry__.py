@@ -388,6 +388,35 @@ def q_profile_quantiles(spark, sf_dir):
     )
 
 
+def q_text_scrub(spark, sf_dir):
+    """PII scrub (URL/email/number redaction) over a column with
+    DETERMINISTICALLY PLANTED contacts (the corpus itself is clean
+    word-salad — planting from doc_id makes the query non-trivial, the
+    same fixture trick as multimodal_validate).  Oracle rebuilds the
+    augmented text in DuckDB and must reproduce the scrubbed md5
+    byte-for-byte (Java regex vs RE2 — patterns chosen dialect-safe)."""
+    from datavalid_spark.functions.text import pii_counts, scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact doc"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via http://site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.org/p ref "),
+        (F.col("doc_id") * 37).cast("string"),
+    )
+    c = pii_counts(aug)
+    return docs.select(
+        "doc_id",
+        c["n_url"].alias("n_url"),
+        c["n_email"].alias("n_email"),
+        c["n_number"].alias("n_number"),
+        F.md5(scrub_pii(aug)).alias("scrubbed_md5"),
+    )
+
+
 def q_knn_bruteforce(spark, sf_dir):
     emb = _t_fanout(spark, sf_dir, "embeddings")
     out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
@@ -751,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "split_assign": q_split_assign,
         "profile_quantiles": q_profile_quantiles,
+        "text_scrub": q_text_scrub,
         "knn_bruteforce": q_knn_bruteforce,
         "text_metrics": q_text_metrics,
         "text_lang_id": q_text_lang_id,
@@ -1205,6 +1235,23 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
        quantile_cont(n_chars, 0.5)  AS q50,
        quantile_cont(n_chars, 0.75) AS q75
 FROM documents GROUP BY lang
+""",
+        "text_scrub": r"""
+WITH a AS (
+  SELECT doc_id,
+         text || ' contact doc' || CAST(doc_id AS VARCHAR)
+              || '@example.com via http://site' || CAST(doc_id % 7 AS VARCHAR)
+              || '.example.org/p ref ' || CAST(doc_id * 37 AS VARCHAR) AS aug
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(aug, 'https?://[a-z0-9./-]+')) AS INT) AS n_url,
+  CAST(len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_email,
+  CAST(len(regexp_extract_all(aug, '\b\d+\b')) AS INT) AS n_number,
+  md5(regexp_replace(regexp_replace(regexp_replace(
+      aug, 'https?://[a-z0-9./-]+', '<URL>', 'g'),
+      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d+\b', '<NUM>', 'g')) AS scrubbed_md5
+FROM a
 """,
         "minhash_lsh": _SHINGLE_JACCARD_SQL,
         "dedup_incremental": f"""

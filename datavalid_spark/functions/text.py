@@ -164,3 +164,45 @@ def nonempty_tokens(col: Column | str) -> Column:
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
     """Word n-grams (space-joined), distinct."""
     return word_ngrams_of_tokens(nonempty_tokens(col), n)
+
+
+# ----------------------------------------------------------- PII scrubbing
+
+#: scrub patterns chosen to behave identically under Java regex (Spark)
+#: and RE2 (DuckDB/oracles): plain classes + quantifiers, no
+#: lookaround/backrefs.  Order matters: URLs before emails before bare
+#: numbers (a URL may contain both '@'-free hostnames and digits).
+PII_URL_RE = r"https?://[a-z0-9./-]+"
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_NUMBER_RE = r"\b\d+\b"
+
+
+def scrub_pii(
+    col: Column | str,
+    url: str = "<URL>",
+    email: str = "<EMAIL>",
+    number: str = "<NUM>",
+) -> Column:
+    """Redact URLs, emails, and bare numbers — the standard scrub pass
+    of an LLM training-data pipeline.  Pure JVM ``regexp_replace``
+    chain: codegen'd, zero Python in the data path, linear scan per
+    row.  Pass ``None`` for any replacement to skip that class."""
+    c = F.col(col) if isinstance(col, str) else col
+    if url is not None:
+        c = F.regexp_replace(c, PII_URL_RE, url)
+    if email is not None:
+        c = F.regexp_replace(c, PII_EMAIL_RE, email)
+    if number is not None:
+        c = F.regexp_replace(c, PII_NUMBER_RE, number)
+    return c
+
+
+def pii_counts(col: Column | str) -> Column:
+    """struct(n_url, n_email, n_number) occurrence counts (JVM
+    ``regexp_count``) — audit companion to ``scrub_pii``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.struct(
+        F.regexp_count(c, F.lit(PII_URL_RE)).alias("n_url"),
+        F.regexp_count(c, F.lit(PII_EMAIL_RE)).alias("n_email"),
+        F.regexp_count(c, F.lit(PII_NUMBER_RE)).alias("n_number"),
+    )

@@ -70,3 +70,19 @@ def test_mean_word_length(spark):
 def test_ratios(spark):
     assert one(spark, text.punct_ratio, "ab..") == pytest.approx(0.5)
     assert one(spark, text.alpha_ratio, "ab12") == pytest.approx(0.5)
+
+
+def test_scrub_pii(spark):
+    s = "mail me@site.org or visit https://a.example/x page 42 now"
+    assert one(spark, text.scrub_pii, s) == (
+        "mail <EMAIL> or visit <URL> page <NUM> now"
+    )
+    # order: URL first — its digits/dots must not leak into <NUM>/<EMAIL>
+    assert one(spark, text.scrub_pii, "http://h0st.example/1.2 x 7") == "<URL> x <NUM>"
+    # selective skip
+    assert one(spark, lambda c: text.scrub_pii(c, number=None), "p 42") == "p 42"
+
+
+def test_pii_counts(spark):
+    got = one(spark, text.pii_counts, "a@b.io c@d.io http://e.f 12 34 56")
+    assert (got["n_url"], got["n_email"], got["n_number"]) == (1, 2, 3)
