@@ -103,10 +103,13 @@ def distinct_by_content(df: DataFrame, content_col: str = "content", tiebreak: O
 def _normalized(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     """(id, __norm) materialised: CollapseProject would otherwise inline
     the regexp normalizer into every downstream shingle lambda and re-run
-    it once per shingle (~200x per doc; measured 10x slower)."""
-    return _persist(
-        df.select(F.col(id_col).alias("id"), normalize_text(F.col(content_col)).alias("__norm"))
+    it once per shingle (~200x per doc; measured 10x slower).  Streaming
+    frames cannot persist — there the sole consumer is the signature
+    Arrow map (one normalize per row already), so no persist is needed."""
+    out = df.select(
+        F.col(id_col).alias("id"), normalize_text(F.col(content_col)).alias("__norm")
     )
+    return out if df.isStreaming else _persist(out)
 
 
 #: docs per numpy slice inside the Arrow pass — bounds the transient

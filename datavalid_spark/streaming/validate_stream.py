@@ -177,3 +177,149 @@ def stateful_first_seen(
             timeoutConf="ProcessingTimeTimeout",
         )
     )
+
+
+def stateful_near_dup_stream(
+    stream_df: DataFrame,
+    id_col: str,
+    content_col: str = "content",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+    max_state_per_bucket: int = 64,
+    state_timeout_ms: int = 3_600_000,
+) -> DataFrame:
+    """Streaming NEAR-duplicate flagging: the streaming twin of
+    ``dedup.minhash_lsh_pairs_between``.  Each arriving doc is compared
+    against the docs already seen in its LSH buckets; emitted rows are
+    ``(id_new, id_seen, est)`` candidate pairs with signature-agreement
+    estimate ≥ threshold.
+
+    Shape: MinHash signatures are computed IN-STREAM (the same
+    one-permutation-hashing Arrow map as batch — stateless, so it
+    applies to a streaming frame unchanged); rows then band-explode and
+    group by (band, bucket) into ``applyInPandasWithState``.  State per
+    bucket = FIFO-bounded (ids, signatures) of the last
+    ``max_state_per_bucket`` docs, so memory is
+    buckets × cap × num_perm ints regardless of stream length, and
+    idle buckets expire after ``state_timeout_ms``.
+
+    Semantics notes (deliberate, documented trades):
+    - a pair colliding in several bands is emitted once per band —
+      downstream dedup (``dropDuplicates`` in the reconciliation pass)
+      is cheaper than cross-band streaming state;
+    - estimates only: exact Jaccard needs both docs' text, which the
+      bucket state does not retain — the batch
+      ``minhash_lsh_pairs_between(verify="exact")`` reconciliation
+      re-scores flagged pairs;
+    - recall is bounded by the FIFO horizon, exactly like
+      ``stateful_first_seen``.
+    Within a micro-batch, earlier rows (by id) act as corpus for later
+    ones, so same-batch near-dups are flagged too.
+    """
+    import numpy as np  # noqa: F401 (executor-side)
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState
+
+    from datavalid_spark.operators.dedup import minhash_signatures
+
+    rows_per_band = num_perm // bands
+    out_schema = T.StructType(
+        [
+            T.StructField("id_new", T.LongType()),
+            T.StructField("id_seen", T.LongType()),
+            T.StructField("est", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ids", T.ArrayType(T.LongType())),
+            T.StructField("sigs", T.ArrayType(T.ArrayType(T.IntegerType()))),
+        ]
+    )
+
+    def nd_fn(key, pdfs, state: GroupState):
+        import numpy as _np
+        import pandas as _pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ids, sigs = list(state.get[0]), [list(s) for s in state.get[1]]
+        else:
+            ids, sigs = [], []
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("id")
+            for rid, rsig in zip(pdf["id"].tolist(), pdf["sig"].tolist()):
+                if ids:
+                    m = _np.asarray(sigs, dtype="int64")
+                    est = (m == _np.asarray(rsig, dtype="int64")).mean(axis=1)
+                    hit = _np.nonzero(est >= threshold)[0]
+                    if len(hit):
+                        outs.append(
+                            _pd.DataFrame(
+                                {
+                                    "id_new": rid,
+                                    "id_seen": [ids[i] for i in hit],
+                                    "est": est[hit],
+                                }
+                            )
+                        )
+                # state rides the pickle path to the JVM state store —
+                # numpy scalars break its unpickler, so plain ints only
+                ids.append(int(rid))
+                sigs.append(_np.asarray(rsig).tolist())
+        if len(ids) > max_state_per_bucket:  # FIFO compaction
+            ids = ids[-max_state_per_bucket:]
+            sigs = sigs[-max_state_per_bucket:]
+        state.update((ids, sigs))
+        state.setTimeoutDuration(state_timeout_ms)
+        yield _pd.concat(outs) if outs else _pd.DataFrame(
+            {"id_new": _pd.Series(dtype="int64"),
+             "id_seen": _pd.Series(dtype="int64"),
+             "est": _pd.Series(dtype="float64")}
+        )
+
+    sig = minhash_signatures(
+        stream_df.select(
+            F.col(id_col).cast("long").alias(id_col), F.col(content_col)
+        ),
+        id_col,
+        content_col,
+        num_perm,
+        shingle_k,
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(
+                                    F.col("sig"), b * rows_per_band + 1, rows_per_band
+                                ),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        nd_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="ProcessingTimeTimeout",
+    )

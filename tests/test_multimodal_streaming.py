@@ -181,3 +181,56 @@ def test_resize_images_real_backend_stubbed(spark):
     with pytest.raises(NotImplementedError):
         multimodal.resize_images(media, 8, 8, backend="pillow")
 
+
+
+def test_stateful_near_dup_stream_across_batches(spark, tmp_path):
+    """Streaming LSH near-dup flagging: arrivals are compared against
+    bucket state from earlier rows AND earlier micro-batches (state in
+    the streaming checkpoint); emitted (id_new, id_seen) pairs point
+    backward in arrival order."""
+    import os
+
+    from datavalid_spark.streaming.validate_stream import stateful_near_dup_stream
+
+    A = "the quick brown fox jumps over the lazy dog near the river bank today"
+    A2 = "the quick brown fox jumps over the lazy dog near the river bend today"
+    B = "completely different text about spark dataframes and shuffle partitions"
+    C = "yet another unrelated document mentioning kolmogorov smirnov statistics"
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "out")
+    os.makedirs(src)
+
+    def run_batch(qname):
+        stream = spark.readStream.schema("id long, content string").parquet(src)
+        out = stateful_near_dup_stream(
+            stream, "id", "content", threshold=0.5, max_state_per_bucket=8
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .queryName(qname)
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r.id_new, r.id_seen) for r in spark.read.parquet(sink).collect()
+        }
+
+    spark.createDataFrame(
+        [(1, A), (2, A2), (3, B)], "id long, content string"
+    ).write.parquet(src, mode="append")
+    got = run_batch("snd_a")
+    assert got == {(2, 1)}  # within-batch near-dup, pointing backward
+
+    spark.createDataFrame(
+        [(10, A), (11, C)], "id long, content string"
+    ).write.parquet(src, mode="append")
+    got = run_batch("snd_b")
+    # 10 matches both copies of A from batch 1 (exact dup est=1.0 and
+    # the near dup); the fresh doc 11 matches nothing
+    assert got == {(2, 1), (10, 1), (10, 2)}
