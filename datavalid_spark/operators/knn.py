@@ -68,12 +68,44 @@ def _sims(vec_col, centroids: list):
     )
 
 
+def _normalized_rows(M):
+    import numpy as np
+
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
 def _assign(df: DataFrame, centroids: list, vec_col: str) -> DataFrame:
-    """Nearest-centroid id: argmax over the sims array (first index wins
-    ties, like the reference formulation); stays JVM-side."""
-    sims = _sims(vec_col, centroids)
-    idx = F.array_position(sims, F.array_max(sims)) - 1
-    return df.withColumn("__dv_cluster", idx.cast("int"))
+    """Nearest-centroid id (cosine argmax, first index wins ties) as a
+    vectorized Arrow pass: one BLAS matmul of the L2-normalized batch
+    against the normalized centroid matrix.
+
+    Why not the literal-centroid Column expression: each Lloyd
+    iteration changes the literals, so Catalyst re-analyzes and
+    whole-stage-codegen recompiles a (n_clusters × dim)-term expression
+    EVERY iteration — measured ~2 s of driver-serial compile per
+    iteration at 8×64, dwarfing the actual math.  The numpy closure has
+    no literals in the plan, so the job shape is compiled once."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    Cn = _normalized_rows(np.asarray(centroids, dtype="float64"))
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("__dv_cluster", T.IntegerType())]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype="float64")
+            pdf = pdf.copy()
+            pdf["__dv_cluster"] = (
+                (_normalized_rows(V) @ Cn.T).argmax(axis=1).astype("int32")
+            )
+            yield pdf
+
+    return df.mapInPandas(fn, schema=out_schema)
 
 
 def train_centroids(
@@ -84,33 +116,52 @@ def train_centroids(
     seed: int = 42,
 ) -> list:
     """K-means-lite: deterministic seeded sample as init, then a few
-    Lloyd iterations computed with groupBy + element-wise array mean
-    (posexplode/agg) — all DataFrame ops, centroids collected to the
-    driver (n_clusters × dim floats — tiny)."""
+    Lloyd iterations.  Each iteration is ONE Arrow pass emitting
+    per-partition partial sums (cluster, count, Σvec) — k×partitions
+    tiny rows collected and reduced on the driver — instead of
+    posexploding n×dim rows through a groupBy: the scan stays
+    embarrassingly parallel and the shuffle disappears entirely."""
+    import numpy as np
+
     init = (
         corpus.select(F.col(vec_col).alias("v"))
         .orderBy(F.xxhash64(F.lit(seed), F.col("v").cast("string")))
         .limit(n_clusters)
         .collect()
     )
-    centroids = [list(r["v"]) for r in init]
+    centroids = np.asarray([list(r["v"]) for r in init], dtype="float64")
+    k, dim = centroids.shape
+    vecs = corpus.select(F.col(vec_col).alias("v"))
+
     for _ in range(iters):
-        assigned = _assign(corpus.select(F.col(vec_col).alias("v")), centroids, "v")
-        means = (
-            assigned.select("__dv_cluster", F.posexplode("v").alias("pos", "x"))
-            .groupBy("__dv_cluster", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("__dv_cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select(
-                "__dv_cluster",
-                F.transform(F.col("pm"), lambda s: s["m"]).alias("centroid"),
+        Cn = _normalized_rows(centroids)
+
+        def fn(batches):
+            import pandas as pd
+
+            sums = np.zeros((k, dim))
+            cnt = np.zeros(k, dtype="int64")
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.array(pdf["v"].tolist(), dtype="float64")
+                a = (_normalized_rows(V) @ Cn.T).argmax(axis=1)
+                np.add.at(sums, a, V)
+                cnt += np.bincount(a, minlength=k)
+            yield pd.DataFrame(
+                {"cid": range(k), "n": cnt, "s": list(sums)}
             )
-            .collect()
-        )
-        new = {r["__dv_cluster"]: list(r["centroid"]) for r in means}
-        centroids = [new.get(i, centroids[i]) for i in range(n_clusters)]
-    return centroids
+
+        parts = vecs.mapInPandas(fn, "cid int, n long, s array<double>").collect()
+        tot = np.zeros((k, dim))
+        n = np.zeros(k, dtype="int64")
+        for r in parts:
+            tot[r["cid"]] += np.asarray(r["s"])
+            n[r["cid"]] += r["n"]
+        nz = n > 0
+        centroids = centroids.copy()
+        centroids[nz] = tot[nz] / n[nz, None]
+    return [list(c) for c in centroids]
 
 
 def ivf_topk(
@@ -124,28 +175,35 @@ def ivf_topk(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: probe only the ``nprobe`` closest clusters."""
+    import numpy as np
+
     centroids = train_centroids(corpus, n_clusters, vec_col, seed=seed)
     c_assigned = _assign(
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), centroids, "vec"
     )
 
-    # per-query: nprobe nearest clusters (small → computed as array expr;
-    # two-arg transform carries the centroid index through the sort)
-    sim_structs = F.transform(
-        _centroid_array(centroids),
-        lambda c, i: F.struct(
-            (-cosine_similarity(F.col("qvec"), c)).alias("neg"),
-            i.cast("int").alias("cid"),
-        ),
-    )
-    probes = F.slice(
-        F.transform(F.array_sort(sim_structs), lambda st: st["cid"]),
-        1,
-        nprobe,
-    )
+    # per-query nprobe nearest clusters, computed DRIVER-SIDE in numpy:
+    # the query set is small by contract (it is broadcast below), and
+    # the literal-centroid Column expression this replaces forced a
+    # fresh (n_clusters × dim)-term codegen compile per centroid set.
+    # Tie-break: ascending (−sim, cid), matching the previous
+    # array_sort(struct(neg, cid)) formulation exactly.
+    Cn = _normalized_rows(np.asarray(centroids, dtype="float64"))
+    qrows = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    ).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["qvec"], dtype="float64")
+        sims = (qv / max(np.linalg.norm(qv), 1e-12)) @ Cn.T
+        order = sorted(range(len(sims)), key=lambda c: (-sims[c], c))
+        for cid in order[:nprobe]:
+            probe_rows.append((r["query_id"], list(r["qvec"]), int(cid)))
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-        .withColumn("__dv_cluster", F.explode(probes))
+        queries.sparkSession.createDataFrame(
+            probe_rows, schema="query_id long, qvec array<double>, __dv_cluster int"
+        )
     )
     scored = q.join(c_assigned, "__dv_cluster").filter(
         F.col("query_id") != F.col("id")
