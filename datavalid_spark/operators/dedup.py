@@ -519,21 +519,34 @@ def minhash_lsh_pairs(
     with_sig = _persist(
         minhash_signatures(df, id_col, content_col, num_perm, shingle_k, _norm=norm)
     )
-    banded = _cap_buckets(
-        _band_hashes(with_sig, bands, rows_per_band), ["band", "bucket"], max_bucket_size
+    # the band table is ALSO persisted: AQE does not reuse the self-join's
+    # two identical shuffle stages here (event-log measured: the band
+    # explode + shuffle write ran twice, ~43 s CPU each at 800 k docs),
+    # so materialise the capped narrow rows once — both join sides then
+    # scan ~24 B/row cache instead of re-running explode+hash+window
+    banded = _persist(
+        _cap_buckets(
+            _band_hashes(with_sig, bands, rows_per_band),
+            ["band", "bucket"],
+            max_bucket_size,
+        )
     )
 
     a = banded.alias("a")
     b = banded.alias("b")
+    # NOTE deliberately NO dropDuplicates here: a pair surviving the
+    # threshold filter collides in ~1 band in the honest-LSH regime
+    # (measured 11.16 M raw vs 11.12 M distinct pairs at 400 k docs —
+    # 0.4 % duplicates), so deduping BEFORE scoring shuffles the whole
+    # candidate set to save 0.4 % of the map-side score evals.  Score
+    # first (map-side via the gated broadcast), dedup only survivors.
     cand = _join_sigs(
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"]),
+        ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")),
         with_sig,
         with_sig,
     )
@@ -548,7 +561,9 @@ def minhash_lsh_pairs(
         # low-overlap band collisions, which dominate verify cost.
         prefilter_margin = 0.2
         return _exact_jaccard_on_candidates(
-            cand.filter(est >= threshold - prefilter_margin).select("id_a", "id_b"),
+            cand.filter(est >= threshold - prefilter_margin)
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"]),
             norm,
             shingle_k,
             threshold,
@@ -556,6 +571,7 @@ def minhash_lsh_pairs(
     return (
         cand.withColumn("jaccard", est)
         .filter(F.col("jaccard") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -610,6 +626,8 @@ def minhash_lsh_pairs_between(
         ["band", "bucket"],
         max_bucket_size,
     )
+    # raw (un-deduped) cross-set collisions: dedup happens AFTER the
+    # score filter — see the rationale in minhash_lsh_pairs
     cand = _join_sigs(
         bn.alias("a")
         .join(
@@ -618,8 +636,7 @@ def minhash_lsh_pairs_between(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") != F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"]),
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")),
         sig_n,
         corpus_sigs,
     )
@@ -627,7 +644,9 @@ def minhash_lsh_pairs_between(
     if verify == "exact":
         norm_c = _normalized(corpus_df, id_col, content_col)
         out = _exact_jaccard_on_candidates(
-            cand.filter(est >= threshold - 0.2).select("id_a", "id_b"),
+            cand.filter(est >= threshold - 0.2)
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"]),
             norm_n,
             shingle_k,
             threshold,
@@ -637,6 +656,7 @@ def minhash_lsh_pairs_between(
         out = (
             cand.withColumn("jaccard", est)
             .filter(F.col("jaccard") >= threshold)
+            .dropDuplicates(["id_a", "id_b"])
             .select("id_a", "id_b", "jaccard")
         )
     return out.select(
@@ -813,6 +833,7 @@ def simhash_block_candidates(
     blocks: int = 4,
     max_hamming: Optional[int] = None,
     max_bucket_size: Optional[int] = None,
+    dedup: bool = True,
 ) -> DataFrame:
     """Candidate pairs (id_a, id_b, simhash_a, simhash_b) agreeing on at
     least one of ``blocks`` equal-width blocks of the 64-bit simhash.
@@ -855,16 +876,16 @@ def simhash_block_candidates(
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
             <= max_hamming
         )
-    return (
-        a.join(b, cond)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("simhash_a"),
-            F.col("b.simhash").alias("simhash_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    out = a.join(b, cond).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.simhash").alias("simhash_a"),
+        F.col("b.simhash").alias("simhash_b"),
     )
+    # ``dedup=False`` lets callers with a further cheap map-side gate
+    # (the minhash-estimate filter in simhash_near_dups_exact) defer
+    # the pair shuffle until after that gate shrinks the set
+    return out.dropDuplicates(["id_a", "id_b"]) if dedup else out
 
 
 def simhash_near_dups_exact(
@@ -907,10 +928,19 @@ def simhash_near_dups_exact(
             norm.select(F.col("id"), F.col("__norm")), "id", "__norm"
         )
     )
-    cand = simhash_block_candidates(
-        sh, blocks, max_hamming=prefilter_hamming, max_bucket_size=max_bucket_size
-    ).select("id_a", "id_b")
     if est_perm:
+        # raw (un-deduped) block collisions stream map-side through the
+        # estimate gate; the pair shuffle waits until the gate shrinks
+        # the set (951 k hamming survivors → 8 k est survivors at
+        # sf0.1) — see the dedup-after-filter rationale in
+        # minhash_lsh_pairs
+        cand = simhash_block_candidates(
+            sh,
+            blocks,
+            max_hamming=prefilter_hamming,
+            max_bucket_size=max_bucket_size,
+            dedup=False,
+        ).select("id_a", "id_b")
         sig = _persist(
             minhash_signatures(
                 norm, "id", num_perm=est_perm, shingle_k=shingle_k, _norm=norm
@@ -920,7 +950,12 @@ def simhash_near_dups_exact(
             _join_sigs(cand, sig, sig)
             .filter(_sig_agreement(est_perm) >= threshold - 0.2)
             .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
         )
+    else:
+        cand = simhash_block_candidates(
+            sh, blocks, max_hamming=prefilter_hamming, max_bucket_size=max_bucket_size
+        ).select("id_a", "id_b")
     return _exact_jaccard_on_candidates(cand, norm, shingle_k, threshold)
 
 
@@ -999,8 +1034,11 @@ def embedding_near_dups(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos.alias("cosine"))
-        .dropDuplicates(["id_a", "id_b"])
+        # filter BEFORE the pair dedup: the cosine is computed map-side
+        # in the join project, so deduping first would shuffle every
+        # band collision to save re-checking a handful of duplicates
         .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

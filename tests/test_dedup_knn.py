@@ -257,3 +257,45 @@ def test_minhash_estimate_tracks_true_jaccard(spark):
     n_pairs = len(errs)
     assert sum(errs) / n_pairs < 0.08, f"mean |est-true| {sum(errs)/n_pairs:.3f}"
     assert inflated / n_pairs < 0.02, f"{inflated}/{n_pairs} pairs inflated >= +0.2"
+
+
+def test_pair_outputs_are_distinct_under_allband_collisions(spark):
+    """Dedup of candidate pairs now runs AFTER the score filter (the
+    pre-score dropDuplicates shuffled the whole collision set to remove
+    ~0.4% duplicates — see minhash_lsh_pairs).  The adversarial input
+    for that reorder is a group of byte-identical docs: identical
+    signatures collide in EVERY band (16x duplicate raw pairs), and all
+    of them pass the threshold filter — so the output dedup is
+    load-bearing, not cosmetic."""
+    rows = [(i, "an identical document repeated verbatim many times over") for i in range(6)]
+    fillers = [
+        "completely unrelated prose about catalyst optimizer rules",
+        "a second standalone snippet regarding parquet row groups",
+        "third nonmatching blurb on watermark semantics in streams",
+        "fourth disjoint remark concerning broadcast hash joins",
+    ]
+    rows += [(100 + i, t) for i, t in enumerate(fillers)]
+    df = spark.createDataFrame(rows, "id long, content string")
+
+    for out in (
+        dedup.minhash_lsh_pairs(df, "id", "content", threshold=0.7, verify="estimate"),
+        dedup.minhash_lsh_pairs(df, "id", "content", threshold=0.7, verify="exact"),
+        dedup.simhash_near_dups_exact(df, "id", "content", threshold=0.7),
+    ):
+        got = [(r["id_a"], r["id_b"]) for r in out.collect()]
+        assert len(got) == len(set(got)), "duplicate pair rows in output"
+        assert set(got) == {(a, b) for a in range(6) for b in range(a + 1, 6)}
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(4)]
+        + [(10 + i, [float(i + 2), -1.0, 0.5, -3.0]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    got = [
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dups(
+            emb, "vec_id", "embedding", threshold=0.999, planes=8, bands=4
+        ).collect()
+    ]
+    assert len(got) == len(set(got)), "duplicate pair rows in embedding output"
+    assert set(got) == {(a, b) for a in range(4) for b in range(a + 1, 4)}

@@ -15,7 +15,28 @@ partitions — `limit()` alone collapses to ONE input split and would
 serialise the whole pipeline on a single core (measured 107 s vs 10 s
 at 100k docs), which corrupts the small-level baseline.
 
-Usage: python tools/bench_dedup_scaling.py [--docs 400000] [--iters 2]
+Two methodology rules learned the hard way (both corrupted earlier
+runs of this study):
+
+1. **Fixed task granularity across levels.**  Scaling the input
+   partition count / shuffle partitions with the core count gives the
+   SMALL level fewer, larger tasks — less per-task overhead — which
+   inflates its throughput and understates efficiency (measured:
+   level-2 best 94.1 s with 6 input parts vs 100.9 s with the
+   level-8 granularity of 24).  On a real cluster you resize
+   executors, not the job config, so both pair levels must run the
+   SAME partitioning (sized for the 4N level: ``--parts 24 --shuf
+   16``); appendix levels beyond 4N keep that config too and are
+   therefore parallelism-capped by it — documented, not gated.
+
+2. **Warm-convergence needs ~5 iterations at low core counts.**  C2
+   JIT compilation is itself core-limited under taskset: at 2 pinned
+   cores the per-iteration time keeps falling through iteration ~4
+   (measured [114.4, 99.8, 96.6, 95.3, 95.5, 93.0]).  Best-of-warm
+   with iters<4 over-estimates the small level and corrupts the
+   ratio in either direction.
+
+Usage: python tools/bench_dedup_scaling.py [--docs 800000] [--iters 5]
        python tools/bench_dedup_scaling.py --level 4   (inner, pinned)
 """
 
@@ -34,13 +55,13 @@ SRC = "/tmp/dv_bench_src_2000000_42"  # written by bench.py setup
 CORPUS = "/tmp/dv_dedup_scaling_corpus_{docs}"
 
 
-def build_session(cpus: int):
+def build_session(cpus: int, shuf: int = 16):
     from pyspark.sql import SparkSession
 
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"dedup-scaling-{cpus}")
-        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.sql.shuffle.partitions", str(shuf))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "12g")
         .config("spark.ui.enabled", "false")
@@ -71,7 +92,7 @@ def ensure_corpus(docs: int) -> str:
     return path
 
 
-def run_level(cpus: int, docs: int, iters: int) -> dict:
+def run_level(cpus: int, docs: int, iters: int, parts: int, shuf: int) -> dict:
     env = dict(os.environ)
     cmd = [
         "taskset",
@@ -85,6 +106,10 @@ def run_level(cpus: int, docs: int, iters: int) -> dict:
         str(docs),
         "--iters",
         str(iters),
+        "--parts",
+        str(parts),
+        "--shuf",
+        str(shuf),
     ]
     out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
     for line in reversed(out.stdout.splitlines()):
@@ -93,17 +118,19 @@ def run_level(cpus: int, docs: int, iters: int) -> dict:
     raise RuntimeError(f"level {cpus} produced no JSON:\n{out.stderr[-2000:]}")
 
 
-def inner(cpus: int, docs: int, iters: int) -> None:
+def inner(cpus: int, docs: int, iters: int, parts: int, shuf: int) -> None:
     from datavalid_spark.cache import release_cached
     from datavalid_spark.operators.dedup import minhash_lsh_pairs
 
-    spark = build_session(cpus)
+    spark = build_session(cpus, shuf)
     # small-files packing: 64 × ~2 MB parquet files coalesce into ~4
     # input splits at the default maxPartitionBytes/openCost, capping a
     # map-only pipeline at 4 workers REGARDLESS of cores (measured:
-    # local[16] no faster than local[4]).  Fan out to the level's
-    # parallelism so "local[N]" actually means N workers.
-    df = spark.read.parquet(CORPUS.format(docs=docs)).repartition(cpus * 3).persist()
+    # local[16] no faster than local[4]).  Fan out to a FIXED partition
+    # count shared by every level (methodology rule 1 in the module
+    # docstring): same job config, different core count — the faithful
+    # proxy for resizing a real cluster.
+    df = spark.read.parquet(CORPUS.format(docs=docs)).repartition(parts).persist()
     n = df.count()
     times, pairs = [], 0
     for _ in range(iters):
@@ -138,13 +165,15 @@ def inner(cpus: int, docs: int, iters: int) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=400000)
-    ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--docs", type=int, default=800000)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--parts", type=int, default=24)
+    ap.add_argument("--shuf", type=int, default=16)
     ap.add_argument("--level", type=int, default=None)
     args = ap.parse_args()
 
     if args.level:
-        inner(args.level, args.docs, args.iters)
+        inner(args.level, args.docs, args.iters, args.parts, args.shuf)
         return
 
     ensure_corpus(args.docs)
@@ -154,7 +183,7 @@ def main() -> None:
     # and oversubscribes vCPUs — above ~16 concurrent workers, so
     # larger pairs measure the bus, not the plan.  16/32 are appendix.
     for cpus in (2, 8, 16, 32):
-        levels[cpus] = run_level(cpus, args.docs, args.iters)
+        levels[cpus] = run_level(cpus, args.docs, args.iters, args.parts, args.shuf)
         print(f"level {cpus}: {levels[cpus]}", file=sys.stderr)
     pairs = []
     for n in (2, 4, 8):
@@ -165,6 +194,8 @@ def main() -> None:
     summary = {
         "job": "minhash_lsh capped near-dup detection",
         "docs": args.docs,
+        "parts": args.parts,
+        "shuffle_partitions": args.shuf,
         "levels": levels,
         "N": 2,
         "4N": 8,
