@@ -48,6 +48,7 @@ from datavalid_spark.operators.components import duplicate_clusters, keep_canoni
 from datavalid_spark.operators.dedup import (
     distinct_by_content,
     embedding_near_dups,
+    embedding_near_dups_between,
     exact_duplicates,
     minhash_lsh_pairs,
     minhash_lsh_pairs_between,
@@ -352,6 +353,24 @@ def q_dedup_incremental(spark, sf_dir):
         F.greatest("id_new", "id_corpus").alias("id_b"),
         "jaccard",
     )
+
+
+def q_embedding_incremental(spark, sf_dir):
+    """Incremental embedding-space ingest: near-dups of a NEW vector
+    batch against the EXISTING corpus via the shared-seed hyperplane
+    band join (``embedding_near_dups_between``).  The batch is the
+    corpus' every-10th vector re-id'd (+100000): real cross-set max
+    cosine is ~0.51 so pairs ≥ 0.95 are exactly the planted copies,
+    identical-vector recall is provably 1 (all band keys equal), and
+    the output carries pair ids only — no floats in the hash."""
+    emb = _t_fanout(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100_000
+    )
+    out = embedding_near_dups_between(
+        batch, emb, "vec_id", threshold=0.95, planes=16, bands=4
+    )
+    return out.select("id_new", "id_corpus")
 
 
 def q_split_assign(spark, sf_dir):
@@ -798,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_incremental": q_embedding_incremental,
         "ivf_topk": q_ivf_topk,
         "drift_two_sample": q_drift_two_sample,
         "multimodal_validate": q_multimodal_validate,
@@ -1267,6 +1287,14 @@ WITH u AS (
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM u a JOIN u b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+""",
+        "embedding_incremental": """
+WITH n AS (
+  SELECT vec_id + 100000 AS id_new, embedding FROM embeddings
+  WHERE vec_id % 10 = 0)
+SELECT n.id_new, c.vec_id AS id_corpus
+FROM n JOIN embeddings c ON n.id_new <> c.vec_id
+WHERE list_cosine_similarity(n.embedding, c.embedding) >= 0.95
 """,
         "ivf_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qvec

@@ -984,6 +984,46 @@ def _plane_bits(vec_col: str, planes: int, seed: int) -> list[Column]:
     return [plane_bit(j) for j in range(planes)]
 
 
+def _embedding_banded(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: int,
+    bands: int,
+    seed: int,
+    max_bucket_size: Optional[int],
+) -> DataFrame:
+    """Capped hyperplane-LSH band table ``(id, vec, band, bucket)``.
+
+    The sign bits derive from hash(seed, plane, dim) pseudo-random ±1
+    hyperplanes — PURELY a function of (seed, planes), so two frames
+    banded with the same parameters share bucket space (the property
+    the cross-set form relies on).  The (id, vec, bkeys) projection is
+    persisted: the sign-bit expressions cost ``planes`` dot products
+    per row and must not be recomputed per join branch."""
+    bits = _plane_bits(vec_col, planes, seed)
+    per_band = planes // bands
+    band_keys = []
+    for bi in range(bands):
+        key = None
+        for j in range(bi * per_band, (bi + 1) * per_band):
+            bit = bits[j].cast("long")
+            key = bit if key is None else key * 2 + bit
+        band_keys.append(key)
+    with_b = _persist(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            F.array(*band_keys).alias("bkeys"),
+        )
+    )
+    return _cap_buckets(
+        with_b.select("id", "vec", F.posexplode("bkeys").alias("band", "bucket")),
+        ["band", "bucket"],
+        max_bucket_size,
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str,
@@ -1003,26 +1043,8 @@ def embedding_near_dups(
     bit, banded recall is 1 − (1 − p^(planes/bands))^bands.)
     Exact cosine verify inside candidates.
     """
-    bits = _plane_bits(vec_col, planes, seed)
-    per_band = planes // bands
-    band_keys = []
-    for bi in range(bands):
-        key = None
-        for j in range(bi * per_band, (bi + 1) * per_band):
-            bit = bits[j].cast("long")
-            key = bit if key is None else key * 2 + bit
-        band_keys.append(key)
-    with_b = _persist(
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("vec"),
-            F.array(*band_keys).alias("bkeys"),
-        )
-    )
-    banded = _cap_buckets(
-        with_b.select("id", "vec", F.posexplode("bkeys").alias("band", "bucket")),
-        ["band", "bucket"],
-        max_bucket_size,
+    banded = _embedding_banded(
+        df, id_col, vec_col, planes, bands, seed, max_bucket_size
     )
     a, b = banded.alias("a"), banded.alias("b")
     cos = cosine_similarity(F.col("a.vec"), F.col("b.vec"))
@@ -1039,6 +1061,55 @@ def embedding_near_dups(
         # band collision to save re-checking a handful of duplicates
         .filter(F.col("cosine") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def embedding_near_dups_between(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    max_bucket_size: Optional[int] = None,
+) -> DataFrame:
+    """Cross-set near-dup pairs ``(id_new, id_corpus, cosine)`` — the
+    INCREMENTAL-ingest form of ``embedding_near_dups`` (the embedding
+    twin of ``minhash_lsh_pairs_between``): flag each arriving vector
+    against the existing corpus without re-pairing the corpus with
+    itself.
+
+    Both sides band with the SAME seeded hyperplanes, so bucket space
+    is shared; the join cost scales with |batch| × collision rate,
+    not |corpus|², and when the batch is small AQE broadcasts its band
+    table so the corpus side is never shuffled.  At 100 TB the corpus
+    band table is computed once and stored; each daily batch pays only
+    its own ``planes`` dot products per row.  Exact cosine verify on
+    candidates, dedup AFTER the filter (see embedding_near_dups)."""
+    bn = _embedding_banded(
+        new_df, id_col, vec_col, planes, bands, seed, max_bucket_size
+    )
+    bc = _embedding_banded(
+        corpus_df, id_col, vec_col, planes, bands, seed, max_bucket_size
+    )
+    a, b = bn.alias("a"), bc.alias("b")
+    cos = cosine_similarity(F.col("a.vec"), F.col("b.vec"))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_new"),
+            F.col("b.id").alias("id_corpus"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_new", "id_corpus"])
     )
 
 

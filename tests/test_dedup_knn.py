@@ -299,3 +299,25 @@ def test_pair_outputs_are_distinct_under_allband_collisions(spark):
     ]
     assert len(got) == len(set(got)), "duplicate pair rows in embedding output"
     assert set(got) == {(a, b) for a in range(4) for b in range(a + 1, 4)}
+
+
+def test_embedding_near_dups_between(spark):
+    """Cross-set (incremental-ingest) form: only new-vs-corpus pairs,
+    never corpus-vs-corpus; identical vectors are always recalled
+    (same seeded hyperplanes on both sides => equal band keys)."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 2.0, -1.0]), (2, [0.0, 3.0, 1.0, 1.0]), (3, [1.0, 0.0, 2.0, -1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [(10, [1.0, 0.0, 2.0, -1.0]), (11, [-2.0, 1.0, 0.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["id_new"], r["id_corpus"])
+        for r in dedup.embedding_near_dups_between(
+            batch, corpus, "vec_id", threshold=0.999, planes=8, bands=4
+        ).collect()
+    }
+    # 10 copies corpus vectors 1 and 3; corpus pair (1,3) must NOT appear
+    assert got == {(10, 1), (10, 3)}
