@@ -169,7 +169,15 @@ def keep_canonical(
 
     assign = clusters.select(F.col("id").alias(id_col), "cluster_id")
     if prefer_longest is not None:
-        lens = df.select(F.col(id_col), F.length(F.col(prefer_longest)).alias("__len"))
+        # NULL content coalesces to length -1 (worst): length(NULL) is
+        # NULL, and a NULL first struct field sorts SMALLEST, so without
+        # the coalesce min_by would elect a NULL-content doc over any
+        # doc that has content — the opposite of "keep the most
+        # complete copy"
+        lens = df.select(
+            F.col(id_col),
+            F.coalesce(F.length(F.col(prefer_longest)), F.lit(-1)).alias("__len"),
+        )
         # small ⋈ big oriented so the broadcast side is the assignments
         assign = lens.join(
             gated_broadcast(assign, broadcast_key_limit), id_col, "inner"

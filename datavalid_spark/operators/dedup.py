@@ -607,6 +607,14 @@ def minhash_lsh_pairs_between(
     candidates with the true shingle-set Jaccard (needs
     ``corpus_df``'s text even when ``corpus_sigs`` is given);
     ``"estimate"`` reports signature agreement.
+
+    Id contract: ids must identify documents CONSISTENTLY across both
+    sets — a pair with equal ids (the same document present in both
+    sets, e.g. re-validating a batch already merged into the corpus)
+    is excluded as a trivial self-match.  If the two sets have
+    independent id spaces that can collide, re-id one side first
+    (the driver query offsets the batch ids), or a genuine cross-set
+    near-dup that happens to share an id value is silently dropped.
     """
     rows_per_band = num_perm // bands
     norm_n = _normalized(new_df, id_col, content_col)
@@ -614,9 +622,18 @@ def minhash_lsh_pairs_between(
     sig_n = _persist(
         minhash_signatures(new_df, id_col, content_col, num_perm, shingle_k, _norm=norm_n)
     )
+    # corpus normalization is computed ONCE and threaded into both the
+    # signature build and the exact verify (computing them separately
+    # persisted two identical (id, __norm) corpus tables and paid the
+    # regex-normalize scan twice — the exact waste _norm= exists for)
+    norm_c = (
+        _normalized(corpus_df, id_col, content_col) if verify == "exact" else None
+    )
     if corpus_sigs is None:
         corpus_sigs = _persist(
-            minhash_signatures(corpus_df, id_col, content_col, num_perm, shingle_k)
+            minhash_signatures(
+                corpus_df, id_col, content_col, num_perm, shingle_k, _norm=norm_c
+            )
         )
     bn = _cap_buckets(
         _band_hashes(sig_n, bands, rows_per_band), ["band", "bucket"], max_bucket_size
@@ -642,7 +659,6 @@ def minhash_lsh_pairs_between(
     )
     est = _sig_agreement(num_perm)
     if verify == "exact":
-        norm_c = _normalized(corpus_df, id_col, content_col)
         out = _exact_jaccard_on_candidates(
             cand.filter(est >= threshold - 0.2)
             .select("id_a", "id_b")
@@ -993,14 +1009,23 @@ def _embedding_banded(
     seed: int,
     max_bucket_size: Optional[int],
 ) -> DataFrame:
-    """Capped hyperplane-LSH band table ``(id, vec, band, bucket)``.
+    """Persisted ``(vecs, banded)`` pair for hyperplane LSH: ``vecs``
+    is ``(id, vec)`` and ``banded`` is the NARROW capped band table
+    ``(id, band, bucket)``.
 
     The sign bits derive from hash(seed, plane, dim) pseudo-random ±1
     hyperplanes — PURELY a function of (seed, planes), so two frames
     banded with the same parameters share bucket space (the property
     the cross-set form relies on).  The (id, vec, bkeys) projection is
     persisted: the sign-bit expressions cost ``planes`` dot products
-    per row and must not be recomputed per join branch."""
+    per row and must not be recomputed per join branch.
+
+    The band table deliberately does NOT carry the vector: the bucket
+    cap's window and the band join would otherwise shuffle dim×8-byte
+    vectors replicated once per band — the same wide-shuffle
+    anti-pattern ``_band_hashes`` documents for MinHash signatures.
+    Vectors re-attach to the (small) candidate pair set via the
+    size-gated broadcast in ``_join_vecs``."""
     bits = _plane_bits(vec_col, planes, seed)
     per_band = planes // bands
     band_keys = []
@@ -1017,11 +1042,50 @@ def _embedding_banded(
             F.array(*band_keys).alias("bkeys"),
         )
     )
-    return _cap_buckets(
-        with_b.select("id", "vec", F.posexplode("bkeys").alias("band", "bucket")),
+    banded = _cap_buckets(
+        with_b.select("id", F.posexplode("bkeys").alias("band", "bucket")),
         ["band", "bucket"],
         max_bucket_size,
     )
+    return with_b.select("id", "vec"), banded
+
+
+def embedding_band_table(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    max_bucket_size: Optional[int] = None,
+) -> DataFrame:
+    """Narrow ``(id, band, bucket)`` hyperplane-LSH band table — the
+    thing a production pipeline computes ONCE per corpus snapshot and
+    stores, then feeds to ``embedding_near_dups_between(...,
+    corpus_bands=...)`` so daily ingests never re-pay the corpus'
+    ``planes`` dot products per row.  Parameters must match the
+    ingest-side call exactly (same seed ⇒ shared bucket space)."""
+    _, banded = _embedding_banded(
+        df, id_col, vec_col, planes, bands, seed, max_bucket_size
+    )
+    return banded
+
+
+def _join_vecs(pairs: DataFrame, vec_a: DataFrame, vec_b: DataFrame) -> DataFrame:
+    """Attach vec_a/vec_b to an (id_a, id_b) pair set — same size-gated
+    broadcast shape as ``_join_sigs``: when a doc set fits, the pair
+    stream maps through both joins with no wide-row shuffle; above the
+    gate it degrades to plain shuffle joins (the 10^12-doc path)."""
+    limit = 1_000_000
+    va = vec_a.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    vb = vec_b.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    n_a = vec_a.count()
+    n_b = n_a if vec_b is vec_a else vec_b.count()
+    if n_a <= limit:
+        va = F.broadcast(va)
+    if n_b <= limit:
+        vb = F.broadcast(vb)
+    return pairs.join(va, "id_a").join(vb, "id_b")
 
 
 def embedding_near_dups(
@@ -1043,24 +1107,28 @@ def embedding_near_dups(
     bit, banded recall is 1 − (1 − p^(planes/bands))^bands.)
     Exact cosine verify inside candidates.
     """
-    banded = _embedding_banded(
+    vecs, banded = _embedding_banded(
         df, id_col, vec_col, planes, bands, seed, max_bucket_size
     )
     a, b = banded.alias("a"), banded.alias("b")
-    cos = cosine_similarity(F.col("a.vec"), F.col("b.vec"))
+    raw = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    cos = cosine_similarity(F.col("vec_a"), F.col("vec_b"))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos.alias("cosine"))
-        # filter BEFORE the pair dedup: the cosine is computed map-side
-        # in the join project, so deduping first would shuffle every
-        # band collision to save re-checking a handful of duplicates
+        # vectors re-attach map-side (gated broadcast); the band join
+        # and cap window above shuffled only (id, band, bucket) rows.
+        # Filter BEFORE the pair dedup: deduping first would shuffle
+        # every band collision to save re-checking a handful of
+        # duplicates (see minhash_lsh_pairs)
+        _join_vecs(raw, vecs, vecs)
+        .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "cosine")
     )
 
 
@@ -1074,6 +1142,7 @@ def embedding_near_dups_between(
     bands: int = 4,
     seed: int = 42,
     max_bucket_size: Optional[int] = None,
+    corpus_bands: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Cross-set near-dup pairs ``(id_new, id_corpus, cosine)`` — the
     INCREMENTAL-ingest form of ``embedding_near_dups`` (the embedding
@@ -1083,33 +1152,49 @@ def embedding_near_dups_between(
 
     Both sides band with the SAME seeded hyperplanes, so bucket space
     is shared; the join cost scales with |batch| × collision rate,
-    not |corpus|², and when the batch is small AQE broadcasts its band
-    table so the corpus side is never shuffled.  At 100 TB the corpus
-    band table is computed once and stored; each daily batch pays only
-    its own ``planes`` dot products per row.  Exact cosine verify on
-    candidates, dedup AFTER the filter (see embedding_near_dups)."""
-    bn = _embedding_banded(
+    not |corpus|², and when the batch is small AQE broadcasts its
+    (narrow) band table so the corpus side is never shuffled.  At
+    100 TB pass ``corpus_bands`` — the stored output of
+    ``embedding_band_table`` computed once per corpus snapshot (the
+    analogue of ``corpus_sigs`` in ``minhash_lsh_pairs_between``) —
+    so each daily batch pays only its own ``planes`` dot products per
+    row.  Exact cosine verify on candidates (vectors re-attach to the
+    pair set via gated broadcast — they never ride the band shuffle),
+    dedup AFTER the filter.
+
+    Id contract: as in ``minhash_lsh_pairs_between`` — equal ids are
+    excluded as the-same-document self-matches, so independent id
+    spaces that can collide must be re-id'd first."""
+    vn, bn = _embedding_banded(
         new_df, id_col, vec_col, planes, bands, seed, max_bucket_size
     )
-    bc = _embedding_banded(
-        corpus_df, id_col, vec_col, planes, bands, seed, max_bucket_size
-    )
+    if corpus_bands is None:
+        vc, bc = _embedding_banded(
+            corpus_df, id_col, vec_col, planes, bands, seed, max_bucket_size
+        )
+    else:
+        vc = corpus_df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        )
+        bc = corpus_bands
     a, b = bn.alias("a"), bc.alias("b")
-    cos = cosine_similarity(F.col("a.vec"), F.col("b.vec"))
+    raw = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.id") != F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    cos = cosine_similarity(F.col("vec_a"), F.col("vec_b"))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") != F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_new"),
-            F.col("b.id").alias("id_corpus"),
-            cos.alias("cosine"),
-        )
+        _join_vecs(raw, vn, vc)
+        .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
-        .dropDuplicates(["id_new", "id_corpus"])
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            F.col("id_a").alias("id_new"),
+            F.col("id_b").alias("id_corpus"),
+            "cosine",
+        )
     )
 
 

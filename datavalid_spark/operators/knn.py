@@ -53,21 +53,6 @@ def brute_force_topk(
     )
 
 
-def _centroid_array(centroids: list):
-    """One literal array<array<double>> — the codegen-friendly shape.
-    (A per-centroid when-chain duplicates the 64-dim cosine expression
-    ~2x per centroid; the single-array transform computes each cosine
-    once — measured ~10x faster to JIT-compile at 16 centroids.)"""
-    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
-
-
-def _sims(vec_col, centroids: list):
-    """array<double> of cosines against every centroid."""
-    return F.transform(
-        _centroid_array(centroids), lambda c: cosine_similarity(F.col(vec_col), c)
-    )
-
-
 def _normalized_rows(M):
     import numpy as np
 
@@ -188,23 +173,31 @@ def ivf_topk(
     # fresh (n_clusters × dim)-term codegen compile per centroid set.
     # Tie-break: ascending (−sim, cid), matching the previous
     # array_sort(struct(neg, cid)) formulation exactly.
+    from pyspark.sql import types as T
+
     Cn = _normalized_rows(np.asarray(centroids, dtype="float64"))
-    qrows = queries.select(
-        F.col(id_col).cast("long").alias("query_id"),
+    qsel = queries.select(
+        F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
-    ).collect()
+    )
     probe_rows = []
-    for r in qrows:
+    for r in qsel.collect():
         qv = np.asarray(r["qvec"], dtype="float64")
         sims = (qv / max(np.linalg.norm(qv), 1e-12)) @ Cn.T
         order = sorted(range(len(sims)), key=lambda c: (-sims[c], c))
         for cid in order[:nprobe]:
             probe_rows.append((r["query_id"], list(r["qvec"]), int(cid)))
-    q = F.broadcast(
-        queries.sparkSession.createDataFrame(
-            probe_rows, schema="query_id long, qvec array<double>, __dv_cluster int"
-        )
+    # the probe table keeps the query id's ORIGINAL type (a long cast
+    # would turn string ids into NULLs, and NULL != id filters every
+    # candidate row — silently empty results)
+    probe_schema = T.StructType(
+        [
+            qsel.schema["query_id"],
+            T.StructField("qvec", T.ArrayType(T.DoubleType())),
+            T.StructField("__dv_cluster", T.IntegerType()),
+        ]
     )
+    q = F.broadcast(queries.sparkSession.createDataFrame(probe_rows, probe_schema))
     scored = q.join(c_assigned, "__dv_cluster").filter(
         F.col("query_id") != F.col("id")
     ).select(

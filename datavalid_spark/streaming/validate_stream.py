@@ -86,7 +86,15 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        # returning the memory table here would silently hand back a
+        # PARTIAL result while the query keeps running in the background
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {query_name!r} did not finish availableNow "
+            f"within {timeout_sec}s"
+        )
     return result_stream.sparkSession.table(query_name)
 
 
@@ -126,9 +134,12 @@ def stateful_first_seen(
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupState
 
+    # the id field keeps key_col's ORIGINAL type — a hardcoded LongType
+    # would make the pandas→Arrow conversion fail (or corrupt) for any
+    # non-long key column
     out_schema = T.StructType(
         [
-            T.StructField("id", T.LongType()),
+            T.StructField("id", stream_df.schema[key_col].dataType),
             T.StructField("content_hash", T.StringType()),
         ]
     )
@@ -144,23 +155,25 @@ def stateful_first_seen(
             return
         seen_list = list(state.get[0]) if state.exists else []
         seen = set(seen_list)
-        outs = []
-        for pdf in pdfs:
-            # arrival order within a micro-batch is partition-dependent;
-            # sort by id so "first seen" is deterministic
-            pdf = pdf.sort_values("id")
-            firsts = pdf.drop_duplicates("content_hash", keep="first")
+        # arrival order within a micro-batch is partition-dependent AND
+        # the group arrives as multiple Arrow chunks — concatenate
+        # FIRST, then one global sort by id, so "first seen" is
+        # deterministic even when the group spans chunks (a per-chunk
+        # sort would make the winner depend on chunk iteration order)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = _pd.concat(chunks).sort_values("id")
+            firsts = batch.drop_duplicates("content_hash", keep="first")
             fresh = firsts[~firsts["content_hash"].isin(seen)]
-            outs.append(fresh[["id", "content_hash"]])
-            seen.update(fresh["content_hash"])
             seen_list.extend(fresh["content_hash"])
+            out = fresh[["id", "content_hash"]]
+        else:
+            out = _pd.DataFrame(columns=["id", "content_hash"])
         if len(seen_list) > max_state_entries:
             seen_list = seen_list[-max_state_entries:]  # FIFO compaction
         state.update((seen_list,))
         state.setTimeoutDuration(state_timeout_ms)
-        yield _pd.concat(outs) if outs else _pd.DataFrame(
-            columns=["id", "content_hash"]
-        )
+        yield out
 
     hashed = stream_df.select(
         F.col(key_col).alias("id"),
@@ -252,8 +265,11 @@ def stateful_near_dup_stream(
         else:
             ids, sigs = [], []
         outs = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("id")
+        # concatenate the group's Arrow chunks before the id sort so
+        # "earlier rows act as corpus for later ones" is deterministic
+        # across chunk boundaries (same rationale as dedup_fn)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        for pdf in [_pd.concat(chunks).sort_values("id")] if chunks else []:
             for rid, rsig in zip(pdf["id"].tolist(), pdf["sig"].tolist()):
                 if ids:
                     m = _np.asarray(sigs, dtype="int64")

@@ -132,3 +132,20 @@ def test_cc_output_one_row_per_node(spark):
     out = connected_components(df).collect()
     ids = [r.id for r in out]
     assert len(ids) == len(set(ids))
+
+
+def test_keep_canonical_null_content_loses(spark):
+    """A NULL prefer_longest value must never win the cluster election
+    (length(NULL) is NULL and NULL sorts smallest in struct order —
+    uncoalesced it beat every doc that HAD content)."""
+    from datavalid_spark.operators.components import keep_canonical
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "the complete article body"), (3, "short")],
+        "id long, text string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10)], "id long, cluster_id long"
+    )
+    kept = keep_canonical(df, clusters, "id", prefer_longest="text").collect()
+    assert [r["id"] for r in kept] == [2]

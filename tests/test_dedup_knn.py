@@ -321,3 +321,39 @@ def test_embedding_near_dups_between(spark):
     }
     # 10 copies corpus vectors 1 and 3; corpus pair (1,3) must NOT appear
     assert got == {(10, 1), (10, 3)}
+
+
+def test_ivf_topk_string_ids(spark):
+    """ivf_topk must keep the query id's original type (a long cast
+    turned string ids into NULLs and the NULL != id filter silently
+    emptied the result)."""
+    rng = np.random.RandomState(7)
+    rows = [(f"doc-{i}", rng.normal(0, 1, 8).tolist()) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = knn.ivf_topk(
+        df, df.filter(F.col("vec_id") == "doc-0"), k=3, n_clusters=2, nprobe=2
+    ).collect()
+    assert len(out) == 3
+    assert all(r["query_id"] == "doc-0" for r in out)
+
+
+def test_embedding_between_corpus_bands_reuse(spark):
+    """The stored-corpus-band-table path must give identical results to
+    the recompute path."""
+    corpus = _vec_df(spark, [(i, [float(i), 1.0, -2.0, 0.5]) for i in range(8)])
+    batch = _vec_df(spark, [(100, [3.0, 1.0, -2.0, 0.5]), (101, [9.0, -9.0, 1.0, 1.0])])
+    kw = dict(threshold=0.999, planes=8, bands=4)
+    direct = {
+        (r["id_new"], r["id_corpus"])
+        for r in dedup.embedding_near_dups_between(
+            batch, corpus, "vec_id", **kw
+        ).collect()
+    }
+    stored = dedup.embedding_band_table(corpus, "vec_id", planes=8, bands=4)
+    reused = {
+        (r["id_new"], r["id_corpus"])
+        for r in dedup.embedding_near_dups_between(
+            batch, corpus, "vec_id", corpus_bands=stored, **kw
+        ).collect()
+    }
+    assert direct == reused == {(100, 3)}
