@@ -35,7 +35,11 @@ import numpy as np
 
 from pyspark.sql import functions as F
 
-from datavalid_spark.operators.profile import ColumnSketch, QuantileSketch
+from datavalid_spark.operators.profile import (
+    ColumnSketch,
+    QuantileSketch,
+    numeric_sketch_from_json,
+)
 
 
 def kolmogorov_pvalue(lam: float, terms: int = 100) -> float:
@@ -159,7 +163,7 @@ def load_baseline(path) -> dict[str, ColumnSketch]:
             d["n"],
             d["n_null"],
             d["total_bytes"],
-            QuantileSketch.from_json(d["numeric"]) if d["numeric"] else None,
+            numeric_sketch_from_json(d["numeric"]) if d["numeric"] else None,
             np.array(d["byte_hist"], dtype="i8") if d["byte_hist"] is not None else None,
             d["topk"],
         )

@@ -193,6 +193,111 @@ class QuantileSketch:
 
 
 @dataclass
+class TDigest:
+    """Mergeable t-digest quantile sketch (Dunning & Ertl,
+    "Computing extremely accurate quantiles using t-digests",
+    arXiv:1902.04023) — the sketch the north rule names for drift.
+
+    Differs from :class:`QuantileSketch` (uniform-weight buckets) in the
+    SCALE FUNCTION: centroids are sized so that each spans at most one
+    unit of k(q) = δ·(asin(2q−1)/π + 1/2) — k1 in the paper — which
+    compresses the middle of the distribution and keeps near-singleton
+    centroids at the tails, so extreme quantiles (p99.9 of a heavy-tail
+    latency/length column) stay accurate where the uniform digest
+    smears them.
+
+    Compression is the non-iterative bucketed formulation: sort, take
+    each point's cumulative-weight midpoint q, bucket by ⌊k(q)⌋, merge
+    each bucket into its weighted mean.  Fully numpy-vectorized (no
+    per-point Python loop — this runs inside the Arrow profiling pass),
+    deterministic for a given input multiset, and preserves the size
+    invariant: every bucket spans ≤ 1 k-unit, so ≤ δ centroids survive.
+    Merging concatenates and re-compresses (associative up to the
+    paper's re-compression error bound; determinism-of-merge-order is
+    covered by tests with tolerance bands, as SURVEY.md §7 requires).
+    """
+
+    values: np.ndarray = field(default_factory=lambda: np.array([], dtype="f8"))
+    weights: np.ndarray = field(default_factory=lambda: np.array([], dtype="f8"))
+    delta: int = QSKETCH_SIZE
+
+    @classmethod
+    def of(cls, arr: np.ndarray, delta: int = QSKETCH_SIZE) -> "TDigest":
+        arr = np.asarray(arr, dtype="f8")
+        arr = arr[~np.isnan(arr)]
+        sk = cls(np.sort(arr), np.ones(len(arr)), delta)
+        sk._compress()
+        return sk
+
+    def _compress(self) -> None:
+        if len(self.values) <= 1:
+            return
+        order = np.argsort(self.values, kind="stable")
+        v, w = self.values[order], self.weights[order]
+        cw = np.cumsum(w)
+        total = cw[-1]
+        q_mid = (cw - w / 2) / total
+        # k1 scale: fine buckets at q→0 and q→1, coarse in the middle
+        k = self.delta * (np.arcsin(2.0 * q_mid - 1.0) / np.pi + 0.5)
+        bucket = np.clip(np.floor(k).astype("i8"), 0, self.delta - 1)
+        if len(np.unique(bucket)) == len(v):
+            self.values, self.weights = v, w
+            return
+        nv = np.zeros(self.delta)
+        nw = np.zeros(self.delta)
+        np.add.at(nw, bucket, w)
+        np.add.at(nv, bucket, v * w)
+        mask = nw > 0
+        self.values = nv[mask] / nw[mask]
+        self.weights = nw[mask]
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        out = TDigest(
+            np.concatenate([self.values, other.values]),
+            np.concatenate([self.weights, other.weights]),
+            self.delta,
+        )
+        out._compress()
+        return out
+
+    @property
+    def total_weight(self) -> float:
+        return float(self.weights.sum())
+
+    # cdf / quantile share QuantileSketch's centroid interpolation —
+    # identical duck-type surface so drift.ks_two_sample accepts either
+    cdf = QuantileSketch.cdf
+    quantile = QuantileSketch.quantile
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {"kind": "tdigest", "d": self.delta,
+             "v": self.values.tolist(), "w": self.weights.tolist()}
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "TDigest":
+        d = json.loads(s)
+        return cls(
+            np.array(d["v"], dtype="f8"), np.array(d["w"], dtype="f8"),
+            int(d.get("d", QSKETCH_SIZE)),
+        )
+
+
+def numeric_sketch_from_json(s: str):
+    """Deserialize either numeric-sketch kind (baseline snapshots carry
+    whichever sketch profiled them; QuantileSketch JSON predates the
+    kind tag and stays untagged for compatibility)."""
+    if json.loads(s).get("kind") == "tdigest":
+        return TDigest.from_json(s)
+    return QuantileSketch.from_json(s)
+
+
+#: numeric_sketch= option name → per-partition builder
+NUMERIC_SKETCHES = {"uniform": QuantileSketch.of, "tdigest": TDigest.of}
+
+
+@dataclass
 class ColumnSketch:
     """Mergeable per-column sketch emitted per partition."""
 
@@ -200,7 +305,7 @@ class ColumnSketch:
     n: int = 0
     n_null: int = 0
     total_bytes: int = 0
-    numeric: Optional[QuantileSketch] = None
+    numeric: Optional[object] = None  # QuantileSketch | TDigest (duck-typed)
     byte_hist: Optional[np.ndarray] = None  # log2 byte-length histogram
     topk: Optional[dict] = None  # value → count, capped at TOPK via pruning
 
@@ -246,7 +351,9 @@ _SKETCH_SCHEMA = T.StructType(
 )
 
 
-def _sketch_partition(cols: list[str], numeric_cols: set[str]):
+def _sketch_partition(cols: list[str], numeric_cols: set[str], sketch_of=None):
+    sketch_of = sketch_of or QuantileSketch.of
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict[str, ColumnSketch] = {}
         for pdf in batches:
@@ -267,7 +374,7 @@ def _sketch_partition(cols: list[str], numeric_cols: set[str]):
                     np.add.at(hist, bins, 1)
                 num = None
                 if c in numeric_cols:
-                    num = QuantileSketch.of(
+                    num = sketch_of(
                         pd.to_numeric(s, errors="coerce").to_numpy(dtype="f8")
                     )
                 vc = as_str.value_counts()
@@ -298,7 +405,7 @@ def _sketch_from_row(r) -> ColumnSketch:
         int(r["n"]),
         int(r["n_null"]),
         int(r["total_bytes"]),
-        QuantileSketch.from_json(r["numeric_sketch"]) if r["numeric_sketch"] else None,
+        numeric_sketch_from_json(r["numeric_sketch"]) if r["numeric_sketch"] else None,
         np.array(r["byte_hist"], dtype="i8") if r["byte_hist"] is not None else None,
         json.loads(r["topk"]) if r["topk"] is not None else None,
     )
@@ -332,6 +439,7 @@ def profile_arrow(
     df: DataFrame,
     columns: Optional[list[str]] = None,
     tree_threshold: int = 512,
+    numeric_sketch: str = "tdigest",
 ) -> dict[str, ColumnSketch]:
     """Single mapInPandas Arrow pass → merged per-column sketches.
 
@@ -347,8 +455,9 @@ def profile_arrow(
     cols = columns or df.columns
     dtypes = {f.name: f.dataType for f in df.schema.fields}
     numeric_cols = {c for c in cols if isinstance(dtypes[c], _NUMERIC)}
+    sketch_of = NUMERIC_SKETCHES[numeric_sketch]
     part_rows = df.select(*cols).mapInPandas(
-        _sketch_partition(cols, numeric_cols), schema=_SKETCH_SCHEMA
+        _sketch_partition(cols, numeric_cols, sketch_of), schema=_SKETCH_SCHEMA
     )
     if df.rdd.getNumPartitions() > tree_threshold:
         part_rows = part_rows.groupBy("column").applyInPandas(

@@ -1,0 +1,122 @@
+"""t-digest numeric sketch (north rule: "distribution-drift via
+two-sample chi-square/KS over t-digest sketches compared against a
+baseline snapshot").
+
+Accuracy assertions use tolerance bands, never equality (SURVEY.md §7):
+a sketch answer is correct if it lands within its documented error
+bound, and the t-digest's defining property — tail quantiles stay
+accurate where a uniform digest smears them — is asserted RELATIVE to
+the uniform sketch on the same data.
+"""
+
+import numpy as np
+import pytest
+
+from datavalid_spark.operators.drift import (
+    drift_report,
+    ks_two_sample,
+    load_baseline,
+    save_baseline,
+)
+from datavalid_spark.operators.profile import (
+    QuantileSketch,
+    TDigest,
+    numeric_sketch_from_json,
+    profile_arrow,
+)
+
+
+def _heavy_tail(n=200_000, seed=7):
+    return np.random.default_rng(seed).lognormal(1.0, 1.5, n)
+
+
+def test_tdigest_size_bound_and_determinism():
+    arr = _heavy_tail()
+    a = TDigest.of(arr)
+    b = TDigest.of(arr.copy())
+    assert len(a.values) <= a.delta
+    assert np.array_equal(a.values, b.values)
+    assert np.array_equal(a.weights, b.weights)
+    assert a.total_weight == len(arr)
+
+
+def test_tdigest_tail_accuracy_beats_uniform():
+    arr = _heavy_tail()
+    td = TDigest.of(arr)
+    us = QuantileSketch.of(arr)
+    for q, band in ((0.5, 0.005), (0.99, 0.005), (0.999, 0.05), (0.9999, 0.05)):
+        exact = np.quantile(arr, q)
+        assert abs(td.quantile(q) - exact) / exact < band
+    # the uniform digest's last centroid averages the whole top bucket —
+    # p9999 collapses toward it (measured ~61% relative error here)
+    exact = np.quantile(arr, 0.9999)
+    assert abs(us.quantile(0.9999) - exact) / exact > 0.2
+
+
+def test_tdigest_merge_parity():
+    arr = _heavy_tail()
+    whole = TDigest.of(arr)
+    chunks = np.array_split(arr, 8)
+    merged = TDigest.of(chunks[0])
+    for c in chunks[1:]:
+        merged = merged.merge(TDigest.of(c))
+    assert len(merged.values) <= merged.delta
+    assert merged.total_weight == whole.total_weight
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99, 0.999):
+        exact = np.quantile(arr, q)
+        assert abs(merged.quantile(q) - exact) / abs(exact) < 0.05
+
+
+def test_tdigest_json_roundtrip_dispatch():
+    td = TDigest.of(_heavy_tail(5_000))
+    back = numeric_sketch_from_json(td.to_json())
+    assert isinstance(back, TDigest)
+    assert np.array_equal(back.values, td.values)
+    # untagged JSON (pre-round-2 baselines) still loads as the uniform kind
+    us = QuantileSketch.of(np.arange(100.0))
+    assert isinstance(numeric_sketch_from_json(us.to_json()), QuantileSketch)
+
+
+def test_ks_accepts_tdigests():
+    rng = np.random.default_rng(11)
+    a = TDigest.of(rng.normal(0, 1, 50_000))
+    b = TDigest.of(rng.normal(0, 1, 50_000))
+    d_same, p_same = ks_two_sample(a, b)
+    assert p_same > 0.01
+    c = TDigest.of(rng.normal(0.5, 1, 50_000))
+    d_shift, p_shift = ks_two_sample(a, c)
+    assert p_shift < 1e-6 and d_shift > d_same
+
+
+def test_profile_arrow_tdigest_end_to_end(spark, tmp_path):
+    rng = np.random.default_rng(3)
+    base_vals = rng.lognormal(0.0, 1.0, 20_000)
+    cur_vals = rng.lognormal(0.4, 1.0, 20_000)  # location shift → drift
+    base = spark.createDataFrame(
+        [(float(v),) for v in base_vals], "x double"
+    ).repartition(8)
+    cur = spark.createDataFrame(
+        [(float(v),) for v in cur_vals], "x double"
+    ).repartition(8)
+
+    sk_base = profile_arrow(base, numeric_sketch="tdigest")
+    assert isinstance(sk_base["x"].numeric, TDigest)
+    # distributed digest vs exact quantiles, tolerance-banded
+    for q in (0.5, 0.99):
+        exact = float(np.quantile(base_vals, q))
+        got = sk_base["x"].numeric.quantile(q)
+        assert abs(got - exact) / exact < 0.02
+
+    # baseline snapshot roundtrip keeps the sketch kind
+    path = tmp_path / "baseline.json"
+    save_baseline(sk_base, path)
+    loaded = load_baseline(path)
+    assert isinstance(loaded["x"].numeric, TDigest)
+
+    sk_cur = profile_arrow(cur, numeric_sketch="tdigest")
+    verdicts = {v.column: v for v in drift_report(loaded, sk_cur)}
+    assert verdicts["x"].kind == "ks" and verdicts["x"].drifted
+
+    sk_same = profile_arrow(base, numeric_sketch="tdigest")
+    same = {v.column: v for v in drift_report(loaded, sk_same)}
+    assert not same["x"].drifted
