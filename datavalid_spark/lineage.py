@@ -246,6 +246,12 @@ def table_snapshot_id(spark: SparkSession, source: str) -> str:
 
     Resolution order:
 
+    0. **snaplog** (``sources/snaplog.py``): the repo's from-scratch
+       snapshot-manifest layer — a REAL monotonic snapshot id from the
+       table's version-hint pointer, with exact Iceberg-style resume
+       semantics (new commit → new id → re-validate; no commit → same
+       id → skip).  Probed first: a metadata-file existence check,
+       cheaper than the catalog SQL probes below.
     1. **Iceberg**: ``SELECT snapshot_id FROM <tbl>.snapshots`` — the
        real snapshot id from table metadata.  (This sandbox ships no
        iceberg-spark-runtime jar and has no network to fetch one, so
@@ -262,6 +268,11 @@ def table_snapshot_id(spark: SparkSession, source: str) -> str:
        changed data → new id → re-validate.  Listing is metadata-only
        (driver-side filesystem walk, no data scan).
     """
+    from datavalid_spark.sources.snaplog import SnapshotTable
+
+    if SnapshotTable.exists(source):
+        return f"snaplog-{SnapshotTable(spark, source).current_snapshot_id()}"
+
     try:
         rows = spark.sql(
             f"SELECT snapshot_id FROM {source}.snapshots "

@@ -1,0 +1,214 @@
+"""Minimal snapshot-manifest table format ("snaplog") — from-scratch
+implementation of the table-format concepts the north rule names
+(Iceberg snapshots: an immutable snapshot log, manifest file lists,
+atomic commits, time travel) for a sandbox that ships no
+iceberg-spark-runtime jar and has no network to fetch one.
+
+Modeled on the PUBLIC Apache Iceberg spec concepts only (snapshot log +
+version-hint pointer, as in Iceberg's HadoopTables layout); none of the
+Iceberg code is used.  The layout::
+
+    <root>/
+      data/s<NNNN>/part-*.parquet      # files added by commit N
+      metadata/v<N>.json               # manifest: snapshot N
+      metadata/version-hint.text       # current version pointer
+
+Each manifest is immutable and lists the FULL set of data files visible
+at that snapshot (append = parent's files + new files; overwrite = new
+files only), so reading any snapshot never replays history.  Commits
+are optimistic: the manifest is staged under a temp name and the
+version slot is claimed with ``os.link`` (fails if a concurrent commit
+claimed the same version first), then the hint pointer is moved with an
+atomic ``os.replace``.
+
+Why this exists (beyond parity with the north rule's wording):
+
+- ``lineage.table_snapshot_id`` resolves a REAL monotonic snapshot id
+  from the hint file instead of hashing the file listing, so resume
+  semantics ("skip partitions validated for this snapshot") are exact,
+  not mtime-dependent.
+- drift gets a literal "compared against a baseline snapshot": profile
+  snapshot S_base once, store the tiny sketch JSON, and every later
+  snapshot diffs against it without re-reading S_base's data.
+
+At 10^12-file scale the real Iceberg metadata layer (manifest lists,
+partition stats, file pruning) replaces this module — the engine only
+touches ``read(snapshot_id)`` and ``current_snapshot_id()``, which map
+1:1 onto ``spark.read.option("snapshot-id", ...).table(...)`` and the
+``.snapshots`` metadata table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first (optimistic
+    concurrency, same contract as Iceberg's commit exception)."""
+
+
+class SnapshotTable:
+    """A snapshot-versioned parquet table at ``root``."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = str(root)
+        self._meta = os.path.join(self.root, "metadata")
+        self._hint = os.path.join(self._meta, "version-hint.text")
+
+    # ------------------------------------------------------------ state
+
+    @staticmethod
+    def exists(root: str) -> bool:
+        return os.path.isfile(os.path.join(str(root), "metadata", "version-hint.text"))
+
+    def current_snapshot_id(self) -> int:
+        with open(self._hint) as f:
+            return int(f.read().strip())
+
+    def _manifest_path(self, snapshot_id: int) -> str:
+        return os.path.join(self._meta, f"v{snapshot_id}.json")
+
+    def manifest(self, snapshot_id: Optional[int] = None) -> dict:
+        sid = self.current_snapshot_id() if snapshot_id is None else int(snapshot_id)
+        path = self._manifest_path(sid)
+        if not os.path.isfile(path):
+            raise ValueError(f"no snapshot {sid} at {self.root!r}")
+        with open(path) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict]:
+        """Snapshot log, oldest first (id, parent, operation, counts)."""
+        out = []
+        sid = 1
+        while os.path.isfile(self._manifest_path(sid)):
+            m = self.manifest(sid)
+            out.append(
+                {
+                    "snapshot_id": m["snapshot_id"],
+                    "parent_id": m["parent_id"],
+                    "operation": m["operation"],
+                    "committed_at": m["committed_at"],
+                    "added_files": m["summary"]["added_files"],
+                    "total_files": m["summary"]["total_files"],
+                }
+            )
+            sid += 1
+        return out
+
+    # ------------------------------------------------------------ write
+
+    def _write_data(self, df: DataFrame, snapshot_id: int) -> list[str]:
+        """Write ``df`` under data/s<id>-<nonce>/ and return the file
+        list RELATIVE to root.  The nonce keeps a losing concurrent
+        committer's orphaned directory from colliding with the retry
+        (orphans are unreferenced by any manifest — Iceberg's situation
+        exactly; a vacuum that keeps manifest-referenced files is the
+        standard cleanup)."""
+        rel_dir = os.path.join("data", f"s{snapshot_id:04d}-{uuid.uuid4().hex[:8]}")
+        out_dir = os.path.join(self.root, rel_dir)
+        df.write.mode("error").parquet(out_dir)
+        files = sorted(
+            os.path.join(rel_dir, name)
+            for name in os.listdir(out_dir)
+            if name.endswith(".parquet") and not name.startswith((".", "_"))
+        )
+        if not files:  # empty frame still commits a valid (empty) snapshot
+            return []
+        return files
+
+    def _commit(self, operation: str, df: DataFrame, base_files: list[str]) -> int:
+        parent = self.current_snapshot_id() if os.path.isfile(self._hint) else 0
+        new_id = parent + 1
+        added = self._write_data(df, new_id)
+        manifest = {
+            "format_version": 1,
+            "snapshot_id": new_id,
+            "parent_id": parent or None,
+            "operation": operation,
+            "committed_at": int(time.time() * 1000),
+            "schema": json.loads(df.schema.json()),
+            "files": base_files + added,
+            "summary": {
+                "added_files": len(added),
+                "total_files": len(base_files) + len(added),
+            },
+        }
+        os.makedirs(self._meta, exist_ok=True)
+        tmp = os.path.join(self._meta, f".v{new_id}.{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        final = self._manifest_path(new_id)
+        try:
+            # os.link fails with EEXIST if a concurrent writer claimed
+            # this version — the loser's data dir becomes an orphan
+            os.link(tmp, final)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise CommitConflict(
+                f"snapshot {new_id} at {self.root!r} was committed concurrently"
+            )
+        os.unlink(tmp)
+        hint_tmp = self._hint + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(hint_tmp, "w") as f:
+            f.write(str(new_id))
+        os.replace(hint_tmp, self._hint)  # atomic pointer move
+        return new_id
+
+    def create(self, df: DataFrame) -> int:
+        if SnapshotTable.exists(self.root):
+            raise ValueError(f"table already exists at {self.root!r}")
+        return self._commit("create", df, [])
+
+    def append(self, df: DataFrame) -> int:
+        return self._commit("append", df, list(self.manifest()["files"]))
+
+    def overwrite(self, df: DataFrame) -> int:
+        self.manifest()  # must exist
+        return self._commit("overwrite", df, [])
+
+    # ------------------------------------------------------------- read
+
+    def read(self, snapshot_id: Optional[int] = None) -> DataFrame:
+        """Time-travel read: the exact file set of ``snapshot_id``
+        (default: current).  The stored schema pins column types even
+        when a snapshot is empty."""
+        m = self.manifest(snapshot_id)
+        schema = T.StructType.fromJson(m["schema"])
+        files = [os.path.join(self.root, f) for f in m["files"]]
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*files)
+
+    # ------------------------------------------------------------ drift
+
+    def drift_report(
+        self,
+        baseline_snapshot_id: int,
+        current_snapshot_id: Optional[int] = None,
+        columns: Optional[list[str]] = None,
+        alpha: float = 0.01,
+        numeric_sketch: str = "tdigest",
+    ):
+        """Two-sample KS/chi² drift of ``current`` vs the BASELINE
+        snapshot (north rule wording, literally): both sides profiled
+        with the one-pass Arrow sketch, compared driver-side in
+        O(sketch) — each side's data is read once, never joined."""
+        from datavalid_spark.operators import drift as drift_mod
+        from datavalid_spark.operators.profile import profile_arrow
+
+        base = profile_arrow(
+            self.read(baseline_snapshot_id), columns, numeric_sketch=numeric_sketch
+        )
+        cur = profile_arrow(
+            self.read(current_snapshot_id), columns, numeric_sketch=numeric_sketch
+        )
+        return drift_mod.drift_report(base, cur, alpha=alpha)

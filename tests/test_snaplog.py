@@ -1,0 +1,130 @@
+"""Snapshot-manifest table layer (sources/snaplog.py): atomic commits,
+time travel, real snapshot ids feeding lineage resume, and drift
+"compared against a baseline snapshot" (north rule wording)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.lineage import MetricsStore, PartitionedRun, table_snapshot_id
+from datavalid_spark.operators.checks import UniqueCheck
+from datavalid_spark.sources.snaplog import CommitConflict, SnapshotTable
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _frame(spark, ids, part="p1"):
+    return spark.createDataFrame(
+        [(part, i, float(i) % 97) for i in ids], "part string, id int, x double"
+    )
+
+
+def test_create_append_time_travel(spark, root):
+    t = SnapshotTable(spark, root)
+    s1 = t.create(_frame(spark, range(100)))
+    s2 = t.append(_frame(spark, range(100, 150)))
+    assert (s1, s2) == (1, 2)
+    assert t.current_snapshot_id() == 2
+    assert t.read().count() == 150
+    # time travel: snapshot 1 is immutable
+    assert t.read(snapshot_id=1).count() == 100
+    assert [s["operation"] for s in t.snapshots()] == ["create", "append"]
+    log = t.snapshots()
+    # append carries the parent's files forward: total = parent + added
+    assert log[1]["total_files"] == log[0]["total_files"] + log[1]["added_files"]
+    assert log[1]["added_files"] > 0
+    # schema pinned in the manifest
+    assert [f.name for f in t.read(1).schema.fields] == ["part", "id", "x"]
+
+
+def test_overwrite_and_empty_snapshot(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_frame(spark, range(10)))
+    t.overwrite(_frame(spark, range(3)))
+    assert t.read().count() == 3
+    assert t.read(1).count() == 10
+    # an empty commit still yields a readable, typed snapshot
+    t.append(_frame(spark, []))
+    assert t.read().count() == 3
+    assert t.read().schema == t.read(1).schema
+
+
+def test_create_twice_rejected(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_frame(spark, range(5)))
+    with pytest.raises(ValueError):
+        t.create(_frame(spark, range(5)))
+
+
+def test_commit_conflict(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_frame(spark, range(5)))
+    # a concurrent writer claims version 2 between our read and commit
+    blocker = os.path.join(root, "metadata", "v2.json")
+    with open(blocker, "w") as f:
+        json.dump({"snapshot_id": 2}, f)
+    with pytest.raises(CommitConflict):
+        t.append(_frame(spark, range(5, 9)))
+    # the loser's orphaned data dir is unreferenced; table state intact
+    os.unlink(blocker)
+    assert t.current_snapshot_id() == 1
+    assert t.read().count() == 5
+    # retry succeeds and sees only manifest-referenced files
+    t.append(_frame(spark, range(5, 9)))
+    assert t.read().count() == 9
+
+
+def test_lineage_resolves_snaplog_id_and_resume(spark, root, tmp_path):
+    t = SnapshotTable(spark, root)
+    t.create(_frame(spark, list(range(50)) + [7], part="p1"))  # dup id 7
+    sid1 = table_snapshot_id(spark, root)
+    assert sid1 == "snaplog-1"
+
+    store = MetricsStore(spark, str(tmp_path / "metrics"))
+    checks = {"unique_id": lambda df: UniqueCheck("id").run(df)}
+    out1 = PartitionedRun(spark, store, snapshot_id=sid1).run(
+        t.read(), "part", checks
+    )
+    assert out1[0].status == "violations"
+
+    # same snapshot → resume skips everything
+    out2 = PartitionedRun(spark, store, snapshot_id=table_snapshot_id(spark, root)).run(
+        t.read(), "part", checks
+    )
+    assert [o.status for o in out2] == ["skipped"]
+
+    # a commit moves the snapshot id → the partition re-validates
+    t.append(_frame(spark, range(100, 120), part="p1"))
+    sid2 = table_snapshot_id(spark, root)
+    assert sid2 == "snaplog-2"
+    out3 = PartitionedRun(spark, store, snapshot_id=sid2).run(t.read(), "part", checks)
+    assert [o.status for o in out3] == ["violations"]
+
+
+def test_drift_vs_baseline_snapshot(spark, root):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    t = SnapshotTable(spark, root)
+    base_vals = rng.normal(10.0, 2.0, 20_000)
+    t.create(
+        spark.createDataFrame([(float(v),) for v in base_vals], "x double")
+        .repartition(4)
+    )
+    # append a drifted batch: current snapshot's distribution shifts
+    t.append(
+        spark.createDataFrame(
+            [(float(v),) for v in rng.normal(13.0, 2.0, 20_000)], "x double"
+        ).repartition(4)
+    )
+    verdicts = {v.column: v for v in t.drift_report(baseline_snapshot_id=1)}
+    assert verdicts["x"].kind == "ks" and verdicts["x"].drifted
+
+    # baseline vs itself: no drift
+    same = {v.column: v for v in t.drift_report(1, current_snapshot_id=1)}
+    assert not same["x"].drifted
