@@ -533,6 +533,12 @@ try:
 except ImportError:  # pragma: no cover - mid-import of dedup_check
     pass
 
+try:
+    # registers "no_drift" (same pattern)
+    from datavalid_spark.operators import drift_check as _drift_check  # noqa: E402,F401
+except ImportError:  # pragma: no cover - mid-import of drift_check
+    pass
+
 
 def build_table_check(key: str, value, today: Optional[datetime.date] = None) -> TableCheck:
     if key not in TABLE_CHECKS:
@@ -548,7 +554,7 @@ def build_table_check(key: str, value, today: Optional[datetime.date] = None) ->
         if isinstance(value, dict):
             return cls(**value)
         return cls(value)
-    if key in ("empty", "no_near_duplicates"):
+    if key in ("empty", "no_near_duplicates", "no_drift"):
         return cls(**(value or {}))
     kwargs = dict(value or {})
     kwargs["today"] = today

@@ -115,14 +115,40 @@ class DriftVerdict:
     statistic: float
     p_value: float
     drifted: bool
+    #: effect size on a common [0, 1] scale — KS D for numeric, total
+    #: variation distance for categorical
+    effect: float = 0.0
+
+
+def _tv_distance(counts_a: dict, counts_b: dict) -> float:
+    """Total variation distance between two categorical count dicts."""
+    na = sum(counts_a.values())
+    nb = sum(counts_b.values())
+    if na == 0 or nb == 0:
+        return 0.0
+    keys = set(counts_a) | set(counts_b)
+    return 0.5 * sum(
+        abs(counts_a.get(k, 0) / na - counts_b.get(k, 0) / nb) for k in keys
+    )
 
 
 def drift_report(
     baseline: dict[str, ColumnSketch],
     current: dict[str, ColumnSketch],
     alpha: float = 0.01,
+    min_effect: float = 0.0,
 ) -> list[DriftVerdict]:
-    """Compare two sketch snapshots column by column."""
+    """Compare two sketch snapshots column by column.
+
+    ``drifted`` requires BOTH significance (p < alpha) and a material
+    effect (``effect >= min_effect``).  The floor matters twice at
+    scale: (a) the sketch CDF has resolution error O(1/centroids) per
+    side (~0.004 at 256), so a statistically-borderline D in that band
+    can be pure sketch noise; (b) at 10^9+ rows the KS test's power is
+    so high that p < alpha for utterly trivial shifts — an alpha-only
+    alert fires on every refresh.  ``min_effect=0`` preserves the pure
+    hypothesis-test behavior.
+    """
     out = []
     for col, base in baseline.items():
         cur = current.get(col)
@@ -130,10 +156,13 @@ def drift_report(
             continue
         if base.numeric is not None and cur.numeric is not None and base.numeric.total_weight > 0:
             d, p = ks_two_sample(base.numeric, cur.numeric)
-            out.append(DriftVerdict(col, "ks", d, p, p < alpha))
+            out.append(DriftVerdict(col, "ks", d, p, p < alpha and d >= min_effect, d))
         elif base.topk is not None and cur.topk is not None:
             stat, p, _ = chi2_two_sample(base.topk, cur.topk)
-            out.append(DriftVerdict(col, "chi2", stat, p, p < alpha))
+            tv = _tv_distance(base.topk, cur.topk)
+            out.append(
+                DriftVerdict(col, "chi2", stat, p, p < alpha and tv >= min_effect, tv)
+            )
     return out
 
 

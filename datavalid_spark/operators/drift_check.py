@@ -1,0 +1,138 @@
+"""YAML task surface for distribution drift (north rule:
+"distribution-drift via two-sample chi-square/KS over t-digest sketches
+compared against a baseline snapshot").
+
+The reference has no drift notion (its checkers are row/group
+predicates — task.py:26-130); this checker follows its task contract —
+a task fails iff drift is detected — while the "rows" it reports are
+per-COLUMN verdicts, because drift is a property of a distribution,
+not of any single row::
+
+    tasks:
+      - name: no drift vs last release
+        no_drift:
+          baseline: /lake/baselines/docs_v12.json
+          columns: [length, lang]        # optional (default: baseline's)
+          alpha: 0.01
+          min_effect: 0.025              # KS D / TV-distance floor
+          numeric_sketch: tdigest        # or: uniform
+
+The baseline file is the tiny sketch snapshot written by
+``drift.save_baseline`` (e.g. from ``SnapshotTable.drift_report``'s
+profiling pass or a previous run); comparing costs ONE Arrow profiling
+pass over the current table plus an O(sketch) driver-side test —
+the baseline's data is never re-read, so a 100 TB current table diffs
+against a 100 TB baseline at the cost of scanning only the former.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from datavalid_spark.operators.checks import CheckResult, TableCheck
+
+_VERDICT_SCHEMA = T.StructType(
+    [
+        T.StructField("column", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("statistic", T.DoubleType()),
+        T.StructField("p_value", T.DoubleType()),
+    ]
+)
+
+
+class NoDriftCheck(TableCheck):
+    """Fail iff any profiled column's distribution drifted from the
+    saved baseline sketch snapshot (KS for numeric, chi² for
+    categorical — drift.py)."""
+
+    key = "no_drift"
+
+    #: default effect-size floor: above the 256-centroid sketch CDF
+    #: resolution (~0.004/side + merge noise), and the sane production
+    #: stance at 10^9+ rows where ANY shift is "significant" — an
+    #: alpha-only alert would fire on every refresh (drift_report doc)
+    DEFAULT_MIN_EFFECT = 0.025
+
+    def __init__(
+        self,
+        baseline: str,
+        columns: Optional[Sequence[str]] = None,
+        alpha: float = 0.01,
+        min_effect: float = DEFAULT_MIN_EFFECT,
+        numeric_sketch: str = "tdigest",
+    ) -> None:
+        if not baseline:
+            raise ValueError("no_drift requires a baseline sketch path")
+        self.baseline = str(baseline)
+        self.columns = list(columns) if columns else None
+        self.alpha = float(alpha)
+        self.min_effect = float(min_effect)
+        self.numeric_sketch = numeric_sketch
+
+    def verdicts(self, df: DataFrame):
+        """All per-column DriftVerdicts (drifted or not)."""
+        from datavalid_spark.operators.drift import drift_report, load_baseline
+        from datavalid_spark.operators.profile import profile_arrow
+
+        base = load_baseline(self.baseline)
+        cols = self.columns or [c for c in base if c in df.columns]
+        cur = profile_arrow(
+            df.select(*cols), cols, numeric_sketch=self.numeric_sketch
+        )
+        return drift_report(
+            base, cur, alpha=self.alpha, min_effect=self.min_effect
+        )
+
+    def violations(self, df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+        if group_cols:
+            raise ValueError(
+                "no_drift compares the whole table's distribution against "
+                "the baseline; group_by is not supported"
+            )
+        drifted = [
+            (v.column, v.kind, float(v.statistic), float(v.p_value))
+            for v in self.verdicts(df)
+            if v.drifted
+        ]
+        return df.sparkSession.createDataFrame(drifted, _VERDICT_SCHEMA)
+
+    def run(self, df: DataFrame, group_cols: Sequence[str] = ()) -> CheckResult:
+        if group_cols:
+            raise ValueError(
+                "no_drift compares the whole table's distribution against "
+                "the baseline; group_by is not supported"
+            )
+        # one profiling pass total: verdicts drive both the verdict and
+        # the violations frame (base-class run would profile twice)
+        drifted = [
+            (v.column, v.kind, float(v.statistic), float(v.p_value))
+            for v in self.verdicts(df)
+            if v.drifted
+        ]
+        if not drifted:
+            return CheckResult(True, None, None, 0)
+        viol = df.sparkSession.createDataFrame(drifted, _VERDICT_SCHEMA)
+        return CheckResult(False, self._err_msg(len(drifted)), viol, len(drifted))
+
+    def _err_msg(self, n: int) -> str:
+        return (
+            "%d column(s) drifted from the baseline distribution "
+            "(alpha=%g): re-baseline or investigate upstream" % (n, self.alpha)
+        )
+
+    def to_markdown(self) -> str:
+        cols = ", ".join(self.columns) if self.columns else "all baseline columns"
+        return "Ensure %s match the baseline distribution (alpha=%g)" % (
+            cols,
+            self.alpha,
+        )
+
+
+# self-registration (same import-cycle dodge as dedup_check)
+from datavalid_spark.operators import checks as _checks  # noqa: E402
+
+_checks.TABLE_CHECKS.setdefault("no_drift", NoDriftCheck)

@@ -196,6 +196,7 @@ class SnapshotTable:
         current_snapshot_id: Optional[int] = None,
         columns: Optional[list[str]] = None,
         alpha: float = 0.01,
+        min_effect: float = 0.0,
         numeric_sketch: str = "tdigest",
     ):
         """Two-sample KS/chi² drift of ``current`` vs the BASELINE
@@ -211,4 +212,4 @@ class SnapshotTable:
         cur = profile_arrow(
             self.read(current_snapshot_id), columns, numeric_sketch=numeric_sketch
         )
-        return drift_mod.drift_report(base, cur, alpha=alpha)
+        return drift_mod.drift_report(base, cur, alpha=alpha, min_effect=min_effect)

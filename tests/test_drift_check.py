@@ -1,0 +1,112 @@
+"""YAML-surface drift check (operators/drift_check.py): task fails iff
+the table's distribution drifted from a saved baseline sketch."""
+
+import io
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.operators.checks import TABLE_CHECKS, build_table_check
+from datavalid_spark.operators.drift import save_baseline
+from datavalid_spark.operators.drift_check import NoDriftCheck
+from datavalid_spark.operators.profile import profile_arrow
+
+
+def _numeric_df(spark, loc, n=15_000, seed=2):
+    vals = np.random.default_rng(seed).normal(loc, 1.0, n)
+    return spark.createDataFrame(
+        [(float(v),) for v in vals], "x double"
+    ).repartition(4)
+
+
+@pytest.fixture(scope="module")
+def baseline_path(spark, tmp_path_factory):
+    path = tmp_path_factory.mktemp("drift") / "baseline.json"
+    save_baseline(profile_arrow(_numeric_df(spark, 0.0)), path)
+    return str(path)
+
+
+def test_registered_in_table_checks():
+    assert TABLE_CHECKS["no_drift"] is NoDriftCheck
+
+
+def test_no_drift_passes_on_same_distribution(spark, baseline_path):
+    check = build_table_check("no_drift", {"baseline": baseline_path})
+    res = check.run(_numeric_df(spark, 0.0, seed=3))
+    assert res.passed and res.n_violations == 0
+
+
+def test_drift_detected_on_shift(spark, baseline_path):
+    check = NoDriftCheck(baseline=baseline_path, alpha=0.01)
+    res = check.run(_numeric_df(spark, 0.6, seed=3))
+    assert not res.passed and res.n_violations == 1
+    row = res.violations.collect()[0]
+    assert row["column"] == "x" and row["kind"] == "ks"
+    assert row["p_value"] < 0.01
+    assert "drifted from the baseline" in res.err_msg
+
+
+def test_effect_floor_blocks_borderline_significance(spark, baseline_path):
+    """Two same-distribution samples whose chance D lands near the
+    alpha=0.01 critical value: sketch resolution noise pushes p just
+    under alpha, and ONLY the effect-size floor keeps the verdict
+    honest (the reason min_effect exists — see drift_report docstring)."""
+    cur = _numeric_df(spark, 0.0, seed=3)
+    floored = NoDriftCheck(baseline=baseline_path).run(cur)
+    assert floored.passed
+    alpha_only = NoDriftCheck(baseline=baseline_path, min_effect=0.0).run(cur)
+    assert not alpha_only.passed  # p ≈ 0.005 by sampling + sketch noise
+    assert alpha_only.violations.collect()[0]["statistic"] < 0.025
+
+
+def test_group_by_rejected(spark, baseline_path):
+    check = NoDriftCheck(baseline=baseline_path)
+    with pytest.raises(ValueError, match="group_by is not supported"):
+        check.run(_numeric_df(spark, 0.0).withColumn("g", F.lit("a")), ["g"])
+
+
+def test_config_errors():
+    with pytest.raises(ValueError, match="baseline sketch path"):
+        NoDriftCheck(baseline="")
+
+
+def test_yaml_end_to_end(spark, tmp_path):
+    """datavalid.yml with a no_drift task → run_config → failure
+    report + exit code when the CSV's distribution moved off the
+    baseline."""
+    from datavalid_spark.plans.config import Config
+    from datavalid_spark.runner import run_config
+
+    rng = np.random.default_rng(9)
+    base = spark.createDataFrame(
+        [(float(v),) for v in rng.normal(50, 5, 8_000)], "score double"
+    )
+    bp = tmp_path / "baseline.json"
+    save_baseline(profile_arrow(base), bp)
+
+    lines = ["score"] + [f"{v:.3f}" for v in rng.normal(58, 5, 8_000)]
+    (tmp_path / "scores.csv").write_text("\n".join(lines) + "\n")
+    conf = Config(
+        tmp_path,
+        files={"scores.csv": {"schema": "scores"}},
+        schemas={
+            "scores": {
+                "validation_tasks": [
+                    {
+                        "name": "score distribution stable",
+                        "no_drift": {"baseline": str(bp)},
+                    }
+                ]
+            }
+        },
+    )
+    out = io.StringIO()
+    code = run_config(conf, spark, out=out)
+    assert code == 1
+    assert "drifted from the baseline" in out.getvalue()
+
+
+def test_to_markdown(baseline_path):
+    md = NoDriftCheck(baseline=baseline_path, columns=["x"]).to_markdown()
+    assert "baseline distribution" in md and "x" in md
