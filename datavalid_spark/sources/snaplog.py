@@ -86,10 +86,12 @@ class SnapshotTable:
             return json.load(f)
 
     def snapshots(self) -> list[dict]:
-        """Snapshot log, oldest first (id, parent, operation, counts)."""
+        """Snapshot log, oldest first (id, parent, operation, counts);
+        expired snapshots are absent (their ids stay burned)."""
         out = []
-        sid = 1
-        while os.path.isfile(self._manifest_path(sid)):
+        for sid in range(1, self.current_snapshot_id() + 1):
+            if not os.path.isfile(self._manifest_path(sid)):
+                continue
             m = self.manifest(sid)
             out.append(
                 {
@@ -101,7 +103,6 @@ class SnapshotTable:
                     "total_files": m["summary"]["total_files"],
                 }
             )
-            sid += 1
         return out
 
     # ------------------------------------------------------------ write
@@ -187,6 +188,60 @@ class SnapshotTable:
         if not files:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*files)
+
+    # ---------------------------------------------------------- cleanup
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop the oldest manifests, keeping the newest ``keep_last``
+        (Iceberg's expire_snapshots): expired ids can no longer be
+        time-traveled to, and their exclusively-referenced data files
+        become vacuum-eligible.  The current snapshot is always kept."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        current = self.current_snapshot_id()
+        cutoff = max(current - keep_last + 1, 1)
+        expired = []
+        for sid in range(1, cutoff):
+            path = self._manifest_path(sid)
+            if os.path.isfile(path):
+                os.unlink(path)
+                expired.append(sid)
+        return expired
+
+    def vacuum(self, dry_run: bool = False) -> list[str]:
+        """Delete data files referenced by NO remaining manifest —
+        losers of commit races and files of expired snapshots.  Returns
+        the root-relative paths removed (or would-be removed when
+        ``dry_run``).  Safe against concurrent readers of retained
+        snapshots: only unreferenced files are touched."""
+        live: set[str] = set()
+        newest = self.current_snapshot_id()
+        for sid in range(1, newest + 1):
+            path = self._manifest_path(sid)
+            if os.path.isfile(path):
+                with open(path) as f:
+                    live.update(json.load(f)["files"])
+        data_root = os.path.join(self.root, "data")
+        orphans = []
+        for dirpath, _dirs, files in os.walk(data_root):
+            for name in files:
+                full = os.path.join(dirpath, name)
+                rel = os.path.relpath(full, self.root)
+                if rel not in live and name.endswith(".parquet"):
+                    orphans.append(rel)
+        if not dry_run:
+            for rel in orphans:
+                os.unlink(os.path.join(self.root, rel))
+            # sweep now-empty commit directories (and their markers)
+            for entry in os.listdir(data_root):
+                full = os.path.join(data_root, entry)
+                if os.path.isdir(full) and not any(
+                    n.endswith(".parquet") for n in os.listdir(full)
+                ):
+                    import shutil
+
+                    shutil.rmtree(full)
+        return sorted(orphans)
 
     # ------------------------------------------------------------ drift
 

@@ -106,6 +106,42 @@ def test_lineage_resolves_snaplog_id_and_resume(spark, root, tmp_path):
     assert [o.status for o in out3] == ["violations"]
 
 
+def test_vacuum_collects_commit_loser_orphans(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_frame(spark, range(20)))
+    blocker = os.path.join(root, "metadata", "v2.json")
+    with open(blocker, "w") as f:
+        json.dump({"snapshot_id": 2}, f)
+    with pytest.raises(CommitConflict):
+        t.append(_frame(spark, range(20, 30)))  # loser leaves orphan files
+    os.unlink(blocker)
+    orphans = t.vacuum(dry_run=True)
+    assert orphans  # the losing commit's data files
+    assert t.vacuum() == orphans
+    assert t.vacuum() == []  # idempotent
+    assert t.read().count() == 20  # retained snapshot untouched
+
+
+def test_expire_snapshots_frees_old_files(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_frame(spark, range(10)))
+    t.overwrite(_frame(spark, range(100, 105)))
+    t.append(_frame(spark, range(105, 108)))
+    assert t.read(1).count() == 10
+    expired = t.expire_snapshots(keep_last=2)
+    assert expired == [1]
+    with pytest.raises(ValueError, match="no snapshot 1"):
+        t.read(1)
+    assert [s["snapshot_id"] for s in t.snapshots()] == [2, 3]
+    removed = t.vacuum()
+    assert removed  # snapshot 1's exclusively-referenced files
+    # retained snapshots read fine after the vacuum
+    assert t.read(2).count() == 5
+    assert t.read().count() == 8
+    with pytest.raises(ValueError):
+        t.expire_snapshots(keep_last=0)
+
+
 def test_drift_vs_baseline_snapshot(spark, root):
     import numpy as np
 
