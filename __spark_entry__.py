@@ -436,6 +436,48 @@ def q_text_scrub(spark, sf_dir):
     )
 
 
+def q_sample_stratified(spark, sf_dir):
+    """EXACT deterministic stratified sample (operators/sampling.py):
+    the 50 docs per language with the smallest md5(doc_id) — fixed
+    pseudo-random order, no RNG, so DuckDB derives the identical
+    sample.  Runs the SCALE path (hash prefilter to ~margin·k/n of
+    each stratum before the per-stratum window) whose result is
+    provably identical to the plain window — the oracle checks that
+    proof, not just the operator."""
+    from datavalid_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(docs, ["lang"], 50, "doc_id", prefilter_margin=6.0)
+    return out.select("doc_id", "lang")
+
+
+def q_text_normalize(spark, sf_dir):
+    """Ingest-time Unicode canonicalization: NFC compose (vectorized
+    pandas ``Series.str.normalize`` — Spark has no built-in Unicode
+    normalizer; the module's one documented Arrow slow-path), strip
+    ASCII control chars, collapse whitespace, trim.  The corpus text
+    is ASCII, so combining sequences / tabs / control bytes are
+    PLANTED per row; DuckDB rebuilds the same bytes with chr() and
+    must reproduce the canonical md5 exactly (nfc_normalize and
+    unicodedata implement the same Unicode canonical composition —
+    verified byte-identical)."""
+    from datavalid_spark.functions.text import canonicalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    # decomposed e+U+0301 composes to e-acute; tab collapses; BEL strips
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" Cafe\u0301 \t No\u0308el \x07v"),
+        (F.col("doc_id") % 5).cast("string"),
+    )
+    norm = canonicalize_text(aug)
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).cast("int").alias("norm_len"),
+    )
+
+
 def q_knn_bruteforce(spark, sf_dir):
     emb = _t_fanout(spark, sf_dir, "embeddings")
     out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
@@ -798,8 +840,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_canonical": q_dedup_keep_canonical,
         "dedup_incremental": q_dedup_incremental,
         "split_assign": q_split_assign,
+        "sample_stratified": q_sample_stratified,
         "profile_quantiles": q_profile_quantiles,
         "text_scrub": q_text_scrub,
+        "text_normalize": q_text_normalize,
         "knn_bruteforce": q_knn_bruteforce,
         "text_metrics": q_text_metrics,
         "text_lang_id": q_text_lang_id,
@@ -1248,6 +1292,29 @@ SELECT doc_id,
             WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
             ELSE 'test' END AS split
 FROM documents
+""",
+        "sample_stratified": """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+  FROM documents) t
+WHERE rk <= 50
+""",
+        "text_normalize": r"""
+WITH a AS (
+  SELECT doc_id,
+         text || ' Cafe' || chr(769) || ' ' || chr(9) || ' No' || chr(776)
+              || 'el ' || chr(7) || 'v' || CAST(doc_id % 5 AS VARCHAR) AS aug
+  FROM documents),
+n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(nfc_normalize(aug),
+              '[\x00-\x1F\x7F]', '', 'g'), '[ \t\n\r\f]+', ' ', 'g')) AS norm
+  FROM a)
+SELECT doc_id, md5(norm) AS norm_md5, CAST(length(norm) AS INT) AS norm_len
+FROM n
 """,
         "profile_quantiles": """
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,

@@ -2,7 +2,9 @@
 language-ID, quality scoring, token counting, document fingerprinting.
 
 All pure Column expressions (JVM-side, whole-stage codegen) — no
-Python in the data path.  Each has a ``queries()`` entry with a DuckDB
+Python in the data path — except ``nfc``: Spark SQL has no built-in
+Unicode normalizer, so NFC is the module's one documented
+Arrow-batched slow path.  Each has a ``queries()`` entry with a DuckDB
 oracle over the ``documents`` table.
 """
 
@@ -103,6 +105,37 @@ def normalize_text(col: Column | str) -> Column:
     whitespace, strip."""
     c = F.col(col) if isinstance(col, str) else col
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def nfc(col: Column | str) -> Column:
+    """Unicode NFC normalization (canonical composition).
+
+    The ONE Python step in this module: Spark SQL has no built-in
+    Unicode normalizer, so this is the documented Arrow-batched
+    slow-path exception (SURVEY.md §2.6 UDF policy) — a vectorized
+    ``Series.str.normalize`` over Arrow batches, never per-row Python.
+    DuckDB's ``nfc_normalize`` implements the same Unicode canonical
+    composition, so outputs are byte-identical → oracle-checkable.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # plain-callable form: the decorator form needs resolvable type
+    # hints, which `from __future__ import annotations` defers
+    _nfc = pandas_udf(lambda s: s.str.normalize("NFC"), "string")
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _nfc(c)
+
+
+def canonicalize_text(col: Column | str) -> Column:
+    """Full ingest-time canonical form: NFC compose, strip ASCII
+    control characters, collapse whitespace, trim.  Everything except
+    the NFC step is a JVM regexp chain (codegen'd); both regexes are
+    dialect-safe ASCII classes so DuckDB reproduces the bytes."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_ctl = F.regexp_replace(nfc(c), r"[\x00-\x1F\x7F]", "")
+    return F.trim(F.regexp_replace(no_ctl, r"[ \t\n\r\f]+", " "))
 
 
 def fingerprint(col: Column | str) -> Column:

@@ -1,0 +1,130 @@
+"""Deterministic sampling primitives for training-data pipelines.
+
+Everything here derives randomness from ``md5(id)`` instead of an RNG:
+assignments are stable under re-partitioning, re-runs, engine changes
+(any engine with md5 reproduces them bit-for-bit — the oracle-
+comparable property the driver gate checks), and incremental ingest
+(a new batch's rows join the same split they would have joined in a
+full re-run).  The reference has no sampling surface; these are the
+engine-only pipeline operators (SURVEY.md §2.6).
+
+Scale notes (100 TB):
+
+- ``deterministic_split`` is a pure Column expression — fused into the
+  scan, zero shuffle, embarrassingly parallel.
+- ``stratified_sample`` is one window over the stratum key.  Top-k per
+  stratum concentrates each stratum into one task, so for huge tables
+  with few strata use ``prefilter_margin``: a first cheap aggregation
+  counts each stratum, rows are pre-filtered to ~margin·k/n of each
+  stratum by hash threshold (scan-fused, no shuffle), and only the
+  survivors — O(margin·k) per stratum — enter the window.  The final
+  sample is IDENTICAL to the unfiltered one because selection order is
+  the hash itself: the top-k-by-hash rows all pass any threshold
+  ≥ their own hash values, so the prefilter can only drop rows ranked
+  below k (margin guards the estimate; see the parity test).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: 16^8 — the hash fraction uses the first 8 hex chars of md5
+_HASH_SPACE = float(16**8)
+
+
+def uniform_hash(col) -> F.Column:
+    """Deterministic uniform double in [0, 1) from a column's md5."""
+    return F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(_HASH_SPACE)
+
+
+def deterministic_split(
+    df: DataFrame, id_col: str, weights: dict[str, float]
+) -> DataFrame:
+    """Assign every row to a named split by hash fraction.
+
+    ``weights`` maps split name → fraction (must sum to ~1; the last
+    split absorbs rounding).  Pure Column expression — no shuffle, no
+    RNG state, reproducible by any engine.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights sum to {total}, expected 1.0")
+    u = uniform_hash(id_col)
+    names = list(weights)
+    expr = None
+    acc = 0.0
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: Sequence[str],
+    k: int,
+    id_col: str,
+    prefilter_margin: Optional[float] = None,
+) -> DataFrame:
+    """EXACT deterministic k-per-stratum sample: the k rows of each
+    stratum with the smallest ``md5(id)`` (a fixed pseudo-random order
+    — no RNG, no ties for unique ids, identical in any engine).
+
+    ``prefilter_margin`` (e.g. 4.0) enables the scale path: count each
+    stratum, keep only rows with hash fraction < margin·k/n_stratum
+    (a scan-fused filter), then rank the survivors.  Result is
+    identical whenever each stratum keeps ≥ k survivors — guaranteed
+    in expectation by the margin and asserted here with a hard check
+    (counting survivors costs nothing extra: the window already
+    touches them).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    strata = list(strata)
+    h = F.md5(F.col(id_col).cast("string"))
+    work = df
+    stratum_counts = None
+    if prefilter_margin is not None:
+        if prefilter_margin <= 1.0:
+            raise ValueError("prefilter_margin must be > 1")
+        counts = df.groupBy(*strata).agg(F.count(F.lit(1)).alias("__n"))
+        # one row per stratum — tiny; reused below for the guard
+        stratum_counts = counts.collect()
+        work = df.join(F.broadcast(counts), strata).filter(
+            uniform_hash(id_col)
+            < F.least(F.lit(1.0), F.lit(float(prefilter_margin * k)) / F.col("__n"))
+        )
+    w = Window.partitionBy(*strata).orderBy(h.asc())
+    ranked = work.withColumn("__rank", F.row_number().over(w)).filter(
+        F.col("__rank") <= k
+    )
+    out = ranked.select(*df.columns)
+    if stratum_counts is not None:
+        # hard guard: a stratum that kept < min(k, n) survivors would
+        # silently under-sample — fail loudly instead (raise the margin).
+        # Sound because the prefilter is monotone in the ranking hash:
+        # it can never drop a row ranked above a kept one, so a full
+        # quota proves the sample equals the unfiltered window's.
+        got_rows = out.groupBy(*strata).agg(F.count(F.lit(1)).alias("__g")).collect()
+        got = {tuple(r[s] for s in strata): r["__g"] for r in got_rows}
+        short = {}
+        for r in stratum_counts:
+            key = tuple(r[s] for s in strata)
+            want = min(k, r["__n"])
+            if got.get(key, 0) < want:
+                short[key] = (got.get(key, 0), want)
+        if short:
+            raise ValueError(
+                f"prefilter_margin={prefilter_margin} under-sampled strata "
+                f"{short}; raise the margin"
+            )
+    return out

@@ -1,0 +1,97 @@
+"""Deterministic sampling (operators/sampling.py) and Unicode
+canonicalization (functions/text.py nfc/canonicalize_text)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.functions.text import canonicalize_text
+from datavalid_spark.operators.sampling import (
+    deterministic_split,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, ["en", "fr", "de"][i % 3]) for i in range(3_000)]
+    return spark.createDataFrame(rows, "doc_id long, lang string").repartition(6)
+
+
+def test_split_weights_and_stability(spark, docs):
+    out = deterministic_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 3_000 - 0.8) < 0.03
+    # stable under repartitioning: identical assignment per id
+    again = deterministic_split(docs.repartition(13), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.select("doc_id", "split").exceptAll(again.select("doc_id", "split")).count() == 0
+
+
+def test_split_weight_validation(docs):
+    with pytest.raises(ValueError, match="sum to"):
+        deterministic_split(docs, "doc_id", {"a": 0.5, "b": 0.2})
+    with pytest.raises(ValueError, match="at least one"):
+        deterministic_split(docs, "doc_id", {})
+
+
+def test_stratified_exact_k_per_stratum(docs):
+    out = stratified_sample(docs, ["lang"], 25, "doc_id")
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 25, "fr": 25, "de": 25}
+
+
+def test_stratified_prefilter_parity(docs):
+    """The hash-prefilter scale path must return the IDENTICAL sample
+    as the plain per-stratum window (monotone-in-ranking-hash claim)."""
+    plain = stratified_sample(docs, ["lang"], 40, "doc_id")
+    fast = stratified_sample(docs, ["lang"], 40, "doc_id", prefilter_margin=6.0)
+    assert plain.exceptAll(fast).count() == 0
+    assert fast.exceptAll(plain).count() == 0
+
+
+def test_stratified_small_stratum_takes_all(spark):
+    df = spark.createDataFrame(
+        [(i, "big") for i in range(200)] + [(1000 + i, "tiny") for i in range(3)],
+        "doc_id long, lang string",
+    )
+    out = stratified_sample(df, ["lang"], 10, "doc_id", prefilter_margin=4.0)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 10, "tiny": 3}
+
+
+def test_stratified_guard_raises_on_undersampling(spark, docs):
+    # margin barely above 1 on a large stratum → shortfall is certain
+    with pytest.raises(ValueError, match="under-sampled"):
+        stratified_sample(docs, ["lang"], 900, "doc_id", prefilter_margin=1.0001)
+    with pytest.raises(ValueError, match="must be > 1"):
+        stratified_sample(docs, ["lang"], 10, "doc_id", prefilter_margin=0.5)
+    with pytest.raises(ValueError, match="k must be positive"):
+        stratified_sample(docs, ["lang"], 0, "doc_id")
+
+
+def test_canonicalize_text_matches_python(spark):
+    import hashlib
+    import re
+    import unicodedata
+
+    samples = [
+        "Hello  Café \t Nöel \x07bell",
+        "  already clean  ",
+        "tabs\tand\nnewlines\r\fmix",
+        "\x00lead control",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i int, t string")
+    got = {
+        r["i"]: (r["norm"], r["m"])
+        for r in df.select(
+            "i",
+            canonicalize_text("t").alias("norm"),
+            F.md5(canonicalize_text("t")).alias("m"),
+        ).collect()
+    }
+    for i, s in enumerate(samples):
+        py = unicodedata.normalize("NFC", s)
+        py = re.sub(r"[\x00-\x1F\x7F]", "", py)
+        py = re.sub(r"[ \t\n\r\f]+", " ", py).strip()
+        assert got[i][0] == py
+        assert got[i][1] == hashlib.md5(py.encode()).hexdigest()
