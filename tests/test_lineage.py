@@ -153,3 +153,56 @@ def test_table_snapshot_id_end_to_end_resume(spark, table, tmp_path):
     assert go() == 0      # same snapshot → all skipped
     table.write.mode("append").parquet(data_path)
     assert go() == 3      # new snapshot → revalidated
+
+
+def instance_checks():
+    return {
+        "unique_id": UniqueCheck("id"),
+        "no_empty_v": EmptyCheck(**{"column": "v", "op": "equal", "value": ""}),
+    }
+
+
+def test_run_grouped_matches_sequential(spark, table, tmp_path):
+    """One distributed pass per check == the partition-loop verdicts."""
+    seq_store = MetricsStore(spark, str(tmp_path / "m_seq"))
+    seq = PartitionedRun(spark, seq_store, snapshot_id="s").run(
+        table, "part", checks()
+    )
+    grp_store = MetricsStore(spark, str(tmp_path / "m_grp"))
+    grp = PartitionedRun(spark, grp_store, snapshot_id="s").run_grouped(
+        table, "part", instance_checks()
+    )
+    key = lambda o: (o.partition_id, o.check_id)
+    seq_map = {key(o): (o.status, o.n_violations, o.rows_scanned) for o in seq}
+    grp_map = {key(o): (o.status, o.n_violations, o.rows_scanned) for o in grp}
+    assert seq_map == grp_map
+    # lineage rows recorded for every (partition, check)
+    assert grp_store.read().count() == 6
+
+
+def test_run_grouped_resume_and_error(spark, table, tmp_path):
+    store = MetricsStore(spark, str(tmp_path / "metrics"))
+    run1 = PartitionedRun(spark, store, snapshot_id="s")
+    run1.run_grouped(table, "part", instance_checks(), partitions=["p1", "p2"])
+
+    # resume: p1/p2 skipped, p3 executes; a bad check errors per partition
+    class Boom:
+        def group_verdicts(self, df, group_cols):
+            raise RuntimeError("missing column")
+
+    run2 = PartitionedRun(spark, store, snapshot_id="s")
+    out = run2.run_grouped(
+        table, "part", {**instance_checks(), "boom": Boom()}
+    )
+    by = {(o.partition_id, o.check_id): o for o in out}
+    assert by[("p1", "unique_id")].status == "skipped"
+    assert by[("p3", "unique_id")].status == "violations" or by[
+        ("p3", "unique_id")
+    ].status == "ok"
+    assert by[("p3", "boom")].status == "error"
+    assert "missing column" in by[("p1", "boom")].err_msg
+    # errors are retried on the next resume (not in DONE_STATUSES)
+    out3 = PartitionedRun(spark, store, snapshot_id="s").run_grouped(
+        table, "part", {"boom": Boom()}
+    )
+    assert all(o.status == "error" for o in out3)
