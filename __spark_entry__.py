@@ -1311,7 +1311,8 @@ WITH a AS (
 n AS (
   SELECT doc_id,
          trim(regexp_replace(regexp_replace(nfc_normalize(aug),
-              '[\x00-\x1F\x7F]', '', 'g'), '[ \t\n\r\f]+', ' ', 'g')) AS norm
+              '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'),
+              '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
   FROM a)
 SELECT doc_id, md5(norm) AS norm_md5, CAST(length(norm) AS INT) AS norm_len
 FROM n

@@ -132,10 +132,16 @@ def canonicalize_text(col: Column | str) -> Column:
     """Full ingest-time canonical form: NFC compose, strip ASCII
     control characters, collapse whitespace, trim.  Everything except
     the NFC step is a JVM regexp chain (codegen'd); both regexes are
-    dialect-safe ASCII classes so DuckDB reproduces the bytes."""
+    dialect-safe ASCII classes so DuckDB reproduces the bytes.
+
+    The control-strip class EXCLUDES the whitespace controls
+    (\\t \\n \\x0B \\f \\r) — they must survive into the collapse so
+    ``'a\\nb'`` canonicalizes to ``'a b'``, not ``'ab'`` (stripping
+    first would merge words across line breaks and corrupt
+    fingerprint/dedup identity)."""
     c = F.col(col) if isinstance(col, str) else col
-    no_ctl = F.regexp_replace(nfc(c), r"[\x00-\x1F\x7F]", "")
-    return F.trim(F.regexp_replace(no_ctl, r"[ \t\n\r\f]+", " "))
+    no_ctl = F.regexp_replace(nfc(c), r"[\x00-\x08\x0E-\x1F\x7F]", "")
+    return F.trim(F.regexp_replace(no_ctl, r"[ \t\n\x0B\f\r]+", " "))
 
 
 def fingerprint(col: Column | str) -> Column:

@@ -235,20 +235,6 @@ class PartitionedRun:
         done = self.store.completed(self.snapshot_id)
         outcomes: list[PartitionOutcome] = []
 
-        # one shared scan for per-partition row counts (only pending)
-        pending_any = sorted(
-            {p for p in parts for c in checks if (str(p), c) not in done}
-        )
-        rows_by_pid: dict[str, int] = {}
-        if pending_any:
-            counts = (
-                df.filter(F.col(partition_col).isin(pending_any))
-                .groupBy(partition_col)
-                .agg(F.count(F.lit(1)).alias("__n"))
-                .collect()
-            )
-            rows_by_pid = {str(r[0]): r["__n"] for r in counts}
-
         for check_id, check in checks.items():
             pending = [p for p in parts if (str(p), check_id) not in done]
             for p in parts:
@@ -262,18 +248,21 @@ class PartitionedRun:
             t0 = time.time()
             batch: list[tuple] = []
             try:
+                # (n_violations, n_rows) per partition from the ONE
+                # distributed pass — rows_scanned reflects exactly the
+                # data the verdict saw (no separate counting scan)
                 verdicts = {
-                    str(r[0]): int(r["n_violations"])
+                    str(r[0]): (int(r["n_violations"]), int(r["n_rows"]))
                     for r in check.group_verdicts(scoped, [partition_col]).collect()
                 }
                 wall = int((time.time() - t0) * 1000)
                 for p in pending:
                     pid = str(p)
-                    n_viol = verdicts.get(pid, 0)
+                    n_viol, n_rows = verdicts.get(pid, (0, 0))
                     out = PartitionOutcome(
                         pid,
                         check_id,
-                        rows_by_pid.get(pid, 0),
+                        n_rows,
                         n_viol,
                         "ok" if n_viol == 0 else "violations",
                         None,
@@ -288,7 +277,7 @@ class PartitionedRun:
                     out = PartitionOutcome(
                         str(p),
                         check_id,
-                        rows_by_pid.get(str(p), 0),
+                        -1,
                         -1,
                         "error",
                         msg,

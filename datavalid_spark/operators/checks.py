@@ -89,17 +89,22 @@ class TableCheck:
     def group_verdicts(
         self, df: DataFrame, group_cols: Sequence[str]
     ) -> DataFrame:
-        """Per-group ``(*group_cols, n_violations, passed)`` in one pass."""
+        """Per-group ``(*group_cols, n_violations, passed, n_rows)`` in
+        one pass.  ``n_rows`` rides the same aggregation that already
+        enumerates the groups (a count agg costs what the former
+        dropDuplicates cost) — ``PartitionedRun.run_grouped`` records it
+        as rows_scanned without a second counting scan."""
         viol_counts = (
             self.violations(df, group_cols)
             .groupBy(*group_cols)
             .agg(F.count(F.lit(1)).alias("n_violations"))
         )
-        all_groups = df.select(*group_cols).dropDuplicates()
+        all_groups = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_rows"))
         return (
             all_groups.join(viol_counts, list(group_cols), "left")
             .withColumn("n_violations", F.coalesce(F.col("n_violations"), F.lit(0)))
             .withColumn("passed", F.col("n_violations") == 0)
+            .select(*group_cols, "n_violations", "passed", "n_rows")
         )
 
     def _err_msg(self, n: int) -> str:

@@ -79,7 +79,15 @@ class NoDriftCheck(TableCheck):
         from datavalid_spark.operators.profile import profile_arrow
 
         base = load_baseline(self.baseline)
-        cols = self.columns or [c for c in base if c in df.columns]
+        cols = self.columns or sorted(base)
+        missing = [c for c in cols if c not in df.columns]
+        if missing or not cols:
+            # silently passing when the compared columns vanished would
+            # drop the guard-rail exactly when the schema broke
+            raise ValueError(
+                f"no_drift: baseline columns {missing or '(none)'} not in "
+                f"table columns {df.columns}"
+            )
         cur = profile_arrow(
             df.select(*cols), cols, numeric_sketch=self.numeric_sketch
         )
@@ -87,18 +95,22 @@ class NoDriftCheck(TableCheck):
             base, cur, alpha=self.alpha, min_effect=self.min_effect
         )
 
+    def _drifted_rows(self, df: DataFrame) -> list[tuple]:
+        return [
+            (v.column, v.kind, float(v.statistic), float(v.p_value))
+            for v in self.verdicts(df)
+            if v.drifted
+        ]
+
     def violations(self, df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
         if group_cols:
             raise ValueError(
                 "no_drift compares the whole table's distribution against "
                 "the baseline; group_by is not supported"
             )
-        drifted = [
-            (v.column, v.kind, float(v.statistic), float(v.p_value))
-            for v in self.verdicts(df)
-            if v.drifted
-        ]
-        return df.sparkSession.createDataFrame(drifted, _VERDICT_SCHEMA)
+        return df.sparkSession.createDataFrame(
+            self._drifted_rows(df), _VERDICT_SCHEMA
+        )
 
     def run(self, df: DataFrame, group_cols: Sequence[str] = ()) -> CheckResult:
         if group_cols:
@@ -108,11 +120,7 @@ class NoDriftCheck(TableCheck):
             )
         # one profiling pass total: verdicts drive both the verdict and
         # the violations frame (base-class run would profile twice)
-        drifted = [
-            (v.column, v.kind, float(v.statistic), float(v.p_value))
-            for v in self.verdicts(df)
-            if v.drifted
-        ]
+        drifted = self._drifted_rows(df)
         if not drifted:
             return CheckResult(True, None, None, 0)
         viol = df.sparkSession.createDataFrame(drifted, _VERDICT_SCHEMA)

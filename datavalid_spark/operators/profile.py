@@ -277,7 +277,10 @@ class TDigest:
 
     @classmethod
     def from_json(cls, s: str) -> "TDigest":
-        d = json.loads(s)
+        return cls._from_dict(json.loads(s))
+
+    @classmethod
+    def _from_dict(cls, d: dict) -> "TDigest":
         return cls(
             np.array(d["v"], dtype="f8"), np.array(d["w"], dtype="f8"),
             int(d.get("d", QSKETCH_SIZE)),
@@ -287,10 +290,12 @@ class TDigest:
 def numeric_sketch_from_json(s: str):
     """Deserialize either numeric-sketch kind (baseline snapshots carry
     whichever sketch profiled them; QuantileSketch JSON predates the
-    kind tag and stays untagged for compatibility)."""
-    if json.loads(s).get("kind") == "tdigest":
-        return TDigest.from_json(s)
-    return QuantileSketch.from_json(s)
+    kind tag and stays untagged for compatibility).  Parses once —
+    this runs per sketch row in the executor-side tree merge."""
+    d = json.loads(s)
+    if d.get("kind") == "tdigest":
+        return TDigest._from_dict(d)
+    return QuantileSketch(np.array(d["v"], dtype="f8"), np.array(d["w"], dtype="f8"))
 
 
 #: numeric_sketch= option name → per-partition builder

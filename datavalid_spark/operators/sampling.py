@@ -83,9 +83,10 @@ def stratified_sample(
     stratum, keep only rows with hash fraction < margin·k/n_stratum
     (a scan-fused filter), then rank the survivors.  Result is
     identical whenever each stratum keeps ≥ k survivors — guaranteed
-    in expectation by the margin and asserted here with a hard check
-    (counting survivors costs nothing extra: the window already
-    touches them).
+    in expectation by the margin and asserted with a hard per-stratum
+    check.  The sampled frame is persisted so the guard's counting
+    action and the caller's action share one computation (release with
+    ``cache.release_cached()`` in long-lived sessions).
     """
     if k <= 0:
         raise ValueError("k must be positive")
@@ -96,10 +97,24 @@ def stratified_sample(
     if prefilter_margin is not None:
         if prefilter_margin <= 1.0:
             raise ValueError("prefilter_margin must be > 1")
-        counts = df.groupBy(*strata).agg(F.count(F.lit(1)).alias("__n"))
-        # one row per stratum — tiny; reused below for the guard
-        stratum_counts = counts.collect()
-        work = df.join(F.broadcast(counts), strata).filter(
+        # collect once (one row per stratum — tiny), then rebuild the
+        # broadcast side from the collected rows so the join does not
+        # recompute the aggregation, and the guard reuses the same rows
+        stratum_counts = (
+            df.groupBy(*strata).agg(F.count(F.lit(1)).alias("__n")).collect()
+        )
+        counts = df.sparkSession.createDataFrame(
+            [tuple(r) for r in stratum_counts],
+            df.select(*strata).schema.add("__n", "long"),
+        )
+        cdf = counts.alias("__cnt")
+        # null-safe join keys: a NULL stratum is a legitimate group in
+        # the window path and must survive the prefilter path too
+        cond = None
+        for c in strata:
+            eq = df[c].eqNullSafe(cdf[c])
+            cond = eq if cond is None else cond & eq
+        work = df.join(F.broadcast(cdf), cond).drop(*[cdf[c] for c in strata]).filter(
             uniform_hash(id_col)
             < F.least(F.lit(1.0), F.lit(float(prefilter_margin * k)) / F.col("__n"))
         )
@@ -109,6 +124,11 @@ def stratified_sample(
     )
     out = ranked.select(*df.columns)
     if stratum_counts is not None:
+        # persist before the guard action so the guard's count and the
+        # caller's own action share one computation of the sample
+        from datavalid_spark.cache import persist_tracked
+
+        out = persist_tracked(out)
         # hard guard: a stratum that kept < min(k, n) survivors would
         # silently under-sample — fail loudly instead (raise the margin).
         # Sound because the prefilter is monotone in the ranking hash:

@@ -72,7 +72,16 @@ class SnapshotTable:
 
     def current_snapshot_id(self) -> int:
         with open(self._hint) as f:
-            return int(f.read().strip())
+            sid = int(f.read().strip())
+        # heal a committer crash between the manifest link and the hint
+        # move (Iceberg HadoopTables' recovery: scan past the hint for
+        # newer versions) — otherwise every future commit would collide
+        # with the already-linked manifest and raise CommitConflict
+        # forever.  The linked manifest is complete (written before the
+        # link), so the newest one is the real table state.
+        while os.path.isfile(self._manifest_path(sid + 1)):
+            sid += 1
+        return sid
 
     def _manifest_path(self, snapshot_id: int) -> str:
         return os.path.join(self._meta, f"v{snapshot_id}.json")
@@ -122,8 +131,6 @@ class SnapshotTable:
             for name in os.listdir(out_dir)
             if name.endswith(".parquet") and not name.startswith((".", "_"))
         )
-        if not files:  # empty frame still commits a valid (empty) snapshot
-            return []
         return files
 
     def _commit(self, operation: str, df: DataFrame, base_files: list[str]) -> int:
@@ -208,12 +215,18 @@ class SnapshotTable:
                 expired.append(sid)
         return expired
 
-    def vacuum(self, dry_run: bool = False) -> list[str]:
+    def vacuum(
+        self, dry_run: bool = False, min_age_seconds: float = 3600.0
+    ) -> list[str]:
         """Delete data files referenced by NO remaining manifest —
         losers of commit races and files of expired snapshots.  Returns
         the root-relative paths removed (or would-be removed when
         ``dry_run``).  Safe against concurrent readers of retained
-        snapshots: only unreferenced files are touched."""
+        snapshots (only unreferenced files are touched) AND against
+        in-flight committers: a commit writes its data files BEFORE
+        linking the manifest, so a file younger than
+        ``min_age_seconds`` may belong to a commit about to publish —
+        the age threshold (Iceberg's orphan-cleanup stance) skips it."""
         live: set[str] = set()
         newest = self.current_snapshot_id()
         for sid in range(1, newest + 1):
@@ -222,21 +235,30 @@ class SnapshotTable:
                 with open(path) as f:
                     live.update(json.load(f)["files"])
         data_root = os.path.join(self.root, "data")
+        cutoff = time.time() - min_age_seconds
         orphans = []
         for dirpath, _dirs, files in os.walk(data_root):
             for name in files:
                 full = os.path.join(dirpath, name)
                 rel = os.path.relpath(full, self.root)
-                if rel not in live and name.endswith(".parquet"):
+                if (
+                    rel not in live
+                    and name.endswith(".parquet")
+                    and os.stat(full).st_mtime <= cutoff
+                ):
                     orphans.append(rel)
         if not dry_run:
             for rel in orphans:
                 os.unlink(os.path.join(self.root, rel))
-            # sweep now-empty commit directories (and their markers)
+            # sweep now-empty commit directories (and their markers) —
+            # age-gated like the files: a young dir may be a commit
+            # mid-write (only _temporary markers exist yet)
             for entry in os.listdir(data_root):
                 full = os.path.join(data_root, entry)
-                if os.path.isdir(full) and not any(
-                    n.endswith(".parquet") for n in os.listdir(full)
+                if (
+                    os.path.isdir(full)
+                    and os.stat(full).st_mtime <= cutoff
+                    and not any(n.endswith(".parquet") for n in os.listdir(full))
                 ):
                     import shutil
 

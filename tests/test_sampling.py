@@ -91,7 +91,20 @@ def test_canonicalize_text_matches_python(spark):
     }
     for i, s in enumerate(samples):
         py = unicodedata.normalize("NFC", s)
-        py = re.sub(r"[\x00-\x1F\x7F]", "", py)
-        py = re.sub(r"[ \t\n\r\f]+", " ", py).strip()
+        py = re.sub(r"[\x00-\x08\x0E-\x1F\x7F]", "", py)
+        py = re.sub(r"[ \t\n\x0B\f\r]+", " ", py).strip()
         assert got[i][0] == py
         assert got[i][1] == hashlib.md5(py.encode()).hexdigest()
+    # whitespace controls must separate words, not vanish into a merge
+    assert got[2][0] == "tabs and newlines mix"
+
+
+def test_stratified_null_stratum_prefilter_parity(spark):
+    rows = [(i, None if i % 5 == 0 else ["en", "fr"][i % 2]) for i in range(1_000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    plain = stratified_sample(df, ["lang"], 15, "doc_id")
+    fast = stratified_sample(df, ["lang"], 15, "doc_id", prefilter_margin=6.0)
+    assert plain.exceptAll(fast).count() == 0
+    assert fast.exceptAll(plain).count() == 0
+    counts = {r["lang"]: r["n"] for r in fast.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {None: 15, "en": 15, "fr": 15}

@@ -61,22 +61,51 @@ def test_create_twice_rejected(spark, root):
         t.create(_frame(spark, range(5)))
 
 
-def test_commit_conflict(spark, root):
+def _stale_parent(monkeypatch, t, stale_id, files):
+    """Simulate the commit race: this writer read parent=stale_id, a
+    concurrent writer then committed stale_id+1 for real."""
+    real = SnapshotTable.current_snapshot_id
+
+    def stale(self):
+        return stale_id if self is t else real(self)
+
+    monkeypatch.setattr(SnapshotTable, "current_snapshot_id", stale)
+    monkeypatch.setattr(
+        SnapshotTable, "manifest", lambda self, sid=None: {"files": files}
+    )
+
+
+def test_commit_conflict(spark, root, monkeypatch):
     t = SnapshotTable(spark, root)
     t.create(_frame(spark, range(5)))
-    # a concurrent writer claims version 2 between our read and commit
-    blocker = os.path.join(root, "metadata", "v2.json")
-    with open(blocker, "w") as f:
-        json.dump({"snapshot_id": 2}, f)
+    winner_files = list(t.manifest()["files"])
+    t.append(_frame(spark, range(100, 103)))  # the concurrent winner's v2
+    # loser read parent=1 before the winner linked v2
+    _stale_parent(monkeypatch, t, 1, winner_files)
     with pytest.raises(CommitConflict):
         t.append(_frame(spark, range(5, 9)))
-    # the loser's orphaned data dir is unreferenced; table state intact
-    os.unlink(blocker)
-    assert t.current_snapshot_id() == 1
-    assert t.read().count() == 5
-    # retry succeeds and sees only manifest-referenced files
+    monkeypatch.undo()
+    # table state intact: winner's commit is current
+    assert t.current_snapshot_id() == 2
+    assert t.read().count() == 8
+    # retry (fresh parent read) succeeds
     t.append(_frame(spark, range(5, 9)))
+    assert t.read().count() == 12
+
+
+def test_crash_recovery_heals_stale_hint(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_frame(spark, range(5)))
+    t.append(_frame(spark, range(5, 9)))
+    # simulate a crash between the v2 manifest link and the hint move
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as f:
+        f.write("1")
+    # the version scan recovers the real state; commits are not wedged
+    assert t.current_snapshot_id() == 2
     assert t.read().count() == 9
+    t.append(_frame(spark, range(9, 10)))
+    assert t.current_snapshot_id() == 3
+    assert t.read().count() == 10
 
 
 def test_lineage_resolves_snaplog_id_and_resume(spark, root, tmp_path):
@@ -106,20 +135,22 @@ def test_lineage_resolves_snaplog_id_and_resume(spark, root, tmp_path):
     assert [o.status for o in out3] == ["violations"]
 
 
-def test_vacuum_collects_commit_loser_orphans(spark, root):
+def test_vacuum_collects_commit_loser_orphans(spark, root, monkeypatch):
     t = SnapshotTable(spark, root)
     t.create(_frame(spark, range(20)))
-    blocker = os.path.join(root, "metadata", "v2.json")
-    with open(blocker, "w") as f:
-        json.dump({"snapshot_id": 2}, f)
+    base_files = list(t.manifest()["files"])
+    t.append(_frame(spark, range(100, 105)))  # concurrent winner's v2
+    _stale_parent(monkeypatch, t, 1, base_files)
     with pytest.raises(CommitConflict):
         t.append(_frame(spark, range(20, 30)))  # loser leaves orphan files
-    os.unlink(blocker)
-    orphans = t.vacuum(dry_run=True)
+    monkeypatch.undo()
+    orphans = t.vacuum(dry_run=True, min_age_seconds=0)
     assert orphans  # the losing commit's data files
-    assert t.vacuum() == orphans
-    assert t.vacuum() == []  # idempotent
-    assert t.read().count() == 20  # retained snapshot untouched
+    # default age threshold protects freshly-written files (race guard)
+    assert t.vacuum(dry_run=True) == []
+    assert t.vacuum(min_age_seconds=0) == orphans
+    assert t.vacuum(min_age_seconds=0) == []  # idempotent
+    assert t.read().count() == 25  # retained snapshots untouched
 
 
 def test_expire_snapshots_frees_old_files(spark, root):
@@ -133,7 +164,7 @@ def test_expire_snapshots_frees_old_files(spark, root):
     with pytest.raises(ValueError, match="no snapshot 1"):
         t.read(1)
     assert [s["snapshot_id"] for s in t.snapshots()] == [2, 3]
-    removed = t.vacuum()
+    removed = t.vacuum(min_age_seconds=0)
     assert removed  # snapshot 1's exclusively-referenced files
     # retained snapshots read fine after the vacuum
     assert t.read(2).count() == 5
