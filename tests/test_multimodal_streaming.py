@@ -234,3 +234,48 @@ def test_stateful_near_dup_stream_across_batches(spark, tmp_path):
     # 10 matches both copies of A from batch 1 (exact dup est=1.0 and
     # the near dup); the fresh doc 11 matches nothing
     assert got == {(2, 1), (10, 1), (10, 2)}
+
+
+def test_drift_monitor_per_batch(spark, tmp_path):
+    """Streaming drift: batch 1 matches the baseline (no drift), batch
+    2 is shifted (drift), batch 3 is tiny (skipped, not silently
+    green)."""
+    import numpy as np
+
+    from datavalid_spark.operators.drift import save_baseline
+    from datavalid_spark.operators.profile import profile_arrow
+    from datavalid_spark.streaming.validate_stream import drift_monitor
+
+    rng = np.random.default_rng(21)
+
+    def frame(loc, n):
+        return spark.createDataFrame(
+            [(float(v),) for v in rng.normal(loc, 1.0, n)], "x double"
+        )
+
+    bp = tmp_path / "baseline.json"
+    save_baseline(profile_arrow(frame(0.0, 10_000)), bp)
+
+    src = str(tmp_path / "stream_src")
+    seen = {}
+
+    def sink(batch_id, verdicts):
+        seen[batch_id] = verdicts
+
+    batches = [frame(0.0, 5_000), frame(1.0, 5_000), frame(0.0, 50)]
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("x double").parquet(src)
+        q = (
+            drift_monitor(stream, str(bp), sink, min_rows=200)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    assert len(seen) == 3
+    by_order = [seen[k] for k in sorted(seen)]
+    assert [v.drifted for v in by_order[0]] == [False]
+    assert [v.drifted for v in by_order[1]] == [True]
+    assert by_order[2] is None  # below min_rows → skipped, not green
