@@ -72,6 +72,12 @@ def load_file(spec: FileSpec, spark: SparkSession) -> DataFrame:
     parquet/ORC/JSON(L) supported so the same config validates columnar
     lake files and event logs directly."""
     path = str(spec.filepath)
+    from datavalid_spark.sources.snaplog import SnapshotTable
+
+    if SnapshotTable.exists(path):
+        # snapshot-manifest table directory: read the CURRENT snapshot
+        # (time travel via the library API; the CLI validates head)
+        return SnapshotTable(spark, path).read()
     if path.endswith(".parquet"):
         return spark.read.parquet(path)
     if path.endswith(".orc"):

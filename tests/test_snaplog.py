@@ -195,3 +195,36 @@ def test_drift_vs_baseline_snapshot(spark, root):
     # baseline vs itself: no drift
     same = {v.column: v for v in t.drift_report(1, current_snapshot_id=1)}
     assert not same["x"].drifted
+
+
+def test_cli_validates_snapshot_table(spark, tmp_path):
+    """datavalid.yml can point a schema at a snaplog table directory;
+    the runner validates the CURRENT snapshot."""
+    import io
+
+    from datavalid_spark.plans.config import Config
+    from datavalid_spark.runner import run_config
+
+    t = SnapshotTable(spark, str(tmp_path / "events_tbl"))
+    t.create(_frame(spark, range(30)))
+    t.append(_frame(spark, [7, 8]))  # ids 7/8 now duplicated at head
+
+    conf = Config(
+        tmp_path,
+        files={"events_tbl": {"schema": "ev"}},
+        schemas={
+            "ev": {
+                "validation_tasks": [
+                    {"name": "unique ids", "unique": ["id"]},
+                ]
+            }
+        },
+    )
+    out = io.StringIO()
+    code = run_config(conf, spark, out=out)
+    assert code == 1
+    assert "unique ids" in out.getvalue()
+    # snapshot 1 alone (pre-append) is clean — time travel via library
+    from datavalid_spark.operators.checks import UniqueCheck
+
+    assert UniqueCheck("id").run(t.read(1)).passed
