@@ -31,23 +31,252 @@ Why this exists (beyond parity with the north rule's wording):
   snapshot S_base once, store the tiny sketch JSON, and every later
   snapshot diffs against it without re-reading S_base's data.
 
-At 10^12-file scale the real Iceberg metadata layer (manifest lists,
-partition stats, file pruning) replaces this module — the engine only
-touches ``read(snapshot_id)`` and ``current_snapshot_id()``, which map
-1:1 onto ``spark.read.option("snapshot-id", ...).table(...)`` and the
-``.snapshots`` metadata table.
+The layer also carries the metadata that makes a huge table QUERYABLE
+and WRITABLE incrementally, mirroring the Iceberg spec's data-file
+fields:
+
+- per-file column stats (rows, null counts, truncated min/max bounds)
+  harvested from the parquet FOOTERS of added files at commit time and
+  carried by reference for inherited files — ``scan(predicates)``
+  skips files whose bounds prove no match (manifest-level pruning,
+  one level above Spark's row-group filtering);
+- ``compact`` = Iceberg's ``rewrite_data_files`` (bin-pack +
+  optional range-clustering so bounds become disjoint);
+- ``merge`` = copy-on-write MERGE: stats-pruned candidate files →
+  one ``input_file_name`` semi-join pass → only files containing a
+  matching key are rewritten.
+
+At 10^12-file scale the real Iceberg metadata layer (manifest lists in
+avro, partition-level stats) replaces the single JSON manifest — the
+engine's surface (``read``/``scan``/``merge``/``compact``/
+``current_snapshot_id``) maps 1:1 onto the Iceberg Spark API
+(``spark.read.option("snapshot-id", ...).table(...)``, ``MERGE INTO``,
+``rewrite_data_files``, ``.snapshots``).
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
+import math
 import os
 import time
 import uuid
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+#: max stored length for string min/max bounds (Iceberg truncates bounds
+#: the same way so a 1 MB `content` value never bloats the manifest)
+_BOUND_TRUNC = 64
+
+
+def _enc_bound(v):
+    """JSON-encode a parquet-footer min/max value; None = unsupported
+    type (no bound stored → that side is unbounded for pruning)."""
+    if isinstance(v, bool) or isinstance(v, (int, str)):
+        return v
+    if isinstance(v, float):
+        return v if math.isfinite(v) else None
+    if isinstance(v, _dt.datetime):
+        # only NAIVE (NTZ / wall-clock) bounds are stored — the caller
+        # verifies isAdjustedToUTC=false from the parquet logical type;
+        # UTC-adjusted values shift with the reader's session tz, so
+        # pruning on them could be unsound
+        return {"ts": v.isoformat()} if v.tzinfo is None else None
+    if isinstance(v, _dt.date):
+        return {"date": v.isoformat()}
+    return None
+
+
+def _dec_bound(v):
+    if isinstance(v, dict) and "date" in v:
+        return _dt.date.fromisoformat(v["date"])
+    if isinstance(v, dict) and "ts" in v:
+        return _dt.datetime.fromisoformat(v["ts"])
+    return v
+
+
+def _coerce(bound, value):
+    """Make a predicate literal comparable with a decoded bound."""
+    if isinstance(bound, _dt.datetime):
+        if isinstance(value, str):
+            return _dt.datetime.fromisoformat(value)
+        if isinstance(value, _dt.date) and not isinstance(value, _dt.datetime):
+            return _dt.datetime.combine(value, _dt.time.min)
+        return value
+    if isinstance(bound, _dt.date) and isinstance(value, str):
+        return _dt.date.fromisoformat(value)
+    if isinstance(bound, float) and isinstance(value, int):
+        return float(value)
+    if isinstance(bound, int) and isinstance(value, float):
+        return value  # int/float compare fine
+    return value
+
+
+def _truncate_min(v):
+    if isinstance(v, str) and len(v) > _BOUND_TRUNC:
+        return v[:_BOUND_TRUNC]  # a prefix is a valid LOWER bound
+    return v
+
+
+def _truncate_max(v):
+    """A plain prefix is NOT a valid upper bound; increment the last
+    kept code point (Iceberg's truncate-and-increment)."""
+    if isinstance(v, str) and len(v) > _BOUND_TRUNC:
+        head, last = v[: _BOUND_TRUNC - 1], v[_BOUND_TRUNC - 1]
+        if ord(last) >= 0x10FFFF:
+            return None  # can't increment — leave unbounded above
+        return head + chr(ord(last) + 1)
+    return v
+
+
+def _file_stats(path: str) -> dict:
+    """Per-file column stats from the parquet FOOTER only (no data
+    read): rows, and per top-level column {min, max, nulls, all_null}.
+    This is the manifest metadata Iceberg keeps per data file — it is
+    what makes a 10^12-file table scannable: the planner prunes on
+    these bounds without opening a single data page."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    rows = md.num_rows
+    cols: dict[str, dict] = {}
+    seen_nulls: dict[str, int] = {}
+    nulls_known: dict[str, bool] = {}
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    bounded: dict[str, bool] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            if "." in name:  # nested leaves — no top-level pruning
+                continue
+            bounded.setdefault(name, True)
+            nulls_known.setdefault(name, True)
+            st = c.statistics
+            if st is None:
+                bounded[name] = False
+                nulls_known[name] = False
+                continue
+            if st.null_count is None:
+                nulls_known[name] = False
+            else:
+                seen_nulls[name] = seen_nulls.get(name, 0) + st.null_count
+            if not st.has_min_max:
+                # an all-null row group still has valid (absent) bounds;
+                # anything else without min/max makes the file unbounded
+                if st.null_count != g.num_rows:
+                    bounded[name] = False
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, _dt.datetime) or isinstance(mx, _dt.datetime):
+                # pyarrow returns NAIVE datetimes for both NTZ and
+                # UTC-adjusted timestamps — only the logical type says
+                # which; store bounds for wall-clock (NTZ) columns only
+                try:
+                    adjusted = json.loads(st.logical_type.to_json()).get(
+                        "isAdjustedToUTC", True
+                    )
+                except Exception:
+                    adjusted = True
+                if adjusted:
+                    bounded[name] = False
+                    continue
+            lo, hi = _enc_bound(mn), _enc_bound(mx)
+            if lo is None or hi is None:
+                bounded[name] = False
+                continue
+            if name not in mins or _dec_bound(lo) < _dec_bound(mins[name]):
+                mins[name] = lo
+            if name not in maxs or _dec_bound(hi) > _dec_bound(maxs[name]):
+                maxs[name] = hi
+    for name in bounded:
+        entry: dict = {}
+        if nulls_known.get(name):
+            n = seen_nulls.get(name, 0)
+            entry["nulls"] = n
+            if n == rows and rows > 0:
+                entry["all_null"] = True
+        if bounded[name] and name in mins:
+            lo = _truncate_min(_dec_bound(mins[name]))
+            hi = _truncate_max(_dec_bound(maxs[name]))
+            if lo is not None:
+                entry["min"] = _enc_bound(lo)
+            if hi is not None:
+                entry["max"] = _enc_bound(hi)
+        if entry:
+            cols[name] = entry
+    return {"rows": rows, "columns": cols}
+
+
+def _file_may_match(stats: Optional[dict], col: str, op: str, value) -> bool:
+    """Conservative can-this-file-contain-a-matching-row test.  True
+    (keep the file) unless the footer bounds PROVE no row matches.
+    Null rows never satisfy a comparison, so all-null columns prune
+    every comparison predicate."""
+    if not stats:
+        return True
+    cs = stats.get("columns", {}).get(col)
+    if cs is None:
+        return True
+    if op == "isnull":
+        return cs.get("nulls", 1) != 0
+    if op == "notnull":
+        return not cs.get("all_null", False)
+    if cs.get("all_null"):
+        return False
+    lo = _dec_bound(cs["min"]) if "min" in cs else None
+    hi = _dec_bound(cs["max"]) if "max" in cs else None
+    try:
+        if op == "in":
+            vals = [_coerce(lo if lo is not None else hi, v) for v in value]
+            return any(
+                (lo is None or lo <= v) and (hi is None or v <= hi) for v in vals
+            )
+        v = _coerce(lo if lo is not None else hi, value)
+        if op == "=":
+            return (lo is None or lo <= v) and (hi is None or v <= hi)
+        if op == "<":
+            return lo is None or lo < v
+        if op == "<=":
+            return lo is None or lo <= v
+        if op == ">":
+            return hi is None or hi > v
+        if op == ">=":
+            return hi is None or hi >= v
+    except TypeError:
+        return True  # incomparable literal — never prune on a guess
+    raise ValueError(f"unknown predicate op {op!r}")
+
+
+def _residual_filter(df: DataFrame, predicates) -> DataFrame:
+    """Apply the predicates exactly on top of the pruned scan — file
+    skipping is conservative, the row-level filter is the truth."""
+    for col, op, *rest in predicates:
+        c = F.col(col)
+        if op == "isnull":
+            df = df.filter(c.isNull())
+        elif op == "notnull":
+            df = df.filter(c.isNotNull())
+        elif op == "in":
+            df = df.filter(c.isin(list(rest[0])))
+        elif op in ("=", "<", "<=", ">", ">="):
+            ops = {
+                "=": c.__eq__,
+                "<": c.__lt__,
+                "<=": c.__le__,
+                ">": c.__gt__,
+                ">=": c.__ge__,
+            }
+            df = df.filter(ops[op](rest[0]))
+        else:
+            raise ValueError(f"unknown predicate op {op!r}")
+    return df
 
 
 class CommitConflict(RuntimeError):
@@ -133,10 +362,25 @@ class SnapshotTable:
         )
         return files
 
-    def _commit(self, operation: str, df: DataFrame, base_files: list[str]) -> int:
+    def _commit(
+        self,
+        operation: str,
+        df: DataFrame,
+        base_files: list[str],
+        extra_summary: Optional[dict] = None,
+    ) -> int:
         parent = self.current_snapshot_id() if os.path.isfile(self._hint) else 0
         new_id = parent + 1
         added = self._write_data(df, new_id)
+        # per-file column stats: footer-only scan of the ADDED files;
+        # base files carry their stats forward from the parent manifest
+        # (never recomputed — Iceberg manifests are immutable the same way)
+        stats = {}
+        if parent:
+            parent_stats = self.manifest(parent).get("stats", {})
+            stats.update({f: parent_stats[f] for f in base_files if f in parent_stats})
+        for rel in added:
+            stats[rel] = _file_stats(os.path.join(self.root, rel))
         manifest = {
             "format_version": 1,
             "snapshot_id": new_id,
@@ -145,9 +389,11 @@ class SnapshotTable:
             "committed_at": int(time.time() * 1000),
             "schema": json.loads(df.schema.json()),
             "files": base_files + added,
+            "stats": stats,
             "summary": {
                 "added_files": len(added),
                 "total_files": len(base_files) + len(added),
+                **(extra_summary or {}),
             },
         }
         os.makedirs(self._meta, exist_ok=True)
@@ -195,6 +441,175 @@ class SnapshotTable:
         if not files:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*files)
+
+    def prune_files(
+        self, predicates, snapshot_id: Optional[int] = None
+    ) -> tuple[list[str], int]:
+        """Manifest-level file skipping: return (kept root-relative
+        files, total files) for a conjunction of simple predicates
+        ``[(col, op, value), ...]`` with op in ``= < <= > >= in isnull
+        notnull``.  A file survives unless its stored footer bounds
+        PROVE no row can match — the planner-side half of Iceberg scan
+        planning, and the reason a 10^12-file table is queryable: the
+        executors never even open the skipped files."""
+        m = self.manifest(snapshot_id)
+        stats = m.get("stats", {})
+        kept = [
+            f
+            for f in m["files"]
+            if all(
+                _file_may_match(stats.get(f), col, op, rest[0] if rest else None)
+                for col, op, *rest in predicates
+            )
+        ]
+        return kept, len(m["files"])
+
+    def scan(self, predicates=None, snapshot_id: Optional[int] = None) -> DataFrame:
+        """Predicate-pushdown read: file skipping via manifest stats,
+        then the exact row-level filter on top (pruning is conservative;
+        the residual filter is the truth — same contract as Spark's
+        parquet row-group filtering, one level up)."""
+        if not predicates:
+            return self.read(snapshot_id)
+        m = self.manifest(snapshot_id)
+        schema = T.StructType.fromJson(m["schema"])
+        kept, _total = self.prune_files(predicates, snapshot_id)
+        if not kept:
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, f) for f in kept]
+        )
+        return _residual_filter(df, predicates)
+
+    # ------------------------------------------------------ maintenance
+
+    def compact(
+        self,
+        target_file_rows: int = 1_000_000,
+        sort_by: Optional[list[str]] = None,
+    ) -> int:
+        """Bin-pack rewrite (Iceberg's ``rewrite_data_files``): fold the
+        accumulated small commit files into ~``target_file_rows``-row
+        files.  ``sort_by`` additionally range-clusters the rewrite
+        (``repartitionByRange`` + ``sortWithinPartitions``) so file
+        min/max bounds become non-overlapping on those columns — after
+        which ``scan`` prunes point lookups to a single file.  Data is
+        byte-identical (same rows, new layout); the superseded files
+        stay time-travelable until ``expire_snapshots`` + ``vacuum``."""
+        m = self.manifest()
+        stats = m.get("stats", {})
+        total_rows = sum(s["rows"] for s in stats.values()) if stats else None
+        df = self.read()
+        if total_rows is None:
+            total_rows = df.count()
+        n_files = max(1, math.ceil(total_rows / max(1, target_file_rows)))
+        if sort_by:
+            df = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(
+                *sort_by
+            )
+        else:
+            df = df.repartition(n_files)
+        return self._commit(
+            "replace", df, [], extra_summary={"rewritten_files": len(m["files"])}
+        )
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: list[str],
+        validate_source_unique: bool = True,
+    ) -> int:
+        """Copy-on-write MERGE (upsert): rows of ``source`` replace
+        current rows with equal ``on`` keys; unmatched source rows are
+        inserted.  Only data files that actually CONTAIN a matching key
+        are rewritten — located in two pruning steps that mirror
+        Iceberg's CoW write path:
+
+        1. manifest-level: source key min/max (one tiny agg) prunes to
+           files whose stored bounds overlap the source key range —
+           at 10^12 files this is the step that keeps a small
+           incremental batch from scanning the table;
+        2. file-level: the candidate files are scanned ONCE with
+           ``input_file_name()`` semi-joined against the (broadcast)
+           source keys, yielding the exact affected-file set.
+
+        Untouched files are carried into the new snapshot by reference
+        (stats included); affected files are rewritten as
+        (their rows anti-join source keys) ∪ source."""
+        from datavalid_spark.cache import gated_broadcast, release_cached
+
+        if sorted(source.columns) != sorted(self.read().columns):
+            raise ValueError(
+                f"merge source columns {sorted(source.columns)} != table "
+                f"columns {sorted(self.read().columns)}"
+            )
+        source = source.select(*self.read().columns)  # align order
+        if validate_source_unique:
+            dups = source.groupBy(*on).count().filter(F.col("count") > 1)
+            if dups.limit(1).count():
+                raise ValueError(
+                    f"merge source has duplicate keys on {on} — ambiguous upsert"
+                )
+        m = self.manifest()
+        schema = T.StructType.fromJson(m["schema"])
+
+        # step 1 — manifest pruning on the source's global key ranges
+        ranges = source.agg(
+            *[F.min(k).alias(f"lo_{i}") for i, k in enumerate(on)],
+            *[F.max(k).alias(f"hi_{i}") for i, k in enumerate(on)],
+        ).first()
+        preds = []
+        for i, k in enumerate(on):
+            lo, hi = ranges[f"lo_{i}"], ranges[f"hi_{i}"]
+            if lo is not None:
+                preds.append((k, ">=", lo))
+            if hi is not None:
+                preds.append((k, "<=", hi))
+        candidates, _ = self.prune_files(preds, None) if preds else (m["files"], 0)
+
+        try:
+            keys = gated_broadcast(source.select(*on).dropDuplicates())
+            affected: list[str] = []
+            if candidates:
+                cand_df = self.spark.read.schema(schema).parquet(
+                    *[os.path.join(self.root, f) for f in candidates]
+                )
+                # step 2 — exact affected-file set, one distributed pass
+                hit = (
+                    cand_df.withColumn("__file", F.input_file_name())
+                    .join(keys, on, "leftsemi")
+                    .select("__file")
+                    .distinct()
+                    .collect()
+                )
+                by_abs = {
+                    os.path.abspath(os.path.join(self.root, f)): f
+                    for f in m["files"]
+                }
+                from urllib.parse import unquote, urlparse
+
+                for row in hit:
+                    p = os.path.abspath(unquote(urlparse(row["__file"]).path))
+                    if p not in by_abs:
+                        raise RuntimeError(f"merge: unmapped data file {p!r}")
+                    affected.append(by_abs[p])
+
+            untouched = [f for f in m["files"] if f not in set(affected)]
+            if affected:
+                kept_rows = self.spark.read.schema(schema).parquet(
+                    *[os.path.join(self.root, f) for f in affected]
+                ).join(keys, on, "left_anti")
+                new_data = kept_rows.unionByName(source)
+            else:
+                new_data = source
+            return self._commit(
+                "merge",
+                new_data,
+                untouched,
+                extra_summary={"rewritten_files": len(affected)},
+            )
+        finally:
+            release_cached()
 
     # ---------------------------------------------------------- cleanup
 

@@ -1,0 +1,288 @@
+"""Snaplog manifest column stats, file-skipping scans, bin-pack
+compaction, and copy-on-write MERGE (sources/snaplog.py) — the scan
+planning + incremental-write half of the Iceberg feature set the north
+rule names.  Every pruned scan is cross-checked against the unpruned
+read + exact filter."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.sources.snaplog import (
+    SnapshotTable,
+    _file_may_match,
+    _truncate_max,
+)
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _ranged(spark, lo, hi, parts=4):
+    """Rows with id clustered by range so per-file bounds are disjoint."""
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 97).cast("double").alias("x"),
+            F.concat(F.lit("doc-"), F.lpad(F.col("id").cast("string"), 6, "0")).alias(
+                "name"
+            ),
+        )
+        .repartitionByRange(parts, "id")
+        .sortWithinPartitions("id")
+    )
+
+
+def test_manifest_records_footer_stats(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_ranged(spark, 0, 1000))
+    m = t.manifest()
+    assert set(m["stats"]) == set(m["files"])
+    total = sum(s["rows"] for s in m["stats"].values())
+    assert total == 1000
+    one = next(iter(m["stats"].values()))
+    assert one["columns"]["id"]["nulls"] == 0
+    assert one["columns"]["id"]["min"] <= one["columns"]["id"]["max"]
+    assert one["columns"]["name"]["min"].startswith("doc-")
+
+
+def test_scan_prunes_files_and_matches_exact_filter(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_ranged(spark, 0, 2000, parts=8))
+    kept, total = t.prune_files([("id", "=", 1234)])
+    assert total == 8 and len(kept) == 1
+    got = t.scan([("id", "=", 1234)]).collect()
+    want = t.read().filter(F.col("id") == 1234).collect()
+    assert got == want and len(got) == 1
+
+    # range predicate: half the files
+    kept, total = t.prune_files([("id", ">=", 1500)])
+    assert 0 < len(kept) < total
+    assert t.scan([("id", ">=", 1500)]).count() == 500
+
+    # string bounds prune too
+    kept, _ = t.prune_files([("name", "<", "doc-000250")])
+    assert len(kept) == 1
+    assert t.scan([("name", "<", "doc-000250")]).count() == 250
+
+    # IN hits exactly the covering files
+    kept, _ = t.prune_files([("id", "in", [10, 1990])])
+    assert len(kept) == 2
+    assert t.scan([("id", "in", [10, 1990])]).count() == 2
+
+    # disjoint predicate: zero files, empty typed result
+    out = t.scan([("id", ">", 10_000)])
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "x", "name"]
+
+
+def test_scan_conjunction_and_residual_exactness(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_ranged(spark, 0, 1000))
+    # pruning is conservative (file bounds), the residual filter exact:
+    # id % clusters, so a file covering [250,500) contains id=300 but
+    # only one row matches both conjuncts
+    got = t.scan([("id", ">=", 300), ("id", "<=", 300)]).collect()
+    assert len(got) == 1 and got[0]["id"] == 300
+
+
+def test_null_predicates_and_all_null_pruning(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(
+        spark.createDataFrame([(i, None) for i in range(50)], "id int, y string")
+        .coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame([(i, f"v{i}") for i in range(50, 80)], "id int, y string")
+        .coalesce(1)
+    )
+    # the first file is provably all-null in y → notnull skips it
+    kept, total = t.prune_files([("y", "notnull")])
+    assert total == 2 and len(kept) == 1
+    assert t.scan([("y", "notnull")]).count() == 30
+    # and any comparison on y skips it as well
+    kept, _ = t.prune_files([("y", ">=", "v")])
+    assert len(kept) == 1
+    # isnull skips the no-nulls file
+    kept, _ = t.prune_files([("y", "isnull")])
+    assert len(kept) == 1
+    assert t.scan([("y", "isnull")]).count() == 50
+
+
+def test_date_bounds_prune(spark, root):
+    t = SnapshotTable(spark, root)
+    rows = [(i, dt.date(2024, 1, 1) + dt.timedelta(days=i)) for i in range(120)]
+    t.create(
+        spark.createDataFrame(rows, "id int, d date")
+        .repartitionByRange(4, "d")
+        .sortWithinPartitions("d")
+    )
+    kept, total = t.prune_files([("d", ">=", dt.date(2024, 4, 1))])
+    assert total == 4 and len(kept) == 1
+    assert t.scan([("d", ">=", dt.date(2024, 4, 1))]).count() == 29
+    # ISO-string literals are coerced to the stored date bounds
+    kept2, _ = t.prune_files([("d", ">=", "2024-04-01")])
+    assert kept2 == kept
+
+
+def test_ntz_timestamp_bounds_prune(spark, root):
+    """Wall-clock (isAdjustedToUTC=false) timestamp bounds are stored
+    and pruned on; string/datetime literals both coerce."""
+    t = SnapshotTable(spark, root)
+    rows = [(i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i)) for i in range(96)]
+    t.create(
+        spark.createDataFrame(rows, "id int, ts timestamp_ntz")
+        .repartitionByRange(4, "ts")
+        .sortWithinPartitions("ts")
+    )
+    kept, total = t.prune_files([("ts", ">=", dt.datetime(2024, 1, 4, 0, 0))])
+    assert total == 4 and len(kept) == 1
+    assert t.scan([("ts", ">=", "2024-01-04T00:00:00")]).count() == 24
+    # date literal coerces to midnight (Spark's cast semantics)
+    kept2, _ = t.prune_files([("ts", ">=", dt.date(2024, 1, 4))])
+    assert kept2 == kept
+
+
+def test_long_string_bounds_truncated_but_sound(spark, root):
+    t = SnapshotTable(spark, root)
+    long_a = "a" * 500
+    long_z = "z" * 500
+    t.create(
+        spark.createDataFrame([(1, long_a), (2, long_z)], "id int, content string")
+        .coalesce(1)
+    )
+    cs = next(iter(t.manifest()["stats"].values()))["columns"]["content"]
+    assert len(cs["min"]) <= 64 and len(cs["max"]) <= 64
+    # truncated bounds stay SOUND: a value inside the true range is kept
+    kept, _ = t.prune_files([("content", "=", "m" * 100)])
+    assert kept  # cannot be pruned
+    # and a value provably above the (incremented) upper bound is skipped
+    kept, _ = t.prune_files([("content", ">", "~")])
+    assert kept == []
+    # exact results through the residual filter
+    assert t.scan([("content", "=", long_a)]).count() == 1
+
+
+def test_truncate_max_increments_last_codepoint():
+    v = "b" * 100
+    out = _truncate_max(v)
+    assert len(out) == 64 and out > v  # a valid upper bound
+    assert _truncate_max("\U0010ffff" * 100) is None  # un-incrementable
+
+
+def test_file_may_match_without_stats_keeps_file():
+    assert _file_may_match(None, "id", "=", 5)
+    assert _file_may_match({"columns": {}}, "id", "=", 5)
+    # incomparable literal types never prune on a guess
+    assert _file_may_match(
+        {"columns": {"id": {"min": 1, "max": 9}}}, "id", "=", "abc"
+    )
+
+
+def test_compact_binpacks_and_sort_clusters(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_ranged(spark, 0, 200, parts=2))
+    for i in range(5):  # small-file accumulation
+        t.append(_ranged(spark, 200 + i * 200, 400 + i * 200, parts=2))
+    before = t.manifest()
+    assert before["summary"]["total_files"] == 12
+    pre_compact_sid = before["snapshot_id"]
+
+    sid = t.compact(target_file_rows=400, sort_by=["id"])
+    m = t.manifest(sid)
+    assert m["operation"] == "replace"
+    assert m["summary"]["rewritten_files"] == 12
+    assert m["summary"]["total_files"] == 3  # 1200 rows / 400
+    # identical data, new layout
+    assert t.read().count() == 1200
+    assert t.read().exceptAll(t.read(pre_compact_sid)).count() == 0
+    # range clustering → point scan prunes to ONE file
+    kept, total = t.prune_files([("id", "=", 777)])
+    assert total == 3 and len(kept) == 1
+    assert t.scan([("id", "=", 777)]).count() == 1
+    # time travel to the pre-compact layout still works
+    assert t.read(pre_compact_sid).count() == 1200
+
+
+def test_merge_rewrites_only_affected_files(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_ranged(spark, 0, 400, parts=4))
+    old = t.manifest()
+    old_files = list(old["files"])
+    pre_sid = old["snapshot_id"]
+
+    source = spark.createDataFrame(
+        [(10, 999.0, "upd-10"), (11, 999.0, "upd-11"), (900, 1.0, "new-900")],
+        "id int, x double, name string",
+    )
+    sid = t.merge(source, on=["id"])
+    m = t.manifest(sid)
+    assert m["operation"] == "merge"
+    # ids 10/11 live in one range file → exactly one rewrite
+    assert m["summary"]["rewritten_files"] == 1
+    untouched = set(old_files) & set(m["files"])
+    assert len(untouched) == 3
+    # carried files keep their stats by reference
+    assert all(f in m["stats"] for f in untouched)
+
+    out = t.read()
+    assert out.count() == 401  # 400 - 2 updated + 2 updated + 1 insert
+    upd = {r["id"]: r for r in out.filter(F.col("id").isin(10, 11, 900)).collect()}
+    assert upd[10]["name"] == "upd-10" and upd[10]["x"] == 999.0
+    assert upd[900]["name"] == "new-900"
+    # non-matched rows untouched
+    assert out.filter(F.col("id") == 12).first()["name"] == "doc-000012"
+    # time travel: the pre-merge snapshot is immutable
+    assert t.read(pre_sid).filter(F.col("id") == 10).first()["name"] == "doc-000010"
+    assert t.read(pre_sid).count() == 400
+
+
+def test_merge_insert_only_touches_nothing(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_ranged(spark, 0, 100, parts=2))
+    old_files = list(t.manifest()["files"])
+    sid = t.merge(
+        spark.createDataFrame([(5000, 1.0, "n")], "id int, x double, name string"),
+        on=["id"],
+    )
+    m = t.manifest(sid)
+    assert m["summary"]["rewritten_files"] == 0
+    assert set(old_files) <= set(m["files"])
+    assert t.read().count() == 101
+
+
+def test_merge_rejects_ambiguous_or_mismatched_source(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_ranged(spark, 0, 50, parts=1))
+    dup = spark.createDataFrame(
+        [(1, 0.0, "a"), (1, 0.0, "b")], "id int, x double, name string"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t.merge(dup, on=["id"])
+    bad_cols = spark.createDataFrame([(1, 0.0)], "id int, x double")
+    with pytest.raises(ValueError, match="columns"):
+        t.merge(bad_cols, on=["id"])
+
+
+def test_manifest_without_stats_reads_fine(spark, root):
+    """Backward compat: a pre-stats manifest (no 'stats' key) scans
+    with zero pruning but exact results."""
+    import json
+    import os
+
+    t = SnapshotTable(spark, root)
+    t.create(_ranged(spark, 0, 100, parts=2))
+    mp = os.path.join(root, "metadata", "v1.json")
+    with open(mp) as f:
+        m = json.load(f)
+    del m["stats"]
+    os.unlink(mp)
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    kept, total = t.prune_files([("id", "=", 5)])
+    assert kept == m["files"] and total == 2
+    assert t.scan([("id", "=", 5)]).count() == 1
