@@ -110,6 +110,50 @@ def validate_condition(spec: Optional[Mapping[str, Any]]) -> None:
     )
 
 
+#: condition op → snaplog scan-predicate op (``not_equal`` is absent:
+#: bounds can almost never refute an inequality, so it contributes
+#: nothing to file skipping)
+_PUSHDOWN_OPS = {
+    "equal": "=",
+    "greater_than": ">",
+    "less_than": "<",
+    "greater_equal": ">=",
+    "less_equal": "<=",
+}
+
+
+def condition_to_predicates(spec: Optional[Mapping[str, Any]]) -> list[tuple]:
+    """Extract a SOUND conjunctive subset of a condition spec as
+    ``(column, op, value)`` scan predicates for manifest-level file
+    skipping (``SnapshotTable.pruned_read``).
+
+    Sound = every row satisfying the full condition satisfies every
+    returned predicate, so skipping files that provably fail a
+    predicate can never drop a matching row.  Consequently:
+
+    - ``and`` unions its children's predicates;
+    - ``or`` contributes nothing (a disjunction is not a conjunction
+      of its branches — pushing any branch down would over-prune);
+    - ``not_equal`` and NULL-valued comparisons contribute nothing.
+
+    The FULL condition is still applied row-level after the pruned
+    scan — this extraction only decides which files open at all.
+    """
+    if not spec or not isinstance(spec, Mapping):
+        return []
+    if "column" in spec:
+        op = _PUSHDOWN_OPS.get(spec.get("op"))
+        if op is None or spec.get("value") is None:
+            return []
+        return [(spec["column"], op, spec["value"])]
+    if "and" in spec and isinstance(spec["and"], (list, tuple)):
+        out: list[tuple] = []
+        for child in spec["and"]:
+            out.extend(condition_to_predicates(child))
+        return out
+    return []
+
+
 def compile_condition(spec: Optional[Mapping[str, Any]]) -> Column:
     """Compile a condition spec into a boolean ``Column``.
 

@@ -208,7 +208,17 @@ def validate_file(spec: FileSpec, spark: SparkSession, out=None) -> FileReport:
     color = use_color(out)
     report = FileReport(filename=str(spec.filepath))
     p("Validating %s" % spec.filepath)
-    df = load_file(spec, spark)
+    from datavalid_spark.sources.snaplog import SnapshotTable
+
+    snap = snap_sid = None
+    if SnapshotTable.exists(str(spec.filepath)):
+        # pin ONE snapshot for the whole file report so a concurrent
+        # commit can't make different tasks see different data
+        snap = SnapshotTable(spark, str(spec.filepath))
+        snap_sid = snap.current_snapshot_id()
+        df = snap.read(snap_sid)
+    else:
+        df = load_file(spec, spark)
 
     if spec.schema.columns:
         verdicts = validate_columns(spec.schema, df)
@@ -239,16 +249,26 @@ def validate_file(spec: FileSpec, spark: SparkSession, out=None) -> FileReport:
                     )
                 )
 
+    from datavalid_spark.functions.conditions import condition_to_predicates
     from datavalid_spark.spinner import Spinner
 
     for task in spec.schema.tasks:
+        # snapshot tables: push the task's where-condition down to
+        # manifest-level file skipping — the sound conjunctive subset
+        # prunes which files OPEN, run_task still applies the full
+        # condition row-level (residual exactness)
+        task_df = df
+        if snap is not None and task.where:
+            preds = condition_to_predicates(task.where)
+            if preds:
+                task_df = snap.pruned_read(preds, snapshot_id=snap_sid)
         # reference parity (file.py:70-76, 83): animate while the task's
         # Spark actions run; a no-op when suppressed or output is piped
         with Spinner(
             task.name, indent=2, stream=out or sys.stdout,
             enabled=not spec.no_spinner,
         ):
-            tv = run_task(task, df)
+            tv = run_task(task, task_df)
         report.task_verdicts.append(tv)
         if tv.error is not None:
             p(indent(colored("✕ %s" % task.name, "red", color), 2))

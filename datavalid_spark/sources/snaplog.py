@@ -464,6 +464,22 @@ class SnapshotTable:
         ]
         return kept, len(m["files"])
 
+    def pruned_read(
+        self, predicates, snapshot_id: Optional[int] = None
+    ) -> DataFrame:
+        """File-skipping read WITHOUT the residual row filter — for
+        callers (the validation runner) that apply their own exact
+        condition on top and only want the scan narrowed to files that
+        can possibly match."""
+        m = self.manifest(snapshot_id)
+        schema = T.StructType.fromJson(m["schema"])
+        kept, _total = self.prune_files(predicates, snapshot_id)
+        if not kept:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, f) for f in kept]
+        )
+
     def scan(self, predicates=None, snapshot_id: Optional[int] = None) -> DataFrame:
         """Predicate-pushdown read: file skipping via manifest stats,
         then the exact row-level filter on top (pruning is conservative;
@@ -471,15 +487,52 @@ class SnapshotTable:
         parquet row-group filtering, one level up)."""
         if not predicates:
             return self.read(snapshot_id)
-        m = self.manifest(snapshot_id)
+        return _residual_filter(self.pruned_read(predicates, snapshot_id), predicates)
+
+    def added_files(
+        self, since_snapshot_id: int, as_of: Optional[int] = None
+    ) -> list[str]:
+        """Root-relative data files present in ``as_of`` (default:
+        current) but not in ``since_snapshot_id``."""
+        base = set(self.manifest(since_snapshot_id)["files"])
+        return [f for f in self.manifest(as_of)["files"] if f not in base]
+
+    def read_incremental(
+        self, since_snapshot_id: int, as_of: Optional[int] = None
+    ) -> DataFrame:
+        """Incremental scan (Iceberg's append-scan): ONLY the rows
+        added after ``since_snapshot_id``.  Valid when every snapshot
+        in the range is an append — an overwrite/replace/merge rewrites
+        rows, so its file diff is not a row delta; those require a full
+        re-read and this raises rather than silently under-reporting.
+
+        This is what keeps re-validation of a growing 10^12-file table
+        O(new data): pointwise checks run on the delta only, and the
+        lineage layer records verdicts per (partition, snapshot)."""
+        head = self.current_snapshot_id() if as_of is None else int(as_of)
+        for sid in range(int(since_snapshot_id) + 1, head + 1):
+            try:
+                op = self.manifest(sid)["operation"]
+            except ValueError:
+                raise ValueError(
+                    f"snapshot {sid} expired — cannot prove the history "
+                    f"since {since_snapshot_id} is append-only; "
+                    "re-validate from a full read()"
+                ) from None
+            if op != "append":
+                raise ValueError(
+                    f"snapshot {sid} is {op!r}, not append — incremental "
+                    "read is only defined over append-only history; "
+                    "re-validate from a full read()"
+                )
+        m = self.manifest(head)
         schema = T.StructType.fromJson(m["schema"])
-        kept, _total = self.prune_files(predicates, snapshot_id)
-        if not kept:
+        added = self.added_files(since_snapshot_id, head)
+        if not added:
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.schema(schema).parquet(
-            *[os.path.join(self.root, f) for f in kept]
+        return self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, f) for f in added]
         )
-        return _residual_filter(df, predicates)
 
     # ------------------------------------------------------ maintenance
 

@@ -95,3 +95,35 @@ def test_nested_combinators(people):
 def test_bad_specs(bad):
     with pytest.raises(BadConditionError):
         compile_condition(bad)
+
+
+def test_condition_to_predicates_sound_subset():
+    """Pushdown extraction: conjuncts map to scan predicates; anything
+    a file-bound check could over-prune on contributes nothing."""
+    from datavalid_spark.functions.conditions import condition_to_predicates as c2p
+
+    assert c2p({"column": "age", "op": "greater_than", "value": 25}) == [
+        ("age", ">", 25)
+    ]
+    assert c2p(
+        {
+            "and": [
+                {"column": "age", "op": "greater_equal", "value": 18},
+                {"column": "last", "op": "equal", "value": "smith"},
+            ]
+        }
+    ) == [("age", ">=", 18), ("last", "=", "smith")]
+    # or / not_equal / NULL literal / empty → nothing pushed
+    assert c2p({"or": [{"column": "age", "op": "equal", "value": 1}]}) == []
+    assert c2p({"column": "age", "op": "not_equal", "value": 1}) == []
+    assert c2p({"column": "age", "op": "equal", "value": None}) == []
+    assert c2p(None) == [] and c2p({}) == []
+    # nested: and(and(leaf), or(...)) keeps only the provable conjuncts
+    assert c2p(
+        {
+            "and": [
+                {"and": [{"column": "a", "op": "less_than", "value": 5}]},
+                {"or": [{"column": "b", "op": "equal", "value": 1}]},
+            ]
+        }
+    ) == [("a", "<", 5)]

@@ -286,3 +286,86 @@ def test_manifest_without_stats_reads_fine(spark, root):
     kept, total = t.prune_files([("id", "=", 5)])
     assert kept == m["files"] and total == 2
     assert t.scan([("id", "=", 5)]).count() == 1
+
+
+def test_incremental_read_appends_only(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_ranged(spark, 0, 100, parts=2))
+    t.append(_ranged(spark, 100, 150, parts=1))
+    t.append(_ranged(spark, 150, 180, parts=1))
+    inc = t.read_incremental(1)
+    assert inc.count() == 80
+    assert inc.agg(F.min("id"), F.max("id")).first() == (100, 179)
+    assert t.read_incremental(2).count() == 30
+    assert t.read_incremental(3).count() == 0  # nothing since head
+    assert len(t.added_files(1)) == 2
+    # a rewrite in the range breaks the append-only row-delta guarantee
+    t.compact(target_file_rows=1000)
+    with pytest.raises(ValueError, match="not append"):
+        t.read_incremental(2)
+    # append after the rewrite: incremental since the rewrite is fine
+    t.append(_ranged(spark, 180, 200, parts=1))
+    assert t.read_incremental(4).count() == 20
+    # an expired `since` snapshot can no longer anchor a delta
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="no snapshot 4"):
+        t.read_incremental(4)
+
+
+def test_runner_pushes_where_into_file_skipping(spark, tmp_path, monkeypatch):
+    """A where-task on a snaplog table opens only files whose bounds
+    can match; verdicts identical to the unpruned run."""
+    import io
+
+    from datavalid_spark.plans.config import Config
+    from datavalid_spark.runner import run_config
+    from datavalid_spark.sources import snaplog as snap_mod
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    # id-clustered files; duplicate a HIGH id so the where-range task fails
+    base = _ranged(spark, 0, 1000, parts=5)
+    dup = base.filter(F.col("id") == 900)
+    t.create(base.unionByName(dup))
+
+    calls = []
+    orig = SnapshotTable.pruned_read
+
+    def spy(self, predicates, snapshot_id=None):
+        kept, total = self.prune_files(predicates, snapshot_id)
+        calls.append((list(predicates), len(kept), total))
+        return orig(self, predicates, snapshot_id=snapshot_id)
+
+    monkeypatch.setattr(SnapshotTable, "pruned_read", spy)
+
+    conf = Config(
+        tmp_path,
+        files={"tbl": {"schema": "s"}},
+        schemas={
+            "s": {
+                "validation_tasks": [
+                    {
+                        "name": "unique low ids",
+                        "unique": ["id"],
+                        "where": {"column": "id", "op": "less_than", "value": 200},
+                    },
+                    {
+                        "name": "unique high ids",
+                        "unique": ["id"],
+                        "where": {
+                            "column": "id", "op": "greater_equal", "value": 800
+                        },
+                    },
+                ]
+            }
+        },
+    )
+    out = io.StringIO()
+    code = run_config(conf, spark, out=out)
+    text = out.getvalue()
+    assert code == 1  # high-range dup caught through the pruned scan
+    assert "unique high ids" in text and "✕" in text
+    assert "✓ unique low ids" in text
+    # both tasks pruned: each opened a strict subset of the files
+    assert len(calls) == 2
+    for _preds, kept, total in calls:
+        assert kept < total
