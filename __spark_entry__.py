@@ -143,6 +143,21 @@ def q_t1_unique_salted(spark, sf_dir):
     return UniqueCheck(["l_orderkey", "l_linenumber"], strategy="salted").violations(li)
 
 
+def q_unique_incremental(spark, sf_dir):
+    """Cross-set uniqueness for incremental ingest
+    (UniqueCheck.incremental_violations): lineitem split by orderkey
+    parity — even = already-validated corpus, odd = appended batch.
+    Violations = batch rows whose (l_partkey, l_suppkey) is duplicated
+    within the batch OR already present in the corpus; the corpus is
+    scanned once and never shuffled (batch keys broadcast)."""
+    from datavalid_spark.operators.checks import UniqueCheck as _UC
+
+    li = _t(spark, sf_dir, "lineitem")
+    corpus = li.filter(F.col("l_orderkey") % 2 == 0)
+    batch = li.filter(F.col("l_orderkey") % 2 == 1)
+    return _UC(["l_partkey", "l_suppkey"]).incremental_violations(batch, corpus)
+
+
 def q_agg_dup_key_counts(spark, sf_dir):
     return (
         _t(spark, sf_dir, "orders")
@@ -815,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "t1_unique": q_t1_unique,
         "t1_unique_salted": q_t1_unique_salted,
+        "unique_incremental": q_unique_incremental,
         "agg_dup_key_counts": q_agg_dup_key_counts,
         "t2_empty": q_t2_empty,
         "p_condition": q_p_condition,
@@ -991,6 +1007,18 @@ SELECT l.* FROM lineitem l
 JOIN (SELECT l_orderkey, l_linenumber FROM lineitem
       GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1) d
 USING (l_orderkey, l_linenumber)
+""",
+        "unique_incremental": """
+WITH batch AS (SELECT * FROM lineitem WHERE l_orderkey % 2 = 1),
+corpus AS (SELECT * FROM lineitem WHERE l_orderkey % 2 = 0),
+viol_keys AS (
+  SELECT l_partkey, l_suppkey FROM batch
+  GROUP BY l_partkey, l_suppkey HAVING COUNT(*) > 1
+  UNION
+  SELECT DISTINCT b.l_partkey, b.l_suppkey FROM batch b
+  JOIN corpus c ON b.l_partkey = c.l_partkey AND b.l_suppkey = c.l_suppkey
+)
+SELECT b.* FROM batch b JOIN viol_keys USING (l_partkey, l_suppkey)
 """,
         "agg_dup_key_counts": """
 SELECT o_custkey, COUNT(*) AS n_orders FROM orders

@@ -306,6 +306,59 @@ class UniqueCheck(TableCheck):
             cond = c if cond is None else (cond & c)
         return left.join(right, cond, "left_semi").select(*df.columns)
 
+    def incremental_violations(
+        self, new_df: DataFrame, corpus_df: DataFrame
+    ) -> DataFrame:
+        """Cross-set uniqueness for incremental ingest: offending rows
+        of ``new_df`` given an already-validated ``corpus_df`` — rows
+        whose key is duplicated WITHIN the new batch, plus rows whose
+        key already EXISTS in the corpus.
+
+        Scale shape (corpus ≫ batch, the 10^12-file table case): the
+        corpus is scanned exactly once and NEVER shuffled — the
+        (deduped, gated-broadcast) batch keys probe it with a
+        broadcast semi-join, and everything after that operates on the
+        tiny collided/duplicated key sets.  Pairs with
+        ``SnapshotTable.read_incremental``: validating an append
+        re-reads only the delta plus one corpus scan, instead of
+        re-running uniqueness over the whole table."""
+        keys = self.columns
+
+        def _nullsafe(left_alias: str, right_alias: str):
+            cond = None
+            for k in keys:
+                c = F.col(f"{left_alias}.{k}").eqNullSafe(F.col(f"{right_alias}.{k}"))
+                cond = c if cond is None else (cond & c)
+            return cond
+
+        batch_keys = self._gated_broadcast(
+            new_df.select(*keys).dropDuplicates()
+        ).alias("__dv_bk")
+        collided = (
+            corpus_df.alias("__dv_c")
+            .join(batch_keys, _nullsafe("__dv_c", "__dv_bk"), "left_semi")
+            .select(*keys)
+            .dropDuplicates()
+        )
+        viol_keys = self._gated_broadcast(
+            collided.unionByName(self.duplicate_keys(new_df)).dropDuplicates()
+        ).alias("__dv_vk")
+        return (
+            new_df.alias("__dv_n")
+            .join(viol_keys, _nullsafe("__dv_n", "__dv_vk"), "left_semi")
+            .select(*new_df.columns)
+        )
+
+    def run_incremental(
+        self, new_df: DataFrame, corpus_df: DataFrame
+    ) -> CheckResult:
+        """Verdict for an appended batch against a validated corpus."""
+        viol = self.incremental_violations(new_df, corpus_df)
+        n = viol.count()
+        if n == 0:
+            return CheckResult(True, None, None, 0)
+        return CheckResult(False, self._err_msg(n), viol, n)
+
     def _err_msg(self, n: int) -> str:
         return "Table contains duplicates"
 

@@ -316,3 +316,37 @@ def test_build_table_check():
     )
     with pytest.raises(ValueError):
         build_table_check("bogus", {})
+
+
+def test_unique_incremental_cross_set(spark):
+    """Incremental uniqueness: batch rows failing within-batch OR
+    against the validated corpus; corpus rows never reported."""
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (None, "n")], "k int, v string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (2, "x"),          # collides with corpus
+            (4, "y"), (4, "z"),  # duplicated within batch
+            (5, "ok"),          # clean
+            (None, "nn"),       # NULL key collides with corpus NULL (pandas semantics)
+        ],
+        "k int, v string",
+    )
+    chk = UniqueCheck("k")
+    res = chk.run_incremental(batch, corpus)
+    assert not res.passed and res.n_violations == 4
+    got = sorted((r["k"], r["v"]) for r in res.violations.collect()
+                 if r["k"] is not None)
+    assert got == [(2, "x"), (4, "y"), (4, "z")]
+    assert res.violations.filter(F.col("k").isNull()).count() == 1
+    # clean batch against the same corpus passes
+    clean = spark.createDataFrame([(6, "q"), (7, "r")], "k int, v string")
+    assert chk.run_incremental(clean, corpus).passed
+    # composite wide keys go through the same path
+    chk2 = UniqueCheck(["k", "v"])
+    batch2 = spark.createDataFrame([(1, "a"), (1, "z")], "k int, v string")
+    res2 = chk2.run_incremental(batch2, corpus)
+    assert res2.n_violations == 1  # only (1,'a') exists in corpus
