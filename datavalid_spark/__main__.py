@@ -20,7 +20,89 @@ def build_spark(parallelism: str = "local[*]"):
     )
 
 
+def table_main(argv) -> int:
+    """``python -m datavalid_spark table <root> <action>`` — snapshot
+    table maintenance (the operational half of the table layer; maps
+    onto Iceberg's procedures: snapshots / rewrite_data_files /
+    expire_snapshots / remove_orphan_files)."""
+    parser = argparse.ArgumentParser("datavalid_spark table")
+    parser.add_argument("root", help="snapshot table directory")
+    parser.add_argument(
+        "action", choices=["snapshots", "compact", "expire", "vacuum"]
+    )
+    parser.add_argument(
+        "--target-rows", type=int, default=1_000_000,
+        help="compact: rows per output file",
+    )
+    parser.add_argument(
+        "--sort-by", type=str, default=None,
+        help="compact: comma-separated columns to range-cluster by",
+    )
+    parser.add_argument(
+        "--keep-last", type=int, default=3, help="expire: snapshots to keep"
+    )
+    parser.add_argument(
+        "--min-age-seconds", type=float, default=3600.0,
+        help="vacuum: skip files younger than this (in-flight commit guard)",
+    )
+    parser.add_argument("--dry-run", action="store_true")
+    parser.add_argument("--master", type=str, default="local[*]")
+    args = parser.parse_args(argv)
+
+    from datavalid_spark.sources.snaplog import SnapshotTable
+
+    if not SnapshotTable.exists(args.root):
+        print(f"no snapshot table at {args.root!r}", file=sys.stderr)
+        return 2
+    if args.action == "snapshots":
+        t = SnapshotTable(None, args.root)  # metadata-only: no session
+        for s in t.snapshots():
+            print(
+                "%4d  %-9s  parent=%-4s  added=%-4d total=%-4d  %s"
+                % (
+                    s["snapshot_id"], s["operation"], s["parent_id"] or "-",
+                    s["added_files"], s["total_files"], s["committed_at"],
+                )
+            )
+        return 0
+    if args.action == "expire":
+        t = SnapshotTable(None, args.root)
+        expired = t.expire_snapshots(keep_last=args.keep_last)
+        print("expired snapshots: %s" % (expired or "none"))
+        return 0
+    if args.action == "vacuum":
+        t = SnapshotTable(None, args.root)
+        removed = t.vacuum(
+            dry_run=args.dry_run, min_age_seconds=args.min_age_seconds
+        )
+        verb = "would remove" if args.dry_run else "removed"
+        print("%s %d orphan files" % (verb, len(removed)))
+        return 0
+    # compact reads + rewrites data — needs a session; reuse an active
+    # one (library/test callers) and only stop what we created
+    from pyspark.sql import SparkSession
+
+    existing = SparkSession.getActiveSession()
+    spark = existing or build_spark(args.master)
+    try:
+        t = SnapshotTable(spark, args.root)
+        sort_by = args.sort_by.split(",") if args.sort_by else None
+        sid = t.compact(target_file_rows=args.target_rows, sort_by=sort_by)
+        m = t.manifest(sid)
+        print(
+            "compacted %d files -> %d (snapshot %d)"
+            % (m["summary"]["rewritten_files"], m["summary"]["total_files"], sid)
+        )
+        return 0
+    finally:
+        if existing is None:
+            spark.stop()
+
+
 def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else list(argv)
+    if argv[:1] == ["table"]:
+        return table_main(argv[1:])
     parser = argparse.ArgumentParser("datavalid_spark")
     parser.add_argument(
         "--dir", type=pathlib.Path, default=None, help="directory containing datavalid.yml"

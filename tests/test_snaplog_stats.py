@@ -369,3 +369,36 @@ def test_runner_pushes_where_into_file_skipping(spark, tmp_path, monkeypatch):
     assert len(calls) == 2
     for _preds, kept, total in calls:
         assert kept < total
+
+
+def test_table_maintenance_cli(spark, root, capsys):
+    """python -m datavalid_spark table <root> snapshots|compact|expire|vacuum."""
+    from datavalid_spark.__main__ import main
+
+    t = SnapshotTable(spark, root)
+    t.create(_ranged(spark, 0, 100, parts=3))
+    t.append(_ranged(spark, 100, 160, parts=3))
+
+    assert main(["table", root, "snapshots"]) == 0
+    out = capsys.readouterr().out
+    assert "create" in out and "append" in out
+
+    assert main(["table", root, "compact", "--target-rows", "80",
+                 "--sort-by", "id"]) == 0
+    out = capsys.readouterr().out
+    assert "compacted 6 files -> 2" in out
+    assert t.read().count() == 160
+    assert spark.sparkContext._jsc is not None  # active session survived
+
+    assert main(["table", root, "expire", "--keep-last", "1"]) == 0
+    assert "expired snapshots: [1, 2]" in capsys.readouterr().out
+
+    assert main(["table", root, "vacuum", "--min-age-seconds", "0",
+                 "--dry-run"]) == 0
+    dry = capsys.readouterr().out
+    assert dry.startswith("would remove") and "0 orphan" not in dry
+    assert main(["table", root, "vacuum", "--min-age-seconds", "0"]) == 0
+    assert capsys.readouterr().out.startswith("removed")
+    assert t.read().count() == 160  # live snapshot intact
+
+    assert main(["table", str(root) + "-missing", "snapshots"]) == 2
