@@ -368,6 +368,7 @@ class SnapshotTable:
         df: DataFrame,
         base_files: list[str],
         extra_summary: Optional[dict] = None,
+        schema_override: Optional[T.StructType] = None,
     ) -> int:
         parent = self.current_snapshot_id() if os.path.isfile(self._hint) else 0
         new_id = parent + 1
@@ -379,15 +380,27 @@ class SnapshotTable:
         if parent:
             parent_stats = self.manifest(parent).get("stats", {})
             stats.update({f: parent_stats[f] for f in base_files if f in parent_stats})
-        for rel in added:
-            stats[rel] = _file_stats(os.path.join(self.root, rel))
+        # footer reads are tiny but serial-latency-bound for a commit
+        # adding thousands of files — harvest them on a thread pool
+        if added:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(16, len(added))) as pool:
+                for rel, st in zip(
+                    added,
+                    pool.map(
+                        lambda rel: _file_stats(os.path.join(self.root, rel)),
+                        added,
+                    ),
+                ):
+                    stats[rel] = st
         manifest = {
             "format_version": 1,
             "snapshot_id": new_id,
             "parent_id": parent or None,
             "operation": operation,
             "committed_at": int(time.time() * 1000),
-            "schema": json.loads(df.schema.json()),
+            "schema": json.loads((schema_override or df.schema).json()),
             "files": base_files + added,
             "stats": stats,
             "summary": {
@@ -423,7 +436,42 @@ class SnapshotTable:
         return self._commit("create", df, [])
 
     def append(self, df: DataFrame) -> int:
-        return self._commit("append", df, list(self.manifest()["files"]))
+        schema = self._evolved_append_schema(df)
+        return self._commit(
+            "append", df, list(self.manifest()["files"]), schema_override=schema
+        )
+
+    def _evolved_append_schema(self, df: DataFrame) -> T.StructType:
+        """Additive-only schema evolution (Iceberg's add-column rule):
+        an append may ADD columns — stored FORCED-nullable, because the
+        parent's inherited files have no values for them and read NULL
+        (parquet read-by-name) — but may not drop or retype existing
+        ones, since the appended manifest's schema is applied to the
+        parent's files too.  Without this guard a mismatched append
+        silently corrupts every prior snapshot under the new schema."""
+        cur = T.StructType.fromJson(self.manifest()["schema"])
+        new_by_name = {f.name: f for f in df.schema.fields}
+        for f in cur.fields:
+            nf = new_by_name.get(f.name)
+            if nf is None:
+                raise ValueError(
+                    f"append drops column {f.name!r} — appends may only "
+                    "ADD columns; use overwrite() to change shape"
+                )
+            if nf.dataType != f.dataType:
+                raise ValueError(
+                    f"append retypes column {f.name!r} "
+                    f"({f.dataType.simpleString()} -> "
+                    f"{nf.dataType.simpleString()}) — appends may only "
+                    "ADD columns"
+                )
+        cur_names = {f.name for f in cur.fields}
+        evolved = list(cur.fields) + [
+            T.StructField(f.name, f.dataType, nullable=True, metadata=f.metadata)
+            for f in df.schema.fields
+            if f.name not in cur_names
+        ]
+        return T.StructType(evolved)
 
     def overwrite(self, df: DataFrame) -> int:
         self.manifest()  # must exist
@@ -533,6 +581,57 @@ class SnapshotTable:
         return self.spark.read.schema(schema).parquet(
             *[os.path.join(self.root, f) for f in added]
         )
+
+    # -------------------------------------------------------- streaming
+
+    def last_stream_batch(self, stream_id: str = "stream") -> Optional[int]:
+        """Newest micro-batch id committed for ``stream_id``, or None.
+        Walks the snapshot log head-first; expired manifests end the
+        walk (anything older is also expired)."""
+        for sid in range(self.current_snapshot_id(), 0, -1):
+            try:
+                s = self.manifest(sid)["summary"]
+            except ValueError:
+                break
+            if s.get("stream_id") == stream_id and "stream_batch_id" in s:
+                return int(s["stream_batch_id"])
+        return None
+
+    def stream_writer(self, stream_id: str = "stream", max_retries: int = 5):
+        """``foreachBatch`` sink with EXACTLY-ONCE appends:
+
+            stream.writeStream.foreachBatch(table.stream_writer())...
+
+        Structured Streaming replays the in-flight micro-batch after a
+        restart; the sink makes the append idempotent by stamping each
+        commit with ``(stream_id, batch_id)`` and skipping any batch at
+        or below the newest committed id (batch ids are monotonic per
+        checkpoint).  Commit races with OTHER writers are retried with
+        a fresh parent read — the optimistic-concurrency loop every
+        Iceberg streaming sink runs."""
+
+        def write(batch_df: DataFrame, batch_id: int) -> None:
+            last = self.last_stream_batch(stream_id)
+            if last is not None and int(batch_id) <= last:
+                return  # replay of an already-committed batch
+            for attempt in range(max_retries + 1):
+                try:
+                    self._commit(
+                        "append",
+                        batch_df,
+                        list(self.manifest()["files"]),
+                        extra_summary={
+                            "stream_id": stream_id,
+                            "stream_batch_id": int(batch_id),
+                        },
+                        schema_override=self._evolved_append_schema(batch_df),
+                    )
+                    return
+                except CommitConflict:
+                    if attempt == max_retries:
+                        raise
+
+        return write
 
     # ------------------------------------------------------ maintenance
 

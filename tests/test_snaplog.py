@@ -65,13 +65,16 @@ def _stale_parent(monkeypatch, t, stale_id, files):
     """Simulate the commit race: this writer read parent=stale_id, a
     concurrent writer then committed stale_id+1 for real."""
     real = SnapshotTable.current_snapshot_id
+    schema = t.manifest(stale_id)["schema"]
 
     def stale(self):
         return stale_id if self is t else real(self)
 
     monkeypatch.setattr(SnapshotTable, "current_snapshot_id", stale)
     monkeypatch.setattr(
-        SnapshotTable, "manifest", lambda self, sid=None: {"files": files}
+        SnapshotTable,
+        "manifest",
+        lambda self, sid=None: {"files": files, "schema": schema},
     )
 
 

@@ -402,3 +402,75 @@ def test_table_maintenance_cli(spark, root, capsys):
     assert t.read().count() == 160  # live snapshot intact
 
     assert main(["table", str(root) + "-missing", "snapshots"]) == 2
+
+
+def test_append_schema_evolution_additive_only(spark, root):
+    """Appends may add columns (read as NULL over inherited files,
+    stored forced-nullable); drops/retypes raise before any write."""
+    from pyspark.sql import types as T
+
+    t = SnapshotTable(spark, root)
+    t.create(spark.createDataFrame([(1, "a")], "id int, v string"))
+    t.append(
+        spark.createDataFrame([(2, "b", 0.5)], "id int, v string, score double")
+    )
+    out = t.read().orderBy("id").collect()
+    assert [r["score"] for r in out] == [None, 0.5]
+    schema = t.read().schema
+    assert schema["score"].nullable  # forced nullable even if source wasn't
+    # even a non-nullable source column lands nullable
+    src = spark.createDataFrame(
+        [(3, "c", 1.0, 7)], "id int, v string, score double, n int"
+    ).withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+    t.append(src)
+    assert t.read().schema["n"].nullable
+
+    with pytest.raises(ValueError, match="drops column"):
+        t.append(spark.createDataFrame([(4,)], "id int"))
+    with pytest.raises(ValueError, match="retypes column"):
+        t.append(
+            spark.createDataFrame(
+                [(5, "d", "oops", 1)], "id int, v string, score string, n int"
+            )
+        )
+    # overwrite is the escape hatch for shape changes
+    t.overwrite(spark.createDataFrame([("x",)], "only string"))
+    assert t.read().columns == ["only"]
+
+
+def test_streaming_append_exactly_once(spark, root, tmp_path):
+    """foreachBatch sink: availableNow stream lands in the table;
+    replayed batch ids are skipped (exactly-once), foreign-writer
+    commit races retried."""
+    src = str(tmp_path / "in")
+    _ranged(spark, 0, 60, parts=2).write.parquet(src)
+    t = SnapshotTable(spark, root)
+    t.create(_ranged(spark, 1000, 1010, parts=1))
+
+    stream = (
+        spark.readStream.schema("id int, x double, name string").parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(t.stream_writer("ingest"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert t.read().count() == 70
+    last = t.last_stream_batch("ingest")
+    assert last is not None and last >= 0
+    head = t.current_snapshot_id()
+
+    # restart-replay of the SAME batch id: no new snapshot, no dup rows
+    writer = t.stream_writer("ingest")
+    writer(_ranged(spark, 0, 60, parts=1), last)
+    assert t.current_snapshot_id() == head
+    assert t.read().count() == 70
+
+    # the NEXT batch id commits
+    writer(_ranged(spark, 2000, 2005, parts=1), last + 1)
+    assert t.read().count() == 75
+    assert t.last_stream_batch("ingest") == last + 1
+    # other streams are independent
+    assert t.last_stream_batch("other") is None
