@@ -39,6 +39,11 @@ def table_main(argv) -> int:
         help="compact: comma-separated columns to range-cluster by",
     )
     parser.add_argument(
+        "--z-order-by", type=str, default=None,
+        help="compact: comma-separated columns to z-order-cluster by "
+        "(multi-dimensional; mutually exclusive with --sort-by)",
+    )
+    parser.add_argument(
         "--keep-last", type=int, default=3, help="expire: snapshots to keep"
     )
     parser.add_argument(
@@ -87,7 +92,12 @@ def table_main(argv) -> int:
     try:
         t = SnapshotTable(spark, args.root)
         sort_by = args.sort_by.split(",") if args.sort_by else None
-        sid = t.compact(target_file_rows=args.target_rows, sort_by=sort_by)
+        z_order_by = args.z_order_by.split(",") if args.z_order_by else None
+        sid = t.compact(
+            target_file_rows=args.target_rows,
+            sort_by=sort_by,
+            z_order_by=z_order_by,
+        )
         m = t.manifest(sid)
         print(
             "compacted %d files -> %d (snapshot %d)"

@@ -279,6 +279,58 @@ def _residual_filter(df: DataFrame, predicates) -> DataFrame:
     return df
 
 
+#: z-order range buckets per column = 2^_Z_BITS; 6 bits (64 buckets)
+#: keeps the bucket expression to 63 comparisons per column while still
+#: out-resolving any realistic per-dimension file count
+_Z_BITS = 6
+
+
+def _zorder_value(df: DataFrame, cols: list[str], total_rows: int) -> "F.Column":
+    """Z-order clustering key as pure Column arithmetic (the shape of
+    Delta's OPTIMIZE ZORDER / Iceberg's z-order rewrite, from the
+    public descriptions of both): each column is bucketed against
+    driver-sampled range boundaries (works for any orderable type —
+    numerics, strings, dates), then the per-column bucket indexes are
+    bit-interleaved so nearby z-values are nearby in EVERY listed
+    dimension.  No UDF, no global sort: the boundary sample is one
+    small collect, the per-row work is comparisons + shifts inside
+    whole-stage codegen."""
+    if not cols:
+        raise ValueError("z_order_by needs at least one column")
+    sample_rows = 100_000
+    fraction = min(1.0, (sample_rows * 2) / max(int(total_rows), 1))
+    sample = (
+        df.select(*cols).sample(False, fraction, seed=42).limit(sample_rows).collect()
+    )
+    buckets = 1 << _Z_BITS
+    bucket_cols = []
+    for c in cols:
+        vals = sorted(r[c] for r in sample if r[c] is not None)
+        bounds = []
+        for i in range(1, buckets):
+            if not vals:
+                break
+            b = vals[(i * len(vals)) // buckets]
+            if not bounds or b > bounds[-1]:
+                bounds.append(b)
+        # bucket = number of boundaries at or below the value; NULLs
+        # land in bucket 0 (they cluster together, like a sort would)
+        expr = F.lit(0)
+        for b in bounds:
+            expr = expr + (F.col(c) >= F.lit(b)).cast("int")
+        bucket_cols.append(F.coalesce(expr, F.lit(0)))
+    z = F.lit(0)
+    d = len(cols)
+    for bit in range(_Z_BITS):
+        for i, bc in enumerate(bucket_cols):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bc, bit).bitwiseAND(F.lit(1)), bit * d + i
+                )
+            )
+    return z
+
+
 class CommitConflict(RuntimeError):
     """Another writer committed this version first (optimistic
     concurrency, same contract as Iceberg's commit exception)."""
@@ -639,15 +691,32 @@ class SnapshotTable:
         self,
         target_file_rows: int = 1_000_000,
         sort_by: Optional[list[str]] = None,
+        z_order_by: Optional[list[str]] = None,
     ) -> int:
         """Bin-pack rewrite (Iceberg's ``rewrite_data_files``): fold the
         accumulated small commit files into ~``target_file_rows``-row
-        files.  ``sort_by`` additionally range-clusters the rewrite
-        (``repartitionByRange`` + ``sortWithinPartitions``) so file
-        min/max bounds become non-overlapping on those columns — after
-        which ``scan`` prunes point lookups to a single file.  Data is
-        byte-identical (same rows, new layout); the superseded files
-        stay time-travelable until ``expire_snapshots`` + ``vacuum``."""
+        files.
+
+        ``sort_by`` range-clusters the rewrite (``repartitionByRange``
+        + ``sortWithinPartitions``) so file min/max bounds become
+        non-overlapping on those columns — after which ``scan`` prunes
+        point lookups to a single file.
+
+        ``z_order_by`` multi-dimension-clusters instead (Delta's
+        OPTIMIZE ZORDER): each column is range-bucketed against
+        driver-sampled boundaries, the bucket indexes are
+        bit-interleaved into one z-value, and the rewrite range-
+        partitions + sorts on it — every listed column's bounds tighten
+        simultaneously (a point scan on ANY of them prunes ~n^(1-1/d)),
+        where a linear sort only tightens its leading column.  The
+        z-value is pure Column arithmetic (comparisons + shifts), no
+        UDF and no single-partition global sort.
+
+        Data is byte-identical (same rows, new layout); superseded
+        files stay time-travelable until ``expire_snapshots`` +
+        ``vacuum``."""
+        if sort_by and z_order_by:
+            raise ValueError("pass sort_by or z_order_by, not both")
         m = self.manifest()
         stats = m.get("stats", {})
         total_rows = sum(s["rows"] for s in stats.values()) if stats else None
@@ -655,7 +724,15 @@ class SnapshotTable:
         if total_rows is None:
             total_rows = df.count()
         n_files = max(1, math.ceil(total_rows / max(1, target_file_rows)))
-        if sort_by:
+        if z_order_by:
+            z = _zorder_value(df, z_order_by, total_rows)
+            df = (
+                df.withColumn("__dv_z", z)
+                .repartitionByRange(n_files, "__dv_z")
+                .sortWithinPartitions("__dv_z")
+                .drop("__dv_z")
+            )
+        elif sort_by:
             df = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(
                 *sort_by
             )

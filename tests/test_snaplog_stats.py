@@ -474,3 +474,37 @@ def test_streaming_append_exactly_once(spark, root, tmp_path):
     assert t.last_stream_batch("ingest") == last + 1
     # other streams are independent
     assert t.last_stream_batch("other") is None
+
+
+def test_zorder_compact_prunes_both_dimensions(spark, root):
+    """Z-order clustering tightens EVERY listed column's file bounds;
+    a linear sort only tightens the leading one."""
+    grid = spark.createDataFrame(
+        [(x, y, x * 1000 + y) for x in range(100) for y in range(100)],
+        "x int, y int, payload int",
+    ).repartition(8)
+    t = SnapshotTable(spark, root)
+    t.create(grid)
+
+    # linear sort by x: y point scans keep EVERY file
+    t.compact(target_file_rows=625, sort_by=["x"])
+    kept_y_lin, total = t.prune_files([("y", "=", 7)])
+    assert total == 16 and len(kept_y_lin) == 16
+
+    sid = t.compact(target_file_rows=625, z_order_by=["x", "y"])
+    assert t.manifest(sid)["operation"] == "replace"
+    assert t.read().count() == 10_000
+    assert t.read().exceptAll(grid).count() == 0  # byte-identical data
+    kept_x, total = t.prune_files([("x", "=", 7)])
+    kept_y, _ = t.prune_files([("y", "=", 7)])
+    # 16 files over a 2-D z-curve: a point slice in either dim touches
+    # ~sqrt(16)=4 files; allow slack for boundary-sample fuzz
+    assert total == 16
+    assert len(kept_x) <= 8 and len(kept_y) <= 8
+    # exact results through the residual filter
+    assert t.scan([("x", "=", 7)]).count() == 100
+    assert t.scan([("y", "=", 7)]).count() == 100
+    assert t.scan([("x", "=", 7), ("y", "=", 7)]).count() == 1
+
+    with pytest.raises(ValueError, match="not both"):
+        t.compact(sort_by=["x"], z_order_by=["y"])

@@ -1,0 +1,88 @@
+"""Measure manifest-level file skipping on the 20M-row synthetic
+source-code table: a where-scoped uniqueness check through
+``SnapshotTable.scan`` vs the same check over a full read + filter.
+
+This is the scan-planning half of the table layer's 100 TB story: a
+scoped re-validation ("just repos starting with 'r'", "just commit
+year 2021") should open O(matching files), not O(table).  Results are
+recorded in BENCH/BASELINE.md.
+
+Run: python tools/bench_pruning.py            (builds the table once)
+Env: SPARK_GRAFT_BENCH_ROWS (default 20M), SPARK_GRAFT_CPUS (default 32)
+"""
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402  (repo-root bench.py: session + cached table)
+
+TBL = f"/tmp/dv_bench_snaplog_{bench.ROWS}_{bench.SEED}"
+
+
+def ensure_table(spark):
+    """Snapshot table over the cached synth data, range-clustered by
+    repo so repo predicates have disjoint file bounds (the layout a
+    compact(sort_by=['repo']) produces)."""
+    from datavalid_spark.sources.snaplog import SnapshotTable
+
+    if SnapshotTable.exists(TBL):
+        return SnapshotTable(spark, TBL)
+    bench.ensure_cached_table(spark)
+    df = spark.read.parquet(bench.CACHE)
+    shutil.rmtree(TBL, ignore_errors=True)
+    t = SnapshotTable(spark, TBL)
+    t.create(df.repartitionByRange(64, "repo").sortWithinPartitions("repo"))
+    return t
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from datavalid_spark.operators.checks import UniqueCheck
+
+    spark = bench.build_session(bench.CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    t = ensure_table(spark)
+    check = UniqueCheck(["repo", "path", "commit"], strategy="hash")
+    # "validate one org's repos" — a realistic scoped re-validation
+    preds = [("repo", ">=", "org5/"), ("repo", "<", "org5/z")]
+    cond = (F.col("repo") >= "org5/") & (F.col("repo") < "org5/z")
+
+    out = {"rows": bench.ROWS, "cpus": bench.CPUS}
+    kept, total = t.prune_files(preds)
+    out["files_opened"] = {"pruned": len(kept), "full": total}
+
+    # warm each plan once (codegen), then time best-of-2 — the same
+    # warm-plan stance as bench.py
+    def timed(fn):
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            n = fn()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        return n, round(best, 3)
+
+    n_full, out["full_scan_filter_s"] = timed(
+        lambda: check.violations(t.read().filter(cond)).count()
+    )
+    n_pruned, out["pruned_scan_s"] = timed(
+        lambda: check.violations(t.scan(preds)).count()
+    )
+    assert n_full == n_pruned, (n_full, n_pruned)
+    out["violations"] = n_pruned
+    n_all, out["whole_table_s"] = timed(lambda: check.violations(t.read()).count())
+    out["whole_table_violations"] = n_all
+    out["speedup_vs_full_filter"] = round(
+        out["full_scan_filter_s"] / max(out["pruned_scan_s"], 1e-9), 2
+    )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
