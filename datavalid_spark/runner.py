@@ -66,25 +66,35 @@ class FileReport:
         )
 
 
-def load_file(spec: FileSpec, spark: SparkSession) -> DataFrame:
+def open_source(spec: FileSpec, spark: SparkSession):
     """Extension-dispatched source: CSV with header + schema inference
     is the reference-parity default (pandas read_csv, file.py:121);
     parquet/ORC/JSON(L) supported so the same config validates columnar
-    lake files and event logs directly."""
+    lake files and event logs directly.
+
+    Returns ``(df, snapshot_table, snapshot_id)`` — the last two are
+    None for plain files.  Snapshot tables are PINNED to one snapshot
+    id so every task in a file report (and its pushed-down pruned
+    scans) sees the same data even if a writer commits mid-run."""
     path = str(spec.filepath)
     from datavalid_spark.sources.snaplog import SnapshotTable
 
     if SnapshotTable.exists(path):
-        # snapshot-manifest table directory: read the CURRENT snapshot
-        # (time travel via the library API; the CLI validates head)
-        return SnapshotTable(spark, path).read()
+        snap = SnapshotTable(spark, path)
+        sid = snap.current_snapshot_id()
+        return snap.read(sid), snap, sid
     if path.endswith(".parquet"):
-        return spark.read.parquet(path)
+        return spark.read.parquet(path), None, None
     if path.endswith(".orc"):
-        return spark.read.orc(path)
+        return spark.read.orc(path), None, None
     if path.endswith((".json", ".jsonl", ".ndjson")):
-        return spark.read.json(path)
-    return spark.read.csv(path, header=True, inferSchema=True)
+        return spark.read.json(path), None, None
+    return spark.read.csv(path, header=True, inferSchema=True), None, None
+
+
+def load_file(spec: FileSpec, spark: SparkSession) -> DataFrame:
+    """Library convenience: just the DataFrame of ``open_source``."""
+    return open_source(spec, spark)[0]
 
 
 #: above this many violation rows the bad-rows sink switches from a
@@ -208,17 +218,7 @@ def validate_file(spec: FileSpec, spark: SparkSession, out=None) -> FileReport:
     color = use_color(out)
     report = FileReport(filename=str(spec.filepath))
     p("Validating %s" % spec.filepath)
-    from datavalid_spark.sources.snaplog import SnapshotTable
-
-    snap = snap_sid = None
-    if SnapshotTable.exists(str(spec.filepath)):
-        # pin ONE snapshot for the whole file report so a concurrent
-        # commit can't make different tasks see different data
-        snap = SnapshotTable(spark, str(spec.filepath))
-        snap_sid = snap.current_snapshot_id()
-        df = snap.read(snap_sid)
-    else:
-        df = load_file(spec, spark)
+    df, snap, snap_sid = open_source(spec, spark)
 
     if spec.schema.columns:
         verdicts = validate_columns(spec.schema, df)

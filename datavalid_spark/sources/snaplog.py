@@ -251,6 +251,13 @@ def _file_may_match(stats: Optional[dict], col: str, op: str, value) -> bool:
             return hi is None or hi >= v
     except TypeError:
         return True  # incomparable literal — never prune on a guess
+    except ValueError as e:
+        if op in ("=", "<", "<=", ">", ">=", "in"):
+            # e.g. a non-ISO string against date/timestamp bounds
+            # (fromisoformat) — uncoercible literal, keep the file and
+            # let the row-level filter decide
+            return True
+        raise e
     raise ValueError(f"unknown predicate op {op!r}")
 
 
@@ -314,12 +321,14 @@ def _zorder_value(df: DataFrame, cols: list[str], total_rows: int) -> "F.Column"
             if not bounds or b > bounds[-1]:
                 bounds.append(b)
         # bucket = number of boundaries at or below the value; NULLs
-        # land in bucket 0 (they cluster together, like a sort would)
+        # land in bucket 0 (they cluster together, like a sort would).
+        # long, not int: interleaved bit positions reach bits*d-1,
+        # which passes 31 at d >= 6 and int shifts wrap mod 32
         expr = F.lit(0)
         for b in bounds:
             expr = expr + (F.col(c) >= F.lit(b)).cast("int")
-        bucket_cols.append(F.coalesce(expr, F.lit(0)))
-    z = F.lit(0)
+        bucket_cols.append(F.coalesce(expr, F.lit(0)).cast("long"))
+    z = F.lit(0).cast("long")
     d = len(cols)
     for bit in range(_Z_BITS):
         for i, bc in enumerate(bucket_cols):
@@ -421,16 +430,32 @@ class SnapshotTable:
         base_files: list[str],
         extra_summary: Optional[dict] = None,
         schema_override: Optional[T.StructType] = None,
+        expected_parent: Optional[int] = None,
+        stream_stamp: Optional[tuple] = None,
     ) -> int:
         parent = self.current_snapshot_id() if os.path.isfile(self._hint) else 0
+        # full OCC: operations that DERIVE their content from a parent
+        # snapshot (append's base file list, merge's untouched set,
+        # compact's input) pass the snapshot id they planned against.
+        # A concurrent commit landing between that read and here would
+        # otherwise be silently dropped from the new manifest — the
+        # os.link race check alone only covers the window after this
+        # point.  Checked BEFORE the data write so a doomed commit
+        # doesn't burn a large write.
+        if expected_parent is not None and parent != expected_parent:
+            raise CommitConflict(
+                f"table advanced to snapshot {parent} (planned against "
+                f"{expected_parent}) at {self.root!r}"
+            )
         new_id = parent + 1
         added = self._write_data(df, new_id)
         # per-file column stats: footer-only scan of the ADDED files;
         # base files carry their stats forward from the parent manifest
         # (never recomputed — Iceberg manifests are immutable the same way)
+        parent_manifest = self.manifest(parent) if parent else {}
         stats = {}
         if parent:
-            parent_stats = self.manifest(parent).get("stats", {})
+            parent_stats = parent_manifest.get("stats", {})
             stats.update({f: parent_stats[f] for f in base_files if f in parent_stats})
         # footer reads are tiny but serial-latency-bound for a commit
         # adding thousands of files — harvest them on a thread pool
@@ -446,6 +471,12 @@ class SnapshotTable:
                     ),
                 ):
                     stats[rel] = st
+        # streaming exactly-once state rides EVERY manifest (carried
+        # forward like stats), so expiring old snapshots can never
+        # forget which micro-batch ids are already committed
+        streams = dict(parent_manifest.get("streams", {}))
+        if stream_stamp is not None:
+            streams[str(stream_stamp[0])] = int(stream_stamp[1])
         manifest = {
             "format_version": 1,
             "snapshot_id": new_id,
@@ -455,6 +486,7 @@ class SnapshotTable:
             "schema": json.loads((schema_override or df.schema).json()),
             "files": base_files + added,
             "stats": stats,
+            "streams": streams,
             "summary": {
                 "added_files": len(added),
                 "total_files": len(base_files) + len(added),
@@ -488,12 +520,18 @@ class SnapshotTable:
         return self._commit("create", df, [])
 
     def append(self, df: DataFrame) -> int:
-        schema = self._evolved_append_schema(df)
+        sid = self.current_snapshot_id()
+        m = self.manifest(sid)
+        schema = self._evolved_append_schema(df, m)
         return self._commit(
-            "append", df, list(self.manifest()["files"]), schema_override=schema
+            "append",
+            df,
+            list(m["files"]),
+            schema_override=schema,
+            expected_parent=sid,
         )
 
-    def _evolved_append_schema(self, df: DataFrame) -> T.StructType:
+    def _evolved_append_schema(self, df: DataFrame, manifest: dict) -> T.StructType:
         """Additive-only schema evolution (Iceberg's add-column rule):
         an append may ADD columns — stored FORCED-nullable, because the
         parent's inherited files have no values for them and read NULL
@@ -501,7 +539,7 @@ class SnapshotTable:
         ones, since the appended manifest's schema is applied to the
         parent's files too.  Without this guard a mismatched append
         silently corrupts every prior snapshot under the new schema."""
-        cur = T.StructType.fromJson(self.manifest()["schema"])
+        cur = T.StructType.fromJson(manifest["schema"])
         new_by_name = {f.name: f for f in df.schema.fields}
         for f in cur.fields:
             nf = new_by_name.get(f.name)
@@ -526,8 +564,9 @@ class SnapshotTable:
         return T.StructType(evolved)
 
     def overwrite(self, df: DataFrame) -> int:
-        self.manifest()  # must exist
-        return self._commit("overwrite", df, [])
+        sid = self.current_snapshot_id()
+        self.manifest(sid)  # must exist
+        return self._commit("overwrite", df, [], expected_parent=sid)
 
     # ------------------------------------------------------------- read
 
@@ -571,9 +610,12 @@ class SnapshotTable:
         callers (the validation runner) that apply their own exact
         condition on top and only want the scan narrowed to files that
         can possibly match."""
-        m = self.manifest(snapshot_id)
+        # resolve the snapshot ONCE: schema and file list must come from
+        # the same manifest even if a writer commits mid-call
+        sid = self.current_snapshot_id() if snapshot_id is None else int(snapshot_id)
+        m = self.manifest(sid)
         schema = T.StructType.fromJson(m["schema"])
-        kept, _total = self.prune_files(predicates, snapshot_id)
+        kept, _total = self.prune_files(predicates, sid)
         if not kept:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(
@@ -638,9 +680,14 @@ class SnapshotTable:
 
     def last_stream_batch(self, stream_id: str = "stream") -> Optional[int]:
         """Newest micro-batch id committed for ``stream_id``, or None.
-        Walks the snapshot log head-first; expired manifests end the
-        walk (anything older is also expired)."""
-        for sid in range(self.current_snapshot_id(), 0, -1):
+        Stream state rides every manifest (carried forward like stats),
+        so this is O(1) and survives snapshot expiry; pre-state tables
+        fall back to walking the snapshot log."""
+        m = self.manifest()
+        if "streams" in m:
+            v = m["streams"].get(stream_id)
+            return int(v) if v is not None else None
+        for sid in range(self.current_snapshot_id(), 0, -1):  # legacy walk
             try:
                 s = self.manifest(sid)["summary"]
             except ValueError:
@@ -663,20 +710,28 @@ class SnapshotTable:
         Iceberg streaming sink runs."""
 
         def write(batch_df: DataFrame, batch_id: int) -> None:
-            last = self.last_stream_batch(stream_id)
-            if last is not None and int(batch_id) <= last:
-                return  # replay of an already-committed batch
             for attempt in range(max_retries + 1):
+                # the idempotence check runs on EVERY attempt: a
+                # CommitConflict may mean a zombie twin of this very
+                # checkpoint just committed this same batch id — blindly
+                # retrying would append it twice
+                last = self.last_stream_batch(stream_id)
+                if last is not None and int(batch_id) <= last:
+                    return  # already committed (possibly by the winner)
+                sid = self.current_snapshot_id()
+                m = self.manifest(sid)
                 try:
                     self._commit(
                         "append",
                         batch_df,
-                        list(self.manifest()["files"]),
+                        list(m["files"]),
                         extra_summary={
                             "stream_id": stream_id,
                             "stream_batch_id": int(batch_id),
                         },
-                        schema_override=self._evolved_append_schema(batch_df),
+                        schema_override=self._evolved_append_schema(batch_df, m),
+                        expected_parent=sid,
+                        stream_stamp=(stream_id, int(batch_id)),
                     )
                     return
                 except CommitConflict:
@@ -717,11 +772,17 @@ class SnapshotTable:
         ``vacuum``."""
         if sort_by and z_order_by:
             raise ValueError("pass sort_by or z_order_by, not both")
-        m = self.manifest()
+        sid = self.current_snapshot_id()
+        m = self.manifest(sid)
         stats = m.get("stats", {})
-        total_rows = sum(s["rows"] for s in stats.values()) if stats else None
-        df = self.read()
-        if total_rows is None:
+        df = self.read(sid)
+        # row counts from stats ONLY when every file has them — a table
+        # with pre-stats history has partial coverage, and summing the
+        # subset would undercount catastrophically (repartition(1) of
+        # the whole table)
+        if stats and all(f in stats for f in m["files"]):
+            total_rows = sum(stats[f]["rows"] for f in m["files"])
+        else:
             total_rows = df.count()
         n_files = max(1, math.ceil(total_rows / max(1, target_file_rows)))
         if z_order_by:
@@ -739,7 +800,11 @@ class SnapshotTable:
         else:
             df = df.repartition(n_files)
         return self._commit(
-            "replace", df, [], extra_summary={"rewritten_files": len(m["files"])}
+            "replace",
+            df,
+            [],
+            extra_summary={"rewritten_files": len(m["files"])},
+            expected_parent=sid,
         )
 
     def merge(
@@ -764,37 +829,58 @@ class SnapshotTable:
 
         Untouched files are carried into the new snapshot by reference
         (stats included); affected files are rewritten as
-        (their rows anti-join source keys) ∪ source."""
+        (their rows anti-join source keys) ∪ source.  Key matching is
+        NULL-SAFE (``<=>``), consistent with the engine's uniqueness
+        semantics: a NULL source key replaces NULL-keyed table rows
+        instead of silently inserting a duplicate."""
         from datavalid_spark.cache import gated_broadcast, release_cached
 
-        if sorted(source.columns) != sorted(self.read().columns):
+        sid = self.current_snapshot_id()
+        m = self.manifest(sid)
+        schema = T.StructType.fromJson(m["schema"])
+        table_cols = [f.name for f in schema.fields]
+        if sorted(source.columns) != sorted(table_cols):
             raise ValueError(
                 f"merge source columns {sorted(source.columns)} != table "
-                f"columns {sorted(self.read().columns)}"
+                f"columns {sorted(table_cols)}"
             )
-        source = source.select(*self.read().columns)  # align order
+        source = source.select(*table_cols)  # align order
         if validate_source_unique:
             dups = source.groupBy(*on).count().filter(F.col("count") > 1)
             if dups.limit(1).count():
                 raise ValueError(
                     f"merge source has duplicate keys on {on} — ambiguous upsert"
                 )
-        m = self.manifest()
-        schema = T.StructType.fromJson(m["schema"])
 
-        # step 1 — manifest pruning on the source's global key ranges
+        # step 1 — manifest pruning on the source's global key ranges.
+        # A key column with any NULL source key contributes no range
+        # predicate: its NULL rows must null-safe-match table rows that
+        # live in files the column's bounds would wrongly prune.
         ranges = source.agg(
             *[F.min(k).alias(f"lo_{i}") for i, k in enumerate(on)],
             *[F.max(k).alias(f"hi_{i}") for i, k in enumerate(on)],
+            *[
+                F.sum(F.col(k).isNull().cast("int")).alias(f"nn_{i}")
+                for i, k in enumerate(on)
+            ],
         ).first()
         preds = []
         for i, k in enumerate(on):
+            if ranges[f"nn_{i}"]:
+                continue
             lo, hi = ranges[f"lo_{i}"], ranges[f"hi_{i}"]
             if lo is not None:
                 preds.append((k, ">=", lo))
             if hi is not None:
                 preds.append((k, "<=", hi))
-        candidates, _ = self.prune_files(preds, None) if preds else (m["files"], 0)
+        candidates = self.prune_files(preds, sid)[0] if preds else list(m["files"])
+
+        def _ns_cond(left: str, right: str):
+            cond = None
+            for k in on:
+                c = F.col(f"{left}.{k}").eqNullSafe(F.col(f"{right}.{k}"))
+                cond = c if cond is None else (cond & c)
+            return cond
 
         try:
             keys = gated_broadcast(source.select(*on).dropDuplicates())
@@ -806,7 +892,8 @@ class SnapshotTable:
                 # step 2 — exact affected-file set, one distributed pass
                 hit = (
                     cand_df.withColumn("__file", F.input_file_name())
-                    .join(keys, on, "leftsemi")
+                    .alias("__dv_t")
+                    .join(keys.alias("__dv_s"), _ns_cond("__dv_t", "__dv_s"), "leftsemi")
                     .select("__file")
                     .distinct()
                     .collect()
@@ -825,9 +912,13 @@ class SnapshotTable:
 
             untouched = [f for f in m["files"] if f not in set(affected)]
             if affected:
-                kept_rows = self.spark.read.schema(schema).parquet(
-                    *[os.path.join(self.root, f) for f in affected]
-                ).join(keys, on, "left_anti")
+                kept_rows = (
+                    self.spark.read.schema(schema)
+                    .parquet(*[os.path.join(self.root, f) for f in affected])
+                    .alias("__dv_t")
+                    .join(keys.alias("__dv_s"), _ns_cond("__dv_t", "__dv_s"), "left_anti")
+                    .select(*table_cols)
+                )
                 new_data = kept_rows.unionByName(source)
             else:
                 new_data = source
@@ -836,6 +927,7 @@ class SnapshotTable:
                 new_data,
                 untouched,
                 extra_summary={"rewritten_files": len(affected)},
+                expected_parent=sid,
             )
         finally:
             release_cached()
@@ -892,17 +984,23 @@ class SnapshotTable:
                 ):
                     orphans.append(rel)
         if not dry_run:
+            # capture directory ages BEFORE unlinking: deleting a file
+            # bumps its directory's mtime to now, which would otherwise
+            # make every just-emptied commit dir look too young to sweep
+            dir_mtime = {
+                entry: os.stat(os.path.join(data_root, entry)).st_mtime
+                for entry in os.listdir(data_root)
+                if os.path.isdir(os.path.join(data_root, entry))
+            }
             for rel in orphans:
                 os.unlink(os.path.join(self.root, rel))
             # sweep now-empty commit directories (and their markers) —
             # age-gated like the files: a young dir may be a commit
             # mid-write (only _temporary markers exist yet)
-            for entry in os.listdir(data_root):
+            for entry, mtime in dir_mtime.items():
                 full = os.path.join(data_root, entry)
-                if (
-                    os.path.isdir(full)
-                    and os.stat(full).st_mtime <= cutoff
-                    and not any(n.endswith(".parquet") for n in os.listdir(full))
+                if mtime <= cutoff and not any(
+                    n.endswith(".parquet") for n in os.listdir(full)
                 ):
                     import shutil
 

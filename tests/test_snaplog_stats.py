@@ -508,3 +508,125 @@ def test_zorder_compact_prunes_both_dimensions(spark, root):
 
     with pytest.raises(ValueError, match="not both"):
         t.compact(sort_by=["x"], z_order_by=["y"])
+
+
+def test_commit_occ_rejects_stale_plan(spark, root):
+    """Operations that derive content from a parent snapshot must fail
+    (not silently drop the concurrent commit) when the table advanced
+    between their plan read and their commit."""
+    from datavalid_spark.sources.snaplog import CommitConflict
+
+    t = SnapshotTable(spark, root)
+    t.create(_ranged(spark, 0, 50, parts=1))
+    planned_sid = t.current_snapshot_id()
+    # a concurrent writer lands first
+    SnapshotTable(spark, root).append(_ranged(spark, 50, 60, parts=1))
+    with pytest.raises(CommitConflict, match="advanced"):
+        t._commit(
+            "replace", _ranged(spark, 0, 50, parts=1), [],
+            expected_parent=planned_sid,
+        )
+    # the concurrent commit's rows are intact
+    assert t.read().count() == 60
+
+
+def test_stream_writer_zombie_race_no_duplicate(spark, root, monkeypatch):
+    """Two drivers on the same checkpoint race batch 41: the loser's
+    retry re-checks committed state and skips instead of double-append."""
+    from datavalid_spark.sources.snaplog import CommitConflict
+
+    t = SnapshotTable(spark, root)
+    t.create(_ranged(spark, 0, 10, parts=1))
+    twin = SnapshotTable(spark, str(root))  # the zombie's handle
+
+    real_commit = SnapshotTable._commit
+    raced = {"done": False}
+
+    def racing_commit(self, *a, **kw):
+        if self is t and not raced["done"]:
+            raced["done"] = True
+            # the twin wins batch 41 while we're mid-commit
+            twin.stream_writer("s")(_ranged(spark, 100, 110, parts=1), 41)
+            raise CommitConflict("simulated loss")
+        return real_commit(self, *a, **kw)
+
+    monkeypatch.setattr(SnapshotTable, "_commit", racing_commit)
+    t.stream_writer("s")(_ranged(spark, 100, 110, parts=1), 41)
+    monkeypatch.undo()
+    assert t.read().count() == 20  # batch 41 landed exactly once
+    assert t.last_stream_batch("s") == 41
+
+
+def test_exactly_once_survives_expiry(spark, root):
+    """Stream state rides every manifest: compaction + expiry of the
+    stamped snapshot must not forget committed batch ids."""
+    t = SnapshotTable(spark, root)
+    t.create(_ranged(spark, 0, 10, parts=1))
+    t.stream_writer("ing")(_ranged(spark, 10, 20, parts=1), 7)
+    t.compact(target_file_rows=100)
+    t.expire_snapshots(keep_last=1)
+    assert t.last_stream_batch("ing") == 7
+    # replay of batch 7 after the expiry: skipped
+    t.stream_writer("ing")(_ranged(spark, 10, 20, parts=1), 7)
+    assert t.read().count() == 20
+
+
+def test_compact_with_partial_stats_counts_real_rows(spark, root):
+    """Pre-stats history: compact must not trust a stats subset (it
+    would bin-pack the whole table into one file)."""
+    import json as j
+    import os
+
+    t = SnapshotTable(spark, root)
+    t.create(_ranged(spark, 0, 1000, parts=4))
+    mp = os.path.join(root, "metadata", "v1.json")
+    m = j.load(open(mp))
+    del m["stats"]  # simulate a manifest written before stats existed
+    os.unlink(mp)
+    j.dump(m, open(mp, "w"))
+    t.append(_ranged(spark, 1000, 1010, parts=1))  # stats: only 10 rows
+    sid = t.compact(target_file_rows=200)
+    assert t.manifest(sid)["summary"]["total_files"] == 6  # 1010/200, not 1
+    assert t.read().count() == 1010
+
+
+def test_merge_null_keys_nullsafe(spark, root):
+    """A NULL source key REPLACES NULL-keyed table rows (uniqueness
+    semantics) instead of inserting a duplicate."""
+    t = SnapshotTable(spark, root)
+    t.create(
+        spark.createDataFrame([(1, "a"), (None, "old-null")], "k int, v string")
+    )
+    t.merge(
+        spark.createDataFrame([(None, "new-null"), (9, "ins")], "k int, v string"),
+        on=["k"],
+    )
+    out = {r["k"]: r["v"] for r in t.read().collect()}
+    assert out == {1: "a", None: "new-null", 9: "ins"}
+
+
+def test_prune_files_tolerates_uncoercible_literal(spark, root):
+    """A non-ISO string against date bounds keeps the file (row filter
+    decides) instead of crashing the pushdown path."""
+    import datetime as dtm
+
+    t = SnapshotTable(spark, root)
+    t.create(
+        spark.createDataFrame(
+            [(i, dtm.date(2024, 1, 1 + i)) for i in range(5)], "id int, d date"
+        )
+    )
+    kept, total = t.prune_files([("d", ">", "2024/04/01")])
+    assert kept and len(kept) == total
+
+
+def test_vacuum_sweeps_emptied_dirs_same_run(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_ranged(spark, 0, 20, parts=1))
+    t.overwrite(_ranged(spark, 0, 5, parts=1))
+    t.expire_snapshots(keep_last=1)
+    import os
+    removed = t.vacuum(min_age_seconds=0)
+    assert removed
+    dirs = os.listdir(os.path.join(root, "data"))
+    assert len(dirs) == 1  # snapshot 1's emptied dir swept in THIS run
