@@ -148,3 +148,79 @@ def stratified_sample(
                 f"{short}; raise the margin"
             )
     return out
+
+
+def pack_shards(
+    df: DataFrame,
+    size_col,
+    budget: int,
+    order_by: Sequence[str] = ("doc_id",),
+) -> DataFrame:
+    """Token-budget shard assignment: rows are laid out in the
+    deterministic global order of ``order_by`` (must be a unique key —
+    equal values must not straddle range-partition boundaries) and cut
+    into shards at running-``size_col`` multiples of ``budget``::
+
+        shard = (cumulative_size_exclusive) div budget
+
+    so a shard closes once the docs laid into it reach the budget (its
+    total lands within one document of ``budget`` — the standard
+    budget-sharding contract for packing training corpora, where a
+    document is tiny relative to a shard).
+
+    Scale shape: the naive formulation is one global-order window —
+    a single task for the whole corpus.  This uses the same two-phase
+    distributed prefix sum as ``drift.ks_exact_two_sample``:
+    range-partition by the order key, window WITHIN each partition,
+    then add per-partition offsets from a collected P-row totals table
+    (driver cost O(shuffle partitions), never O(rows)).  Integer
+    arithmetic end to end — bit-identical to the single-window answer.
+
+    Returns ``df``'s columns plus ``shard`` (long).
+    """
+    from datavalid_spark.cache import persist_tracked
+
+    order_cols = [F.col(c) for c in order_by]
+    size = (
+        F.col(size_col) if isinstance(size_col, str) else size_col
+    ).cast("long")
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+
+    # persisted: range boundaries come from sampling — a recomputation
+    # between the totals pass and the window pass could repartition
+    # differently and desynchronise the offsets
+    pv = persist_tracked(
+        df.withColumn("__dv_sz", size)
+        .repartitionByRange(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    totals = sorted(
+        (r["__pid"], r["t"])
+        for r in pv.groupBy("__pid").agg(F.sum("__dv_sz").alias("t")).collect()
+    )
+    offsets_rows, acc = [], 0
+    for pid, t in totals:
+        offsets_rows.append((pid, acc))
+        acc += t or 0
+    spark = df.sparkSession
+    offsets = F.broadcast(
+        spark.createDataFrame(offsets_rows, "__pid int, __off long")
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pv.join(offsets, "__pid")
+        .withColumn(
+            "__dv_cum",
+            F.sum("__dv_sz").over(w) + F.col("__off") - F.col("__dv_sz"),
+        )
+        # integer DIV, not float division: a 100 TB corpus's cumulative
+        # token count exceeds 2^53 and float rounding would misplace
+        # shard boundaries
+        .withColumn("shard", F.expr(f"__dv_cum DIV {int(budget)}"))
+        .drop("__pid", "__off", "__dv_sz", "__dv_cum")
+    )

@@ -108,3 +108,50 @@ def test_stratified_null_stratum_prefilter_parity(spark):
     assert fast.exceptAll(plain).count() == 0
     counts = {r["lang"]: r["n"] for r in fast.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert counts == {None: 15, "en": 15, "fr": 15}
+
+
+def test_pack_shards_matches_single_window(spark):
+    """Two-phase distributed prefix sum is bit-identical to the naive
+    global-window formulation; shard totals honor the budget contract."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from datavalid_spark.cache import release_cached
+    from datavalid_spark.operators.sampling import pack_shards
+
+    rng_sizes = [(i, 37 + (i * 97) % 400) for i in range(5000)]
+    df = spark.createDataFrame(rng_sizes, "doc_id int, n int").repartition(16)
+    budget = 10_000
+    got = pack_shards(df, "n", budget, order_by=["doc_id"])
+
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = df.withColumn(
+        "shard", F.expr(f"(sum(n) OVER (ORDER BY doc_id) - n) DIV {budget}")
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    # budget contract: every closed shard's total is within one doc of budget
+    totals = (
+        got.groupBy("shard").agg(F.sum("n").alias("t"), F.max("n").alias("mx"))
+        .orderBy("shard").collect()
+    )
+    for row in totals[:-1]:  # last shard may be underfull
+        assert row["t"] >= budget - 400 and row["t"] < budget + 400
+    # shards are contiguous in doc order
+    ids = got.groupBy("shard").agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).orderBy("shard").collect()
+    for a, b in zip(ids, ids[1:]):
+        assert a["hi"] < b["lo"]
+    release_cached()
+
+
+def test_pack_shards_empty_and_bad_budget(spark):
+    import pyspark.sql.functions as F
+
+    from datavalid_spark.operators.sampling import pack_shards
+
+    empty = spark.createDataFrame([], "doc_id int, n int")
+    assert pack_shards(empty, "n", 100).count() == 0
+    with pytest.raises(ValueError):
+        pack_shards(empty, "n", 0)
