@@ -451,6 +451,23 @@ def q_text_scrub(spark, sf_dir):
     )
 
 
+def q_pack_shards(spark, sf_dir):
+    """Token-budget shard packing (operators/sampling.pack_shards):
+    documents laid out in doc_id order and cut into ~50k-char shards
+    via the two-phase distributed prefix sum (partition-local windows
+    + collected offsets — no single-task global window).  Integer DIV
+    end to end, so DuckDB's cumulative-window formulation is
+    bit-identical."""
+    from datavalid_spark.operators.sampling import pack_shards
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+    return pack_shards(docs, "n_chars", 50_000, order_by=["doc_id"]).select(
+        "doc_id", "n_chars", "shard"
+    )
+
+
 def q_sample_stratified(spark, sf_dir):
     """EXACT deterministic stratified sample (operators/sampling.py):
     the 50 docs per language with the smallest md5(doc_id) — fixed
@@ -857,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "split_assign": q_split_assign,
         "sample_stratified": q_sample_stratified,
+        "pack_shards": q_pack_shards,
         "profile_quantiles": q_profile_quantiles,
         "text_scrub": q_text_scrub,
         "text_normalize": q_text_normalize,
@@ -1319,6 +1337,12 @@ SELECT doc_id,
        CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
             WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
             ELSE 'test' END AS split
+FROM documents
+""",
+        "pack_shards": """
+SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       CAST((SUM(CAST(LENGTH(text) AS BIGINT)) OVER (ORDER BY doc_id)
+        - CAST(LENGTH(text) AS BIGINT)) // 50000 AS BIGINT) AS shard
 FROM documents
 """,
         "sample_stratified": """
