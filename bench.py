@@ -56,6 +56,8 @@ BUCKETED_LOC = f"/tmp/{BUCKETED_TABLE}"
 #: visible (VERDICT.md round 1, item 10)
 HEADLINE_QUERIES = [
     "t1_unique",
+    "unique_incremental",
+    "pack_shards",
     "t2_empty",
     "t4_once_per_n_days",
     "f6_range",
