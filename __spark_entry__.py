@@ -483,6 +483,73 @@ def q_sample_stratified(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_sample_weighted(spark, sf_dir):
+    """Deterministic per-source Bernoulli mixture sample (operators/
+    sampling.weighted_sample): keep 100% of src0, 50% of src1, 25% of
+    src2, 5% of everything else — the domain-mixture primitive.  An
+    md5-hex-prefix threshold compare, so the sample is a scan-fused
+    filter (zero shuffle, no RNG) that DuckDB reproduces bit-for-bit
+    with the same string comparison."""
+    from datavalid_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(
+        docs,
+        "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        "doc_id",
+        default_rate=0.05,
+    )
+    return out.select("doc_id", "source")
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition metrics
+    (functions/text.repetition_stats_of_grams): per document, the most
+    frequent word bigram plus duplicate-bigram occurrence/char totals,
+    via sorted-array run-length higher-order functions fused into the
+    scan — ZERO shuffle (the naive explode→groupBy formulation
+    shuffles every gram of the corpus twice).  Ties on top_cnt break
+    to the lexicographically smallest gram so the oracle's
+    ORDER BY cnt DESC, gram ASC reproduces the winner exactly."""
+    from datavalid_spark.functions.text import (
+        nonempty_tokens,
+        repetition_stats_of_grams,
+        word_ngrams_all_of_tokens,
+    )
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", nonempty_tokens("text").alias("__t"))
+    grams = toks.select(
+        "doc_id", word_ngrams_all_of_tokens(F.col("__t"), 2).alias("__g")
+    )
+    s = grams.select("doc_id", repetition_stats_of_grams(F.col("__g")).alias("s"))
+    return s.select(
+        "doc_id",
+        F.col("s.top_gram").alias("top_gram"),
+        F.col("s.top_cnt").alias("top_cnt"),
+        F.col("s.dup_occ").alias("dup_occ"),
+        F.col("s.dup_chars").alias("dup_chars"),
+        F.col("s.n_grams").alias("n_grams"),
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Exact word-8-gram benchmark decontamination
+    (operators/decontaminate.contamination_report): benchmark = every
+    10th document, corpus = the rest; a corpus doc is contaminated iff
+    it shares an exact 8-gram with any benchmark doc (the planted
+    exact/near duplicates guarantee non-empty results).  Benchmark
+    grams are gated-broadcast; corpus grams probe the hash set in
+    place, so shuffle volume is O(matches), not O(corpus)."""
+    from datavalid_spark.operators.decontaminate import contamination_report
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return contamination_report(corpus, bench, "doc_id", "text", n=8)
+
+
 def q_text_normalize(spark, sf_dir):
     """Ingest-time Unicode canonicalization: NFC compose (vectorized
     pandas ``Series.str.normalize`` — Spark has no built-in Unicode
@@ -874,7 +941,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "split_assign": q_split_assign,
         "sample_stratified": q_sample_stratified,
+        "sample_weighted": q_sample_weighted,
         "pack_shards": q_pack_shards,
+        "text_repetition": q_text_repetition,
+        "decontaminate": q_decontaminate,
         "profile_quantiles": q_profile_quantiles,
         "text_scrub": q_text_scrub,
         "text_normalize": q_text_normalize,
@@ -1353,6 +1423,57 @@ SELECT doc_id, lang FROM (
            ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
   FROM documents) t
 WHERE rk <= 50
+""",
+        # thresholds are rate·16^8 in zero-padded hex ('g' = keep-all);
+        # lowercase-hex string compare orders like the integer it
+        # encodes, so this CASE is the exact weighted_sample predicate
+        "sample_weighted": """
+SELECT doc_id, source FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE WHEN source = 'src0' THEN 'g'
+           WHEN source = 'src1' THEN '80000000'
+           WHEN source = 'src2' THEN '40000000'
+           ELSE '0ccccccc' END
+""",
+        "text_repetition": f"""
+WITH t AS (SELECT doc_id, {_TOKS_SEQ} AS ws FROM documents),
+g AS (SELECT doc_id, list_aggregate(ws[i:i+1], 'string_agg', ' ') AS gram
+      FROM t, unnest(range(1, len(ws))) AS u(i)
+      WHERE len(ws) >= 2),
+c AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2),
+best AS (SELECT doc_id, gram, cnt,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, gram ASC) AS rn
+         FROM c),
+agg AS (SELECT doc_id,
+        CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt END), 0) AS BIGINT) AS dup_occ,
+        CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt * length(gram) END), 0) AS BIGINT) AS dup_chars,
+        CAST(SUM(cnt) AS BIGINT) AS n_grams
+        FROM c GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(b.gram, '') AS top_gram,
+       CAST(COALESCE(b.cnt, 0) AS BIGINT) AS top_cnt,
+       CAST(COALESCE(a.dup_occ, 0) AS BIGINT) AS dup_occ,
+       CAST(COALESCE(a.dup_chars, 0) AS BIGINT) AS dup_chars,
+       CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+LEFT JOIN agg a ON d.doc_id = a.doc_id
+""",
+        "decontaminate": f"""
+WITH t AS (SELECT doc_id, {_TOKS_SEQ} AS ws FROM documents),
+g AS (SELECT DISTINCT doc_id, list_aggregate(ws[i:i+7], 'string_agg', ' ') AS gram
+      FROM t, unnest(range(1, len(ws) - 6)) AS u(i)
+      WHERE len(ws) >= 8),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        FROM g WHERE doc_id % 10 <> 0 GROUP BY 1),
+hits AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_matched
+         FROM g JOIN bench USING (gram)
+         WHERE g.doc_id % 10 <> 0 GROUP BY 1)
+SELECT h.doc_id, h.n_matched, d.n_grams,
+       h.n_matched / d.n_grams AS contamination_frac
+FROM hits h JOIN doc d ON h.doc_id = d.doc_id
 """,
         "text_normalize": r"""
 WITH a AS (

@@ -73,6 +73,8 @@ HEADLINE_QUERIES = [
     "ivf_topk",
     "text_metrics",
     "text_quality",
+    "text_repetition",
+    "decontaminate",
     "asof_join",
     "interval_join",
     "time_rollup",

@@ -205,6 +205,112 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
     return word_ngrams_of_tokens(nonempty_tokens(col), n)
 
 
+def word_ngrams_all_of_tokens(t: Column, n: int = 2) -> Column:
+    """ALL word n-grams (space-joined, duplicates kept) over an
+    already-materialised token-array column — the repetition-metrics
+    input, where multiplicity is the signal ``array_distinct`` would
+    destroy.  Same CollapseProject caveat as shingles_of_normalized."""
+    cnt = F.size(t)
+    return F.when(
+        cnt >= n,
+        F.transform(
+            F.sequence(F.lit(1), cnt - n + 1),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ------------------------------------------------- repetition metrics
+#
+# Gopher-style (Rae et al. 2021, "Scaling Language Models", table A1)
+# within-document repetition signals: the fraction of the document
+# covered by its single most frequent word n-gram and by all n-grams
+# occurring more than once.  Boilerplate / SEO spam / degenerate
+# generations score high; natural prose scores near zero.
+#
+# Scale shape: ZERO shuffle.  The naive formulation explodes every
+# n-gram of every document into a (doc, gram) groupBy — two shuffles of
+# the whole corpus.  But the aggregation is per-document, so it never
+# needs to leave the row: sort the gram array and fold ONE run-length
+# pass over it with ``aggregate``, carrying the open run and the
+# totals in the accumulator struct.
+#
+# Why a single-pass fold and not filter/transform over index arrays:
+# higher-order functions are evaluated INTERPRETED (no codegen), and a
+# non-trivial array expression referenced inside a lambda is
+# RE-EVALUATED AT EVERY ELEMENT — a run-starts formulation that
+# indexes into ``array_sort(g)`` from within nested lambdas measured
+# O(len⁴) per document (minutes for 500 tiny docs).  In the fold, the
+# sorted array is evaluated once as the aggregate input and all state
+# flows through the accumulator: O(len) per row.
+
+
+def repetition_stats_of_grams(g: Column) -> Column:
+    """struct(top_gram, top_cnt, dup_occ, dup_chars, n_grams) over an
+    all-n-grams array (duplicates kept; pass a MATERIALISED column —
+    see shingles_of_normalized's CollapseProject caveat):
+
+    - ``top_gram`` / ``top_cnt``: the most frequent gram (ties → the
+      lexicographically smallest, so any engine agrees);
+    - ``dup_occ``: total occurrences of grams appearing more than once;
+    - ``dup_chars``: those occurrences weighted by gram length (the
+      Gopher "characters in duplicated n-grams" numerator);
+    - ``n_grams``: total gram occurrences.
+
+    Pure Column expression — fused into the scan, no shuffle, no UDF.
+    """
+    long0 = F.lit(0).cast("long")
+
+    def closed(acc):
+        """Totals after folding the accumulator's open run."""
+        run, prev = acc["run"], acc["prev"]
+        dup = run > 1
+        better = run > acc["best_cnt"]  # strict: first max in sorted
+        # order wins = lexicographically smallest gram, the tie-break
+        # an ORDER BY cnt DESC, gram ASC oracle reproduces
+        return (
+            F.when(dup, acc["dup_occ"] + run).otherwise(acc["dup_occ"]),
+            F.when(dup, acc["dup_chars"] + run * F.length(prev)).otherwise(
+                acc["dup_chars"]
+            ),
+            F.when(better, run).otherwise(acc["best_cnt"]),
+            F.when(better, prev).otherwise(acc["best_gram"]),
+        )
+
+    def step(acc, x):
+        cont = (acc["run"] > 0) & (acc["prev"] == x)
+        d_occ, d_chars, b_cnt, b_gram = closed(acc)
+        one = F.lit(1).cast("long")
+        return F.struct(
+            x.alias("prev"),
+            F.when(cont, acc["run"] + 1).otherwise(one).alias("run"),
+            F.when(cont, acc["best_cnt"]).otherwise(b_cnt).alias("best_cnt"),
+            F.when(cont, acc["best_gram"]).otherwise(b_gram).alias("best_gram"),
+            F.when(cont, acc["dup_occ"]).otherwise(d_occ).alias("dup_occ"),
+            F.when(cont, acc["dup_chars"]).otherwise(d_chars).alias("dup_chars"),
+        )
+
+    def finish(acc):
+        d_occ, d_chars, b_cnt, b_gram = closed(acc)
+        return F.struct(
+            b_gram.alias("top_gram"),
+            b_cnt.alias("top_cnt"),
+            d_occ.alias("dup_occ"),
+            d_chars.alias("dup_chars"),
+            F.size(g).cast("long").alias("n_grams"),
+        )
+
+    init = F.struct(
+        F.lit("").alias("prev"),
+        long0.alias("run"),
+        long0.alias("best_cnt"),
+        F.lit("").alias("best_gram"),
+        long0.alias("dup_occ"),
+        long0.alias("dup_chars"),
+    )
+    return F.aggregate(F.array_sort(g), init, step, finish)
+
+
 # ----------------------------------------------------------- PII scrubbing
 
 #: scrub patterns chosen to behave identically under Java regex (Spark)

@@ -1,0 +1,93 @@
+"""Benchmark decontamination: flag corpus documents sharing exact word
+n-grams with an evaluation/benchmark set (the GPT-3 appendix-C /
+PaLM-style 13-gram overlap check — training documents that contain any
+test-set n-gram leak the benchmark and must be dropped or audited).
+
+Scale shape (100 TB corpus, benchmark ~10^5 docs):
+
+- the BENCHMARK side is reduced to its distinct n-gram set once —
+  tiny relative to the corpus — and shipped via ``gated_broadcast``
+  (static hint under the limit, AQE fallback above it);
+- the CORPUS side never shuffles its grams: each scan task explodes a
+  document's distinct grams, probes the broadcast hash set in place,
+  and only the MATCHED rows (rare, by construction) continue into the
+  per-document count — shuffle volume is O(contamination), not
+  O(corpus);
+- everything is Column expressions over ``text.word_ngrams`` (JVM,
+  codegen) — no Python in the data path.
+
+The reference has no decontamination surface; this is an engine-only
+pipeline operator (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datavalid_spark.cache import gated_broadcast
+from datavalid_spark.functions.text import nonempty_tokens, word_ngrams_of_tokens
+
+
+def benchmark_ngrams(
+    benchmark: DataFrame, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """The benchmark's distinct word-n-gram set: one ``gram`` column.
+
+    Distinct per document scan-side first (array_distinct inside the
+    n-gram builder) so the global distinct's shuffle carries no
+    within-document duplicates.  Tokens are materialised in their own
+    projection: higher-order functions evaluate interpreted, so a
+    tokenizer inlined into the per-gram lambda re-runs at every gram
+    (the shingles_of_normalized caveat — measured ~8× slower here)."""
+    toks = benchmark.select(nonempty_tokens(text_col).alias("__dv_t"))
+    return (
+        toks.select(
+            F.explode(word_ngrams_of_tokens(F.col("__dv_t"), n)).alias("gram")
+        )
+        .distinct()
+    )
+
+
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    broadcast_key_limit: int = 1_000_000,
+) -> DataFrame:
+    """Per-document contamination counts against ``benchmark``.
+
+    Returns ``(id_col, n_matched, n_grams, contamination_frac)`` for
+    every corpus document sharing at least one exact word n-gram with
+    the benchmark: ``n_matched`` distinct shared grams, ``n_grams``
+    distinct grams in the document, and their ratio.  Join on the gram
+    STRING (not a hash): exact decontamination must not false-positive
+    on a hash collision, and the benchmark side is broadcast so the
+    wider key costs no shuffle.
+    """
+    bench = gated_broadcast(
+        benchmark_ngrams(benchmark, text_col, n), broadcast_key_limit
+    )
+    # materialise tokens, then the gram array, each in its own
+    # projection (an inlined builder re-evaluates per consumer / per
+    # lambda element — see benchmark_ngrams)
+    doc_grams = docs.select(
+        F.col(id_col), nonempty_tokens(text_col).alias("__dv_t")
+    ).select(
+        F.col(id_col), word_ngrams_of_tokens(F.col("__dv_t"), n).alias("__dv_g")
+    ).select(
+        F.col(id_col),
+        F.size("__dv_g").cast("long").alias("n_grams"),
+        F.explode("__dv_g").alias("gram"),
+    )
+    hits = doc_grams.join(bench, "gram")
+    return hits.groupBy(id_col, "n_grams").agg(
+        F.count(F.lit(1)).alias("n_matched")
+    ).select(
+        id_col,
+        F.col("n_matched"),
+        F.col("n_grams"),
+        (F.col("n_matched") / F.col("n_grams")).alias("contamination_frac"),
+    )

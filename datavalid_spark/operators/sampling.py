@@ -150,6 +150,48 @@ def stratified_sample(
     return out
 
 
+def weighted_sample(
+    df: DataFrame,
+    group_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-group deterministic Bernoulli sample — the domain-mixture
+    primitive of a training-data pipeline (keep 100% of curated code,
+    25% of forum scrape, 5% of raw crawl ...).
+
+    A row survives iff the first 8 hex chars of ``md5(id)`` compare
+    below the group's threshold, where ``threshold = rate · 16^8``
+    rendered as zero-padded hex.  The comparison is a plain STRING
+    compare (lowercase hex orders like the integer it encodes), so any
+    engine with md5 reproduces the sample bit-for-bit — no float
+    round-trip, no RNG.  Pure Column expression: fused into the scan,
+    zero shuffle, stable under repartitioning and incremental ingest.
+
+    ``rates`` maps group value → keep fraction in [0, 1]; unlisted
+    groups use ``default_rate``.
+    """
+    def threshold(rate: float) -> F.Column:
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate {rate} outside [0, 1]")
+        if rate >= 1.0:
+            # 'g' sorts above every hex char: keep-all sentinel
+            return F.lit("g")
+        return F.lit(format(int(rate * _HASH_SPACE), "08x"))
+
+    expr = None
+    for value, rate in rates.items():
+        cond = F.col(group_col).eqNullSafe(F.lit(value))
+        t = threshold(rate)
+        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+    thr = threshold(default_rate) if expr is None else expr.otherwise(
+        threshold(default_rate)
+    )
+    pref = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    return df.filter(pref < thr)
+
+
 def pack_shards(
     df: DataFrame,
     size_col,

@@ -1,0 +1,51 @@
+"""Benchmark decontamination (operators/decontaminate.py): exact word
+n-gram overlap between a corpus and a benchmark set."""
+
+from pyspark.sql import functions as F
+
+from datavalid_spark.cache import release_cached
+from datavalid_spark.operators.decontaminate import (
+    benchmark_ngrams,
+    contamination_report,
+)
+
+
+def test_contamination_report_flags_exact_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # 10 words → three 8-grams, one of them a benchmark gram
+            (1, "zz one two three four five six seven eight yy"),
+            (2, "alpha beta gamma delta eps zeta eta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    got = contamination_report(corpus, bench, "doc_id", "text", n=8).collect()
+    release_cached()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["doc_id"], r["n_matched"], r["n_grams"]) == (1, 1, 3)
+    assert abs(r["contamination_frac"] - 1 / 3) < 1e-12
+
+
+def test_contamination_report_short_and_empty(spark):
+    bench = spark.createDataFrame([(9, "a b c d e f g h")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "a b c"), (2, "")], "doc_id long, text string"
+    )  # both shorter than n → no grams, never contaminated
+    assert contamination_report(corpus, bench, n=8).count() == 0
+    release_cached()
+
+
+def test_benchmark_ngrams_distinct(spark):
+    # same gram in two benchmark docs appears once
+    bench = spark.createDataFrame(
+        [(1, "p q r s t u v w"), (2, "p q r s t u v w tail")],
+        "doc_id long, text string",
+    )
+    grams = benchmark_ngrams(bench, "text", 8)
+    rows = [r["gram"] for r in grams.collect()]
+    assert len(rows) == len(set(rows)) == 2

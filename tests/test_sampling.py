@@ -155,3 +155,35 @@ def test_pack_shards_empty_and_bad_budget(spark):
     assert pack_shards(empty, "n", 100).count() == 0
     with pytest.raises(ValueError):
         pack_shards(empty, "n", 0)
+
+
+# --------------------------------------------------- weighted sampling
+
+
+def test_weighted_sample_rates_and_determinism(spark, docs):
+    from datavalid_spark.operators.sampling import weighted_sample
+
+    out = weighted_sample(docs, "lang", {"en": 1.0, "fr": 0.5}, "doc_id")
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts.get("en") == 1000  # rate 1.0 keeps every row
+    assert "de" not in counts  # default rate 0.0 drops the group
+    assert abs(counts.get("fr", 0) / 1000 - 0.5) < 0.06
+    # deterministic under repartitioning: identical kept set
+    again = weighted_sample(
+        docs.repartition(11), "lang", {"en": 1.0, "fr": 0.5}, "doc_id"
+    )
+    assert out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+    assert out.count() == again.count()
+
+
+def test_weighted_sample_rate_validation(docs):
+    from datavalid_spark.operators.sampling import weighted_sample
+
+    for bad in (1.5, -0.1):
+        with pytest.raises(ValueError, match="outside"):
+            weighted_sample(docs, "lang", {"en": bad}, "doc_id")
+    with pytest.raises(ValueError, match="outside"):
+        weighted_sample(docs, "lang", {}, "doc_id", default_rate=2.0)

@@ -86,3 +86,47 @@ def test_scrub_pii(spark):
 def test_pii_counts(spark):
     got = one(spark, text.pii_counts, "a@b.io c@d.io http://e.f 12 34 56")
     assert (got["n_url"], got["n_email"], got["n_number"]) == (1, 2, 3)
+
+
+# ------------------------------------------------- repetition metrics
+
+
+def _rep(spark, txt):
+    df = spark.createDataFrame([(txt,)], "text string")
+    toks = df.select(text.nonempty_tokens("text").alias("t"))
+    grams = toks.select(text.word_ngrams_all_of_tokens(F.col("t"), 2).alias("g"))
+    return grams.select(text.repetition_stats_of_grams(F.col("g")).alias("s")).collect()[0]["s"]
+
+
+def test_repetition_stats_known_doc(spark):
+    # bigrams of "a b a b a b c": {a b: 3, b a: 2, b c: 1}
+    s = _rep(spark, "a b a b a b c")
+    assert s["top_gram"] == "a b" and s["top_cnt"] == 3
+    assert s["dup_occ"] == 5  # 3 + 2 occurrences of duplicated grams
+    assert s["dup_chars"] == 15  # 3*len('a b') + 2*len('b a')
+    assert s["n_grams"] == 6
+
+
+def test_repetition_stats_tie_breaks_to_smallest_gram(spark):
+    # "x y" and "z w" both occur twice; lexicographically smaller wins
+    s = _rep(spark, "x y x y z w z w")
+    assert (s["top_gram"], s["top_cnt"]) == ("x y", 2)
+
+
+def test_repetition_stats_degenerate_docs(spark):
+    for txt in ("", "hello", "   "):
+        s = _rep(spark, txt)
+        assert (s["top_gram"], s["top_cnt"], s["dup_occ"], s["dup_chars"], s["n_grams"]) == (
+            "",
+            0,
+            0,
+            0,
+            0,
+        )
+
+
+def test_repetition_stats_all_same_gram(spark):
+    # "q q q q" → bigrams: 3 × "q q"
+    s = _rep(spark, "q q q q")
+    assert (s["top_gram"], s["top_cnt"], s["dup_occ"], s["n_grams"]) == ("q q", 3, 3, 3)
+    assert s["dup_chars"] == 9
