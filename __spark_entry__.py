@@ -550,6 +550,41 @@ def q_decontaminate(spark, sf_dir):
     return contamination_report(corpus, bench, "doc_id", "text", n=8)
 
 
+def q_curate_pipeline(spark, sf_dir):
+    """The composed curation pipeline (pipelines.curate_corpus): exact
+    dedup → 8-gram decontamination vs the benchmark split → quality ≥
+    0.66 AND duplicate-bigram fraction ≤ 0.15 → mixture sample (src0
+    100%, src1 50%, others 80%) → 20k-char shard packing.  One lazy
+    plan; every stage drops rows at sf0.01 and every stage's logic is
+    the already-oracle-verified operator — this query proves they
+    compose bit-exactly (the DuckDB oracle chains the same five
+    stages)."""
+    from datavalid_spark.pipelines import curate_corpus
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    # the fixture has no byte-identical pairs — plant exact copies
+    # (re-id'd every 7th corpus doc) so the dedup stage does real work;
+    # min-id winner keeps the originals and drops every plant
+    plant = corpus.filter(F.col("doc_id") % 7 == 1).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    corpus = corpus.unionByName(plant)
+    out = curate_corpus(
+        corpus,
+        bench,
+        contamination_ngram=8,
+        quality_min=0.66,
+        max_dup_gram_frac=0.15,
+        rates={"src0": 1.0, "src1": 0.5},
+        group_col="source",
+        default_rate=0.8,
+        shard_budget=20_000,
+    )
+    return out.select("doc_id", "source", "shard")
+
+
 def q_text_normalize(spark, sf_dir):
     """Ingest-time Unicode canonicalization: NFC compose (vectorized
     pandas ``Series.str.normalize`` — Spark has no built-in Unicode
@@ -945,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
+        "curate_pipeline": q_curate_pipeline,
         "profile_quantiles": q_profile_quantiles,
         "text_scrub": q_text_scrub,
         "text_normalize": q_text_normalize,
@@ -1474,6 +1510,51 @@ hits AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_matched
 SELECT h.doc_id, h.n_matched, d.n_grams,
        h.n_matched / d.n_grams AS contamination_frac
 FROM hits h JOIN doc d ON h.doc_id = d.doc_id
+""",
+        # the composed pipeline: dedup → decontaminate → quality +
+        # repetition filters → mixture sample → shard packing, chained
+        # from the same verified per-stage formulations.  quality and
+        # repetition are per-doc invariants, so they are computed over
+        # the full table and joined; dedup/contamination run on the
+        # corpus split exactly as the Spark pipeline does.
+        "curate_pipeline": f"""
+WITH corpus0 AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+corpus AS (SELECT * FROM corpus0
+           UNION ALL
+           SELECT * REPLACE (doc_id + 1000000 AS doc_id)
+           FROM corpus0 WHERE doc_id % 7 = 1),
+dd AS (SELECT * FROM corpus
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1),
+tc AS (SELECT doc_id, {_TOKS_SEQ} AS ws FROM dd),
+tb AS (SELECT doc_id, {_TOKS_SEQ} AS ws FROM documents WHERE doc_id % 10 = 0),
+gc AS (SELECT DISTINCT doc_id, list_aggregate(ws[i:i+7], 'string_agg', ' ') AS gram
+       FROM tc, unnest(range(1, len(ws) - 6)) AS u(i) WHERE len(ws) >= 8),
+gb AS (SELECT DISTINCT list_aggregate(ws[i:i+7], 'string_agg', ' ') AS gram
+       FROM tb, unnest(range(1, len(ws) - 6)) AS u(i) WHERE len(ws) >= 8),
+contaminated AS (SELECT DISTINCT gc.doc_id FROM gc JOIN gb USING (gram)),
+q AS ({_quality_sql()}),
+tr AS (SELECT doc_id, {_TOKS_SEQ} AS ws FROM documents),
+g2 AS (SELECT doc_id, list_aggregate(ws[i:i+1], 'string_agg', ' ') AS gram
+       FROM tr, unnest(range(1, len(ws))) AS u(i) WHERE len(ws) >= 2),
+c2 AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt FROM g2 GROUP BY 1, 2),
+rep AS (SELECT doc_id,
+        CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt END), 0) AS BIGINT) AS dup_occ,
+        CAST(SUM(cnt) AS BIGINT) AS n_grams FROM c2 GROUP BY 1),
+kept AS (
+  SELECT d.doc_id, d.source, CAST(length(d.text) AS BIGINT) AS n_chars
+  FROM dd d
+  JOIN q ON q.doc_id = d.doc_id
+  LEFT JOIN rep r ON r.doc_id = d.doc_id
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    AND q.quality >= 0.66
+    AND COALESCE(r.dup_occ, 0) <= 0.15 * COALESCE(r.n_grams, 0)
+    AND substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+        CASE WHEN d.source = 'src0' THEN 'g'
+             WHEN d.source = 'src1' THEN '80000000'
+             ELSE 'cccccccc' END)
+SELECT doc_id, source,
+       CAST((SUM(n_chars) OVER (ORDER BY doc_id) - n_chars) // 20000 AS BIGINT) AS shard
+FROM kept
 """,
         "text_normalize": r"""
 WITH a AS (

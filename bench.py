@@ -75,6 +75,7 @@ HEADLINE_QUERIES = [
     "text_quality",
     "text_repetition",
     "decontaminate",
+    "curate_pipeline",
     "asof_join",
     "interval_join",
     "time_rollup",

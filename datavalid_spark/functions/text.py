@@ -182,18 +182,9 @@ def shingles(col: Column | str, k: int = 5) -> Column:
 
 
 def word_ngrams_of_tokens(t: Column, n: int = 3) -> Column:
-    """Word n-grams over an ALREADY-materialised token-array column
-    (same CollapseProject caveat as shingles_of_normalized)."""
-    cnt = F.size(t)
-    return F.when(
-        cnt >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), cnt - n + 1),
-                lambda i: F.array_join(F.slice(t, i, n), " "),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """DISTINCT word n-grams over an ALREADY-materialised token-array
+    column (same CollapseProject caveat as shingles_of_normalized)."""
+    return F.array_distinct(word_ngrams_all_of_tokens(t, n))
 
 
 def nonempty_tokens(col: Column | str) -> Column:
@@ -245,20 +236,10 @@ def word_ngrams_all_of_tokens(t: Column, n: int = 2) -> Column:
 # flows through the accumulator: O(len) per row.
 
 
-def repetition_stats_of_grams(g: Column) -> Column:
-    """struct(top_gram, top_cnt, dup_occ, dup_chars, n_grams) over an
-    all-n-grams array (duplicates kept; pass a MATERIALISED column —
-    see shingles_of_normalized's CollapseProject caveat):
-
-    - ``top_gram`` / ``top_cnt``: the most frequent gram (ties → the
-      lexicographically smallest, so any engine agrees);
-    - ``dup_occ``: total occurrences of grams appearing more than once;
-    - ``dup_chars``: those occurrences weighted by gram length (the
-      Gopher "characters in duplicated n-grams" numerator);
-    - ``n_grams``: total gram occurrences.
-
-    Pure Column expression — fused into the scan, no shuffle, no UDF.
-    """
+def _repetition_fold(g: Column, finisher) -> Column:
+    """The run-length fold over ``array_sort(g)``; ``finisher(closed)``
+    maps the final accumulator's closed totals
+    ``(dup_occ, dup_chars, best_cnt, best_gram)`` to the result."""
     long0 = F.lit(0).cast("long")
 
     def closed(acc):
@@ -290,16 +271,6 @@ def repetition_stats_of_grams(g: Column) -> Column:
             F.when(cont, acc["dup_chars"]).otherwise(d_chars).alias("dup_chars"),
         )
 
-    def finish(acc):
-        d_occ, d_chars, b_cnt, b_gram = closed(acc)
-        return F.struct(
-            b_gram.alias("top_gram"),
-            b_cnt.alias("top_cnt"),
-            d_occ.alias("dup_occ"),
-            d_chars.alias("dup_chars"),
-            F.size(g).cast("long").alias("n_grams"),
-        )
-
     init = F.struct(
         F.lit("").alias("prev"),
         long0.alias("run"),
@@ -308,7 +279,82 @@ def repetition_stats_of_grams(g: Column) -> Column:
         long0.alias("dup_occ"),
         long0.alias("dup_chars"),
     )
-    return F.aggregate(F.array_sort(g), init, step, finish)
+    return F.aggregate(F.array_sort(g), init, step, lambda acc: finisher(closed(acc)))
+
+
+def repetition_stats_of_grams(g: Column) -> Column:
+    """struct(top_gram, top_cnt, dup_occ, dup_chars, n_grams) over an
+    all-n-grams array (duplicates kept; pass a MATERIALISED column —
+    see shingles_of_normalized's CollapseProject caveat):
+
+    - ``top_gram`` / ``top_cnt``: the most frequent gram (ties → the
+      lexicographically smallest, so any engine agrees);
+    - ``dup_occ``: total occurrences of grams appearing more than once;
+    - ``dup_chars``: those occurrences weighted by gram length (the
+      Gopher "characters in duplicated n-grams" numerator);
+    - ``n_grams``: total gram occurrences.
+
+    Pure Column expression — fused into the scan, no shuffle, no UDF.
+    """
+    return _repetition_fold(
+        g,
+        lambda closed: F.struct(
+            closed[3].alias("top_gram"),
+            closed[2].alias("top_cnt"),
+            closed[0].alias("dup_occ"),
+            closed[1].alias("dup_chars"),
+            F.size(g).cast("long").alias("n_grams"),
+        ),
+    )
+
+
+def let_once(value: Column, fn) -> Column:
+    """Bind ``value`` once, use it many times: ``fn`` receives the
+    lambda variable of a 1-element ``transform``, which is evaluated
+    exactly once per row no matter how often ``fn`` references it.
+
+    Why this exists: Catalyst's predicate pushdown substitutes
+    projection aliases into filter conditions with NO cost guard, and
+    lambda-internal references each get their own copy — a gram-builder
+    predicate pushed through a tokens projection re-ran the tokenizer
+    PER GRAM (measured ~10× on the curation pipeline).  CollapseProject
+    has a multi-reference guard; PushDownPredicates does not.  A lambda
+    variable is immune: substitution can only inline ``value`` into the
+    single ``array()`` slot."""
+    return F.get(F.transform(F.array(value), fn), 0)
+
+
+def dup_gram_frac_text(
+    col: Column | str, n: int, max_frac: float
+) -> Column:
+    """Self-contained repetition-filter predicate over raw text:
+    tokens and grams are let-bound so the whole thing stays ONE
+    evaluation per row even when Catalyst lands it in a pushed-down
+    filter condition."""
+    c = F.col(col) if isinstance(col, str) else col
+    return let_once(
+        nonempty_tokens(c),
+        lambda t: let_once(
+            word_ngrams_all_of_tokens(t, n),
+            lambda g: dup_gram_frac_at_most(g, max_frac),
+        ),
+    )
+
+
+def dup_gram_frac_at_most(g: Column, max_frac: float) -> Column:
+    """Boolean: duplicated-gram occurrences ≤ ``max_frac`` · total gram
+    occurrences — the repetition FILTER predicate as ONE fold.
+
+    Exists because a filter on two fields of the stats struct
+    (``dup_occ``, ``n_grams``) references the fold twice, and
+    predicate-pushdown alias substitution then duplicates the whole
+    fold (plus its token/gram builders) per consumer — measured ~10×
+    on the curation pipeline.  Returning the boolean FROM the fold's
+    finish keeps the filter to one evaluation per row."""
+    return _repetition_fold(
+        g,
+        lambda closed: closed[0] <= F.lit(max_frac) * F.size(g).cast("long"),
+    )
 
 
 # ----------------------------------------------------------- PII scrubbing

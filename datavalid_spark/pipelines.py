@@ -1,0 +1,107 @@
+"""End-to-end corpus curation: the composed training-data pipeline the
+individual operators exist for —
+
+    exact dedup → benchmark decontamination → quality + repetition
+    filters → per-source mixture sampling → token-budget shard packing
+
+Every stage is one of this engine's independently oracle-verified
+operators, and the composition stays lazy: one logical plan, optimized
+by Catalyst as a whole (the quality/repetition filters fuse into the
+scan that follows the dedup window's shuffle; the mixture sample is a
+pure filter; only dedup, decontamination's match aggregation, and the
+shard prefix sum shuffle at all).
+
+Scale shape (100 TB corpus):
+
+- dedup shuffles once on ``sha2(text)`` (window winner — same cost
+  class as the groupBy formulation, no driver state);
+- decontamination broadcasts the benchmark gram set and shuffles only
+  the matches (see operators/decontaminate.py);
+- the quality and repetition filters are scan-fused Column expressions
+  (zero shuffle — repetition is the single-pass run-length fold);
+- mixture sampling is a scan-fused md5-threshold filter (zero shuffle);
+- shard packing is the two-phase distributed prefix sum (one range
+  shuffle + an O(partitions) driver offsets table).
+
+The reference has no pipeline surface; this is the engine-only
+composition demonstrating the operators work TOGETHER (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datavalid_spark.functions.text import dup_gram_frac_text, quality_score
+from datavalid_spark.operators.decontaminate import contamination_report
+from datavalid_spark.operators.dedup import distinct_by_content
+from datavalid_spark.operators.sampling import pack_shards, weighted_sample
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: Optional[DataFrame] = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    contamination_ngram: int = 8,
+    quality_min: Optional[float] = None,
+    max_dup_gram_frac: Optional[float] = None,
+    rep_ngram: int = 2,
+    rates: Optional[dict] = None,
+    group_col: Optional[str] = None,
+    default_rate: float = 0.0,
+    shard_budget: Optional[int] = None,
+) -> DataFrame:
+    """Run the full curation pipeline; every stage is optional and
+    switched on by its argument.
+
+    Returns ``docs``'s columns (plus ``shard`` when ``shard_budget`` is
+    set) for the surviving documents.  Deterministic end to end: the
+    dedup winner, the sample membership, and the shard cuts all derive
+    from content hashes / ``md5(id)`` — a re-run, a repartition, or a
+    different engine reproduces the identical corpus.
+    """
+    out = distinct_by_content(docs, content_col=text_col, tiebreak=id_col)
+
+    if benchmark is not None:
+        # the contaminated-id set is O(matches) — rare by construction —
+        # so the anti-join broadcasts it (size-gated) instead of
+        # shuffling the whole corpus into a sort-merge join
+        from datavalid_spark.cache import gated_broadcast
+
+        contaminated = gated_broadcast(
+            contamination_report(
+                out, benchmark, id_col, text_col, n=contamination_ngram
+            ).select(id_col)
+        )
+        out = out.join(contaminated, id_col, "left_anti")
+
+    if quality_min is not None:
+        out = out.filter(quality_score(F.col(text_col)) >= F.lit(quality_min))
+
+    if max_dup_gram_frac is not None:
+        # one self-contained predicate: tokens and grams are let-bound
+        # (text.let_once) so predicate-pushdown alias substitution
+        # cannot re-expand the tokenizer per gram; dup_occ ≤
+        # frac·n_grams by multiplication — no zero-guard needed and the
+        # arithmetic is engine-identical
+        out = out.filter(
+            dup_gram_frac_text(text_col, rep_ngram, max_dup_gram_frac)
+        )
+
+    if rates is not None:
+        if group_col is None:
+            raise ValueError("rates requires group_col")
+        out = weighted_sample(out, group_col, rates, id_col, default_rate)
+
+    if shard_budget is not None:
+        out = pack_shards(
+            out,
+            F.length(F.col(text_col)),
+            shard_budget,
+            order_by=[id_col],
+        )
+    return out

@@ -1,0 +1,65 @@
+"""Composed corpus-curation pipeline (pipelines.curate_corpus)."""
+
+from pyspark.sql import functions as F
+
+from datavalid_spark.cache import release_cached
+from datavalid_spark.pipelines import curate_corpus
+
+
+def _corpus(spark):
+    rows = [
+        # high-quality docs (long enough, alpha-heavy, stopword-bearing)
+        (1, "the quick brown fox jumps over the lazy dog and runs far away today", "web"),
+        (2, "a calm river flows through the green valley and into the sea it is nice", "web"),
+        (3, "music and art belong to everyone in that it is for the people to enjoy", "books"),
+        # exact duplicate of 1 (planted; loses the min-id tie)
+        (11, "the quick brown fox jumps over the lazy dog and runs far away today", "web"),
+        # repetitive spam: one bigram dominates
+        (4, "buy now buy now buy now buy now buy now buy now buy now buy now", "web"),
+        # junk: too short / low quality
+        (5, "zzz", "web"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_curate_corpus_stages_compose(spark):
+    docs = _corpus(spark)
+    bench = spark.createDataFrame(
+        # shares an exact 8-gram with doc 2's tail
+        [(100, "flows through the green valley and into the sea")],
+        "doc_id long, text string",
+    )
+    out = curate_corpus(
+        docs,
+        bench,
+        contamination_ngram=8,
+        quality_min=0.6,
+        max_dup_gram_frac=0.3,
+        rates={"web": 1.0, "books": 1.0},
+        group_col="source",
+        shard_budget=70,
+    ).collect()
+    release_cached()
+    kept = {r["doc_id"] for r in out}
+    # 11 deduped (exact copy of 1), 2 decontaminated, 4 repetition-
+    # filtered, 5 quality-filtered; rates keep both sources fully
+    assert kept == {1, 3}
+    # shard packing: 70-char budget; doc 1 (67 chars) starts at
+    # cumulative 0 → shard 0, doc 3 starts at cumulative 67 → 67//70=0
+    # (a shard closes only once the running size reaches the budget)
+    shards = {r["doc_id"]: r["shard"] for r in out}
+    assert shards[1] == 0 and shards[3] == 0
+
+
+def test_curate_corpus_all_stages_optional(spark):
+    docs = _corpus(spark)
+    out = curate_corpus(docs)  # dedup only
+    assert out.count() == 5
+    release_cached()
+
+
+def test_curate_corpus_rates_require_group(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="group_col"):
+        curate_corpus(_corpus(spark), rates={"web": 1.0})

@@ -130,3 +130,34 @@ def test_repetition_stats_all_same_gram(spark):
     s = _rep(spark, "q q q q")
     assert (s["top_gram"], s["top_cnt"], s["dup_occ"], s["n_grams"]) == ("q q", 3, 3, 3)
     assert s["dup_chars"] == 9
+
+
+def test_let_once_binds_value(spark):
+    # let_once(v, fn): fn's variable is the bound value
+    df = spark.createDataFrame([("a b c",)], "text string")
+    got = df.select(
+        text.let_once(
+            text.nonempty_tokens("text"), lambda t: F.size(t) + F.size(t)
+        ).alias("x")
+    ).collect()[0]["x"]
+    assert got == 6
+
+
+def test_dup_gram_frac_text_matches_struct_stats(spark):
+    rows = [(i, s) for i, s in enumerate(
+        ["a b a b a b c", "x y z w", "q q q q", "", "one two one two one two one two"]
+    )]
+    df = spark.createDataFrame(rows, "i long, text string")
+    frac = 0.5
+    via_pred = {r["i"] for r in df.filter(text.dup_gram_frac_text("text", 2, frac)).collect()}
+    stats = (
+        df.select("i", text.nonempty_tokens("text").alias("t"))
+        .select("i", text.word_ngrams_all_of_tokens(F.col("t"), 2).alias("g"))
+        .select("i", text.repetition_stats_of_grams(F.col("g")).alias("s"))
+    )
+    via_stats = {
+        r["i"]
+        for r in stats.collect()
+        if r["s"]["dup_occ"] <= frac * r["s"]["n_grams"]
+    }
+    assert via_pred == via_stats
