@@ -503,6 +503,22 @@ def q_sample_weighted(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_sample_repeat(spark, sf_dir):
+    """Deterministic epoch mixing with upsampling
+    (operators/sampling.weighted_repeat): 2.5 epochs of src0, 1 epoch
+    of src1, 0.5 of everything else — the GPT-3-style "N.M epochs per
+    source" mixture.  n_copies = floor(rate) + md5-hex Bernoulli for
+    the fraction; one scan-fused explode, no shuffle, bit-identical in
+    any engine."""
+    from datavalid_spark.operators.sampling import weighted_repeat
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_repeat(
+        docs, "source", {"src0": 2.5, "src1": 1.0}, "doc_id", default_rate=0.5
+    )
+    return out.select("doc_id", "source", "copy")
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style within-document repetition metrics
     (functions/text.repetition_stats_of_grams): per document, the most
@@ -977,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "sample_stratified": q_sample_stratified,
         "sample_weighted": q_sample_weighted,
+        "sample_repeat": q_sample_repeat,
         "pack_shards": q_pack_shards,
         "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
@@ -1470,6 +1487,22 @@ WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
            WHEN source = 'src1' THEN '80000000'
            WHEN source = 'src2' THEN '40000000'
            ELSE '0ccccccc' END
+""",
+        # n_copies = floor(rate) + (hex prefix < frac threshold);
+        # '0' threshold = no fractional copy (nothing sorts below it)
+        "sample_repeat": """
+WITH n AS (
+  SELECT doc_id, source,
+         (CASE WHEN source = 'src0' THEN 2
+               WHEN source = 'src1' THEN 1 ELSE 0 END
+          + CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                      CASE WHEN source = 'src0' THEN '80000000'
+                           WHEN source = 'src1' THEN '0'
+                           ELSE '80000000' END
+                 THEN 1 ELSE 0 END) AS nc
+  FROM documents)
+SELECT doc_id, source, CAST(u.c AS BIGINT) AS copy
+FROM n, unnest(range(1, nc + 1)) AS u(c)
 """,
         "text_repetition": f"""
 WITH t AS (SELECT doc_id, {_TOKS_SEQ} AS ws FROM documents),

@@ -192,6 +192,61 @@ def weighted_sample(
     return df.filter(pref < thr)
 
 
+def weighted_repeat(
+    df: DataFrame,
+    group_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    default_rate: float = 1.0,
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Per-group deterministic epoch mixing with UPSAMPLING: a rate of
+    2.5 emits every row of the group twice and a deterministic half of
+    them a third time (the GPT-3-style "N.M epochs of source X"
+    mixture primitive — ``weighted_sample`` covers only rates ≤ 1).
+
+    ``n_copies = floor(rate) + (md5-hex prefix < frac-threshold)``,
+    with the same hex-string compare as ``weighted_sample``, so the
+    repeat multiset is reproducible bit-for-bit by any engine and
+    stable under repartitioning / incremental ingest.  Output adds
+    ``copy_col`` (1..n_copies, long); rows with ``n_copies = 0`` drop.
+
+    Scale shape: one scan-fused projection + ``explode`` — no shuffle;
+    output size is exactly ``sum(rate_g · |group g|)`` rows.
+    """
+    def parts(rate: float) -> tuple[int, F.Column]:
+        if rate < 0.0:
+            raise ValueError(f"rate {rate} must be >= 0")
+        base = int(rate)
+        frac = rate - base
+        if frac <= 0.0:
+            return base, F.lit("0")  # nothing sorts below '0...0'
+        return base, F.lit(format(int(frac * _HASH_SPACE), "08x"))
+
+    base_expr, thr_expr = None, None
+    for value, rate in rates.items():
+        cond = F.col(group_col).eqNullSafe(F.lit(value))
+        b, t = parts(rate)
+        if base_expr is None:
+            base_expr = F.when(cond, F.lit(b))
+            thr_expr = F.when(cond, t)
+        else:
+            base_expr = base_expr.when(cond, F.lit(b))
+            thr_expr = thr_expr.when(cond, t)
+    db, dt = parts(default_rate)
+    base = F.lit(db) if base_expr is None else base_expr.otherwise(F.lit(db))
+    thr = dt if thr_expr is None else thr_expr.otherwise(dt)
+
+    pref = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    n = (base + (pref < thr).cast("int")).cast("long")
+    # guarded sequence: sequence(1, 0) counts DOWN, not empty — emit an
+    # empty array for n = 0 and let explode drop the row
+    copies = F.when(
+        n > 0, F.sequence(F.lit(1).cast("long"), n)
+    ).otherwise(F.array().cast("array<long>"))
+    return df.withColumn(copy_col, F.explode(copies))
+
+
 def pack_shards(
     df: DataFrame,
     size_col,

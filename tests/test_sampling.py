@@ -187,3 +187,37 @@ def test_weighted_sample_rate_validation(docs):
             weighted_sample(docs, "lang", {"en": bad}, "doc_id")
     with pytest.raises(ValueError, match="outside"):
         weighted_sample(docs, "lang", {}, "doc_id", default_rate=2.0)
+
+
+def test_weighted_repeat_counts(spark):
+    from datavalid_spark.operators.sampling import weighted_repeat
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(3_000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string").repartition(5)
+    out = weighted_repeat(df, "grp", {"a": 2.5, "b": 1.0}, "doc_id", default_rate=0.0)
+    counts = {
+        r["grp"]: r["n"]
+        for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    # integer part exact, fraction ~Bernoulli(0.5) over 1000 ids
+    assert 2300 < counts["a"] < 2700 and counts["a"] >= 2000
+    assert counts["b"] == 1000  # exactly one copy each
+    assert "c" not in counts  # rate 0 drops the group
+    # per-id copy indexes are 1..n with no gaps
+    per = out.filter(F.col("grp") == "a").groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.max("copy").alias("mx"), F.min("copy").alias("mn")
+    ).collect()
+    assert all(r["mn"] == 1 and r["mx"] == r["n"] and r["n"] in (2, 3) for r in per)
+    # deterministic under repartition
+    again = weighted_repeat(
+        df.repartition(11), "grp", {"a": 2.5, "b": 1.0}, "doc_id", default_rate=0.0
+    )
+    assert out.exceptAll(again).count() == 0 and out.count() == again.count()
+
+
+def test_weighted_repeat_validation(spark):
+    from datavalid_spark.operators.sampling import weighted_repeat
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, grp string")
+    with pytest.raises(ValueError, match=">= 0"):
+        weighted_repeat(df, "grp", {"a": -0.5}, "doc_id")
