@@ -1489,7 +1489,10 @@ WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
            ELSE '0ccccccc' END
 """,
         # n_copies = floor(rate) + (hex prefix < frac threshold);
-        # '0' threshold = no fractional copy (nothing sorts below it)
+        # '0' threshold = no fractional copy (nothing sorts below it).
+        # NULL ids are dropped (weighted_repeat contract: no
+        # deterministic hash exists for them) — the fixture has none,
+        # the predicate documents the parity.
         "sample_repeat": """
 WITH n AS (
   SELECT doc_id, source,
@@ -1500,7 +1503,7 @@ WITH n AS (
                            WHEN source = 'src1' THEN '0'
                            ELSE '80000000' END
                  THEN 1 ELSE 0 END) AS nc
-  FROM documents)
+  FROM documents WHERE doc_id IS NOT NULL)
 SELECT doc_id, source, CAST(u.c AS BIGINT) AS copy
 FROM n, unnest(range(1, nc + 1)) AS u(c)
 """,

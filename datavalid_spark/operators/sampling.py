@@ -150,6 +150,22 @@ def stratified_sample(
     return out
 
 
+def _hex_prefix(id_col: str) -> F.Column:
+    """First 8 hex chars of ``md5(id)`` — the shared uniform variate of
+    the mixture samplers (lowercase hex orders like the integer it
+    encodes, so a plain string compare is an exact threshold test)."""
+    return F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+
+
+def _group_case(group_col: str, items: dict[str, F.Column], default: F.Column):
+    """null-safe ``CASE group_col WHEN value...`` chain over Columns."""
+    expr = None
+    for value, col in items.items():
+        cond = F.col(group_col).eqNullSafe(F.lit(value))
+        expr = F.when(cond, col) if expr is None else expr.when(cond, col)
+    return default if expr is None else expr.otherwise(default)
+
+
 def weighted_sample(
     df: DataFrame,
     group_col: str,
@@ -170,7 +186,9 @@ def weighted_sample(
     zero shuffle, stable under repartitioning and incremental ingest.
 
     ``rates`` maps group value → keep fraction in [0, 1]; unlisted
-    groups use ``default_rate``.
+    groups use ``default_rate``.  Rows with a NULL id are always
+    dropped (no deterministic hash exists for them; the NULL compare
+    is never true).
     """
     def threshold(rate: float) -> F.Column:
         if not 0.0 <= rate <= 1.0:
@@ -180,16 +198,12 @@ def weighted_sample(
             return F.lit("g")
         return F.lit(format(int(rate * _HASH_SPACE), "08x"))
 
-    expr = None
-    for value, rate in rates.items():
-        cond = F.col(group_col).eqNullSafe(F.lit(value))
-        t = threshold(rate)
-        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
-    thr = threshold(default_rate) if expr is None else expr.otherwise(
-        threshold(default_rate)
+    thr = _group_case(
+        group_col,
+        {v: threshold(r) for v, r in rates.items()},
+        threshold(default_rate),
     )
-    pref = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
-    return df.filter(pref < thr)
+    return df.filter(_hex_prefix(id_col) < thr)
 
 
 def weighted_repeat(
@@ -209,10 +223,15 @@ def weighted_repeat(
     with the same hex-string compare as ``weighted_sample``, so the
     repeat multiset is reproducible bit-for-bit by any engine and
     stable under repartitioning / incremental ingest.  Output adds
-    ``copy_col`` (1..n_copies, long); rows with ``n_copies = 0`` drop.
+    ``copy_col`` (1..n_copies, long); rows with ``n_copies = 0`` drop,
+    and rows with a NULL id are always dropped (same contract as
+    ``weighted_sample`` — no deterministic hash exists for them).
 
     Scale shape: one scan-fused projection + ``explode`` — no shuffle;
-    output size is exactly ``sum(rate_g · |group g|)`` rows.
+    the integer part of each rate is exact, the fractional part is a
+    deterministic per-id Bernoulli, so output size is
+    ``sum(rate_g · |group g|)`` in expectation (exact when every rate
+    is an integer).
     """
     def parts(rate: float) -> tuple[int, F.Column]:
         if rate < 0.0:
@@ -223,21 +242,15 @@ def weighted_repeat(
             return base, F.lit("0")  # nothing sorts below '0...0'
         return base, F.lit(format(int(frac * _HASH_SPACE), "08x"))
 
-    base_expr, thr_expr = None, None
-    for value, rate in rates.items():
-        cond = F.col(group_col).eqNullSafe(F.lit(value))
-        b, t = parts(rate)
-        if base_expr is None:
-            base_expr = F.when(cond, F.lit(b))
-            thr_expr = F.when(cond, t)
-        else:
-            base_expr = base_expr.when(cond, F.lit(b))
-            thr_expr = thr_expr.when(cond, t)
+    split = {v: parts(r) for v, r in rates.items()}
     db, dt = parts(default_rate)
-    base = F.lit(db) if base_expr is None else base_expr.otherwise(F.lit(db))
-    thr = dt if thr_expr is None else thr_expr.otherwise(dt)
+    base = _group_case(
+        group_col, {v: F.lit(b) for v, (b, _) in split.items()}, F.lit(db)
+    )
+    thr = _group_case(group_col, {v: t for v, (_, t) in split.items()}, dt)
 
-    pref = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    pref = _hex_prefix(id_col)
+    # NULL id → NULL compare → NULL n → the n > 0 guard drops the row
     n = (base + (pref < thr).cast("int")).cast("long")
     # guarded sequence: sequence(1, 0) counts DOWN, not empty — emit an
     # empty array for n = 0 and let explode drop the row

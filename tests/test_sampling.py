@@ -200,7 +200,7 @@ def test_weighted_repeat_counts(spark):
         for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()
     }
     # integer part exact, fraction ~Bernoulli(0.5) over 1000 ids
-    assert 2300 < counts["a"] < 2700 and counts["a"] >= 2000
+    assert 2300 < counts["a"] < 2700
     assert counts["b"] == 1000  # exactly one copy each
     assert "c" not in counts  # rate 0 drops the group
     # per-id copy indexes are 1..n with no gaps
@@ -221,3 +221,15 @@ def test_weighted_repeat_validation(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, grp string")
     with pytest.raises(ValueError, match=">= 0"):
         weighted_repeat(df, "grp", {"a": -0.5}, "doc_id")
+
+
+def test_weighted_repeat_and_sample_drop_null_ids(spark):
+    from datavalid_spark.operators.sampling import weighted_repeat, weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "a")], "doc_id long, grp string"
+    )
+    # both samplers share the contract: NULL ids have no deterministic
+    # hash and are dropped even at full/integer rates
+    assert weighted_repeat(df, "grp", {"a": 2.0}, "doc_id").count() == 2
+    assert weighted_sample(df, "grp", {"a": 1.0}, "doc_id").count() == 1
