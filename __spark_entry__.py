@@ -566,6 +566,26 @@ def q_decontaminate(spark, sf_dir):
     return contamination_report(corpus, bench, "doc_id", "text", n=8)
 
 
+def q_line_dedup(spark, sf_dir):
+    """Line-level boilerplate removal (operators/linededup.
+    remove_common_lines, CCNet/RefinedWeb-style): the fixture's texts
+    have no newlines, so the query first shapes each document into
+    5-word lines with a regexp both engines run identically; lines in
+    ≥3 distinct documents (35 naturally-common lines at sf0.01) are
+    then stripped order-preservingly.  The common set fits the InSet
+    gate, so the rewrite is one joinless map-side scan
+    (test_linededup.test_inset_path_is_joinless)."""
+    from datavalid_spark.operators.linededup import remove_common_lines
+
+    docs = _t_fanout(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            "text", r"(\S+ \S+ \S+ \S+ \S+) ", "$1\n"
+        ).alias("text"),
+    )
+    return remove_common_lines(docs, "doc_id", "text", min_docs=3)
+
+
 def q_curate_pipeline(spark, sf_dir):
     """The composed curation pipeline (pipelines.curate_corpus): exact
     dedup → 8-gram decontamination vs the benchmark split → quality ≥
@@ -997,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
+        "line_dedup": q_line_dedup,
         "curate_pipeline": q_curate_pipeline,
         "profile_quantiles": q_profile_quantiles,
         "text_scrub": q_text_scrub,
@@ -1546,6 +1567,43 @@ hits AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_matched
 SELECT h.doc_id, h.n_matched, d.n_grams,
        h.n_matched / d.n_grams AS contamination_frac
 FROM hits h JOIN doc d ON h.doc_id = d.doc_id
+""",
+        # line-level boilerplate removal: shape 5-word lines with the
+        # same regexp (RE2 '\1' ≡ Java '$1', both global left-to-right
+        # non-overlapping), count distinct-doc line frequency, strip
+        # lines with df ≥ 3 preserving order, rebuild with chr(10)
+        "line_dedup": r"""
+WITH lined AS (
+  SELECT doc_id,
+         regexp_replace(text, '(\S+ \S+ \S+ \S+ \S+) ', '\1' || chr(10), 'g') AS text
+  FROM documents
+),
+lx AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM lined
+),
+common AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS nd
+    FROM lx WHERE line <> '' GROUP BY line
+  ) WHERE nd >= 3
+),
+kept AS (
+  SELECT doc_id, line, pos FROM lx
+  WHERE line NOT IN (SELECT line FROM common)
+),
+agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_tot FROM lx GROUP BY doc_id)
+SELECT t.doc_id,
+       COALESCE(a.text, '') AS text,
+       CAST(t.n_tot - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM tot t LEFT JOIN agg a USING (doc_id)
 """,
         # the composed pipeline: dedup → decontaminate → quality +
         # repetition filters → mixture sample → shard packing, chained

@@ -1,0 +1,151 @@
+"""Line-level corpus deduplication: remove lines that occur in many
+distinct documents (CCNet / RefinedWeb-style boilerplate stripping —
+nav bars, cookie banners, license headers repeat verbatim across pages
+and dominate a web corpus unless stripped per-line).
+
+The reference has no line-level surface; this is an engine-only
+LLM-pipeline operator (SURVEY.md §2.6), same family as
+``operators/decontaminate.py``.
+
+Scale shape (100 TB corpus):
+
+- **stats pass**: one scan explodes each document's *distinct*
+  non-empty lines (`array_distinct` scan-side, so the shuffle carries
+  no within-document duplicates) into a partially-aggregated
+  ``groupBy(line).count()`` — the one unavoidable corpus-frequency
+  shuffle, O(distinct lines) after map-side combine collapses the
+  boilerplate lines that motivate the op;
+- **common set**: Zipf guarantees lines with document-frequency ≥
+  ``min_docs`` are a tiny head;
+- **rewrite pass, inset path** (the default, taken whenever the
+  common set fits ``inset_limit``): the set is collected once and
+  compiled into the plan as an ``isin`` (Catalyst ``InSet`` hash
+  probe) inside the per-document ``F.filter`` over the line array —
+  the rewrite is then PURELY map-side: no join, no shuffle, original
+  line order preserved for free, one scan;
+- **rewrite pass, join fallback** (common set too big to inline): a
+  second scan probes the gated-broadcast common set in place; only
+  MATCHED ``(id, line)`` pairs shuffle into per-document removal sets
+  (``collect_set``, O(boilerplate instances)), which are
+  gated-broadcast back onto the documents and applied with
+  ``array_contains`` inside the same order-preserving ``F.filter``.
+
+Documents therefore never ride a shuffle on the default path;
+everything wide is the line statistics, which partial aggregation
+compacts. All expressions are JVM Column ops (split / filter /
+array_join) — no Python in the data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datavalid_spark.cache import gated_broadcast, persist_tracked
+
+_RM = "__dv_rm"
+_LINES = "__dv_lines"
+_KEPT = "__dv_kept"
+
+
+def _nonempty_distinct_lines(text_col: str) -> Column:
+    """A document's distinct non-empty lines (order irrelevant here)."""
+    return F.array_distinct(
+        F.filter(F.split(F.col(text_col), "\n"), lambda l: l != F.lit(""))
+    )
+
+
+def line_doc_frequency(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(line, n_docs)`` for every distinct non-empty line.
+
+    Per-document distinct scan-side, so ``count(*)`` after the explode
+    IS the distinct-document frequency — no count(distinct) shuffle.
+    """
+    return (
+        docs.select(F.explode(_nonempty_distinct_lines(text_col)).alias("line"))
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def common_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 10,
+) -> DataFrame:
+    """Lines appearing in ≥ ``min_docs`` distinct documents (the
+    boilerplate set), one ``line`` column."""
+    return (
+        line_doc_frequency(docs, id_col, text_col)
+        .filter(F.col("n_docs") >= min_docs)
+        .select("line")
+    )
+
+
+def _rewrite(docs: DataFrame, text_col: str, keep_pred) -> DataFrame:
+    """Apply an order-preserving line filter and rebuild the text.
+
+    ``keep_pred(line) -> Column`` decides survival per line element;
+    NULL text passes through as NULL (split/filter/array_join are all
+    null-propagating).
+    """
+    step = docs.withColumn(_LINES, F.split(F.col(text_col), "\n")).withColumn(
+        _KEPT, F.filter(F.col(_LINES), keep_pred)
+    )
+    keep_cols = [c for c in docs.columns if c not in (text_col, _RM)]
+    return step.select(
+        *keep_cols,
+        F.array_join(F.col(_KEPT), "\n").alias(text_col),
+        (F.size(_LINES) - F.size(_KEPT)).cast("long").alias("n_removed"),
+    )
+
+
+def remove_common_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 10,
+    inset_limit: int = 10_000,
+    broadcast_key_limit: int = 1_000_000,
+) -> DataFrame:
+    """Strip corpus-common lines from every document, preserving the
+    original order of surviving lines.
+
+    Returns ``docs`` with ``text_col`` rewritten (removed lines
+    dropped, remainder re-joined with ``\\n``) plus a ``n_removed``
+    BIGINT column counting removed line *instances* (a common line
+    occurring twice in a document counts twice — all instances go,
+    CCNet-style).  Empty lines are never counted or removed, so blank
+    structure survives; NULL text passes through as NULL.  Matching is
+    on the exact line string (no hashes — exactness must not
+    false-positive on a collision).
+
+    Strategy (see module docstring): if the common set has ≤
+    ``inset_limit`` lines it is collected and inlined as an ``InSet``
+    predicate (rewrite is one map-side scan, zero joins); otherwise it
+    falls back to the broadcast-probe / per-document removal-set join.
+    """
+    common = persist_tracked(common_lines(docs, id_col, text_col, min_docs))
+    n_common = common.limit(inset_limit + 1).count()
+    if n_common <= inset_limit:
+        if n_common == 0:
+            return _rewrite(docs, text_col, lambda l: F.lit(True))
+        lines = [r.line for r in common.collect()]
+        return _rewrite(docs, text_col, lambda l: ~l.isin(lines))
+    hits = (
+        docs.select(
+            F.col(id_col),
+            F.explode(_nonempty_distinct_lines(text_col)).alias("line"),
+        )
+        .join(gated_broadcast(common, broadcast_key_limit), "line")
+        .groupBy(id_col)
+        .agg(F.collect_set("line").alias(_RM))
+    )
+    out = docs.join(gated_broadcast(hits, broadcast_key_limit), id_col, "left")
+    rm = F.col(_RM)
+    return _rewrite(
+        out, text_col, lambda l: rm.isNull() | ~F.array_contains(rm, l)
+    )

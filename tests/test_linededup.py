@@ -1,0 +1,111 @@
+"""Line-level corpus dedup (operators/linededup.py): corpus-common
+line stats and order-preserving removal, on both the InSet map-side
+path and the broadcast-join fallback (forced by shrinking
+inset_limit below the common-set size)."""
+
+from pyspark.sql import functions as F
+
+from datavalid_spark.cache import release_cached
+from datavalid_spark.operators.linededup import (
+    common_lines,
+    line_doc_frequency,
+    remove_common_lines,
+)
+
+DOCS = [
+    # "boiler" appears in 3 docs, "footer" in 2, others unique
+    (1, "boiler\nalpha\nboiler\nfooter"),
+    (2, "beta\nboiler\n\ngamma"),
+    (3, "footer\ndelta\nboiler"),
+    (4, "unique only\nlines here"),
+    (5, None),
+]
+SCHEMA = "doc_id long, text string"
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, SCHEMA)
+
+
+def test_line_doc_frequency_counts_distinct_docs(spark):
+    freq = {
+        r["line"]: r["n_docs"]
+        for r in line_doc_frequency(_docs(spark)).collect()
+    }
+    # doc 1 has "boiler" twice but counts once; empty lines excluded
+    assert freq["boiler"] == 3
+    assert freq["footer"] == 2
+    assert freq["alpha"] == 1
+    assert "" not in freq
+
+
+def test_common_lines_threshold(spark):
+    got = {r["line"] for r in common_lines(_docs(spark), min_docs=2).collect()}
+    assert got == {"boiler", "footer"}
+
+
+def _expected_min2():
+    return {
+        1: ("alpha", 3),
+        2: ("beta\n\ngamma", 1),
+        3: ("delta", 2),
+        4: ("unique only\nlines here", 0),
+        5: (None, None),
+    }
+
+
+def _check(out):
+    got = {r["doc_id"]: (r["text"], r["n_removed"]) for r in out.collect()}
+    assert got == _expected_min2()
+
+
+def test_remove_common_lines_inset_path(spark):
+    out = remove_common_lines(_docs(spark), min_docs=2)
+    # removal of BOTH instances in doc 1, blank line survives in doc 2,
+    # NULL text passes through
+    _check(out)
+    release_cached()
+
+
+def test_remove_common_lines_join_fallback(spark):
+    # inset_limit=1 < 2 common lines → broadcast-probe / removal-set path
+    out = remove_common_lines(_docs(spark), min_docs=2, inset_limit=1)
+    _check(out)
+    release_cached()
+
+
+def test_remove_common_lines_no_common(spark):
+    out = remove_common_lines(_docs(spark), min_docs=99)
+    got = {r["doc_id"]: (r["text"], r["n_removed"]) for r in out.collect()}
+    assert got[1] == ("boiler\nalpha\nboiler\nfooter", 0)
+    assert got[5] == (None, None)
+    release_cached()
+
+
+def test_inset_path_is_joinless(spark):
+    plan = remove_common_lines(
+        _docs(spark), min_docs=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    release_cached()
+
+
+def test_paths_agree_on_wider_corpus(spark):
+    # 40 docs, lines drawn from a small pool → both strategies must
+    # produce identical results
+    docs = (
+        spark.range(40)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                "\n",
+                F.concat(F.lit("l"), (F.col("id") % 7).cast("string")),
+                F.concat(F.lit("l"), (F.col("id") % 5).cast("string")),
+                F.concat(F.lit("u"), F.col("id").cast("string")),
+            ).alias("text"),
+        )
+    )
+    a = remove_common_lines(docs, min_docs=5)
+    b = remove_common_lines(docs, min_docs=5, inset_limit=1)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    release_cached()
