@@ -586,6 +586,25 @@ def q_line_dedup(spark, sf_dir):
     return remove_common_lines(docs, "doc_id", "text", min_docs=3)
 
 
+def q_span_dedup(spark, sf_dir):
+    """Duplicated-substring spans (operators/spandedup.duplicated_spans,
+    the tile-granular distributed form of Lee et al. 2022 exact
+    substring dedup): exact copies are planted (every 9th doc re-id'd,
+    the operator's guaranteed equal-phase regime), tile=32, so each
+    planted pair flags two full-document spans plus whatever 32-char
+    tiles the template corpus naturally repeats.  All-integer output —
+    bit-exact across engines."""
+    from datavalid_spark.operators.spandedup import duplicated_spans
+
+    docs = _t_fanout(spark, sf_dir, "documents").select("doc_id", "text")
+    plant = docs.filter(F.col("doc_id") % 9 == 2).withColumn(
+        "doc_id", F.col("doc_id") + 2_000_000
+    )
+    return duplicated_spans(
+        docs.unionByName(plant), "doc_id", "text", tile=32, min_count=2
+    )
+
+
 def q_curate_pipeline(spark, sf_dir):
     """The composed curation pipeline (pipelines.curate_corpus): exact
     dedup → 8-gram decontamination vs the benchmark split → quality ≥
@@ -1018,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
         "line_dedup": q_line_dedup,
+        "span_dedup": q_span_dedup,
         "curate_pipeline": q_curate_pipeline,
         "profile_quantiles": q_profile_quantiles,
         "text_scrub": q_text_scrub,
@@ -1604,6 +1624,39 @@ SELECT t.doc_id,
        COALESCE(a.text, '') AS text,
        CAST(t.n_tot - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
 FROM tot t LEFT JOIN agg a USING (doc_id)
+""",
+        # duplicated-substring spans: same planted copies, aligned
+        # 32-char tiles, instance-count >= 2 duplicates, and the
+        # gaps-and-islands merge (pos - row_number groups consecutive
+        # positions); every output column is an exact integer
+        "span_dedup": """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 9 = 2
+),
+px AS (
+  SELECT doc_id, text,
+         unnest(range(CAST(floor(length(text) / 32) AS BIGINT))) AS pos
+  FROM base
+),
+inst AS (
+  SELECT doc_id, pos,
+         substr(text, CAST(pos * 32 + 1 AS INT), 32) AS tile
+  FROM px
+),
+dup AS (SELECT tile FROM inst GROUP BY tile HAVING count(*) >= 2),
+hit AS (SELECT doc_id, pos FROM inst WHERE tile IN (SELECT tile FROM dup)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM hit
+)
+SELECT doc_id,
+       CAST(min(pos) * 32 AS BIGINT) AS span_start,
+       CAST((max(pos) + 1) * 32 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_tiles
+FROM isl GROUP BY doc_id, g
 """,
         # the composed pipeline: dedup → decontaminate → quality +
         # repetition filters → mixture sample → shard packing, chained

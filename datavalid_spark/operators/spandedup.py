@@ -1,0 +1,193 @@
+"""Duplicated-substring-span detection and removal: find the maximal
+character ranges of each document that are duplicated elsewhere in the
+corpus, at fixed tile granularity.
+
+This is the Spark-native formulation of exact substring deduplication
+(Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+Better"): that work builds a corpus-wide suffix array to find every
+duplicated substring ≥ 50 chars — inherently sequential and
+memory-resident, so it cannot shuffle.  The distributed reformulation
+tiles every document into non-overlapping ``tile``-char windows and
+declares a tile duplicated when its exact string occurs as a tile
+``min_count`` times corpus-wide; runs of consecutive duplicated tiles
+merge into maximal spans.  Two approximations, stated precisely:
+span edges are tile-aligned (≤ tile−1 chars of slack per edge), and a
+duplicated substring is detected iff two of its occurrences cover an
+aligned tile with EQUAL PHASE (start offsets congruent mod ``tile``).
+Full-document copies, shared prefixes, and re-instantiated templates
+— the dominant duplication modes in a crawled corpus — are always
+equal-phase, and any such duplicate of length ≥ 2·tile−1 is
+guaranteed caught; a passage re-quoted at an arbitrary offset is not
+(phase-invariance needs content-defined boundaries — that regime is
+covered by ``operators/linededup.py``, whose newline split IS a
+content-defined chunking).  Matching is on the exact tile string — a
+hash collision can never false-positive (same contract as
+``operators/decontaminate.py``).
+
+The reference has no substring-level surface; engine-only LLM-pipeline
+operator (SURVEY.md §2.6), completing the dedup family's spectrum:
+document-level (``dedup.py``), line-level (``linededup.py``),
+substring-level (here).
+
+Scale shape (100 TB corpus):
+
+- **stats pass**: one scan explodes each document's tiles into a
+  partially-aggregated ``groupBy(tile).count()`` — the one
+  corpus-frequency shuffle; map-side combine collapses the boilerplate
+  mass that motivates the op, so reduce-side volume is O(distinct
+  tiles), and each tile row is ``tile`` bytes, independent of corpus
+  size per key;
+- **instance pass**: a second scan re-derives ``(id, pos)`` tile
+  instances and probes the duplicated-tile set via ``gated_broadcast``
+  — only MATCHED instances (O(duplicated text), the thing being
+  removed) ever shuffle;
+- **island merge**: consecutive duplicated positions fold into spans
+  with one per-document window (gaps-and-islands); partition key is
+  the document id, so no global sort and no skew beyond a single
+  document's own duplicated-tile count;
+- **removal**: the per-document duplicated-position sets ride back
+  onto the corpus via ``gated_broadcast`` and the text is rebuilt by
+  an index-aware ``F.filter`` over the tile array — documents
+  themselves never ride a shuffle.
+
+All expressions are JVM Column ops (sequence / substring / filter /
+array_join) — no Python in the data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from datavalid_spark.cache import gated_broadcast, persist_tracked
+
+_RM = "__dv_rm"
+
+
+def _tiles(text_col: str, tile: int) -> Column:
+    """Array of the document's non-overlapping ``tile``-char windows
+    (the ≤ tile−1 trailing chars are not a full tile and never
+    participate).  NULL text → NULL array; shorter-than-tile text →
+    empty array (the guard matters: ``sequence(0, -1)`` defaults its
+    step to −1 and would yield [0, −1], not [])."""
+    text = F.col(text_col)
+    n_full = F.floor(F.length(text) / tile).cast("int")
+    seq = F.transform(
+        F.sequence(F.lit(0), n_full - 1),
+        lambda p: F.substring(text, p * tile + 1, tile),
+    )
+    return F.when(n_full >= 1, seq).otherwise(
+        F.when(text.isNotNull(), F.array().cast("array<string>"))
+    )
+
+
+def tile_instances(
+    docs: DataFrame, id_col: str, text_col: str, tile: int
+) -> DataFrame:
+    """``(id, pos, tile)`` — every aligned tile instance.  ``pos`` is
+    the tile index (char offset = pos·tile)."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(_tiles(text_col, tile)).alias("pos", "tile"),
+    )
+
+
+def duplicated_tiles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tile: int = 64,
+    min_count: int = 2,
+) -> DataFrame:
+    """Tile strings occurring ≥ ``min_count`` times corpus-wide (tile
+    INSTANCES, not distinct documents — a within-document repeat is a
+    duplicate too, matching the suffix-array semantics).  One ``tile``
+    column."""
+    return (
+        docs.select(F.explode(_tiles(text_col, tile)).alias("tile"))
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("tile")
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tile: int = 64,
+    min_count: int = 2,
+    broadcast_key_limit: int = 1_000_000,
+) -> DataFrame:
+    """Maximal duplicated spans per document: ``(id, span_start,
+    span_end, n_tiles)`` with char offsets [span_start, span_end) —
+    each row a maximal run of consecutive duplicated tiles, so
+    span_end − span_start = n_tiles·tile.  Documents with no
+    duplicated tile emit no row."""
+    dup = gated_broadcast(
+        duplicated_tiles(docs, id_col, text_col, tile, min_count),
+        broadcast_key_limit,
+    )
+    hits = tile_instances(docs, id_col, text_col, tile).join(dup, "tile")
+    # gaps-and-islands: consecutive positions share (pos - row_number)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    island = (F.col("pos") - F.row_number().over(w)).alias("__dv_isl")
+    return (
+        hits.select(F.col(id_col), F.col("pos"), island)
+        .groupBy(id_col, "__dv_isl")
+        .agg(
+            (F.min("pos") * tile).cast("long").alias("span_start"),
+            ((F.max("pos") + 1) * tile).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_tiles"),
+        )
+        .drop("__dv_isl")
+    )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tile: int = 64,
+    min_count: int = 2,
+    broadcast_key_limit: int = 1_000_000,
+) -> DataFrame:
+    """Cut every duplicated tile out of every document: ``docs`` with
+    ``text_col`` rebuilt from the surviving tiles (original order, the
+    partial tail always kept) plus ``n_removed_chars`` BIGINT.  NULL
+    text passes through as NULL.
+
+    The cut is tile-granular (like the span report); a document that
+    is entirely duplicated text collapses to its sub-tile tail."""
+    dup = gated_broadcast(
+        duplicated_tiles(docs, id_col, text_col, tile, min_count),
+        broadcast_key_limit,
+    )
+    rm_sets = (
+        tile_instances(docs, id_col, text_col, tile)
+        .join(dup, "tile")
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias(_RM))
+    )
+    out = docs.join(gated_broadcast(rm_sets, broadcast_key_limit), id_col, "left")
+    rm = F.col(_RM)
+    text = F.col(text_col)
+    n_full = F.floor(F.length(text) / tile).cast("int")
+    tail = F.substring(text, n_full * tile + 1, tile)
+    kept = F.filter(
+        _tiles(text_col, tile),
+        lambda t, i: rm.isNull() | ~F.array_contains(rm, i),
+    )
+    keep_cols = [c for c in docs.columns if c != text_col]
+    return out.select(
+        *keep_cols,
+        F.when(text.isNull(), F.lit(None).cast("string"))
+        .otherwise(F.concat(F.array_join(kept, ""), tail))
+        .alias(text_col),
+        F.when(text.isNull(), F.lit(None).cast("long"))
+        .otherwise(
+            (F.coalesce(F.size(rm), F.lit(0)) * tile).cast("long")
+        )
+        .alias("n_removed_chars"),
+    )
