@@ -961,6 +961,26 @@ def q_embedding_near_dups(spark, sf_dir):
     return pairs.select("id_a", "id_b")
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (operators/semdedup.semantic_dedup): planted exact-copy
+    vectors (every 10th-plus-3 re-id'd) are the only pairs ≥ 0.95 (real
+    max cosine ≈ 0.51, see q_embedding_near_dups); identical vectors
+    assign to the same k-means cluster deterministically and tie on
+    centroid cosine, so the keep-farthest election always keeps the
+    lower id — the kept set is exactly the original corpus, which the
+    oracle states as union-minus-pair-losers.  Ids only in the output."""
+    from datavalid_spark.operators.semdedup import semantic_dedup
+
+    emb = _t_fanout(spark, sf_dir, "embeddings")
+    plant = emb.filter(F.col("vec_id") % 10 == 3).withColumn(
+        "vec_id", F.col("vec_id") + 100_000
+    )
+    kept = semantic_dedup(
+        emb.unionByName(plant), "vec_id", threshold=0.95, n_clusters=8
+    )
+    return kept.select("vec_id")
+
+
 def q_ivf_topk(spark, sf_dir):
     # full-probe mode (nprobe = n_clusters): exercises the complete IVF
     # machinery — centroid training, cluster assignment, per-cluster
@@ -1060,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_incremental": q_embedding_incremental,
+        "semantic_dedup": q_semantic_dedup,
         "ivf_topk": q_ivf_topk,
         "drift_two_sample": q_drift_two_sample,
         "multimodal_validate": q_multimodal_validate,
@@ -1756,6 +1777,22 @@ WITH u AS (
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM u a JOIN u b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+""",
+        # SemDeDup kept set: the planted copies are the only ≥0.95
+        # pairs and always lose the keep-farthest election (identical
+        # csim, higher id), so kept = union minus pair-losers; the
+        # NOT IN form stays exact because disjoint {orig, copy} pairs
+        # make "loser" = "appears as the b side"
+        "semantic_dedup": """
+WITH u AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 10 = 3),
+losers AS (
+  SELECT b.vec_id FROM u a JOIN u b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+)
+SELECT vec_id FROM u WHERE vec_id NOT IN (SELECT vec_id FROM losers)
 """,
         "embedding_incremental": """
 WITH n AS (

@@ -1,0 +1,201 @@
+"""Semantic deduplication (SemDeDup, Abbas et al. 2023): remove
+documents whose EMBEDDINGS are near-identical, using k-means clustering
+to confine the quadratic pair search to within-cluster candidates.
+
+Where ``dedup.embedding_near_dups`` generates candidates with
+random-hyperplane LSH (no training, recall is probabilistic per band),
+this operator is the SemDeDup shape: train coarse centroids once,
+assign every vector to its nearest centroid, and compare only
+co-clustered vectors — the candidate count drops from n²/2 to
+Σ mᵢ²/2 over cluster sizes, and recall within a cluster is exact.
+A pair whose members straddle a cluster boundary is missed by design
+(same trade as the paper); exact duplicates can never straddle —
+identical vectors assign identically — so planted-copy verification
+is deterministic.
+
+The reference has no embedding surface; engine-only LLM-pipeline
+operator (SURVEY.md §2.6), completing the embedding family:
+LSH near-dups (``dedup.py``), ANN search (``knn.py``), semantic
+cluster-scoped dedup (here).
+
+Scale shape (10^9 vectors):
+
+- **training**: ``knn.train_centroids`` — Lloyd iterations as Arrow
+  partial-sum passes, k×partitions tiny rows to the driver, no
+  shuffle;
+- **assignment**: one ``mapInPandas`` BLAS pass (compiled once — no
+  per-centroid-set codegen, see ``knn._assign``); only the NARROW
+  ``(id, cluster)`` + centroid-cosine table ever shuffles;
+- **pair join**: self-join on cluster id; ``max_cluster_size``
+  truncates pathological clusters (row_number inside the existing
+  shuffle — same cap contract as the LSH ops) so a degenerate
+  centroid can't go quadratic;
+- **scoring**: vectors re-attach to the pair set via the size-gated
+  broadcast (``dedup._join_vecs``) — wide arrays never ride the pair
+  shuffle;
+- **keep-policy**: SemDeDup keeps, per duplicate group, the member
+  FARTHEST from its centroid (lowest centroid cosine — retains the
+  least-typical exemplar); the election runs on the tiny clustered-id
+  table and the corpus only sees one anti-join (same shape as
+  ``components.keep_canonical``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from datavalid_spark.cache import gated_broadcast, persist_tracked
+from datavalid_spark.operators.dedup import _join_vecs, cosine_similarity
+from datavalid_spark.operators.knn import _normalized_rows, train_centroids
+
+
+def _assign_with_sim(df: DataFrame, centroids: list, vec_col: str) -> DataFrame:
+    """``knn._assign`` plus the winning cosine: adds ``__dv_cluster``
+    (int, argmax centroid) and ``__dv_csim`` (double, that centroid's
+    cosine) in the same single pass.
+
+    ``__dv_csim`` is recomputed per row as ``(Vn · Cn[argmax])`` —
+    elementwise product + fixed-length row sum — NOT taken from the
+    GEMM output: BLAS blocking makes a row's GEMM result depend on the
+    BATCH it rides in (ulp-level), so two bit-identical vectors in
+    different Arrow batches got csims differing in the last bit and
+    the keep-farthest election's id tie-break never fired (caught by
+    the semantic_dedup oracle — one planted pair elected the copy).
+    numpy's pairwise row-sum depends only on row LENGTH, so the
+    recomputed value is batch-independent and exact copies tie
+    bit-for-bit."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    Cn = _normalized_rows(np.asarray(centroids, dtype="float64"))
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("__dv_cluster", T.IntegerType()),
+            T.StructField("__dv_csim", T.DoubleType()),
+        ]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype="float64")
+            Vn = _normalized_rows(V)
+            a = (Vn @ Cn.T).argmax(axis=1)
+            pdf = pdf.copy()
+            pdf["__dv_cluster"] = a.astype("int32")
+            pdf["__dv_csim"] = (Vn * Cn[a]).sum(axis=1)
+            yield pdf
+
+    return df.mapInPandas(fn, schema=out_schema)
+
+
+def semantic_assignments(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    iters: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """``(id, vec, cluster, csim)`` — trained assignment table
+    (persisted/tracked; release with ``cache.release_cached``)."""
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    centroids = train_centroids(vecs, n_clusters, "vec", iters, seed)
+    return persist_tracked(
+        _assign_with_sim(vecs, centroids, "vec").withColumnsRenamed(
+            {"__dv_cluster": "cluster", "__dv_csim": "csim"}
+        )
+    )
+
+
+def semantic_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    iters: int = 3,
+    seed: int = 42,
+    max_cluster_size: Optional[int] = None,
+    assignments: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Co-clustered pairs with exact cosine ≥ ``threshold``:
+    ``(id_a, id_b, cosine)``, id_a < id_b, each pair at most once (one
+    cluster per id — no dedup pass needed).  Pass ``assignments`` to
+    reuse a ``semantic_assignments`` table across calls."""
+    asg = (
+        assignments
+        if assignments is not None
+        else semantic_assignments(df, id_col, vec_col, n_clusters, iters, seed)
+    )
+    narrow = asg.select("id", "cluster")
+    if max_cluster_size is not None:
+        w = Window.partitionBy("cluster").orderBy("id")
+        narrow = (
+            narrow.withColumn("__dv_rn", F.row_number().over(w))
+            .filter(F.col("__dv_rn") <= max_cluster_size)
+            .drop("__dv_rn")
+        )
+    a, b = narrow.alias("a"), narrow.alias("b")
+    raw = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    vecs = asg.select("id", "vec")
+    return (
+        _join_vecs(raw, vecs, vecs)
+        .withColumn("cosine", cosine_similarity(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    iters: int = 3,
+    seed: int = 42,
+    max_cluster_size: Optional[int] = None,
+    broadcast_key_limit: int = 1_000_000,
+) -> DataFrame:
+    """Drop all but one member of every semantic-duplicate group.
+
+    Groups = connected components of the ≥ threshold pair graph (the
+    deterministic closure of SemDeDup's ε-balls); the kept member is
+    the one with the LOWEST centroid cosine (the paper's keep-farthest
+    policy — preserves the least-typical exemplar), ties → lowest id.
+    Vectors identical to each other have identical centroid cosine, so
+    exact-copy groups deterministically keep the lowest id.
+
+    Returns ``df`` minus the losers.  The corpus sees ONE anti-join
+    against the gated-broadcast loser-id set; the election itself runs
+    on the assignment-table rows of clustered ids only.
+    """
+    from datavalid_spark.operators.components import duplicate_clusters
+
+    asg = semantic_assignments(df, id_col, vec_col, n_clusters, iters, seed)
+    pairs = semantic_dup_pairs(
+        df, id_col, vec_col, threshold, max_cluster_size=max_cluster_size,
+        assignments=asg,
+    )
+    clusters = duplicate_clusters(pairs)  # (id, cluster_id, cluster_size)
+    members = clusters.join(asg.select("id", "csim"), "id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("csim").asc(), F.col("id").asc()
+    )
+    losers = (
+        members.withColumn("__dv_rank", F.row_number().over(w))
+        .filter(F.col("__dv_rank") > 1)
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(gated_broadcast(losers, broadcast_key_limit), id_col, "left_anti")

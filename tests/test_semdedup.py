@@ -1,0 +1,107 @@
+"""SemDeDup (operators/semdedup.py): cluster-scoped exact-cosine pair
+search, the keep-farthest-from-centroid election, and the cluster-size
+cap, on a hand-built two-cluster embedding fixture."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.cache import release_cached
+from datavalid_spark.operators.semdedup import (
+    semantic_assignments,
+    semantic_dedup,
+    semantic_dup_pairs,
+)
+
+# two well-separated directions; ids 10-13 form one semantic group
+# (three exact copies + one slightly-rotated member), ids 20-22 are
+# mutually-distant members of the other direction's cluster
+VECS = [
+    (10, [1.0, 0.0, 0.0, 0.0]),
+    (11, [1.0, 0.0, 0.0, 0.0]),
+    (12, [1.0, 0.0, 0.0, 0.0]),
+    (13, [1.0, 0.1, 0.0, 0.0]),  # cos vs copies = 0.99504
+    (20, [0.0, 1.0, 0.0, 0.0]),
+    (21, [0.0, 1.0, 0.3, 0.0]),
+    (22, [0.0, 1.0, 0.0, 0.3]),
+]
+SCHEMA = "vec_id long, embedding array<float>"
+
+
+def _emb(spark):
+    return spark.createDataFrame(VECS, SCHEMA)
+
+
+@pytest.fixture(autouse=True)
+def _release():
+    yield
+    release_cached()
+
+
+def test_pairs_exact_copies_and_threshold(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in semantic_dup_pairs(
+            _emb(spark), "vec_id", threshold=0.99, n_clusters=2
+        ).collect()
+    }
+    assert set(pairs) == {(10, 11), (10, 12), (11, 12), (10, 13), (11, 13), (12, 13)}
+    assert pairs[(10, 11)] == pytest.approx(1.0)
+    assert pairs[(10, 13)] == pytest.approx(0.99504, abs=1e-4)
+
+
+def test_pairs_never_cross_cluster(spark):
+    # threshold 0 would pass EVERY co-clustered pair; cross-direction
+    # pairs (cos 0) must still be absent because they never co-cluster
+    pairs = semantic_dup_pairs(
+        _emb(spark), "vec_id", threshold=-1.0, n_clusters=2
+    ).collect()
+    sides = {(r.id_a < 20, r.id_b < 20) for r in pairs}
+    assert (True, False) not in sides and (False, True) not in sides
+
+
+def test_dedup_keeps_farthest_from_centroid(spark):
+    # group {10,11,12,13}: the copies dominate the centroid, so 13 is
+    # the least-typical member (lowest centroid cosine) and is kept
+    kept = {
+        r.vec_id
+        for r in semantic_dedup(
+            _emb(spark), "vec_id", threshold=0.99, n_clusters=2
+        ).collect()
+    }
+    assert 13 in kept
+    assert len(kept & {10, 11, 12}) == 0
+    # unpaired docs all pass through
+    assert {20, 21, 22} <= kept
+
+
+def test_dedup_tie_breaks_lowest_id(spark):
+    # two exact copies alone: equal csim -> lowest id survives
+    emb = spark.createDataFrame(
+        [(5, [1.0, 0.0]), (6, [1.0, 0.0]), (9, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    kept = {
+        r.vec_id
+        for r in semantic_dedup(emb, "vec_id", threshold=0.99, n_clusters=2).collect()
+    }
+    assert kept == {5, 9}
+
+
+def test_max_cluster_size_caps_pairs(spark):
+    full = semantic_dup_pairs(
+        _emb(spark), "vec_id", threshold=0.99, n_clusters=2
+    ).count()
+    capped = semantic_dup_pairs(
+        _emb(spark), "vec_id", threshold=0.99, n_clusters=2, max_cluster_size=2
+    ).count()
+    assert full == 6 and capped == 1  # only (10, 11) survives the cap
+
+
+def test_assignments_schema_and_csim_range(spark):
+    asg = semantic_assignments(_emb(spark), "vec_id", n_clusters=2)
+    rows = asg.collect()
+    assert set(asg.columns) == {"id", "vec", "cluster", "csim"}
+    assert all(-1.0001 <= r.csim <= 1.0001 for r in rows)
+    # exact copies share cluster AND csim bit-for-bit
+    by_id = {r.id: (r.cluster, r.csim) for r in rows}
+    assert by_id[10] == by_id[11] == by_id[12]
