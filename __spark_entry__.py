@@ -1641,10 +1641,16 @@ agg AS (
   FROM kept GROUP BY doc_id
 ),
 tot AS (SELECT doc_id, count(*) AS n_tot FROM lx GROUP BY doc_id)
-SELECT t.doc_id,
-       COALESCE(a.text, '') AS text,
-       CAST(t.n_tot - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
-FROM tot t LEFT JOIN agg a USING (doc_id)
+-- anchored on lined (every doc) rather than tot (docs with >=1 line)
+-- so a NULL-text document still emits its (NULL, NULL) row, matching
+-- the operator's null pass-through
+SELECT l.doc_id,
+       CASE WHEN l.text IS NULL THEN NULL
+            ELSE COALESCE(a.text, '') END AS text,
+       CASE WHEN l.text IS NULL THEN NULL
+            ELSE CAST(COALESCE(t.n_tot, 0) - COALESCE(a.n_kept, 0) AS BIGINT)
+       END AS n_removed
+FROM lined l LEFT JOIN agg a USING (doc_id) LEFT JOIN tot t USING (doc_id)
 """,
         # duplicated-substring spans: same planted copies, aligned
         # 32-char tiles, instance-count >= 2 duplicates, and the

@@ -59,35 +59,54 @@ def _normalized_rows(M):
     return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
 
 
-def _assign(df: DataFrame, centroids: list, vec_col: str) -> DataFrame:
+def _assign(
+    df: DataFrame, centroids: list, vec_col: str, sim_col: Optional[str] = None
+) -> DataFrame:
     """Nearest-centroid id (cosine argmax, first index wins ties) as a
     vectorized Arrow pass: one BLAS matmul of the L2-normalized batch
-    against the normalized centroid matrix.
+    against the normalized centroid matrix.  ``sim_col`` additionally
+    emits the winning centroid's cosine (used by semdedup's
+    keep-farthest election).
 
     Why not the literal-centroid Column expression: each Lloyd
     iteration changes the literals, so Catalyst re-analyzes and
     whole-stage-codegen recompiles a (n_clusters × dim)-term expression
     EVERY iteration — measured ~2 s of driver-serial compile per
     iteration at 8×64, dwarfing the actual math.  The numpy closure has
-    no literals in the plan, so the job shape is compiled once."""
+    no literals in the plan, so the job shape is compiled once.
+
+    ``sim_col`` is recomputed per row as ``(Vn · Cn[argmax])`` —
+    elementwise product + fixed-length row sum — NOT taken from the
+    GEMM output: BLAS blocking makes a row's GEMM result depend on the
+    BATCH it rides in (ulp-level), so two bit-identical vectors in
+    different Arrow batches got csims differing in the last bit and
+    semdedup's id tie-break never fired (caught by the semantic_dedup
+    oracle — one planted pair elected the copy).  numpy's pairwise
+    row-sum depends only on row LENGTH, so the recomputed value is
+    batch-independent and exact copies tie bit-for-bit."""
     import numpy as np
 
     from pyspark.sql import types as T
 
     Cn = _normalized_rows(np.asarray(centroids, dtype="float64"))
-    out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField("__dv_cluster", T.IntegerType())]
-    )
+    fields = list(df.schema.fields) + [
+        T.StructField("__dv_cluster", T.IntegerType())
+    ]
+    if sim_col is not None:
+        fields.append(T.StructField(sim_col, T.DoubleType()))
+    out_schema = T.StructType(fields)
 
     def fn(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             V = np.array(pdf[vec_col].tolist(), dtype="float64")
+            Vn = _normalized_rows(V)
+            a = (Vn @ Cn.T).argmax(axis=1)
             pdf = pdf.copy()
-            pdf["__dv_cluster"] = (
-                (_normalized_rows(V) @ Cn.T).argmax(axis=1).astype("int32")
-            )
+            pdf["__dv_cluster"] = a.astype("int32")
+            if sim_col is not None:
+                pdf[sim_col] = (Vn * Cn[a]).sum(axis=1)
             yield pdf
 
     return df.mapInPandas(fn, schema=out_schema)

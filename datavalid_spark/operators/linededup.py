@@ -62,6 +62,10 @@ def line_doc_frequency(
 
     Per-document distinct scan-side, so ``count(*)`` after the explode
     IS the distinct-document frequency — no count(distinct) shuffle.
+    Precondition: one row per document (``id_col`` unique) — a
+    repeated document would count once per copy; run exact dedup
+    first.  ``id_col`` is part of the signature for contract symmetry
+    with the rest of the dedup family but the count never consults it.
     """
     return (
         docs.select(F.explode(_nonempty_distinct_lines(text_col)).alias("line"))
@@ -109,6 +113,7 @@ def remove_common_lines(
     text_col: str = "text",
     min_docs: int = 10,
     inset_limit: int = 10_000,
+    inset_bytes_limit: int = 8 * 1024 * 1024,
     broadcast_key_limit: int = 1_000_000,
 ) -> DataFrame:
     """Strip corpus-common lines from every document, preserving the
@@ -124,23 +129,39 @@ def remove_common_lines(
     false-positive on a collision).
 
     Strategy (see module docstring): if the common set has ≤
-    ``inset_limit`` lines it is collected and inlined as an ``InSet``
-    predicate (rewrite is one map-side scan, zero joins); otherwise it
-    falls back to the broadcast-probe / per-document removal-set join.
+    ``inset_limit`` lines AND ≤ ``inset_bytes_limit`` total bytes it
+    is collected and inlined as an ``InSet`` predicate (rewrite is one
+    map-side scan, zero joins); otherwise it falls back to the
+    broadcast-probe / per-document removal-set join.  The byte gate
+    matters because a "line" is unbounded — a corpus of repeated
+    newline-free multi-KB paragraphs would otherwise inline gigabytes
+    of literals into the plan and every task binary.
     """
     common = persist_tracked(common_lines(docs, id_col, text_col, min_docs))
-    n_common = common.limit(inset_limit + 1).count()
-    if n_common <= inset_limit:
-        if n_common == 0:
+    # ONE capped collect decides the path and doubles as the InSet
+    # literal list (a count job followed by a collect job would scan
+    # the persisted set twice)
+    sample = common.limit(inset_limit + 1).collect()
+    if len(sample) <= inset_limit:
+        if not sample:
             return _rewrite(docs, text_col, lambda l: F.lit(True))
-        lines = [r.line for r in common.collect()]
-        return _rewrite(docs, text_col, lambda l: ~l.isin(lines))
+        lines = [r.line for r in sample]
+        if sum(len(l) for l in lines) <= inset_bytes_limit:
+            return _rewrite(docs, text_col, lambda l: ~l.isin(lines))
+    # fallback: `common` is already persisted/tracked above, so gate
+    # the broadcast hint directly instead of re-wrapping it in
+    # gated_broadcast (which would persist and count a second copy)
+    probe = (
+        F.broadcast(common)
+        if common.count() <= broadcast_key_limit
+        else common
+    )
     hits = (
         docs.select(
             F.col(id_col),
             F.explode(_nonempty_distinct_lines(text_col)).alias("line"),
         )
-        .join(gated_broadcast(common, broadcast_key_limit), "line")
+        .join(probe, "line")
         .groupBy(id_col)
         .agg(F.collect_set("line").alias(_RM))
     )

@@ -49,50 +49,7 @@ from pyspark.sql import functions as F
 
 from datavalid_spark.cache import gated_broadcast, persist_tracked
 from datavalid_spark.operators.dedup import _join_vecs, cosine_similarity
-from datavalid_spark.operators.knn import _normalized_rows, train_centroids
-
-
-def _assign_with_sim(df: DataFrame, centroids: list, vec_col: str) -> DataFrame:
-    """``knn._assign`` plus the winning cosine: adds ``__dv_cluster``
-    (int, argmax centroid) and ``__dv_csim`` (double, that centroid's
-    cosine) in the same single pass.
-
-    ``__dv_csim`` is recomputed per row as ``(Vn · Cn[argmax])`` —
-    elementwise product + fixed-length row sum — NOT taken from the
-    GEMM output: BLAS blocking makes a row's GEMM result depend on the
-    BATCH it rides in (ulp-level), so two bit-identical vectors in
-    different Arrow batches got csims differing in the last bit and
-    the keep-farthest election's id tie-break never fired (caught by
-    the semantic_dedup oracle — one planted pair elected the copy).
-    numpy's pairwise row-sum depends only on row LENGTH, so the
-    recomputed value is batch-independent and exact copies tie
-    bit-for-bit."""
-    import numpy as np
-
-    from pyspark.sql import types as T
-
-    Cn = _normalized_rows(np.asarray(centroids, dtype="float64"))
-    out_schema = T.StructType(
-        list(df.schema.fields)
-        + [
-            T.StructField("__dv_cluster", T.IntegerType()),
-            T.StructField("__dv_csim", T.DoubleType()),
-        ]
-    )
-
-    def fn(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = np.array(pdf[vec_col].tolist(), dtype="float64")
-            Vn = _normalized_rows(V)
-            a = (Vn @ Cn.T).argmax(axis=1)
-            pdf = pdf.copy()
-            pdf["__dv_cluster"] = a.astype("int32")
-            pdf["__dv_csim"] = (Vn * Cn[a]).sum(axis=1)
-            yield pdf
-
-    return df.mapInPandas(fn, schema=out_schema)
+from datavalid_spark.operators.knn import _assign, train_centroids
 
 
 def semantic_assignments(
@@ -104,11 +61,14 @@ def semantic_assignments(
     seed: int = 42,
 ) -> DataFrame:
     """``(id, vec, cluster, csim)`` — trained assignment table
-    (persisted/tracked; release with ``cache.release_cached``)."""
+    (persisted/tracked; release with ``cache.release_cached``).  The
+    csim column is batch-independent by construction — see
+    ``knn._assign(sim_col=...)`` for why that matters to the
+    keep-farthest election."""
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     centroids = train_centroids(vecs, n_clusters, "vec", iters, seed)
     return persist_tracked(
-        _assign_with_sim(vecs, centroids, "vec").withColumnsRenamed(
+        _assign(vecs, centroids, "vec", sim_col="__dv_csim").withColumnsRenamed(
             {"__dv_cluster": "cluster", "__dv_csim": "csim"}
         )
     )

@@ -102,7 +102,8 @@ def duplicated_tiles(
     """Tile strings occurring ≥ ``min_count`` times corpus-wide (tile
     INSTANCES, not distinct documents — a within-document repeat is a
     duplicate too, matching the suffix-array semantics).  One ``tile``
-    column."""
+    column.  Precondition: one row per document (a repeated row would
+    double-count its tiles; run exact dedup first)."""
     return (
         docs.select(F.explode(_tiles(text_col, tile)).alias("tile"))
         .groupBy("tile")

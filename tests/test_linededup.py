@@ -74,6 +74,17 @@ def test_remove_common_lines_join_fallback(spark):
     release_cached()
 
 
+def test_remove_common_lines_byte_gate_forces_fallback(spark):
+    # count fits (2 <= 10) but the byte gate trips → same results via
+    # the join path (a corpus of huge repeated "lines" must never be
+    # inlined as plan literals)
+    out = remove_common_lines(_docs(spark), min_docs=2, inset_bytes_limit=3)
+    _check(out)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan
+    release_cached()
+
+
 def test_remove_common_lines_no_common(spark):
     out = remove_common_lines(_docs(spark), min_docs=99)
     got = {r["doc_id"]: (r["text"], r["n_removed"]) for r in out.collect()}

@@ -42,87 +42,23 @@ Usage: python tools/bench_dedup_scaling.py [--docs 800000] [--iters 5]
 
 from __future__ import annotations
 
-import argparse
 import json
 import os
-import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SRC = "/tmp/dv_bench_src_2000000_42"  # written by bench.py setup
+from tools.scaling_harness import build_session, run_study, std_args
+
 CORPUS = "/tmp/dv_dedup_scaling_corpus_{docs}"
-
-
-def build_session(cpus: int, shuf: int = 16):
-    from pyspark.sql import SparkSession
-
-    return (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(f"dedup-scaling-{cpus}")
-        .config("spark.sql.shuffle.partitions", str(shuf))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "12g")
-        .config("spark.ui.enabled", "false")
-        .config(
-            "spark.driver.extraJavaOptions",
-            f"-XX:+AlwaysPreTouch -XX:ParallelGCThreads={max(cpus // 2, 2)}",
-        )
-        .getOrCreate()
-    )
-
-
-def ensure_corpus(docs: int) -> str:
-    path = CORPUS.format(docs=docs)
-    if os.path.isdir(path):
-        return path
-    from pyspark.sql import functions as F
-
-    spark = build_session(8)
-    (
-        spark.read.parquet(SRC)
-        .limit(docs)
-        .select(F.xxhash64("repo", "path", "commit").alias("doc_id"), "content")
-        .repartition(64)
-        .write.mode("overwrite")
-        .parquet(path)
-    )
-    spark.stop()
-    return path
-
-
-def run_level(cpus: int, docs: int, iters: int, parts: int, shuf: int) -> dict:
-    env = dict(os.environ)
-    cmd = [
-        "taskset",
-        "-c",
-        f"0-{cpus - 1}",
-        sys.executable,
-        os.path.abspath(__file__),
-        "--level",
-        str(cpus),
-        "--docs",
-        str(docs),
-        "--iters",
-        str(iters),
-        "--parts",
-        str(parts),
-        "--shuf",
-        str(shuf),
-    ]
-    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
-    for line in reversed(out.stdout.splitlines()):
-        if line.startswith("{"):
-            return json.loads(line)
-    raise RuntimeError(f"level {cpus} produced no JSON:\n{out.stderr[-2000:]}")
 
 
 def inner(cpus: int, docs: int, iters: int, parts: int, shuf: int) -> None:
     from datavalid_spark.cache import release_cached
     from datavalid_spark.operators.dedup import minhash_lsh_pairs
 
-    spark = build_session(cpus, shuf)
+    spark = build_session(cpus, shuf, app="dedup-scaling")
     # small-files packing: 64 × ~2 MB parquet files coalesce into ~4
     # input splits at the default maxPartitionBytes/openCost, capping a
     # map-only pipeline at 4 workers REGARDLESS of cores (measured:
@@ -164,46 +100,14 @@ def inner(cpus: int, docs: int, iters: int, parts: int, shuf: int) -> None:
 
 
 def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=800000)
-    ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--parts", type=int, default=24)
-    ap.add_argument("--shuf", type=int, default=16)
-    ap.add_argument("--level", type=int, default=None)
-    args = ap.parse_args()
-
+    args = std_args(default_docs=800000)
     if args.level:
         inner(args.level, args.docs, args.iters, args.parts, args.shuf)
         return
-
-    ensure_corpus(args.docs)
-    levels = {}
-    # primary N→4N pair is 2→8, matching the suite study
-    # (BENCH/BASELINE.md): this host saturates its shared memory bus —
-    # and oversubscribes vCPUs — above ~16 concurrent workers, so
-    # larger pairs measure the bus, not the plan.  16/32 are appendix.
-    for cpus in (2, 8, 16, 32):
-        levels[cpus] = run_level(cpus, args.docs, args.iters, args.parts, args.shuf)
-        print(f"level {cpus}: {levels[cpus]}", file=sys.stderr)
-    pairs = []
-    for n in (2, 4, 8):
-        if n in levels and n * 4 in levels:
-            e = levels[n * 4]["docs_per_sec"] / (4 * levels[n]["docs_per_sec"])
-            pairs.append({"N": n, "4N": n * 4, "scaling_efficiency": round(e, 3)})
-    eff = pairs[0]["scaling_efficiency"] if pairs else None
-    summary = {
-        "job": "minhash_lsh capped near-dup detection",
-        "docs": args.docs,
-        "parts": args.parts,
-        "shuffle_partitions": args.shuf,
-        "levels": levels,
-        "N": 2,
-        "4N": 8,
-        "scaling_efficiency": eff,
-        "meets_0.8": bool(eff and eff >= 0.8),
-        "pairs": pairs,
-    }
-    print(json.dumps(summary))
+    # primary N-to-4N pair is 2-to-8, matching the suite study
+    # (BENCH/BASELINE.md); 16/32 are appendix rows (vCPU
+    # oversubscription above ~18.5 effective cores -- see harness)
+    run_study(__file__, "minhash_lsh capped near-dup detection", args, CORPUS)
 
 
 if __name__ == "__main__":

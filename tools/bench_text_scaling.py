@@ -1,6 +1,7 @@
 """Two-level scaling study for the session-8 text-pipeline family
-(companion to tools/bench_scaling.py — validation suite — and
-tools/bench_dedup_scaling.py — dedup/LSH family).
+(methodology + outer harness shared via tools/scaling_harness.py;
+companion to bench_scaling.py — validation suite — and
+bench_dedup_scaling.py — dedup/LSH family).
 
 Job: benchmark decontamination + repetition filtering over N docs of
 the bench source-code table, end-to-end:
@@ -19,91 +20,22 @@ compute (interpreted HOF gram construction + fold), i.e. the
 embarrassingly-parallel regime where scaling should be near-linear —
 this study is the evidence.
 
-Methodology identical to bench_dedup_scaling.py (see its docstring for
-the measured rationale): taskset-pinned JVMs so GC/JIT threads are
-capped with the cores; FIXED task granularity across levels
-(--parts/--shuf sized for the 4N level); warm best-of-5 because C2 JIT
-is core-limited at 2 pinned cores.
-
 Usage: python tools/bench_text_scaling.py [--docs 400000] [--iters 5]
        python tools/bench_text_scaling.py --level 4   (inner, pinned)
 """
 
 from __future__ import annotations
 
-import argparse
 import json
 import os
-import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SRC = "/tmp/dv_bench_src_2000000_42"  # written by bench.py setup
+from tools.scaling_harness import build_session, run_study, std_args
+
 CORPUS = "/tmp/dv_text_scaling_corpus_{docs}"
-
-
-def build_session(cpus: int, shuf: int = 16):
-    from pyspark.sql import SparkSession
-
-    return (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(f"text-scaling-{cpus}")
-        .config("spark.sql.shuffle.partitions", str(shuf))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "12g")
-        .config("spark.ui.enabled", "false")
-        .config(
-            "spark.driver.extraJavaOptions",
-            f"-XX:+AlwaysPreTouch -XX:ParallelGCThreads={max(cpus // 2, 2)}",
-        )
-        .getOrCreate()
-    )
-
-
-def ensure_corpus(docs: int) -> str:
-    path = CORPUS.format(docs=docs)
-    if os.path.isdir(path):
-        return path
-    from pyspark.sql import functions as F
-
-    spark = build_session(8)
-    (
-        spark.read.parquet(SRC)
-        .limit(docs)
-        .select(F.xxhash64("repo", "path", "commit").alias("doc_id"), "content")
-        .repartition(64)
-        .write.mode("overwrite")
-        .parquet(path)
-    )
-    spark.stop()
-    return path
-
-
-def run_level(cpus: int, docs: int, iters: int, parts: int, shuf: int) -> dict:
-    cmd = [
-        "taskset",
-        "-c",
-        f"0-{cpus - 1}",
-        sys.executable,
-        os.path.abspath(__file__),
-        "--level",
-        str(cpus),
-        "--docs",
-        str(docs),
-        "--iters",
-        str(iters),
-        "--parts",
-        str(parts),
-        "--shuf",
-        str(shuf),
-    ]
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
-    for line in reversed(out.stdout.splitlines()):
-        if line.startswith("{"):
-            return json.loads(line)
-    raise RuntimeError(f"level {cpus} produced no JSON:\n{out.stderr[-2000:]}")
 
 
 def inner(cpus: int, docs: int, iters: int, parts: int, shuf: int) -> None:
@@ -113,10 +45,12 @@ def inner(cpus: int, docs: int, iters: int, parts: int, shuf: int) -> None:
     from datavalid_spark.functions.text import dup_gram_frac_text
     from datavalid_spark.operators.decontaminate import contamination_report
 
-    spark = build_session(cpus, shuf)
+    spark = build_session(cpus, shuf, app="text-scaling")
     # fixed fan-out shared by every level (small-files packing would
     # otherwise cap the map-side pipeline at ~4 input splits)
-    df = spark.read.parquet(CORPUS.format(docs=docs)).repartition(parts).persist()
+    df = (
+        spark.read.parquet(CORPUS.format(docs=docs)).repartition(parts).persist()
+    )
     n = df.count()
     bench = df.filter(F.col("doc_id") % 50 == 0)
     corpus = df.filter(F.col("doc_id") % 50 != 0)
@@ -150,42 +84,13 @@ def inner(cpus: int, docs: int, iters: int, parts: int, shuf: int) -> None:
 
 
 def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=400000)
-    ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--parts", type=int, default=24)
-    ap.add_argument("--shuf", type=int, default=16)
-    ap.add_argument("--level", type=int, default=None)
-    args = ap.parse_args()
-
+    args = std_args(default_docs=400000)
     if args.level:
         inner(args.level, args.docs, args.iters, args.parts, args.shuf)
         return
-
-    ensure_corpus(args.docs)
-    levels = {}
-    for cpus in (2, 8, 16, 32):
-        levels[cpus] = run_level(cpus, args.docs, args.iters, args.parts, args.shuf)
-        print(f"level {cpus}: {levels[cpus]}", file=sys.stderr)
-    pairs = []
-    for n in (2, 4, 8):
-        if n in levels and n * 4 in levels:
-            e = levels[n * 4]["docs_per_sec"] / (4 * levels[n]["docs_per_sec"])
-            pairs.append({"N": n, "4N": n * 4, "scaling_efficiency": round(e, 3)})
-    eff = pairs[0]["scaling_efficiency"] if pairs else None
-    summary = {
-        "job": "decontaminate + repetition filter",
-        "docs": args.docs,
-        "parts": args.parts,
-        "shuffle_partitions": args.shuf,
-        "levels": levels,
-        "N": 2,
-        "4N": 8,
-        "scaling_efficiency": eff,
-        "meets_0.8": bool(eff and eff >= 0.8),
-        "pairs": pairs,
-    }
-    print(json.dumps(summary))
+    run_study(
+        __file__, "decontaminate + repetition filter", args, CORPUS
+    )
 
 
 if __name__ == "__main__":

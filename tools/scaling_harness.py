@@ -1,0 +1,150 @@
+"""Shared pinned-JVM N-vs-4N scaling harness for the per-family
+scaling studies (`bench_dedup_scaling.py`, `bench_text_scaling.py`).
+The measured methodology both studies rely on lives HERE so a fix
+lands once (it previously existed in three near-verbatim copies):
+
+- each level runs in its own subprocess JVM under ``taskset -c
+  0..N-1`` with ``-XX:ParallelGCThreads=N/2`` and ``+AlwaysPreTouch``
+  (unpinned G1 sizes its worker pool to the machine's 32 cores and an
+  un-pretouched heap takes minute-scale page-fault storms — both
+  measured, see BENCH/BASELINE.md "Method");
+- FIXED task granularity across levels (callers pass --parts/--shuf
+  sized for the 4N level; cpus-scaled partitioning understates
+  efficiency by ~0.07 by giving the small level fewer, larger tasks);
+- warm best-of-``iters`` per level (C2 JIT is itself core-limited
+  under taskset: at 2 pinned cores iteration times keep falling
+  through iteration ~4);
+- primary N→4N pair is 2→8; 16/32 are appendix rows (the host
+  oversubscribes vCPUs above ~18.5 effective cores).
+
+``bench_scaling.py`` (the validation-suite study) predates this
+module and keeps its own copy: its input is row-count-based with
+per-stage timings and a markdown writer, and its recorded numbers are
+the north-rule gate — not worth destabilizing for the dedup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+#: 2M-row synthetic source-code table written by `bench.py` setup
+SRC = "/tmp/dv_bench_src_2000000_42"
+
+LEVELS = (2, 8, 16, 32)
+
+
+def build_session(cpus: int, shuf: int = 16, app: str = "scaling"):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"{app}-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(shuf))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "12g")
+        .config("spark.ui.enabled", "false")
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:+AlwaysPreTouch -XX:ParallelGCThreads={max(cpus // 2, 2)}",
+        )
+        .getOrCreate()
+    )
+
+
+def ensure_corpus(docs: int, path_tmpl: str) -> str:
+    """(doc_id, content) parquet of the first ``docs`` bench rows, 64
+    files, cached under the template path."""
+    path = path_tmpl.format(docs=docs)
+    if os.path.isdir(path):
+        return path
+    from pyspark.sql import functions as F
+
+    spark = build_session(8)
+    (
+        spark.read.parquet(SRC)
+        .limit(docs)
+        .select(F.xxhash64("repo", "path", "commit").alias("doc_id"), "content")
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    spark.stop()
+    return path
+
+
+def run_level(
+    script: str, cpus: int, docs: int, iters: int, parts: int, shuf: int
+) -> dict:
+    """Re-invoke ``script`` pinned to ``cpus`` cores; scrape its JSON
+    result line."""
+    cmd = [
+        "taskset",
+        "-c",
+        f"0-{cpus - 1}",
+        sys.executable,
+        os.path.abspath(script),
+        "--level",
+        str(cpus),
+        "--docs",
+        str(docs),
+        "--iters",
+        str(iters),
+        "--parts",
+        str(parts),
+        "--shuf",
+        str(shuf),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    for line in reversed(out.stdout.splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"level {cpus} produced no JSON:\n{out.stderr[-2000:]}")
+
+
+def run_study(script: str, job: str, args, path_tmpl: str) -> None:
+    """The outer main(): build the corpus, run every level pinned,
+    derive the N→4N efficiency pairs, print the one-line summary."""
+    ensure_corpus(args.docs, path_tmpl)
+    levels = {}
+    for cpus in LEVELS:
+        levels[cpus] = run_level(
+            script, cpus, args.docs, args.iters, args.parts, args.shuf
+        )
+        print(f"level {cpus}: {levels[cpus]}", file=sys.stderr)
+    pairs = []
+    for n in (2, 4, 8):
+        if n in levels and n * 4 in levels:
+            e = levels[n * 4]["docs_per_sec"] / (4 * levels[n]["docs_per_sec"])
+            pairs.append({"N": n, "4N": n * 4, "scaling_efficiency": round(e, 3)})
+    eff = pairs[0]["scaling_efficiency"] if pairs else None
+    print(
+        json.dumps(
+            {
+                "job": job,
+                "docs": args.docs,
+                "parts": args.parts,
+                "shuffle_partitions": args.shuf,
+                "levels": levels,
+                "N": 2,
+                "4N": 8,
+                "scaling_efficiency": eff,
+                "meets_0.8": bool(eff and eff >= 0.8),
+                "pairs": pairs,
+            }
+        )
+    )
+
+
+def std_args(default_docs: int):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=default_docs)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--parts", type=int, default=24)
+    ap.add_argument("--shuf", type=int, default=16)
+    ap.add_argument("--level", type=int, default=None)
+    return ap.parse_args()
