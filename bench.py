@@ -67,6 +67,9 @@ HEADLINE_QUERIES = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_clusters",
+    "line_dedup",
+    "span_dedup",
+    "semantic_dedup",
     "minhash_lsh",
     "simhash",
     "knn_bruteforce",

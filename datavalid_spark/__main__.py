@@ -109,10 +109,44 @@ def table_main(argv) -> int:
             spark.stop()
 
 
+def curate_main(argv) -> int:
+    """``python -m datavalid_spark curate <curate.yml>`` — run a
+    YAML-declared corpus-curation pipeline (plans/curate.py): dedup /
+    decontamination / quality / repetition / mixture / shard stages
+    over a parquet-orc-jsonl-csv-snaplog input, curated parquet out."""
+    parser = argparse.ArgumentParser("datavalid_spark curate")
+    parser.add_argument("config", help="path to curate.yml")
+    parser.add_argument("--master", type=str, default="local[*]")
+    args = parser.parse_args(argv)
+
+    from datavalid_spark.plans.curate import CurateConfigError, load_curate, run
+
+    try:
+        plan = load_curate(args.config)
+    except CurateConfigError as e:
+        print(f"curate config error: {e}", file=sys.stderr)
+        return 2
+    from pyspark.sql import SparkSession
+
+    existing = SparkSession.getActiveSession()
+    spark = existing or build_spark(args.master)
+    try:
+        report = run(plan, spark)
+    finally:
+        if existing is None:
+            spark.stop()
+    for name in report["stages"]:
+        print(f"stage {name}: {report['stages'][name] or 'on'}")
+    print(f"wrote {report['rows_out']} rows -> {report['output']}")
+    return 0
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else list(argv)
     if argv[:1] == ["table"]:
         return table_main(argv[1:])
+    if argv[:1] == ["curate"]:
+        return curate_main(argv[1:])
     parser = argparse.ArgumentParser("datavalid_spark")
     parser.add_argument(
         "--dir", type=pathlib.Path, default=None, help="directory containing datavalid.yml"

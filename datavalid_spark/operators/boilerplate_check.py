@@ -1,0 +1,163 @@
+"""Pipeline-level boilerplate checker: fail rows whose text is
+dominated by corpus-duplicated content.
+
+Exposes the line-level (``operators/linededup.py``) and
+substring-level (``operators/spandedup.py``) rewrite operators on the
+YAML task surface with the reference's table-checker contract
+(reference task.py:26-130): the task fails iff any document's
+duplicated-content fraction exceeds ``max_frac``, and ``violations``
+returns the offending rows with their ORIGINAL columns::
+
+    tasks:
+      - name: boilerplate bounded
+        max_boilerplate:
+          id: doc_id
+          content: text
+          method: line            # line | span
+          max_frac: 0.3
+          min_docs: 10            # line: corpus-common threshold
+          # tile: 64              # span: tile width
+          # min_count: 2          # span: corpus instance threshold
+
+The duplicated fraction is measured as CHARACTERS REMOVED by the
+corresponding rewrite operator divided by the document's original
+length (for ``line`` that includes the removed lines' newline
+separators — the fraction of the document a cleaner would delete).
+Like ``no_near_duplicates``, the statistic is GLOBAL (corpus-common
+lines/tiles are a property of the corpus, not of a task group);
+``group_by`` still verdicts per group over the globally-computed
+fractions.  Scale shape is inherited from the underlying operators:
+one partially-aggregated frequency shuffle, map-side rewrite.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datavalid_spark.operators.checks import TableCheck
+
+_ORIG = "__dv_orig_text"
+
+
+class MaxBoilerplateCheck(TableCheck):
+    """Fail iff any document's corpus-duplicated fraction > max_frac."""
+
+    key = "max_boilerplate"
+
+    METHODS = ("line", "span")
+
+    def __init__(
+        self,
+        id: str,
+        content: str = "text",
+        method: str = "line",
+        max_frac: float = 0.3,
+        min_docs: int = 10,
+        tile: int = 64,
+        min_count: int = 2,
+        inset_limit: int = 10_000,
+        broadcast_key_limit: int = 1_000_000,
+        max_frac_exclusive: bool = True,
+    ) -> None:
+        if method not in self.METHODS:
+            raise ValueError(
+                'unknown method "%s" (choose from %s)'
+                % (method, ", ".join(self.METHODS))
+            )
+        if not 0.0 <= max_frac <= 1.0:
+            raise ValueError("max_frac must be in [0, 1], got %r" % (max_frac,))
+        self.id = id
+        self.content = content
+        self.method = method
+        self.max_frac = max_frac
+        self.min_docs = min_docs
+        self.tile = tile
+        self.min_count = min_count
+        self.inset_limit = inset_limit
+        self.broadcast_key_limit = broadcast_key_limit
+        self.max_frac_exclusive = max_frac_exclusive
+
+    # ---------------------------------------------------------- fractions
+
+    def fractions(self, df: DataFrame) -> DataFrame:
+        """``df``'s original columns + ``boilerplate_frac`` (double in
+        [0,1]; 0 for empty/NULL text)."""
+        tagged = df.withColumn(_ORIG, F.col(self.content))
+        if self.method == "line":
+            from datavalid_spark.operators.linededup import remove_common_lines
+
+            out = remove_common_lines(
+                tagged,
+                self.id,
+                self.content,
+                min_docs=self.min_docs,
+                inset_limit=self.inset_limit,
+                broadcast_key_limit=self.broadcast_key_limit,
+            )
+            removed_chars = F.length(_ORIG) - F.length(self.content)
+        else:
+            from datavalid_spark.operators.spandedup import (
+                remove_duplicated_spans,
+            )
+
+            out = remove_duplicated_spans(
+                tagged,
+                self.id,
+                self.content,
+                tile=self.tile,
+                min_count=self.min_count,
+                broadcast_key_limit=self.broadcast_key_limit,
+            )
+            removed_chars = F.col("n_removed_chars")
+        n = F.length(_ORIG)
+        frac = F.when(
+            n.isNull() | (n == 0), F.lit(0.0)
+        ).otherwise(removed_chars.cast("double") / n)
+        keep = [c for c in df.columns if c != self.content]
+        return out.select(
+            *keep,
+            F.col(_ORIG).alias(self.content),
+            frac.alias("boilerplate_frac"),
+        )
+
+    # ------------------------------------------------------- violations
+
+    def violations(self, df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+        cmp = F.col("boilerplate_frac") > self.max_frac
+        if not self.max_frac_exclusive:
+            cmp = F.col("boilerplate_frac") >= self.max_frac
+        return (
+            self.fractions(df)
+            .filter(cmp)
+            .select(*df.columns)
+        )
+
+    def _err_msg(self, n: int) -> str:
+        return "There are %d rows with boilerplate fraction > %s (%s-level)" % (
+            n,
+            self.max_frac,
+            self.method,
+        )
+
+    def to_markdown(self) -> str:
+        what = (
+            "corpus-common lines (>= %d docs)" % self.min_docs
+            if self.method == "line"
+            else "corpus-duplicated %d-char tiles (>= %d occurrences)"
+            % (self.tile, self.min_count)
+        )
+        return "Ensure no row's `%s` is more than %s %s" % (
+            self.content,
+            self.max_frac,
+            what,
+        )
+
+
+# self-registration keeps the checks<->*_check import cycle safe in
+# both import orders (same pattern as dedup_check.py)
+from datavalid_spark.operators.checks import TABLE_CHECKS  # noqa: E402
+
+TABLE_CHECKS.setdefault("max_boilerplate", MaxBoilerplateCheck)

@@ -597,6 +597,12 @@ try:
 except ImportError:  # pragma: no cover - mid-import of drift_check
     pass
 
+try:
+    # registers "max_boilerplate" (same pattern)
+    from datavalid_spark.operators import boilerplate_check as _bp_check  # noqa: E402,F401
+except ImportError:  # pragma: no cover - mid-import of boilerplate_check
+    pass
+
 
 def build_table_check(key: str, value, today: Optional[datetime.date] = None) -> TableCheck:
     if key not in TABLE_CHECKS:
@@ -612,7 +618,7 @@ def build_table_check(key: str, value, today: Optional[datetime.date] = None) ->
         if isinstance(value, dict):
             return cls(**value)
         return cls(value)
-    if key in ("empty", "no_near_duplicates", "no_drift"):
+    if key in ("empty", "no_near_duplicates", "no_drift", "max_boilerplate"):
         return cls(**(value or {}))
     kwargs = dict(value or {})
     kwargs["today"] = today

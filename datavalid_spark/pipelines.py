@@ -46,6 +46,7 @@ def curate_corpus(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    dedup: bool = True,
     contamination_ngram: int = 8,
     quality_min: Optional[float] = None,
     max_dup_gram_frac: Optional[float] = None,
@@ -64,7 +65,11 @@ def curate_corpus(
     from content hashes / ``md5(id)`` — a re-run, a repartition, or a
     different engine reproduces the identical corpus.
     """
-    out = distinct_by_content(docs, content_col=text_col, tiebreak=id_col)
+    out = (
+        distinct_by_content(docs, content_col=text_col, tiebreak=id_col)
+        if dedup
+        else docs
+    )
 
     if benchmark is not None:
         # the contaminated-id set is O(matches) — rare by construction —

@@ -1,0 +1,248 @@
+"""YAML-driven corpus-curation plans: the declarative surface over the
+curation operators, mirroring how ``plans/config.py`` drives the
+validation operators from ``datavalid.yml``.
+
+A ``curate.yml`` names an input corpus, an output path, and a set of
+stages; every stage is one of the engine's independently
+oracle-verified operators and the composition is the documented fixed
+order (each stage only sees survivors of the previous one):
+
+.. code-block:: yaml
+
+    input: corpus.parquet          # parquet / orc / jsonl / csv /
+    output: curated.parquet        #   snapshot-table dir (snaplog)
+    id_column: doc_id              # default doc_id
+    text_column: text              # default text
+    report: report.json            # optional: row counts json
+    stages:
+      line_dedup: {min_docs: 10}           # boilerplate line strip
+      span_dedup: {tile: 64, min_count: 2} # duplicated-substring cut
+      dedup: true                          # exact content dedup
+      decontaminate: {benchmark: bench.parquet, ngram: 8}
+      quality: {min: 0.25}
+      repetition: {ngram: 2, max_dup_gram_frac: 0.2}
+      mixture: {group_column: source, rates: {web: 0.5}, default_rate: 1}
+      shards: {budget: 100000}             # adds a `shard` column
+
+Stage order is FIXED (the order above — rewrite passes first so
+hashes/grams see cleaned text, then the corpus-level dedup, then
+pure filters, then sampling and packing); YAML key order is ignored.
+Everything stays one lazy plan except the stages that are inherently
+multi-job (line/span stats collection, dedup's shuffle, the shard
+prefix sum) — same cost structure as ``pipelines.curate_corpus``.
+
+Config validation (unknown stages / unknown or mistyped stage keys)
+raises ``CurateConfigError`` WITHOUT needing a SparkSession, matching
+the validation config's fail-before-cluster-time contract.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+from dataclasses import dataclass, field
+from types import SimpleNamespace
+from typing import Optional
+
+
+class CurateConfigError(Exception):
+    """Bad curate.yml — raised at load time, before any Spark work."""
+
+
+#: stage name → allowed option keys (True-valued stages take no options)
+_STAGE_KEYS = {
+    "line_dedup": {"min_docs", "inset_limit", "broadcast_key_limit"},
+    "span_dedup": {"tile", "min_count", "broadcast_key_limit"},
+    "dedup": set(),
+    "decontaminate": {"benchmark", "ngram"},
+    "quality": {"min"},
+    "repetition": {"ngram", "max_dup_gram_frac"},
+    "mixture": {"group_column", "rates", "default_rate"},
+    "shards": {"budget"},
+}
+
+#: the fixed execution order (see module docstring)
+_STAGE_ORDER = [
+    "line_dedup",
+    "span_dedup",
+    "dedup",
+    "decontaminate",
+    "quality",
+    "repetition",
+    "mixture",
+    "shards",
+]
+
+
+@dataclass
+class CuratePlan:
+    input: str
+    output: str
+    id_column: str = "doc_id"
+    text_column: str = "text"
+    report: Optional[str] = None
+    stages: dict = field(default_factory=dict)
+
+
+def _require(cond: bool, msg: str) -> None:
+    if not cond:
+        raise CurateConfigError(msg)
+
+
+def load_curate(path) -> CuratePlan:
+    """Parse + validate a curate.yml (no SparkSession needed)."""
+    import yaml
+
+    path = pathlib.Path(path)
+    _require(path.exists(), f"no such file: {path}")
+    raw = yaml.safe_load(path.read_text())
+    _require(isinstance(raw, dict), "curate.yml must be a mapping")
+    known_top = {"input", "output", "id_column", "text_column", "report", "stages"}
+    unknown = set(raw) - known_top
+    _require(not unknown, f"unknown top-level keys: {sorted(unknown)}")
+    for key in ("input", "output"):
+        _require(
+            isinstance(raw.get(key), str) and raw[key],
+            f"curate.yml needs a non-empty string {key!r}",
+        )
+    stages = raw.get("stages") or {}
+    _require(isinstance(stages, dict) and stages, "curate.yml needs >=1 stage")
+    for name, opts in stages.items():
+        _require(
+            name in _STAGE_KEYS,
+            f"unknown stage {name!r} (known: {sorted(_STAGE_KEYS)})",
+        )
+        if opts is True or opts is None:
+            stages[name] = {}
+            continue
+        _require(
+            isinstance(opts, dict),
+            f"stage {name!r} must be a mapping or `true`",
+        )
+        bad = set(opts) - _STAGE_KEYS[name]
+        _require(
+            not bad,
+            f"stage {name!r}: unknown keys {sorted(bad)}"
+            f" (allowed: {sorted(_STAGE_KEYS[name])})",
+        )
+    if "decontaminate" in stages:
+        _require(
+            isinstance(stages["decontaminate"].get("benchmark"), str),
+            "stage 'decontaminate' needs a 'benchmark' path",
+        )
+    for name, key, types in (
+        ("quality", "min", (int, float)),
+        ("repetition", "max_dup_gram_frac", (int, float)),
+        ("shards", "budget", int),
+    ):
+        if name in stages:
+            _require(
+                isinstance(stages[name].get(key), types)
+                and not isinstance(stages[name].get(key), bool),
+                f"stage {name!r} needs a numeric {key!r}",
+            )
+    if "mixture" in stages:
+        m = stages["mixture"]
+        _require(
+            isinstance(m.get("group_column"), str)
+            and isinstance(m.get("rates"), dict),
+            "stage 'mixture' needs 'group_column' and a 'rates' mapping",
+        )
+    # resolve relative paths against the yml's directory (same contract
+    # as datavalid.yml file paths)
+    base = path.parent
+    resolved = dict(stages)
+    if "decontaminate" in resolved:
+        d = dict(resolved["decontaminate"])
+        d["benchmark"] = str((base / d["benchmark"]).resolve())
+        resolved["decontaminate"] = d
+    return CuratePlan(
+        input=str((base / raw["input"]).resolve()),
+        output=str((base / raw["output"]).resolve()),
+        id_column=raw.get("id_column", "doc_id"),
+        text_column=raw.get("text_column", "text"),
+        report=(
+            str((base / raw["report"]).resolve()) if raw.get("report") else None
+        ),
+        stages=resolved,
+    )
+
+
+def _read(spark, path: str):
+    from datavalid_spark.runner import open_source
+
+    return open_source(SimpleNamespace(filepath=path), spark)[0]
+
+
+def build(plan: CuratePlan, spark):
+    """Compose the lazy curated-corpus DataFrame for ``plan``."""
+    from pyspark.sql import functions as F
+
+    from datavalid_spark.pipelines import curate_corpus
+
+    docs = _read(spark, plan.input)
+    for col in (plan.id_column, plan.text_column):
+        _require(
+            col in docs.columns,
+            f"input {plan.input!r} has no column {col!r} "
+            f"(columns: {docs.columns})",
+        )
+    st = plan.stages
+    if "line_dedup" in st:
+        from datavalid_spark.operators.linededup import remove_common_lines
+
+        docs = remove_common_lines(
+            docs, plan.id_column, plan.text_column, **st["line_dedup"]
+        ).drop("n_removed")
+    if "span_dedup" in st:
+        from datavalid_spark.operators.spandedup import remove_duplicated_spans
+
+        docs = remove_duplicated_spans(
+            docs, plan.id_column, plan.text_column, **st["span_dedup"]
+        ).drop("n_removed_chars")
+    benchmark = (
+        _read(spark, st["decontaminate"]["benchmark"])
+        if "decontaminate" in st
+        else None
+    )
+    mixture = st.get("mixture", {})
+    return curate_corpus(
+        docs,
+        benchmark,
+        id_col=plan.id_column,
+        text_col=plan.text_column,
+        dedup="dedup" in st,
+        contamination_ngram=st.get("decontaminate", {}).get("ngram", 8),
+        quality_min=st["quality"]["min"] if "quality" in st else None,
+        max_dup_gram_frac=st["repetition"].get("max_dup_gram_frac")
+        if "repetition" in st
+        else None,
+        rep_ngram=st.get("repetition", {}).get("ngram", 2),
+        rates=mixture.get("rates") if "mixture" in st else None,
+        group_col=mixture.get("group_column"),
+        default_rate=float(mixture.get("default_rate", 0.0)),
+        shard_budget=st["shards"]["budget"] if "shards" in st else None,
+    )
+
+
+def run(plan: CuratePlan, spark) -> dict:
+    """Execute the plan: write the curated parquet, return (and
+    optionally persist) a small report.  ``rows_out`` is read back
+    from the written parquet's footers — no extra pass over the
+    plan."""
+    out = build(plan, spark)
+    out.write.mode("overwrite").parquet(plan.output)
+    rows_out = spark.read.parquet(plan.output).count()
+    report = {
+        "input": plan.input,
+        "output": plan.output,
+        "stages": {k: plan.stages[k] for k in _STAGE_ORDER if k in plan.stages},
+        "rows_out": rows_out,
+        "columns": out.columns,
+    }
+    if plan.report:
+        pathlib.Path(plan.report).write_text(json.dumps(report, indent=2))
+    from datavalid_spark.cache import release_cached
+
+    release_cached()
+    return report

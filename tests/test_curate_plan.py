@@ -1,0 +1,173 @@
+"""YAML curation plans (plans/curate.py) + the `curate` CLI
+subcommand: config validation fails fast WITHOUT a SparkSession;
+end-to-end run writes the curated parquet and the report, matching a
+hand-built composition of the same verified operators."""
+
+import json
+
+import pytest
+
+from datavalid_spark.plans.curate import (
+    CurateConfigError,
+    build,
+    load_curate,
+    run,
+)
+
+MINIMAL = """
+input: corpus.parquet
+output: out.parquet
+stages:
+  dedup: true
+"""
+
+
+def _write(tmp_path, text, name="curate.yml"):
+    p = tmp_path / name
+    p.write_text(text)
+    return p
+
+
+# ----- validation: no SparkSession needed -----
+
+
+def test_load_minimal(tmp_path):
+    plan = load_curate(_write(tmp_path, MINIMAL))
+    assert plan.stages == {"dedup": {}}
+    assert plan.input.endswith("/corpus.parquet")
+    assert plan.id_column == "doc_id" and plan.text_column == "text"
+
+
+def test_unknown_stage_rejected(tmp_path):
+    yml = MINIMAL + "  frobnicate: true\n"
+    with pytest.raises(CurateConfigError, match="unknown stage 'frobnicate'"):
+        load_curate(_write(tmp_path, yml))
+
+
+def test_unknown_stage_key_rejected(tmp_path):
+    yml = "input: a.parquet\noutput: b.parquet\nstages:\n  line_dedup: {min_dcos: 3}\n"
+    with pytest.raises(CurateConfigError, match="unknown keys \\['min_dcos'\\]"):
+        load_curate(_write(tmp_path, yml))
+
+
+def test_decontaminate_requires_benchmark(tmp_path):
+    yml = "input: a.parquet\noutput: b.parquet\nstages:\n  decontaminate: {ngram: 8}\n"
+    with pytest.raises(CurateConfigError, match="'benchmark'"):
+        load_curate(_write(tmp_path, yml))
+
+
+def test_quality_requires_numeric_min(tmp_path):
+    yml = "input: a.parquet\noutput: b.parquet\nstages:\n  quality: true\n"
+    with pytest.raises(CurateConfigError, match="numeric 'min'"):
+        load_curate(_write(tmp_path, yml))
+
+
+def test_mixture_requires_group_and_rates(tmp_path):
+    yml = "input: a.parquet\noutput: b.parquet\nstages:\n  mixture: {rates: {a: 1}}\n"
+    with pytest.raises(CurateConfigError, match="group_column"):
+        load_curate(_write(tmp_path, yml))
+
+
+def test_missing_file_and_top_level_keys(tmp_path):
+    with pytest.raises(CurateConfigError, match="no such file"):
+        load_curate(tmp_path / "absent.yml")
+    with pytest.raises(CurateConfigError, match="unknown top-level"):
+        load_curate(_write(tmp_path, MINIMAL + "outputt: x\n"))
+
+
+# ----- end to end -----
+
+
+def _corpus(spark, tmp_path):
+    # 0/1 exact copies; 2 fails quality (no letters); boilerplate line
+    # shared by 3 docs; doc 4 overlaps the benchmark 8-gram
+    bench_text = "one two three four five six seven eight nine ten"
+    rows = [
+        (0, "the quick brown fox jumps over lazy dogs\nSUBSCRIBE NOW"),
+        (1, "the quick brown fox jumps over lazy dogs\nSUBSCRIBE NOW"),
+        (2, "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18"),
+        (3, "completely original prose about spark engines\nSUBSCRIBE NOW"),
+        (4, bench_text + " extra tail words here\nSUBSCRIBE NOW"),
+    ]
+    corpus = tmp_path / "corpus.parquet"
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(corpus)
+    )
+    bench = tmp_path / "bench.parquet"
+    spark.createDataFrame(
+        [(100, bench_text)], "doc_id long, text string"
+    ).write.parquet(str(bench))
+    return corpus, bench
+
+
+FULL = """
+input: corpus.parquet
+output: out.parquet
+report: report.json
+stages:
+  line_dedup: {min_docs: 3}
+  dedup: true
+  decontaminate: {benchmark: bench.parquet, ngram: 8}
+  quality: {min: 0.3}
+"""
+
+
+def test_run_end_to_end(spark, tmp_path):
+    _corpus(spark, tmp_path)
+    plan = load_curate(_write(tmp_path, FULL))
+    report = run(plan, spark)
+    out = spark.read.parquet(str(tmp_path / "out.parquet"))
+    got = {r.doc_id: r.text for r in out.collect()}
+    # 1 lost to exact dedup (0 kept: lowest id), 2 lost to quality,
+    # 4 lost to decontamination, SUBSCRIBE NOW stripped everywhere
+    assert set(got) == {0, 3}
+    assert "SUBSCRIBE" not in got[0] and "SUBSCRIBE" not in got[3]
+    assert got[0] == "the quick brown fox jumps over lazy dogs"
+    assert report["rows_out"] == 2
+    saved = json.loads((tmp_path / "report.json").read_text())
+    assert saved["rows_out"] == 2
+    assert list(saved["stages"]) == ["line_dedup", "dedup", "decontaminate", "quality"]
+
+
+def test_rewrite_only_plan_skips_dedup(spark, tmp_path):
+    _corpus(spark, tmp_path)
+    yml = """
+input: corpus.parquet
+output: out2.parquet
+stages:
+  line_dedup: {min_docs: 3}
+"""
+    plan = load_curate(_write(tmp_path, yml, "c2.yml"))
+    out = build(plan, spark)
+    # both exact copies survive: no dedup stage configured
+    assert out.count() == 5
+    assert "n_removed" not in out.columns
+
+
+def test_shards_stage_adds_column(spark, tmp_path):
+    _corpus(spark, tmp_path)
+    yml = """
+input: corpus.parquet
+output: out3.parquet
+stages:
+  dedup: true
+  shards: {budget: 60}
+"""
+    plan = load_curate(_write(tmp_path, yml, "c3.yml"))
+    out = build(plan, spark)
+    assert "shard" in out.columns
+    assert out.count() == 4  # only the exact copy dropped
+
+
+def test_cli_curate_subcommand(spark, tmp_path, capsys):
+    _corpus(spark, tmp_path)
+    _write(tmp_path, FULL)
+    from datavalid_spark.__main__ import main
+
+    rc = main(["curate", str(tmp_path / "curate.yml")])
+    assert rc == 0
+    got = capsys.readouterr().out
+    assert "wrote 2 rows" in got
+    # config errors exit 2 without starting Spark work
+    bad = _write(tmp_path, MINIMAL + "  nope: true\n", "bad.yml")
+    assert main(["curate", str(bad)]) == 2
