@@ -1,0 +1,126 @@
+"""Randomized parity harness for the text rewrite operators
+(SURVEY.md §5 extension): re-implement line-level boilerplate removal
+(operators/linededup.py) and tile-span substring dedup
+(operators/spandedup.py) in a few lines of pure Python, and compare
+against the Spark operators on hypothesis-generated corpora.
+
+The Python references are written straight from the operators'
+documented semantics — corpus-common = distinct-document line
+frequency / tile instance frequency; removal is order-preserving and
+instance-complete; empty lines never removed; sub-tile tails always
+kept; NULL text passes through — NOT from the implementations."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from datavalid_spark.cache import release_cached
+from datavalid_spark.operators.linededup import remove_common_lines
+from datavalid_spark.operators.spandedup import duplicated_spans, remove_duplicated_spans
+
+SETTLE = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# small alphabets force collisions (shared lines/tiles) in tiny corpora
+LINE = st.sampled_from(["ad", "sub now", "x", "", "body text", "q r s"])
+texts = st.lists(LINE, min_size=0, max_size=6).map("\n".join)
+doc_text = st.one_of(st.none(), texts)
+corpora = st.lists(doc_text, min_size=1, max_size=8)
+
+TILE_CHARS = st.sampled_from("abc")
+tile_texts = st.one_of(st.none(), st.text(alphabet="abc", min_size=0, max_size=17))
+tile_corpora = st.lists(tile_texts, min_size=1, max_size=8)
+
+
+def _py_remove_common_lines(docs: dict, min_docs: int):
+    freq = Counter()
+    for text in docs.values():
+        if text is None:
+            continue
+        freq.update({l for l in text.split("\n") if l != ""})
+    common = {l for l, n in freq.items() if n >= min_docs}
+    out = {}
+    for i, text in docs.items():
+        if text is None:
+            out[i] = (None, None)
+            continue
+        lines = text.split("\n")
+        kept = [l for l in lines if l not in common]
+        out[i] = ("\n".join(kept), len(lines) - len(kept))
+    return out
+
+
+def _py_spans(docs: dict, tile: int, min_count: int):
+    freq = Counter()
+    tiles = {}
+    for i, text in docs.items():
+        if text is None:
+            tiles[i] = []
+            continue
+        tiles[i] = [
+            text[p * tile : (p + 1) * tile] for p in range(len(text) // tile)
+        ]
+        freq.update(tiles[i])
+    dup = {t for t, n in freq.items() if n >= min_count}
+    spans, rewritten = set(), {}
+    for i, text in docs.items():
+        if text is None:
+            rewritten[i] = (None, None)
+            continue
+        flagged = [p for p, t in enumerate(tiles[i]) if t in dup]
+        runs = []
+        for p in flagged:
+            if runs and p == runs[-1][1]:
+                runs[-1][1] = p + 1
+            else:
+                runs.append([p, p + 1])
+        for a, b in runs:
+            spans.add((i, a * tile, b * tile, b - a))
+        kept = "".join(t for p, t in enumerate(tiles[i]) if p not in set(flagged))
+        tail = text[len(tiles[i]) * tile :]
+        rewritten[i] = (kept + tail, len(flagged) * tile)
+    return spans, rewritten
+
+
+@pytest.mark.parametrize("min_docs", [2, 3])
+@given(corpus=corpora)
+@SETTLE
+def test_remove_common_lines_matches_python(spark, corpus, min_docs):
+    docs = {i: t for i, t in enumerate(corpus)}
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.text, r.n_removed)
+        for r in remove_common_lines(df, min_docs=min_docs).collect()
+    }
+    release_cached()
+    assert got == _py_remove_common_lines(docs, min_docs)
+
+
+@given(corpus=tile_corpora)
+@SETTLE
+def test_span_ops_match_python(spark, corpus):
+    tile, min_count = 4, 2
+    docs = {i: t for i, t in enumerate(corpus)}
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    exp_spans, exp_rw = _py_spans(docs, tile, min_count)
+    got_spans = {
+        (r.doc_id, r.span_start, r.span_end, r.n_tiles)
+        for r in duplicated_spans(df, tile=tile, min_count=min_count).collect()
+    }
+    release_cached()
+    assert got_spans == exp_spans
+    got_rw = {
+        r.doc_id: (r.text, r.n_removed_chars)
+        for r in remove_duplicated_spans(df, tile=tile, min_count=min_count).collect()
+    }
+    release_cached()
+    assert got_rw == exp_rw
