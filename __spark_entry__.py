@@ -961,6 +961,25 @@ def q_embedding_near_dups(spark, sf_dir):
     return pairs.select("id_a", "id_b")
 
 
+def q_semantic_incremental(spark, sf_dir):
+    """Incremental semantic-dedup ingest
+    (semdedup.semantic_dup_pairs_between): the batch is the corpus'
+    every-10th-plus-7 vector re-id'd; centroids train on the corpus and
+    identical vectors co-cluster deterministically, so cross-set pairs
+    ≥ 0.95 are exactly the planted copies (real cross-set max cosine
+    ≈ 0.51).  Pair ids only — no floats in the hash."""
+    from datavalid_spark.operators.semdedup import semantic_dup_pairs_between
+
+    emb = _t_fanout(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 10 == 7).withColumn(
+        "vec_id", F.col("vec_id") + 100_000
+    )
+    out = semantic_dup_pairs_between(
+        batch, emb, "vec_id", threshold=0.95, n_clusters=8
+    )
+    return out.select("id_new", "id_corpus")
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup (operators/semdedup.semantic_dedup): planted exact-copy
     vectors (every 10th-plus-3 re-id'd) are the only pairs ≥ 0.95 (real
@@ -1081,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_incremental": q_embedding_incremental,
         "semantic_dedup": q_semantic_dedup,
+        "semantic_incremental": q_semantic_incremental,
         "ivf_topk": q_ivf_topk,
         "drift_two_sample": q_drift_two_sample,
         "multimodal_validate": q_multimodal_validate,
@@ -1799,6 +1819,18 @@ losers AS (
   WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
 )
 SELECT vec_id FROM u WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+""",
+        # cross-set SemDeDup: planted copies are the only cross-set
+        # pairs >= 0.95 and always co-cluster (identical vectors,
+        # corpus-trained centroids), so the cluster scoping drops
+        # nothing the exact-cosine oracle would keep
+        "semantic_incremental": """
+WITH n AS (
+  SELECT vec_id + 100000 AS id_new, embedding FROM embeddings
+  WHERE vec_id % 10 = 7)
+SELECT n.id_new, c.vec_id AS id_corpus
+FROM n JOIN embeddings c ON n.id_new <> c.vec_id
+WHERE list_cosine_similarity(n.embedding, c.embedding) >= 0.95
 """,
         "embedding_incremental": """
 WITH n AS (

@@ -117,6 +117,80 @@ def semantic_dup_pairs(
     )
 
 
+def semantic_dup_pairs_between(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    iters: int = 3,
+    seed: int = 42,
+    max_cluster_size: Optional[int] = None,
+    corpus_assignments: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Cross-set semantic dup pairs ``(id_new, id_corpus, cosine)`` —
+    the INCREMENTAL-ingest form of ``semantic_dup_pairs`` (the
+    SemDeDup twin of ``embedding_near_dups_between``): flag each
+    arriving vector against the existing corpus without re-pairing the
+    corpus with itself.
+
+    Centroids train on the CORPUS (the distribution being ingested
+    into); both sides assign with the same centroid matrix, so an
+    exact copy always co-clusters with its original.  At 100 TB pass
+    ``corpus_assignments`` — the stored ``semantic_assignments``
+    output computed once per corpus snapshot — so each daily batch
+    pays only its own assignment pass, and the narrow batch cluster
+    table broadcasts into the join.  ``max_cluster_size`` truncates
+    the CORPUS side of pathological clusters (row_number by id, same
+    cap contract as the LSH ops).
+
+    Id contract: as in ``embedding_near_dups_between`` — equal ids
+    are excluded as the-same-document self-matches, so independent id
+    spaces that can collide must be re-id'd first."""
+    cvecs = corpus_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # the centroid matrix is re-derived deterministically from
+    # (corpus, n_clusters, iters, seed) — train_centroids is seeded and
+    # Lloyd partial sums are order-independent — so a stored assignment
+    # table stays reusable without persisting centroids beside it; the
+    # retrain costs `iters` Arrow passes over the corpus, which the
+    # 100 TB path amortizes across every daily batch
+    centroids = train_centroids(cvecs, n_clusters, "vec", iters, seed)
+    if corpus_assignments is not None:
+        ca = corpus_assignments.select("id", "cluster")
+    else:
+        ca = persist_tracked(_assign(cvecs, centroids, "vec")).select(
+            "id", F.col("__dv_cluster").alias("cluster")
+        )
+    nvecs = new_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    na = persist_tracked(_assign(nvecs, centroids, "vec"))
+    corpus_narrow = ca.select("id", F.col("cluster").alias("__dv_cluster"))
+    if max_cluster_size is not None:
+        w = Window.partitionBy("__dv_cluster").orderBy("id")
+        corpus_narrow = (
+            corpus_narrow.withColumn("__dv_rn", F.row_number().over(w))
+            .filter(F.col("__dv_rn") <= max_cluster_size)
+            .drop("__dv_rn")
+        )
+    a = na.select("id", "__dv_cluster").alias("a")
+    b = corpus_narrow.alias("b")
+    raw = a.join(
+        b,
+        (F.col("a.__dv_cluster") == F.col("b.__dv_cluster"))
+        & (F.col("a.id") != F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    return (
+        _join_vecs(raw, na.select("id", "vec"), cvecs)
+        .withColumn("cosine", cosine_similarity(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("id_a").alias("id_new"),
+            F.col("id_b").alias("id_corpus"),
+            "cosine",
+        )
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,

@@ -97,6 +97,44 @@ def test_max_cluster_size_caps_pairs(spark):
     assert full == 6 and capped == 1  # only (10, 11) survives the cap
 
 
+def test_pairs_between_cross_set(spark):
+    from datavalid_spark.operators.semdedup import semantic_dup_pairs_between
+
+    corpus = _emb(spark)
+    # batch: exact copy of 10 (re-id'd) + a genuinely new vector
+    batch = spark.createDataFrame(
+        [(110, [1.0, 0.0, 0.0, 0.0]), (120, [0.0, 0.0, 0.0, 1.0])], SCHEMA
+    )
+    got = {
+        (r.id_new, r.id_corpus)
+        for r in semantic_dup_pairs_between(
+            batch, corpus, "vec_id", threshold=0.99, n_clusters=2
+        ).collect()
+    }
+    # the copy pairs with every member of the {10,11,12} copy group
+    # (cos 1.0) and with 13 (0.995); the new vector pairs with nothing
+    assert got == {(110, 10), (110, 11), (110, 12), (110, 13)}
+
+
+def test_pairs_between_reuses_assignments(spark):
+    from datavalid_spark.operators.semdedup import (
+        semantic_assignments,
+        semantic_dup_pairs_between,
+    )
+
+    corpus = _emb(spark)
+    batch = spark.createDataFrame([(110, [1.0, 0.0, 0.0, 0.0])], SCHEMA)
+    stored = semantic_assignments(corpus, "vec_id", n_clusters=2)
+    a = semantic_dup_pairs_between(
+        batch, corpus, "vec_id", threshold=0.99, n_clusters=2
+    ).collect()
+    b = semantic_dup_pairs_between(
+        batch, corpus, "vec_id", threshold=0.99, n_clusters=2,
+        corpus_assignments=stored,
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_assignments_schema_and_csim_range(spark):
     asg = semantic_assignments(_emb(spark), "vec_id", n_clusters=2)
     rows = asg.collect()
