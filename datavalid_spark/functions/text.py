@@ -200,15 +200,47 @@ def word_ngrams_all_of_tokens(t: Column, n: int = 2) -> Column:
     """ALL word n-grams (space-joined, duplicates kept) over an
     already-materialised token-array column — the repetition-metrics
     input, where multiplicity is the signal ``array_distinct`` would
-    destroy.  Same CollapseProject caveat as shingles_of_normalized."""
-    cnt = F.size(t)
-    return F.when(
-        cnt >= n,
-        F.transform(
-            F.sequence(F.lit(1), cnt - n + 1),
-            lambda i: F.array_join(F.slice(t, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    destroy.  Same CollapseProject caveat as shingles_of_normalized.
+
+    Each gram is a ``concat`` of ``n`` direct ``element_at`` lookups —
+    NOT ``array_join(slice(...))``: HOFs run interpreted, and the
+    slice form allocates an intermediate sub-array plus a join pass
+    PER GRAM (microbenched 20k docs × 200 tokens, 8 cores: slice+join
+    1.5-1.6 s at n ∈ {2,8} vs 0.43-0.64 s for this form — 2.5-3.5×;
+    a zip_with concat chain was also measured and loses above n≈3 to
+    quadratic prefix re-copying).  Contract note: token arrays must
+    not contain NULL elements (``concat`` nulls the whole gram where
+    ``array_join`` would skip); both builders in this engine
+    (``tokens``/``nonempty_tokens``) produce NULL-free arrays.
+
+    ``t`` itself is let-bound (``let_once``) before the per-gram
+    lambda ever references it: the elem form mentions the token array
+    n times per gram, and if Catalyst inlines a tokenizer expression
+    into those references (CollapseProject collapses single-reference
+    projections; interpreted lambdas then re-evaluate OUTER
+    expressions per element) the tokenizer runs n times PER GRAM —
+    measured 7→36 s on the sf0.1 decontaminate query when this
+    binding was omitted.  With the binding, substitution can only
+    reach the single array() slot, so any upstream expression
+    evaluates once per row regardless of what the caller projects."""
+
+    def grams_of(tt: Column) -> Column:
+        cnt = F.size(tt)
+
+        def gram(i: Column) -> Column:
+            parts: list = []
+            for j in range(n):
+                if j:
+                    parts.append(F.lit(" "))
+                parts.append(F.element_at(tt, i + j))
+            return F.concat(*parts)
+
+        return F.when(
+            cnt >= n,
+            F.transform(F.sequence(F.lit(1), cnt - n + 1), gram),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let_once(t, grams_of)
 
 
 # ------------------------------------------------- repetition metrics
