@@ -519,6 +519,52 @@ def q_sample_repeat(spark, sf_dir):
     return out.select("doc_id", "source", "copy")
 
 
+def q_global_shuffle(spark, sf_dir):
+    """Deterministic global corpus shuffle
+    (operators/sampling.global_shuffle): every document gets a 0-based
+    position in the md5(id:seed) permutation plus a 1000-row shard id —
+    the "shuffle once, then shard" training-order export step.
+    Positions come from the two-phase distributed prefix sum
+    (range-partition by hash, count within partitions, add collected
+    offsets), NOT a single-task global window."""
+    from datavalid_spark.operators.sampling import global_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return global_shuffle(docs, "doc_id", seed=42, rows_per_shard=1000).select(
+        "doc_id", "source", "position", "shard"
+    )
+
+
+def q_table_diff(spark, sf_dir):
+    """Row-level changelog between two table versions
+    (operators/diffs.table_diff; SnapshotTable.diff is the file-pruned
+    wrapper): added / removed / changed rows by key, with each side
+    reduced to (key, 256-bit fingerprint) BEFORE the full-outer join so
+    wide content never rides the shuffle.  Fixture: version B of orders
+    deletes every 97th key, rewrites the priority of every 101st, and
+    appends re-id'd copies of every 500th."""
+    from datavalid_spark.operators.diffs import table_diff
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    new = (
+        base.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 101 == 0, F.lit("X-RUSH")).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 500 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 1_000_000
+            )
+        )
+    )
+    return table_diff(base, new, keys=["o_orderkey"])
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style within-document repetition metrics
     (functions/text.repetition_stats_of_grams): per document, the most
@@ -1072,6 +1118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "sample_weighted": q_sample_weighted,
         "sample_repeat": q_sample_repeat,
+        "global_shuffle": q_global_shuffle,
+        "table_diff": q_table_diff,
         "pack_shards": q_pack_shards,
         "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
@@ -1575,6 +1623,39 @@ WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
         # NULL ids are dropped (weighted_repeat contract: no
         # deterministic hash exists for them) — the fixture has none,
         # the predicate documents the parity.
+        "global_shuffle": """
+WITH p AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id
+         ) - 1 AS position
+  FROM documents)
+SELECT doc_id, source, CAST(position AS BIGINT) AS position,
+       CAST(position // 1000 AS BIGINT) AS shard
+FROM p
+""",
+        "table_diff": """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+), new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 101 = 0 THEN 'X-RUSH'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 1000000, o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderkey % 500 = 0
+)
+SELECT o_orderkey, diff_status FROM (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+              THEN 'changed' END AS diff_status
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey) t
+WHERE diff_status IS NOT NULL
+""",
         "sample_repeat": """
 WITH n AS (
   SELECT doc_id, source,

@@ -1,0 +1,106 @@
+"""Row-level table diff — the validation engine's changelog view.
+
+``table_diff`` answers the question a validator's users ask between two
+data drops: *which rows were added, removed, or changed?*  The reference
+has no such operator (its pandas runner re-reads whole CSVs per run,
+``datavalid/data.py``); at 10^12-file scale re-validating everything per
+drop is exactly what the north rule's resumable-lineage design avoids,
+and a diff is the other half of that story: point the pointwise checks
+at the CHANGED rows only.
+
+Scale shape:
+
+- Each side is projected to ``keys + one 256-bit fingerprint`` BEFORE
+  the join, so wide content columns (the north-rule ``content`` blob)
+  never ride the shuffle — the exchange carries O(rows × key width),
+  not O(table bytes).
+- The full-outer join shuffles both sides by key once; that is the
+  information-theoretic minimum for a generic set diff.  AQE handles
+  skewed keys (mono-repo partitions) like every other join here.
+- ``SnapshotTable.diff`` (sources/snaplog.py) feeds this with only the
+  CHURNED files of each snapshot: copy-on-write never mutates a data
+  file, so a file referenced by both manifests contributes identical
+  rows to both sides and cancels exactly — diff cost is O(churn), not
+  O(table).  That file-level cancellation, not the join, is what makes
+  a changelog over a 10^12-file table affordable.
+
+Fingerprint choice: ``sha2(to_json(struct(cols)), 256)`` — 256-bit, so
+a changed row cannot collide into "unchanged" in any realistic corpus
+(a 64-bit ``xxhash64`` would see birthday collisions at ~2^32 rows).
+``to_json`` omits NULL fields, which is unambiguous here because the
+field set is fixed: a value→NULL transition changes the JSON (field
+disappears) and is detected.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["row_fingerprint", "table_diff"]
+
+
+def row_fingerprint(cols: Sequence[str]) -> F.Column:
+    """256-bit content fingerprint over ``cols`` (sorted caller-side if
+    order-insensitivity is wanted).  Never NULL — ``to_json`` of a
+    struct is a non-null string even when every field is NULL — so a
+    NULL fingerprint after an outer join means "side absent", a sentinel
+    ``table_diff`` relies on."""
+    if not cols:
+        # key-only tables: presence is the only signal, nothing can
+        # ever read as "changed"
+        return F.lit("")
+    return F.sha2(F.to_json(F.struct(*[F.col(c) for c in cols])), 256)
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Rows added / removed / changed between ``old`` and ``new``.
+
+    ``keys`` must identify a row in each frame (the validator's
+    uniqueness contract — run ``UniqueCheck`` first if unsure); NULL
+    keys match null-safely, like every key join in this engine.
+    ``compare_cols`` defaults to the non-key columns the two frames
+    share (schema evolution adds columns nullable-only, so a column
+    present on one side only cannot distinguish rewritten rows).
+
+    Returns ``keys + diff_status`` where status ∈
+    ``added | removed | changed``; unchanged rows are absent.
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("table_diff requires at least one key column")
+    for side, df in (("old", old), ("new", new)):
+        missing = [k for k in keys if k not in df.columns]
+        if missing:
+            raise ValueError(f"{side} frame is missing key columns {missing}")
+    if compare_cols is None:
+        compare_cols = sorted(
+            (set(old.columns) & set(new.columns)) - set(keys)
+        )
+    else:
+        compare_cols = list(compare_cols)
+
+    o = old.select(*keys, row_fingerprint(compare_cols).alias("__dv_fp_old"))
+    n = new.select(*keys, row_fingerprint(compare_cols).alias("__dv_fp_new"))
+    cond = None
+    for k in keys:
+        c = F.col(f"__dv_o.{k}").eqNullSafe(F.col(f"__dv_n.{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = o.alias("__dv_o").join(n.alias("__dv_n"), cond, "full_outer")
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"__dv_o.{k}"), F.col(f"__dv_n.{k}")).alias(k)
+            for k in keys
+        ],
+        F.when(F.col("__dv_fp_old").isNull(), F.lit("added"))
+        .when(F.col("__dv_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("__dv_fp_old") != F.col("__dv_fp_new"), F.lit("changed"))
+        .alias("diff_status"),
+    ).filter(F.col("diff_status").isNotNull())

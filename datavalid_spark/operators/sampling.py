@@ -334,3 +334,48 @@ def pack_shards(
         .withColumn("shard", F.expr(f"__dv_cum DIV {int(budget)}"))
         .drop("__pid", "__off", "__dv_sz", "__dv_cum")
     )
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    rows_per_shard: Optional[int] = None,
+) -> DataFrame:
+    """Deterministic corpus shuffle for training-order export: every
+    row gets a 0-based ``position`` in the pseudo-random permutation
+    ordered by ``md5(id ':' seed)`` — the standard "shuffle the corpus
+    once, globally, before sharding" step of a training-data pipeline,
+    stable across re-runs, partitioning, and engines (same md5-derived
+    property as every sampler above).  ``rows_per_shard`` additionally
+    cuts the permutation into equal-size ``shard`` ids, so a downstream
+    ``write.partitionBy("shard")`` emits files in shuffled order.
+
+    ``id_col`` must be a non-null unique key: the hash of a unique id
+    is unique, so the (hash, id) order is total and no ties straddle
+    range-partition boundaries.
+
+    Scale shape: the naive ``row_number() OVER (ORDER BY hash)`` is a
+    single-task global sort.  This reuses ``pack_shards``'s two-phase
+    distributed prefix sum (range-partition by hash, count within
+    partitions, add collected per-partition offsets) — unit row size
+    makes the running token sum a running row count, i.e. the position.
+    """
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{int(seed)}")))
+    out = (
+        pack_shards(
+            df.withColumn("__dv_shuf", h),
+            F.lit(1),
+            1,
+            order_by=("__dv_shuf", id_col),
+        )
+        .withColumnRenamed("shard", "position")
+        .drop("__dv_shuf")
+    )
+    if rows_per_shard is not None:
+        if rows_per_shard <= 0:
+            raise ValueError("rows_per_shard must be positive")
+        out = out.withColumn(
+            "shard", F.expr(f"position DIV {int(rows_per_shard)}")
+        )
+    return out

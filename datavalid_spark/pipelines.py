@@ -54,17 +54,33 @@ def curate_corpus(
     rates: Optional[dict] = None,
     group_col: Optional[str] = None,
     default_rate: float = 0.0,
+    shuffle_seed: Optional[int] = None,
+    shuffle_rows_per_shard: Optional[int] = None,
     shard_budget: Optional[int] = None,
 ) -> DataFrame:
     """Run the full curation pipeline; every stage is optional and
     switched on by its argument.
 
-    Returns ``docs``'s columns (plus ``shard`` when ``shard_budget`` is
-    set) for the surviving documents.  Deterministic end to end: the
-    dedup winner, the sample membership, and the shard cuts all derive
-    from content hashes / ``md5(id)`` — a re-run, a repartition, or a
-    different engine reproduces the identical corpus.
+    Returns ``docs``'s columns (plus ``position`` when ``shuffle_seed``
+    is set and ``shard`` when sharding is on) for the surviving
+    documents.  ``shuffle_seed`` assigns every survivor its exact slot
+    in the md5(id:seed) permutation — the "shuffle once, globally,
+    before sharding" training-order step — and a subsequent
+    ``shard_budget`` packs in SHUFFLED order instead of id order
+    (``shuffle_rows_per_shard`` is the row-count alternative; the two
+    sharding modes are mutually exclusive).  Deterministic end to end:
+    the dedup winner, the sample membership, the permutation, and the
+    shard cuts all derive from content hashes / ``md5(id)`` — a re-run,
+    a repartition, or a different engine reproduces the identical
+    corpus.
     """
+    if shuffle_rows_per_shard is not None and shard_budget is not None:
+        raise ValueError(
+            "shuffle_rows_per_shard and shard_budget are mutually "
+            "exclusive — pick row-count or token-budget sharding"
+        )
+    if shuffle_rows_per_shard is not None and shuffle_seed is None:
+        raise ValueError("shuffle_rows_per_shard requires shuffle_seed")
     out = (
         distinct_by_content(docs, content_col=text_col, tiebreak=id_col)
         if dedup
@@ -102,11 +118,20 @@ def curate_corpus(
             raise ValueError("rates requires group_col")
         out = weighted_sample(out, group_col, rates, id_col, default_rate)
 
+    if shuffle_seed is not None:
+        from datavalid_spark.operators.sampling import global_shuffle
+
+        out = global_shuffle(
+            out, id_col, seed=shuffle_seed, rows_per_shard=shuffle_rows_per_shard
+        )
+
     if shard_budget is not None:
         out = pack_shards(
             out,
             F.length(F.col(text_col)),
             shard_budget,
-            order_by=[id_col],
+            # in shuffled mode the budget cuts follow the permutation,
+            # not the id order — position is a unique total order
+            order_by=["position"] if shuffle_seed is not None else [id_col],
         )
     return out

@@ -22,7 +22,14 @@ order (each stage only sees survivors of the previous one):
       quality: {min: 0.25}
       repetition: {ngram: 2, max_dup_gram_frac: 0.2}
       mixture: {group_column: source, rates: {web: 0.5}, default_rate: 1}
+      shuffle: {seed: 42}                  # adds a `position` column
       shards: {budget: 100000}             # adds a `shard` column
+
+``shuffle`` assigns every surviving row its exact slot in the
+md5(id:seed) permutation (training-order export); with ``shards`` the
+token-budget cuts then follow the PERMUTATION instead of id order.
+``shuffle: {rows_per_shard: N}`` is the row-count sharding alternative
+and is mutually exclusive with the ``shards`` stage.
 
 Stage order is FIXED (the order above — rewrite passes first so
 hashes/grams see cleaned text, then the corpus-level dedup, then
@@ -58,6 +65,7 @@ _STAGE_KEYS = {
     "quality": {"min"},
     "repetition": {"ngram", "max_dup_gram_frac"},
     "mixture": {"group_column", "rates", "default_rate"},
+    "shuffle": {"seed", "rows_per_shard"},
     "shards": {"budget"},
 }
 
@@ -70,6 +78,7 @@ _STAGE_ORDER = [
     "quality",
     "repetition",
     "mixture",
+    "shuffle",
     "shards",
 ]
 
@@ -141,6 +150,19 @@ def load_curate(path) -> CuratePlan:
                 and not isinstance(stages[name].get(key), bool),
                 f"stage {name!r} needs a numeric {key!r}",
             )
+    if "shuffle" in stages:
+        sh = stages["shuffle"]
+        for key in ("seed", "rows_per_shard"):
+            if key in sh:
+                _require(
+                    isinstance(sh[key], int) and not isinstance(sh[key], bool),
+                    f"stage 'shuffle' key {key!r} must be an integer",
+                )
+        _require(
+            not ("rows_per_shard" in sh and "shards" in stages),
+            "stage 'shuffle' rows_per_shard and stage 'shards' are "
+            "mutually exclusive — pick row-count or token-budget sharding",
+        )
     if "mixture" in stages:
         m = stages["mixture"]
         _require(
@@ -221,6 +243,8 @@ def build(plan: CuratePlan, spark):
         rates=mixture.get("rates") if "mixture" in st else None,
         group_col=mixture.get("group_column"),
         default_rate=float(mixture.get("default_rate", 0.0)),
+        shuffle_seed=st["shuffle"].get("seed", 42) if "shuffle" in st else None,
+        shuffle_rows_per_shard=st.get("shuffle", {}).get("rows_per_shard"),
         shard_budget=st["shards"]["budget"] if "shards" in st else None,
     )
 
@@ -231,7 +255,24 @@ def run(plan: CuratePlan, spark) -> dict:
     from the written parquet's footers — no extra pass over the
     plan."""
     out = build(plan, spark)
-    out.write.mode("overwrite").parquet(plan.output)
+    if "shard" in out.columns:
+        from pyspark.sql import functions as F
+
+        # real training-export layout: one directory per shard, rows
+        # inside in permutation order when shuffled.  Repartition BY
+        # shard before partitionBy or every input task opens a writer
+        # per shard it touches (input-parts × shards small files — the
+        # same failure mode as unrepartitioned bucketed writes)
+        order = ["position"] if "position" in out.columns else [plan.id_column]
+        (
+            out.repartition(F.col("shard"))
+            .sortWithinPartitions("shard", *order)
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(plan.output)
+        )
+    else:
+        out.write.mode("overwrite").parquet(plan.output)
     rows_out = spark.read.parquet(plan.output).count()
     report = {
         "input": plan.input,

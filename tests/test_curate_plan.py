@@ -171,3 +171,79 @@ def test_cli_curate_subcommand(spark, tmp_path, capsys):
     # config errors exit 2 without starting Spark work
     bad = _write(tmp_path, MINIMAL + "  nope: true\n", "bad.yml")
     assert main(["curate", str(bad)]) == 2
+
+
+def test_shuffle_stage_validation(tmp_path):
+    yml = "input: a.parquet\noutput: b.parquet\nstages:\n  shuffle: {seed: x}\n"
+    with pytest.raises(CurateConfigError, match="'seed' must be an integer"):
+        load_curate(_write(tmp_path, yml, "s1.yml"))
+    yml = (
+        "input: a.parquet\noutput: b.parquet\nstages:\n"
+        "  shuffle: {rows_per_shard: 10}\n  shards: {budget: 100}\n"
+    )
+    with pytest.raises(CurateConfigError, match="mutually exclusive"):
+        load_curate(_write(tmp_path, yml, "s2.yml"))
+
+
+def test_shuffle_stage_positions_and_shuffled_packing(spark, tmp_path):
+    _corpus(spark, tmp_path)
+    yml = """
+input: corpus.parquet
+output: out4.parquet
+stages:
+  dedup: true
+  shuffle: {seed: 7}
+  shards: {budget: 60}
+"""
+    plan = load_curate(_write(tmp_path, yml, "c4.yml"))
+    out = build(plan, spark)
+    rows = out.collect()
+    # exact 0..n-1 permutation of the survivors
+    assert sorted(r["position"] for r in rows) == list(range(len(rows)))
+    # budget cuts follow the permutation: shard ids are monotone in
+    # position, not in doc_id
+    by_pos = sorted(rows, key=lambda r: r["position"])
+    assert all(a["shard"] <= b["shard"] for a, b in zip(by_pos, by_pos[1:]))
+    from datavalid_spark.cache import release_cached
+
+    release_cached()
+
+
+def test_shuffle_rows_per_shard_stage(spark, tmp_path):
+    _corpus(spark, tmp_path)
+    yml = """
+input: corpus.parquet
+output: out5.parquet
+stages:
+  shuffle: {seed: 7, rows_per_shard: 2}
+"""
+    plan = load_curate(_write(tmp_path, yml, "c5.yml"))
+    out = build(plan, spark)
+    rows = out.collect()
+    assert sorted(r["position"] for r in rows) == list(range(len(rows)))
+    assert all(r["shard"] == r["position"] // 2 for r in rows)
+    from datavalid_spark.cache import release_cached
+
+    release_cached()
+
+
+def test_run_writes_shard_partitioned_export(spark, tmp_path):
+    import os
+
+    _corpus(spark, tmp_path)
+    yml = """
+input: corpus.parquet
+output: out6.parquet
+stages:
+  shuffle: {seed: 7, rows_per_shard: 2}
+"""
+    plan = load_curate(_write(tmp_path, yml, "c6.yml"))
+    report = run(plan, spark)
+    # one directory per shard (hive layout), full corpus readable back
+    dirs = sorted(
+        d for d in os.listdir(tmp_path / "out6.parquet") if d.startswith("shard=")
+    )
+    assert dirs == ["shard=0", "shard=1", "shard=2"]
+    back = spark.read.parquet(str(tmp_path / "out6.parquet"))
+    assert back.count() == report["rows_out"] == 5
+    assert sorted(r["position"] for r in back.collect()) == list(range(5))

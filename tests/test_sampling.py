@@ -233,3 +233,51 @@ def test_weighted_repeat_and_sample_drop_null_ids(spark):
     # hash and are dropped even at full/integer rates
     assert weighted_repeat(df, "grp", {"a": 2.0}, "doc_id").count() == 2
     assert weighted_sample(df, "grp", {"a": 1.0}, "doc_id").count() == 1
+
+
+def test_global_shuffle_is_exact_permutation(spark):
+    """Positions are exactly 0..n-1 in md5(id:seed) order — identical
+    to the naive single-window row_number, and a different seed yields
+    a different permutation of the same position set."""
+    from pyspark.sql import Window
+
+    from datavalid_spark.cache import release_cached
+    from datavalid_spark.operators.sampling import global_shuffle
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(2_000)], "doc_id long, source string"
+    ).repartition(8)
+    got = global_shuffle(df, "doc_id", seed=7, rows_per_shard=300)
+
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":7")))
+    w = Window.orderBy(h, F.col("doc_id"))
+    want = df.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("long").alias("position"),
+    )
+    mism = (
+        got.select("doc_id", "position")
+        .join(want.withColumnRenamed("position", "want"), "doc_id")
+        .filter(F.col("position") != F.col("want"))
+        .count()
+    )
+    assert mism == 0
+    # shard = position DIV rows_per_shard
+    assert got.filter(F.col("shard") != F.expr("position DIV 300")).count() == 0
+    # seed changes the permutation but not the position set
+    other = global_shuffle(df, "doc_id", seed=8)
+    assert (
+        other.join(got.select("doc_id", F.col("position").alias("p7")), "doc_id")
+        .filter(F.col("position") != F.col("p7"))
+        .count()
+        > 0
+    )
+    release_cached()
+
+
+def test_global_shuffle_validation(spark):
+    from datavalid_spark.operators.sampling import global_shuffle
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="rows_per_shard"):
+        global_shuffle(df, "doc_id", rows_per_shard=0)
