@@ -289,6 +289,14 @@ def q_ref_orphans(spark, sf_dir):
     return chk.orphans(_t(spark, sf_dir, "events"), _t(spark, sf_dir, "supplier"))
 
 
+def q_ref_orphans_keys(spark, sf_dir):
+    # strategy='keys': the 10^12-row shape — only distinct child keys
+    # ride the anti-join shuffle; orphan keys broadcast back.  Same
+    # result set as q_ref_orphans, so it shares the oracle shape.
+    chk = ReferentialCheck("user_id", "s_suppkey", strategy="keys")
+    return chk.orphans(_t(spark, sf_dir, "events"), _t(spark, sf_dir, "supplier"))
+
+
 def q_profile_stats(spark, sf_dir):
     prof = profile_native(
         _t(spark, sf_dir, "lineitem"),
@@ -1107,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f7_title_case": q_f7_title_case,
         "f8_match_regex": q_f8_match_regex,
         "ref_orphans": q_ref_orphans,
+        "ref_orphans_keys": q_ref_orphans_keys,
         "profile_stats": q_profile_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_distinct": q_dedup_distinct,
@@ -1399,6 +1408,11 @@ WHERE o_orderpriority IS NOT NULL
   AND NOT regexp_matches(o_orderpriority, '^(?:[123]-[A-Z]+)')
 """,
         "ref_orphans": """
+SELECT e.* FROM events e
+WHERE e.user_id IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = e.user_id)
+""",
+        "ref_orphans_keys": """
 SELECT e.* FROM events e
 WHERE e.user_id IS NOT NULL
   AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = e.user_id)

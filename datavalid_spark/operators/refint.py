@@ -5,10 +5,21 @@
 Violations are orphan child rows: child keys with no matching parent.
 Strategy:
 
-- ``broadcast=True`` (default None = auto) hints the parent side for
-  broadcast — right for dimension tables (repos, customers);
-- otherwise Spark picks sort-merge with AQE skew-join splitting
-  pathological keys (configs set in the CLI/bench session builders).
+- ``strategy='join'``: left_anti join of child rows vs distinct parent
+  keys.  ``broadcast=True`` forces the parent-key side broadcast;
+  ``None`` (auto) size-gates the hint on a cheap ``limit(N+1).count()``
+  probe — an unconditional hint would OOM on a 10^12-key parent —
+  and otherwise leaves the choice to AQE (sort-merge with skew-join
+  splitting for pathological keys).
+- ``strategy='keys'``: the 10^12-row shape.  Child keys repeat heavily
+  (every file of a repo carries the same ``repo`` key), so the anti-join
+  runs on DISTINCT child key tuples — the only full shuffle is over the
+  distinct-key set, not child rows — producing the (usually tiny) orphan
+  KEY set, which joins back to child rows through the same size-gated
+  broadcast semi-join the uniqueness check uses.  In the healthy-table
+  case (no orphans) the full child table is never shuffled at all.
+- ``strategy='inset'``: collect ≤ INSET_LIMIT parent keys and compile a
+  pure ``~isin`` Column — zero join stages, foldable into a shared scan.
 
 NULL child keys: a NULL never matches any parent under SQL semantics;
 the reference's pandas ``isin`` analogue treats NaN as non-member too,
@@ -34,6 +45,10 @@ class ReferentialCheck:
     #: key set to the driver and compiles it into an InSet predicate
     INSET_LIMIT = 100_000
 
+    #: distinct-key count up to which auto mode hints a broadcast
+    #: (parent keys in 'join', orphan keys in the 'keys' join-back)
+    BROADCAST_KEY_LIMIT = 1_000_000
+
     def __init__(
         self,
         child_keys: Sequence[str] | str,
@@ -48,8 +63,8 @@ class ReferentialCheck:
         )
         if len(self.child_keys) != len(self.parent_keys):
             raise ValueError("child and parent key lists must have equal length")
-        if strategy not in ("join", "inset"):
-            raise ValueError("strategy must be 'join' or 'inset'")
+        if strategy not in ("join", "keys", "inset"):
+            raise ValueError("strategy must be 'join', 'keys' or 'inset'")
         if strategy == "inset" and len(self.child_keys) != 1:
             raise ValueError("'inset' strategy supports single-column keys only")
         self.broadcast = broadcast
@@ -73,12 +88,43 @@ class ReferentialCheck:
         pk = parent.select(
             *[F.col(p).alias(c) for c, p in zip(self.child_keys, self.parent_keys)]
         ).dropDuplicates()
-        if self.broadcast is None or self.broadcast:
+        if self.strategy == "keys":
+            return self._orphans_by_keys(child, pk)
+        if self.broadcast or (self.broadcast is None and self._fits(pk)):
             pk = F.broadcast(pk)
         out = child.join(pk, on=self.child_keys, how="left_anti")
         if not self.null_is_orphan:
             for c in self.child_keys:
                 out = out.filter(F.col(c).isNotNull())
+        return out.select(*child.columns)
+
+    def _fits(self, keys: DataFrame) -> bool:
+        """True iff ``keys`` provably fits a broadcast: a ``limit(N+1)``
+        probe job, so the gate never scans past the threshold."""
+        return keys.limit(self.BROADCAST_KEY_LIMIT + 1).count() <= self.BROADCAST_KEY_LIMIT
+
+    def _orphans_by_keys(self, child: DataFrame, pk: DataFrame) -> DataFrame:
+        """Distinct-key anti-join + gated-broadcast join-back.
+
+        NULL handling: a NULL key tuple can never equality-match the
+        join-back, so NULL-key rows are carved out up front — reported
+        directly when ``null_is_orphan``, dropped otherwise — and only
+        non-null distinct tuples ride the anti-join.
+        """
+        nonnull = child
+        for c in self.child_keys:
+            nonnull = nonnull.filter(F.col(c).isNotNull())
+        ck = nonnull.select(*self.child_keys).dropDuplicates()
+        orphan_keys = ck.join(pk, on=self.child_keys, how="left_anti")
+        if self.broadcast or (self.broadcast is None and self._fits(orphan_keys)):
+            orphan_keys = F.broadcast(orphan_keys)
+        out = nonnull.join(orphan_keys, on=self.child_keys, how="left_semi")
+        if self.null_is_orphan:
+            null_cond = None
+            for c in self.child_keys:
+                cond = F.col(c).isNull()
+                null_cond = cond if null_cond is None else (null_cond | cond)
+            out = out.unionByName(child.filter(null_cond))
         return out.select(*child.columns)
 
     def orphan_condition(self, parent: DataFrame):

@@ -57,6 +57,51 @@ def test_refint_inset_matches_join(spark):
         assert jv == iv, (null_orphan, jv, iv)
 
 
+def test_refint_keys_matches_join(spark):
+    """'keys' (distinct-key anti-join + join-back) must agree with the
+    row-level anti-join on duplicated keys, multi-column keys, and both
+    NULL settings — including rows where only ONE key column is NULL."""
+    child = spark.createDataFrame(
+        [
+            (1, "x", "a"),
+            (1, "x", "b"),  # duplicate orphan key tuple → both rows reported
+            (2, "y", "c"),
+            (9, "x", "d"),
+            (None, "x", "e"),
+            (1, None, "f"),
+        ],
+        "a int, b string, v string",
+    )
+    parent = spark.createDataFrame([(2, "y"), (3, "z")], "a int, b string")
+    for null_orphan in (False, True):
+        j = ReferentialCheck(["a", "b"], ["a", "b"], null_is_orphan=null_orphan)
+        k = ReferentialCheck(
+            ["a", "b"], ["a", "b"], null_is_orphan=null_orphan, strategy="keys"
+        )
+        jv = sorted(r["v"] for r in j.orphans(child, parent).collect())
+        kv = sorted(r["v"] for r in k.orphans(child, parent).collect())
+        assert jv == kv, (null_orphan, jv, kv)
+        assert k.orphans(child, parent).columns == child.columns
+
+
+def test_refint_keys_no_orphans(spark):
+    child = spark.createDataFrame([(1,), (1,), (2,)], "fk int")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    assert ReferentialCheck("fk", "pk", strategy="keys").run(child, parent).passed
+
+
+def test_refint_join_auto_gate_large_parent(spark, monkeypatch):
+    """Auto mode must NOT hint broadcast once the parent key set exceeds
+    the gate — the plan falls back to an AQE-chosen join."""
+    monkeypatch.setattr(ReferentialCheck, "BROADCAST_KEY_LIMIT", 3)
+    child = spark.range(10).withColumnRenamed("id", "fk")
+    parent = spark.range(8).withColumnRenamed("id", "pk")
+    chk = ReferentialCheck("fk", "pk")
+    orphans = chk.orphans(child, parent)
+    assert sorted(r["fk"] for r in orphans.collect()) == [8, 9]
+    assert "ResolvedHint" not in orphans._jdf.queryExecution().analyzed().toString()
+
+
 def test_refint_inset_rejects_multi_key():
     with pytest.raises(ValueError):
         ReferentialCheck(["a", "b"], ["a", "b"], strategy="inset")
