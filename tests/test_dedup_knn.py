@@ -337,6 +337,58 @@ def test_ivf_topk_string_ids(spark):
     assert all(r["query_id"] == "doc-0" for r in out)
 
 
+def test_pq_topk_exact_at_full_budget(vectors, spark):
+    """With the candidate budget ≥ corpus size, PQ candidate generation
+    cannot drop the true winners, so the exact re-rank makes the result
+    identical to brute force — ids, ranks, and cosine values."""
+    queries = vectors.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["rank"]): (r["id"], r["cosine"])
+        for r in knn.brute_force_topk(vectors, queries, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): (r["id"], r["cosine"])
+        for r in knn.pq_topk(
+            vectors, queries, k=5, m=4, n_codes=16, candidates=100
+        ).collect()
+    }
+    assert got.keys() == exact.keys()
+    for key in exact:
+        assert got[key][0] == exact[key][0]
+        assert got[key][1] == pytest.approx(exact[key][1])
+
+
+def test_pq_topk_recall_partial_budget(vectors, spark):
+    """At a partial candidate budget the planted near-identical pair
+    must still surface as the top hit (ADC quantization error ≪ the
+    planted 0.01-noise gap)."""
+    queries = vectors.filter(F.col("vec_id") == 40)
+    out = knn.pq_topk(vectors, queries, k=3, m=4, n_codes=32, candidates=8).orderBy(
+        "rank"
+    ).collect()
+    assert out and out[0]["id"] == 0  # vec 40 ≈ vec 0
+
+
+def test_pq_encode_roundtrip_shapes(vectors, spark):
+    books = knn.train_pq_codebooks(vectors, m=4, n_codes=16, sample_size=64)
+    assert books.shape == (4, 16, 4)
+    enc = knn.pq_encode(vectors, books).collect()
+    assert len(enc) == 41
+    assert all(len(r["codes"]) == 4 for r in enc)
+    assert all(0 <= c < 16 for r in enc for c in r["codes"])
+
+
+def test_pq_topk_string_ids(spark):
+    rng = np.random.RandomState(7)
+    rows = [(f"doc-{i}", rng.normal(0, 1, 8).tolist()) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = knn.pq_topk(
+        df, df.filter(F.col("vec_id") == "doc-0"), k=3, m=4, n_codes=8, candidates=20
+    ).collect()
+    assert len(out) == 3
+    assert all(r["query_id"] == "doc-0" for r in out)
+
+
 def test_embedding_between_corpus_bands_reuse(spark):
     """The stored-corpus-band-table path must give identical results to
     the recompute path."""
