@@ -65,6 +65,7 @@ from datavalid_spark.operators.fields import (
     TitleCaseFieldChecker,
     UniqueFieldChecker,
 )
+from datavalid_spark.operators.anomaly import anomaly_scan
 from datavalid_spark.operators.knn import brute_force_topk, ivf_topk, pq_topk
 from datavalid_spark.operators.profile import profile_native
 from datavalid_spark.operators.refint import ReferentialCheck
@@ -1067,6 +1068,26 @@ def q_ivf_topk(spark, sf_dir):
     return out.select("query_id", "id", "rank")
 
 
+def q_anomaly_scan(spark, sf_dir):
+    # which ingest day looks broken? — per-day (n_rows, null_frac, p50)
+    # scored against the cross-day robust median/MAD distribution.
+    # Floats are rounded to 6dp on both sides: the z arithmetic chains
+    # interpolated medians of doubles, where Spark's (1-f)·a+f·b and
+    # DuckDB's a+(b-a)·f can differ in the last ulp.
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.to_date(F.col("ts"))
+    )
+    out = anomaly_scan(ev, "day", "value", z_threshold=2.0)
+    return out.select(
+        F.col("partition").cast("string").alias("day"),
+        "metric",
+        F.round("value", 6).alias("value"),
+        F.round("center", 6).alias("center"),
+        F.round("robust_z", 6).alias("robust_z"),
+        "is_anomaly",
+    )
+
+
 def q_pq_topk(spark, sf_dir):
     # product-quantization ANN with exact cosine re-rank.  Codebooks are
     # the canonical 8-bit shape (m=8 subspaces × 256 codewords); the
@@ -1179,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_incremental": q_semantic_incremental,
         "ivf_topk": q_ivf_topk,
         "pq_topk": q_pq_topk,
+        "anomaly_scan": q_anomaly_scan,
         "drift_two_sample": q_drift_two_sample,
         "multimodal_validate": q_multimodal_validate,
     }
@@ -1954,6 +1976,32 @@ WITH n AS (
 SELECT n.id_new, c.vec_id AS id_corpus
 FROM n JOIN embeddings c ON n.id_new <> c.vec_id
 WHERE list_cosine_similarity(n.embedding, c.embedding) >= 0.95
+""",
+        "anomaly_scan": """
+WITH stats AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS DOUBLE) AS n_rows,
+         CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS null_frac,
+         quantile_cont(value, 0.5) AS p50
+  FROM events GROUP BY 1),
+long AS (
+  SELECT day, 'n_rows' AS metric, n_rows AS value FROM stats
+  UNION ALL SELECT day, 'null_frac', null_frac FROM stats
+  UNION ALL SELECT day, 'p50', p50 FROM stats),
+ctr AS (SELECT metric, median(value) AS center FROM long GROUP BY metric),
+spr AS (SELECT l.metric, median(abs(l.value - c.center)) AS mad
+        FROM long l JOIN ctr c USING (metric) GROUP BY l.metric)
+SELECT CAST(l.day AS VARCHAR) AS day, l.metric,
+       ROUND(l.value, 6) AS value,
+       ROUND(c.center, 6) AS center,
+       ROUND(CASE WHEN s.mad > 0
+                  THEN (l.value - c.center) / (1.4826 * s.mad) END, 6)
+         AS robust_z,
+       CASE WHEN 1.4826 * s.mad > 0
+            THEN abs((l.value - c.center) / (1.4826 * s.mad)) > 2.0
+            ELSE l.value <> c.center END AS is_anomaly
+FROM long l JOIN ctr c USING (metric) JOIN spr s USING (metric)
 """,
         "pq_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qvec

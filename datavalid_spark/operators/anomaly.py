@@ -1,0 +1,108 @@
+"""Cross-partition anomaly detection over per-partition profile stats.
+
+The drift checks (``operators/drift.py``) compare a table against a
+saved BASELINE; this operator needs no baseline — it compares each
+partition against ALL OTHER partitions of the same table and flags the
+outliers.  That is the day-one question on a freshly ingested 10^12-row
+table ("which ingest day looks broken?") before any baseline snapshot
+exists, and the per-(partition, check) shape plugs into the same
+lineage/metrics layer as the other checks.
+
+Method: robust z-score (median / MAD — Iglewicz-Hoberg modified
+z-score).  Mean/stddev would let a single corrupted partition drag the
+center toward itself; the median/MAD breakdown point is 50%, so flags
+stay meaningful even when several partitions are bad.
+
+Scale shape: ONE distributed pass over the table (groupBy partition key
+with partial aggregation — the only shuffle is keyed on the partition
+column), producing a stats table of |partitions| × |metrics| rows.
+Everything after operates on that tiny frame: it is persisted
+(release with ``datavalid_spark.cache.release_cached``) and the robust
+center/spread are two aggregations over it, joined back via broadcast.
+
+Metric choice is deliberately order-statistic-based (count, null
+fraction, exact interpolated median) rather than mean-based: order
+stats and single IEEE divisions are bit-reproducible across engines,
+so the driver's DuckDB oracle compares value-for-value, whereas a
+double sum's value depends on reduction order.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datavalid_spark.cache import persist_tracked
+
+#: MAD → σ-equivalent scale for normal data (1/Φ⁻¹(0.75))
+MAD_SCALE = 1.4826
+
+
+def partition_stats(
+    df: DataFrame, partition_col: str, value_col: str
+) -> DataFrame:
+    """Long-format per-partition stats: ``(partition, metric, value)``
+    with metrics ``n_rows``, ``null_frac`` and ``p50`` (exact
+    interpolated median of ``value_col``, nulls ignored)."""
+    agg = df.groupBy(F.col(partition_col).alias("partition")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+        (
+            F.sum(F.col(value_col).isNull().cast("long"))
+            / F.count(F.lit(1))
+        ).alias("null_frac"),
+        F.expr("percentile(%s, 0.5)" % value_col).alias("p50"),
+    )
+    return agg.select(
+        "partition",
+        F.expr(
+            "stack(3, 'n_rows', n_rows, 'null_frac', null_frac, 'p50', p50)"
+        ).alias("metric", "value"),
+    )
+
+
+def anomaly_scan(
+    df: DataFrame,
+    partition_col: str,
+    value_col: str,
+    z_threshold: float = 3.5,
+) -> DataFrame:
+    """Score every (partition, metric) against the cross-partition
+    robust distribution.
+
+    Returns ``(partition, metric, value, center, spread, robust_z,
+    is_anomaly)`` for ALL partitions — the healthy rows are the
+    context a reviewer needs, and a non-empty result regardless of
+    verdict keeps downstream report plumbing trivial.
+
+    Degenerate spread (MAD = 0, i.e. >half the partitions share the
+    exact value): ``robust_z`` is NULL and a partition is anomalous
+    iff its value differs from the shared center at all — the strictest
+    reading, right for metrics like null_frac that are constant-zero on
+    healthy data.
+    """
+    stats = persist_tracked(partition_stats(df, partition_col, value_col))
+    center = stats.groupBy("metric").agg(
+        F.expr("percentile(value, 0.5)").alias("center")
+    )
+    with_center = stats.join(F.broadcast(center), "metric")
+    mad = with_center.groupBy("metric").agg(
+        F.expr("percentile(abs(value - center), 0.5)").alias("mad")
+    )
+    scored = with_center.join(F.broadcast(mad), "metric").select(
+        "partition",
+        "metric",
+        "value",
+        "center",
+        (F.lit(MAD_SCALE) * F.col("mad")).alias("spread"),
+        F.when(
+            F.col("mad") > 0,
+            (F.col("value") - F.col("center")) / (F.lit(MAD_SCALE) * F.col("mad")),
+        ).alias("robust_z"),
+    )
+    return scored.withColumn(
+        "is_anomaly",
+        F.when(F.col("spread") > 0, F.abs(F.col("robust_z")) > F.lit(z_threshold))
+        .otherwise(F.col("value") != F.col("center")),
+    )

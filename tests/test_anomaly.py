@@ -1,0 +1,76 @@
+"""Cross-partition robust anomaly scan (operators/anomaly.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.operators.anomaly import anomaly_scan, partition_stats
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "part string, value double")
+
+
+def test_planted_outlier_flagged(spark):
+    # 9 healthy partitions of 5 rows around value 10; one partition with
+    # 50 rows around value 100 → n_rows and p50 both anomalous
+    rows = []
+    for p in range(9):
+        rows += [(f"p{p}", 10.0 + i * 0.5) for i in range(5)]
+    rows += [("bad", 100.0 + i * 0.5) for i in range(50)]
+    out = anomaly_scan(_mk(spark, rows), "part", "value", z_threshold=3.5)
+    flagged = {
+        (r["partition"], r["metric"]) for r in out.filter("is_anomaly").collect()
+    }
+    assert ("bad", "n_rows") in flagged
+    assert ("bad", "p50") in flagged
+    assert all(p == "bad" for p, _ in flagged)
+
+
+def test_all_equal_partitions_not_flagged(spark):
+    # identical partitions → MAD = 0 on every metric, nothing anomalous
+    rows = [(f"p{p}", float(v)) for p in range(6) for v in (1, 2, 3)]
+    out = anomaly_scan(_mk(spark, rows), "part", "value")
+    assert out.filter("is_anomaly").count() == 0
+    # degenerate spread reports NULL robust_z, not inf
+    assert out.filter(F.col("robust_z").isNotNull()).count() == 0
+
+
+def test_mad_zero_divergent_value_flagged(spark):
+    # >half the partitions share p50 exactly → MAD = 0; the one
+    # divergent partition must still flag under the strict equal-center
+    # rule even though its deviation is tiny
+    rows = [(f"p{p}", 5.0) for p in range(5)] + [("odd", 5.0001)]
+    out = anomaly_scan(_mk(spark, rows), "part", "value")
+    flagged = {
+        (r["partition"], r["metric"]) for r in out.filter("is_anomaly").collect()
+    }
+    assert ("odd", "p50") in flagged
+
+
+def test_null_frac_metric(spark):
+    rows = (
+        [("a", 1.0), ("a", None), ("b", 1.0), ("b", 2.0), ("c", 3.0), ("c", 4.0)]
+    )
+    stats = {
+        (r["partition"], r["metric"]): r["value"]
+        for r in partition_stats(_mk(spark, rows), "part", "value").collect()
+    }
+    assert stats[("a", "null_frac")] == pytest.approx(0.5)
+    assert stats[("b", "null_frac")] == 0.0
+    # p50 ignores nulls
+    assert stats[("a", "p50")] == pytest.approx(1.0)
+
+
+def test_output_covers_every_partition(spark):
+    rows = [(f"p{p}", float(p)) for p in range(4)]
+    out = anomaly_scan(_mk(spark, rows), "part", "value")
+    assert out.count() == 4 * 3  # every (partition, metric) scored
+    assert set(out.columns) == {
+        "partition",
+        "metric",
+        "value",
+        "center",
+        "spread",
+        "robust_z",
+        "is_anomaly",
+    }
