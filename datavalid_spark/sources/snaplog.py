@@ -60,6 +60,7 @@ import datetime as _dt
 import json
 import math
 import os
+import re
 import time
 import uuid
 from typing import Optional, Sequence
@@ -406,14 +407,14 @@ class SnapshotTable:
 
     # ------------------------------------------------------------ write
 
-    def _write_data(self, df: DataFrame, snapshot_id: int) -> list[str]:
-        """Write ``df`` under data/s<id>-<nonce>/ and return the file
+    def _write_data(self, df: DataFrame, prefix: str) -> list[str]:
+        """Write ``df`` under data/<prefix>-<nonce>/ and return the file
         list RELATIVE to root.  The nonce keeps a losing concurrent
         committer's orphaned directory from colliding with the retry
         (orphans are unreferenced by any manifest — Iceberg's situation
         exactly; a vacuum that keeps manifest-referenced files is the
         standard cleanup)."""
-        rel_dir = os.path.join("data", f"s{snapshot_id:04d}-{uuid.uuid4().hex[:8]}")
+        rel_dir = os.path.join("data", f"{prefix}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.root, rel_dir)
         df.write.mode("error").parquet(out_dir)
         files = sorted(
@@ -448,17 +449,21 @@ class SnapshotTable:
                 f"{expected_parent}) at {self.root!r}"
             )
         new_id = parent + 1
-        added = self._write_data(df, new_id)
-        # per-file column stats: footer-only scan of the ADDED files;
-        # base files carry their stats forward from the parent manifest
-        # (never recomputed — Iceberg manifests are immutable the same way)
-        parent_manifest = self.manifest(parent) if parent else {}
-        stats = {}
-        if parent:
-            parent_stats = parent_manifest.get("stats", {})
-            stats.update({f: parent_stats[f] for f in base_files if f in parent_stats})
-        # footer reads are tiny but serial-latency-bound for a commit
-        # adding thousands of files — harvest them on a thread pool
+        added = self._write_data(df, f"s{new_id:04d}")
+        return self._finish_commit(
+            operation,
+            parent,
+            added,
+            base_files,
+            schema_override or df.schema,
+            extra_summary=extra_summary,
+            stream_stamp=stream_stamp,
+        )
+
+    def _harvest_stats(self, added: list[str]) -> dict:
+        """Footer-only per-file column stats; reads are tiny but
+        serial-latency-bound for thousands of files — thread pool."""
+        stats: dict = {}
         if added:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -471,6 +476,36 @@ class SnapshotTable:
                     ),
                 ):
                     stats[rel] = st
+        return stats
+
+    def _finish_commit(
+        self,
+        operation: str,
+        parent: int,
+        added: list[str],
+        base_files: list[str],
+        schema: T.StructType,
+        extra_summary: Optional[dict] = None,
+        stream_stamp: Optional[tuple] = None,
+        added_stats: Optional[dict] = None,
+    ) -> int:
+        """Manifest-only half of a commit: the data files in ``added``
+        are already on disk (written by ``_commit`` or staged by
+        ``stage_append``).  The ``os.link`` claim below is what makes
+        the commit atomic regardless of who wrote the data."""
+        new_id = parent + 1
+        # per-file column stats: base files carry their stats forward
+        # from the parent manifest (never recomputed — Iceberg manifests
+        # are immutable the same way); added files are harvested here
+        # unless the caller staged them earlier
+        parent_manifest = self.manifest(parent) if parent else {}
+        stats = {}
+        if parent:
+            parent_stats = parent_manifest.get("stats", {})
+            stats.update({f: parent_stats[f] for f in base_files if f in parent_stats})
+        stats.update(
+            added_stats if added_stats is not None else self._harvest_stats(added)
+        )
         # streaming exactly-once state rides EVERY manifest (carried
         # forward like stats), so expiring old snapshots can never
         # forget which micro-batch ids are already committed
@@ -483,7 +518,7 @@ class SnapshotTable:
             "parent_id": parent or None,
             "operation": operation,
             "committed_at": int(time.time() * 1000),
-            "schema": json.loads((schema_override or df.schema).json()),
+            "schema": json.loads(schema.json()),
             "files": base_files + added,
             "stats": stats,
             "streams": streams,
@@ -522,7 +557,7 @@ class SnapshotTable:
     def append(self, df: DataFrame) -> int:
         sid = self.current_snapshot_id()
         m = self.manifest(sid)
-        schema = self._evolved_append_schema(df, m)
+        schema = self._evolved_append_schema(df.schema, m)
         return self._commit(
             "append",
             df,
@@ -531,7 +566,7 @@ class SnapshotTable:
             expected_parent=sid,
         )
 
-    def _evolved_append_schema(self, df: DataFrame, manifest: dict) -> T.StructType:
+    def _evolved_append_schema(self, new_schema: T.StructType, manifest: dict) -> T.StructType:
         """Additive-only schema evolution (Iceberg's add-column rule):
         an append may ADD columns — stored FORCED-nullable, because the
         parent's inherited files have no values for them and read NULL
@@ -540,7 +575,7 @@ class SnapshotTable:
         parent's files too.  Without this guard a mismatched append
         silently corrupts every prior snapshot under the new schema."""
         cur = T.StructType.fromJson(manifest["schema"])
-        new_by_name = {f.name: f for f in df.schema.fields}
+        new_by_name = {f.name: f for f in new_schema.fields}
         for f in cur.fields:
             nf = new_by_name.get(f.name)
             if nf is None:
@@ -558,7 +593,7 @@ class SnapshotTable:
         cur_names = {f.name for f in cur.fields}
         evolved = list(cur.fields) + [
             T.StructField(f.name, f.dataType, nullable=True, metadata=f.metadata)
-            for f in df.schema.fields
+            for f in new_schema.fields
             if f.name not in cur_names
         ]
         return T.StructType(evolved)
@@ -567,6 +602,160 @@ class SnapshotTable:
         sid = self.current_snapshot_id()
         self.manifest(sid)  # must exist
         return self._commit("overwrite", df, [], expected_parent=sid)
+
+    # ------------------------------------------------ write-audit-publish
+
+    def _staged_path(self, wap_id: str) -> str:
+        return os.path.join(self._meta, f"staged-{wap_id}.json")
+
+    def _staged_manifest(self, wap_id: str) -> dict:
+        path = self._staged_path(wap_id)
+        if not os.path.isfile(path):
+            raise ValueError(f"no staged batch {wap_id!r} at {self.root!r}")
+        with open(path) as f:
+            return json.load(f)
+
+    def stage_append(self, df: DataFrame, wap_id: str) -> dict:
+        """Write-audit-publish step 1 (Iceberg's ``wap.id`` staged
+        commit): write the batch's data files and a STAGED manifest
+        OUTSIDE the snapshot chain.  Readers of the table never see the
+        batch; ``publish_staged`` turns it into a real append as a
+        metadata-only commit (file stats are harvested here, so publish
+        touches no data).  Staging claims the wap_id atomically — a
+        duplicate stage (e.g. an orchestrator retry) fails cleanly."""
+        if not re.fullmatch(r"[A-Za-z0-9._=-]+", wap_id or ""):
+            raise ValueError("wap_id must be non-empty [A-Za-z0-9._=-]")
+        sid = self.current_snapshot_id()
+        # additive-only check NOW, against the snapshot being staged on:
+        # fail before burning the data write
+        self._evolved_append_schema(df.schema, self.manifest(sid))
+        added = self._write_data(df, f"wap-{wap_id}")
+        staged = {
+            "wap_id": wap_id,
+            "parent_id": sid,
+            "staged_at": int(time.time() * 1000),
+            "schema": json.loads(df.schema.json()),
+            "files": added,
+            "stats": self._harvest_stats(added),
+        }
+        tmp = os.path.join(self._meta, f".staged-{wap_id}.{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(staged, f)
+        try:
+            os.link(tmp, self._staged_path(wap_id))
+        except FileExistsError:
+            os.unlink(tmp)
+            raise ValueError(f"batch {wap_id!r} is already staged at {self.root!r}")
+        os.unlink(tmp)
+        return staged
+
+    def staged(self) -> list[dict]:
+        """Pending staged batches (wap_id, parent_id, file count)."""
+        out = []
+        if not os.path.isdir(self._meta):
+            return out
+        for name in sorted(os.listdir(self._meta)):
+            m = re.fullmatch(r"staged-(.+)\.json", name)
+            if m:
+                st = self._staged_manifest(m.group(1))
+                out.append(
+                    {
+                        "wap_id": st["wap_id"],
+                        "parent_id": st["parent_id"],
+                        "staged_at": st["staged_at"],
+                        "n_files": len(st["files"]),
+                    }
+                )
+        return out
+
+    def read_staged(self, wap_id: str, include_base: bool = False) -> DataFrame:
+        """The staged batch (audit surface), or — with ``include_base``
+        — the table AS IT WOULD LOOK after publish (current snapshot ∪
+        staged files, missing columns NULL on either side)."""
+        st = self._staged_manifest(wap_id)
+        schema = T.StructType.fromJson(st["schema"])
+        batch = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, f) for f in st["files"]]
+        )
+        if not include_base:
+            return batch
+        return self.read().unionByName(batch, allowMissingColumns=True)
+
+    def publish_staged(self, wap_id: str, strict: bool = False) -> int:
+        """WAP step 3: append the audited staged files to the CURRENT
+        snapshot as a metadata-only commit (data was written at stage
+        time; stats ride along from the staged manifest).
+
+        ``strict=True`` refuses when the table advanced past the
+        snapshot the batch was staged on (audit ran against a stale
+        base).  Default allows it — an append's content is independent
+        of the base, matching Iceberg cherry-pick semantics — but the
+        additive-schema rule is rechecked against the CURRENT manifest.
+        A concurrent commit racing this one surfaces as CommitConflict;
+        the staged manifest survives, so the caller just retries."""
+        st = self._staged_manifest(wap_id)
+        sid = self.current_snapshot_id()
+        if strict and sid != st["parent_id"]:
+            raise CommitConflict(
+                f"table advanced to snapshot {sid} (batch {wap_id!r} staged "
+                f"on {st['parent_id']}) at {self.root!r}"
+            )
+        m = self.manifest(sid)
+        schema = self._evolved_append_schema(
+            T.StructType.fromJson(st["schema"]), m
+        )
+        new_id = self._finish_commit(
+            "append",
+            sid,
+            list(st["files"]),
+            list(m["files"]),
+            schema,
+            extra_summary={"wap_id": wap_id},
+            added_stats=st["stats"],
+        )
+        os.unlink(self._staged_path(wap_id))
+        return new_id
+
+    def abandon_staged(self, wap_id: str) -> None:
+        """Drop a staged batch: manifest first (the atomic 'it no longer
+        exists' step), then its data files."""
+        st = self._staged_manifest(wap_id)
+        os.unlink(self._staged_path(wap_id))
+        for rel in st["files"]:
+            full = os.path.join(self.root, rel)
+            if os.path.isfile(full):
+                os.unlink(full)
+
+    def write_audit_publish(
+        self,
+        df: DataFrame,
+        audit,
+        wap_id: Optional[str] = None,
+        keep_failed: bool = False,
+        max_retries: int = 5,
+    ):
+        """The composed WAP gate: stage ``df``, run ``audit`` (a
+        callable taking the staged batch DataFrame and returning either
+        a bool or anything with a ``.passed`` attribute — ``TableCheck
+        .run`` / ``ReferentialCheck.run`` results fit), publish on pass,
+        abandon on fail (``keep_failed=True`` leaves the staged batch
+        on disk for debugging; it stays invisible to readers either
+        way).  Returns ``(snapshot_id_or_None, audit_result)``."""
+        wap_id = wap_id or uuid.uuid4().hex[:12]
+        self.stage_append(df, wap_id)
+        result = audit(self.read_staged(wap_id))
+        passed = bool(getattr(result, "passed", result))
+        if not passed:
+            if not keep_failed:
+                self.abandon_staged(wap_id)
+            return None, result
+        for attempt in range(max_retries):
+            try:
+                return self.publish_staged(wap_id), result
+            except CommitConflict:
+                if attempt == max_retries - 1:
+                    raise
+        raise AssertionError("unreachable")
 
     # ------------------------------------------------------------- read
 
@@ -781,7 +970,7 @@ class SnapshotTable:
                             "stream_id": stream_id,
                             "stream_batch_id": int(batch_id),
                         },
-                        schema_override=self._evolved_append_schema(batch_df, m),
+                        schema_override=self._evolved_append_schema(batch_df.schema, m),
                         expected_parent=sid,
                         stream_stamp=(stream_id, int(batch_id)),
                     )
@@ -1022,6 +1211,10 @@ class SnapshotTable:
             if os.path.isfile(path):
                 with open(path) as f:
                     live.update(json.load(f)["files"])
+        # staged (write-audit-publish) batches are referenced by no
+        # numbered manifest yet — their files are pending, not orphaned
+        for st in self.staged():
+            live.update(self._staged_manifest(st["wap_id"])["files"])
         data_root = os.path.join(self.root, "data")
         cutoff = time.time() - min_age_seconds
         orphans = []

@@ -1,0 +1,155 @@
+"""Write-audit-publish staged batches on the snapshot table layer
+(Iceberg's wap.id workflow re-expressed on sources/snaplog.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.operators.checks import UniqueCheck
+from datavalid_spark.sources.snaplog import CommitConflict, SnapshotTable
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _frame(spark, ids, part="p1"):
+    return spark.createDataFrame(
+        [(part, i, float(i) % 97) for i in ids], "part string, id int, x double"
+    )
+
+
+def test_stage_invisible_until_publish(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_frame(spark, range(10)))
+    t.stage_append(_frame(spark, range(10, 15)), "b1")
+    # readers see nothing; the snapshot chain is untouched
+    assert t.read().count() == 10
+    assert t.current_snapshot_id() == 1
+    assert [s["wap_id"] for s in t.staged()] == ["b1"]
+    # audit surface: just the batch, or the would-be table
+    assert t.read_staged("b1").count() == 5
+    assert t.read_staged("b1", include_base=True).count() == 15
+    sid = t.publish_staged("b1")
+    assert sid == 2 and t.read().count() == 15
+    assert t.staged() == []
+    # publish is a real append: time travel + parent files carried
+    assert t.read(1).count() == 10
+    assert t.manifest(2)["summary"]["wap_id"] == "b1"
+
+
+def test_stage_duplicate_wap_id_rejected(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_frame(spark, range(5)))
+    t.stage_append(_frame(spark, range(5, 8)), "b1")
+    with pytest.raises(ValueError, match="already staged"):
+        t.stage_append(_frame(spark, range(8, 9)), "b1")
+    with pytest.raises(ValueError, match="wap_id"):
+        t.stage_append(_frame(spark, range(8, 9)), "bad/../id")
+
+
+def test_abandon_staged_removes_files(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_frame(spark, range(5)))
+    st = t.stage_append(_frame(spark, range(5, 8)), "b1")
+    paths = [os.path.join(root, f) for f in st["files"]]
+    assert all(os.path.isfile(p) for p in paths)
+    t.abandon_staged("b1")
+    assert t.staged() == []
+    assert not any(os.path.isfile(p) for p in paths)
+    assert t.read().count() == 5
+
+
+def test_publish_after_table_advanced(spark, root):
+    """Default (cherry-pick) mode publishes onto the advanced table;
+    strict mode refuses."""
+    t = SnapshotTable(spark, root)
+    t.create(_frame(spark, range(5)))
+    t.stage_append(_frame(spark, range(10, 13)), "b1")
+    t.append(_frame(spark, range(5, 10)))  # table advances to snapshot 2
+    with pytest.raises(CommitConflict, match="advanced"):
+        t.publish_staged("b1", strict=True)
+    sid = t.publish_staged("b1")
+    assert sid == 3
+    assert t.read().count() == 13
+
+
+def test_stage_rejects_incompatible_schema(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_frame(spark, range(5)))
+    bad = spark.createDataFrame([("p", 1)], "part string, id int")  # drops x
+    with pytest.raises(ValueError, match="drops column"):
+        t.stage_append(bad, "b1")
+    # nothing staged, no data dir leaked
+    assert t.staged() == []
+
+
+def test_vacuum_keeps_staged_files(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_frame(spark, range(5)))
+    st = t.stage_append(_frame(spark, range(5, 8)), "b1")
+    removed = t.vacuum(min_age_seconds=0.0)
+    assert removed == []
+    assert all(os.path.isfile(os.path.join(root, f)) for f in st["files"])
+    # after abandon the files are gone already; vacuum stays clean
+    t.abandon_staged("b1")
+    assert t.vacuum(min_age_seconds=0.0) == []
+
+
+def test_write_audit_publish_pass_and_fail(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_frame(spark, range(10)))
+    check = UniqueCheck(["id"])
+
+    # clean batch → published
+    sid, res = t.write_audit_publish(
+        _frame(spark, range(10, 15)), lambda df: check.run(df), wap_id="good"
+    )
+    assert sid == 2 and res.passed
+    assert t.read().count() == 15
+
+    # batch with an internal duplicate → audit fails, nothing published
+    dup = _frame(spark, [20, 20, 21])
+    sid2, res2 = t.write_audit_publish(dup, lambda df: check.run(df), wap_id="bad")
+    assert sid2 is None and not res2.passed
+    assert t.current_snapshot_id() == 2
+    assert t.read().count() == 15
+    assert t.staged() == []  # abandoned
+
+    # keep_failed leaves the staged batch for debugging
+    sid3, _ = t.write_audit_publish(
+        dup, lambda df: check.run(df), wap_id="bad2", keep_failed=True
+    )
+    assert sid3 is None
+    assert [s["wap_id"] for s in t.staged()] == ["bad2"]
+    assert t.read().count() == 15
+
+
+def test_wap_audit_against_combined_view(spark, root):
+    """Audit on include_base catches cross-batch violations: the batch
+    is clean alone but collides with ids already in the table."""
+    t = SnapshotTable(spark, root)
+    t.create(_frame(spark, range(10)))
+    check = UniqueCheck(["id"])
+    t.stage_append(_frame(spark, [3, 100]), "b1")  # id 3 already present
+    combined = t.read_staged("b1", include_base=True)
+    assert not check.run(combined).passed
+    t.abandon_staged("b1")
+
+
+def test_staged_schema_evolution_publish(spark, root):
+    """A staged batch may ADD a column; after publish old rows read
+    NULL for it."""
+    t = SnapshotTable(spark, root)
+    t.create(_frame(spark, range(4)))
+    wide = spark.createDataFrame(
+        [("p2", 100, 1.0, "en")], "part string, id int, x double, lang string"
+    )
+    t.stage_append(wide, "b1")
+    t.publish_staged("b1")
+    out = t.read()
+    assert "lang" in out.columns
+    assert out.filter(F.col("lang").isNull()).count() == 4
+    assert out.filter(F.col("lang") == "en").count() == 1
