@@ -66,6 +66,7 @@ from datavalid_spark.operators.fields import (
     UniqueFieldChecker,
 )
 from datavalid_spark.operators.anomaly import anomaly_scan
+from datavalid_spark.operators.classify import classify, train_hashed_nb
 from datavalid_spark.operators.knn import brute_force_topk, ivf_topk, pq_topk
 from datavalid_spark.operators.profile import profile_native
 from datavalid_spark.operators.refint import ReferentialCheck
@@ -1068,6 +1069,20 @@ def q_ivf_topk(spark, sf_dir):
     return out.select("query_id", "id", "rank")
 
 
+def q_classify_quality(spark, sf_dir):
+    # model-based quality/domain filtering: train the hashed NB scorer
+    # on the corpus's own lang labels (en = positive), score every doc.
+    # Train + score both rerun in the DuckDB oracle; scores rounded to
+    # 6dp because DuckDB's SUM order over the token-weight join is
+    # arbitrary while Spark's fold is sequential (≈1e-15 drift).
+    docs = _t(spark, sf_dir, "documents")
+    w = train_hashed_nb(docs, "text", "lang", "en", n_buckets=1024)
+    out = classify(docs, "text", w)
+    return out.select(
+        "doc_id", F.round("score", 6).alias("score"), "pred_positive"
+    )
+
+
 def q_anomaly_scan(spark, sf_dir):
     # which ingest day looks broken? — per-day (n_rows, null_frac, p50)
     # scored against the cross-day robust median/MAD distribution.
@@ -1201,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "pq_topk": q_pq_topk,
         "anomaly_scan": q_anomaly_scan,
+        "classify_quality": q_classify_quality,
         "drift_two_sample": q_drift_two_sample,
         "multimodal_validate": q_multimodal_validate,
     }
@@ -1976,6 +1992,27 @@ WITH n AS (
 SELECT n.id_new, c.vec_id AS id_corpus
 FROM n JOIN embeddings c ON n.id_new <> c.vec_id
 WHERE list_cosine_similarity(n.embedding, c.embedding) >= 0.95
+""",
+        "classify_quality": f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_TOKS_SEQ}) AS t FROM documents),
+feat AS (
+  SELECT (('0x' || substring(md5(t), 1, 8))::BIGINT % 1024) AS b,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_pos,
+         SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS c_neg
+  FROM tok GROUP BY 1),
+tot AS (SELECT (SUM(c_pos) + 1.0) / (SUM(c_pos) + SUM(c_neg) + 2.0) AS p0
+        FROM feat),
+w AS (SELECT b, (c_pos + 1.0) / (c_pos + c_neg + 2.0) - (SELECT p0 FROM tot)
+             AS wt FROM feat),
+scored AS (
+  SELECT tok.doc_id, SUM(w.wt) / COUNT(*) AS score
+  FROM tok JOIN w
+    ON (('0x' || substring(md5(tok.t), 1, 8))::BIGINT % 1024) = w.b
+  GROUP BY tok.doc_id)
+SELECT d.doc_id, ROUND(s.score, 6) AS score,
+       CASE WHEN s.score IS NOT NULL THEN s.score > 0 END AS pred_positive
+FROM documents d LEFT JOIN scored s USING (doc_id)
 """,
         "anomaly_scan": """
 WITH stats AS (

@@ -1,0 +1,117 @@
+"""Hashed-feature linear text classification (the fastText-supervised
+shape, SURVEY.md §2.6 quality-scoring family).
+
+The LLM-pipeline use is model-based quality/domain filtering: train a
+cheap linear scorer on a labeled slice, score the full corpus, keep
+rows above a threshold.  Both halves are built to the 10^12-row shape:
+
+- **train**: one distributed pass — explode tokens, md5-hash each into
+  one of ``n_buckets`` feature buckets, count per (bucket, label) with
+  map-side partial aggregation (the only shuffle is keyed on the
+  bucket id, cardinality ``n_buckets``), then collect the
+  ``n_buckets``-row table and turn counts into smoothed
+  probability weights.  The model is a dense float array of a few KB
+  regardless of corpus size.
+- **score**: pure Column expression — the weight array ships as an
+  array literal, each token's bucket is md5 arithmetic, the per-doc
+  score is a sequential ``aggregate`` fold (left-to-right, so the
+  DuckDB oracle can reproduce the float sum bit-for-bit).  No UDF, no
+  join, fuses into any existing scan.
+
+Weights are smoothed probabilities centered on the corpus base rate,
+not log-odds: ``w_b = (c_pos+α)/(c_pos+c_neg+2α) − p₀`` with ``p₀`` the
+smoothed positive fraction over ALL token observations — a token used
+evenly across classes is exactly neutral even under class imbalance
+(0.5-centering made every shared token vote with the majority class).
+IEEE divisions are bit-reproducible across engines, whereas ``log`` is
+only faithfully-rounded and may differ in the last ulp between the JVM
+and libm — this keeps the whole train+score pipeline oracle-checkable
+value-for-value.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datavalid_spark.functions.text import let_once, nonempty_tokens
+
+
+def hash_bucket(token: Column, n_buckets: int) -> Column:
+    """md5-hex-prefix feature hashing: deterministic, engine-portable
+    (DuckDB: ``('0x' || substring(md5(t), 1, 8))::BIGINT % n``)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    ).cast("int")
+
+
+def train_hashed_nb(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    positive,
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+) -> list[float]:
+    """Naive-Bayes-flavored weights per feature bucket (dense list).
+
+    Token occurrences are counted with multiplicity (a word used five
+    times in a positive doc is five positive observations — the
+    multinomial NB convention).  Unseen buckets get weight exactly 0 by
+    fiat, so out-of-vocabulary tokens are neutral."""
+    toks = df.select(
+        (F.col(label_col) == F.lit(positive)).alias("pos"),
+        F.explode(nonempty_tokens(text_col)).alias("t"),
+    )
+    agg = (
+        toks.groupBy(hash_bucket(F.col("t"), n_buckets).alias("b"))
+        .agg(
+            F.sum(F.col("pos").cast("long")).alias("c_pos"),
+            F.sum((~F.col("pos")).cast("long")).alias("c_neg"),
+        )
+        .collect()
+    )
+    t_pos = sum(r["c_pos"] for r in agg)
+    t_neg = sum(r["c_neg"] for r in agg)
+    p0 = (t_pos + alpha) / (t_pos + t_neg + 2.0 * alpha)
+    w = [0.0] * n_buckets
+    for r in agg:
+        w[r["b"]] = (r["c_pos"] + alpha) / (r["c_pos"] + r["c_neg"] + 2.0 * alpha) - p0
+    return w
+
+
+def hashed_score(col: Column | str, weights: Sequence[float]) -> Column:
+    """Mean bucket weight over a document's tokens (NULL for empty
+    docs); > 0 leans positive.  Sequential left-to-right fold so the
+    summation order is defined."""
+    n = len(weights)
+    warr = F.lit([float(x) for x in weights])
+    return let_once(
+        nonempty_tokens(col),
+        lambda tt: F.when(
+            F.size(tt) > 0,
+            F.aggregate(
+                tt,
+                F.lit(0.0),
+                lambda acc, t: acc + F.element_at(warr, hash_bucket(t, n) + 1),
+            )
+            / F.size(tt),
+        ),
+    )
+
+
+def classify(
+    df: DataFrame,
+    text_col: str,
+    weights: Sequence[float],
+    score_col: str = "score",
+    pred_col: str = "pred_positive",
+) -> DataFrame:
+    """Score + thresholded prediction columns appended to ``df``."""
+    s = hashed_score(text_col, weights)
+    return df.withColumn(score_col, s).withColumn(
+        pred_col, F.when(s.isNotNull(), s > 0)
+    )

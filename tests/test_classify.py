@@ -1,0 +1,93 @@
+"""Hashed-feature NB classifier (operators/classify.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.operators.classify import (
+    classify,
+    hash_bucket,
+    hashed_score,
+    train_hashed_nb,
+)
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (1, "good clean prose with words", "pos"),
+        (2, "good words flow in clean order", "pos"),
+        (3, "clean good text reads well", "pos"),
+        (4, "spam junk garbage noise", "neg"),
+        (5, "junk spam noise garbage spam", "neg"),
+        (6, "noise junk garbage filler", "neg"),
+    ]
+    return spark.createDataFrame(rows, "id long, text string, label string")
+
+
+def test_separates_training_classes(spark, corpus):
+    w = train_hashed_nb(corpus, "text", "label", "pos", n_buckets=256)
+    out = classify(corpus, "text", w).select("id", "score", "pred_positive").collect()
+    by_id = {r["id"]: r for r in out}
+    for i in (1, 2, 3):
+        assert by_id[i]["score"] > 0 and by_id[i]["pred_positive"]
+    for i in (4, 5, 6):
+        assert by_id[i]["score"] < 0 and not by_id[i]["pred_positive"]
+
+
+def test_generalizes_to_unseen_docs(spark, corpus):
+    w = train_hashed_nb(corpus, "text", "label", "pos", n_buckets=256)
+    fresh = spark.createDataFrame(
+        [(10, "clean good words"), (11, "spam garbage junk")], "id long, text string"
+    )
+    got = {r["id"]: r["score"] for r in classify(fresh, "text", w).collect()}
+    assert got[10] > 0 > got[11]
+
+
+def test_oov_tokens_are_neutral(spark, corpus):
+    w = train_hashed_nb(corpus, "text", "label", "pos", n_buckets=4096)
+    # all-OOV doc: every bucket weight 0 (barring a hash collision with
+    # a training token, unlikely at 4096 buckets for these few tokens)
+    fresh = spark.createDataFrame([(1, "zzzq xxqj vvqk")], "id long, text string")
+    score = classify(fresh, "text", w).collect()[0]["score"]
+    assert score == pytest.approx(0.0, abs=1e-9)
+
+
+def test_empty_doc_scores_null(spark, corpus):
+    w = train_hashed_nb(corpus, "text", "label", "pos", n_buckets=64)
+    fresh = spark.createDataFrame([(1, "   "), (2, None)], "id long, text string")
+    out = classify(fresh, "text", w).collect()
+    assert all(r["score"] is None and r["pred_positive"] is None for r in out)
+
+
+def test_multiplicity_counts(spark):
+    # 'spam' occurs twice in one neg doc → c_neg=2 for its bucket
+    df = spark.createDataFrame(
+        [(1, "spam spam", "neg"), (2, "fine", "pos")], "id long, text string, label string"
+    )
+    w = train_hashed_nb(df, "text", "label", "pos", n_buckets=64)
+    b = df.select(hash_bucket(F.lit("spam"), 64).alias("b")).first()["b"]
+    # bucket prob (0+1)/(0+2+2) minus base rate (1+1)/(3+2)
+    assert w[b] == pytest.approx(1.0 / 4.0 - 2.0 / 5.0)
+
+
+def test_hash_bucket_range_and_determinism(spark):
+    df = spark.range(1).select(
+        hash_bucket(F.lit("token"), 1024).alias("a"),
+        hash_bucket(F.lit("token"), 1024).alias("b"),
+        hash_bucket(F.lit("other"), 1024).alias("c"),
+    )
+    r = df.first()
+    assert r["a"] == r["b"]
+    assert 0 <= r["a"] < 1024 and 0 <= r["c"] < 1024
+
+
+def test_score_is_pure_column(spark, corpus):
+    """hashed_score must compile into the plan (no UDF/BatchEval)."""
+    w = train_hashed_nb(corpus, "text", "label", "pos", n_buckets=64)
+    plan = (
+        corpus.select(hashed_score("text", w))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
