@@ -2035,9 +2035,10 @@ SELECT CAST(l.day AS VARCHAR) AS day, l.metric,
        ROUND(CASE WHEN s.mad > 0
                   THEN (l.value - c.center) / (1.4826 * s.mad) END, 6)
          AS robust_z,
-       CASE WHEN 1.4826 * s.mad > 0
+       CASE WHEN l.value IS NULL THEN c.center IS NOT NULL
+            WHEN 1.4826 * s.mad > 0
             THEN abs((l.value - c.center) / (1.4826 * s.mad)) > 2.0
-            ELSE l.value <> c.center END AS is_anomaly
+            ELSE COALESCE(l.value <> c.center, FALSE) END AS is_anomaly
 FROM long l JOIN ctr c USING (metric) JOIN spr s USING (metric)
 """,
         "pq_topk": """

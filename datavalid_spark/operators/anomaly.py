@@ -29,8 +29,6 @@ double sum's value depends on reduction order.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -46,13 +44,23 @@ def partition_stats(
     """Long-format per-partition stats: ``(partition, metric, value)``
     with metrics ``n_rows``, ``null_frac`` and ``p50`` (exact
     interpolated median of ``value_col``, nulls ignored)."""
-    agg = df.groupBy(F.col(partition_col).alias("partition")).agg(
-        F.count(F.lit(1)).cast("double").alias("n_rows"),
-        (
-            F.sum(F.col(value_col).isNull().cast("long"))
-            / F.count(F.lit(1))
-        ).alias("null_frac"),
-        F.expr("percentile(%s, 0.5)" % value_col).alias("p50"),
+    # value column re-aliased first: percentile is built with F.expr, and
+    # interpolating a raw user column name into SQL text breaks on names
+    # needing backticks
+    agg = (
+        df.select(
+            F.col(partition_col).alias("partition"),
+            F.col(value_col).alias("__dv_v"),
+        )
+        .groupBy("partition")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_rows"),
+            (
+                F.sum(F.col("__dv_v").isNull().cast("long"))
+                / F.count(F.lit(1))
+            ).alias("null_frac"),
+            F.expr("percentile(__dv_v, 0.5)").alias("p50"),
+        )
     )
     return agg.select(
         "partition",
@@ -81,6 +89,11 @@ def anomaly_scan(
     iff its value differs from the shared center at all — the strictest
     reading, right for metrics like null_frac that are constant-zero on
     healthy data.
+
+    NULL metric value (a partition whose value column is 100% NULL has
+    p50 = NULL — the classic broken ingest day): flagged anomalous
+    whenever OTHER partitions produced a real center, never silently
+    NULL-verdict'd out of both ``filter(is_anomaly)`` and its negation.
     """
     stats = persist_tracked(partition_stats(df, partition_col, value_col))
     center = stats.groupBy("metric").agg(
@@ -103,6 +116,9 @@ def anomaly_scan(
     )
     return scored.withColumn(
         "is_anomaly",
-        F.when(F.col("spread") > 0, F.abs(F.col("robust_z")) > F.lit(z_threshold))
-        .otherwise(F.col("value") != F.col("center")),
+        F.when(F.col("value").isNull(), F.col("center").isNotNull())
+        .when(F.col("spread") > 0, F.abs(F.col("robust_z")) > F.lit(z_threshold))
+        .otherwise(
+            F.coalesce(F.col("value") != F.col("center"), F.lit(False))
+        ),
     )

@@ -62,8 +62,12 @@ def train_hashed_nb(
     times in a positive doc is five positive observations — the
     multinomial NB convention).  Unseen buckets get weight exactly 0 by
     fiat, so out-of-vocabulary tokens are neutral."""
+    # null-safe: a NULL label is a negative observation (matching the
+    # oracle's CASE WHEN label = positive THEN 1 ELSE 0), not a NULL
+    # that F.sum would silently drop — an all-null-label bucket would
+    # otherwise collect c_pos = c_neg = NULL and crash the driver math
     toks = df.select(
-        (F.col(label_col) == F.lit(positive)).alias("pos"),
+        F.col(label_col).eqNullSafe(F.lit(positive)).alias("pos"),
         F.explode(nonempty_tokens(text_col)).alias("t"),
     )
     agg = (
@@ -110,8 +114,12 @@ def classify(
     score_col: str = "score",
     pred_col: str = "pred_positive",
 ) -> DataFrame:
-    """Score + thresholded prediction columns appended to ``df``."""
-    s = hashed_score(text_col, weights)
-    return df.withColumn(score_col, s).withColumn(
-        pred_col, F.when(s.isNotNull(), s > 0)
-    )
+    """Score + thresholded prediction columns appended to ``df``.
+
+    The prediction references the SCORE COLUMN, not the score
+    expression: higher-order folds are CodegenFallback and excluded
+    from subexpression elimination, so inlining the expression twice
+    more would run the per-token md5 fold ~3× per row."""
+    out = df.withColumn(score_col, hashed_score(text_col, weights))
+    s = F.col(score_col)
+    return out.withColumn(pred_col, F.when(s.isNotNull(), s > 0))

@@ -405,13 +405,20 @@ def pq_topk(
             for j in range(m):
                 scores += LUT[:, j, :][:, codes[:, j]]
             ids = pdf["id"].to_numpy()
-            top = min(C, len(codes))
             out_q, out_i, out_s = [], [], []
             for qi in range(nq):
-                part = np.argpartition(-scores[qi], top - 1)[:top]
+                # the query's own corpus row would always win a slot and
+                # only be dropped AFTER the top-C window — silently
+                # shrinking the effective budget to C-1
+                sel = ids != qids[qi]
+                s_q, ids_q = scores[qi][sel], ids[sel]
+                top = min(C, len(ids_q))
+                if not top:
+                    continue
+                part = np.argpartition(-s_q, top - 1)[:top]
                 out_q.extend([qids[qi]] * len(part))
-                out_i.extend(ids[part])
-                out_s.extend(scores[qi][part])
+                out_i.extend(ids_q[part])
+                out_s.extend(s_q[part])
             yield pd.DataFrame({"query_id": out_q, "id": out_i, "approx": out_s})
 
     cand = enc.mapInPandas(fn, schema=cand_schema)

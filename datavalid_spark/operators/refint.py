@@ -35,6 +35,8 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from datavalid_spark.cache import gated_broadcast
+
 
 class ReferentialCheck:
     """child.(fk...) ⊆ parent.(pk...)"""
@@ -90,18 +92,24 @@ class ReferentialCheck:
         ).dropDuplicates()
         if self.strategy == "keys":
             return self._orphans_by_keys(child, pk)
-        if self.broadcast or (self.broadcast is None and self._fits(pk)):
-            pk = F.broadcast(pk)
+        pk = self._maybe_broadcast(pk)
         out = child.join(pk, on=self.child_keys, how="left_anti")
         if not self.null_is_orphan:
             for c in self.child_keys:
                 out = out.filter(F.col(c).isNotNull())
         return out.select(*child.columns)
 
-    def _fits(self, keys: DataFrame) -> bool:
-        """True iff ``keys`` provably fits a broadcast: a ``limit(N+1)``
-        probe job, so the gate never scans past the threshold."""
-        return keys.limit(self.BROADCAST_KEY_LIMIT + 1).count() <= self.BROADCAST_KEY_LIMIT
+    def _maybe_broadcast(self, keys: DataFrame) -> DataFrame:
+        """broadcast=True forces the hint; None (auto) goes through the
+        shared ``gated_broadcast`` — which PERSISTS the key frame before
+        the capped count probe, so the probe and the join read the same
+        cached blocks instead of recomputing the distinct/anti-join
+        pipeline twice (release via ``cache.release_cached``)."""
+        if self.broadcast:
+            return F.broadcast(keys)
+        if self.broadcast is None:
+            return gated_broadcast(keys, self.BROADCAST_KEY_LIMIT)
+        return keys
 
     def _orphans_by_keys(self, child: DataFrame, pk: DataFrame) -> DataFrame:
         """Distinct-key anti-join + gated-broadcast join-back.
@@ -115,9 +123,9 @@ class ReferentialCheck:
         for c in self.child_keys:
             nonnull = nonnull.filter(F.col(c).isNotNull())
         ck = nonnull.select(*self.child_keys).dropDuplicates()
-        orphan_keys = ck.join(pk, on=self.child_keys, how="left_anti")
-        if self.broadcast or (self.broadcast is None and self._fits(orphan_keys)):
-            orphan_keys = F.broadcast(orphan_keys)
+        orphan_keys = self._maybe_broadcast(
+            ck.join(pk, on=self.child_keys, how="left_anti")
+        )
         out = nonnull.join(orphan_keys, on=self.child_keys, how="left_semi")
         if self.null_is_orphan:
             null_cond = None

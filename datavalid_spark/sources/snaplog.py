@@ -649,24 +649,33 @@ class SnapshotTable:
         os.unlink(tmp)
         return staged
 
-    def staged(self) -> list[dict]:
-        """Pending staged batches (wap_id, parent_id, file count)."""
-        out = []
+    def _iter_staged(self):
+        """Full staged manifests; tolerant of a concurrent
+        publish/abandon unlinking a manifest between the listdir and
+        the read (the loser of that race just skips the entry)."""
         if not os.path.isdir(self._meta):
-            return out
+            return
         for name in sorted(os.listdir(self._meta)):
             m = re.fullmatch(r"staged-(.+)\.json", name)
-            if m:
-                st = self._staged_manifest(m.group(1))
-                out.append(
-                    {
-                        "wap_id": st["wap_id"],
-                        "parent_id": st["parent_id"],
-                        "staged_at": st["staged_at"],
-                        "n_files": len(st["files"]),
-                    }
-                )
-        return out
+            if not m:
+                continue
+            try:
+                with open(os.path.join(self._meta, name)) as f:
+                    yield json.load(f)
+            except FileNotFoundError:
+                continue
+
+    def staged(self) -> list[dict]:
+        """Pending staged batches (wap_id, parent_id, file count)."""
+        return [
+            {
+                "wap_id": st["wap_id"],
+                "parent_id": st["parent_id"],
+                "staged_at": st["staged_at"],
+                "n_files": len(st["files"]),
+            }
+            for st in self._iter_staged()
+        ]
 
     def read_staged(self, wap_id: str, include_base: bool = False) -> DataFrame:
         """The staged batch (audit surface), or — with ``include_base``
@@ -692,9 +701,21 @@ class SnapshotTable:
         of the base, matching Iceberg cherry-pick semantics — but the
         additive-schema rule is rechecked against the CURRENT manifest.
         A concurrent commit racing this one surfaces as CommitConflict;
-        the staged manifest survives, so the caller just retries."""
+        the staged manifest survives, so the caller just retries.
+
+        Idempotent under crash-retry: a crash AFTER the manifest commit
+        but BEFORE the staged-manifest cleanup leaves both on disk; the
+        retry finds the wap_id already in a published manifest summary
+        and finishes the cleanup instead of appending the batch twice
+        (Iceberg's duplicate-wap guard)."""
         st = self._staged_manifest(wap_id)
         sid = self.current_snapshot_id()
+        for prev in range(st["parent_id"] + 1, sid + 1):
+            if not os.path.isfile(self._manifest_path(prev)):
+                continue
+            if self.manifest(prev)["summary"].get("wap_id") == wap_id:
+                os.unlink(self._staged_path(wap_id))
+                return prev
         if strict and sid != st["parent_id"]:
             raise CommitConflict(
                 f"table advanced to snapshot {sid} (batch {wap_id!r} staged "
@@ -743,7 +764,15 @@ class SnapshotTable:
         way).  Returns ``(snapshot_id_or_None, audit_result)``."""
         wap_id = wap_id or uuid.uuid4().hex[:12]
         self.stage_append(df, wap_id)
-        result = audit(self.read_staged(wap_id))
+        try:
+            result = audit(self.read_staged(wap_id))
+        except BaseException:
+            # a crashing audit must not strand a staged batch whose
+            # auto-generated wap_id the caller never learned — its files
+            # would be vacuum-protected forever
+            if not keep_failed:
+                self.abandon_staged(wap_id)
+            raise
         passed = bool(getattr(result, "passed", result))
         if not passed:
             if not keep_failed:
@@ -1213,8 +1242,8 @@ class SnapshotTable:
                     live.update(json.load(f)["files"])
         # staged (write-audit-publish) batches are referenced by no
         # numbered manifest yet — their files are pending, not orphaned
-        for st in self.staged():
-            live.update(self._staged_manifest(st["wap_id"])["files"])
+        for st in self._iter_staged():
+            live.update(st["files"])
         data_root = os.path.join(self.root, "data")
         cutoff = time.time() - min_age_seconds
         orphans = []

@@ -74,3 +74,24 @@ def test_output_covers_every_partition(spark):
         "robust_z",
         "is_anomaly",
     }
+
+
+def test_all_null_partition_flagged(spark):
+    """A partition whose value column is 100% NULL (p50 = NULL) must be
+    flagged, not NULL-verdict'd out of both filters."""
+    rows = [(f"p{p}", float(v)) for p in range(5) for v in (1, 2, 3)]
+    rows += [("dead", None)] * 3
+    df = _mk(spark, rows)
+    out = anomaly_scan(df, "part", "value")
+    p50 = {r["partition"]: r for r in out.filter("metric = 'p50'").collect()}
+    assert p50["dead"]["value"] is None
+    assert p50["dead"]["is_anomaly"] is True
+    assert all(r["is_anomaly"] is not None for r in out.collect())
+
+
+def test_weird_column_names(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "`the part` string, `p50 value` double"
+    )
+    out = anomaly_scan(df, "the part", "p50 value")
+    assert out.count() == 2 * 3

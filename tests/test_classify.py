@@ -91,3 +91,16 @@ def test_score_is_pure_column(spark, corpus):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_null_labels_count_as_negative(spark):
+    """NULL labels are negative observations (oracle parity), and an
+    all-null-label bucket must not crash the driver-side math."""
+    df = spark.createDataFrame(
+        [(1, "onlyword", None), (2, "goodword", "pos")],
+        "id long, text string, label string",
+    )
+    w = train_hashed_nb(df, "text", "label", "pos", n_buckets=4096)
+    b_null = df.select(hash_bucket(F.lit("onlyword"), 4096).alias("b")).first()["b"]
+    # bucket seen only under a NULL label: c_pos=0, c_neg=1; p0=(1+1)/(2+2)
+    assert w[b_null] == pytest.approx((0 + 1.0) / (1 + 2.0) - 2.0 / 4.0)

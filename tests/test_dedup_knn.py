@@ -409,3 +409,13 @@ def test_embedding_between_corpus_bands_reuse(spark):
         ).collect()
     }
     assert direct == reused == {(100, 3)}
+
+
+def test_pq_topk_budget_equals_k(vectors, spark):
+    """candidates == k must still return k rows per query: the query's
+    own corpus row may not consume a budget slot."""
+    queries = vectors.filter(F.col("vec_id") < 2)
+    out = knn.pq_topk(vectors, queries, k=5, m=4, n_codes=32, candidates=5)
+    counts = {r["query_id"]: r["n"] for r in
+              out.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: 5, 1: 5}

@@ -153,3 +153,36 @@ def test_staged_schema_evolution_publish(spark, root):
     assert "lang" in out.columns
     assert out.filter(F.col("lang").isNull()).count() == 4
     assert out.filter(F.col("lang") == "en").count() == 1
+
+
+def test_publish_idempotent_after_crash(spark, root):
+    """Crash between manifest commit and staged cleanup → retry must
+    NOT append the batch twice."""
+    import shutil
+
+    t = SnapshotTable(spark, root)
+    t.create(_frame(spark, range(5)))
+    t.stage_append(_frame(spark, range(5, 8)), "b1")
+    staged_path = t._staged_path("b1")
+    shutil.copy(staged_path, staged_path + ".bak")
+    sid = t.publish_staged("b1")
+    # simulate the crash: staged manifest resurfaces after the commit
+    shutil.copy(staged_path + ".bak", staged_path)
+    sid2 = t.publish_staged("b1")
+    assert sid2 == sid
+    assert t.current_snapshot_id() == sid
+    assert t.read().count() == 8
+    assert t.staged() == []  # retry finished the cleanup
+
+
+def test_wap_audit_exception_abandons(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_frame(spark, range(5)))
+
+    def boom(df):
+        raise RuntimeError("audit job died")
+
+    with pytest.raises(RuntimeError, match="audit job died"):
+        t.write_audit_publish(_frame(spark, range(5, 8)), boom)
+    assert t.staged() == []
+    assert t.read().count() == 5
