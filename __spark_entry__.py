@@ -286,6 +286,34 @@ def q_f8_match_regex(spark, sf_dir):
     )
 
 
+def q_fd_violations(spark, sf_dir):
+    """functional_dependency check: within one order every line must
+    carry the same l_linestatus; violations are all lines of every
+    mixed-status order.  One pre-aggregated shuffle + gated-broadcast
+    semi-join back (operators/fdcheck.py)."""
+    from datavalid_spark.operators.fdcheck import FunctionalDependencyCheck
+
+    chk = FunctionalDependencyCheck(
+        determinant=["l_orderkey"], dependent=["l_linestatus"]
+    )
+    return chk.violations(_t(spark, sf_dir, "lineitem")).select(
+        "l_orderkey", "l_linenumber", "l_linestatus"
+    )
+
+
+def q_seq_gaps(spark, sf_dir):
+    """no_gaps check: after dropping heavy lines (l_quantity > 40) the
+    per-order l_linenumber sequence acquires gaps/missing starts; the
+    check flags every out-of-sequence (order, linenumber) row.  The
+    expensive window runs on the DISTINCT pair frame, never the table
+    (operators/fdcheck.py)."""
+    from datavalid_spark.operators.fdcheck import NoGapsCheck
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") <= 40.0)
+    chk = NoGapsCheck(column="l_linenumber", per=["l_orderkey"], start=1)
+    return chk.violations(li).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
 def q_ref_orphans(spark, sf_dir):
     chk = ReferentialCheck("user_id", "s_suppkey", broadcast=True)
     return chk.orphans(_t(spark, sf_dir, "events"), _t(spark, sf_dir, "supplier"))
@@ -1169,6 +1197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f6_range": q_f6_range,
         "f7_title_case": q_f7_title_case,
         "f8_match_regex": q_f8_match_regex,
+        "fd_violations": q_fd_violations,
+        "seq_gaps": q_seq_gaps,
         "ref_orphans": q_ref_orphans,
         "ref_orphans_keys": q_ref_orphans_keys,
         "profile_stats": q_profile_stats,
@@ -1464,6 +1494,24 @@ WHERE p_name IS NOT NULL
 SELECT * FROM orders
 WHERE o_orderpriority IS NOT NULL
   AND NOT regexp_matches(o_orderpriority, '^(?:[123]-[A-Z]+)')
+""",
+        "fd_violations": """
+SELECT l_orderkey, l_linenumber, l_linestatus FROM lineitem
+WHERE l_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING COUNT(DISTINCT l_linestatus) > 1)
+""",
+        "seq_gaps": """
+WITH f AS (SELECT * FROM lineitem WHERE l_quantity <= 40.0),
+v AS (SELECT l_orderkey, l_linenumber, COUNT(*) AS n FROM f GROUP BY 1, 2),
+m AS (SELECT *, LAG(l_linenumber) OVER (
+        PARTITION BY l_orderkey ORDER BY l_linenumber) AS prev FROM v),
+bad AS (SELECT l_orderkey, l_linenumber FROM m
+        WHERE n > 1
+           OR (prev IS NOT NULL AND l_linenumber <> prev + 1)
+           OR (prev IS NULL AND l_linenumber <> 1))
+SELECT f.l_orderkey, f.l_linenumber, f.l_quantity
+FROM f SEMI JOIN bad USING (l_orderkey, l_linenumber)
 """,
         "ref_orphans": """
 SELECT e.* FROM events e

@@ -603,6 +603,12 @@ try:
 except ImportError:  # pragma: no cover - mid-import of boilerplate_check
     pass
 
+try:
+    # registers "functional_dependency" + "no_gaps" (same pattern)
+    from datavalid_spark.operators import fdcheck as _fdcheck  # noqa: E402,F401
+except ImportError:  # pragma: no cover - mid-import of fdcheck
+    pass
+
 
 def build_table_check(key: str, value, today: Optional[datetime.date] = None) -> TableCheck:
     if key not in TABLE_CHECKS:
@@ -618,7 +624,14 @@ def build_table_check(key: str, value, today: Optional[datetime.date] = None) ->
         if isinstance(value, dict):
             return cls(**value)
         return cls(value)
-    if key in ("empty", "no_near_duplicates", "no_drift", "max_boilerplate"):
+    if key in (
+        "empty",
+        "no_near_duplicates",
+        "no_drift",
+        "max_boilerplate",
+        "functional_dependency",
+        "no_gaps",
+    ):
         return cls(**(value or {}))
     kwargs = dict(value or {})
     kwargs["today"] = today

@@ -1,0 +1,232 @@
+"""Cross-row consistency checks: functional dependency and sequence
+completeness.
+
+Two validation-family table checks the reference's YAML surface lacks
+but a lake-table validator at 10^12-file scale needs (both are classic
+dbt/Deequ-style constraints re-expressed Spark-first):
+
+- ``functional_dependency``: determinant columns must map to exactly
+  one combination of dependent columns (e.g. the same (repo, path,
+  commit) must always carry the same lang).  Violations are every row
+  of every determinant group that maps to >1 dependent combination.
+- ``no_gaps``: an integer sequence column must be consecutive
+  (configurable ``step``), optionally starting at ``start``, per
+  ``per`` keys (e.g. l_linenumber must be 1..n within each order).
+  Violations are all rows whose (group, value) is out of sequence —
+  duplicated values, values after a jump, or a wrong first value.
+
+Scale notes (the reason these are not naive windows):
+
+- FD check: ONE partially-aggregated shuffle on (group, determinant)
+  computing ``count(distinct struct(dependent))``; only the offending
+  determinant keys (normally tiny — violations are the exception) ride
+  the size-gated broadcast back onto the fact table, so a healthy
+  10^12-row table is scanned twice and shuffled once on the
+  pre-aggregated key table.
+- no_gaps: gap marks depend only on the DISTINCT (group, value) pairs,
+  so the check aggregates to that frame first (bounded by key-space,
+  not row count), runs the lag window there, and semi-joins the bad
+  pairs back — the same distinct-value formulation that fixed the
+  round-1 single-task window in the date checks
+  (``_DateCheck.adjacent_gap_violations``).  Ungrouped, the window
+  runs over one partition of DISTINCT VALUES (calendar/sequence-sized,
+  never table-sized).
+
+Reference parity: the reference has no cross-row checks beyond dates
+(task.py:87-130); these extend the same TableCheck contract
+(violations lazy, original columns only).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from datavalid_spark.cache import gated_broadcast, release_cached  # noqa: F401
+from datavalid_spark.operators.checks import TableCheck
+
+_VAL = "__dv_seq"
+
+
+def _as_list(v, what: str) -> list:
+    if isinstance(v, str):
+        return [v]
+    if not isinstance(v, list) or not v or not all(isinstance(c, str) for c in v):
+        raise ValueError("%s should be a column name or a list of column names" % what)
+    return list(v)
+
+
+class FunctionalDependencyCheck(TableCheck):
+    """``functional_dependency: {determinant: [...], dependent: [...]}``
+
+    Fail iff any determinant key (within each validation group) maps to
+    more than one distinct dependent combination.  NULL dependent
+    values count as a value of their own (two rows with lang='py' and
+    lang=NULL for the same key DO violate) — ``struct`` packing keeps
+    the distinct-count NULL-aware, unlike a bare ``count(distinct col)``
+    which would silently ignore NULL rows.
+    """
+
+    key = "functional_dependency"
+
+    def __init__(
+        self,
+        determinant=None,
+        dependent=None,
+        broadcast_key_limit: Optional[int] = None,
+    ):
+        if determinant is None:
+            raise ValueError('should contain key "determinant"')
+        if dependent is None:
+            raise ValueError('should contain key "dependent"')
+        self.determinant = _as_list(determinant, '"determinant"')
+        self.dependent = _as_list(dependent, '"dependent"')
+        overlap = set(self.determinant) & set(self.dependent)
+        if overlap:
+            raise ValueError(
+                "determinant and dependent overlap: %s" % ", ".join(sorted(overlap))
+            )
+        self.broadcast_key_limit = broadcast_key_limit or 1_000_000
+
+    def bad_keys(self, df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+        """Determinant keys (plus group cols) with >1 dependent combo —
+        the one shuffle, on an already key-aggregated frame."""
+        keys = [*group_cols, *self.determinant]
+        dep = F.struct(*[F.col(c) for c in self.dependent])
+        return (
+            df.groupBy(*keys)
+            .agg(F.countDistinct(dep).alias("__dv_ndep"))
+            .filter(F.col("__dv_ndep") > 1)
+            .select(*keys)
+        )
+
+    def violations(self, df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+        keys = [*group_cols, *self.determinant]
+        # NULL determinant keys join NULL-safely nowhere under a plain
+        # semi-join; a NULL key is its own group in groupBy, so carry it
+        # through with null-safe equality to keep verdict parity with
+        # the aggregation that produced it.
+        bad = gated_broadcast(
+            self.bad_keys(df, group_cols), self.broadcast_key_limit
+        ).select(*[F.col(c).alias("__dv_k_%s" % c) for c in keys])
+        cond = None
+        for c in keys:
+            eq = F.col(c).eqNullSafe(F.col("__dv_k_%s" % c))
+            cond = eq if cond is None else cond & eq
+        return df.join(bad, cond, "left_semi")
+
+    def _err_msg(self, n: int) -> str:
+        return (
+            "%s does not determine %s. There are %d such rows"
+            % (", ".join(self.determinant), ", ".join(self.dependent), n)
+        )
+
+    def to_markdown(self) -> str:
+        return "Ensure %s uniquely determines %s" % (
+            ", ".join("`%s`" % c for c in self.determinant),
+            ", ".join("`%s`" % c for c in self.dependent),
+        )
+
+
+class NoGapsCheck(TableCheck):
+    """``no_gaps: {column: ..., per: [...], step: 1, start: 1}``
+
+    The integer ``column`` must step through consecutive values within
+    each ``per`` partition (times the validation group).  A (group,
+    value) pair is out of sequence when the value is duplicated, when
+    it is not ``prev + step``, or when the partition's first value is
+    not ``start`` (when ``start`` is given).  Violations are every row
+    carrying an out-of-sequence pair, original columns only.
+    """
+
+    key = "no_gaps"
+
+    def __init__(
+        self,
+        column: Optional[str] = None,
+        per=None,
+        step: int = 1,
+        start: Optional[int] = None,
+        allow_duplicates: bool = False,
+        broadcast_key_limit: Optional[int] = None,
+    ):
+        if column is None:
+            raise ValueError('should contain key "column"')
+        if not isinstance(column, str):
+            raise ValueError('"column" should be a column name')
+        if not isinstance(step, int) or step <= 0:
+            raise ValueError('"step" should be a positive integer')
+        self.column = column
+        self.per = _as_list(per, '"per"') if per is not None else []
+        self.step = step
+        self.start = start
+        self.allow_duplicates = allow_duplicates
+        self.broadcast_key_limit = broadcast_key_limit or 1_000_000
+
+    def bad_values(self, df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+        """Out-of-sequence (partition keys..., value) pairs.  Built on
+        the DISTINCT pair frame: the expensive window never sees more
+        rows than the key-space, and grouped/ungrouped share one
+        semantics (ungrouped = empty partition key, single distinct-
+        value partition)."""
+        keys = [*group_cols, *self.per]
+        val = F.col(self.column).cast("long").alias(_VAL)
+        pairs = (
+            df.filter(F.col(self.column).isNotNull())
+            .groupBy(*keys, val)
+            .agg(F.count(F.lit(1)).alias("__dv_n"))
+        )
+        w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(F.col(_VAL).asc())
+        prev = F.lag(_VAL).over(w)
+        bad = F.when(prev.isNull(), F.lit(False)).otherwise(
+            F.col(_VAL) != prev + F.lit(self.step)
+        )
+        if not self.allow_duplicates:
+            bad = bad | (F.col("__dv_n") > 1)
+        if self.start is not None:
+            bad = bad | (prev.isNull() & (F.col(_VAL) != F.lit(self.start)))
+        return pairs.withColumn("__dv_bad", bad).filter(F.col("__dv_bad")).select(
+            *keys, _VAL
+        )
+
+    def violations(self, df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+        keys = [*group_cols, *self.per]
+        bad = gated_broadcast(
+            self.bad_values(df, group_cols), self.broadcast_key_limit
+        ).select(
+            *[F.col(c).alias("__dv_k_%s" % c) for c in keys],
+            F.col(_VAL).alias("__dv_k_val"),
+        )
+        on = [F.col(c).eqNullSafe(F.col("__dv_k_%s" % c)) for c in keys] + [
+            F.col(self.column).cast("long") == F.col("__dv_k_val")
+        ]
+        cond = on[0]
+        for e in on[1:]:
+            cond = cond & e
+        return df.join(bad, cond, "left_semi")
+
+    def _err_msg(self, n: int) -> str:
+        scope = " per %s" % ", ".join(self.per) if self.per else ""
+        return "%s is not a gap-free sequence%s. There are %d such rows" % (
+            self.column,
+            scope,
+            n,
+        )
+
+    def to_markdown(self) -> str:
+        parts = ["Ensure `%s` has no sequence gaps (step %d" % (self.column, self.step)]
+        if self.start is not None:
+            parts.append(", starting at %d" % self.start)
+        parts.append(")")
+        if self.per:
+            parts.append(" within each %s" % ", ".join("`%s`" % c for c in self.per))
+        return "".join(parts)
+
+
+# self-registration (same import-cycle dodge as dedup_check)
+from datavalid_spark.operators import checks as _checks  # noqa: E402
+
+_checks.TABLE_CHECKS.setdefault("functional_dependency", FunctionalDependencyCheck)
+_checks.TABLE_CHECKS.setdefault("no_gaps", NoGapsCheck)

@@ -1,0 +1,176 @@
+"""Functional-dependency and sequence-gap checks
+(operators/fdcheck.py): value-granularity semantics, grouped parity,
+NULL handling, config validation, YAML registration."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.cache import release_cached
+from datavalid_spark.operators.checks import TABLE_CHECKS, build_table_check
+from datavalid_spark.operators.fdcheck import FunctionalDependencyCheck, NoGapsCheck
+from tests.conftest import rows_as_tuples
+
+
+@pytest.fixture(autouse=True)
+def _release():
+    yield
+    release_cached()
+
+
+# ---------------------------------------------------------------- FD
+
+
+@pytest.fixture(scope="module")
+def fd_df(spark):
+    # key 1 consistent, key 2 mixed lang, key 3 NULL-vs-value mixed,
+    # NULL key mixed (its own group)
+    rows = [
+        (1, "a", "py"),
+        (1, "b", "py"),
+        (2, "a", "py"),
+        (2, "b", "go"),
+        (3, "a", None),
+        (3, "b", "rs"),
+        (None, "a", "py"),
+        (None, "b", "go"),
+    ]
+    return spark.createDataFrame(rows, "k int, path string, lang string").repartition(4)
+
+
+def test_fd_registered():
+    assert TABLE_CHECKS["functional_dependency"] is FunctionalDependencyCheck
+    assert TABLE_CHECKS["no_gaps"] is NoGapsCheck
+
+
+def test_fd_violations_rows(spark, fd_df):
+    check = build_table_check(
+        "functional_dependency", {"determinant": "k", "dependent": "lang"}
+    )
+    got = rows_as_tuples(check.violations(fd_df))
+    # keys 2, 3 and NULL each map to 2 distinct lang values (NULL is a
+    # value of its own via struct packing; NULL key is its own group)
+    assert got == rows_as_tuples(
+        fd_df.filter(F.col("k").isNull() | F.col("k").isin(2, 3))
+    )
+    res = check.run(fd_df)
+    assert not res.passed and res.n_violations == 6
+    assert "k does not determine lang" in res.err_msg
+
+
+def test_fd_passes_when_dependent_constant(spark, fd_df):
+    ok = fd_df.filter(F.col("k") == 1)
+    res = FunctionalDependencyCheck(determinant=["k"], dependent=["lang"]).run(ok)
+    assert res.passed and res.n_violations == 0
+
+
+def test_fd_grouped_scopes_determinant(spark, fd_df):
+    # grouping by path splits key 2's two rows into different groups →
+    # within each group the dependency holds
+    check = FunctionalDependencyCheck(determinant=["k"], dependent=["lang"])
+    verd = check.group_verdicts(fd_df, ["path"])
+    by_path = {r["path"]: r for r in verd.collect()}
+    assert by_path["a"]["passed"] and by_path["b"]["passed"]
+
+
+def test_fd_multi_dependent(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 1), (1, "x", 2), (2, "x", 1), (2, "x", 1)],
+        "k int, a string, b int",
+    )
+    v = FunctionalDependencyCheck(determinant="k", dependent=["a", "b"]).violations(df)
+    assert rows_as_tuples(v) == rows_as_tuples(df.filter(F.col("k") == 1))
+
+
+def test_fd_config_errors():
+    with pytest.raises(ValueError, match="determinant"):
+        FunctionalDependencyCheck(dependent=["a"])
+    with pytest.raises(ValueError, match="dependent"):
+        FunctionalDependencyCheck(determinant=["a"])
+    with pytest.raises(ValueError, match="overlap"):
+        FunctionalDependencyCheck(determinant=["a"], dependent=["a", "b"])
+
+
+# ------------------------------------------------------------ no_gaps
+
+
+@pytest.fixture(scope="module")
+def seq_df(spark):
+    # order 1: 1,2,3 (clean); order 2: 1,3,4 (gap at 3);
+    # order 3: 2,3 (wrong start); order 4: 1,2,2 (duplicate)
+    rows = (
+        [(1, i) for i in (1, 2, 3)]
+        + [(2, i) for i in (1, 3, 4)]
+        + [(3, i) for i in (2, 3)]
+        + [(4, i) for i in (1, 2, 2)]
+    )
+    return spark.createDataFrame(rows, "oid int, ln int").repartition(4)
+
+
+def test_no_gaps_per_key(spark, seq_df):
+    check = build_table_check(
+        "no_gaps", {"column": "ln", "per": "oid", "start": 1}
+    )
+    got = rows_as_tuples(check.violations(seq_df), "oid", "ln")
+    # order 2: value 3 follows a gap; order 3: first value 2 != start;
+    # order 4: both rows of duplicated value 2
+    assert got == [(2, 3), (3, 2), (4, 2), (4, 2)]
+    res = check.run(seq_df)
+    assert not res.passed and res.n_violations == 4
+    assert "gap-free" in res.err_msg
+
+
+def test_no_gaps_without_start_ignores_first(spark, seq_df):
+    v = NoGapsCheck(column="ln", per="oid").violations(seq_df)
+    got = rows_as_tuples(v, "oid", "ln")
+    assert got == [(2, 3), (4, 2), (4, 2)]  # order 3 now clean
+
+
+def test_no_gaps_allow_duplicates(spark, seq_df):
+    v = NoGapsCheck(column="ln", per="oid", allow_duplicates=True).violations(seq_df)
+    assert rows_as_tuples(v, "oid", "ln") == [(2, 3)]
+
+
+def test_no_gaps_step(spark):
+    df = spark.createDataFrame([(2,), (4,), (8,)], "x int")
+    v = NoGapsCheck(column="x", step=2).violations(df)
+    assert rows_as_tuples(v, "x") == [(8,)]
+
+
+def test_no_gaps_ungrouped_matches_constant_group(spark, seq_df):
+    """The ungrouped distinct-value path and the grouped path share one
+    semantics: running per-oid equals running ungrouped on each oid
+    slice."""
+    check = NoGapsCheck(column="ln", start=1)
+    per_check = NoGapsCheck(column="ln", per="oid", start=1)
+    whole = rows_as_tuples(per_check.violations(seq_df), "oid", "ln")
+    sliced = []
+    for oid in (1, 2, 3, 4):
+        part = seq_df.filter(F.col("oid") == oid)
+        sliced += rows_as_tuples(check.violations(part), "oid", "ln")
+    assert sorted(sliced) == whole
+
+
+def test_no_gaps_group_cols_compose_with_per(spark, seq_df):
+    tagged = seq_df.withColumn("g", F.col("oid") % 2)
+    check = NoGapsCheck(column="ln", per="oid", start=1)
+    verd = {r["g"]: r for r in check.group_verdicts(tagged, ["g"]).collect()}
+    # g=0 holds orders 2 (gap row 3) and 4 (two rows of duplicated 2);
+    # g=1 holds orders 1 (clean) and 3 (wrong start row 2)
+    assert verd[0]["n_violations"] == 3 and not verd[0]["passed"]
+    assert verd[1]["n_violations"] == 1 and not verd[1]["passed"]
+    assert verd[0]["n_rows"] == 6 and verd[1]["n_rows"] == 5
+
+
+def test_no_gaps_null_values_ignored(spark):
+    df = spark.createDataFrame([(1,), (2,), (None,)], "x int")
+    res = NoGapsCheck(column="x", start=1).run(df)
+    assert res.passed
+
+
+def test_no_gaps_config_errors():
+    with pytest.raises(ValueError, match="column"):
+        NoGapsCheck()
+    with pytest.raises(ValueError, match="step"):
+        NoGapsCheck(column="x", step=0)
+    with pytest.raises(ValueError, match="per"):
+        NoGapsCheck(column="x", per=7)
