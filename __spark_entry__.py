@@ -362,6 +362,20 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_edit_dedup(spark, sf_dir):
+    """Levenshtein near-dup pairs on 120-char prefixes: q-gram
+    inverted-index blocking (full recall above the pigeonhole floor),
+    length prefilter on the index join, banded JVM levenshtein verify
+    (operators/editdedup.py)."""
+    from datavalid_spark.operators.editdedup import edit_near_dups
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 120).alias("s")
+    )
+    pairs = edit_near_dups(d, "doc_id", "s", max_dist=6, q=3)
+    return pairs.select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup pairs → connected components → (doc, cluster, size).
 
@@ -1205,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_distinct": q_dedup_distinct,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "edit_dedup": q_edit_dedup,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_canonical": q_dedup_keep_canonical,
         "dedup_incremental": q_dedup_incremental,
@@ -1552,6 +1567,16 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1
         "dedup_ngram_jaccard": f"""
 WITH {_NGRAM_PAIR_CTES}
 SELECT id_a, id_b, jaccard FROM jac
+""",
+        "edit_dedup": """
+WITH d AS (SELECT doc_id, substr(text, 1, 120) AS s FROM documents
+           WHERE text IS NOT NULL)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.s, b.s) AS dist
+FROM d a JOIN d b
+  ON a.doc_id < b.doc_id
+ AND abs(length(a.s) - length(b.s)) <= 6
+ AND levenshtein(a.s, b.s) <= 6
 """,
         "dedup_clusters": f"""
 WITH RECURSIVE {_NGRAM_PAIR_CTES},

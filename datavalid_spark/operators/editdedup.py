@@ -1,0 +1,137 @@
+"""Edit-distance (Levenshtein) near-duplicate pairs with q-gram
+blocking.
+
+The dedup family's fourth similarity space (after set-Jaccard, simhash
+bit-space, and embedding cosine): pairs whose character-level edit
+distance is at most ``max_dist`` — the right notion for short,
+structured strings (titles, paths, template headers) where token-set
+measures are too coarse.
+
+Distributed shape (the scale path, same architecture as
+``ngram_jaccard_pairs``):
+
+1. **Candidate generation** — inverted index on character q-grams.
+   Pigeonhole bound: one edit destroys at most ``q`` of a string's
+   ``len−q+1`` positional q-grams, so two strings within distance d
+   share at least ``len−q+1−d·q`` q-grams.  For strings of length
+   ≥ q·(d+1) that bound is ≥ 1: every true pair is guaranteed to meet
+   in the index (full recall) as long as no shared gram was dropped by
+   the ``max_doc_freq`` hot-gram cap (recall trade documented on
+   ``ngram_jaccard_pairs``).  Shorter strings can be edited into
+   sharing no q-gram, so they are routed to a single short-string
+   block instead (all-pairs within the block, which is tiny for any
+   real corpus of documents; ``max_short_block`` guards pathological
+   inputs).
+2. **Length prefilter** — ``|len(a)−len(b)| ≤ max_dist`` rides the
+   index join (lengths are carried through the exploded index), so
+   impossible pairs never reach verification.
+3. **Exact verify** — ``F.levenshtein(a, b, threshold)``: JVM-side,
+   and the threshold variant runs the banded O(d·len) algorithm, not
+   the full O(len²) table.  No Python touches the hot path.
+
+Output: ``(id_a, id_b, dist)`` with ``id_a < id_b``, exact distances —
+deterministic, so the driver oracle compares against DuckDB's
+``levenshtein`` all-pairs at small SF value-for-value.
+
+Reference parity: the reference has no near-dup operators at all
+(SURVEY.md §2 stops at exact checks); this extends the engine-only
+dedup family.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datavalid_spark.cache import persist_tracked
+
+_SHORT = "\x00__dv_short__"
+
+
+def edit_near_dups(
+    df: DataFrame,
+    id_col: str,
+    content_col: str = "content",
+    max_dist: int = 2,
+    q: int = 3,
+    max_doc_freq: Optional[int] = None,
+    max_short_block: int = 10_000,
+) -> DataFrame:
+    """All pairs with ``levenshtein(a, b) <= max_dist`` (see module
+    docstring for the blocking guarantee)."""
+    if max_dist < 0:
+        raise ValueError("max_dist should be >= 0")
+    if q < 2:
+        raise ValueError("q should be >= 2")
+    min_long = q * (max_dist + 1)
+    docs = persist_tracked(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(content_col).alias("__s"),
+            F.length(content_col).alias("__len"),
+        ).filter(F.col(content_col).isNotNull())
+    )
+
+    s = F.col("__s")
+    # positional char q-grams via substr over an index sequence; the
+    # index is deduplicated (array_distinct) — repeated grams add
+    # candidate-pair duplicates, not recall
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.col("__len") - q + 1),
+            lambda i: s.substr(i, F.lit(q)),
+        )
+    )
+    long_inv = (
+        docs.filter(F.col("__len") >= min_long)
+        .select("id", "__len", F.explode(grams).alias("gram"))
+    )
+    if max_doc_freq is not None:
+        hot = (
+            long_inv.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("gram")
+        )
+        long_inv = long_inv.join(hot, "gram", "left_anti")
+    # strings below the pigeonhole floor share one synthetic block
+    # (guarded: a corpus made entirely of tweets would go quadratic
+    # here — cap and let the caller shrink q or raise the guard)
+    short = docs.filter(F.col("__len") < min_long).select(
+        "id", "__len", F.lit(_SHORT).alias("gram")
+    )
+    n_short = short.limit(max_short_block + 1).count()
+    if n_short > max_short_block:
+        raise ValueError(
+            "%d strings shorter than q*(max_dist+1)=%d exceed "
+            "max_short_block=%d: lower q/max_dist or raise the cap"
+            % (n_short, min_long, max_short_block)
+        )
+    inv = long_inv.unionByName(short)
+
+    a, b = inv.alias("a"), inv.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.abs(F.col("a.__len") - F.col("b.__len")) <= max_dist
+            ),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ta = docs.select(F.col("id").alias("id_a"), F.col("__s").alias("__sa"))
+    tb = docs.select(F.col("id").alias("id_b"), F.col("__s").alias("__sb"))
+    # threshold form = banded O(d·len) DP; returns -1 above threshold
+    dist = F.levenshtein(F.col("__sa"), F.col("__sb"), max_dist)
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("dist", dist)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+        .select("id_a", "id_b", "dist")
+    )

@@ -1,0 +1,112 @@
+"""Edit-distance near-dup pairs (operators/editdedup.py): exact
+distances vs a brute-force python oracle, blocking recall guarantee,
+short-string block, hot-gram cap, guards."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.cache import release_cached
+from datavalid_spark.operators.editdedup import edit_near_dups
+from tests.conftest import rows_as_tuples
+
+
+@pytest.fixture(autouse=True)
+def _release():
+    yield
+    release_cached()
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _oracle(rows, max_dist):
+    out = []
+    for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
+        d = _lev(sa, sb)
+        if d <= max_dist:
+            out.append((min(ia, ib), max(ia, ib), d))
+    return sorted(out)
+
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cog"),  # 1 sub
+    (3, "the quick brown fox jumped over the lazy dog"),  # 2 edits
+    (4, "a completely different sentence about spark plans"),
+    (5, "the quick brown fox jumps over the lazy dog!"),  # 1 insert
+    (6, "lorem ipsum dolor sit amet consectetur adipiscing"),
+    (7, "lorem ipsum dolor sit amet consectetur adipiscing"),  # exact dup of 6
+]
+
+
+def test_pairs_match_bruteforce(spark):
+    df = spark.createDataFrame(CORPUS, "id int, s string").repartition(4)
+    got = rows_as_tuples(edit_near_dups(df, "id", "s", max_dist=2))
+    assert sorted(got) == _oracle(CORPUS, 2)
+    assert (1, 7, 0) not in got and (6, 7, 0) in _oracle(CORPUS, 2)
+
+
+def test_guaranteed_recall_at_larger_distance(spark):
+    df = spark.createDataFrame(CORPUS, "id int, s string")
+    got = sorted(rows_as_tuples(edit_near_dups(df, "id", "s", max_dist=5, q=3)))
+    assert got == _oracle(CORPUS, 5)
+
+
+def test_short_strings_route_to_short_block(spark):
+    # q*(max_dist+1) = 9: these share no 3-gram yet are within dist 2
+    rows = [(1, "abcd"), (2, "azcd"), (3, "wxyz"), (4, "abcd")]
+    df = spark.createDataFrame(rows, "id int, s string")
+    got = sorted(rows_as_tuples(edit_near_dups(df, "id", "s", max_dist=2)))
+    assert got == _oracle(rows, 2)
+    assert (1, 2, 1) in got and (1, 4, 0) in got
+
+
+def test_short_block_guard(spark):
+    rows = [(i, "ab") for i in range(30)]
+    df = spark.createDataFrame(rows, "id int, s string")
+    with pytest.raises(ValueError, match="max_short_block"):
+        edit_near_dups(df, "id", "s", max_dist=1, max_short_block=10).count()
+
+
+def test_length_prefilter_excludes_impossible_pairs(spark):
+    rows = [(1, "x" * 30), (2, "x" * 40)]  # share grams, length gap 10
+    df = spark.createDataFrame(rows, "id int, s string")
+    assert edit_near_dups(df, "id", "s", max_dist=2).count() == 0
+
+
+def test_hot_gram_cap_documented_recall_trade(spark):
+    # every string shares only the hot prefix; cap drops that gram so
+    # the true pair (1,2) is not generated — the documented trade
+    rows = [(i, "commonprefix" + suf) for i, suf in
+            [(1, "aaaaaaa"), (2, "aaaaaab"), (3, "zzzzzzz"), (4, "qqqqqqq")]]
+    df = spark.createDataFrame(rows, "id int, s string")
+    full = rows_as_tuples(edit_near_dups(df, "id", "s", max_dist=1))
+    capped = rows_as_tuples(
+        edit_near_dups(df, "id", "s", max_dist=1, max_doc_freq=3)
+    )
+    assert (1, 2, 1) in full
+    assert len(capped) <= len(full)
+
+
+def test_null_and_config_guards(spark):
+    df = spark.createDataFrame([(1, None), (2, "abcdefghij")], "id int, s string")
+    assert edit_near_dups(df, "id", "s", max_dist=1).count() == 0
+    with pytest.raises(ValueError, match="max_dist"):
+        edit_near_dups(df, "id", "s", max_dist=-1)
+    with pytest.raises(ValueError, match="q should"):
+        edit_near_dups(df, "id", "s", q=1)
+
+
+def test_no_python_in_hot_path(spark):
+    df = spark.createDataFrame(CORPUS, "id int, s string")
+    plan = edit_near_dups(df, "id", "s", max_dist=2)._jdf.queryExecution().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
