@@ -20,6 +20,31 @@ def build_spark(parallelism: str = "local[*]"):
     )
 
 
+def _parse_where(spec: str):
+    """``COL,OP[,VALUE]`` → a snaplog predicate tuple.  Values coerce
+    int → float → string; ``in`` splits VALUE on ';'."""
+
+    def coerce(v: str):
+        for cast in (int, float):
+            try:
+                return cast(v)
+            except ValueError:
+                continue
+        return v
+
+    parts = spec.split(",", 2)
+    if len(parts) < 2:
+        raise SystemExit(f"bad --where {spec!r}: expected COL,OP[,VALUE]")
+    col, op = parts[0].strip(), parts[1].strip()
+    if op in ("isnull", "notnull"):
+        return (col, op)
+    if len(parts) < 3:
+        raise SystemExit(f"bad --where {spec!r}: op {op!r} needs a VALUE")
+    if op == "in":
+        return (col, op, [coerce(v) for v in parts[2].split(";")])
+    return (col, op, coerce(parts[2]))
+
+
 def table_main(argv) -> int:
     """``python -m datavalid_spark table <root> <action>`` — snapshot
     table maintenance (the operational half of the table layer; maps
@@ -28,7 +53,13 @@ def table_main(argv) -> int:
     parser = argparse.ArgumentParser("datavalid_spark table")
     parser.add_argument("root", help="snapshot table directory")
     parser.add_argument(
-        "action", choices=["snapshots", "compact", "expire", "vacuum"]
+        "action", choices=["snapshots", "compact", "expire", "vacuum", "delete"]
+    )
+    parser.add_argument(
+        "--where", action="append", default=None, metavar="COL,OP[,VALUE]",
+        help="delete: predicate triple (op in '= < <= > >= in isnull "
+        "notnull'; repeat for a conjunction; 'in' takes ;-separated "
+        "values; numeric-looking values are coerced)",
     )
     parser.add_argument(
         "--target-rows", type=int, default=1_000_000,
@@ -83,14 +114,30 @@ def table_main(argv) -> int:
         verb = "would remove" if args.dry_run else "removed"
         print("%s %d orphan files" % (verb, len(removed)))
         return 0
-    # compact reads + rewrites data — needs a session; reuse an active
-    # one (library/test callers) and only stop what we created
+    # compact/delete read + rewrite data — need a session; reuse an
+    # active one (library/test callers) and only stop what we created
     from pyspark.sql import SparkSession
 
     existing = SparkSession.getActiveSession()
     spark = existing or build_spark(args.master)
     try:
         t = SnapshotTable(spark, args.root)
+        if args.action == "delete":
+            if not args.where:
+                print("delete needs at least one --where", file=sys.stderr)
+                return 2
+            preds = [_parse_where(w) for w in args.where]
+            before = t.current_snapshot_id()
+            sid = t.delete(preds)
+            if sid == before:
+                print("no rows matched (snapshot unchanged: %d)" % sid)
+            else:
+                s = t.manifest(sid)["summary"]
+                print(
+                    "deleted %d rows, rewrote %d files (snapshot %d)"
+                    % (s["deleted_rows"], s["rewritten_files"], sid)
+                )
+            return 0
         sort_by = args.sort_by.split(",") if args.sort_by else None
         z_order_by = args.z_order_by.split(",") if args.z_order_by else None
         sid = t.compact(

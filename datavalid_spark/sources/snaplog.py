@@ -262,17 +262,20 @@ def _file_may_match(stats: Optional[dict], col: str, op: str, value) -> bool:
     raise ValueError(f"unknown predicate op {op!r}")
 
 
-def _residual_filter(df: DataFrame, predicates) -> DataFrame:
-    """Apply the predicates exactly on top of the pruned scan — file
-    skipping is conservative, the row-level filter is the truth."""
+def _predicates_column(predicates) -> "F.Column":
+    """Exact row-level conjunction of the simple predicate tuples (the
+    truth the conservative file pruning approximates).  SQL three-value
+    semantics: a comparison against NULL yields NULL, which filters as
+    not-matching."""
+    cond = None
     for col, op, *rest in predicates:
         c = F.col(col)
         if op == "isnull":
-            df = df.filter(c.isNull())
+            e = c.isNull()
         elif op == "notnull":
-            df = df.filter(c.isNotNull())
+            e = c.isNotNull()
         elif op == "in":
-            df = df.filter(c.isin(list(rest[0])))
+            e = c.isin(list(rest[0]))
         elif op in ("=", "<", "<=", ">", ">="):
             ops = {
                 "=": c.__eq__,
@@ -281,10 +284,21 @@ def _residual_filter(df: DataFrame, predicates) -> DataFrame:
                 ">": c.__gt__,
                 ">=": c.__ge__,
             }
-            df = df.filter(ops[op](rest[0]))
+            e = ops[op](rest[0])
         else:
             raise ValueError(f"unknown predicate op {op!r}")
-    return df
+        cond = e if cond is None else (cond & e)
+    if cond is None:
+        raise ValueError("empty predicate list")
+    return cond
+
+
+def _residual_filter(df: DataFrame, predicates) -> DataFrame:
+    """Apply the predicates exactly on top of the pruned scan — file
+    skipping is conservative, the row-level filter is the truth."""
+    if not predicates:
+        return df
+    return df.filter(_predicates_column(predicates))
 
 
 #: z-order range buckets per column = 2^_Z_BITS; 6 bits (64 buckets)
@@ -1201,6 +1215,84 @@ class SnapshotTable:
             )
         finally:
             release_cached()
+
+    def delete(self, predicates) -> int:
+        """Copy-on-write DELETE: remove rows matching the conjunction
+        of simple predicates ``[(col, op, value), ...]`` (same tuple
+        grammar as ``scan``).  The GDPR/right-to-be-forgotten path, and
+        Iceberg's ``DELETE FROM`` CoW mode re-expressed:
+
+        1. manifest-level pruning narrows to files whose footer bounds
+           can contain a matching row — on a 10^12-file table a
+           targeted delete plans against O(matching files);
+        2. one distributed pass over those candidates finds the files
+           that actually HOLD matches (``input_file_name`` + the exact
+           predicate) and counts the doomed rows as a side effect;
+        3. only those files are rewritten, keeping rows where the
+           predicate is FALSE **or NULL** (SQL DELETE semantics:
+           ``DELETE WHERE p`` removes rows where p is TRUE — a NULL
+           comparison keeps the row); every untouched file is carried
+           into the new snapshot by reference, stats included.
+
+        Matches nothing → returns the CURRENT snapshot id unchanged (no
+        empty commit).  Returns the new snapshot id otherwise; the
+        snapshot summary records ``deleted_rows`` / ``rewritten_files``.
+        Time travel to the pre-delete snapshot still sees the rows —
+        physical destruction needs ``expire_snapshots`` + ``vacuum``
+        (documented Iceberg behavior, same here)."""
+        if not predicates:
+            raise ValueError(
+                "delete requires predicates; use overwrite() to truncate"
+            )
+        cond = _predicates_column(predicates)  # validates ops up front
+        sid = self.current_snapshot_id()
+        m = self.manifest(sid)
+        schema = T.StructType.fromJson(m["schema"])
+        candidates = self.prune_files(predicates, sid)[0]
+        if not candidates:
+            return sid
+        cand_df = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, f) for f in candidates]
+        )
+        per_file = (
+            cand_df.withColumn("__file", F.input_file_name())
+            .filter(cond)
+            .groupBy("__file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        if not per_file:
+            return sid
+        by_abs = {
+            os.path.abspath(os.path.join(self.root, f)): f for f in m["files"]
+        }
+        from urllib.parse import unquote, urlparse
+
+        affected: list[str] = []
+        n_deleted = 0
+        for row in per_file:
+            p = os.path.abspath(unquote(urlparse(row["__file"]).path))
+            if p not in by_abs:
+                raise RuntimeError(f"delete: unmapped data file {p!r}")
+            affected.append(by_abs[p])
+            n_deleted += row["n"]
+        untouched = [f for f in m["files"] if f not in set(affected)]
+        kept = (
+            self.spark.read.schema(schema)
+            .parquet(*[os.path.join(self.root, f) for f in affected])
+            .filter(~F.coalesce(cond, F.lit(False)))
+        )
+        return self._commit(
+            "delete",
+            kept,
+            untouched,
+            extra_summary={
+                "rewritten_files": len(affected),
+                "deleted_rows": n_deleted,
+            },
+            schema_override=schema,
+            expected_parent=sid,
+        )
 
     # ---------------------------------------------------------- cleanup
 

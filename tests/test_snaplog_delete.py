@@ -1,0 +1,142 @@
+"""Copy-on-write DELETE (sources/snaplog.py SnapshotTable.delete):
+file pruning, affected-file-only rewrite, SQL NULL semantics, no-op on
+no match, time travel, and DuckDB recount of the live files."""
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.sources.snaplog import SnapshotTable
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _ranged(spark, lo, hi, parts=4):
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 97).cast("double").alias("x"),
+        )
+        .repartitionByRange(parts, "id")
+        .sortWithinPartitions("id")
+    )
+
+
+def test_delete_rewrites_only_affected_files(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_ranged(spark, 0, 1000, parts=4))
+    before = t.manifest()
+    sid = t.delete([("id", ">=", 100), ("id", "<", 150)])
+    m = t.manifest(sid)
+    assert m["summary"]["deleted_rows"] == 50
+    # range-clustered layout: the 100..149 band lives in one file
+    assert m["summary"]["rewritten_files"] == 1
+    carried = set(before["files"]) & set(m["files"])
+    assert len(carried) == 3  # three untouched files by reference
+    live = t.read()
+    assert live.count() == 950
+    assert live.filter((F.col("id") >= 100) & (F.col("id") < 150)).count() == 0
+    # remaining rows byte-identical to a plain filter of the original
+    expect = _ranged(spark, 0, 1000).filter(
+        ~((F.col("id") >= 100) & (F.col("id") < 150))
+    )
+    assert live.exceptAll(expect).count() == 0
+    assert expect.exceptAll(live).count() == 0
+
+
+def test_delete_duckdb_recount(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_ranged(spark, 0, 500))
+    sid = t.delete([("x", ">", 90.0)])
+    files = [os.path.join(root, f) for f in t.manifest(sid)["files"]]
+    n = duckdb.sql(
+        "SELECT COUNT(*), COALESCE(SUM(CASE WHEN x > 90.0 THEN 1 END), 0) "
+        f"FROM read_parquet({files!r})"
+    ).fetchone()
+    expect = sum(1 for i in range(500) if i % 97 <= 90)
+    assert n[1] == 0 and n[0] == t.read().count() == expect
+
+
+def test_delete_no_match_is_noop(spark, root):
+    t = SnapshotTable(spark, root)
+    sid0 = t.create(_ranged(spark, 0, 100))
+    # pruned away entirely (bounds prove no match)
+    assert t.delete([("id", ">=", 10_000)]) == sid0
+    # survives pruning but matches no row (x is id % 97, never 96.5)
+    assert t.delete([("x", "=", 96.5)]) == sid0
+    assert t.current_snapshot_id() == sid0
+
+
+def test_delete_null_semantics_keeps_null_rows(spark, root):
+    t = SnapshotTable(spark, root)
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 50.0)], "id int, x double"
+    )
+    t.create(df)
+    sid = t.delete([("x", ">", 10.0)])
+    live = sorted(tuple(r) for r in t.read(sid).collect())
+    assert live == [(1, 5.0), (2, None)]  # NULL comparison keeps the row
+    assert t.manifest(sid)["summary"]["deleted_rows"] == 1
+
+
+def test_delete_isnull_predicate(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(spark.createDataFrame([(1, None), (2, 1.0)], "id int, x double"))
+    sid = t.delete([("x", "isnull")])
+    assert [r["id"] for r in t.read(sid).collect()] == [2]
+
+
+def test_delete_time_travel_sees_pre_delete_rows(spark, root):
+    t = SnapshotTable(spark, root)
+    sid0 = t.create(_ranged(spark, 0, 200))
+    sid1 = t.delete([("id", "<", 50)])
+    assert t.read(sid0).count() == 200
+    assert t.read(sid1).count() == 150
+
+
+def test_delete_whole_table_leaves_empty_snapshot(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_ranged(spark, 0, 50))
+    sid = t.delete([("id", ">=", 0)])
+    assert t.read(sid).count() == 0
+    assert t.manifest(sid)["summary"]["deleted_rows"] == 50
+
+
+def test_delete_requires_predicates(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_ranged(spark, 0, 10))
+    with pytest.raises(ValueError, match="predicates"):
+        t.delete([])
+    with pytest.raises(ValueError, match="unknown predicate op"):
+        t.delete([("id", "like", "x")])
+
+
+def test_delete_cli(spark, root, capsys):
+    """python -m datavalid_spark table <root> delete --where ..."""
+    from datavalid_spark.__main__ import main
+
+    t = SnapshotTable(spark, root)
+    t.create(_ranged(spark, 0, 200, parts=2))
+
+    assert main(["table", root, "delete",
+                 "--where", "id,>=,150", "--where", "id,<,160"]) == 0
+    assert "deleted 10 rows" in capsys.readouterr().out
+    assert t.read().count() == 190
+
+    assert main(["table", root, "delete", "--where", "id,in,0;1;2"]) == 0
+    assert "deleted 3 rows" in capsys.readouterr().out
+
+    assert main(["table", root, "delete", "--where", "id,>=,99999"]) == 0
+    assert "no rows matched" in capsys.readouterr().out
+
+    assert main(["table", root, "delete"]) == 2
+    assert "needs at least one --where" in capsys.readouterr().err
+
+    with pytest.raises(SystemExit):
+        main(["table", root, "delete", "--where", "id"])
