@@ -819,6 +819,46 @@ def q_agg_pricing(spark, sf_dir):
     )
 
 
+def q_pivot_counts(spark, sf_dir):
+    """Crosstab (PIVOT): order counts by priority × status.  Explicit
+    pivot values keep the plan one-pass (no value-discovery job) and
+    the output schema static; absent cells coalesce to 0 to match SQL
+    conditional aggregation.  Physically this is a single partial-agg
+    shuffle — pivot compiles to count(CASE WHEN ...) columns, the same
+    plan the oracle SQL states explicitly."""
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return p.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias("n_%s" % s.lower()) for s in "FOP"],
+    )
+
+
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width histogram of l_extendedprice (21 bins of 5000):
+    one partial-agg shuffle on the bucket id.  Bucket arithmetic is
+    IEEE double division + floor — deterministic, so counts compare
+    bit-for-bit against the identical DuckDB expression."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.least(F.floor(F.col("l_extendedprice") / 5000.0), F.lit(20)).cast(
+        "long"
+    )
+    return (
+        li.filter(F.col("l_extendedprice").isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.round(F.col("l_extendedprice") * 100, 0)), 0)
+            .cast("bigint")
+            .alias("sum_price_c"),
+        )
+    )
+
+
 def q_window_running(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -1244,6 +1284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "sort_limit_topk": q_sort_limit_topk,
         "agg_pricing": q_agg_pricing,
+        "pivot_counts": q_pivot_counts,
+        "value_histogram": q_value_histogram,
         "window_running": q_window_running,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
@@ -1646,6 +1688,20 @@ FROM documents
         "text_quality": _quality_sql(),
         "sort_limit_topk": """
 SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+""",
+        "pivot_counts": """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+       COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+       COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority
+""",
+        "value_histogram": """
+SELECT LEAST(FLOOR(l_extendedprice / 5000.0), 20)::BIGINT AS bucket,
+       COUNT(*) AS n,
+       ROUND(SUM(ROUND(l_extendedprice * 100, 0)), 0)::BIGINT AS sum_price_c
+FROM lineitem WHERE l_extendedprice IS NOT NULL
+GROUP BY 1
 """,
         "agg_pricing": """
 SELECT l_returnflag, l_linestatus,
