@@ -819,6 +819,25 @@ def q_agg_pricing(spark, sf_dir):
     )
 
 
+def q_skew_topk(spark, sf_dir):
+    """Key-skew diagnostic (operators/skew.py): top-20 heaviest order
+    keys with share / multiple-of-mean — the measurement that sizes
+    the salting factor before a big shuffle.  Partial-agg counts +
+    TakeOrderedAndProject (k-heap, no global sort)."""
+    from datavalid_spark.operators.skew import skew_report
+
+    return skew_report(_t(spark, sf_dir, "lineitem"), "l_orderkey", top_k=20)
+
+
+def q_group_verdicts(spark, sf_dir):
+    """Per-group pass/fail verdicts — the north rule's per-partition
+    verdict row, as a driver-checked query: the uniqueness check on
+    (l_partkey, l_suppkey) grouped by l_returnflag, one distributed
+    pass emitting (group, n_violations, passed, n_rows)."""
+    chk = UniqueCheck(["l_partkey", "l_suppkey"])
+    return chk.group_verdicts(_t(spark, sf_dir, "lineitem"), ["l_returnflag"])
+
+
 def q_pivot_counts(spark, sf_dir):
     """Crosstab (PIVOT): order counts by priority × status.  Explicit
     pivot values keep the plan one-pass (no value-discovery job) and
@@ -1284,6 +1303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "sort_limit_topk": q_sort_limit_topk,
         "agg_pricing": q_agg_pricing,
+        "skew_topk": q_skew_topk,
+        "group_verdicts": q_group_verdicts,
         "pivot_counts": q_pivot_counts,
         "value_histogram": q_value_histogram,
         "window_running": q_window_running,
@@ -1688,6 +1709,27 @@ FROM documents
         "text_quality": _quality_sql(),
         "sort_limit_topk": """
 SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+""",
+        "skew_topk": """
+WITH c AS (SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
+t AS (SELECT SUM(n) AS total, COUNT(*) AS nkeys FROM c),
+top AS (SELECT * FROM c ORDER BY n DESC, l_orderkey ASC LIMIT 20)
+SELECT l_orderkey, n,
+       n / t.total AS share,
+       (n * t.nkeys) / t.total AS x_mean,
+       ROW_NUMBER() OVER (ORDER BY n DESC, l_orderkey ASC) AS rank
+FROM top, t
+""",
+        "group_verdicts": """
+WITH g AS (SELECT l_returnflag, l_partkey, l_suppkey, COUNT(*) AS c
+           FROM lineitem GROUP BY 1, 2, 3),
+v AS (SELECT l_returnflag,
+             COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0)::BIGINT
+               AS n_violations
+      FROM g GROUP BY 1),
+n AS (SELECT l_returnflag, COUNT(*) AS n_rows FROM lineitem GROUP BY 1)
+SELECT n.l_returnflag, v.n_violations, v.n_violations = 0 AS passed, n.n_rows
+FROM n JOIN v USING (l_returnflag)
 """,
         "pivot_counts": """
 SELECT o_orderpriority,

@@ -1,0 +1,83 @@
+"""Join/shuffle key-skew diagnostic: the measurement that precedes the
+engine's mitigation knobs (salted uniqueness, AQE skew joins,
+repartition-by-repo-hash).
+
+At 10^12 rows the difference between a job that finishes and one that
+stalls on a straggler is usually ONE hot key (the mono-repo partition
+the north rule calls out).  ``skew_report`` quantifies that in one
+pass over the key space:
+
+- per-key counts via a partially-aggregated groupBy (map-side combine
+  — the scan emits at most one row per key per task);
+- the global totals (rows, distinct keys) ride ONE tiny aggregate of
+  that counts frame, broadcast back onto the top-k — no second scan of
+  the fact table;
+- top-k heaviest keys via ``orderBy + limit`` — Spark plans
+  ``TakeOrderedAndProject`` (a k-heap per partition, then a k-merge on
+  the driver), never a global sort;
+- deterministic output: ties break on the key value, so the report is
+  reproducible and oracle-comparable.
+
+Reading the report: ``share`` is the key's fraction of all rows —
+a top-1 share of 0.3 on a 1000-partition shuffle means one task does
+300× the average work; ``x_mean`` says how many times the average key
+size the hot key is, which is the salting factor to start from.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def skew_report(
+    df: DataFrame, cols: Sequence[str] | str, top_k: int = 20
+) -> DataFrame:
+    """Top-``top_k`` heaviest keys of ``cols`` with their row count,
+    share of all rows, multiple of the mean key size, and rank.
+
+    Returns ``(*cols, n, share, x_mean, rank)`` — ``n`` rows per key,
+    ``share`` = n / total_rows, ``x_mean`` = n / (total_rows /
+    distinct_keys), ``rank`` 1-based by (n desc, key asc).
+    """
+    if isinstance(cols, str):
+        cols = [cols]
+    cols = list(cols)
+    if not cols:
+        raise ValueError("cols should name at least one key column")
+    if top_k < 1:
+        raise ValueError("top_k should be >= 1")
+    counts = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("__total"),
+        F.count(F.lit(1)).alias("__nkeys"),
+    )
+    order = [F.col("n").desc(), *[F.col(c).asc_nulls_last() for c in cols]]
+    top = counts.orderBy(*order).limit(top_k)
+    w = Window.orderBy(*order)  # top_k rows — single tiny partition
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .withColumn("share", F.col("n") / F.col("__total"))
+        .withColumn(
+            "x_mean",
+            F.col("n") * F.col("__nkeys") / F.col("__total"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .select(*cols, "n", "share", "x_mean", "rank")
+    )
+
+
+def suggest_salt_buckets(
+    df: DataFrame, cols: Sequence[str] | str, target_share: float = 0.01
+) -> int:
+    """Salting factor that caps the hottest key's per-bucket share at
+    ``target_share`` of total rows: ceil(top1_share / target_share),
+    floored at 1.  One action over the skew report."""
+    row = skew_report(df, cols, top_k=1).select("share").first()
+    if row is None:
+        return 1
+    import math
+
+    return max(1, math.ceil(row["share"] / target_share))
