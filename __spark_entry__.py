@@ -372,7 +372,11 @@ def q_edit_dedup(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, 120).alias("s")
     )
-    pairs = edit_near_dups(d, "doc_id", "s", max_dist=6, q=3)
+    # q=6: on a small-vocabulary corpus 3-grams are corpus-common even
+    # at the rare end of the prefix order (measured 8.5M candidates vs
+    # 2.9M at q=6 for 5k docs); larger grams are more selective and the
+    # pigeonhole floor q*(d+1)=42 stays below the 48-char minimum doc
+    pairs = edit_near_dups(d, "doc_id", "s", max_dist=6, q=6)
     return pairs.select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
 
 

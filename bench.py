@@ -60,12 +60,15 @@ HEADLINE_QUERIES = [
     "pack_shards",
     "t2_empty",
     "t4_once_per_n_days",
+    "fd_violations",
+    "seq_gaps",
     "f6_range",
     "f7_title_case",
     "ref_orphans",
     "profile_stats",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "edit_dedup",
     "dedup_clusters",
     "line_dedup",
     "span_dedup",
