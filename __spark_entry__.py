@@ -823,6 +823,52 @@ def q_agg_pricing(spark, sf_dir):
     )
 
 
+def q_join3_revenue(spark, sf_dir):
+    """TPC-H Q3-shaped 3-table join: BUILDING-segment revenue per order.
+    The dimension chain (customer filtered to one segment) broadcasts
+    into orders, whose surviving keys broadcast into lineitem under AQE
+    — the fact table is scanned once and never shuffled before the
+    final partial-agg on o_orderkey.  Revenue in exact integer cents
+    (round inside, sum of bigint) so the engines agree bit-for-bit.
+    Top 10 by revenue with a full deterministic tie-break."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    return (
+        li.join(
+            F.broadcast(
+                o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+                    "o_orderkey", "o_orderdate", "o_orderpriority"
+                )
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(cents).alias("revenue_c"))
+        .orderBy(F.desc("revenue_c"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_max_fraction(spark, sf_dir):
+    """max_fraction compliance check (operators/compliance.py): per
+    return-flag tolerance on deep-discount lines — threshold 0.147 set
+    so one group passes (A, 0.1441) and two fail (N, R); violations are
+    only the FAILING groups' matching rows (group gate exercised)."""
+    from datavalid_spark.operators.compliance import MaxFractionCheck
+
+    chk = MaxFractionCheck(
+        condition={"column": "l_discount", "op": "greater_than", "value": 0.08},
+        max_frac=0.147,
+    )
+    return chk.violations(_t(spark, sf_dir, "lineitem"), ["l_returnflag"]).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_discount"
+    )
+
+
 def q_skew_topk(spark, sf_dir):
     """Key-skew diagnostic (operators/skew.py): top-20 heaviest order
     keys with share / multiple-of-mean — the measurement that sizes
@@ -1307,6 +1353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "sort_limit_topk": q_sort_limit_topk,
         "agg_pricing": q_agg_pricing,
+        "join3_revenue": q_join3_revenue,
+        "max_fraction": q_max_fraction,
         "skew_topk": q_skew_topk,
         "group_verdicts": q_group_verdicts,
         "pivot_counts": q_pivot_counts,
@@ -1713,6 +1761,25 @@ FROM documents
         "text_quality": _quality_sql(),
         "sort_limit_topk": """
 SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+""",
+        "join3_revenue": """
+SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+       SUM(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100, 0))::BIGINT
+         AS revenue_c
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY 1, 2, 3
+ORDER BY revenue_c DESC, o_orderkey ASC
+LIMIT 10
+""",
+        "max_fraction": """
+WITH s AS (SELECT l_returnflag FROM lineitem GROUP BY 1
+           HAVING COUNT(*) FILTER (l_discount > 0.08) > 0.147 * COUNT(*))
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_discount
+FROM lineitem l SEMI JOIN s USING (l_returnflag)
+WHERE l.l_discount > 0.08
 """,
         "skew_topk": """
 WITH c AS (SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY 1),

@@ -609,6 +609,12 @@ try:
 except ImportError:  # pragma: no cover - mid-import of fdcheck
     pass
 
+try:
+    # registers "max_fraction" (same pattern)
+    from datavalid_spark.operators import compliance as _compliance  # noqa: E402,F401
+except ImportError:  # pragma: no cover - mid-import of compliance
+    pass
+
 
 def build_table_check(key: str, value, today: Optional[datetime.date] = None) -> TableCheck:
     if key not in TABLE_CHECKS:
@@ -631,6 +637,7 @@ def build_table_check(key: str, value, today: Optional[datetime.date] = None) ->
         "max_boilerplate",
         "functional_dependency",
         "no_gaps",
+        "max_fraction",
     ):
         return cls(**(value or {}))
     kwargs = dict(value or {})

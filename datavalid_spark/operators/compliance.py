@@ -1,0 +1,109 @@
+"""Aggregate-compliance check: ``max_fraction`` — a bounded tolerance
+for bad rows instead of zero tolerance.
+
+The reference's ``empty`` check (checkers.py:55-88) fails on the FIRST
+matching row; at 10^9 rows real pipelines instead state "no more than
+0.1% of rows may look like this" (the compliance/ratio constraint
+family popularized by Deequ's ``Check.hasCompliance`` and dbt's
+``warn_if/error_if`` thresholds — both public-knowledge designs).
+``max_fraction`` fails a table (or each group) only when
+``matching_rows / total_rows`` strictly exceeds ``max_frac``, and then
+reports the matching rows as violations.
+
+Scale shape: ONE partially-aggregated pass computes per-group
+(matching, total); only the FAILING group keys ride a size-gated
+broadcast semi-join back onto the matching rows — a compliant table is
+scanned, never shuffled.  Ungrouped, the totals are a 1-row frame the
+matching-row filter cross-joins against (broadcast of one row), so the
+whole check stays lazy/composable like every other TableCheck.
+
+Semantics notes:
+- the threshold is STRICT (fraction must exceed ``max_frac``; exactly
+  at the bound passes) — thresholds read as "tolerate up to X";
+- matching rows inside PASSING groups are not violations (the group
+  met its tolerance), so ``n_violations`` counts only failing groups'
+  matching rows and ``passed == (n_violations == 0)`` stays consistent
+  with the TableCheck contract the lineage layer depends on.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datavalid_spark.cache import gated_broadcast
+from datavalid_spark.functions.conditions import compile_condition, validate_condition
+from datavalid_spark.operators.checks import TableCheck
+
+
+class MaxFractionCheck(TableCheck):
+    """``max_fraction: {condition: {...}, max_frac: 0.001}``"""
+
+    key = "max_fraction"
+
+    def __init__(self, condition=None, max_frac=None, broadcast_key_limit=None):
+        if condition is None:
+            raise ValueError('should contain key "condition"')
+        if not isinstance(condition, dict):
+            raise ValueError('"condition" should be a dict')
+        if max_frac is None:
+            raise ValueError('should contain key "max_frac"')
+        if not isinstance(max_frac, (int, float)) or isinstance(max_frac, bool) or not (
+            0 <= max_frac < 1
+        ):
+            raise ValueError('"max_frac" should be a number in [0, 1)')
+        validate_condition(condition)
+        self._spec = condition
+        self.max_frac = float(max_frac)
+        self.broadcast_key_limit = broadcast_key_limit or 1_000_000
+
+    def _counts(self, df: DataFrame, group_cols: Sequence[str]):
+        cond = compile_condition(self._spec)
+        agg = [
+            F.count(F.lit(1)).alias("__dv_n"),
+            F.count_if(cond).alias("__dv_m"),
+        ]
+        if group_cols:
+            return df.groupBy(*group_cols).agg(*agg)
+        return df.agg(*agg)
+
+    def violations(self, df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+        cond = compile_condition(self._spec)
+        over = F.col("__dv_m") > F.lit(self.max_frac) * F.col("__dv_n")
+        matching = df.filter(cond)
+        stats = self._counts(df, group_cols).filter(over)
+        if not group_cols:
+            # 1-row totals frame; empty when compliant → filter to zero
+            return matching.crossJoin(
+                F.broadcast(stats.select(F.lit(1).alias("__dv_gate")))
+            ).drop("__dv_gate")
+        bad = gated_broadcast(
+            stats.select(*group_cols), self.broadcast_key_limit
+        ).select(
+            *[F.col(c).alias("__dv_k_%s" % c) for c in group_cols]
+        )
+        on = None
+        for c in group_cols:
+            eq = F.col(c).eqNullSafe(F.col("__dv_k_%s" % c))
+            on = eq if on is None else on & eq
+        return matching.join(bad, on, "left_semi")
+
+    def _err_msg(self, n: int) -> str:
+        return (
+            "more than %.6g of rows match the condition. "
+            "There are %d such rows" % (self.max_frac, n)
+        )
+
+    def to_markdown(self) -> str:
+        return (
+            "Ensure at most a %.6g fraction of rows match the condition"
+            % self.max_frac
+        )
+
+
+# self-registration (same import-cycle dodge as dedup_check)
+from datavalid_spark.operators import checks as _checks  # noqa: E402
+
+_checks.TABLE_CHECKS.setdefault("max_fraction", MaxFractionCheck)

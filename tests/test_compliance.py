@@ -1,0 +1,119 @@
+"""max_fraction compliance check (operators/compliance.py): strict
+threshold, grouped tolerance, lazy composition, config validation,
+YAML surface."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.cache import release_cached
+from datavalid_spark.functions.conditions import BadConditionError
+from datavalid_spark.operators.checks import TABLE_CHECKS, build_table_check
+from datavalid_spark.operators.compliance import MaxFractionCheck
+from tests.conftest import rows_as_tuples
+
+
+@pytest.fixture(autouse=True)
+def _release():
+    yield
+    release_cached()
+
+
+COND = {"column": "status", "op": "equal", "value": "bad"}
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    # 10 rows, 2 bad → fraction 0.2
+    rows = [(i, "bad" if i < 2 else "ok") for i in range(10)]
+    return spark.createDataFrame(rows, "id int, status string").repartition(4)
+
+
+def test_registered():
+    assert TABLE_CHECKS["max_fraction"] is MaxFractionCheck
+
+
+def test_fails_above_threshold(spark, df):
+    chk = build_table_check("max_fraction", {"condition": COND, "max_frac": 0.1})
+    res = chk.run(df)
+    assert not res.passed and res.n_violations == 2
+    assert "more than 0.1 of rows" in res.err_msg
+    assert rows_as_tuples(res.violations) == [(0, "bad"), (1, "bad")]
+
+
+def test_passes_at_exact_threshold(spark, df):
+    # strict: fraction 0.2 == max_frac 0.2 passes
+    assert MaxFractionCheck(condition=COND, max_frac=0.2).run(df).passed
+
+
+def test_passes_below_threshold(spark, df):
+    assert MaxFractionCheck(condition=COND, max_frac=0.5).run(df).passed
+
+
+def test_zero_tolerance_matches_empty_semantics(spark, df):
+    res = MaxFractionCheck(condition=COND, max_frac=0.0).run(df)
+    assert not res.passed and res.n_violations == 2
+
+
+def test_grouped_only_failing_groups_report(spark):
+    # group a: 2/4 bad (0.5); group b: 1/4 bad (0.25); threshold 0.3
+    rows = [("a", "bad"), ("a", "bad"), ("a", "ok"), ("a", "ok"),
+            ("b", "bad"), ("b", "ok"), ("b", "ok"), ("b", "ok")]
+    df = spark.createDataFrame(rows, "g string, status string").repartition(4)
+    chk = MaxFractionCheck(condition=COND, max_frac=0.3)
+    viol = rows_as_tuples(chk.violations(df, ["g"]))
+    assert viol == [("a", "bad"), ("a", "bad")]  # b met its tolerance
+    verd = {r["g"]: r for r in chk.group_verdicts(df, ["g"]).collect()}
+    assert not verd["a"]["passed"] and verd["a"]["n_violations"] == 2
+    assert verd["b"]["passed"] and verd["b"]["n_violations"] == 0
+    assert verd["a"]["n_rows"] == 4 and verd["b"]["n_rows"] == 4
+
+
+def test_lazy_no_action_until_run(spark, df):
+    # violations() must not trigger jobs (lazy contract) — building the
+    # frame succeeds even with an invalid column only failing at analysis
+    chk = MaxFractionCheck(condition=COND, max_frac=0.1)
+    v = chk.violations(df)  # no .count()/.collect() here
+    assert v is not None
+
+
+def test_empty_frame_passes(spark, df):
+    assert MaxFractionCheck(condition=COND, max_frac=0.0).run(df.limit(0)).passed
+
+
+def test_config_errors():
+    with pytest.raises(ValueError, match="condition"):
+        MaxFractionCheck(max_frac=0.1)
+    with pytest.raises(ValueError, match="max_frac"):
+        MaxFractionCheck(condition=COND)
+    with pytest.raises(ValueError, match="max_frac"):
+        MaxFractionCheck(condition=COND, max_frac=1.0)
+    with pytest.raises(ValueError, match="max_frac"):
+        MaxFractionCheck(condition=COND, max_frac=-0.1)
+    with pytest.raises(BadConditionError):
+        MaxFractionCheck(condition={"column": "x", "op": "equal",
+                                    "value": 1, "bogus": 2}, max_frac=0.1)
+
+
+def test_yaml_e2e(spark, tmp_path, capsys):
+    from datavalid_spark.__main__ import main
+
+    (tmp_path / "data.csv").write_text(
+        "id,status\n" + "\n".join(f"{i},{'bad' if i < 3 else 'ok'}" for i in range(10))
+    )
+    (tmp_path / "datavalid.yml").write_text(
+        """
+files:
+  data.csv:
+    schema: s
+schemas:
+  s:
+    validation_tasks:
+      - name: under 10 percent bad
+        max_fraction:
+          condition: {column: status, op: equal, value: bad}
+          max_frac: 0.1
+"""
+    )
+    assert main(["--dir", str(tmp_path)]) == 1
+    out = capsys.readouterr().out
+    assert "more than 0.1 of rows" in out
