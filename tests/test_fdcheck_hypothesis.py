@@ -1,0 +1,109 @@
+"""Property-based parity for the round-2 cross-row + compliance checks
+(fdcheck.py, compliance.py): a ~15-line pure-python reimplementation of
+each check's spec is compared against the Spark operator on
+hypothesis-generated frames (same harness stance as
+test_parity_hypothesis.py — NA as None→NULL)."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from datavalid_spark.cache import release_cached
+from datavalid_spark.operators.compliance import MaxFractionCheck
+from datavalid_spark.operators.fdcheck import FunctionalDependencyCheck, NoGapsCheck
+
+SETTLE = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+KEYS = st.sampled_from([None, 1, 2, 3])
+DEPS = st.sampled_from([None, "x", "y"])
+VALS = st.sampled_from([None, 1, 2, 3, 4, 5, 7])
+
+fd_rows = st.lists(st.tuples(KEYS, DEPS), min_size=0, max_size=24)
+gap_rows = st.lists(st.tuples(KEYS, VALS), min_size=0, max_size=24)
+
+
+def _multiset(rows):
+    return Counter(tuple(r) for r in rows)
+
+
+@pytest.fixture(autouse=True)
+def _release():
+    yield
+    release_cached()
+
+
+@given(rows=fd_rows)
+@SETTLE
+def test_fd_parity(spark, rows):
+    df = spark.createDataFrame(rows, "k int, dep string") if rows else (
+        spark.createDataFrame([], "k int, dep string")
+    )
+    got = _multiset(
+        FunctionalDependencyCheck(determinant="k", dependent="dep")
+        .violations(df)
+        .collect()
+    )
+    by_key = defaultdict(set)
+    for k, dep in rows:
+        by_key[k].add(dep)  # None is a dependent value of its own
+    bad = {k for k, deps in by_key.items() if len(deps) > 1}
+    expect = _multiset(r for r in rows if r[0] in bad)
+    assert got == expect
+
+
+@given(rows=gap_rows, start=st.sampled_from([None, 1]), step=st.sampled_from([1, 2]))
+@SETTLE
+def test_no_gaps_parity(spark, rows, start, step):
+    df = spark.createDataFrame(rows, "g int, v int") if rows else (
+        spark.createDataFrame([], "g int, v int")
+    )
+    got = _multiset(
+        NoGapsCheck(column="v", per="g", start=start, step=step)
+        .violations(df)
+        .collect()
+    )
+    per = defaultdict(list)
+    for g, v in rows:
+        if v is not None:
+            per[g].append(v)
+    bad_pairs = set()
+    for g, vs in per.items():
+        distinct = sorted(set(vs))
+        counts = Counter(vs)
+        for i, v in enumerate(distinct):
+            if counts[v] > 1:
+                bad_pairs.add((g, v))
+            if i == 0:
+                if start is not None and v != start:
+                    bad_pairs.add((g, v))
+            elif v != distinct[i - 1] + step:
+                bad_pairs.add((g, v))
+    expect = _multiset(r for r in rows if r[1] is not None and (r[0], r[1]) in bad_pairs)
+    assert got == expect
+
+
+@given(rows=fd_rows, frac=st.sampled_from([0.0, 0.25, 0.5]))
+@SETTLE
+def test_max_fraction_parity(spark, rows, frac):
+    df = spark.createDataFrame(rows, "k int, dep string") if rows else (
+        spark.createDataFrame([], "k int, dep string")
+    )
+    chk = MaxFractionCheck(
+        condition={"column": "dep", "op": "equal", "value": "x"}, max_frac=frac
+    )
+    got = _multiset(chk.violations(df, ["k"]).collect())
+    per = defaultdict(lambda: [0, 0])
+    for k, dep in rows:
+        per[k][0] += 1
+        per[k][1] += dep == "x"
+    bad = {k for k, (n, m) in per.items() if m > frac * n}
+    expect = _multiset(r for r in rows if r[0] in bad and r[1] == "x")
+    assert got == expect
