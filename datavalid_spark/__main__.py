@@ -215,11 +215,21 @@ def main(argv=None) -> int:
             f.write(conf.to_markdown(relative_to=datadir))
         print("wrote %s" % args.doc)
         return 0
-    spark = build_spark(args.master)
+    # reuse an active session (library/test callers drive main() in
+    # process) and only stop what we created — stopping a borrowed
+    # session would kill the caller's JVM state mid-suite
+    from pyspark.sql import SparkSession
+
+    existing = SparkSession.getActiveSession()
+    spark = existing or build_spark(args.master)
     try:
         return conf.run(spark)
     finally:
-        spark.stop()
+        from datavalid_spark.cache import release_cached
+
+        release_cached()
+        if existing is None:
+            spark.stop()
 
 
 if __name__ == "__main__":

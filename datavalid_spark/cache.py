@@ -25,9 +25,15 @@ def persist_tracked(df: DataFrame, eager: bool = False) -> DataFrame:
 
 
 def release_cached() -> None:
-    """Unpersist every tracked intermediate."""
+    """Unpersist every tracked intermediate.  Entries whose owning
+    SparkSession has already stopped (e.g. a CLI run that built and
+    tore down its own session) are dropped silently — stopping the
+    session freed their blocks; the dead JVM handle just can't say so."""
     while _CACHED:
-        _CACHED.pop().unpersist()
+        try:
+            _CACHED.pop().unpersist()
+        except Exception:  # noqa: BLE001 - dead session handle
+            pass
 
 
 def gated_broadcast(small: DataFrame, limit: int = 1_000_000) -> DataFrame:

@@ -174,3 +174,41 @@ def test_no_gaps_config_errors():
         NoGapsCheck(column="x", step=0)
     with pytest.raises(ValueError, match="per"):
         NoGapsCheck(column="x", per=7)
+
+
+def test_yaml_e2e_new_checks(spark, tmp_path, capsys):
+    """datavalid.yml drives functional_dependency + no_gaps end-to-end."""
+    from datavalid_spark.__main__ import main
+
+    (tmp_path / "data.csv").write_text(
+        "oid,ln,status\n1,1,O\n1,2,O\n2,1,O\n2,3,F\n"
+    )
+    (tmp_path / "datavalid.yml").write_text(
+        """
+files:
+  data.csv:
+    schema: s
+schemas:
+  s:
+    validation_tasks:
+      - name: status consistent
+        functional_dependency: {determinant: [oid], dependent: [status]}
+"""
+    )
+    assert main(["--dir", str(tmp_path)]) == 1
+    assert "oid does not determine status" in capsys.readouterr().out
+
+    (tmp_path / "datavalid.yml").write_text(
+        """
+files:
+  data.csv:
+    schema: s
+schemas:
+  s:
+    validation_tasks:
+      - name: contiguous lines
+        no_gaps: {column: ln, per: [oid], start: 1}
+"""
+    )
+    assert main(["--dir", str(tmp_path)]) == 1
+    assert "not a gap-free sequence" in capsys.readouterr().out
