@@ -17,6 +17,19 @@ an option.  Design:
   pass.
 - ``run_to_memory`` drives any of these with ``trigger=availableNow``
   for deterministic tests (file source in, memory sink out).
+
+**availableNow × ProcessingTimeTimeout footgun** (applies to every
+stateful operator below): when a flatMapGroupsWithState-family operator
+is configured with a processing-time timeout, Spark's
+``shouldRunAnotherBatch`` requests a further micro-batch unconditionally
+(it cannot know the earliest pending timeout without scanning state), so
+an ``availableNow`` query never self-terminates — it keeps scheduling
+empty batches (measured: 50+ batches on a 6-row input before the test
+harness gave up).  Therefore every stateful op takes
+``state_timeout_ms=None`` to compile with ``timeoutConf="NoTimeout"``:
+pass ``None`` for finite drives (backfills, tests — state lives for the
+run), keep the default for long-lived streams where the timeout is the
+state-GC mechanism and the trigger fires continuously anyway.
 """
 
 from __future__ import annotations
@@ -106,7 +119,7 @@ def stateful_first_seen(
     key_col: str,
     content_col: str = "content",
     buckets: int = 64,
-    state_timeout_ms: int = 3_600_000,
+    state_timeout_ms: Optional[int] = 3_600_000,
     max_state_entries: int = 1_000_000,
 ):
     """Cross-micro-batch exact dedup: emit only the FIRST row seen per
@@ -172,7 +185,8 @@ def stateful_first_seen(
         if len(seen_list) > max_state_entries:
             seen_list = seen_list[-max_state_entries:]  # FIFO compaction
         state.update((seen_list,))
-        state.setTimeoutDuration(state_timeout_ms)
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
         yield out
 
     hashed = stream_df.select(
@@ -187,7 +201,7 @@ def stateful_first_seen(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf="ProcessingTimeTimeout",
+            timeoutConf=("ProcessingTimeTimeout" if state_timeout_ms is not None else "NoTimeout"),
         )
     )
 
@@ -201,7 +215,7 @@ def stateful_near_dup_stream(
     shingle_k: int = 5,
     threshold: float = 0.7,
     max_state_per_bucket: int = 64,
-    state_timeout_ms: int = 3_600_000,
+    state_timeout_ms: Optional[int] = 3_600_000,
 ) -> DataFrame:
     """Streaming NEAR-duplicate flagging: the streaming twin of
     ``dedup.minhash_lsh_pairs_between``.  Each arriving doc is compared
@@ -293,7 +307,8 @@ def stateful_near_dup_stream(
             ids = ids[-max_state_per_bucket:]
             sigs = sigs[-max_state_per_bucket:]
         state.update((ids, sigs))
-        state.setTimeoutDuration(state_timeout_ms)
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
         yield _pd.concat(outs) if outs else _pd.DataFrame(
             {"id_new": _pd.Series(dtype="int64"),
              "id_seen": _pd.Series(dtype="int64"),
@@ -337,11 +352,141 @@ def stateful_near_dup_stream(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf="ProcessingTimeTimeout",
+        timeoutConf=("ProcessingTimeTimeout" if state_timeout_ms is not None else "NoTimeout"),
     )
 
 
 # ------------------------------------------------------ drift monitor
+
+
+def stateful_sessionize(
+    stream_df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    state_timeout_ms: Optional[int] = 3_600_000,
+) -> DataFrame:
+    """Streaming sessionization with gap-timeout state — the streaming
+    twin of ``temporal.sessionize`` (whose lag-window formulation needs
+    the whole timeline and so cannot stream).
+
+    One ``applyInPandasWithState`` group per user.  State = the OPEN
+    session (start, last event, count) as epoch-micros longs — O(1) per
+    user regardless of session length, the property that lets a
+    10^8-user stream hold state in memory/RocksDB.  A session CLOSES
+    when a later event of the same user arrives more than
+    ``gap_seconds`` after the previous one (the next event proves the
+    gap), or when the processing-time timeout fires on an idle user —
+    so emitted rows are exactly the gap-delimited sessions, each once.
+
+    Within a micro-batch the user's events are sorted by event time and
+    segmented vectorized (numpy diff/cumsum — no per-row Python); all
+    segments except the last are closed by construction, the last stays
+    open in state.  Out-of-order arrivals older than the open session's
+    last event clamp into it (no retroactive split) — the documented
+    trade every low-state streaming sessionizer makes; exact reordering
+    belongs to the batch operator over the lake table.
+
+    Returns ``(user, session_start, session_end, n_events)`` for closed
+    sessions (append mode).
+    """
+    import pandas as pd  # noqa: F401 (executor-side)
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user", stream_df.schema[user_col].dataType),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def sess_fn(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as _pd
+
+        user = key[0]
+
+        def emit(rows):
+            return _pd.DataFrame(
+                {
+                    "user": [r[0] for r in rows],
+                    "session_start": [
+                        _pd.Timestamp(r[1], unit="us") for r in rows
+                    ],
+                    "session_end": [_pd.Timestamp(r[2], unit="us") for r in rows],
+                    "n_events": [r[3] for r in rows],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield emit([(user, start_us, last_us, n)])
+            return
+
+        ts = np.sort(
+            np.concatenate(
+                [
+                    p[ts_col].dropna().to_numpy(dtype="datetime64[us]")
+                    for p in pdfs
+                ]
+            )
+        ).astype("int64")
+        if len(ts) == 0:
+            if state.exists and state_timeout_ms is not None:
+                state.setTimeoutDuration(state_timeout_ms)
+            return
+        closed = []
+        if state.exists:
+            start_us, last_us, n = state.get
+            # clamp out-of-order stragglers into the open session
+            ts = np.maximum(ts, last_us)
+            if ts[0] - last_us > gap_us:
+                closed.append((user, start_us, last_us, n))
+                start_us, last_us, n = int(ts[0]), int(ts[0]), 0
+        else:
+            start_us, last_us, n = int(ts[0]), int(ts[0]), 0
+        gaps = np.diff(ts)
+        bounds = np.flatnonzero(gaps > gap_us)  # index i: session ends at ts[i]
+        seg_start = 0
+        for b in bounds:
+            closed.append(
+                (
+                    user,
+                    start_us,
+                    int(ts[b]),
+                    n + (b - seg_start + 1),
+                )
+            )
+            seg_start = b + 1
+            start_us, n = int(ts[seg_start]), 0
+        n += len(ts) - seg_start
+        last_us = int(ts[-1])
+        state.update((start_us, last_us, n))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        if closed:
+            yield emit(closed)
+
+    return stream_df.groupBy(F.col(user_col)).applyInPandasWithState(
+        sess_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=("ProcessingTimeTimeout" if state_timeout_ms is not None else "NoTimeout"),
+    )
 
 
 def drift_monitor(

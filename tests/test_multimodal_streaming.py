@@ -123,7 +123,8 @@ def test_stateful_first_seen_across_batches(spark, tmp_path):
         # file sink: the memory sink cannot recover from a checkpoint,
         # and cross-restart state is exactly what this test verifies
         stream = spark.readStream.schema("id long, content string").parquet(src)
-        out = stateful_first_seen(stream, "id", "content", buckets=4)
+        out = stateful_first_seen(stream, "id", "content", buckets=4,
+                                  state_timeout_ms=None)
         q = (
             out.writeStream.format("parquet")
             .queryName(qname)
@@ -133,7 +134,7 @@ def test_stateful_first_seen_across_batches(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)  # availableNow must TERMINATE
         return sorted(r.id for r in spark.read.parquet(sink).collect())
 
     spark.createDataFrame(
@@ -205,7 +206,8 @@ def test_stateful_near_dup_stream_across_batches(spark, tmp_path):
     def run_batch(qname):
         stream = spark.readStream.schema("id long, content string").parquet(src)
         out = stateful_near_dup_stream(
-            stream, "id", "content", threshold=0.5, max_state_per_bucket=8
+            stream, "id", "content", threshold=0.5, max_state_per_bucket=8,
+            state_timeout_ms=None,
         )
         q = (
             out.writeStream.format("parquet")
@@ -216,7 +218,7 @@ def test_stateful_near_dup_stream_across_batches(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)  # availableNow must TERMINATE
         return {
             (r.id_new, r.id_seen) for r in spark.read.parquet(sink).collect()
         }

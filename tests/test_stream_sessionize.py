@@ -1,0 +1,104 @@
+"""Streaming sessionization (streaming/validate_stream.py
+stateful_sessionize): gap-closed sessions across micro-batches and
+checkpoint restarts, out-of-order clamp, idle-user timeout flush."""
+
+import datetime as dt
+import os
+import time
+
+import pytest
+
+BASE = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+
+def _m(k):
+    return BASE + dt.timedelta(minutes=k)
+
+
+@pytest.fixture()
+def harness(spark, tmp_path):
+    from datavalid_spark.streaming.validate_stream import stateful_sessionize
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "out")
+    os.makedirs(src)
+
+    def feed(rows):
+        spark.createDataFrame(rows, "user_id long, ts timestamp").write.parquet(
+            src, mode="append"
+        )
+
+    def read_sink():
+        has_files = os.path.isdir(sink) and any(
+            f.endswith(".parquet") for f in os.listdir(sink)
+        )
+        if not has_files:
+            return []  # sink not materialized yet (schema can't infer)
+        return sorted(
+            (r.user, r.session_start, r.session_end, r.n_events)
+            for r in spark.read.parquet(sink).collect()
+        )
+
+    def run_batch(timeout_ms=None):
+        stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+        out = stateful_sessionize(
+            stream, gap_seconds=600, state_timeout_ms=timeout_ms
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if timeout_ms is None:
+            # NoTimeout → availableNow genuinely terminates
+            assert q.awaitTermination(120)
+            return read_sink()
+        # ProcessingTimeTimeout: Spark keeps scheduling empty batches to
+        # evaluate future timeouts (the documented availableNow footgun)
+        # — poll the sink, then stop the query explicitly
+        deadline = time.time() + 60
+        rows = read_sink()
+        while time.time() < deadline and not rows:
+            time.sleep(1)
+            rows = read_sink()
+        q.stop()
+        return rows
+
+    return feed, run_batch, read_sink
+
+
+def test_sessions_close_on_gap_and_survive_restart(spark, harness):
+    feed, run_batch, _ = harness
+    # user 1: 0,5,9 | gap | 30,31 (open); user 2: 0 (open)
+    feed([(1, _m(0)), (1, _m(5)), (1, _m(9)), (1, _m(30)), (1, _m(31)), (2, _m(0))])
+    assert run_batch() == [(1, _m(0), _m(9), 3)]
+
+    # restart from checkpoint: 32 continues the open session, 60 closes
+    # it (3 events: 30,31 carried in state + 32); user 2 still open
+    feed([(1, _m(32)), (1, _m(60)), (2, _m(3))])
+    assert run_batch() == [(1, _m(0), _m(9), 3), (1, _m(30), _m(32), 3)]
+
+
+def test_out_of_order_clamps_into_open_session(spark, harness):
+    feed, run_batch, _ = harness
+    feed([(7, _m(20)), (7, _m(21))])
+    assert run_batch() == []
+    # straggler older than the open session's last event clamps in
+    # (counts as an event, no retroactive split), then 60 closes it
+    feed([(7, _m(5)), (7, _m(60))])
+    got = run_batch()
+    assert got == [(7, _m(20), _m(21), 3)]
+
+
+def test_idle_user_flushed_by_timeout(spark, harness):
+    feed, run_batch, _ = harness
+    feed([(3, _m(0)), (3, _m(2))])
+    # with a 1 ms processing-time timeout, the extra batches Spark keeps
+    # scheduling under availableNow evaluate the timeout and flush the
+    # idle user's open session; run_batch polls the sink then stops
+    got = run_batch(timeout_ms=1)
+    assert (3, _m(0), _m(2), 2) in got
