@@ -823,6 +823,29 @@ def q_agg_pricing(spark, sf_dir):
     )
 
 
+def q_scd2_history(spark, sf_dir):
+    """SCD type-2 history from the events change log: per-user
+    event_type versions, no-op updates compressed, [valid_from,
+    valid_to) intervals via lag+lead sharing ONE exchange+sort
+    (operators/history.py).  (user_id, ts) is unique in the fixture,
+    so window order is deterministic."""
+    from datavalid_spark.operators.history import scd2_build
+
+    return scd2_build(_t(spark, sf_dir, "events"), "user_id", "ts", "event_type")
+
+
+def q_outlier_rows(spark, sf_dir):
+    """Row-granular robust outliers (operators/history.py): events
+    whose value sits > 3.5 scaled MADs from their event_type's median.
+    Two exact-percentile partial-agg passes build the per-group stats,
+    which gated-broadcast back onto the scan — rows never shuffle."""
+    from datavalid_spark.operators.history import outlier_rows
+
+    return outlier_rows(
+        _t(spark, sf_dir, "events"), "value", ["event_type"], k=3.5
+    ).select("event_id", "user_id", "event_type", "value")
+
+
 def q_join3_revenue(spark, sf_dir):
     """TPC-H Q3-shaped 3-table join: BUILDING-segment revenue per order.
     The dimension chain (customer filtered to one segment) broadcasts
@@ -1353,6 +1376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "sort_limit_topk": q_sort_limit_topk,
         "agg_pricing": q_agg_pricing,
+        "scd2_history": q_scd2_history,
+        "outlier_rows": q_outlier_rows,
         "join3_revenue": q_join3_revenue,
         "max_fraction": q_max_fraction,
         "skew_topk": q_skew_topk,
@@ -1761,6 +1786,30 @@ FROM documents
         "text_quality": _quality_sql(),
         "sort_limit_topk": """
 SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+""",
+        "scd2_history": """
+WITH s AS (
+  SELECT user_id, ts, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events),
+c AS (SELECT user_id, ts, event_type FROM s
+      WHERE prev IS NULL OR event_type <> prev)
+SELECT user_id, event_type, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+FROM c
+""",
+        "outlier_rows": """
+WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
+             FROM events WHERE value IS NOT NULL GROUP BY 1),
+mad AS (SELECT e.event_type, quantile_cont(abs(e.value - med.m), 0.5) AS d
+        FROM events e JOIN med USING (event_type)
+        WHERE e.value IS NOT NULL GROUP BY 1),
+s AS (SELECT med.event_type, m, d FROM med JOIN mad USING (event_type))
+SELECT e.event_id, e.user_id, e.event_type, e.value
+FROM events e JOIN s USING (event_type)
+WHERE e.value IS NOT NULL
+  AND (CASE WHEN s.d > 0 THEN abs(e.value - s.m) > 3.5 * 1.4826 * s.d
+            ELSE abs(e.value - s.m) > 0 END)
 """,
         "join3_revenue": """
 SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,

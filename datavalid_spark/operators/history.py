@@ -1,0 +1,146 @@
+"""Slowly-changing-dimension (SCD type 2) history builder and
+row-level robust outlier detection.
+
+``scd2_build`` turns an append-only change log (key, timestamp,
+attributes) into validity intervals — the lake-table shape every
+warehouse dimension uses (Kimball's type-2 dimension, public
+methodology).  Two window passes over the SAME (key, ts) sort order —
+Spark reuses one Exchange+Sort for both, so the operator costs ONE
+shuffle:
+
+1. change compression: a row is kept only when its attribute struct
+   differs from the previous row's (``lag``), so no-op updates (the
+   dominant row class in real change streams) never become versions;
+   NULL-safe via struct equality ``eqNullSafe``;
+2. interval assembly: ``valid_from`` = the row's ts, ``valid_to`` =
+   ``lead(ts)`` over surviving rows (NULL = current version).
+
+``outlier_rows`` flags rows whose value deviates from its group median
+by more than ``k`` MADs (Iglewicz–Hoberg modified z-score, same robust
+center the partition-level ``anomaly_scan`` uses — this is the
+row-granular complement).  Shape: two aggregate passes over the fact
+table (median, then MAD of absolute deviations — each an exact
+interpolated ``percentile`` partial-agg) produce a per-group stats
+table that is gated-broadcast back onto the scan; rows never shuffle.
+At 10^12 rows swap the exact percentile for ``percentile_approx`` via
+``approx=True`` — same plan shape, sketch-bounded memory.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from datavalid_spark.cache import gated_broadcast
+
+#: MAD → σ-equivalent scale for normal data (1/Φ⁻¹(0.75))
+MAD_SCALE = 1.4826
+
+
+def scd2_build(
+    df: DataFrame,
+    key_cols: Sequence[str] | str,
+    ts_col: str,
+    attr_cols: Sequence[str] | str,
+    compress: bool = True,
+) -> DataFrame:
+    """(key, ts, attrs) change log → type-2 validity intervals
+    ``(*key_cols, *attr_cols, valid_from, valid_to)`` with
+    ``valid_to`` NULL for the current version.  ``compress=False``
+    keeps every log row as a version (audit mode)."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    attr_cols = [attr_cols] if isinstance(attr_cols, str) else list(attr_cols)
+    if not key_cols or not attr_cols:
+        raise ValueError("key_cols and attr_cols must be non-empty")
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc())
+    out = df.select(*key_cols, ts_col, *attr_cols)
+    if compress:
+        attrs = F.struct(*[F.col(c) for c in attr_cols])
+        prev = F.lag(attrs).over(w)
+        changed = prev.isNull() | ~attrs.eqNullSafe(prev)
+        out = out.withColumn("__dv_keep", changed).filter(
+            F.col("__dv_keep")
+        ).drop("__dv_keep")
+    # same partitioning+ordering as the lag window → one Exchange/Sort
+    w2 = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc())
+    return out.select(
+        *key_cols,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+    )
+
+
+def scd2_as_of(history: DataFrame, ts) -> DataFrame:
+    """Point-in-time view of an ``scd2_build`` history: the version
+    whose [valid_from, valid_to) interval covers ``ts``."""
+    t = F.lit(ts)
+    return history.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).drop("valid_from", "valid_to")
+
+
+def outlier_rows(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] | str = (),
+    k: float = 3.5,
+    approx: bool = False,
+    broadcast_key_limit: Optional[int] = None,
+) -> DataFrame:
+    """Rows where ``|x − median| > k · MAD_SCALE · MAD`` within their
+    group (whole table when ``group_cols`` empty).  Degenerate spread
+    (MAD = 0: more than half the group shares one value) flags any
+    deviation from the shared center — consistent with
+    ``anomaly_scan``'s fallback.  Returns the input rows unchanged."""
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    pct = "approx_percentile" if approx else "percentile"
+    v = F.col(value_col)
+
+    def agg_of(frame, expr, alias):
+        a = F.expr(expr).alias(alias)
+        if group_cols:
+            return frame.groupBy(*group_cols).agg(a)
+        return frame.agg(a)
+
+    med = agg_of(
+        df.filter(v.isNotNull()).select(*group_cols, v.alias("__dv_v")),
+        f"{pct}(__dv_v, 0.5)",
+        "__dv_med",
+    )
+    dev = df.filter(v.isNotNull()).select(*group_cols, v.alias("__dv_v"))
+    if group_cols:
+        m = gated_broadcast(med, broadcast_key_limit or 1_000_000)
+        dev = dev.join(m, group_cols)
+    else:
+        dev = dev.crossJoin(F.broadcast(med))
+    dev = dev.select(
+        *group_cols, F.abs(F.col("__dv_v") - F.col("__dv_med")).alias("__dv_v")
+    )
+    mad = agg_of(dev, f"{pct}(__dv_v, 0.5)", "__dv_mad")
+    stats = med.join(mad, group_cols) if group_cols else med.crossJoin(mad)
+    if group_cols:
+        stats = gated_broadcast(
+            stats.select(
+                *[F.col(c).alias("__dv_k_%s" % c) for c in group_cols],
+                "__dv_med",
+                "__dv_mad",
+            ),
+            broadcast_key_limit or 1_000_000,
+        )
+        cond = None
+        for c in group_cols:
+            eq = F.col(c).eqNullSafe(F.col("__dv_k_%s" % c))
+            cond = eq if cond is None else cond & eq
+        joined = df.join(stats, cond)
+    else:
+        joined = df.crossJoin(F.broadcast(stats))
+    spread = F.lit(float(k)) * F.lit(MAD_SCALE) * F.col("__dv_mad")
+    dev_abs = F.abs(v - F.col("__dv_med"))
+    is_out = F.when(F.col("__dv_mad") > 0, dev_abs > spread).otherwise(
+        dev_abs > 0
+    )
+    return joined.filter(v.isNotNull() & is_out).select(*df.columns)

@@ -1,0 +1,105 @@
+"""SCD2 history builder + robust row outliers (operators/history.py)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.cache import release_cached
+from datavalid_spark.operators.history import outlier_rows, scd2_as_of, scd2_build
+from tests.conftest import rows_as_tuples
+
+
+@pytest.fixture(autouse=True)
+def _release():
+    yield
+    release_cached()
+
+
+D = lambda k: dt.datetime(2026, 1, k, 0, 0, 0)  # noqa: E731
+
+
+@pytest.fixture(scope="module")
+def log(spark):
+    # key 1: a → a (no-op) → b → b (no-op) → a ; key 2: NULL attr run
+    rows = [
+        (1, D(1), "a"), (1, D(2), "a"), (1, D(3), "b"),
+        (1, D(4), "b"), (1, D(5), "a"),
+        (2, D(1), None), (2, D(2), None), (2, D(3), "z"),
+    ]
+    return spark.createDataFrame(rows, "k int, ts timestamp, attr string").repartition(4)
+
+
+def test_scd2_compresses_noop_updates(spark, log):
+    hist = rows_as_tuples(scd2_build(log, "k", "ts", "attr"))
+    assert hist == sorted(
+        [
+            (1, "a", D(1), D(3)), (1, "b", D(3), D(5)), (1, "a", D(5), None),
+            (2, None, D(1), D(3)), (2, "z", D(3), None),
+        ],
+        key=lambda t: tuple((v is None, str(v)) for v in t),
+    )
+
+
+def test_scd2_audit_mode_keeps_every_row(spark, log):
+    hist = scd2_build(log, "k", "ts", "attr", compress=False)
+    assert hist.count() == 8
+    # intervals still chain: each valid_to equals the next valid_from
+    one = sorted(
+        (r.valid_from, r.valid_to)
+        for r in hist.filter(F.col("k") == 1).collect()
+    )
+    assert [a for a, _ in one] == [D(i) for i in (1, 2, 3, 4, 5)]
+    assert [b for _, b in one] == [D(2), D(3), D(4), D(5), None]
+
+
+def test_scd2_as_of(spark, log):
+    hist = scd2_build(log, "k", "ts", "attr")
+    at = {r.k: r.attr for r in scd2_as_of(hist, D(4)).collect()}
+    assert at == {1: "b", 2: "z"}
+    at1 = {r.k: r.attr for r in scd2_as_of(hist, D(1)).collect()}
+    assert at1 == {1: "a", 2: None}
+
+
+def test_scd2_one_shuffle_plan(spark, log):
+    plan = (
+        scd2_build(log, "k", "ts", "attr")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # lag + lead share one hash exchange + sort (the fixture's own
+    # repartition(4) adds an unrelated RoundRobin exchange)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scd2_guards(spark, log):
+    with pytest.raises(ValueError, match="non-empty"):
+        scd2_build(log, [], "ts", "attr")
+
+
+def test_outlier_rows_grouped(spark):
+    rows = [("g1", float(v)) for v in [10, 11, 9, 10, 12, 10, 11, 100]] + [
+        ("g2", float(v)) for v in [5, 5, 5, 5, 9]
+    ]
+    df = spark.createDataFrame(rows, "g string, x double").repartition(4)
+    got = rows_as_tuples(outlier_rows(df, "x", "g", k=3.5))
+    # g1: 100 is the clear outlier; g2: MAD=0 (majority 5) → 9 flagged
+    assert got == [("g1", 100.0), ("g2", 9.0)]
+
+
+def test_outlier_rows_whole_table_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(float(v),) for v in [1, 2, 1, 2, 1, 2, 50]] + [(None,)], "x double"
+    )
+    got = rows_as_tuples(outlier_rows(df, "x"))
+    assert got == [(50.0,)]
+
+
+def test_outlier_rows_approx_mode(spark):
+    # approx_percentile is discrete (picks an element) so center/MAD can
+    # differ slightly from the interpolated exact — on this data the
+    # verdict is the same either way
+    rows = [("a", float(v)) for v in [10, 11, 9, 10, 12, 10, 11, 100]]
+    df = spark.createDataFrame(rows, "g string, x double")
+    exact = rows_as_tuples(outlier_rows(df, "x", "g"))
+    approx = rows_as_tuples(outlier_rows(df, "x", "g", approx=True))
+    assert exact == approx == [("a", 100.0)]
