@@ -111,10 +111,14 @@ def outlier_rows(
         f"{pct}(__dv_v, 0.5)",
         "__dv_med",
     )
+    if group_cols:
+        # ONE gated-broadcast handle (persisted by the gate) feeds both
+        # the deviation join and the final stats join — a second
+        # reference to the raw agg would recompute the median scan
+        med = gated_broadcast(med, broadcast_key_limit or 1_000_000)
     dev = df.filter(v.isNotNull()).select(*group_cols, v.alias("__dv_v"))
     if group_cols:
-        m = gated_broadcast(med, broadcast_key_limit or 1_000_000)
-        dev = dev.join(m, group_cols)
+        dev = dev.join(med, group_cols)
     else:
         dev = dev.crossJoin(F.broadcast(med))
     dev = dev.select(
