@@ -112,6 +112,13 @@ class TaskSpec:
     """name + optional where/group_by + exactly one table checker
     (reference task.py:26-130)."""
 
+    #: per-check config keys holding FILESYSTEM PATHS: relative values
+    #: resolve against the datavalid.yml directory (basedir), so a config
+    #: stays portable — resolving against the process CWD made
+    #: `no_drift: {baseline: baseline.json}` fail under any runner not
+    #: started inside the data directory
+    PATH_KEYS = {"no_drift": ("baseline",)}
+
     def __init__(
         self,
         name: Optional[str] = None,
@@ -119,6 +126,7 @@ class TaskSpec:
         group_by=None,
         warn_only: bool = False,
         today: Optional[datetime.date] = None,
+        basedir: Optional[pathlib.Path] = None,
         **kwargs,
     ) -> None:
         if name is None:
@@ -153,6 +161,13 @@ class TaskSpec:
             )
         self.check_key = given[0]
         self.check_conf = kwargs[self.check_key]
+        if basedir is not None and isinstance(self.check_conf, dict):
+            for pk in self.PATH_KEYS.get(self.check_key, ()):
+                v = self.check_conf.get(pk)
+                if isinstance(v, str) and not pathlib.Path(v).is_absolute():
+                    self.check_conf = {
+                        **self.check_conf, pk: str(basedir / v)
+                    }
         # build eagerly to surface config errors at plan time
         from datavalid_spark.operators.checks import build_table_check
 
@@ -174,6 +189,7 @@ class Schema:
         columns: Optional[list] = None,
         validation_tasks: Optional[list] = None,
         today: Optional[datetime.date] = None,
+        basedir: Optional[pathlib.Path] = None,
     ) -> None:
         self.name = name
         self.column_order: list[str] = []
@@ -209,7 +225,9 @@ class Schema:
                 )
             for i, task in enumerate(validation_tasks):
                 try:
-                    self.tasks.append(TaskSpec(today=today, **task))
+                    self.tasks.append(
+                        TaskSpec(today=today, basedir=basedir, **task)
+                    )
                 except BadConfigError as e:
                     raise BadConfigError(["validation_tasks", i] + e.path, e.msg)
                 except TypeError as e:
@@ -280,7 +298,9 @@ class Config:
             raise BadConfigError([], '"schemas" should contain a map of schema definitions')
         for name, schema in schemas.items():
             try:
-                self.schemas[name] = Schema(name, today=today, **schema)
+                self.schemas[name] = Schema(
+                    name, today=today, basedir=datadir, **schema
+                )
             except BadConfigError as e:
                 raise BadConfigError(["schemas", name] + e.path, e.msg)
         for name, file_conf in files.items():

@@ -1,0 +1,91 @@
+"""Kitchen-sink YAML run: every registered table-check type in ONE
+datavalid.yml — catches registry/dispatch regressions whole-surface
+(a new check that parses but can't build or run fails here), plus the
+markdown doc generation over all of them."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def datadir(spark, tmp_path):
+    # baseline sketch for no_drift
+    from datavalid_spark.operators.drift import save_baseline
+    from datavalid_spark.operators.profile import profile_arrow
+
+    # baseline over exactly the file's score column (self-no-drift)
+    vals = np.random.default_rng(7).normal(0.0, 1.0, 40).round(4)
+    base_df = spark.createDataFrame([(float(v),) for v in vals], "score double")
+    save_baseline(profile_arrow(base_df), tmp_path / "baseline.json")
+
+    rows = ["id,oid,ln,status,score,text"]
+    for i in range(40):
+        rows.append(
+            f"{i},{i // 2},{i % 2 + 1},ok,{vals[i]:.4f},doc text {i} lorem ipsum"
+        )
+    (tmp_path / "data.csv").write_text("\n".join(rows))
+    (tmp_path / "datavalid.yml").write_text(
+        """
+files:
+  data.csv:
+    schema: everything
+schemas:
+  everything:
+    columns:
+      - name: id
+        unique: true
+        no_na: true
+        integer: true
+    validation_tasks:
+      - name: ids unique
+        unique: [id]
+      - name: no negative scores beyond reason
+        empty: {column: score, op: greater_than, value: 1000000}
+      - name: status consistent per order
+        functional_dependency: {determinant: [oid], dependent: [status]}
+      - name: line numbers contiguous
+        no_gaps: {column: ln, per: [oid], start: 1}
+      - name: few bad rows tolerated
+        max_fraction:
+          condition: {column: status, op: equal, value: bad}
+          max_frac: 0.5
+      - name: score distribution stable
+        no_drift: {baseline: baseline.json, columns: [score]}
+      - name: no near duplicate docs
+        no_near_duplicates: {method: exact, id: id, content: text}
+      - name: bounded boilerplate
+        max_boilerplate:
+          id: id
+          content: text
+          max_frac: 0.95
+          min_docs: 40
+"""
+    )
+    return tmp_path
+
+
+def test_every_check_type_runs_green(spark, datadir, capsys):
+    from datavalid_spark.__main__ import main
+
+    assert main(["--dir", str(datadir)]) == 0
+    out = capsys.readouterr().out
+    assert out.count("✓") >= 8 and "✕" not in out
+
+
+def test_doc_generation_covers_all_checks(spark, datadir, tmp_path):
+    from datavalid_spark.__main__ import main
+
+    doc = tmp_path / "doc.md"
+    assert main(["--dir", str(datadir), "--doc", str(doc)]) == 0
+    md = doc.read_text()
+    # doc lists every task by name (reference schema.py to_markdown parity)
+    for frag in (
+        "ids unique",
+        "status consistent per order",
+        "line numbers contiguous",
+        "few bad rows tolerated",
+        "score distribution stable",
+        "no near duplicate docs",
+        "bounded boilerplate",
+    ):
+        assert frag in md, frag
