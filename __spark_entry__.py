@@ -823,6 +823,31 @@ def q_agg_pricing(spark, sf_dir):
     )
 
 
+def q_rolling_window(spark, sf_dir):
+    """Time-RANGE window frame (vs window_running's ROWS frame): per
+    user, count + exact integer-cent sum of events in the trailing
+    7 days (inclusive).  One shuffle on the partition key; the frame
+    bound is value-based so ties and gaps are handled by ts arithmetic,
+    not row positions."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        # parquet ts is TIMESTAMP_NTZ (no direct long cast); via
+        # session-UTC timestamp → epoch seconds for the RANGE frame
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    return e.select(
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        F.sum(cents).over(w).alias("sum_7d_c"),
+    )
+
+
 def q_scd2_history(spark, sf_dir):
     """SCD type-2 history from the events change log: per-user
     event_type versions, no-op updates compressed, [valid_from,
@@ -1376,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "sort_limit_topk": q_sort_limit_topk,
         "agg_pricing": q_agg_pricing,
+        "rolling_window": q_rolling_window,
         "scd2_history": q_scd2_history,
         "outlier_rows": q_outlier_rows,
         "join3_revenue": q_join3_revenue,
@@ -1786,6 +1812,14 @@ FROM documents
         "text_quality": _quality_sql(),
         "sort_limit_topk": """
 SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+""",
+        "rolling_window": """
+SELECT user_id, ts,
+       COUNT(*) OVER w AS n_7d,
+       (SUM(ROUND(value * 100, 0)::BIGINT) OVER w)::BIGINT AS sum_7d_c
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
 """,
         "scd2_history": """
 WITH s AS (
