@@ -140,3 +140,25 @@ def test_delete_cli(spark, root, capsys):
 
     with pytest.raises(SystemExit):
         main(["table", root, "delete", "--where", "id"])
+
+
+def test_delete_occ_rejects_concurrent_commit(spark, root, monkeypatch):
+    """A writer landing between delete's plan read and its commit must
+    raise CommitConflict, not silently drop the concurrent rows."""
+    from datavalid_spark.sources.snaplog import CommitConflict
+
+    t = SnapshotTable(spark, root)
+    t.create(_ranged(spark, 0, 100, parts=2))
+    real = t.prune_files
+
+    def racing_prune(predicates, snapshot_id=None):
+        out = real(predicates, snapshot_id)
+        # concurrent writer lands AFTER delete planned against its sid
+        SnapshotTable(spark, root).append(_ranged(spark, 100, 110, parts=1))
+        return out
+
+    monkeypatch.setattr(t, "prune_files", racing_prune)
+    with pytest.raises(CommitConflict, match="advanced"):
+        t.delete([("id", "<", 10)])
+    # nothing lost: original rows + the concurrent append are intact
+    assert t.read().count() == 110

@@ -15,6 +15,8 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
+from datavalid_spark.cache import release_cached  # noqa: E402
+
 SF_DIR = "/root/testdata/sf0.01"
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -62,6 +64,10 @@ def main() -> int:
             print(f"FAIL {name}: spark raised {type(ex).__name__}: {ex}")
             n_fail += 1
             continue
+        finally:
+            # long single-session sweep: reclaim operator-persisted
+            # intermediates between queries (same hygiene as bench.py)
+            release_cached()
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             continue
