@@ -110,3 +110,28 @@ def test_no_python_in_hot_path(spark):
     df = spark.createDataFrame(CORPUS, "id int, s string")
     plan = edit_near_dups(df, "id", "s", max_dist=2)._jdf.queryExecution().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_prefix_filter_recall_hypothesis(spark):
+    """Property: the Ed-Join prefix-filtered index never loses a true
+    pair (recall exactness claim) — random small-alphabet corpora,
+    checked against the brute-force python oracle."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    words = st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=4), min_size=3, max_size=6
+    )
+
+    @given(parts=st.lists(words, min_size=2, max_size=8),
+           d=st.sampled_from([1, 2]))
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def run(parts, d):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(parts)]
+        df = spark.createDataFrame(rows, "id int, s string")
+        got = sorted(rows_as_tuples(edit_near_dups(df, "id", "s", max_dist=d, q=2)))
+        assert got == _oracle(rows, d)
+        release_cached()
+
+    run()
