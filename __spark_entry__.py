@@ -1123,6 +1123,32 @@ def q_token_topk(spark, sf_dir):
     )
 
 
+#: BM25 driver query terms — mid-frequency vocab words so idf spread is
+#: non-trivial (an all-stopword query would score every doc identically)
+BM25_TERMS = ["spark", "window", "vector"]
+
+
+def q_search_bm25(spark, sf_dir):
+    """BM25 relevance scores for a fixed 3-term query over documents
+    (operators/search.py).  Per-term contributions are quantized to
+    integer micro-units BEFORE the per-doc sum so the Spark and DuckDB
+    totals are order-independent and bit-comparable (the cents pattern
+    used by the revenue queries)."""
+    from datavalid_spark.operators.search import bm25_term_scores
+
+    pt = bm25_term_scores(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", BM25_TERMS
+    )
+    return (
+        pt.select(
+            F.col("id").alias("doc_id"),
+            F.round(F.col("contrib") * 1e6, 0).cast("bigint").alias("c_u"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("c_u").alias("score_u"), F.count(F.lit(1)).alias("n_terms"))
+    )
+
+
 def q_json_props_agg(spark, sf_dir):
     # semi-structured column handling (SURVEY §2.6 array/map/json row):
     # parse the events.props JSON string with from_json (JVM-side Jackson,
@@ -1416,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup": q_time_rollup,
         "json_props_agg": q_json_props_agg,
         "token_topk": q_token_topk,
+        "search_bm25": q_search_bm25,
         "sessionize": q_sessionize,
         "set_except": q_set_except,
         "minhash_lsh": q_minhash_lsh,
@@ -1942,6 +1969,30 @@ FROM (SELECT unnest({_TOKS}) AS token FROM documents)
 GROUP BY token
 ORDER BY n_docs DESC, token ASC
 LIMIT 20
+""",
+        # BM25 (Lucene idf) with per-term contributions quantized to
+        # micro-units before the per-doc sum — order-independent compare
+        "search_bm25": f"""
+WITH base AS (SELECT doc_id AS id, len({_TOKS_SEQ}) AS dl, {_TOKS_SEQ} AS t
+              FROM documents WHERE text IS NOT NULL),
+stats AS (SELECT count(*)::DOUBLE AS n,
+                 (SUM(dl)::DOUBLE / count(*)) AS avgdl FROM base),
+tf AS (SELECT id, dl, term, count(*)::DOUBLE AS tf
+       FROM (SELECT id, dl, unnest(t) AS term FROM base)
+       WHERE term IN ('spark', 'window', 'vector')
+       GROUP BY id, dl, term),
+idf AS (SELECT term,
+               ln(1 + ((SELECT n FROM stats) - count(*) + 0.5)
+                      / (count(*) + 0.5)) AS idf
+        FROM tf GROUP BY term),
+per AS (SELECT tf.id,
+               ROUND(idf.idf * tf.tf * (1.2 + 1)
+                     / (tf.tf + 1.2 * (1 - 0.75
+                        + 0.75 * (tf.dl::DOUBLE) / (SELECT avgdl FROM stats)))
+                     * 1e6, 0)::BIGINT AS c_u
+        FROM tf JOIN idf USING (term))
+SELECT id AS doc_id, SUM(c_u)::BIGINT AS score_u, COUNT(*) AS n_terms
+FROM per GROUP BY id
 """,
         "json_props_agg": """
 SELECT event_type,

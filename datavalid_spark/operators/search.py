@@ -1,0 +1,156 @@
+"""BM25 ranked retrieval over a document corpus.
+
+Beyond-reference operator (SURVEY.md §2.6 scope: the text-analysis
+family a training-data pipeline needs) — keyword search / relevance
+scoring for corpus exploration and retrieval-based decontamination
+triage.  Uses the Lucene/Okapi BM25 formulation::
+
+    idf(t)      = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+    contrib(d,t) = idf(t) * tf * (k1 + 1)
+                   / (tf + k1 * (1 - b + b * dl/avgdl))
+    score(d)    = sum over query terms t of contrib(d, t)
+
+Scale design (the whole point — this must hold at 10^12 docs):
+
+- **Query terms are filtered inside the token array, before the
+  explode.**  ``F.filter(tokens, t.isin(query))`` runs fused into the
+  parquet scan; only (doc, matching-term) pairs — O(matches), not
+  O(corpus tokens) — ever reach the generate + shuffle.  A corpus-wide
+  posting-list build for a 3-term query would be the classic mistake.
+- **One shuffle on O(matches) rows** (the (id, term) tf aggregation,
+  map-side partial).  Corpus stats (N, Σdl) partial-aggregate to two
+  scalars in a separate scan — scan twice, shuffle nothing.
+- **df/idf never join.**  Per-term document frequencies are ≤
+  ``len(query_terms)`` rows, collected and folded back as a literal
+  CASE map — zero join, zero broadcast table.
+- **Top-k is TakeOrderedAndProject** (per-partition heaps + driver
+  merge of k·P rows), not a global sort.
+
+Everything is pure Column expressions — no Python UDF anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datavalid_spark.cache import persist_tracked
+from datavalid_spark.functions.text import let_once, nonempty_tokens
+
+
+def _case_map(col: Column, mapping: dict[str, float]) -> Column:
+    expr = F.lit(None).cast("double")
+    for key, val in mapping.items():
+        expr = F.when(col == F.lit(key), F.lit(float(val))).otherwise(expr)
+    return expr
+
+
+def bm25_term_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-(document, query-term) BM25 contributions.
+
+    Returns ``(id, term, tf, dl, contrib)`` — one row per document that
+    contains the term.  The exploded granularity is the explainability
+    / exact-verify surface: ``bm25_scores`` is just the per-doc sum,
+    and a driver oracle can quantize ``contrib`` before summing so the
+    comparison is order-independent.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+
+    # let_once: the tokenizer runs exactly once per row even though two
+    # fields reference it (see functions/text.py for the pushdown trap)
+    packed = let_once(
+        nonempty_tokens(F.col(text_col)),
+        lambda t: F.struct(
+            F.size(t).alias("dl"),
+            # scan-fused prune: only query-term occurrences survive to
+            # the explode, so downstream is O(matches), not O(tokens)
+            F.filter(t, lambda w: w.isin(terms)).alias("hits"),
+        ),
+    )
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        packed.getField("dl").alias("dl"),
+        packed.getField("hits").alias("__hits"),
+    )
+
+    # corpus stats: two scalars from one partial-aggregated scan
+    stats = df.filter(F.col(text_col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(nonempty_tokens(F.col(text_col)))).alias("sum_dl"),
+    ).collect()[0]
+    n_docs, sum_dl = stats["n"], stats["sum_dl"]
+    if not n_docs:
+        return base.select(
+            "id",
+            F.lit("").alias("term"),
+            F.lit(0).cast("long").alias("tf"),
+            "dl",
+            F.lit(0.0).alias("contrib"),
+        ).limit(0)
+    avgdl = float(sum_dl) / float(n_docs)
+
+    tf = persist_tracked(
+        base.filter(F.size("__hits") > 0)
+        .select("id", "dl", F.explode("__hits").alias("term"))
+        .groupBy("id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+    # per-term document frequency: ≤ len(terms) rows → literal map
+    dfreq = {r["term"]: r["df"] for r in
+             tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect()}
+    idf = {
+        t: math.log(1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5))
+        for t, dfv in dfreq.items()
+    }
+    if not idf:
+        return tf.select(
+            "id", "term", "tf", "dl", F.lit(0.0).alias("contrib")
+        ).limit(0)
+
+    tf_c = F.col("tf").cast("double")
+    denom = tf_c + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl)
+    contrib = _case_map(F.col("term"), idf) * tf_c * (k1 + 1.0) / denom
+    return tf.select("id", "term", "tf", "dl", contrib.alias("contrib"))
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-document BM25 score for ``query_terms``: ``(id, score)``,
+    one row per document matching ≥1 term."""
+    per_term = bm25_term_scores(df, id_col, text_col, query_terms, k1, b)
+    return per_term.groupBy("id").agg(F.sum("contrib").alias("score"))
+
+
+def search_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score (ties broken by id asc —
+    deterministic).  ``orderBy().limit()`` compiles to
+    TakeOrderedAndProject: per-partition heaps, no global sort."""
+    scores = bm25_scores(df, id_col, text_col, query_terms, k1, b)
+    return scores.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)

@@ -1,0 +1,83 @@
+"""BM25 ranked retrieval (operators/search.py).
+
+Golden scores are hand-computed from the Lucene BM25 formula; the
+driver oracle (``search_bm25``) re-verifies against DuckDB at sf0.01.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.operators.search import (
+    bm25_scores,
+    bm25_term_scores,
+    search_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "spark shuffles data across the cluster"),
+        (2, "spark spark spark everywhere spark"),
+        (3, "window functions partition and order rows"),
+        (4, "a totally unrelated document about cats"),
+        (5, None),
+        (6, "   "),
+    ]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def _bm25(tf, dl, avgdl, n, df, k1=1.2, b=0.75):
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+
+def test_term_scores_golden(corpus):
+    out = bm25_term_scores(corpus, "id", "text", ["spark", "window"])
+    got = {(r["id"], r["term"]): (r["tf"], r["dl"], r["contrib"])
+           for r in out.collect()}
+    # corpus: 5 non-null docs (blank counts: dl=0), sum dl = 6+5+6+6+0=23
+    n, avgdl = 5, 23 / 5
+    assert set(got) == {(1, "spark"), (2, "spark"), (3, "window")}
+    assert got[(1, "spark")][0] == 1 and got[(2, "spark")][0] == 4
+    for (doc, term), (tf, dl, contrib) in got.items():
+        df_t = 2 if term == "spark" else 1
+        assert contrib == pytest.approx(_bm25(tf, dl, avgdl, n, df_t))
+
+
+def test_scores_sum_and_topk(corpus):
+    scores = {r["id"]: r["score"]
+              for r in bm25_scores(corpus, "id", "text",
+                                   ["spark", "window"]).collect()}
+    assert set(scores) == {1, 2, 3}
+    # tf=4 in the shortest doc dominates tf=1
+    assert scores[2] > scores[1]
+    top = search_topk(corpus, "id", "text", ["spark", "window"], k=2)
+    assert [r["id"] for r in top.collect()] == sorted(
+        scores, key=lambda i: (-scores[i], i))[:2]
+
+
+def test_no_match_and_case_fold(corpus):
+    assert bm25_scores(corpus, "id", "text", ["zebra"]).count() == 0
+    up = bm25_scores(corpus, "id", "text", ["SPARK"])
+    assert {r["id"] for r in up.collect()} == {1, 2}
+
+
+def test_empty_corpus(spark):
+    empty = spark.createDataFrame([], "id long, text string")
+    out = bm25_scores(empty, "id", "text", ["x"])
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "score"]
+
+
+def test_empty_query_raises(corpus):
+    with pytest.raises(ValueError):
+        bm25_scores(corpus, "id", "text", [])
+
+
+def test_plan_has_no_python_udf(corpus):
+    plan = bm25_scores(corpus, "id", "text", ["spark"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
