@@ -955,6 +955,24 @@ def q_pivot_counts(spark, sf_dir):
     )
 
 
+def q_equidepth_hist(spark, sf_dir):
+    """Exact equi-depth histogram of order prices, 16 buckets
+    (operators/rank.py): range-repartition + in-scan monotonic ids +
+    a P-row offset collect give exact global ranks with NO
+    single-partition window stage; integral `div` bucket math keeps
+    the DuckDB comparison bit-exact.  Prices in cents (bigint) so
+    bounds hash identically."""
+    from datavalid_spark.operators.rank import equidepth_histogram
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("price_c"),
+        "o_orderkey",
+    )
+    return equidepth_histogram(
+        orders, "price_c", 16, tiebreak_cols=["o_orderkey"]
+    ).select("bucket", "n_rows", "lo", "hi")
+
+
 def q_value_histogram(spark, sf_dir):
     """Fixed-width histogram of l_extendedprice (21 bins of 5000):
     one partial-agg shuffle on the bucket id.  Bucket arithmetic is
@@ -1436,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_verdicts": q_group_verdicts,
         "pivot_counts": q_pivot_counts,
         "value_histogram": q_value_histogram,
+        "equidepth_hist": q_equidepth_hist,
         "window_running": q_window_running,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
@@ -1925,6 +1944,20 @@ SELECT LEAST(FLOOR(l_extendedprice / 5000.0), 20)::BIGINT AS bucket,
        ROUND(SUM(ROUND(l_extendedprice * 100, 0)), 0)::BIGINT AS sum_price_c
 FROM lineitem WHERE l_extendedprice IS NOT NULL
 GROUP BY 1
+""",
+        # exact equal-count buckets from exact global ranks; `//` is
+        # DuckDB integral division = Spark's `div`
+        "equidepth_hist": """
+WITH r AS (SELECT ROUND(o_totalprice * 100, 0)::BIGINT AS price_c,
+                  row_number() OVER (ORDER BY ROUND(o_totalprice * 100, 0)::BIGINT,
+                                     o_orderkey) AS rnk,
+                  count(*) OVER () AS n
+           FROM orders)
+SELECT ((rnk - 1) * 16 // n + 1)::INT AS bucket,
+       COUNT(*) AS n_rows,
+       MIN(price_c) AS lo,
+       MAX(price_c) AS hi
+FROM r GROUP BY 1
 """,
         "agg_pricing": """
 SELECT l_returnflag, l_linestatus,

