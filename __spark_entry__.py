@@ -823,6 +823,54 @@ def q_agg_pricing(spark, sf_dir):
     )
 
 
+def q_rollup_agg(spark, sf_dir):
+    """Multi-granularity aggregation in ONE pass: `rollup(priority,
+    status)` expands to (priority,status) / (priority) / () grouping
+    sets inside a single Expand + partial-agg shuffle — the hypertable-
+    rollup shape, 3 granularities for one scan instead of three jobs.
+    NULL group labels are coalesced to 'ALL' and `grouping_id` (same
+    bitmask as DuckDB's GROUPING(a,b)) disambiguates a genuine NULL
+    value from a rollup total."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(cents).alias("sum_price_c"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "gid",
+            "n_rows",
+            "sum_price_c",
+        )
+    )
+
+
+def q_unpivot_metrics(spark, sf_dir):
+    """Wide→long reshape (`unpivot`/melt): part's numeric metrics to
+    (key, metric, value) triples.  Unpivot is a zero-shuffle Expand —
+    each input row emits one row per value column inside the scan
+    stage; values carried as exact integer cents."""
+    part = _t(spark, sf_dir, "part")
+    wide = part.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    long = wide.unpivot(
+        ["p_partkey"], ["retailprice", "size"], "metric", "value"
+    )
+    return long.select(
+        "p_partkey",
+        "metric",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("value_c"),
+    )
+
+
 def q_rolling_window(spark, sf_dir):
     """Time-RANGE window frame (vs window_running's ROWS frame): per
     user, count + exact integer-cent sum of events in the trailing
@@ -1445,6 +1493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "sort_limit_topk": q_sort_limit_topk,
         "agg_pricing": q_agg_pricing,
+        "rollup_agg": q_rollup_agg,
+        "unpivot_metrics": q_unpivot_metrics,
         "rolling_window": q_rolling_window,
         "scd2_history": q_scd2_history,
         "outlier_rows": q_outlier_rows,
@@ -1958,6 +2008,23 @@ SELECT ((rnk - 1) * 16 // n + 1)::INT AS bucket,
        MIN(price_c) AS lo,
        MAX(price_c) AS hi
 FROM r GROUP BY 1
+""",
+        "rollup_agg": """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       GROUPING(o_orderpriority, o_orderstatus)::INT AS gid,
+       COUNT(*) AS n_rows,
+       SUM(ROUND(o_totalprice * 100, 0)::BIGINT)::BIGINT AS sum_price_c
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+        "unpivot_metrics": """
+SELECT p_partkey, metric, ROUND(value * 100, 0)::BIGINT AS value_c
+FROM (UNPIVOT (SELECT p_partkey,
+                      p_retailprice::DOUBLE AS retailprice,
+                      p_size::DOUBLE AS size
+               FROM part)
+      ON retailprice, size INTO NAME metric VALUE value)
 """,
         "agg_pricing": """
 SELECT l_returnflag, l_linestatus,
