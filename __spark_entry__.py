@@ -668,6 +668,29 @@ def q_decontaminate(spark, sf_dir):
     return contamination_report(corpus, bench, "doc_id", "text", n=8)
 
 
+def q_decontaminate_fuzzy(spark, sf_dir):
+    """Fuzzy containment decontamination
+    (operators/decontaminate.containment_report): benchmark = the
+    40-token PREFIX of every 97th document (so each source doc plants
+    a containment-1.0 hit by construction, and the shared vocab yields
+    partial overlaps), word-3-grams, one-sided containment ≥ 0.8.
+    Same scale shape as the exact check — benchmark grams broadcast,
+    corpus grams probe in place, shuffle O(matching pairs)."""
+    from datavalid_spark.functions.text import nonempty_tokens
+    from datavalid_spark.operators.decontaminate import containment_report
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(
+            F.slice(nonempty_tokens(F.col("text")), 1, 40), " "
+        ).alias("text"),
+    )
+    return containment_report(
+        docs, bench, "doc_id", "bench_id", "text", n=3, min_containment=0.8
+    )
+
+
 def q_line_dedup(spark, sf_dir):
     """Line-level boilerplate removal (operators/linededup.
     remove_common_lines, CCNet/RefinedWeb-style): the fixture's texts
@@ -807,6 +830,31 @@ def q_sort_limit_topk(spark, sf_dir):
         _t(spark, sf_dir, "orders")
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(10)
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Per-group top-k (top-3 priciest orders per priority): rank
+    window partitioned by the GROUP key — P-way parallel, each group
+    sorts only its own rows; nothing global.  The skew caveat: a
+    mono-group (north rule's mono-repo) serializes its own sort — for
+    bounded k a per-partition pre-heap (groupBy + slice of a sorted
+    partial top-k array) caps that; here groups are balanced and the
+    window is the clean plan."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("price_c"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
     )
 
 
@@ -1481,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "line_dedup": q_line_dedup,
         "span_dedup": q_span_dedup,
         "curate_pipeline": q_curate_pipeline,
@@ -1493,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "sort_limit_topk": q_sort_limit_topk,
         "agg_pricing": q_agg_pricing,
+        "topk_per_group": q_topk_per_group,
         "rollup_agg": q_rollup_agg,
         "unpivot_metrics": q_unpivot_metrics,
         "rolling_window": q_rolling_window,
@@ -2009,6 +2059,15 @@ SELECT ((rnk - 1) * 16 // n + 1)::INT AS bucket,
        MAX(price_c) AS hi
 FROM r GROUP BY 1
 """,
+        "topk_per_group": """
+SELECT o_orderpriority, o_orderkey,
+       ROUND(o_totalprice * 100, 0)::BIGINT AS price_c, rnk::INT AS rnk
+FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders)
+WHERE rnk <= 3
+""",
         "rollup_agg": """
 SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
        COALESCE(o_orderstatus, 'ALL') AS status,
@@ -2257,6 +2316,26 @@ hits AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_matched
 SELECT h.doc_id, h.n_matched, d.n_grams,
        h.n_matched / d.n_grams AS contamination_frac
 FROM hits h JOIN doc d ON h.doc_id = d.doc_id
+""",
+        # fuzzy containment: benchmark = 40-token prefix of every 97th
+        # doc; distinct 3-gram sets both sides; one-sided fraction
+        "decontaminate_fuzzy": f"""
+WITH t AS (SELECT doc_id, {_TOKS_SEQ} AS ws FROM documents),
+docg AS (SELECT DISTINCT doc_id, list_aggregate(ws[i:i+2], 'string_agg', ' ') AS gram
+         FROM t, unnest(range(1, len(ws) - 1)) AS u(i)
+         WHERE len(ws) >= 3),
+bt AS (SELECT doc_id AS bench_id, ws[1:40] AS bw FROM t WHERE doc_id % 97 = 0),
+bg AS (SELECT DISTINCT bench_id, list_aggregate(bw[i:i+2], 'string_agg', ' ') AS gram
+       FROM bt, unnest(range(1, len(bw) - 1)) AS u(i)
+       WHERE len(bw) >= 3),
+bsz AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS n_bench_grams
+        FROM bg GROUP BY 1),
+ov AS (SELECT d.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_overlap
+       FROM docg d JOIN bg b USING (gram) GROUP BY 1, 2)
+SELECT o.doc_id, o.bench_id, o.n_overlap, s.n_bench_grams,
+       o.n_overlap / s.n_bench_grams AS containment
+FROM ov o JOIN bsz s USING (bench_id)
+WHERE o.n_overlap / s.n_bench_grams >= 0.8
 """,
         # line-level boilerplate removal: shape 5-word lines with the
         # same regexp (RE2 '\1' ≡ Java '$1', both global left-to-right

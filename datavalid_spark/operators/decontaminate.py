@@ -91,3 +91,69 @@ def contamination_report(
         F.col("n_grams"),
         (F.col("n_matched") / F.col("n_grams")).alias("contamination_frac"),
     )
+
+
+def containment_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    doc_id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_containment: float = 0.5,
+    broadcast_key_limit: int = 1_000_000,
+) -> DataFrame:
+    """Fuzzy decontamination: per (corpus doc, benchmark item)
+    one-sided n-gram containment ``|G(bench) ∩ G(doc)| / |G(bench)|``.
+
+    The exact-gram check (``contamination_report``) misses a benchmark
+    item that was lightly edited before it leaked into the training
+    set — no single long n-gram survives a word-level paraphrase.
+    Containment at a small ``n`` (3–5) with a fraction threshold is
+    the standard fuzzy regime (one-sided: the benchmark item is the
+    thing being leaked, so ITS gram count is the denominator — a long
+    training doc that swallows a short benchmark item whole scores 1.0
+    even though its Jaccard to the item is tiny).
+
+    Scale shape (same as the exact check): the benchmark side keeps
+    ``(bench_id, gram, n_bench_grams)`` — still tiny — and is
+    gated-broadcast; corpus grams probe it in place, so shuffle volume
+    is O(matching (doc, bench) gram pairs), and the per-pair count is
+    a partially-aggregated groupBy.  Join on the gram STRING: a
+    containment verdict must not false-positive on a hash collision.
+
+    Returns ``(doc_id_col, bench_id_col, n_overlap, n_bench_grams,
+    containment)`` for pairs at or above ``min_containment``.
+    """
+    b_toks = benchmark.select(
+        F.col(bench_id_col), nonempty_tokens(text_col).alias("__dv_t")
+    ).select(
+        F.col(bench_id_col),
+        word_ngrams_of_tokens(F.col("__dv_t"), n).alias("__dv_g"),
+    )
+    bench_grams = gated_broadcast(
+        b_toks.filter(F.size("__dv_g") > 0).select(
+            F.col(bench_id_col),
+            F.size("__dv_g").cast("long").alias("n_bench_grams"),
+            F.explode("__dv_g").alias("gram"),
+        ),
+        broadcast_key_limit,
+    )
+    doc_grams = docs.select(
+        F.col(doc_id_col), nonempty_tokens(text_col).alias("__dv_t")
+    ).select(
+        F.col(doc_id_col),
+        F.explode(word_ngrams_of_tokens(F.col("__dv_t"), n)).alias("gram"),
+    )
+    pairs = doc_grams.join(bench_grams, "gram")
+    return (
+        pairs.groupBy(doc_id_col, bench_id_col, "n_bench_grams")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .withColumn(
+            "containment", F.col("n_overlap") / F.col("n_bench_grams")
+        )
+        .filter(F.col("containment") >= min_containment)
+        .select(
+            doc_id_col, bench_id_col, "n_overlap", "n_bench_grams", "containment"
+        )
+    )

@@ -49,3 +49,70 @@ def test_benchmark_ngrams_distinct(spark):
     grams = benchmark_ngrams(bench, "text", 8)
     rows = [r["gram"] for r in grams.collect()]
     assert len(rows) == len(set(rows)) == 2
+
+
+def test_containment_catches_paraphrase_exact_misses(spark):
+    from datavalid_spark.operators.decontaminate import containment_report
+
+    # benchmark item of 10 tokens; the training doc swapped ONE middle
+    # word — no exact 8-gram survives, but 3-gram containment is high
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy sleeping dog")],
+        "bench_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox leaps over the lazy sleeping dog"),
+            (2, "completely unrelated words about cooking pasta dishes"),
+        ],
+        "doc_id long, text string",
+    )
+    assert contamination_report(corpus, bench, "doc_id", "text", n=8).count() == 0
+    got = containment_report(
+        corpus, bench, n=3, min_containment=0.5
+    ).collect()
+    release_cached()
+    assert [r["doc_id"] for r in got] == [1]
+    r = got[0]
+    # 8 bench 3-grams, 4 hit by the one-word edit (jumps breaks 3 grams,
+    # and 'over the lazy'/'the lazy sleeping'/'lazy sleeping dog' +
+    # 'the quick brown'/'quick brown fox' survive)
+    assert r["n_bench_grams"] == 8
+    assert r["n_overlap"] == 5
+    assert abs(r["containment"] - 5 / 8) < 1e-12
+
+
+def test_containment_one_sided(spark):
+    from datavalid_spark.operators.decontaminate import containment_report
+
+    # a long doc swallows the short benchmark item whole: containment
+    # 1.0 even though Jaccard(doc, item) is small
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "bench_id long, text string"
+    )
+    long_doc = "x" + str(0) + " " + " ".join(f"w{i}" for i in range(50)) \
+        + " alpha beta gamma delta " + " ".join(f"v{i}" for i in range(50))
+    corpus = spark.createDataFrame(
+        [(7, long_doc)], "doc_id long, text string"
+    )
+    got = containment_report(corpus, bench, n=3, min_containment=0.99).collect()
+    release_cached()
+    assert len(got) == 1 and got[0]["containment"] == 1.0
+
+
+def test_containment_threshold_and_empty_bench(spark):
+    from datavalid_spark.operators.decontaminate import containment_report
+
+    bench = spark.createDataFrame(
+        [(1, "a b c d e f")], "bench_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "a b c z z z"), (2, "a b c d e f")], "doc_id long, text string"
+    )
+    # doc 1 hits 1/4 of bench grams -> filtered at 0.5
+    got = containment_report(corpus, bench, n=3, min_containment=0.5).collect()
+    assert [r["doc_id"] for r in got] == [2]
+    # benchmark shorter than n -> no grams at all -> empty result
+    tiny = spark.createDataFrame([(1, "a b")], "bench_id long, text string")
+    assert containment_report(corpus, tiny, n=3).count() == 0
+    release_cached()
