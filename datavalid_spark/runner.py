@@ -89,6 +89,10 @@ def open_source(spec: FileSpec, spark: SparkSession):
         return spark.read.orc(path), None, None
     if path.endswith((".json", ".jsonl", ".ndjson")):
         return spark.read.json(path), None, None
+    if path.endswith(".avro"):
+        # spark-avro is an external module; without its jar Spark raises
+        # a self-explanatory AnalysisException naming the deployment doc
+        return spark.read.format("avro").load(path), None, None
     return spark.read.csv(path, header=True, inferSchema=True), None, None
 
 

@@ -1,0 +1,114 @@
+"""Property-based parity for BM25 and containment decontamination:
+pure-Python reference implementations (from the formulas in the module
+docstrings, no Spark) vs the distributed operators, on
+hypothesis-generated corpora."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from datavalid_spark.cache import release_cached
+from datavalid_spark.operators.decontaminate import containment_report
+from datavalid_spark.operators.search import bm25_term_scores
+
+SETTLE = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+VOCAB = ["a", "b", "c", "dd", "ee", "spark", "x1"]
+doc_strategy = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=0, max_size=12).map(" ".join),
+    min_size=0,
+    max_size=8,
+)
+
+
+def _py_bm25(texts: list[str], terms: list[str], k1=1.2, b=0.75):
+    toks = [t.split() if t else [] for t in texts]
+    n = len(toks)
+    if n == 0:
+        return {}
+    avgdl = sum(len(t) for t in toks) / n
+    dfreq = Counter()
+    for t in toks:
+        for term in set(t) & set(terms):
+            dfreq[term] += 1
+    out = {}
+    for i, t in enumerate(toks):
+        tf = Counter(w for w in t if w in terms)
+        for term, f in tf.items():
+            idf = math.log(1.0 + (n - dfreq[term] + 0.5) / (dfreq[term] + 0.5))
+            out[(i, term)] = (
+                f,
+                len(t),
+                idf * f * (k1 + 1) / (f + k1 * (1 - b + b * len(t) / avgdl)),
+            )
+    return out
+
+
+@SETTLE
+@given(docs=doc_strategy, terms=st.lists(st.sampled_from(VOCAB), min_size=1, max_size=3))
+def test_bm25_matches_python(spark, docs, terms):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "id long, text string"
+    )
+    got = {
+        (r["id"], r["term"]): (r["tf"], r["dl"], r["contrib"])
+        for r in bm25_term_scores(df, "id", "text", terms).collect()
+    }
+    release_cached()
+    exp = _py_bm25(docs, sorted({t.lower() for t in terms}))
+    assert set(got) == set(exp)
+    for key, (tf, dl, contrib) in got.items():
+        etf, edl, econtrib = exp[key]
+        assert (tf, dl) == (etf, edl)
+        assert contrib == pytest.approx(econtrib, rel=1e-12)
+
+
+def _grams(text: str, n: int) -> set:
+    t = text.split()
+    return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+
+@SETTLE
+@given(
+    docs=doc_strategy,
+    bench=st.lists(
+        st.lists(st.sampled_from(VOCAB), min_size=0, max_size=10).map(" ".join),
+        min_size=0,
+        max_size=4,
+    ),
+    thresh=st.sampled_from([0.0, 0.4, 1.0]),
+)
+def test_containment_matches_python(spark, docs, bench, thresh):
+    n = 2
+    ddf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    bdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(bench)], "bench_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["bench_id"]): (r["n_overlap"], r["n_bench_grams"])
+        for r in containment_report(
+            ddf, bdf, n=n, min_containment=thresh
+        ).collect()
+    }
+    release_cached()
+    exp = {}
+    for bi, bt in enumerate(bench):
+        bg = _grams(bt, n)
+        if not bg:
+            continue
+        for di, dt in enumerate(docs):
+            ov = len(_grams(dt, n) & bg)
+            if ov and ov / len(bg) >= thresh:
+                exp[(di, bi)] = (ov, len(bg))
+    assert got == exp
