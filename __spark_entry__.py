@@ -1069,6 +1069,24 @@ def q_equidepth_hist(spark, sf_dir):
     ).select("bucket", "n_rows", "lo", "hi")
 
 
+def q_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlations from EXACT decimal(38) integer
+    moments (profile.pearson_exact): one partial-agg scan, float math
+    once at the end on exact inputs — engine-order-independent, unlike
+    F.corr/DuckDB corr whose double accumulation differs in the last
+    ulps with partitioning."""
+    from datavalid_spark.operators.profile import pearson_exact
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_quantity") * 100, 0).cast("bigint").alias("qty_c"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("price_c"),
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("disc_c"),
+    )
+    return pearson_exact(li, ["qty_c", "price_c", "disc_c"]).select(
+        "col_x", "col_y", "n", F.round("r", 6).alias("r")
+    )
+
+
 def q_value_histogram(spark, sf_dir):
     """Fixed-width histogram of l_extendedprice (21 bins of 5000):
     one partial-agg shuffle on the bucket id.  Bucket arithmetic is
@@ -1555,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_counts": q_pivot_counts,
         "value_histogram": q_value_histogram,
         "equidepth_hist": q_equidepth_hist,
+        "corr_matrix": q_corr_matrix,
         "window_running": q_window_running,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
@@ -2044,6 +2063,48 @@ SELECT LEAST(FLOOR(l_extendedprice / 5000.0), 20)::BIGINT AS bucket,
        ROUND(SUM(ROUND(l_extendedprice * 100, 0)), 0)::BIGINT AS sum_price_c
 FROM lineitem WHERE l_extendedprice IS NOT NULL
 GROUP BY 1
+""",
+        # Pearson r from exact HUGEINT moments (Spark side: exact
+        # decimal(38,0)); the float chain runs once on exact inputs so
+        # both engines produce the same doubles; 6dp rounding on top
+        "corr_matrix": """
+WITH q AS (SELECT ROUND(l_quantity * 100, 0)::BIGINT AS qty_c,
+                  ROUND(l_extendedprice * 100, 0)::BIGINT AS price_c,
+                  ROUND(l_discount * 100, 0)::BIGINT AS disc_c
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+             AND l_discount IS NOT NULL),
+m AS (SELECT count(*)::HUGEINT AS n,
+             SUM(qty_c::HUGEINT) AS sq, SUM(price_c::HUGEINT) AS sp,
+             SUM(disc_c::HUGEINT) AS sd,
+             SUM(qty_c::HUGEINT * qty_c) AS sqq,
+             SUM(price_c::HUGEINT * price_c) AS spp,
+             SUM(disc_c::HUGEINT * disc_c) AS sdd,
+             SUM(qty_c::HUGEINT * price_c) AS sqp,
+             SUM(qty_c::HUGEINT * disc_c) AS sqd,
+             SUM(price_c::HUGEINT * disc_c) AS spd
+      FROM q)
+SELECT * FROM (
+  SELECT 'qty_c' AS col_x, 'price_c' AS col_y, n::BIGINT AS n,
+         ROUND((n::DOUBLE * sqp::DOUBLE - sq::DOUBLE * sp::DOUBLE)
+               / (sqrt(n::DOUBLE * sqq::DOUBLE - sq::DOUBLE * sq::DOUBLE)
+                  * sqrt(n::DOUBLE * spp::DOUBLE - sp::DOUBLE * sp::DOUBLE)),
+               6) AS r
+  FROM m
+  UNION ALL
+  SELECT 'qty_c', 'disc_c', n::BIGINT,
+         ROUND((n::DOUBLE * sqd::DOUBLE - sq::DOUBLE * sd::DOUBLE)
+               / (sqrt(n::DOUBLE * sqq::DOUBLE - sq::DOUBLE * sq::DOUBLE)
+                  * sqrt(n::DOUBLE * sdd::DOUBLE - sd::DOUBLE * sd::DOUBLE)),
+               6)
+  FROM m
+  UNION ALL
+  SELECT 'price_c', 'disc_c', n::BIGINT,
+         ROUND((n::DOUBLE * spd::DOUBLE - sp::DOUBLE * sd::DOUBLE)
+               / (sqrt(n::DOUBLE * spp::DOUBLE - sp::DOUBLE * sp::DOUBLE)
+                  * sqrt(n::DOUBLE * sdd::DOUBLE - sd::DOUBLE * sd::DOUBLE)),
+               6)
+  FROM m)
 """,
         # exact equal-count buckets from exact global ranks; `//` is
         # DuckDB integral division = Spark's `div`

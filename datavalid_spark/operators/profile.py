@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import json
 from dataclasses import dataclass, field
-from typing import Iterator, Optional
+from typing import Iterator, Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -473,3 +473,82 @@ def profile_arrow(
         sk = _sketch_from_row(r)
         merged[sk.column] = merged[sk.column].merge(sk) if sk.column in merged else sk
     return merged
+
+
+def pearson_exact(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """All pairwise Pearson correlations of INTEGRAL columns in ONE
+    aggregate pass, from exact integer moments.
+
+    ``F.corr`` (and DuckDB's ``corr``) accumulate doubles in partition
+    order, so two engines — or two runs with different partitioning —
+    disagree in the last ulps.  This formulation is deterministic:
+    every moment (n, Σx, Σxy, Σx²) is an exact DECIMAL(38,0) sum of
+    integer products (exact up to 10^38 — at 10^12 rows of 10^7-scale
+    cents that is 10^26, thirteen orders of headroom, where BIGINT
+    moments would already have overflowed at 10^5 rows), and the
+    float arithmetic happens once, at the end, on exact inputs —
+    bit-identical on any engine that rounds decimal→double to nearest.
+
+    Callers quantize floats first (the cents pattern:
+    ``F.round(x * 100, 0).cast("bigint")``); non-integral inputs raise.
+    NULL handling: rows with ANY NULL among ``cols`` are excluded
+    (listwise deletion) so every pair sees the same n and the matrix
+    stays positive semi-definite.
+
+    Plan shape: one partial-aggregated scan → a single 1-row frame →
+    explode of the pair structs.  No shuffle wider than the partial
+    agg's single merged row; cost is O(k²) expressions per scan row,
+    k = len(cols).
+
+    Returns ``(col_x, col_y, n, r)`` for x < y in ``cols`` order.
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("pearson_exact needs at least two columns")
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    for c in cols:
+        if not isinstance(df.schema[c].dataType, integral):
+            raise ValueError(
+                f"pearson_exact: column {c!r} is "
+                f"{df.schema[c].dataType.simpleString()}; quantize to an "
+                "integral type first (cents pattern)"
+            )
+
+    keep = df
+    for c in cols:
+        keep = keep.filter(F.col(c).isNotNull())
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(dec(c)).alias(f"__s_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(
+                F.sum((dec(a) * dec(b)).cast("decimal(38,0)")).alias(
+                    f"__p_{a}_{b}"
+                )
+            )
+    one = keep.agg(*aggs)
+
+    d = lambda name: F.col(name).cast("double")  # noqa: E731
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            n = d("__n")
+            cov = n * d(f"__p_{a}_{b}") - d(f"__s_{a}") * d(f"__s_{b}")
+            var_a = n * d(f"__p_{a}_{a}") - d(f"__s_{a}") * d(f"__s_{a}")
+            var_b = n * d(f"__p_{b}_{b}") - d(f"__s_{b}") * d(f"__s_{b}")
+            denom = F.sqrt(var_a) * F.sqrt(var_b)
+            r = F.when(denom > 0, cov / denom)
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_x"),
+                    F.lit(b).alias("col_y"),
+                    F.col("__n").cast("long").alias("n"),
+                    r.alias("r"),
+                )
+            )
+    return one.select(F.explode(F.array(*pairs)).alias("__pair")).select(
+        "__pair.col_x", "__pair.col_y", "__pair.n", "__pair.r"
+    )

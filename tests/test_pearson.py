@@ -1,0 +1,68 @@
+"""Exact-moment Pearson correlation (profile.pearson_exact)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.operators.profile import pearson_exact
+
+
+def _py_r(xs, ys):
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    return (n * sxy - sx * sy) / den if den else None
+
+
+def test_matches_python_exact(spark):
+    rows = [(i, (i * 7) % 13, (i * i) % 31) for i in range(200)]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    got = {(r["col_x"], r["col_y"]): (r["n"], r["r"])
+           for r in pearson_exact(df, ["a", "b", "c"]).collect()}
+    cols = {"a": [r[0] for r in rows], "b": [r[1] for r in rows],
+            "c": [r[2] for r in rows]}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for (x, y), (n, r) in got.items():
+        assert n == 200
+        assert r == pytest.approx(_py_r(cols[x], cols[y]), rel=1e-12)
+
+
+def test_perfect_and_inverse(spark):
+    df = spark.createDataFrame(
+        [(i, 3 * i + 7, -2 * i) for i in range(50)], "x long, y long, z long"
+    )
+    got = {(r["col_x"], r["col_y"]): r["r"]
+           for r in pearson_exact(df, ["x", "y", "z"]).collect()}
+    assert got[("x", "y")] == pytest.approx(1.0)
+    assert got[("x", "z")] == pytest.approx(-1.0)
+
+
+def test_constant_column_is_null(spark):
+    df = spark.createDataFrame([(i, 5) for i in range(10)], "x long, k long")
+    r = pearson_exact(df, ["x", "k"]).collect()[0]
+    assert r["r"] is None
+
+
+def test_listwise_null_deletion(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 1), (2, 2, None), (3, 3, 3), (4, 4, 4)],
+        "x long, y long, z long",
+    )
+    rows = pearson_exact(df, ["x", "y", "z"]).collect()
+    assert all(r["n"] == 3 for r in rows)  # the None row drops everywhere
+
+
+def test_non_integral_raises(spark):
+    df = spark.createDataFrame([(1.0, 2)], "x double, y long")
+    with pytest.raises(ValueError, match="quantize"):
+        pearson_exact(df, ["x", "y"])
+
+
+def test_needs_two_columns(spark):
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError):
+        pearson_exact(df, ["x"])
