@@ -1069,6 +1069,30 @@ def q_equidepth_hist(spark, sf_dir):
     ).select("bucket", "n_rows", "lo", "hi")
 
 
+def q_salted_join_revenue(spark, sf_dir):
+    """Skew-defeating salted join (operators/skew.salted_join): fact
+    rows routed to content-hash salt buckets, dim replicated S×, join
+    on key+salt — the manual mitigation for a hot key AQE can't split.
+    Result multiset provably equals the plain join; the aggregate here
+    is the oracle-checkable face (exact integer cents)."""
+    from datavalid_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+        ).cast("bigint").alias("rev_c"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, "l_orderkey", salt_buckets=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("rev_c").alias("rev_c"),
+    )
+
+
 def q_corr_matrix(spark, sf_dir):
     """Pairwise Pearson correlations from EXACT decimal(38) integer
     moments (profile.pearson_exact): one partial-agg scan, float math
@@ -1574,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "equidepth_hist": q_equidepth_hist,
         "corr_matrix": q_corr_matrix,
+        "salted_join_revenue": q_salted_join_revenue,
         "window_running": q_window_running,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
@@ -2062,6 +2087,16 @@ SELECT LEAST(FLOOR(l_extendedprice / 5000.0), 20)::BIGINT AS bucket,
        COUNT(*) AS n,
        ROUND(SUM(ROUND(l_extendedprice * 100, 0)), 0)::BIGINT AS sum_price_c
 FROM lineitem WHERE l_extendedprice IS NOT NULL
+GROUP BY 1
+""",
+        # plain-join SQL: the salted join is result-identical by
+        # construction, so the oracle needs no salt at all
+        "salted_join_revenue": """
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_items,
+       SUM(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0)::BIGINT)::BIGINT
+         AS rev_c
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1
 """,
         # Pearson r from exact HUGEINT moments (Spark side: exact

@@ -81,3 +81,58 @@ def suggest_salt_buckets(
     import math
 
     return max(1, math.ceil(row["share"] / target_share))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str] | str,
+    salt_buckets: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-defeating equi-join: the manual fallback when AQE's
+    skew-join split cannot help (AQE splits oversized SHUFFLE
+    partitions, but a single hot KEY is indivisible by partition
+    splitting alone on the build side of an SMJ, and AQE never
+    rewrites a broadcast that doesn't fit).
+
+    Routing: ``big`` rows get ``__dv_salt = pmod(xxhash64(all big
+    columns), S)`` — deterministic (retried tasks re-derive the same
+    salt) and content-based, so a hot KEY's rows spread across all S
+    buckets as long as the rows differ somewhere outside the key
+    (byte-identical full rows share a bucket; full-row duplicates are
+    the dedup family's job, not the join's).  ``small`` is replicated
+    S× via an exploded literal range — its shuffle volume grows S×,
+    which is the price of flattening the hot key; pick S with
+    ``suggest_salt_buckets`` so the hottest key's per-task share is
+    bounded, don't default it large.
+
+    The join runs on ``on + [__dv_salt]`` — same result multiset as
+    the plain join (each big row meets each matching small row exactly
+    once: in its own salt bucket), verified by the parity tests.
+
+    ``how``: 'inner' or 'left' (left rows with no match survive with
+    NULLs, as usual).  Right/full would need the small side UNsalted
+    unmatched-row accounting — out of scope, raises.
+    """
+    if isinstance(on, str):
+        on = [on]
+    on = list(on)
+    if not on:
+        raise ValueError("on should name at least one join column")
+    if salt_buckets < 1:
+        raise ValueError("salt_buckets should be >= 1")
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+
+    salted_big = big.withColumn(
+        "__dv_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)),
+    )
+    replicated_small = small.withColumn(
+        "__dv_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    ).select("__dv_salt", *small.columns)
+    return salted_big.join(
+        replicated_small, on=on + ["__dv_salt"], how=how
+    ).drop("__dv_salt")
