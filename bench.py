@@ -87,6 +87,13 @@ HEADLINE_QUERIES = [
     "interval_join",
     "time_rollup",
     "sessionize",
+    # session-11 additions: retrieval, exact ranks, fuzzy decontam,
+    # exact-moment correlation, skew-salted join
+    "search_bm25",
+    "equidepth_hist",
+    "decontaminate_fuzzy",
+    "corr_matrix",
+    "salted_join_revenue",
 ]
 
 
