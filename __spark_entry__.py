@@ -668,6 +668,19 @@ def q_decontaminate(spark, sf_dir):
     return contamination_report(corpus, bench, "doc_id", "text", n=8)
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking (operators/chunking.py): 32-token
+    windows at stride 24 (8-token overlap) — one fused
+    projection+generate per scan task, zero shuffles (plan-asserted in
+    tests/test_chunking.py)."""
+    from datavalid_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        chunk_tokens=32, stride=24,
+    )
+
+
 def q_decontaminate_fuzzy(spark, sf_dir):
     """Fuzzy containment decontamination
     (operators/decontaminate.containment_report): benchmark = the
@@ -1572,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
+        "chunk_documents": q_chunk_documents,
         "line_dedup": q_line_dedup,
         "span_dedup": q_span_dedup,
         "curate_pipeline": q_curate_pipeline,
@@ -2412,6 +2426,21 @@ hits AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_matched
 SELECT h.doc_id, h.n_matched, d.n_grams,
        h.n_matched / d.n_grams AS contamination_frac
 FROM hits h JOIN doc d ON h.doc_id = d.doc_id
+""",
+        # 32-token windows at stride 24; range() excludes the stop and
+        # list slices are 1-based inclusive, mirroring Spark's
+        # sequence()+slice(); the lone [0] start of an empty token list
+        # dies on n_tokens > 0 in both engines
+        "chunk_documents": f"""
+WITH t AS (SELECT doc_id, {_TOKS_SEQ} AS ws FROM documents
+           WHERE text IS NOT NULL)
+SELECT doc_id,
+       (start // 24)::INT AS chunk_id,
+       start::INT AS start_token,
+       LEAST(len(ws) - start, 32)::INT AS n_tokens,
+       array_to_string(ws[start + 1 : start + 32], ' ') AS chunk_text
+FROM t, unnest(range(0, GREATEST(len(ws), 1), 24)) AS u(start)
+WHERE LEAST(len(ws) - start, 32) > 0
 """,
         # fuzzy containment: benchmark = 40-token prefix of every 97th
         # doc; distinct 3-gram sets both sides; one-sided fraction

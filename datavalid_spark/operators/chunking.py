@@ -1,0 +1,88 @@
+"""Context-window chunking: split documents into fixed-token windows
+with optional overlap — the tokenize-and-window step in front of LLM
+training/embedding (beyond-reference, SURVEY.md §2.6 text family).
+
+Plan shape: ONE projection + generate per scan task — the chunk-start
+sequence, the token slice and the re-join are all Column expressions
+fused into the parquet scan.  Zero shuffles, zero Python; output order
+inside a document is the chunk index, so downstream shard packing
+(``sampling.pack_shards``) or the global shuffle can consume it
+directly.  At 100 TB this operator is embarrassingly parallel: cost
+is per-row CPU only, and the explode multiplies rows by
+⌈len/stride⌉ WITHIN the scan stage, never through an exchange.
+
+Whitespace tokens (``text.nonempty_tokens``) keep the driver oracle
+bit-comparable; a BPE tokenizer drops in by swapping the token-array
+expression (the counting regex already exists as
+``text.token_count_bpe``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datavalid_spark.functions.text import let_once, nonempty_tokens
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 512,
+    stride: Optional[int] = None,
+) -> DataFrame:
+    """One row per (document, window): ``(id, chunk_id, start_token,
+    n_tokens, chunk_text)``.
+
+    Windows start at token offsets 0, stride, 2·stride, … while the
+    offset is inside the document; the last window may be shorter than
+    ``chunk_tokens`` (a partial tail is kept — dropping it silently
+    loses corpus, callers can filter on ``n_tokens``).  ``stride``
+    defaults to ``chunk_tokens`` (disjoint windows); ``stride <
+    chunk_tokens`` gives overlapping context windows.  Documents with
+    no tokens produce no chunks.
+    """
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    stride = chunk_tokens if stride is None else stride
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+
+    # bind the token array once (let_once: HOF/pushdown re-evaluation
+    # trap documented in functions/text.py), emit per-chunk structs in
+    # the same fused projection
+    chunks = let_once(
+        nonempty_tokens(F.col(text_col)),
+        lambda t: F.transform(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size(t) - 1, F.lit(0)),
+                F.lit(stride),
+            ),
+            lambda start, i: F.struct(
+                i.alias("chunk_id"),
+                start.alias("start_token"),
+                F.least(F.size(t) - start, F.lit(chunk_tokens)).alias(
+                    "n_tokens"
+                ),
+                F.array_join(
+                    F.slice(t, start + 1, chunk_tokens), " "
+                ).alias("chunk_text"),
+            ),
+        ),
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(chunks).alias("__c"))
+        .filter(F.col("__c.n_tokens") > 0)
+        .select(
+            id_col,
+            F.col("__c.chunk_id").alias("chunk_id"),
+            F.col("__c.start_token").alias("start_token"),
+            F.col("__c.n_tokens").alias("n_tokens"),
+            F.col("__c.chunk_text").alias("chunk_text"),
+        )
+    )

@@ -1,0 +1,60 @@
+"""Context-window chunking (operators/chunking.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.operators.chunking import chunk_documents
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+            (2, "solo"),
+            (3, ""),
+            (4, None),
+        ],
+        "id long, text string",
+    )
+
+
+def test_disjoint_windows(docs):
+    got = {(r["id"], r["chunk_id"]): (r["start_token"], r["n_tokens"], r["chunk_text"])
+           for r in chunk_documents(docs, "id", "text", chunk_tokens=4).collect()}
+    assert set(got) == {(1, 0), (1, 1), (1, 2), (2, 0)}
+    assert got[(1, 0)] == (0, 4, "t0 t1 t2 t3")
+    assert got[(1, 1)] == (4, 4, "t4 t5 t6 t7")
+    assert got[(1, 2)] == (8, 2, "t8 t9")  # partial tail kept
+    assert got[(2, 0)] == (0, 1, "solo")
+
+
+def test_overlapping_stride(docs):
+    rows = chunk_documents(
+        docs.filter("id = 1"), "id", "text", chunk_tokens=4, stride=2
+    ).collect()
+    starts = [r["start_token"] for r in rows]
+    assert starts == [0, 2, 4, 6, 8]
+    assert rows[1]["chunk_text"] == "t2 t3 t4 t5"
+    # every token is covered by ceil(chunk/stride) windows in the middle
+    assert all(r["n_tokens"] == (4 if r["start_token"] <= 6 else 2) for r in rows)
+
+
+def test_empty_and_null_produce_no_chunks(docs):
+    assert chunk_documents(
+        docs.filter("id >= 3"), "id", "text", chunk_tokens=4
+    ).count() == 0
+
+
+def test_zero_shuffle_plan(docs):
+    plan = chunk_documents(docs, "id", "text", 4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bad_args(docs):
+    with pytest.raises(ValueError):
+        chunk_documents(docs, "id", "text", 0)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, "id", "text", 4, stride=0)
