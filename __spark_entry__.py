@@ -1477,6 +1477,22 @@ def q_classify_quality(spark, sf_dir):
     )
 
 
+def q_lm_perplexity(spark, sf_dir):
+    # CCNet-style LM quality scoring: train a hashed bigram LM on the
+    # English slice, score EVERY document.  The per-position log-probs
+    # are quantized to integer micro-nats before summing, so the score
+    # column is a BIGINT compared exactly — no float rounding anywhere.
+    # The DuckDB oracle re-runs training AND scoring from the same spec.
+    from datavalid_spark.operators.lm import score_lm, train_hashed_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_hashed_lm(
+        docs.filter(F.col("lang") == "en"), "text", n=2, n_buckets=2048
+    )
+    out = score_lm(docs, "text", model)
+    return out.select("doc_id", "lm_n_scored", "lm_nll_micro")
+
+
 def q_anomaly_scan(spark, sf_dir):
     # which ingest day looks broken? — per-day (n_rows, null_frac, p50)
     # scored against the cross-day robust median/MAD distribution.
@@ -1632,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "anomaly_scan": q_anomaly_scan,
         "classify_quality": q_classify_quality,
+        "lm_perplexity": q_lm_perplexity,
         "drift_two_sample": q_drift_two_sample,
         "multimodal_validate": q_multimodal_validate,
     }
@@ -2693,6 +2710,34 @@ scored AS (
 SELECT d.doc_id, ROUND(s.score, 6) AS score,
        CASE WHEN s.score IS NOT NULL THEN s.score > 0 END AS pred_positive
 FROM documents d LEFT JOIN scored s USING (doc_id)
+""",
+        "lm_perplexity": f"""
+WITH tok AS (SELECT doc_id, lang, {_TOKS_SEQ} AS ts FROM documents),
+tr AS (SELECT unnest(range(1, len(ts))) AS i, ts FROM tok
+       WHERE lang = 'en' AND len(ts) >= 2),
+cng AS (SELECT (('0x' || substring(md5(ts[i] || ' ' || ts[i+1]), 1, 8))::BIGINT
+                % 2048) AS b, COUNT(*) AS c
+        FROM tr GROUP BY 1),
+cctx AS (SELECT (('0x' || substring(md5(ts[i]), 1, 8))::BIGINT % 2048) AS b,
+                COUNT(*) AS c
+         FROM tr GROUP BY 1),
+sp AS (SELECT doc_id, unnest(range(1, len(ts))) AS i, ts FROM tok
+       WHERE len(ts) >= 2),
+mic AS (SELECT sp.doc_id,
+        ROUND(ln((COALESCE(cn.c, 0) + 0.5)
+                 / (COALESCE(cc.c, 0) + 0.5 * 2048)) * 1e6)::BIGINT AS m
+        FROM sp
+        LEFT JOIN cng cn
+          ON (('0x' || substring(md5(ts[i] || ' ' || ts[i+1]), 1, 8))::BIGINT
+              % 2048) = cn.b
+        LEFT JOIN cctx cc
+          ON (('0x' || substring(md5(ts[i]), 1, 8))::BIGINT % 2048) = cc.b),
+agg AS (SELECT doc_id, COUNT(*)::INT AS n_scored,
+               (-SUM(m))::BIGINT AS nll_micro
+        FROM mic GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(a.n_scored, 0) AS lm_n_scored,
+       a.nll_micro AS lm_nll_micro
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """,
         "anomaly_scan": """
 WITH stats AS (

@@ -1,0 +1,237 @@
+"""Hashed n-gram language-model perplexity scoring (the CCNet /
+KenLM-style quality filter — train a small LM on a trusted reference
+slice, score the whole corpus, keep low-perplexity documents).
+
+Reference parity note: datavalid has no LM scorer; this belongs to the
+beyond-reference LLM-pipeline family (SURVEY.md §2.6, quality scoring)
+next to the hashed NB classifier (`classify.py`), sharing its feature
+hashing and its engine-portability discipline.
+
+Built to the 10^12-row shape:
+
+- **train** (`train_hashed_lm`): the model is TWO dense long arrays of
+  ``n_buckets`` hashed counts — n-gram occurrences and context
+  ((n−1)-gram) occurrences at the SAME positions, so the smoothed
+  conditional is a proper probability (context count = Σ over its
+  n-grams).  One explode + partially-aggregated groupBy per array; the
+  only shuffle is keyed on the bucket id (cardinality ``n_buckets``),
+  and the collected model is KB-scale no matter how large the
+  reference corpus is.  Hash collisions are part of the model's
+  definition (hashed LM), not an approximation to be corrected.
+- **score** (`score_lm` / `nll_micro_expr`): pure Column expression —
+  the count arrays ship as array literals, per-position grams come
+  from the shared element_at-concat builder
+  (`word_ngrams_all_of_tokens`, no slice/join allocation), and each
+  position's log-probability is quantized to integer MICRO-NATS
+  (``round(ln(p)·1e6)``) BEFORE the fold.  Summing longs is
+  order-independent, so the document score is bit-identical across
+  engines and partitionings — the same trick the BM25 oracle uses.
+  ``ln`` is only faithfully rounded (JVM vs libm may differ in the
+  last ulp), but a flip requires the scaled value to land within an
+  ulp of an exact .5 boundary — measure-zero for real counts.  No
+  UDF, no join: scoring fuses into any existing scan.
+
+Smoothing: additive — ``P(w|ctx) = (c_ng + α) / (c_ctx + α·B)`` with
+``B = n_buckets`` standing in for the vocabulary (every unseen bucket
+is one pseudo-event).  Out-of-vocabulary grams therefore get a finite,
+well-defined penalty instead of −inf.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datavalid_spark.functions.text import (
+    let_once,
+    nonempty_tokens,
+    word_ngrams_all_of_tokens,
+)
+from datavalid_spark.operators.classify import hash_bucket
+
+#: micro-nat quantization scale for per-position log-probabilities
+MICRO = 1e6
+
+
+@dataclass
+class HashedLM:
+    """Dense hashed n-gram LM: counts + hyperparameters.
+
+    ``ngram_counts[b]`` = occurrences of n-grams hashing to bucket b in
+    the training slice; ``ctx_counts[b]`` = occurrences of their
+    (n−1)-gram contexts (counted at the same positions, so the
+    conditional normalizes).  JSON round-trip via save/load for reuse
+    across jobs."""
+
+    n: int
+    n_buckets: int
+    alpha: float
+    ngram_counts: list[int] = field(repr=False)
+    ctx_counts: list[int] = field(repr=False)
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "n": self.n,
+                    "n_buckets": self.n_buckets,
+                    "alpha": self.alpha,
+                    "ngram_counts": self.ngram_counts,
+                    "ctx_counts": self.ctx_counts,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "HashedLM":
+        with open(path) as f:
+            d = json.load(f)
+        return cls(**d)
+
+
+def _context_array(tt: Column, n: int) -> Column:
+    """(n−1)-gram contexts aligned with the n-gram positions: the
+    first ``len−n+1`` entries of the (n−1)-gram array (for n=2 that is
+    the token array itself, minus its last element)."""
+    cnt = F.size(tt)
+    ctx_all = tt if n == 2 else word_ngrams_all_of_tokens(tt, n - 1)
+    return F.slice(ctx_all, 1, cnt - n + 1)
+
+
+def train_hashed_lm(
+    df: DataFrame,
+    text_col: str,
+    n: int = 2,
+    n_buckets: int = 2048,
+    alpha: float = 0.5,
+) -> HashedLM:
+    """Count hashed n-grams and their contexts over a reference slice.
+
+    Two aggregation passes over the (usually small) training frame —
+    each is explode → groupBy(bucket) with map-side partial
+    aggregation, shuffling at most ``n_buckets`` rows per task."""
+    if n < 2:
+        raise ValueError("train_hashed_lm: n must be >= 2")
+    toks = df.select(nonempty_tokens(text_col).alias("ts")).filter(
+        F.size("ts") >= n
+    )
+
+    def counts(arr: Column) -> list[int]:
+        rows = (
+            toks.select(F.explode(arr).alias("g"))
+            .groupBy(hash_bucket(F.col("g"), n_buckets).alias("b"))
+            .count()
+            .collect()
+        )
+        out = [0] * n_buckets
+        for r in rows:
+            out[r["b"]] = r["count"]
+        return out
+
+    t = F.col("ts")
+    return HashedLM(
+        n=n,
+        n_buckets=n_buckets,
+        alpha=alpha,
+        ngram_counts=counts(word_ngrams_all_of_tokens(t, n)),
+        ctx_counts=counts(_context_array(t, n)),
+    )
+
+
+def nll_micro_expr(col: Column | str, model: HashedLM) -> Column:
+    """struct(n_scored INT, nll_micro BIGINT) for one document.
+
+    ``nll_micro`` is the negative sum of per-position
+    ``round(ln(P(w|ctx))·1e6)`` longs — exact, order-independent,
+    engine-portable.  NULL (with n_scored = 0) when the document has
+    fewer than ``n`` tokens."""
+    n, B, a = model.n, model.n_buckets, model.alpha
+    cng = F.lit([int(x) for x in model.ngram_counts])
+    cctx = F.lit([int(x) for x in model.ctx_counts])
+    denom_add = F.lit(float(a) * B)
+
+    def micro(g: Column, c: Column) -> Column:
+        p = (
+            F.element_at(cng, hash_bucket(g, B) + 1).cast("double") + F.lit(float(a))
+        ) / (F.element_at(cctx, hash_bucket(c, B) + 1).cast("double") + denom_add)
+        return F.round(F.log(p) * F.lit(MICRO)).cast("long")
+
+    def build(tt: Column) -> Column:
+        cnt = F.size(tt)
+        micros = F.zip_with(
+            word_ngrams_all_of_tokens(tt, n), _context_array(tt, n), micro
+        )
+        return F.when(
+            cnt >= n,
+            F.struct(
+                (cnt - n + 1).cast("int").alias("n_scored"),
+                (-F.aggregate(
+                    micros, F.lit(0).cast("long"), lambda acc, x: acc + x
+                )).alias("nll_micro"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.lit(0).alias("n_scored"),
+                F.lit(None).cast("long").alias("nll_micro"),
+            )
+        )
+
+    return let_once(nonempty_tokens(col), build)
+
+
+def score_lm(
+    df: DataFrame,
+    text_col: str,
+    model: HashedLM,
+    prefix: str = "lm_",
+) -> DataFrame:
+    """Append ``{prefix}n_scored``, ``{prefix}nll_micro`` (the exact
+    integer score) and the convenience doubles ``{prefix}logprob``
+    (mean per-gram natural-log probability) and ``{prefix}perplexity``.
+
+    The struct lands in ONE column first so the gram fold runs once
+    per row (higher-order folds are CodegenFallback and excluded from
+    subexpression elimination — same note as `classify.classify`)."""
+    s = "__dv_lm"
+    out = df.withColumn(s, nll_micro_expr(text_col, model))
+    nll = F.col(f"{s}.nll_micro")
+    ns = F.col(f"{s}.n_scored")
+    out = (
+        out.withColumn(f"{prefix}n_scored", ns)
+        .withColumn(f"{prefix}nll_micro", nll)
+        .withColumn(
+            f"{prefix}logprob",
+            F.when(ns > 0, -nll.cast("double") / F.lit(MICRO) / ns),
+        )
+        .withColumn(
+            f"{prefix}perplexity",
+            F.when(ns > 0, F.exp(nll.cast("double") / F.lit(MICRO) / ns)),
+        )
+        .drop(s)
+    )
+    return out
+
+
+def perplexity_filter(
+    df: DataFrame,
+    text_col: str,
+    model: HashedLM,
+    max_perplexity: float,
+    keep_unscored: bool = False,
+) -> DataFrame:
+    """Keep documents whose LM perplexity is at most the cap — the
+    CCNet quality gate.  Scan-fused filter: no shuffle, no join.
+
+    ``keep_unscored`` decides the fate of documents too short to score
+    (fewer than n tokens)."""
+    s = nll_micro_expr(text_col, model)
+    scored = s["n_scored"] > 0
+    ppl_ok = (
+        F.exp(s["nll_micro"].cast("double") / F.lit(MICRO) / s["n_scored"])
+        <= F.lit(float(max_perplexity))
+    )
+    cond = (scored & ppl_ok) | (F.lit(bool(keep_unscored)) & ~scored)
+    return df.filter(cond)

@@ -1,0 +1,152 @@
+"""Hashed n-gram LM perplexity scoring (operators/lm.py).
+
+The python mirror below re-implements train+score from the module
+docstring's spec (md5-prefix bucket hashing, additive smoothing,
+micro-nat quantization) so golden values are derived independently of
+the Spark expressions under test.
+"""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.operators.lm import (
+    HashedLM,
+    nll_micro_expr,
+    perplexity_filter,
+    score_lm,
+    train_hashed_lm,
+)
+
+
+def bucket(s: str, n_buckets: int) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def mirror_train(texts, n, n_buckets):
+    cng = [0] * n_buckets
+    cctx = [0] * n_buckets
+    for t in texts:
+        toks = t.lower().split()
+        for i in range(len(toks) - n + 1):
+            cng[bucket(" ".join(toks[i : i + n]), n_buckets)] += 1
+            cctx[bucket(" ".join(toks[i : i + n - 1]), n_buckets)] += 1
+    return cng, cctx
+
+
+def mirror_nll(text, n, n_buckets, alpha, cng, cctx):
+    toks = text.lower().split()
+    if len(toks) < n:
+        return 0, None
+    total = 0
+    for i in range(len(toks) - n + 1):
+        num = cng[bucket(" ".join(toks[i : i + n]), n_buckets)] + alpha
+        den = cctx[bucket(" ".join(toks[i : i + n - 1]), n_buckets)] + alpha * n_buckets
+        # round-half-away-from-zero, matching Spark/DuckDB ROUND
+        v = math.log(num / den) * 1e6
+        total += int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
+    return len(toks) - n + 1, -total
+
+
+TRAIN = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox sleeps",
+    "a lazy dog sleeps all day",
+    "the dog jumps over a fox",
+]
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    df = spark.createDataFrame([(t,) for t in TRAIN], ["text"])
+    return train_hashed_lm(df, "text", n=2, n_buckets=256, alpha=0.5)
+
+
+def test_train_matches_mirror(model):
+    cng, cctx = mirror_train(TRAIN, 2, 256)
+    assert model.ngram_counts == cng
+    assert model.ctx_counts == cctx
+    # context counts normalize the conditional: totals must agree
+    assert sum(model.ngram_counts) == sum(model.ctx_counts)
+
+
+def test_score_matches_mirror(spark, model):
+    docs = [
+        "the quick brown fox",          # in-domain
+        "zyx wvu tsr qpo nml",          # pure OOV
+        "the quick zebra",              # mixed
+        "single",                       # too short to score
+        "",                             # empty
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["lm_n_scored"], r["lm_nll_micro"])
+        for r in score_lm(df, "text", model).collect()
+    }
+    for i, t in enumerate(docs):
+        ns, nll = mirror_nll(t, 2, 256, 0.5, model.ngram_counts, model.ctx_counts)
+        assert got[i] == (ns, nll), f"doc {i!r}: {got[i]} != {(ns, nll)}"
+
+
+def test_in_domain_beats_oov(spark, model):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "zyx wvu tsr qpo")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["lm_perplexity"] for r in score_lm(df, "text", model).collect()}
+    assert out[1] < out[2]
+    assert math.isfinite(out[2])  # OOV is penalized, never -inf/NaN
+
+
+def test_perplexity_filter(spark, model):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "zz yy xx ww vv uu"),
+            (3, "hi"),
+        ],
+        ["doc_id", "text"],
+    )
+    scored = score_lm(df, "text", model)
+    ppl1 = scored.filter("doc_id = 1").collect()[0]["lm_perplexity"]
+    ppl2 = scored.filter("doc_id = 2").collect()[0]["lm_perplexity"]
+    cut = (ppl1 + ppl2) / 2
+    kept = perplexity_filter(df, "text", model, cut)
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+    kept2 = perplexity_filter(df, "text", model, cut, keep_unscored=True)
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [1, 3]
+
+
+def test_deterministic_under_repartition(spark, model):
+    df = spark.createDataFrame(
+        [(i, TRAIN[i % len(TRAIN)] + f" tail{i}") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    a = score_lm(df, "text", model).select("doc_id", "lm_nll_micro")
+    b = score_lm(df.repartition(7), "text", model).select(
+        "doc_id", "lm_nll_micro"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_no_python_udf_in_plan(spark, model):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = score_lm(df, "text", model)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_model_json_roundtrip(tmp_path, model):
+    p = str(tmp_path / "lm.json")
+    model.save(p)
+    back = HashedLM.load(p)
+    assert back == model
+
+
+def test_train_rejects_unigram(spark):
+    df = spark.createDataFrame([("a b",)], ["text"])
+    with pytest.raises(ValueError):
+        train_hashed_lm(df, "text", n=1)
