@@ -1493,6 +1493,31 @@ def q_lm_perplexity(spark, sf_dir):
     return out.select("doc_id", "lm_n_scored", "lm_nll_micro")
 
 
+def q_reconcile_orders(spark, sf_dir):
+    # cross-table reconciliation after a simulated lossy ETL hop: the
+    # "target" copy drops every 97th order and perturbs every 101st
+    # price — per-priority row counts and exact cent sums from BOTH
+    # sides, with a status verdict.  Sides pre-aggregate independently;
+    # only O(groups) rows ever meet.
+    from datavalid_spark.operators.reconcile import reconcile
+
+    orders = _t(spark, sf_dir, "orders")
+    right = orders.filter((F.col("o_orderkey") % 97) != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    return reconcile(
+        orders,
+        right,
+        ["o_orderpriority"],
+        {"cents": cents},
+        only_mismatches=False,
+    )
+
+
 def q_anomaly_scan(spark, sf_dir):
     # which ingest day looks broken? — per-day (n_rows, null_frac, p50)
     # scored against the cross-day robust median/MAD distribution.
@@ -1649,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_scan": q_anomaly_scan,
         "classify_quality": q_classify_quality,
         "lm_perplexity": q_lm_perplexity,
+        "reconcile_orders": q_reconcile_orders,
         "drift_two_sample": q_drift_two_sample,
         "multimodal_validate": q_multimodal_validate,
     }
@@ -2738,6 +2764,28 @@ agg AS (SELECT doc_id, COUNT(*)::INT AS n_scored,
 SELECT d.doc_id, COALESCE(a.n_scored, 0) AS lm_n_scored,
        a.nll_micro AS lm_nll_micro
 FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
+        "reconcile_orders": """
+WITH l AS (
+  SELECT o_orderpriority AS g, COUNT(*) AS rows_,
+         SUM(ROUND(o_totalprice * 100, 0)::BIGINT)::BIGINT AS cents
+  FROM orders GROUP BY 1),
+r AS (
+  SELECT o_orderpriority AS g, COUNT(*) AS rows_,
+         SUM(ROUND(CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+                        ELSE o_totalprice END * 100, 0)::BIGINT)::BIGINT AS cents
+  FROM orders WHERE o_orderkey % 97 != 0 GROUP BY 1)
+SELECT COALESCE(l.g, r.g) AS o_orderpriority,
+       COALESCE(l.rows_, 0) AS left_rows,
+       COALESCE(r.rows_, 0) AS right_rows,
+       l.cents AS left_cents,
+       r.cents AS right_cents,
+       CASE WHEN r.rows_ IS NULL THEN 'missing_right'
+            WHEN l.rows_ IS NULL THEN 'missing_left'
+            WHEN l.rows_ != r.rows_ THEN 'count_mismatch'
+            WHEN l.cents IS DISTINCT FROM r.cents THEN 'sum_mismatch'
+            ELSE 'ok' END AS status
+FROM l FULL OUTER JOIN r ON l.g IS NOT DISTINCT FROM r.g
 """,
         "anomaly_scan": """
 WITH stats AS (

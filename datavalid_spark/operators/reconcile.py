@@ -1,0 +1,121 @@
+"""Cross-table reconciliation: did an ETL hop lose rows or money?
+
+The Deequ `hasSize`/dbt-equality family generalized to per-group
+verdicts: compare a SOURCE table and a TARGET table (e.g. before/after
+a pipeline hop, producer vs consumer copy, warehouse vs lake) on row
+counts and exact sums, grouped by a reconciliation key.
+
+Reference parity note: datavalid validates one table at a time; this is
+a beyond-reference validation operator (SURVEY.md §2.6, north-rule
+family — the same per-partition pass/fail + violation-row contract as
+`checks.TableCheck.group_verdicts`).
+
+10^12-row shape: each side is reduced to O(groups) by an independent
+partially-aggregated groupBy BEFORE anything meets — row data never
+rides a shuffle to the other table, and the final full-outer join is
+on the (tiny) group-key frames, broadcast-eligible under AQE.  Sums are
+caller-supplied Column expressions so exactness is explicit: pass the
+integer-cents pattern (``round(x*100)::long``) for doubles — long sums
+are order-independent and engine-exact, double sums are neither.
+
+Verdict per group: ``missing_right`` (group only in source),
+``missing_left`` (only in target), ``count_mismatch``,
+``sum_mismatch``, ``ok``.  Precedence is that order — a group absent
+on one side is reported as missing, not as every other mismatch too.
+
+Self-join note: the two sides often derive from the SAME DataFrame
+(e.g. "this table vs its filtered copy"), where frame-qualified column
+references hit Spark's ambiguous-self-join attribute reuse.  Each
+side's key columns are therefore renamed to a side-local name before
+the join — the output coalesces them back.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _side_agg(
+    df: DataFrame,
+    keys: list[str],
+    sums: Mapping[str, Column],
+    side: str,
+) -> DataFrame:
+    gb = [F.col(k).alias(f"__dv_{side}_{k}") for k in keys]
+    aggs = [F.count(F.lit(1)).alias(f"{side}_rows")] + [
+        F.sum(expr).alias(f"{side}_{name}") for name, expr in sums.items()
+    ]
+    return df.groupBy(*gb).agg(*aggs)
+
+
+def reconcile(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    sums: Mapping[str, Column] | None = None,
+    only_mismatches: bool = True,
+) -> DataFrame:
+    """Per-group reconciliation report between two tables.
+
+    Output columns: the ``keys``, ``left_rows``, ``right_rows``, one
+    ``left_<name>``/``right_<name>`` pair per entry of ``sums``, and a
+    ``status`` string.  Missing sides report their rows as 0 and sums
+    as NULL.  ``only_mismatches=True`` (default) drops ``ok`` groups —
+    a healthy reconciliation returns an empty frame, and only group
+    keys and aggregates ever leave the per-side aggregation.
+
+    NULL group keys reconcile against each other (null-safe key
+    equality): a NULL bucket present on both sides is one group, same
+    as grouping semantics."""
+    sums = dict(sums or {})
+    la = _side_agg(left, keys, sums, "left")
+    ra = _side_agg(right, keys, sums, "right")
+    cond = None
+    for k in keys:
+        c = F.col(f"__dv_left_{k}").eqNullSafe(F.col(f"__dv_right_{k}"))
+        cond = c if cond is None else (cond & c)
+    j = la.join(ra, cond, "full_outer")
+
+    key_cols = [
+        F.coalesce(F.col(f"__dv_left_{k}"), F.col(f"__dv_right_{k}")).alias(k)
+        for k in keys
+    ]
+    lr, rr = F.col("left_rows"), F.col("right_rows")
+
+    sum_cols: list[Column] = []
+    sums_equal: Column = F.lit(True)
+    for name in sums:
+        ls, rs = F.col(f"left_{name}"), F.col(f"right_{name}")
+        sum_cols += [ls, rs]
+        sums_equal = sums_equal & ls.eqNullSafe(rs)
+
+    status = (
+        F.when(rr.isNull(), F.lit("missing_right"))
+        .when(lr.isNull(), F.lit("missing_left"))
+        .when(lr != rr, F.lit("count_mismatch"))
+        .when(~sums_equal, F.lit("sum_mismatch"))
+        .otherwise(F.lit("ok"))
+    )
+    out = j.select(
+        *key_cols,
+        F.coalesce(lr, F.lit(0)).alias("left_rows"),
+        F.coalesce(rr, F.lit(0)).alias("right_rows"),
+        *sum_cols,
+        status.alias("status"),
+    )
+    if only_mismatches:
+        out = out.filter(F.col("status") != "ok")
+    return out
+
+
+def reconcile_summary(report: DataFrame) -> DataFrame:
+    """Roll a reconciliation report up to one row per status — the
+    dashboard view (O(statuses) rows, one partial-agg pass)."""
+    return report.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("left_rows").alias("left_rows"),
+        F.sum("right_rows").alias("right_rows"),
+    )

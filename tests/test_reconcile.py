@@ -1,0 +1,122 @@
+"""Cross-table reconciliation (operators/reconcile.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.operators.reconcile import reconcile, reconcile_summary
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    left = spark.createDataFrame(
+        [
+            # group a: identical on both sides
+            ("a", 1, 100),
+            ("a", 2, 200),
+            # group b: right loses one row
+            ("b", 3, 300),
+            ("b", 4, 400),
+            # group c: same count, one amount perturbed on the right
+            ("c", 5, 500),
+            # group d: only on the left
+            ("d", 6, 600),
+            # NULL group key on both sides
+            (None, 7, 700),
+        ],
+        ["g", "id", "cents"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", 1, 100),
+            ("a", 2, 200),
+            ("b", 3, 300),
+            ("c", 5, 501),
+            # group e: only on the right
+            ("e", 8, 800),
+            (None, 7, 700),
+        ],
+        ["g", "id", "cents"],
+    )
+    return left, right
+
+
+def test_statuses(spark, sides):
+    left, right = sides
+    rep = reconcile(
+        left, right, ["g"], {"cents": F.col("cents").cast("long")},
+        only_mismatches=False,
+    )
+    got = {r["g"]: r.asDict() for r in rep.collect()}
+    assert got["a"]["status"] == "ok"
+    assert got["b"]["status"] == "count_mismatch"
+    assert got["b"]["left_rows"] == 2 and got["b"]["right_rows"] == 1
+    assert got["c"]["status"] == "sum_mismatch"
+    assert got["c"]["left_cents"] == 500 and got["c"]["right_cents"] == 501
+    assert got["d"]["status"] == "missing_right"
+    assert got["d"]["right_rows"] == 0 and got["d"]["right_cents"] is None
+    assert got["e"]["status"] == "missing_left"
+    assert got[None]["status"] == "ok"  # NULL keys reconcile null-safely
+
+
+def test_only_mismatches_default(spark, sides):
+    left, right = sides
+    rep = reconcile(left, right, ["g"], {"cents": F.col("cents").cast("long")})
+    assert sorted(r["g"] for r in rep.collect()) == ["b", "c", "d", "e"]
+
+
+def test_healthy_tables_empty_report(spark, sides):
+    left, _ = sides
+    rep = reconcile(left, left, ["g"], {"cents": F.col("cents").cast("long")})
+    assert rep.count() == 0
+
+
+def test_self_derived_sides(spark, sides):
+    # both sides carved from the SAME DataFrame (the ambiguous-self-join
+    # trap): filtered copy must reconcile as count mismatches / missing
+    left, _ = sides
+    rep = reconcile(left, left.filter(F.col("id") != 3), ["g"])
+    got = {r["g"]: r["status"] for r in rep.collect()}
+    assert got == {"b": "count_mismatch"}
+
+
+def test_multi_key_and_summary(spark):
+    left = spark.createDataFrame(
+        [("x", 1, 10), ("x", 2, 20), ("y", 1, 30)], ["k1", "k2", "v"]
+    )
+    right = spark.createDataFrame(
+        [("x", 1, 10), ("y", 1, 30), ("y", 2, 40)], ["k1", "k2", "v"]
+    )
+    rep = reconcile(
+        left, right, ["k1", "k2"], {"v": F.col("v").cast("long")},
+        only_mismatches=False,
+    )
+    got = {(r["k1"], r["k2"]): r["status"] for r in rep.collect()}
+    assert got == {
+        ("x", 1): "ok",
+        ("x", 2): "missing_right",
+        ("y", 1): "ok",
+        ("y", 2): "missing_left",
+    }
+    summ = {r["status"]: r["n_groups"] for r in reconcile_summary(rep).collect()}
+    assert summ == {"ok": 2, "missing_right": 1, "missing_left": 1}
+
+
+def test_no_sums_counts_only(spark, sides):
+    left, right = sides
+    rep = reconcile(left, right, ["g"])
+    got = {r["g"]: r["status"] for r in rep.collect()}
+    # c has equal counts and no sums compared -> ok (absent from report)
+    assert got == {"b": "count_mismatch", "d": "missing_right", "e": "missing_left"}
+
+
+def test_sides_preaggregated_before_join(spark, sides):
+    # scale shape: the join must sit on top of two Aggregates, so row
+    # data never shuffles to the other table
+    left, right = sides
+    rep = reconcile(left, right, ["g"], {"cents": F.col("cents").cast("long")})
+    plan = rep._jdf.queryExecution().optimizedPlan().toString()
+    join_at = plan.find("Join")
+    assert join_at >= 0
+    # every Aggregate appears below the Join in the tree printout
+    assert plan.count("Aggregate") >= 2
+    assert "BatchEvalPython" not in plan
