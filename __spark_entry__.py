@@ -1518,6 +1518,18 @@ def q_reconcile_orders(spark, sf_dir):
     )
 
 
+def q_monotonic(spark, sf_dir):
+    # monotonic YAML check on a deliberately non-monotonic signal:
+    # events.value must be non-decreasing over ts per user — violations
+    # are rows beaten by a strictly-earlier row's running max (ties in
+    # ts never compared; ~9k of 10k rows at sf0.01, nothing trivial).
+    from datavalid_spark.operators.fdcheck import MonotonicCheck
+
+    ev = _t(spark, sf_dir, "events")
+    check = MonotonicCheck(column="value", order_by="ts", per="user_id")
+    return check.violations(ev).select("event_id", "user_id", "value")
+
+
 def q_anomaly_scan(spark, sf_dir):
     # which ingest day looks broken? — per-day (n_rows, null_frac, p50)
     # scored against the cross-day robust median/MAD distribution.
@@ -1675,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_quality": q_classify_quality,
         "lm_perplexity": q_lm_perplexity,
         "reconcile_orders": q_reconcile_orders,
+        "monotonic_value": q_monotonic,
         "drift_two_sample": q_drift_two_sample,
         "multimodal_validate": q_multimodal_validate,
     }
@@ -2786,6 +2799,20 @@ SELECT COALESCE(l.g, r.g) AS o_orderpriority,
             WHEN l.cents IS DISTINCT FROM r.cents THEN 'sum_mismatch'
             ELSE 'ok' END AS status
 FROM l FULL OUTER JOIN r ON l.g IS NOT DISTINCT FROM r.g
+""",
+        "monotonic_value": """
+WITH po AS (
+  SELECT user_id, ts, MAX(value) AS vmax FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2),
+pm AS (
+  SELECT user_id, ts,
+         MAX(vmax) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+  FROM po)
+SELECT e.event_id, e.user_id, e.value
+FROM events e JOIN pm
+  ON e.user_id IS NOT DISTINCT FROM pm.user_id AND e.ts = pm.ts
+WHERE e.value < pm.prevmax
 """,
         "anomaly_scan": """
 WITH stats AS (

@@ -637,6 +637,7 @@ def build_table_check(key: str, value, today: Optional[datetime.date] = None) ->
         "max_boilerplate",
         "functional_dependency",
         "no_gaps",
+        "monotonic",
         "max_fraction",
     ):
         return cls(**(value or {}))

@@ -225,8 +225,152 @@ class NoGapsCheck(TableCheck):
         return "".join(parts)
 
 
+class MonotonicCheck(TableCheck):
+    """``monotonic: {column: ..., order_by: ..., per: [...],
+    direction: increasing|decreasing, strict: false}``
+
+    ``column`` must move monotonically with ``order_by`` within each
+    ``per`` partition (times the validation group).  A row violates iff
+    some row at a STRICTLY earlier ``order_by`` value (same partition)
+    beats it: for non-decreasing, an earlier row with a greater value;
+    for strict, greater-or-equal.  Rows sharing an ``order_by`` value
+    are never compared with each other — with ties, "previous row" is
+    engine-arbitrary, so adjacency semantics would be nondeterministic;
+    the strictly-earlier running-extreme semantics is deterministic on
+    any engine and any partitioning.  Rows with NULL ``column`` or
+    ``order_by`` are skipped (pair with ``no_na`` to reject those).
+
+    Scale shape (same as ``no_gaps``): the running extreme depends only
+    on the per-``order_by`` max/min, so the window runs on the
+    aggregated DISTINCT (partition, order) frame — bounded by the
+    timeline length, never the row count — and only offending (keys,
+    order, threshold) tuples ride a size-gated broadcast back onto the
+    fact table.  A healthy table is scanned, aggregated, and never
+    row-shuffled.  Ungrouped with no ``per``, the window sees one
+    partition of DISTINCT order values (calendar-bounded, the same
+    envelope as the date checks' ungrouped path).
+    """
+
+    key = "monotonic"
+
+    def __init__(
+        self,
+        column: Optional[str] = None,
+        order_by: Optional[str] = None,
+        per=None,
+        direction: str = "increasing",
+        strict: bool = False,
+        broadcast_key_limit: Optional[int] = None,
+    ):
+        if column is None:
+            raise ValueError('should contain key "column"')
+        if not isinstance(column, str):
+            raise ValueError('"column" should be a column name')
+        if order_by is None:
+            raise ValueError('should contain key "order_by"')
+        if not isinstance(order_by, str):
+            raise ValueError('"order_by" should be a column name')
+        if direction not in ("increasing", "decreasing"):
+            raise ValueError('"direction" should be "increasing" or "decreasing"')
+        if column == order_by:
+            raise ValueError('"column" and "order_by" should differ')
+        self.column = column
+        self.order_by = order_by
+        self.per = _as_list(per, '"per"') if per is not None else []
+        self.direction = direction
+        self.strict = bool(strict)
+        self.broadcast_key_limit = broadcast_key_limit or 1_000_000
+
+    def bad_thresholds(
+        self, df: DataFrame, group_cols: Sequence[str] = ()
+    ) -> DataFrame:
+        """(keys..., order, threshold) tuples where SOME row at that
+        order violates — threshold is the running extreme over strictly
+        earlier orders; the join-back re-derives which rows."""
+        keys = [*group_cols, *self.per]
+        inc = self.direction == "increasing"
+        ext = F.max if inc else F.min
+        per_order = (
+            df.filter(
+                F.col(self.column).isNotNull() & F.col(self.order_by).isNotNull()
+            )
+            .groupBy(*keys, F.col(self.order_by).alias("__dv_ord"))
+            .agg(
+                F.max(self.column).alias("__dv_vmax"),
+                F.min(self.column).alias("__dv_vmin"),
+            )
+        )
+        # the aggregated frame has DISTINCT order values per key, so a
+        # ROWS frame over them IS the strictly-earlier RANGE frame
+        w = (
+            Window.partitionBy(*[F.col(c) for c in keys])
+            .orderBy(F.col("__dv_ord").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        thr = ext("__dv_vmax" if inc else "__dv_vmin").over(w).alias("__dv_thr")
+        worst = F.col("__dv_vmin") if inc else F.col("__dv_vmax")
+        t = F.col("__dv_thr")
+        breach = (worst < t) if inc else (worst > t)
+        if self.strict:
+            breach = breach | (worst == t)
+        return (
+            per_order.select(*keys, "__dv_ord", "__dv_vmin", "__dv_vmax", thr)
+            .filter(t.isNotNull() & breach)
+            .select(*keys, "__dv_ord", "__dv_thr")
+        )
+
+    def violations(self, df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+        keys = [*group_cols, *self.per]
+        bad = gated_broadcast(
+            self.bad_thresholds(df, group_cols), self.broadcast_key_limit
+        ).select(
+            *[F.col(c).alias("__dv_k_%s" % c) for c in keys],
+            F.col("__dv_ord"),
+            F.col("__dv_thr"),
+        )
+        on = [F.col(c).eqNullSafe(F.col("__dv_k_%s" % c)) for c in keys] + [
+            F.col(self.order_by) == F.col("__dv_ord")
+        ]
+        v = F.col(self.column)
+        inc = self.direction == "increasing"
+        breach = (v < F.col("__dv_thr")) if inc else (v > F.col("__dv_thr"))
+        if self.strict:
+            breach = breach | (v == F.col("__dv_thr"))
+        on.append(breach)
+        cond = on[0]
+        for e in on[1:]:
+            cond = cond & e
+        return df.join(bad, cond, "left_semi")
+
+    def _err_msg(self, n: int) -> str:
+        scope = " per %s" % ", ".join(self.per) if self.per else ""
+        return "%s is not %s%s over %s%s. There are %d such rows" % (
+            self.column,
+            "strictly " if self.strict else "",
+            self.direction,
+            self.order_by,
+            scope,
+            n,
+        )
+
+    def to_markdown(self) -> str:
+        parts = [
+            "Ensure `%s` is %s%s over `%s`"
+            % (
+                self.column,
+                "strictly " if self.strict else "",
+                self.direction,
+                self.order_by,
+            )
+        ]
+        if self.per:
+            parts.append(" within each %s" % ", ".join("`%s`" % c for c in self.per))
+        return "".join(parts)
+
+
 # self-registration (same import-cycle dodge as dedup_check)
 from datavalid_spark.operators import checks as _checks  # noqa: E402
 
 _checks.TABLE_CHECKS.setdefault("functional_dependency", FunctionalDependencyCheck)
 _checks.TABLE_CHECKS.setdefault("no_gaps", NoGapsCheck)
+_checks.TABLE_CHECKS.setdefault("monotonic", MonotonicCheck)

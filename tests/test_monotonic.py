@@ -1,0 +1,128 @@
+"""Monotonic table check (operators/fdcheck.MonotonicCheck):
+strictly-earlier running-extreme semantics, directions, strictness,
+ties, NULL skipping, grouped verdicts, config validation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.cache import release_cached
+from datavalid_spark.operators.checks import TABLE_CHECKS, build_table_check
+from datavalid_spark.operators.fdcheck import MonotonicCheck
+from tests.conftest import rows_as_tuples
+
+
+@pytest.fixture(autouse=True)
+def _release():
+    yield
+    release_cached()
+
+
+@pytest.fixture(scope="module")
+def ts_df(spark):
+    # user 1: 10, 20, 15(dip), 20 — row at t=3 violates non-decreasing;
+    #   the final 20 does NOT (equals the running max)
+    # user 2: clean ascent
+    # user 3: tie at t=2 with different values (never compared to each
+    #   other), then a dip below BOTH at t=3
+    rows = [
+        (1, 1, 10.0),
+        (1, 2, 20.0),
+        (1, 3, 15.0),
+        (1, 4, 20.0),
+        (2, 1, 1.0),
+        (2, 2, 2.0),
+        (3, 1, 5.0),
+        (3, 2, 8.0),
+        (3, 2, 6.0),
+        (3, 3, 4.0),
+        # NULLs skipped entirely
+        (1, None, 99.0),
+        (1, 5, None),
+    ]
+    return spark.createDataFrame(rows, "u int, t int, v double").repartition(4)
+
+
+def test_registered():
+    assert TABLE_CHECKS["monotonic"] is MonotonicCheck
+
+
+def test_nondecreasing_violations(spark, ts_df):
+    check = build_table_check(
+        "monotonic", {"column": "v", "order_by": "t", "per": "u"}
+    )
+    got = rows_as_tuples(check.violations(ts_df))
+    assert got == rows_as_tuples(
+        ts_df.filter(
+            ((F.col("u") == 1) & (F.col("t") == 3))
+            | ((F.col("u") == 3) & (F.col("t") == 3))
+        )
+    )
+    res = check.run(ts_df)
+    assert not res.passed and res.n_violations == 2
+    assert "v is not increasing over t per u" in res.err_msg
+
+
+def test_ties_not_compared(spark, ts_df):
+    # user 3's (t=2, v=6) sits below (t=2, v=8) but is NOT a violation:
+    # equal order values are never compared with each other
+    check = MonotonicCheck(column="v", order_by="t", per="u")
+    bad = check.violations(ts_df).filter((F.col("u") == 3) & (F.col("t") == 2))
+    assert bad.count() == 0
+
+
+def test_strict_flags_plateau(spark, ts_df):
+    check = MonotonicCheck(column="v", order_by="t", per="u", strict=True)
+    got = rows_as_tuples(check.violations(ts_df).select("u", "t", "v"))
+    # strict adds user 1's final 20 (equals running max) to the dips;
+    # user 3's t=3 row (4 < 8) stays; tie rows still not compared
+    assert got == rows_as_tuples(
+        ts_df.filter(
+            ((F.col("u") == 1) & F.col("t").isin(3, 4))
+            | ((F.col("u") == 3) & (F.col("t") == 3))
+        ).select("u", "t", "v")
+    )
+
+
+def test_decreasing_direction(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 9.0), (1, 2, 7.0), (1, 3, 8.0), (1, 4, 7.0)],
+        "u int, t int, v double",
+    )
+    check = MonotonicCheck(column="v", order_by="t", per="u", direction="decreasing")
+    got = rows_as_tuples(check.violations(df).select("t"))
+    assert got == [(3,)]  # 8 rises above the running min 7
+    strict = MonotonicCheck(
+        column="v", order_by="t", per="u", direction="decreasing", strict=True
+    )
+    got2 = rows_as_tuples(strict.violations(df).select("t"))
+    assert got2 == [(3,), (4,)]  # plateau 7==7 also flagged
+
+
+def test_ungrouped_and_clean(spark):
+    df = spark.createDataFrame(
+        [(i, float(i * 2)) for i in range(50)], "t int, v double"
+    )
+    check = MonotonicCheck(column="v", order_by="t")
+    assert check.run(df).passed
+    dirty = df.union(spark.createDataFrame([(25, -1.0)], "t int, v double"))
+    res = check.run(dirty)
+    assert not res.passed and res.n_violations == 1
+
+
+def test_group_verdicts(spark, ts_df):
+    check = MonotonicCheck(column="v", order_by="t")
+    verd = {r["u"]: r["passed"] for r in check.group_verdicts(ts_df, ["u"]).collect()}
+    assert verd == {1: False, 2: True, 3: False}
+
+
+def test_config_errors(spark):
+    with pytest.raises(ValueError, match='"column"'):
+        MonotonicCheck(order_by="t")
+    with pytest.raises(ValueError, match='"order_by"'):
+        MonotonicCheck(column="v")
+    with pytest.raises(ValueError, match="direction"):
+        MonotonicCheck(column="v", order_by="t", direction="sideways")
+    with pytest.raises(ValueError, match="differ"):
+        MonotonicCheck(column="v", order_by="v")
+    with pytest.raises(ValueError, match='"per"'):
+        MonotonicCheck(column="v", order_by="t", per=7)
