@@ -1530,6 +1530,16 @@ def q_monotonic(spark, sf_dir):
     return check.violations(ev).select("event_id", "user_id", "value")
 
 
+def q_suggest(spark, sf_dir):
+    # constraint suggestion over orders: one exact stats pass → the
+    # checks that provably hold (no_na/unique/options/integer/range).
+    # The DuckDB oracle recomputes the stats and re-applies the same
+    # rules — every suggestion is evidence, not heuristic.
+    from datavalid_spark.operators.suggest import suggest_constraints
+
+    return suggest_constraints(_t(spark, sf_dir, "orders"))
+
+
 def q_anomaly_scan(spark, sf_dir):
     # which ingest day looks broken? — per-day (n_rows, null_frac, p50)
     # scored against the cross-day robust median/MAD distribution.
@@ -1688,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "reconcile_orders": q_reconcile_orders,
         "monotonic_value": q_monotonic,
+        "suggest_constraints": q_suggest,
         "drift_two_sample": q_drift_two_sample,
         "multimodal_validate": q_multimodal_validate,
     }
@@ -2813,6 +2824,67 @@ SELECT e.event_id, e.user_id, e.value
 FROM events e JOIN pm
   ON e.user_id IS NOT DISTINCT FROM pm.user_id AND e.ts = pm.ts
 WHERE e.value < pm.prevmax
+""",
+        "suggest_constraints": """
+WITH s AS (
+  SELECT COUNT(*) AS n,
+    COUNT(o_orderkey) AS m1, COUNT(DISTINCT o_orderkey) AS d1,
+    ROUND(MIN(o_orderkey)::DOUBLE, 6) AS lo1,
+    ROUND(MAX(o_orderkey)::DOUBLE, 6) AS hi1,
+    COUNT(o_custkey) AS m2, COUNT(DISTINCT o_custkey) AS d2,
+    ROUND(MIN(o_custkey)::DOUBLE, 6) AS lo2,
+    ROUND(MAX(o_custkey)::DOUBLE, 6) AS hi2,
+    COUNT(o_orderstatus) AS m3, COUNT(DISTINCT o_orderstatus) AS d3,
+    COALESCE(SUM(CASE WHEN regexp_matches(o_orderstatus, '^-?[0-9]+$')
+                      THEN 1 ELSE 0 END), 0) AS i3,
+    COUNT(o_totalprice) AS m4, COUNT(DISTINCT o_totalprice) AS d4,
+    ROUND(MIN(o_totalprice), 6) AS lo4, ROUND(MAX(o_totalprice), 6) AS hi4,
+    COUNT(o_orderdate) AS m5, COUNT(DISTINCT o_orderdate) AS d5,
+    COUNT(o_orderpriority) AS m6, COUNT(DISTINCT o_orderpriority) AS d6,
+    COALESCE(SUM(CASE WHEN regexp_matches(o_orderpriority, '^-?[0-9]+$')
+                      THEN 1 ELSE 0 END), 0) AS i6
+  FROM orders)
+SELECT * FROM (
+SELECT 'o_orderkey' AS "column", 'no_na' AS "check",
+       NULL::VARCHAR AS detail, NULL::DOUBLE AS lo, NULL::DOUBLE AS hi
+  FROM s WHERE m1 = n
+UNION ALL SELECT 'o_orderkey', 'unique', NULL, NULL, NULL FROM s
+  WHERE m1 = n AND d1 = n AND n > 0
+UNION ALL SELECT 'o_orderkey', 'range', NULL, lo1, hi1 FROM s
+  WHERE m1 > 0 AND isfinite(lo1) AND isfinite(hi1)
+UNION ALL SELECT 'o_custkey', 'no_na', NULL, NULL, NULL FROM s WHERE m2 = n
+UNION ALL SELECT 'o_custkey', 'unique', NULL, NULL, NULL FROM s
+  WHERE m2 = n AND d2 = n AND n > 0
+UNION ALL SELECT 'o_custkey', 'range', NULL, lo2, hi2 FROM s
+  WHERE m2 > 0 AND isfinite(lo2) AND isfinite(hi2)
+UNION ALL SELECT 'o_orderstatus', 'no_na', NULL, NULL, NULL FROM s WHERE m3 = n
+UNION ALL SELECT 'o_orderstatus', 'unique', NULL, NULL, NULL FROM s
+  WHERE m3 = n AND d3 = n AND n > 0
+UNION ALL SELECT 'o_orderstatus', 'options',
+  (SELECT string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus)
+   FROM orders WHERE o_orderstatus IS NOT NULL), NULL, NULL FROM s
+  WHERE d3 BETWEEN 1 AND 10
+UNION ALL SELECT 'o_orderstatus', 'integer', NULL, NULL, NULL FROM s
+  WHERE m3 > 0 AND i3 = m3
+UNION ALL SELECT 'o_totalprice', 'no_na', NULL, NULL, NULL FROM s WHERE m4 = n
+UNION ALL SELECT 'o_totalprice', 'unique', NULL, NULL, NULL FROM s
+  WHERE m4 = n AND d4 = n AND n > 0
+UNION ALL SELECT 'o_totalprice', 'range', NULL, lo4, hi4 FROM s
+  WHERE m4 > 0 AND isfinite(lo4) AND isfinite(hi4)
+UNION ALL SELECT 'o_orderdate', 'no_na', NULL, NULL, NULL FROM s WHERE m5 = n
+UNION ALL SELECT 'o_orderdate', 'unique', NULL, NULL, NULL FROM s
+  WHERE m5 = n AND d5 = n AND n > 0
+UNION ALL SELECT 'o_orderpriority', 'no_na', NULL, NULL, NULL FROM s
+  WHERE m6 = n
+UNION ALL SELECT 'o_orderpriority', 'unique', NULL, NULL, NULL FROM s
+  WHERE m6 = n AND d6 = n AND n > 0
+UNION ALL SELECT 'o_orderpriority', 'options',
+  (SELECT string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+   FROM orders WHERE o_orderpriority IS NOT NULL), NULL, NULL FROM s
+  WHERE d6 BETWEEN 1 AND 10
+UNION ALL SELECT 'o_orderpriority', 'integer', NULL, NULL, NULL FROM s
+  WHERE m6 > 0 AND i6 = m6
+)
 """,
         "anomaly_scan": """
 WITH stats AS (

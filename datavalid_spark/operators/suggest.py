@@ -1,0 +1,181 @@
+"""Constraint suggestion: profile a table once, propose the checks a
+validator should run on it (the Deequ ConstraintSuggestion /
+dbt-codegen shape).
+
+Bootstrapping use: pointed at an unvalidated lake table, the engine
+proposes a ``datavalid.yml`` — every suggestion is a check key this
+engine already executes (``no_na``, ``unique``, ``options``,
+``integer``, ``range``), so the output YAML round-trips straight into
+the runner.
+
+Reference parity note: datavalid has no suggestion engine; this is a
+beyond-reference validation operator (SURVEY.md §2.6).  The rules are
+deliberately EXACT functions of exact one-pass statistics — a
+suggestion is evidence ("this held on every row scanned"), not a
+heuristic, and the whole pipeline stays oracle-checkable.
+
+Scale shape: ONE aggregation pass computes every per-column statistic
+(count / nulls / exact distinct / min / max / all-integer-shaped);
+multi-column ``count(distinct)`` expands the scan (one Expand + one
+partial-agg shuffle carrying O(distinct) rows per column — swap
+``exact_distinct=False`` for HLL ``approx_count_distinct`` at the
+10^12-row scale, where "unique" suggestions become probabilistic).
+Only columns that qualify for ``options`` trigger a second, tiny
+``collect_set`` pass each (bounded by ``options_max`` values).  All
+rule evaluation is driver-side on the single collected stats row.
+
+Suggestion rules (per column, non-NULL rows = ``m``):
+- ``no_na``       — zero NULLs.
+- ``unique``      — zero NULLs and distinct == rows (requires no_na:
+                    the reference's unique-field check treats NULLs as
+                    values, so suggesting unique on a nullable column
+                    would fire immediately).
+- ``options``     — string column with 1..options_max distinct values;
+                    detail = the sorted values joined by ``|``.
+- ``integer``     — string column, m > 0, every non-NULL value matches
+                    ``^-?[0-9]+$``.
+- ``range``       — numeric column with m > 0 and finite bounds;
+                    lo/hi are the observed min/max (rounded to 6dp for
+                    floats — the YAML emitter widens floats outward so
+                    the observed rows always satisfy the bound).
+
+A typed date/timestamp column needs no ``valid_date`` suggestion — the
+reference's valid_date task models STRING y/m/d triples, and a typed
+column is valid by construction.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_INT_RE = "^-?[0-9]+$"
+
+_NUMERIC = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+
+
+def suggest_constraints(
+    df: DataFrame,
+    options_max: int = 10,
+    exact_distinct: bool = True,
+    columns: Optional[list[str]] = None,
+) -> DataFrame:
+    """One row per suggested check: ``(column, check, detail, lo, hi)``.
+
+    ``detail`` carries the ``options`` value list (sorted,
+    ``|``-joined); ``lo``/``hi`` carry the observed numeric bounds for
+    ``range`` (as doubles, rounded to 6dp — exact for integral types
+    within 2^53).  Row order is (column, check) — deterministic."""
+    cols = columns or df.columns
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    ndist = (
+        F.countDistinct if exact_distinct else F.approx_count_distinct
+    )
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        dt = fields[c]
+        aggs.append(F.count(F.col(c)).alias(f"m_{c}"))
+        aggs.append(ndist(F.col(c)).alias(f"d_{c}"))
+        if isinstance(dt, _NUMERIC):
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"lo_{c}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"hi_{c}"))
+        if isinstance(dt, T.StringType):
+            aggs.append(
+                F.sum(F.col(c).rlike(_INT_RE).cast("long")).alias(f"i_{c}")
+            )
+    stats = df.agg(*aggs).collect()[0].asDict()
+    n = stats["__n"]
+
+    out: list[tuple] = []
+    for c in cols:
+        dt = fields[c]
+        m, d = stats[f"m_{c}"], stats[f"d_{c}"]
+        if m == n:
+            out.append((c, "no_na", None, None, None))
+        if m == n and d == n and n > 0:
+            out.append((c, "unique", None, None, None))
+        if isinstance(dt, T.StringType) and 0 < d <= options_max:
+            vals = [
+                r["v"]
+                for r in df.select(F.col(c).alias("v"))
+                .filter(F.col(c).isNotNull())
+                .distinct()
+                .collect()
+            ]
+            out.append((c, "options", "|".join(sorted(vals)), None, None))
+        if isinstance(dt, T.StringType) and m > 0 and stats[f"i_{c}"] == m:
+            out.append((c, "integer", None, None, None))
+        if isinstance(dt, _NUMERIC) and m > 0:
+            lo, hi = stats[f"lo_{c}"], stats[f"hi_{c}"]
+            # Spark sorts NaN above every double — a NaN max means the
+            # column has NaNs and an observed range would be vacuous
+            if math.isfinite(lo) and math.isfinite(hi):
+                out.append((c, "range", None, round(lo, 6), round(hi, 6)))
+    out.sort(key=lambda t: (t[0], t[1]))
+    return df.sparkSession.createDataFrame(
+        out, "column string, check string, detail string, lo double, hi double"
+    )
+
+
+def suggestions_to_config(
+    suggestions: DataFrame,
+    file_name: str,
+    schema_name: str = "suggested",
+) -> dict:
+    """Collected suggestions → a config dict in the runner's exact
+    ``datavalid.yml`` shape (``files`` / ``schemas`` / ``columns`` /
+    ``validation_tasks``) — loadable by ``plans.config.Config`` and
+    runnable as-is.  By construction every suggested check HOLDS on the
+    profiled data, so running the emitted config against the same table
+    exits green (the round-trip test asserts exactly that).
+
+    Float range bounds are widened outward by 1e-6: the suggestion
+    frame carries 6dp-rounded bounds, and rounding alone could nudge a
+    bound inside an observed extreme."""
+    by_col: dict[str, dict] = {}
+    for r in suggestions.collect():
+        chk = r["check"]
+        spec = by_col.setdefault(r["column"], {"name": r["column"]})
+        if chk == "options":
+            spec["options"] = r["detail"].split("|")
+        elif chk == "range":
+            lo, hi = r["lo"], r["hi"]
+            if lo == int(lo) and hi == int(hi):
+                spec["range"] = [int(lo), int(hi)]
+            else:
+                spec["range"] = [lo - 1e-6, hi + 1e-6]
+        else:  # no_na / unique / integer
+            spec[chk] = True
+    schema: dict = {"columns": [by_col[c] for c in sorted(by_col)]}
+    return {
+        "files": {file_name: {"schema": schema_name}},
+        "schemas": {schema_name: schema},
+    }
+
+
+def suggestions_to_yaml(
+    suggestions: DataFrame,
+    file_name: str,
+    schema_name: str = "suggested",
+) -> str:
+    """YAML text of ``suggestions_to_config`` — write it next to the
+    data as ``datavalid.yml`` and the CLI runs it unchanged."""
+    import yaml
+
+    return yaml.safe_dump(
+        suggestions_to_config(suggestions, file_name, schema_name),
+        sort_keys=False,
+    )

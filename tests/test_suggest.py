@@ -1,0 +1,108 @@
+"""Constraint suggestion (operators/suggest.py): exact rules, edge
+cases, and the emitted-config round trip (suggested YAML must run
+green on the data it was derived from)."""
+
+import io
+import math
+
+import pytest
+
+from datavalid_spark.operators.suggest import (
+    suggest_constraints,
+    suggestions_to_config,
+    suggestions_to_yaml,
+)
+from tests.conftest import rows_as_tuples
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [
+        # id: unique, no nulls          -> no_na + unique + range
+        # status: 2 options             -> no_na + options
+        # code: integer-shaped strings  -> no_na + integer + options
+        # score: has a NULL             -> range only
+        # nanval: contains NaN          -> no_na, NO range
+        # blank: all NULL               -> nothing
+        (1, "ok", "42", 1.5, 1.0, None),
+        (2, "ok", "-7", 2.5, float("nan"), None),
+        (3, "bad", "0", None, 3.0, None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "id int, status string, code string, score double, "
+        "nanval double, blank string",
+    )
+
+
+def test_rules(spark, df):
+    got = rows_as_tuples(suggest_constraints(df, options_max=4))
+    assert got == sorted(
+        [
+            ("id", "no_na", None, None, None),
+            ("id", "unique", None, None, None),
+            ("id", "range", None, 1.0, 3.0),
+            ("status", "no_na", None, None, None),
+            ("status", "options", "bad|ok", None, None),
+            ("code", "no_na", None, None, None),
+            ("code", "unique", None, None, None),
+            ("code", "options", "-7|0|42", None, None),
+            ("code", "integer", None, None, None),
+            ("score", "range", None, 1.5, 2.5),
+            ("nanval", "no_na", None, None, None),
+            ("nanval", "unique", None, None, None),
+        ],
+        key=lambda t: tuple((v is None, str(v)) for v in t),
+    )
+
+
+def test_options_cardinality_gate(spark, df):
+    got = rows_as_tuples(suggest_constraints(df, options_max=2))
+    checks = {(r[0], r[1]) for r in got}
+    assert ("status", "options") in checks  # 2 values <= 2
+    assert ("code", "options") not in checks  # 3 values > 2
+
+
+def test_approx_distinct_path(spark, df):
+    # HLL path still produces rows; unique may differ only in theory
+    got = suggest_constraints(df, exact_distinct=False)
+    assert got.filter("check = 'no_na'").count() >= 3
+
+
+def test_config_shape(spark, df):
+    cfg = suggestions_to_config(suggest_constraints(df), "data.parquet")
+    assert set(cfg) == {"files", "schemas"}
+    cols = {c["name"]: c for c in cfg["schemas"]["suggested"]["columns"]}
+    assert cols["id"]["unique"] is True and cols["id"]["range"] == [1, 3]
+    assert cols["status"]["options"] == ["bad", "ok"]
+    assert cols["code"]["integer"] is True
+    # float bounds widened outward so observed rows satisfy them
+    lo, hi = cols["score"]["range"]
+    assert lo < 1.5 and hi > 2.5 and math.isclose(lo, 1.5 - 1e-6)
+
+
+def test_round_trip_runs_green(spark, tmp_path):
+    # the emitted datavalid.yml must validate the very table it was
+    # suggested from with zero violations
+    from datavalid_spark.plans.config import load_config
+    from datavalid_spark.runner import run_config
+
+    src = spark.createDataFrame(
+        [(1, "a", 10.5), (2, "b", 11.0), (3, "a", 12.25)],
+        "id int, tag string, v double",
+    )
+    src.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "data.parquet"))
+    sugg = suggest_constraints(src)
+    (tmp_path / "datavalid.yml").write_text(
+        suggestions_to_yaml(sugg, "data.parquet")
+    )
+    conf = load_config(tmp_path)
+    out = io.StringIO()
+    assert run_config(conf, spark, out=out) == 0, out.getvalue()
+
+
+def test_empty_frame(spark):
+    df = spark.createDataFrame([], "a int, b string")
+    got = rows_as_tuples(suggest_constraints(df))
+    # n == 0: no_na vacuously holds (m == n == 0); nothing else fires
+    assert got == [("a", "no_na", None, None, None), ("b", "no_na", None, None, None)]
