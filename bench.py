@@ -94,6 +94,11 @@ HEADLINE_QUERIES = [
     "decontaminate_fuzzy",
     "corr_matrix",
     "salted_join_revenue",
+    # session-12 additions: LM quality scoring (train + score passes),
+    # running-extreme monotonic check (distinct-order window + gated
+    # broadcast back)
+    "lm_perplexity",
+    "monotonic_value",
 ]
 
 

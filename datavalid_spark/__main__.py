@@ -188,12 +188,66 @@ def curate_main(argv) -> int:
     return 0
 
 
+def suggest_main(argv) -> int:
+    """``python -m datavalid_spark suggest <data>`` — profile a table
+    (parquet/orc/jsonl/csv/snaplog, by extension like every other
+    surface) and emit a runnable ``datavalid.yml`` of the constraints
+    that provably hold on it (operators/suggest.py)."""
+    parser = argparse.ArgumentParser("datavalid_spark suggest")
+    parser.add_argument("data", help="path to the table to profile")
+    parser.add_argument(
+        "-o", "--output", default=None,
+        help="write the suggested datavalid.yml here (default: stdout)",
+    )
+    parser.add_argument(
+        "--options-max", type=int, default=10,
+        help="max distinct values for an options suggestion",
+    )
+    parser.add_argument(
+        "--approx", action="store_true",
+        help="HLL distinct counts (very large tables; unique becomes approximate)",
+    )
+    parser.add_argument("--master", type=str, default="local[*]")
+    args = parser.parse_args(argv)
+
+    import types as _types
+
+    from datavalid_spark.operators.suggest import (
+        suggest_constraints,
+        suggestions_to_yaml,
+    )
+    from datavalid_spark.runner import open_source
+    from pyspark.sql import SparkSession
+
+    existing = SparkSession.getActiveSession()
+    spark = existing or build_spark(args.master)
+    try:
+        df, _, _ = open_source(_types.SimpleNamespace(filepath=args.data), spark)
+        sugg = suggest_constraints(
+            df, options_max=args.options_max, exact_distinct=not args.approx
+        )
+        name = pathlib.Path(args.data).name
+        yml = suggestions_to_yaml(sugg, name)
+    finally:
+        if existing is None:
+            spark.stop()
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(yml)
+        print("wrote %s" % args.output)
+    else:
+        sys.stdout.write(yml)
+    return 0
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else list(argv)
     if argv[:1] == ["table"]:
         return table_main(argv[1:])
     if argv[:1] == ["curate"]:
         return curate_main(argv[1:])
+    if argv[:1] == ["suggest"]:
+        return suggest_main(argv[1:])
     parser = argparse.ArgumentParser("datavalid_spark")
     parser.add_argument(
         "--dir", type=pathlib.Path, default=None, help="directory containing datavalid.yml"

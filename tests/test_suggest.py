@@ -101,6 +101,26 @@ def test_round_trip_runs_green(spark, tmp_path):
     assert run_config(conf, spark, out=out) == 0, out.getvalue()
 
 
+def test_cli_suggest_roundtrip(spark, tmp_path):
+    # `python -m datavalid_spark suggest` writes a yml that the main
+    # CLI then runs green against the same file
+    from datavalid_spark.__main__ import main
+    from datavalid_spark.plans.config import load_config
+    from datavalid_spark.runner import run_config
+
+    src = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "x")], "id int, tag string"
+    )
+    data = tmp_path / "data.parquet"
+    src.coalesce(1).write.mode("overwrite").parquet(str(data))
+    out = tmp_path / "datavalid.yml"
+    assert main(["suggest", str(data), "-o", str(out)]) == 0
+    assert out.exists()
+    conf = load_config(tmp_path)
+    sink = io.StringIO()
+    assert run_config(conf, spark, out=sink) == 0, sink.getvalue()
+
+
 def test_empty_frame(spark):
     df = spark.createDataFrame([], "a int, b string")
     got = rows_as_tuples(suggest_constraints(df))
