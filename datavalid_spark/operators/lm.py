@@ -110,34 +110,42 @@ def train_hashed_lm(
 ) -> HashedLM:
     """Count hashed n-grams and their contexts over a reference slice.
 
-    Two aggregation passes over the (usually small) training frame —
-    each is explode → groupBy(bucket) with map-side partial
-    aggregation, shuffling at most ``n_buckets`` rows per task."""
+    ONE aggregation pass over the (usually small) training frame: the
+    n-gram and context bucket streams are tagged and concatenated
+    inside the scan projection, so a single explode → groupBy((kind,
+    bucket)) with map-side partial aggregation feeds both arrays —
+    the training corpus is tokenized and scanned exactly once, and the
+    shuffle carries at most ``2·n_buckets`` rows per task."""
     if n < 2:
         raise ValueError("train_hashed_lm: n must be >= 2")
     toks = df.select(nonempty_tokens(text_col).alias("ts")).filter(
         F.size("ts") >= n
     )
-
-    def counts(arr: Column) -> list[int]:
-        rows = (
-            toks.select(F.explode(arr).alias("g"))
-            .groupBy(hash_bucket(F.col("g"), n_buckets).alias("b"))
-            .count()
-            .collect()
-        )
-        out = [0] * n_buckets
-        for r in rows:
-            out[r["b"]] = r["count"]
-        return out
-
     t = F.col("ts")
+
+    def tag(kind: int):
+        return lambda g: F.struct(
+            F.lit(kind).alias("k"), hash_bucket(g, n_buckets).alias("b")
+        )
+
+    tagged = toks.select(
+        F.explode(
+            F.concat(
+                F.transform(word_ngrams_all_of_tokens(t, n), tag(0)),
+                F.transform(_context_array(t, n), tag(1)),
+            )
+        ).alias("e")
+    )
+    rows = tagged.groupBy(F.col("e.k").alias("k"), F.col("e.b").alias("b")).count().collect()
+    cng, cctx = [0] * n_buckets, [0] * n_buckets
+    for r in rows:
+        (cng if r["k"] == 0 else cctx)[r["b"]] = r["count"]
     return HashedLM(
         n=n,
         n_buckets=n_buckets,
         alpha=alpha,
-        ngram_counts=counts(word_ngrams_all_of_tokens(t, n)),
-        ctx_counts=counts(_context_array(t, n)),
+        ngram_counts=cng,
+        ctx_counts=cctx,
     )
 
 
