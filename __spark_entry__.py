@@ -1540,6 +1540,21 @@ def q_suggest(spark, sf_dir):
     return suggest_constraints(_t(spark, sf_dir, "orders"))
 
 
+def q_join_profile(spark, sf_dir):
+    # join pre-flight on the biggest relationship in the schema:
+    # lineitem→orders coverage, parent PK duplication, and worst-key
+    # fan-out (the number that picks salted vs plain).  Both fact
+    # tables collapse to key counts before anything joins.
+    from datavalid_spark.operators.joinprofile import join_profile
+
+    return join_profile(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        ["l_orderkey"],
+        ["o_orderkey"],
+    )
+
+
 def q_anomaly_scan(spark, sf_dir):
     # which ingest day looks broken? — per-day (n_rows, null_frac, p50)
     # scored against the cross-day robust median/MAD distribution.
@@ -1699,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reconcile_orders": q_reconcile_orders,
         "monotonic_value": q_monotonic,
         "suggest_constraints": q_suggest,
+        "join_profile": q_join_profile,
         "drift_two_sample": q_drift_two_sample,
         "multimodal_validate": q_multimodal_validate,
     }
@@ -2885,6 +2901,31 @@ UNION ALL SELECT 'o_orderpriority', 'options',
 UNION ALL SELECT 'o_orderpriority', 'integer', NULL, NULL, NULL FROM s
   WHERE m6 > 0 AND i6 = m6
 )
+""",
+        "join_profile": """
+WITH c AS (SELECT l_orderkey AS k, COUNT(*) AS cn FROM lineitem
+           WHERE l_orderkey IS NOT NULL GROUP BY 1),
+p AS (SELECT o_orderkey AS k, COUNT(*) AS pn FROM orders
+      WHERE o_orderkey IS NOT NULL GROUP BY 1),
+j AS (SELECT c.cn, p.pn FROM c FULL OUTER JOIN p USING (k)),
+t AS (SELECT COUNT(*) AS child_rows,
+             SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS child_null_key_rows
+      FROM lineitem)
+SELECT t.child_rows, t.child_null_key_rows,
+  COALESCE(SUM(CASE WHEN j.cn IS NOT NULL AND j.pn IS NOT NULL
+               THEN j.cn END), 0)::BIGINT AS child_matched_rows,
+  COALESCE(SUM(CASE WHEN j.pn IS NULL THEN j.cn END), 0)::BIGINT
+    AS child_orphan_rows,
+  COUNT(j.cn)::BIGINT AS child_distinct_keys,
+  COALESCE(SUM(j.pn), 0)::BIGINT AS parent_rows,
+  COUNT(j.pn)::BIGINT AS parent_distinct_keys,
+  COALESCE(SUM(CASE WHEN j.pn > 1 THEN 1 END), 0)::BIGINT AS parent_dup_keys,
+  COALESCE(MAX(j.cn), 0)::BIGINT AS max_child_per_key,
+  COALESCE(MAX(CASE WHEN j.cn IS NOT NULL AND j.pn IS NOT NULL
+               THEN j.cn * j.pn END), 0)::BIGINT AS max_join_fanout
+FROM j CROSS JOIN t
+GROUP BY t.child_rows, t.child_null_key_rows
 """,
         "anomaly_scan": """
 WITH stats AS (

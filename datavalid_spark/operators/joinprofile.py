@@ -1,0 +1,125 @@
+"""Join-key profiling: the pre-flight diagnostic for a planned join.
+
+Answers, in one row of exact longs, the questions that decide a join
+strategy at 10^12-row scale BEFORE running it: how many child rows
+will match (coverage), how many parents are duplicated (a broken PK
+turns a lookup join into a fan-out), and how heavy the worst key is
+(the skew that picks salted vs plain — feed ``max_child_per_key`` to
+``skew.suggest_salt_buckets``).
+
+Reference parity note: beyond-reference (SURVEY.md §2.6 profiling /
+joins family) — the reference validates single tables; this profiles
+the RELATIONSHIP two tables are about to be joined on, complementing
+``refint.ReferentialCheck`` (which reports the orphan ROWS; this
+reports the aggregate shape).
+
+10^12-row shape: both sides collapse to per-key counts first (one
+partially-aggregated shuffle each, O(distinct keys) rows out), the two
+KEY-COUNT frames full-outer join on the key (never the row data), and
+one final single-row aggregation — the fact tables are each scanned
+once and never shuffled.  NULL child keys can never match (SQL join
+semantics) and are counted separately rather than as orphans.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def join_profile(
+    child: DataFrame,
+    parent: DataFrame,
+    child_keys: Sequence[str],
+    parent_keys: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """One-row exact profile of the child→parent key relationship.
+
+    Columns (all BIGINT, engine-exact):
+    - ``child_rows`` / ``child_null_key_rows`` (any key column NULL)
+    - ``child_matched_rows`` / ``child_orphan_rows`` (non-NULL keys
+      present / absent in the parent key set)
+    - ``child_distinct_keys``
+    - ``parent_rows`` / ``parent_distinct_keys``
+    - ``parent_dup_keys`` (parent keys with >1 row — PK violations)
+    - ``max_child_per_key`` (heaviest child key: the skew number)
+    - ``max_join_fanout`` (max child_count × parent_count over keys —
+      the worst per-key row blow-up the actual join would produce)
+    """
+    ck = list(child_keys)
+    pk = list(parent_keys or child_keys)
+    if len(ck) != len(pk):
+        raise ValueError("child_keys and parent_keys must align")
+
+    null_any = None
+    for c in ck:
+        e = F.col(c).isNull()
+        null_any = e if null_any is None else (null_any | e)
+
+    cagg = (
+        child.filter(~null_any)
+        .groupBy(*[F.col(c).alias(f"__k{i}") for i, c in enumerate(ck)])
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    p_null_any = None
+    for c in pk:
+        e = F.col(c).isNull()
+        p_null_any = e if p_null_any is None else (p_null_any | e)
+
+    # NULL parent keys can never be joined to — they are excluded from
+    # the parent profile entirely (parent_rows counts joinable rows)
+    pagg = (
+        parent.filter(~p_null_any)
+        .groupBy(*[F.col(c).alias(f"__k{i}") for i, c in enumerate(pk)])
+        .agg(F.count(F.lit(1)).alias("pn"))
+    )
+
+    on = [cagg[f"__k{i}"].eqNullSafe(pagg[f"__k{i}"]) for i in range(len(ck))]
+    cond = on[0]
+    for e in on[1:]:
+        cond = cond & e
+    j = cagg.join(pagg, cond, "full_outer").select(
+        cagg["cn"].alias("cn"), pagg["pn"].alias("pn")
+    )
+
+    matched = F.col("pn").isNotNull() & F.col("cn").isNotNull()
+    prof = j.agg(
+        F.coalesce(F.sum("cn"), F.lit(0)).alias("child_nonnull_rows"),
+        F.coalesce(
+            F.sum(F.when(matched, F.col("cn"))), F.lit(0)
+        ).alias("child_matched_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("pn").isNull(), F.col("cn"))), F.lit(0)
+        ).alias("child_orphan_rows"),
+        F.coalesce(F.count(F.col("cn")), F.lit(0)).alias("child_distinct_keys"),
+        F.coalesce(F.sum("pn"), F.lit(0)).alias("parent_rows"),
+        F.coalesce(F.count(F.col("pn")), F.lit(0)).alias("parent_distinct_keys"),
+        F.coalesce(
+            F.sum(F.when(F.col("pn") > 1, F.lit(1))), F.lit(0)
+        ).alias("parent_dup_keys"),
+        F.coalesce(F.max("cn"), F.lit(0)).alias("max_child_per_key"),
+        F.coalesce(
+            F.max(F.when(matched, F.col("cn") * F.col("pn"))), F.lit(0)
+        ).alias("max_join_fanout"),
+    )
+
+    totals = child.agg(
+        F.count(F.lit(1)).alias("child_rows"),
+        F.coalesce(F.sum(null_any.cast("long")), F.lit(0)).alias(
+            "child_null_key_rows"
+        ),
+    )
+    return totals.crossJoin(prof).select(
+        "child_rows",
+        "child_null_key_rows",
+        "child_matched_rows",
+        "child_orphan_rows",
+        "child_distinct_keys",
+        "parent_rows",
+        "parent_distinct_keys",
+        "parent_dup_keys",
+        "max_child_per_key",
+        "max_join_fanout",
+    )

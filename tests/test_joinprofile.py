@@ -1,0 +1,80 @@
+"""Join-key profiling (operators/joinprofile.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.operators.joinprofile import join_profile
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    child = spark.createDataFrame(
+        [
+            (1, "a"), (1, "b"), (1, "c"),  # key 1: 3 children, matched
+            (2, "d"),                      # key 2: matched (dup parent)
+            (9, "e"), (9, "f"),            # key 9: orphans
+            (None, "g"),                   # NULL key: never matches
+        ],
+        "k int, payload string",
+    )
+    parent = spark.createDataFrame(
+        [(1, "p1"), (2, "p2a"), (2, "p2b"), (3, "p3"), (None, "pn")],
+        "k int, pval string",
+    )
+    return child, parent
+
+
+def test_profile_row(spark, tables):
+    child, parent = tables
+    r = join_profile(child, parent, ["k"]).collect()[0].asDict()
+    assert r == {
+        "child_rows": 7,
+        "child_null_key_rows": 1,
+        "child_matched_rows": 4,   # 3×k1 + 1×k2
+        "child_orphan_rows": 2,    # k9
+        "child_distinct_keys": 3,  # 1, 2, 9
+        "parent_rows": 4,          # NULL parent key excluded
+        "parent_distinct_keys": 3, # 1, 2, 3
+        "parent_dup_keys": 1,      # k2 twice
+        "max_child_per_key": 3,    # k1
+        "max_join_fanout": 3,      # k1: 3×1; k2: 1×2
+    }
+
+
+def test_clean_fk(spark, tables):
+    child, _ = tables
+    parent = spark.createDataFrame([(1,), (2,), (9,)], "k int")
+    r = join_profile(child.filter(F.col("k").isNotNull()), parent, ["k"]).collect()[0]
+    assert r["child_orphan_rows"] == 0
+    assert r["child_matched_rows"] == r["child_rows"]
+    assert r["parent_dup_keys"] == 0
+
+
+def test_multi_key_and_renamed(spark):
+    child = spark.createDataFrame(
+        [(1, 1, "x"), (1, 2, "y"), (2, 1, "z")], "a int, b int, v string"
+    )
+    parent = spark.createDataFrame([(1, 1), (1, 2)], "pa int, pb int")
+    r = join_profile(child, parent, ["a", "b"], ["pa", "pb"]).collect()[0]
+    assert r["child_matched_rows"] == 2 and r["child_orphan_rows"] == 1
+    with pytest.raises(ValueError):
+        join_profile(child, parent, ["a", "b"], ["pa"])
+
+
+def test_empty_sides(spark):
+    child = spark.createDataFrame([], "k int, v string")
+    parent = spark.createDataFrame([(1,)], "k int")
+    r = join_profile(child, parent, ["k"]).collect()[0]
+    assert r["child_rows"] == 0 and r["parent_rows"] == 1
+    assert r["max_join_fanout"] == 0
+
+
+def test_rows_never_join_rows(spark, tables):
+    # scale shape: the join in the plan sits on two Aggregates
+    child, parent = tables
+    plan = (
+        join_profile(child, parent, ["k"])
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("Aggregate") >= 3  # two sides + final one-row
+    assert "BatchEvalPython" not in plan
