@@ -1555,6 +1555,29 @@ def q_join_profile(spark, sf_dir):
     )
 
 
+def q_entropy_profile(spark, sf_dir):
+    # exact Shannon entropy per column (Deequ Entropy analyzer): all
+    # columns melt inside the scan, ONE (column, value) shuffle; the
+    # statistic is an exact micro-nat BIGINT, the double is derived.
+    from datavalid_spark.operators.infotheory import entropy_profile
+
+    return entropy_profile(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority", "o_custkey"],
+    )
+
+
+def q_mutual_info(spark, sf_dir):
+    # exact mutual information between return flag and line status —
+    # the soft functional-dependency signal; one pair-count shuffle,
+    # marginals from the pair frame.
+    from datavalid_spark.operators.infotheory import mutual_information
+
+    return mutual_information(
+        _t(spark, sf_dir, "lineitem"), "l_returnflag", "l_linestatus"
+    )
+
+
 def q_anomaly_scan(spark, sf_dir):
     # which ingest day looks broken? — per-day (n_rows, null_frac, p50)
     # scored against the cross-day robust median/MAD distribution.
@@ -1715,6 +1738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monotonic_value": q_monotonic,
         "suggest_constraints": q_suggest,
         "join_profile": q_join_profile,
+        "entropy_profile": q_entropy_profile,
+        "mutual_info": q_mutual_info,
         "drift_two_sample": q_drift_two_sample,
         "multimodal_validate": q_multimodal_validate,
     }
@@ -2926,6 +2951,42 @@ SELECT t.child_rows, t.child_null_key_rows,
                THEN j.cn * j.pn END), 0)::BIGINT AS max_join_fanout
 FROM j CROSS JOIN t
 GROUP BY t.child_rows, t.child_null_key_rows
+""",
+        "entropy_profile": """
+WITH m AS (
+  SELECT 'o_orderstatus' AS col, o_orderstatus::VARCHAR AS v FROM orders
+  UNION ALL SELECT 'o_orderpriority', o_orderpriority::VARCHAR FROM orders
+  UNION ALL SELECT 'o_custkey', o_custkey::VARCHAR FROM orders),
+c AS (SELECT col, v, COUNT(*) AS c FROM m WHERE v IS NOT NULL GROUP BY 1, 2)
+SELECT col AS "column", SUM(c)::BIGINT AS n_rows, COUNT(*)::BIGINT AS n_distinct,
+  SUM(ROUND(c::DOUBLE * ln(c::DOUBLE) * 1e6)::BIGINT)::BIGINT AS sum_cln_micro,
+  ROUND(ln(SUM(c)::DOUBLE)
+        - SUM(ROUND(c::DOUBLE * ln(c::DOUBLE) * 1e6)::BIGINT)::DOUBLE
+          / (SUM(c)::DOUBLE * 1e6), 6) AS entropy
+FROM c GROUP BY 1
+""",
+        "mutual_info": """
+WITH p AS (
+  SELECT l_returnflag::VARCHAR AS a, l_linestatus::VARCHAR AS b,
+         COUNT(*) AS c_ab
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+  GROUP BY 1, 2),
+e AS (
+  SELECT c_ab,
+         SUM(c_ab) OVER (PARTITION BY a) AS c_a,
+         SUM(c_ab) OVER (PARTITION BY b) AS c_b,
+         SUM(c_ab) OVER () AS n
+  FROM p)
+SELECT COALESCE(MAX(n), 0)::BIGINT AS n_rows,
+  COUNT(*)::BIGINT AS n_pairs,
+  COALESCE(SUM(ROUND(c_ab::DOUBLE
+    * ln(n::DOUBLE * c_ab::DOUBLE / (c_a::DOUBLE * c_b::DOUBLE))
+    * 1e6)::BIGINT), 0)::BIGINT AS sum_mi_micro,
+  COALESCE(ROUND(SUM(ROUND(c_ab::DOUBLE
+    * ln(n::DOUBLE * c_ab::DOUBLE / (c_a::DOUBLE * c_b::DOUBLE))
+    * 1e6)::BIGINT)::DOUBLE / (MAX(n)::DOUBLE * 1e6), 6), 0.0) AS mi
+FROM e
 """,
         "anomaly_scan": """
 WITH stats AS (

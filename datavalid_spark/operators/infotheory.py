@@ -1,0 +1,151 @@
+"""Information-theoretic column profiling: Shannon entropy and mutual
+information (the Deequ ``Entropy`` / ``MutualInformation`` analyzer
+family), engine-exact.
+
+What they buy a validator: entropy tracks a column's effective
+cardinality/balance (an entropy collapse = a constant-fill bug or an
+upstream default flooding in); mutual information between two columns
+quantifies dependence (MI ≈ H(a) means b is determined by a — the
+soft version of ``functional_dependency``; MI ≈ 0 on a pair that
+should correlate means a broken join upstream).
+
+Exactness discipline: both statistics are sums of ``count·ln(...)``
+terms.  ``ln`` floats summed in engine order are not comparable, so —
+same trick as BM25 and the LM scorer — each term is quantized to an
+integer MICRO-NAT before the sum.  The reported statistic is an exact
+BIGINT (plus a derived convenience double); any engine reproduces it
+bit-for-bit:
+
+- entropy: ``H = ln(n) − S/(n·1e6)`` with
+  ``S = Σ_values round(c·ln(c)·1e6)`` — one term per DISTINCT value.
+- mutual information: ``I = S/(n·1e6)`` with
+  ``S = Σ_pairs round(c_ab·ln(n·c_ab/(c_a·c_b))·1e6)``.
+
+10^12-row shape:
+
+- ``entropy_profile``: ALL requested columns melt into (column, value)
+  pairs inside the scan projection (one Expand-style explode, no
+  per-column jobs) → ONE partially-aggregated shuffle keyed on
+  (column, value) → per-column O(distinct) term sums.  Values are
+  compared as canonical strings (injective for ints/strings/bools —
+  the melt's uniform type; documented caveat for floats: ``-0.0`` and
+  ``0.0`` collapse).
+- ``mutual_information``: one (a, b) pair-count shuffle; marginals
+  derive from the PAIR frame (O(distinct pairs), windows partitioned
+  by each side — never the fact table); rows with a NULL on either
+  side are dropped (listwise, like Deequ).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+#: micro-nat quantization scale (matches lm.py / the BM25 oracle)
+MICRO = 1e6
+
+
+def entropy_profile(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Per-column exact Shannon entropy over non-NULL values.
+
+    Returns ``(column, n_rows, n_distinct, sum_cln_micro, entropy)``:
+    ``sum_cln_micro = Σ round(c·ln(c)·1e6)`` (BIGINT, the exact
+    artifact), ``entropy = ln(n) − sum/(n·1e6)`` in nats (derived
+    double, rounded to 6dp)."""
+    cols = list(columns)
+    if not cols:
+        raise ValueError("columns must be non-empty")
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("e")
+    ).select("e.column", "e.v")
+    counts = (
+        melted.filter(F.col("v").isNotNull())
+        .groupBy("column", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    term = F.round(
+        F.col("c").cast("double") * F.log(F.col("c").cast("double")) * F.lit(MICRO)
+    ).cast("long")
+    per_col = counts.groupBy("column").agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(term).alias("sum_cln_micro"),
+    )
+    ent = F.round(
+        F.log(F.col("n_rows").cast("double"))
+        - F.col("sum_cln_micro").cast("double")
+        / (F.col("n_rows").cast("double") * F.lit(MICRO)),
+        6,
+    )
+    return per_col.select(
+        "column", "n_rows", "n_distinct", "sum_cln_micro", ent.alias("entropy")
+    )
+
+
+def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """One-row exact mutual information between two columns (nats).
+
+    Returns ``(n_rows, n_pairs, sum_mi_micro, mi)``:
+    ``sum_mi_micro = Σ_pairs round(c_ab·ln(n·c_ab/(c_a·c_b))·1e6)``
+    (BIGINT), ``mi = sum/(n·1e6)`` (derived double, 6dp).  Rows with
+    NULL in either column are dropped listwise.  MI ≥ 0 up to
+    quantization; MI = H(a) when b determines a."""
+    pairs = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(
+            F.col(col_a).cast("string").alias("a"),
+            F.col(col_b).cast("string").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    # marginals from the pair frame: windows over O(distinct pairs)
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    wn = Window.partitionBy()
+    enriched = pairs.select(
+        "c_ab",
+        F.sum("c_ab").over(wa).alias("c_a"),
+        F.sum("c_ab").over(wb).alias("c_b"),
+        F.sum("c_ab").over(wn).alias("n"),
+    )
+    term = F.round(
+        F.col("c_ab").cast("double")
+        * F.log(
+            F.col("n").cast("double")
+            * F.col("c_ab").cast("double")
+            / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+        )
+        * F.lit(MICRO)
+    ).cast("long")
+    out = enriched.agg(
+        F.max("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(term).alias("sum_mi_micro"),
+    )
+    mi = F.when(
+        F.col("n_rows").isNotNull(),
+        F.round(
+            F.col("sum_mi_micro").cast("double")
+            / (F.col("n_rows").cast("double") * F.lit(MICRO)),
+            6,
+        ),
+    )
+    return out.select(
+        F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"),
+        "n_pairs",
+        F.coalesce(F.col("sum_mi_micro"), F.lit(0)).alias("sum_mi_micro"),
+        F.coalesce(mi, F.lit(0.0)).alias("mi"),
+    )

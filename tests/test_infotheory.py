@@ -1,0 +1,88 @@
+"""Entropy and mutual information (operators/infotheory.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.operators.infotheory import entropy_profile, mutual_information
+
+
+def q(x: float) -> int:
+    """round-half-away micro-nat quantizer (the module's spec)."""
+    v = x * 1e6
+    return int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
+
+
+def mirror_entropy(values):
+    vals = [v for v in values if v is not None]
+    n = len(vals)
+    from collections import Counter
+
+    s = sum(q(c * math.log(c)) for c in Counter(vals).values())
+    return n, len(Counter(vals)), s, round(math.log(n) - s / (n * 1e6), 6)
+
+
+def test_entropy_golden(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "x"), ("d", "x")] * 2,
+        "u string, k string",
+    )
+    got = {r["column"]: r for r in entropy_profile(df, ["u", "k"]).collect()}
+    # uniform over 4 values: H = ln 4; constant: H = 0
+    assert got["u"]["n_rows"] == 8 and got["u"]["n_distinct"] == 4
+    assert got["u"]["entropy"] == pytest.approx(math.log(4), abs=1e-5)
+    assert got["k"]["entropy"] == 0.0 and got["k"]["n_distinct"] == 1
+
+
+def test_entropy_matches_mirror_and_nulls(spark):
+    vals = ["a", "a", "a", "b", "b", "c", None, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    r = entropy_profile(df, ["v"]).collect()[0]
+    n, d, s, h = mirror_entropy(vals)
+    assert (r["n_rows"], r["n_distinct"], r["sum_cln_micro"], r["entropy"]) == (
+        n, d, s, h,
+    )
+
+
+def test_entropy_multi_column_one_shuffle(spark):
+    df = spark.createDataFrame([(1, "a", 2.0)], "i int, s string, d double")
+    out = entropy_profile(df, ["i", "s", "d"])
+    assert out.count() == 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # melt shuffle + per-column agg
+
+
+def test_mi_independent_and_determined(spark):
+    # independent: every (a,b) cell count = product of marginals / n
+    indep = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "pq" for _ in range(3)],
+        "a string, b string",
+    )
+    r = mutual_information(indep, "a", "b").collect()[0]
+    assert r["sum_mi_micro"] == 0 and r["mi"] == 0.0
+    # determined: b = f(a)  ->  MI = H(a)
+    det = spark.createDataFrame(
+        [("x", "p"), ("x", "p"), ("y", "q"), ("z", "r")], "a string, b string"
+    )
+    r2 = mutual_information(det, "a", "b").collect()[0]
+    h_a = mirror_entropy(["x", "x", "y", "z"])[3]
+    assert r2["mi"] == pytest.approx(h_a, abs=2e-6)
+    assert r2["n_rows"] == 4 and r2["n_pairs"] == 3
+
+
+def test_mi_null_listwise_and_empty(spark):
+    df = spark.createDataFrame(
+        [("x", "p"), ("x", None), (None, "p"), ("y", "q")], "a string, b string"
+    )
+    r = mutual_information(df, "a", "b").collect()[0]
+    assert r["n_rows"] == 2  # only complete rows
+    empty = spark.createDataFrame([], "a string, b string")
+    r0 = mutual_information(empty, "a", "b").collect()[0]
+    assert (r0["n_rows"], r0["n_pairs"], r0["sum_mi_micro"], r0["mi"]) == (0, 0, 0, 0.0)
+
+
+def test_entropy_requires_columns(spark):
+    df = spark.createDataFrame([(1,)], "a int")
+    with pytest.raises(ValueError):
+        entropy_profile(df, [])
