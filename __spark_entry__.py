@@ -38,6 +38,7 @@ from datavalid_spark.functions.text import (
     token_count_ws,
 )
 from datavalid_spark.operators.checks import (
+    build_table_check,
     EmptyCheck,
     NoConsecutiveDateCheck,
     NoMoreThanOncePerNDaysCheck,
@@ -1578,6 +1579,20 @@ def q_mutual_info(spark, sf_dir):
     )
 
 
+def q_cross_column_check(spark, sf_dir):
+    # cross-column condition leaf (engine extension to the reference's
+    # literal-only comparisons): empty-check rows where discount
+    # exceeds tax on the same row — the ship<=receipt rule family.
+    li = _t(spark, sf_dir, "lineitem")
+    check = build_table_check(
+        "empty",
+        {"column": "l_discount", "op": "greater_than", "other_column": "l_tax"},
+    )
+    return check.violations(li).select(
+        "l_orderkey", "l_linenumber", "l_discount", "l_tax"
+    )
+
+
 def q_anomaly_scan(spark, sf_dir):
     # which ingest day looks broken? — per-day (n_rows, null_frac, p50)
     # scored against the cross-day robust median/MAD distribution.
@@ -1740,6 +1755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_profile": q_join_profile,
         "entropy_profile": q_entropy_profile,
         "mutual_info": q_mutual_info,
+        "cross_column_check": q_cross_column_check,
         "drift_two_sample": q_drift_two_sample,
         "multimodal_validate": q_multimodal_validate,
     }
@@ -2987,6 +3003,10 @@ SELECT COALESCE(MAX(n), 0)::BIGINT AS n_rows,
     * ln(n::DOUBLE * c_ab::DOUBLE / (c_a::DOUBLE * c_b::DOUBLE))
     * 1e6)::BIGINT)::DOUBLE / (MAX(n)::DOUBLE * 1e6), 6), 0.0) AS mi
 FROM e
+""",
+        "cross_column_check": """
+SELECT l_orderkey, l_linenumber, l_discount, l_tax
+FROM lineitem WHERE l_discount > l_tax
 """,
         "anomaly_scan": """
 WITH stats AS (

@@ -39,15 +39,19 @@ _OPS = frozenset(
 )
 
 
-def _leaf(column: str, op: str, value: Any) -> Column:
+def _leaf(column: str, op: str, value: Any, other_column: bool = False) -> Column:
     # validate BEFORE touching F.col/F.lit: config errors must surface
     # even without an active SparkSession (driver-side plan validation)
     if op not in _OPS:
         raise BadConditionError(f"unknown op {op!r}; expected one of {sorted(_OPS)}")
     if not isinstance(column, str):
         raise BadConditionError(f"'column' must be a string, got {type(column).__name__}")
+    if other_column and not isinstance(value, str):
+        raise BadConditionError(
+            f"'other_column' must be a column name, got {type(value).__name__}"
+        )
     col = F.col(column)
-    lit = F.lit(value)
+    lit = F.col(value) if other_column else F.lit(value)
     if op == "equal":
         return col == lit
     if op == "not_equal":
@@ -78,10 +82,15 @@ def validate_condition(spec: Optional[Mapping[str, Any]]) -> None:
         raise BadConditionError(f"condition must be a mapping, got {type(spec).__name__}")
     keys = set(spec.keys())
     if "column" in keys:
-        extra = keys - {"column", "op", "value"}
+        extra = keys - {"column", "op", "value", "other_column"}
         if extra:
             raise BadConditionError(f"unexpected keys in comparison condition: {sorted(extra)}")
-        if "op" not in spec or "value" not in spec:
+        if ("value" in spec) == ("other_column" in spec):
+            raise BadConditionError(
+                "comparison condition requires 'column', 'op' and exactly one "
+                "of 'value' / 'other_column'"
+            )
+        if "op" not in spec:
             raise BadConditionError("comparison condition requires 'column', 'op' and 'value'")
         if spec["op"] not in _OPS:
             raise BadConditionError(
@@ -90,6 +99,11 @@ def validate_condition(spec: Optional[Mapping[str, Any]]) -> None:
         if not isinstance(spec["column"], str):
             raise BadConditionError(
                 f"'column' must be a string, got {type(spec['column']).__name__}"
+            )
+        if "other_column" in spec and not isinstance(spec["other_column"], str):
+            raise BadConditionError(
+                "'other_column' must be a column name, got "
+                f"{type(spec['other_column']).__name__}"
             )
         return
     if "and" in keys or "or" in keys:
@@ -165,11 +179,22 @@ def compile_condition(spec: Optional[Mapping[str, Any]]) -> Column:
         raise BadConditionError(f"condition must be a mapping, got {type(spec).__name__}")
     keys = set(spec.keys())
     if "column" in keys:
-        extra = keys - {"column", "op", "value"}
+        extra = keys - {"column", "op", "value", "other_column"}
         if extra:
             raise BadConditionError(f"unexpected keys in comparison condition: {sorted(extra)}")
-        if "op" not in spec or "value" not in spec:
+        if ("value" in spec) == ("other_column" in spec):
+            raise BadConditionError(
+                "comparison condition requires 'column', 'op' and exactly one "
+                "of 'value' / 'other_column'"
+            )
+        if "op" not in spec:
             raise BadConditionError("comparison condition requires 'column', 'op' and 'value'")
+        if "other_column" in spec:
+            # cross-column leaf (engine extension): compare two columns
+            # of the SAME row — `{column: ship, op: less_equal,
+            # other_column: receipt}`.  Not pushdown-able (see
+            # condition_to_predicates); row-level only.
+            return _leaf(spec["column"], spec["op"], spec["other_column"], other_column=True)
         return _leaf(spec["column"], spec["op"], spec["value"])
     if "and" in keys or "or" in keys:
         if keys not in ({"and"}, {"or"}):

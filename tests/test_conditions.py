@@ -127,3 +127,66 @@ def test_condition_to_predicates_sound_subset():
             ]
         }
     ) == [("a", "<", 5)]
+
+
+def test_cross_column_leaf(spark):
+    """Engine extension: `other_column` compares two columns per row."""
+    from datavalid_spark.functions.conditions import compile_condition
+
+    df = spark.createDataFrame(
+        [(1, 2), (3, 3), (5, 4), (None, 1), (2, None)], "a int, b int"
+    )
+    lt = df.filter(
+        compile_condition({"column": "a", "op": "less_than", "other_column": "b"})
+    )
+    assert [tuple(r) for r in lt.collect()] == [(1, 2)]
+    # not_equal stays null-safe across columns: (None,1) and (2,None)
+    # DO differ; (3,3) does not
+    ne = df.filter(
+        compile_condition({"column": "a", "op": "not_equal", "other_column": "b"})
+    )
+    got = sorted([tuple(r) for r in ne.collect()], key=str)
+    assert (3, 3) not in got and len(got) == 4
+
+
+def test_cross_column_validation_and_pushdown():
+    from datavalid_spark.functions.conditions import (
+        BadConditionError,
+        condition_to_predicates as c2p,
+        validate_condition,
+    )
+
+    validate_condition({"column": "a", "op": "equal", "other_column": "b"})
+    for bad in (
+        {"column": "a", "op": "equal"},  # neither value nor other_column
+        {"column": "a", "op": "equal", "value": 1, "other_column": "b"},  # both
+        {"column": "a", "op": "equal", "other_column": 3},  # non-string
+    ):
+        with pytest.raises(BadConditionError):
+            validate_condition(bad)
+    # a two-column comparison can never file-skip on one column's bounds
+    assert c2p({"column": "a", "op": "equal", "other_column": "b"}) == []
+    assert c2p(
+        {
+            "and": [
+                {"column": "a", "op": "less_than", "value": 5},
+                {"column": "a", "op": "less_equal", "other_column": "b"},
+            ]
+        }
+    ) == [("a", "<", 5)]
+
+
+def test_cross_column_empty_check(spark):
+    """YAML surface: `empty: {column: ship, op: greater_than,
+    other_column: receipt}` flags inverted date pairs."""
+    from datavalid_spark.operators.checks import build_table_check
+
+    df = spark.createDataFrame(
+        [(1, 5, 6), (2, 7, 3), (3, 4, 4)], "id int, ship int, receipt int"
+    )
+    check = build_table_check(
+        "empty", {"column": "ship", "op": "greater_than", "other_column": "receipt"}
+    )
+    res = check.run(df)
+    assert not res.passed and res.n_violations == 1
+    assert [r["id"] for r in res.violations.collect()] == [2]
