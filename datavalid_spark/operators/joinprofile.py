@@ -53,16 +53,14 @@ def join_profile(
     if len(ck) != len(pk):
         raise ValueError("child_keys and parent_keys must align")
 
-    null_any = None
-    for c in ck:
-        e = F.col(c).isNull()
-        null_any = e if null_any is None else (null_any | e)
+    # NULL-keyed child rows ride the SAME aggregation as everyone else
+    # (their key tuple is a group like any other, flagged group-level
+    # below) — the child is scanned exactly once; a separate totals
+    # pass would double-scan it and meet the profile in a cross join.
+    cagg = child.groupBy(
+        *[F.col(c).alias(f"__k{i}") for i, c in enumerate(ck)]
+    ).agg(F.count(F.lit(1)).alias("cn"))
 
-    cagg = (
-        child.filter(~null_any)
-        .groupBy(*[F.col(c).alias(f"__k{i}") for i, c in enumerate(ck)])
-        .agg(F.count(F.lit(1)).alias("cn"))
-    )
     p_null_any = None
     for c in pk:
         e = F.col(c).isNull()
@@ -80,46 +78,42 @@ def join_profile(
     cond = on[0]
     for e in on[1:]:
         cond = cond & e
+    knull = None
+    for i in range(len(ck)):
+        e = cagg[f"__k{i}"].isNull()
+        knull = e if knull is None else (knull | e)
     j = cagg.join(pagg, cond, "full_outer").select(
-        cagg["cn"].alias("cn"), pagg["pn"].alias("pn")
+        cagg["cn"].alias("cn"),
+        pagg["pn"].alias("pn"),
+        knull.alias("cnull"),
     )
 
-    matched = F.col("pn").isNotNull() & F.col("cn").isNotNull()
-    prof = j.agg(
-        F.coalesce(F.sum("cn"), F.lit(0)).alias("child_nonnull_rows"),
-        F.coalesce(
-            F.sum(F.when(matched, F.col("cn"))), F.lit(0)
-        ).alias("child_matched_rows"),
-        F.coalesce(
-            F.sum(F.when(F.col("pn").isNull(), F.col("cn"))), F.lit(0)
-        ).alias("child_orphan_rows"),
-        F.coalesce(F.count(F.col("cn")), F.lit(0)).alias("child_distinct_keys"),
-        F.coalesce(F.sum("pn"), F.lit(0)).alias("parent_rows"),
-        F.coalesce(F.count(F.col("pn")), F.lit(0)).alias("parent_distinct_keys"),
-        F.coalesce(
-            F.sum(F.when(F.col("pn") > 1, F.lit(1))), F.lit(0)
-        ).alias("parent_dup_keys"),
-        F.coalesce(F.max("cn"), F.lit(0)).alias("max_child_per_key"),
-        F.coalesce(
-            F.max(F.when(matched, F.col("cn") * F.col("pn"))), F.lit(0)
-        ).alias("max_join_fanout"),
-    )
-
-    totals = child.agg(
-        F.count(F.lit(1)).alias("child_rows"),
-        F.coalesce(F.sum(null_any.cast("long")), F.lit(0)).alias(
+    cn, pn = F.col("cn"), F.col("pn")
+    cnull = F.coalesce(F.col("cnull"), F.lit(False))
+    matched = pn.isNotNull() & cn.isNotNull()
+    return j.agg(
+        F.coalesce(F.sum(cn), F.lit(0)).alias("child_rows"),
+        F.coalesce(F.sum(F.when(cnull, cn)), F.lit(0)).alias(
             "child_null_key_rows"
         ),
-    )
-    return totals.crossJoin(prof).select(
-        "child_rows",
-        "child_null_key_rows",
-        "child_matched_rows",
-        "child_orphan_rows",
-        "child_distinct_keys",
-        "parent_rows",
-        "parent_distinct_keys",
-        "parent_dup_keys",
-        "max_child_per_key",
-        "max_join_fanout",
+        F.coalesce(F.sum(F.when(matched, cn)), F.lit(0)).alias(
+            "child_matched_rows"
+        ),
+        F.coalesce(
+            F.sum(F.when(pn.isNull() & ~cnull, cn)), F.lit(0)
+        ).alias("child_orphan_rows"),
+        F.coalesce(
+            F.count(F.when(cn.isNotNull() & ~cnull, F.lit(1))), F.lit(0)
+        ).alias("child_distinct_keys"),
+        F.coalesce(F.sum(pn), F.lit(0)).alias("parent_rows"),
+        F.coalesce(F.count(pn), F.lit(0)).alias("parent_distinct_keys"),
+        F.coalesce(F.sum(F.when(pn > 1, F.lit(1))), F.lit(0)).alias(
+            "parent_dup_keys"
+        ),
+        F.coalesce(F.max(F.when(~cnull, cn)), F.lit(0)).alias(
+            "max_child_per_key"
+        ),
+        F.coalesce(F.max(F.when(matched, cn * pn)), F.lit(0)).alias(
+            "max_join_fanout"
+        ),
     )
