@@ -1593,6 +1593,42 @@ def q_cross_column_check(spark, sf_dir):
     )
 
 
+def q_min_completeness(spark, sf_dir):
+    # row-level completeness gate: the testdata has no NULLs (round-1
+    # lesson: zero-row checks prove nothing), so a ragged ingest is
+    # planted deterministically — every 13th event loses value, every
+    # 17th loses props; rows below 90% complete (5/6 fields) violate.
+    ev = _t(spark, sf_dir, "events")
+    planted = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    ).withColumn(
+        "props",
+        F.when(F.col("event_id") % 17 == 0, F.lit(None)).otherwise(
+            F.col("props")
+        ),
+    )
+    check = build_table_check("min_completeness", {"min_frac": 0.9})
+    return check.violations(planted).select("event_id")
+
+
+def q_freshness(spark, sf_dir):
+    # dbt-style source freshness with an injectable clock: per-bucket
+    # newest ts against a 57m36s cutoff before 2024-01-31 midnight —
+    # chosen so buckets genuinely split (5 fresh / 3 stale at sf0.01).
+    from datavalid_spark.operators.quality_checks import FreshnessCheck
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "bucket", (F.col("user_id") % 8).cast("int")
+    )
+    check = FreshnessCheck(
+        column="ts", max_age="57m36s", today=datetime.date(2024, 1, 31)
+    )
+    return check.group_verdicts(ev, ["bucket"])
+
+
 def q_anomaly_scan(spark, sf_dir):
     # which ingest day looks broken? — per-day (n_rows, null_frac, p50)
     # scored against the cross-day robust median/MAD distribution.
@@ -1756,6 +1792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_profile": q_entropy_profile,
         "mutual_info": q_mutual_info,
         "cross_column_check": q_cross_column_check,
+        "min_completeness": q_min_completeness,
+        "freshness_verdicts": q_freshness,
         "drift_two_sample": q_drift_two_sample,
         "multimodal_validate": q_multimodal_validate,
     }
@@ -3007,6 +3045,18 @@ FROM e
         "cross_column_check": """
 SELECT l_orderkey, l_linenumber, l_discount, l_tax
 FROM lineitem WHERE l_discount > l_tax
+""",
+        "min_completeness": """
+SELECT event_id FROM events
+WHERE event_id % 13 = 0 OR event_id % 17 = 0
+""",
+        "freshness_verdicts": """
+SELECT (user_id % 8)::INT AS bucket,
+  CASE WHEN MAX(ts) >= TIMESTAMP '2024-01-30 23:02:24'
+       THEN 0 ELSE COUNT(*) END AS n_violations,
+  MAX(ts) >= TIMESTAMP '2024-01-30 23:02:24' AS passed,
+  COUNT(*) AS n_rows
+FROM events GROUP BY 1
 """,
         "anomaly_scan": """
 WITH stats AS (

@@ -615,6 +615,12 @@ try:
 except ImportError:  # pragma: no cover - mid-import of compliance
     pass
 
+try:
+    # registers "min_completeness" + "freshness" (same pattern)
+    from datavalid_spark.operators import quality_checks as _quality  # noqa: E402,F401
+except ImportError:  # pragma: no cover - mid-import of quality_checks
+    pass
+
 
 def build_table_check(key: str, value, today: Optional[datetime.date] = None) -> TableCheck:
     if key not in TABLE_CHECKS:
@@ -639,6 +645,7 @@ def build_table_check(key: str, value, today: Optional[datetime.date] = None) ->
         "no_gaps",
         "monotonic",
         "max_fraction",
+        "min_completeness",
     ):
         return cls(**(value or {}))
     kwargs = dict(value or {})

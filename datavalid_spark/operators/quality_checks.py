@@ -1,0 +1,189 @@
+"""Row-completeness and data-freshness checks — the two remaining
+staples of the dbt/Deequ validation surface.
+
+- ``min_completeness: {min_frac: 0.9, columns: [...]}`` — a ROW
+  violates when its fraction of non-NULL fields (over ``columns``,
+  default: every column) falls below ``min_frac``.  Deequ's
+  Completeness is per-column (the profiler covers that); this is the
+  row-granular complement that catches "ragged" records — a joined-in
+  source that missed, a partial ingest — which per-column null rates
+  dilute away.  Pure scan-fused filter: zero shuffle, zero joins.
+
+- ``freshness: {column: ts, max_age: 1d12h}`` — the table (or each
+  validation group) fails when its NEWEST ``column`` value is older
+  than ``max_age`` before ``today`` (midnight of the injectable
+  ``today``, same clock-injection discipline as the date checks —
+  deterministic tests, no time_machine).  dbt's source-freshness
+  shape.  Staleness is a property of what's ABSENT, so there are no
+  violation rows: ``violations`` is an empty frame and ``run``/
+  ``group_verdicts`` aggregate ``max(column)`` directly — one
+  partial-agg pass, O(groups) rows out, fact rows never shuffle.
+
+The cutoff is computed driver-side in exact python datetime arithmetic
+and shipped as a literal — no engine interval math to diverge.
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datavalid_spark.operators.checks import CheckResult, TableCheck
+
+_AGE_RE = re.compile(r"^(?:(\d+)d)?(?:(\d+)h)?(?:(\d+)m)?(?:(\d+)s)?$")
+
+
+def parse_age(spec) -> datetime.timedelta:
+    """``"1d12h"``/``"45m"``-style age strings (or plain numbers =
+    days) → timedelta."""
+    if isinstance(spec, (int, float)) and not isinstance(spec, bool):
+        return datetime.timedelta(days=float(spec))
+    if not isinstance(spec, str):
+        raise ValueError('"max_age" should be a number of days or a "NdNhNmNs" string')
+    m = _AGE_RE.match(spec.strip())
+    if not m or not any(m.groups()):
+        raise ValueError(f'"max_age" string {spec!r} is not of the form NdNhNmNs')
+    d, h, mi, s = (int(g) if g else 0 for g in m.groups())
+    return datetime.timedelta(days=d, hours=h, minutes=mi, seconds=s)
+
+
+class MinCompletenessCheck(TableCheck):
+    """Row-level completeness gate (see module docstring)."""
+
+    key = "min_completeness"
+
+    def __init__(
+        self,
+        min_frac: Optional[float] = None,
+        columns: Optional[list] = None,
+    ):
+        if min_frac is None:
+            raise ValueError('should contain key "min_frac"')
+        if (
+            not isinstance(min_frac, (int, float))
+            or isinstance(min_frac, bool)
+            or not (0.0 < float(min_frac) <= 1.0)
+        ):
+            raise ValueError('"min_frac" should be a number in (0, 1]')
+        if columns is not None and (
+            not isinstance(columns, list)
+            or not columns
+            or not all(isinstance(c, str) for c in columns)
+        ):
+            raise ValueError('"columns" should be a list of column names')
+        self.min_frac = float(min_frac)
+        self.columns = columns
+
+    def bad_expr(self, df: DataFrame):
+        cols = self.columns or df.columns
+        nonnull = None
+        for c in cols:
+            e = F.col(c).isNotNull().cast("int")
+            nonnull = e if nonnull is None else (nonnull + e)
+        # exact integer-vs-double compare, identical on any engine:
+        # nonnull < min_frac * k
+        return nonnull.cast("double") < F.lit(self.min_frac * len(cols))
+
+    def violations(self, df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+        return df.filter(self.bad_expr(df))
+
+    def _err_msg(self, n: int) -> str:
+        return "%d rows are less than %.0f%% complete" % (
+            n,
+            self.min_frac * 100,
+        )
+
+    def to_markdown(self) -> str:
+        scope = (
+            " across %s" % ", ".join("`%s`" % c for c in self.columns)
+            if self.columns
+            else ""
+        )
+        return "Ensure every row is at least %.0f%% complete%s" % (
+            self.min_frac * 100,
+            scope,
+        )
+
+
+class FreshnessCheck(TableCheck):
+    """Newest-row recency gate (see module docstring)."""
+
+    key = "freshness"
+
+    def __init__(
+        self,
+        column: Optional[str] = None,
+        max_age=None,
+        today: Optional[datetime.date] = None,
+    ):
+        if column is None:
+            raise ValueError('should contain key "column"')
+        if not isinstance(column, str):
+            raise ValueError('"column" should be a column name')
+        if max_age is None:
+            raise ValueError('should contain key "max_age"')
+        self.column = column
+        self.max_age = parse_age(max_age)
+        today = today or datetime.date.today()
+        midnight = datetime.datetime.combine(today, datetime.time())
+        self.cutoff: datetime.datetime = midnight - self.max_age
+
+    def violations(self, df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+        # staleness is the absence of recent rows — there is no row to
+        # blame, so the violation frame is empty by definition
+        return df.limit(0)
+
+    def run(self, df: DataFrame, group_cols: Sequence[str] = ()) -> CheckResult:
+        row = df.agg(F.max(self.column).alias("m")).collect()[0]
+        newest = row["m"]
+        if newest is not None and newest >= self.cutoff:
+            return CheckResult(True, None, None, 0)
+        return CheckResult(False, self._stale_msg(newest), df.limit(0), 0)
+
+    def group_verdicts(
+        self, df: DataFrame, group_cols: Sequence[str]
+    ) -> DataFrame:
+        agg = df.groupBy(*group_cols).agg(
+            F.max(self.column).alias("__dv_max"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        passed = F.col("__dv_max").isNotNull() & (
+            F.col("__dv_max") >= F.lit(self.cutoff)
+        )
+        return agg.select(
+            *group_cols,
+            F.when(passed, F.lit(0)).otherwise(F.col("n_rows")).alias(
+                "n_violations"
+            ),
+            passed.alias("passed"),
+            F.col("n_rows"),
+        )
+
+    def _stale_msg(self, newest) -> str:
+        if newest is None:
+            return "%s has no values; stale since forever" % self.column
+        return "%s is stale: newest value %s is older than the %s cutoff" % (
+            self.column,
+            newest,
+            self.cutoff,
+        )
+
+    def _err_msg(self, n: int) -> str:  # pragma: no cover - run() is custom
+        return self._stale_msg(None)
+
+    def to_markdown(self) -> str:
+        return "Ensure the newest `%s` is no older than %s" % (
+            self.column,
+            self.max_age,
+        )
+
+
+# self-registration (same import-cycle dodge as dedup_check)
+from datavalid_spark.operators import checks as _checks  # noqa: E402
+
+_checks.TABLE_CHECKS.setdefault("min_completeness", MinCompletenessCheck)
+_checks.TABLE_CHECKS.setdefault("freshness", FreshnessCheck)

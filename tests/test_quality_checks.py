@@ -1,0 +1,141 @@
+"""Row completeness and freshness checks (operators/quality_checks.py)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.operators.checks import TABLE_CHECKS, build_table_check
+from datavalid_spark.operators.quality_checks import (
+    FreshnessCheck,
+    MinCompletenessCheck,
+    parse_age,
+)
+
+
+def test_registered():
+    assert TABLE_CHECKS["min_completeness"] is MinCompletenessCheck
+    assert TABLE_CHECKS["freshness"] is FreshnessCheck
+
+
+# ------------------------------------------------- min_completeness
+
+
+@pytest.fixture(scope="module")
+def ragged(spark):
+    rows = [
+        (1, "a", 1.0, "x"),     # 4/4
+        (2, None, 2.0, "y"),    # 3/4
+        (3, None, None, "z"),   # 2/4
+        (4, None, None, None),  # 1/4
+    ]
+    return spark.createDataFrame(rows, "id int, s string, d double, t string")
+
+
+def test_completeness_thresholds(spark, ragged):
+    # min_frac 0.75 -> rows strictly below 3/4 fail (3/4 passes: not <)
+    check = build_table_check("min_completeness", {"min_frac": 0.75})
+    assert sorted(r["id"] for r in check.violations(ragged).collect()) == [3, 4]
+    res = check.run(ragged)
+    assert not res.passed and res.n_violations == 2
+    assert "75% complete" in res.err_msg
+    # full completeness required: any NULL fails
+    strict = MinCompletenessCheck(min_frac=1.0)
+    assert sorted(r["id"] for r in strict.violations(ragged).collect()) == [2, 3, 4]
+
+
+def test_completeness_column_subset(spark, ragged):
+    check = MinCompletenessCheck(min_frac=1.0, columns=["id", "d"])
+    assert sorted(r["id"] for r in check.violations(ragged).collect()) == [3, 4]
+
+
+def test_completeness_group_verdicts(spark, ragged):
+    tagged = ragged.withColumn("g", F.col("id") % 2)
+    check = MinCompletenessCheck(min_frac=1.0, columns=["s"])
+    verd = {r["g"]: (r["passed"], r["n_violations"])
+            for r in check.group_verdicts(tagged, ["g"]).collect()}
+    assert verd == {0: (False, 2), 1: (False, 1)}
+
+
+def test_completeness_config_errors():
+    with pytest.raises(ValueError, match='"min_frac"'):
+        MinCompletenessCheck()
+    with pytest.raises(ValueError, match='"min_frac"'):
+        MinCompletenessCheck(min_frac=0.0)
+    with pytest.raises(ValueError, match='"min_frac"'):
+        MinCompletenessCheck(min_frac=True)
+    with pytest.raises(ValueError, match='"columns"'):
+        MinCompletenessCheck(min_frac=0.5, columns=[])
+
+
+# --------------------------------------------------------- freshness
+
+
+def ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def timed(spark):
+    rows = [
+        (1, "a", ts("2024-01-29 10:00:00")),
+        (2, "a", ts("2024-01-30 23:00:00")),
+        (3, "b", ts("2024-01-28 08:00:00")),
+    ]
+    return spark.createDataFrame(rows, "id int, g string, t timestamp")
+
+
+def test_freshness_pass_and_fail(spark, timed):
+    today = datetime.date(2024, 1, 31)
+    fresh = FreshnessCheck(column="t", max_age="2d", today=today)
+    assert fresh.run(timed).passed  # newest 01-30 23:00 >= 01-29 00:00
+    boundary = FreshnessCheck(column="t", max_age="1h", today=today)
+    assert boundary.run(timed).passed  # newest == cutoff: >= passes
+    stale = FreshnessCheck(column="t", max_age="30m", today=today)
+    res = stale.run(timed)
+    assert not res.passed and "stale" in res.err_msg
+    assert res.violations.count() == 0  # no row to blame
+
+
+def test_freshness_group_verdicts(spark, timed):
+    today = datetime.date(2024, 1, 31)
+    check = FreshnessCheck(column="t", max_age="2d", today=today)
+    verd = {r["g"]: (r["passed"], r["n_violations"], r["n_rows"])
+            for r in check.group_verdicts(timed, ["g"]).collect()}
+    # group a newest 01-30 >= cutoff 01-29; group b newest 01-28 stale
+    assert verd == {"a": (True, 0, 2), "b": (False, 1, 1)}
+
+
+def test_freshness_empty_and_all_null(spark):
+    today = datetime.date(2024, 1, 31)
+    check = FreshnessCheck(column="t", max_age=1, today=today)
+    empty = spark.createDataFrame([], "t timestamp")
+    res = check.run(empty)
+    assert not res.passed and "stale since forever" in res.err_msg
+
+
+def test_parse_age():
+    assert parse_age("1d12h") == datetime.timedelta(days=1, hours=12)
+    assert parse_age("45m") == datetime.timedelta(minutes=45)
+    assert parse_age("90s") == datetime.timedelta(seconds=90)
+    assert parse_age(2) == datetime.timedelta(days=2)
+    assert parse_age(0.5) == datetime.timedelta(hours=12)
+    for bad in ("", "xyz", "d", None, True):
+        with pytest.raises(ValueError):
+            parse_age(bad)
+
+
+def test_freshness_config_errors():
+    with pytest.raises(ValueError, match='"column"'):
+        FreshnessCheck(max_age=1)
+    with pytest.raises(ValueError, match='"max_age"'):
+        FreshnessCheck(column="t")
+
+
+def test_freshness_yaml_build(spark, timed):
+    check = build_table_check(
+        "freshness",
+        {"column": "t", "max_age": "2d"},
+        today=datetime.date(2024, 1, 31),
+    )
+    assert check.run(timed).passed
