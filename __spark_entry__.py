@@ -1629,6 +1629,18 @@ def q_freshness(spark, sf_dir):
     return check.group_verdicts(ev, ["bucket"])
 
 
+def q_benford(spark, sf_dir):
+    # Benford leading-digit audit of order totals: digit from the exact
+    # integer-cents STRING (bigint printing is engine-identical; double
+    # formatting and floor(log10) at powers of ten are not), expected /
+    # chi-square terms as micro-quantized bigints.
+    from datavalid_spark.operators.benford import benford_profile
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    return benford_profile(orders, cents)
+
+
 def q_anomaly_scan(spark, sf_dir):
     # which ingest day looks broken? — per-day (n_rows, null_frac, p50)
     # scored against the cross-day robust median/MAD distribution.
@@ -1794,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_column_check": q_cross_column_check,
         "min_completeness": q_min_completeness,
         "freshness_verdicts": q_freshness,
+        "benford_digits": q_benford,
         "drift_two_sample": q_drift_two_sample,
         "multimodal_validate": q_multimodal_validate,
     }
@@ -3057,6 +3070,30 @@ SELECT (user_id % 8)::INT AS bucket,
   MAX(ts) >= TIMESTAMP '2024-01-30 23:02:24' AS passed,
   COUNT(*) AS n_rows
 FROM events GROUP BY 1
+""",
+        # identical double constants on both engines: the per-digit
+        # log10 probabilities are python-computed literals
+        "benford_digits": """
+WITH v AS (SELECT ROUND(o_totalprice * 100, 0)::BIGINT AS n FROM orders),
+d AS (SELECT SUBSTRING(n::VARCHAR, 1, 1)::INT AS digit FROM v WHERE n > 0),
+c AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY 1),
+g AS (SELECT * FROM (VALUES
+  (1, 0.3010299956639812), (2, 0.17609125905568124),
+  (3, 0.12493873660829992), (4, 0.09691001300805642),
+  (5, 0.07918124604762482), (6, 0.06694678963061322),
+  (7, 0.05799194697768673), (8, 0.05115252244738129),
+  (9, 0.04575749056067514)) AS t(digit, p)),
+f AS (SELECT g.digit, g.p, COALESCE(c.n_obs, 0) AS n_obs
+      FROM g LEFT JOIN c USING (digit)),
+t AS (SELECT SUM(n_obs)::DOUBLE AS nt FROM f)
+SELECT f.digit, f.n_obs,
+  ROUND(t.nt * f.p * 1e6)::BIGINT AS expected_micro,
+  CASE WHEN t.nt * f.p > 0
+       THEN ROUND((f.n_obs::DOUBLE - t.nt * f.p) * (f.n_obs::DOUBLE - t.nt * f.p)
+                  / (t.nt * f.p) * 1e6)::BIGINT
+       ELSE 0 END AS chi2_term_micro,
+  CASE WHEN t.nt > 0 THEN ROUND(f.n_obs::DOUBLE / t.nt, 6) END AS obs_frac
+FROM f CROSS JOIN t
 """,
         "anomaly_scan": """
 WITH stats AS (

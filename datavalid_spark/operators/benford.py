@@ -1,0 +1,84 @@
+"""Benford's-law leading-digit profile — the classic fabricated-data /
+unit-mixing signal for financial and measurement columns.
+
+Naturally-occurring multiplicative quantities have leading digit d
+with probability ``log10(1 + 1/d)``; a column that deviates hard
+(uniform digits, spikes at 5s) was typed in, generated with the wrong
+unit, or truncated upstream.  Deequ/dbt have no analyzer for this;
+auditors run it constantly.
+
+Engine-portability discipline: the leading digit is extracted from an
+INTEGER representation (caller maps the column to a positive BIGINT,
+e.g. the cents pattern ``round(x·100)``) via its decimal STRING — both
+engines print a BIGINT identically, whereas double→string formatting
+diverges ("1.0E7" vs "10000000.0") and ``floor(log10(x))`` is off by
+one exactly at powers of ten in some libms.  Expected counts and
+chi-square terms are micro-quantized BIGINTs (same discipline as the
+entropy/LM modules); doubles are derived, never compared.
+
+Scale shape: one scan-fused digit projection + one 9-key partial-agg
+shuffle.  Zero joins; the 9-row result is driver-sized by definition.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: micro quantization scale (matches infotheory/lm)
+MICRO = 1e6
+
+
+def leading_digit(int_col: Column) -> Column:
+    """First decimal digit of a positive integer column (NULL for
+    NULL/zero/negative inputs — Benford is defined on magnitudes the
+    caller has already made positive)."""
+    return F.when(
+        int_col > 0, F.substring(int_col.cast("string"), 1, 1).cast("int")
+    )
+
+
+def benford_profile(df: DataFrame, int_expr: Column) -> DataFrame:
+    """Per leading digit 1..9: ``(digit, n_obs, expected_micro,
+    chi2_term_micro, obs_frac)``.
+
+    ``expected_micro = round(N·log10(1+1/d)·1e6)`` and
+    ``chi2_term_micro = round((obs−exp)²/exp·1e6)`` (exp in real
+    units) are exact BIGINTs; ``obs_frac`` is a derived 6dp double.
+    Digits with zero observations still appear (their chi2 term is the
+    full expected mass).  Σ chi2_term_micro / 1e6 ≈ the χ² statistic
+    against 8 degrees of freedom."""
+    counts = (
+        df.select(leading_digit(int_expr).alias("digit"))
+        .filter(F.col("digit").isNotNull())
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    digits = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    full = digits.join(counts, "digit", "left").select(
+        "digit", F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs")
+    )
+    # N via an unpartitioned window over the NINE-row digit frame —
+    # single-partition by construction and by size, never by accident
+    w_total = F.sum("n_obs").over(Window.partitionBy())
+    p = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+    p_expr = F.element_at(
+        F.lit([p[d] for d in range(1, 10)]), F.col("digit")
+    )
+    n_tot = w_total.cast("double")
+    exp_real = n_tot * p_expr
+    obs = F.col("n_obs").cast("double")
+    chi_term = F.when(
+        exp_real > 0, F.round((obs - exp_real) * (obs - exp_real) / exp_real * F.lit(MICRO))
+    ).otherwise(F.lit(0.0))
+    return full.select(
+        "digit",
+        "n_obs",
+        F.round(exp_real * F.lit(MICRO)).cast("long").alias("expected_micro"),
+        chi_term.cast("long").alias("chi2_term_micro"),
+        F.when(w_total > 0, F.round(obs / n_tot, 6)).alias("obs_frac"),
+    )

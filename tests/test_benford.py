@@ -1,0 +1,61 @@
+"""Benford leading-digit profile (operators/benford.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.operators.benford import benford_profile, leading_digit
+
+
+def test_leading_digit_extraction(spark):
+    df = spark.createDataFrame(
+        [(1,), (9,), (10,), (19,), (200,), (987654321,), (0,), (-5,), (None,)],
+        "v long",
+    )
+    got = [r[0] for r in df.select(leading_digit(F.col("v"))).collect()]
+    assert got == [1, 9, 1, 1, 2, 9, None, None, None]
+
+
+def test_profile_counts_and_chi2(spark):
+    # 6 ones, 3 twos, 1 nine -> N = 10
+    vals = [1, 10, 11, 12, 100, 199, 2, 25, 299, 9]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = {r["digit"]: r for r in benford_profile(df, F.col("v")).collect()}
+    assert sorted(rows) == list(range(1, 10))
+    assert rows[1]["n_obs"] == 6 and rows[2]["n_obs"] == 3 and rows[9]["n_obs"] == 1
+    assert rows[3]["n_obs"] == 0  # absent digits still present
+    n = 10
+    for d in range(1, 10):
+        exp = n * math.log10(1 + 1 / d)
+        assert rows[d]["expected_micro"] == round(exp * 1e6)
+        obs = rows[d]["n_obs"]
+        assert rows[d]["chi2_term_micro"] == pytest.approx(
+            round((obs - exp) ** 2 / exp * 1e6), abs=1
+        )
+        assert rows[d]["obs_frac"] == round(obs / n, 6)
+
+
+def test_benford_like_data_low_chi2(spark):
+    # log-uniform data (multiplicative growth) IS Benford; a uniform
+    # integer range is the classic counterexample (equal digit counts)
+    logu = spark.range(0, 9000).select(
+        F.floor(F.pow(F.lit(10.0), F.col("id") / 3000.0)).cast("long").alias("v")
+    )
+    chi_benford = sum(
+        r["chi2_term_micro"] for r in benford_profile(logu, F.col("v")).collect()
+    ) / 1e6
+    uni = spark.range(1, 9001).select(
+        (F.col("id") % 9000 + 1000).cast("long").alias("v")
+    )
+    chi_uniform = sum(
+        r["chi2_term_micro"] for r in benford_profile(uni, F.col("v")).collect()
+    ) / 1e6
+    assert chi_benford < 50 < chi_uniform
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "v long")
+    rows = benford_profile(df, F.col("v")).collect()
+    assert len(rows) == 9
+    assert all(r["n_obs"] == 0 and r["obs_frac"] is None for r in rows)
