@@ -265,6 +265,64 @@ class FileSpec:
         self.no_spinner = no_spinner
 
 
+class ReconcileSpec:
+    """One entry of the top-level ``reconciliations:`` list — an
+    engine extension (the reference validates files in isolation):
+
+    ::
+
+        reconciliations:
+          - name: warehouse copy is complete
+            left: data/source.csv
+            right: data/copy.csv
+            keys: [region]
+            sum_cents: [amount]     # doubles, rounded ×100 to BIGINT
+            sum_exact: [qty]        # integral columns, summed as-is
+            warn_only: false
+
+    ``left``/``right`` must name entries of ``files:`` — the tables
+    are opened through the same by-extension reader (and snapshot
+    pinning) as their own file checks.
+    """
+
+    def __init__(self, index: int, files: dict, spec) -> None:
+        path = ["reconciliations", index]
+        if not isinstance(spec, dict):
+            raise BadConfigError(path, "should be a map")
+        known = {"name", "left", "right", "keys", "sum_cents", "sum_exact", "warn_only"}
+        extra = set(spec) - known
+        if extra:
+            raise BadConfigError(path, "unknown keys: %s" % ", ".join(sorted(extra)))
+        for side in ("left", "right"):
+            v = spec.get(side)
+            if not isinstance(v, str):
+                raise BadConfigError(path, 'should contain key "%s" (a files: entry)' % side)
+            if v not in files:
+                raise BadConfigError(
+                    path + [side], '"%s" is not an entry of the files: section' % v
+                )
+        keys = spec.get("keys")
+        if (
+            not isinstance(keys, list)
+            or not keys
+            or not all(isinstance(k, str) for k in keys)
+        ):
+            raise BadConfigError(path, '"keys" should be a non-empty list of column names')
+        for lk in ("sum_cents", "sum_exact"):
+            v = spec.get(lk, [])
+            if not isinstance(v, list) or not all(isinstance(c, str) for c in v):
+                raise BadConfigError(path, '"%s" should be a list of column names' % lk)
+        if not isinstance(spec.get("warn_only", False), bool):
+            raise BadConfigError(path, '"warn_only" should be a boolean')
+        self.name: str = spec.get("name") or "%s vs %s" % (spec["left"], spec["right"])
+        self.left: str = spec["left"]
+        self.right: str = spec["right"]
+        self.keys: list[str] = list(keys)
+        self.sum_cents: list[str] = list(spec.get("sum_cents", []))
+        self.sum_exact: list[str] = list(spec.get("sum_exact", []))
+        self.warn_only: bool = bool(spec.get("warn_only", False))
+
+
 class Config:
     """Top-level plan (reference config.py:21-109)."""
 
@@ -276,6 +334,7 @@ class Config:
         save_bad_rows_to: Optional[str] = None,
         today: Optional[datetime.date] = None,
         no_spinner: bool = False,
+        reconciliations: Optional[list] = None,
     ) -> None:
         if isinstance(datadir, str):
             datadir = pathlib.Path(datadir)
@@ -325,6 +384,14 @@ class Config:
                 )
             except BadConfigError as e:
                 raise BadConfigError(["files", name] + e.path, e.msg)
+        self.reconciliations: list[ReconcileSpec] = []
+        if reconciliations is not None:
+            if not isinstance(reconciliations, list):
+                raise BadConfigError(
+                    [], '"reconciliations" should be a list of reconcile specs'
+                )
+            for i, spec in enumerate(reconciliations):
+                self.reconciliations.append(ReconcileSpec(i, self.files, spec))
 
     def run(self, spark, out=None) -> int:
         """Run all validation (lazy import: the runner needs pyspark)."""

@@ -301,12 +301,53 @@ def validate_file(spec: FileSpec, spark: SparkSession, out=None) -> FileReport:
     return report
 
 
+def run_reconciliation(rspec, config: Config, spark: SparkSession, out=None) -> bool:
+    """One ``reconciliations:`` entry: open both sides through the
+    standard readers, reconcile per group, report ✓/✕/⚠.  Returns
+    ok (warn_only downgrades a failure to a warning)."""
+    from pyspark.sql import functions as F
+
+    from datavalid_spark.operators.reconcile import reconcile, reconcile_summary
+
+    color = use_color(out)
+
+    def p(*args):
+        print(*args, file=out)
+
+    left, _, _ = open_source(config.files[rspec.left], spark)
+    right, _, _ = open_source(config.files[rspec.right], spark)
+    sums = {}
+    for c in rspec.sum_cents:
+        sums[f"{c}_cents"] = F.round(F.col(c) * 100, 0).cast("bigint")
+    for c in rspec.sum_exact:
+        sums[c] = F.col(c).cast("long")
+    rep = reconcile(left, right, rspec.keys, sums)
+    summary = {
+        r["status"]: r["n_groups"] for r in reconcile_summary(rep).collect()
+    }
+    if not summary:
+        p(colored("  ✓ reconcile %s" % rspec.name, "green", color))
+        return True
+    detail = ", ".join("%d %s" % (n, s) for s, n in sorted(summary.items()))
+    if rspec.warn_only:
+        p(colored("  ⚠ reconcile %s: %s" % (rspec.name, detail), "yellow", color))
+        return True
+    p(colored("  ✕ reconcile %s: %s" % (rspec.name, detail), "red", color))
+    p(indent(render_frame(rep.limit(10)), 4))
+    return False
+
+
 def run_config(config: Config, spark: SparkSession, out=None) -> int:
-    """Validate every file; 0 iff all good (reference config.py:96-109)."""
+    """Validate every file, then every cross-file reconciliation;
+    0 iff all good (reference config.py:96-109 + engine extension)."""
     succeed = True
     for spec in config.files.values():
         rep = validate_file(spec, spark, out=out)
         if not rep.ok:
+            succeed = False
+    for rspec in config.reconciliations:
+        print("Reconciling %s" % rspec.name, file=out)
+        if not run_reconciliation(rspec, config, spark, out=out):
             succeed = False
     if not succeed:
         return 1

@@ -1,0 +1,97 @@
+"""YAML `reconciliations:` surface (plans/config.ReconcileSpec +
+runner.run_reconciliation)."""
+
+import io
+
+import pytest
+
+from datavalid_spark.plans.config import BadConfigError, Config, load_config
+from datavalid_spark.runner import run_config
+
+A_CSV = "g,amount,qty\nx,1.50,2\nx,2.25,1\ny,3.00,5\n"
+B_LOSSY = "g,amount,qty\nx,1.50,2\ny,3.00,5\n"
+
+YML = """
+files:
+  a.csv: {schema: t}
+  b.csv: {schema: t}
+schemas:
+  t:
+    columns:
+      - name: g
+        no_na: true
+reconciliations:
+  - name: b mirrors a
+    left: a.csv
+    right: b.csv
+    keys: [g]
+    sum_cents: [amount]
+    sum_exact: [qty]
+%s
+"""
+
+
+def write(tmp_path, b_csv, extra=""):
+    (tmp_path / "a.csv").write_text(A_CSV)
+    (tmp_path / "b.csv").write_text(b_csv)
+    (tmp_path / "datavalid.yml").write_text(YML % extra)
+    return load_config(tmp_path)
+
+
+def test_reconcile_green(spark, tmp_path):
+    conf = write(tmp_path, A_CSV)
+    out = io.StringIO()
+    assert run_config(conf, spark, out=out) == 0
+    assert "✓ reconcile b mirrors a" in out.getvalue()
+
+
+def test_reconcile_red_on_lossy_copy(spark, tmp_path):
+    conf = write(tmp_path, B_LOSSY)
+    out = io.StringIO()
+    assert run_config(conf, spark, out=out) == 1
+    text = out.getvalue()
+    assert "✕ reconcile b mirrors a" in text
+    assert "count_mismatch" in text
+
+
+def test_reconcile_warn_only(spark, tmp_path):
+    conf = write(tmp_path, B_LOSSY, extra="    warn_only: true")
+    out = io.StringIO()
+    assert run_config(conf, spark, out=out) == 0
+    assert "⚠ reconcile b mirrors a" in out.getvalue()
+
+
+@pytest.mark.parametrize(
+    "spec,frag",
+    [
+        ({"left": "a.csv", "keys": ["g"]}, '"right"'),
+        ({"left": "nope.csv", "right": "a.csv", "keys": ["g"]}, "files:"),
+        ({"left": "a.csv", "right": "b.csv"}, '"keys"'),
+        ({"left": "a.csv", "right": "b.csv", "keys": []}, '"keys"'),
+        (
+            {"left": "a.csv", "right": "b.csv", "keys": ["g"], "sum_cents": "amount"},
+            '"sum_cents"',
+        ),
+        (
+            {"left": "a.csv", "right": "b.csv", "keys": ["g"], "warn_only": "yes"},
+            '"warn_only"',
+        ),
+        (
+            {"left": "a.csv", "right": "b.csv", "keys": ["g"], "bogus": 1},
+            "unknown keys",
+        ),
+    ],
+)
+def test_reconcile_config_errors(tmp_path, spec, frag):
+    files = {"a.csv": {"schema": "t"}, "b.csv": {"schema": "t"}}
+    schemas = {"t": {"columns": [{"name": "g", "no_na": True}]}}
+    with pytest.raises(BadConfigError) as ei:
+        Config(tmp_path, files=files, schemas=schemas, reconciliations=[spec])
+    assert frag in str(ei.value)
+
+
+def test_reconciliations_must_be_list(tmp_path):
+    files = {"a.csv": {"schema": "t"}}
+    schemas = {"t": {"columns": [{"name": "g", "no_na": True}]}}
+    with pytest.raises(BadConfigError, match="list"):
+        Config(tmp_path, files=files, schemas=schemas, reconciliations={"x": 1})
