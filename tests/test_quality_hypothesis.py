@@ -1,0 +1,109 @@
+"""Property-based parity for the session's validation checks
+(MonotonicCheck, MinCompletenessCheck): a pure-python reimplementation
+of each spec vs the Spark operator on hypothesis-generated frames
+(same harness stance as test_fdcheck_hypothesis.py)."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from datavalid_spark.cache import release_cached
+from datavalid_spark.operators.fdcheck import MonotonicCheck
+from datavalid_spark.operators.quality_checks import MinCompletenessCheck
+
+SETTLE = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+KEYS = st.sampled_from([None, 1, 2])
+ORDS = st.sampled_from([None, 1, 2, 3, 4])
+VALS = st.sampled_from([None, 1.0, 2.0, 3.0])
+
+mono_rows = st.lists(st.tuples(KEYS, ORDS, VALS), min_size=0, max_size=24)
+comp_rows = st.lists(
+    st.tuples(
+        st.sampled_from([None, 1]),
+        st.sampled_from([None, "a"]),
+        st.sampled_from([None, 2.5]),
+    ),
+    min_size=0,
+    max_size=24,
+)
+
+
+def _multiset(rows):
+    return Counter(tuple(r) for r in rows)
+
+
+@pytest.fixture(autouse=True)
+def _release():
+    yield
+    release_cached()
+
+
+def mirror_monotonic(rows, direction, strict):
+    """Spec: a row violates iff SOME strictly-earlier-order row in its
+    partition beats it (running max for increasing / min for
+    decreasing); NULL order or value rows are skipped."""
+    by_key = defaultdict(list)
+    for k, o, v in rows:
+        if o is None or v is None:
+            continue
+        by_key[k].append((o, v))
+    bad = []
+    for k, o, v in rows:
+        if o is None or v is None:
+            continue
+        earlier = [ev for eo, ev in by_key[k] if eo < o]
+        if not earlier:
+            continue
+        ext = max(earlier) if direction == "increasing" else min(earlier)
+        breach = (v < ext) if direction == "increasing" else (v > ext)
+        if strict:
+            breach = breach or (v == ext)
+        if breach:
+            bad.append((k, o, v))
+    return Counter(bad)
+
+
+@given(
+    rows=mono_rows,
+    direction=st.sampled_from(["increasing", "decreasing"]),
+    strict=st.booleans(),
+)
+@SETTLE
+def test_monotonic_parity(spark, rows, direction, strict):
+    df = (
+        spark.createDataFrame(rows, "k int, o int, v double")
+        if rows
+        else spark.createDataFrame([], "k int, o int, v double")
+    )
+    check = MonotonicCheck(
+        column="v", order_by="o", per="k", direction=direction, strict=strict
+    )
+    got = _multiset(check.violations(df).collect())
+    assert got == mirror_monotonic(rows, direction, strict)
+
+
+@given(rows=comp_rows, min_frac=st.sampled_from([0.34, 0.67, 1.0]))
+@SETTLE
+def test_completeness_parity(spark, rows, min_frac):
+    df = (
+        spark.createDataFrame(rows, "a int, b string, c double")
+        if rows
+        else spark.createDataFrame([], "a int, b string, c double")
+    )
+    check = MinCompletenessCheck(min_frac=min_frac)
+    got = _multiset(check.violations(df).collect())
+    expect = Counter(
+        tuple(r)
+        for r in rows
+        if sum(x is not None for x in r) < min_frac * 3
+    )
+    assert got == expect
