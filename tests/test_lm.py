@@ -146,6 +146,28 @@ def test_model_json_roundtrip(tmp_path, model):
     assert back == model
 
 
+def test_xxhash64_fast_path(spark, tmp_path):
+    """Production hasher: same invariants as md5 (determinism,
+    in-domain beats OOV, save/load), different bucket assignments."""
+    df = spark.createDataFrame([(t,) for t in TRAIN], ["text"])
+    fast = train_hashed_lm(df, "text", n=2, n_buckets=256, hasher="xxhash64")
+    assert fast.hasher == "xxhash64"
+    assert sum(fast.ngram_counts) == sum(fast.ctx_counts)
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "zyx wvu tsr qpo")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["lm_perplexity"] for r in score_lm(docs, "text", fast).collect()}
+    assert out[1] < out[2]
+    # repeatable
+    again = {r["doc_id"]: r["lm_perplexity"] for r in score_lm(docs, "text", fast).collect()}
+    assert out == again
+    p = str(tmp_path / "fast.json")
+    fast.save(p)
+    assert HashedLM.load(p) == fast
+    with pytest.raises(ValueError, match="hasher"):
+        train_hashed_lm(df, "text", hasher="sha9000")
+
+
 def test_train_rejects_unigram(spark):
     df = spark.createDataFrame([("a b",)], ["text"])
     with pytest.raises(ValueError):

@@ -1,0 +1,88 @@
+"""Two-level scaling study for LM quality scoring (operators/lm.py),
+methodology shared via tools/scaling_harness.py (companion to
+bench_scaling.py — validation suite, bench_dedup_scaling.py — LSH
+family, bench_text_scaling.py — decontaminate/repetition family).
+
+Job, end-to-end per iteration:
+
+  1. TRAIN a hashed bigram LM on every 20th doc's content — one
+     tagged explode + one (kind, bucket)-keyed partial-agg shuffle
+     (2·2048 keys); the model collects as two KB-scale arrays;
+  2. SCORE every doc — a pure Column fold (per-position micro-nat
+     quantized log-probs), scan-fused, zero shuffles;
+  3. reduce to (count, Σ nll_micro) — one partial agg.
+
+Training's shuffle is bucket-keyed and tiny; scoring is the
+embarrassingly-parallel regime — the study evidences that the hot
+path (per-token md5 + fold, interpreted HOF) scales with cores.
+
+Usage: python tools/bench_lm_scaling.py [--docs 400000] [--iters 5]
+       python tools/bench_lm_scaling.py --level 4   (inner, pinned)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.scaling_harness import build_session, run_study, std_args
+
+CORPUS = "/tmp/dv_lm_scaling_corpus_{docs}"
+
+
+def inner(cpus: int, docs: int, iters: int, parts: int, shuf: int) -> None:
+    from pyspark.sql import functions as F
+
+    from datavalid_spark.operators.lm import score_lm, train_hashed_lm
+
+    spark = build_session(cpus, shuf, app="lm-scaling")
+    df = (
+        spark.read.parquet(CORPUS.format(docs=docs)).repartition(parts).persist()
+    )
+    n = df.count()
+    times, nll = [], 0
+    for _ in range(iters):
+        t = time.time()
+        model = train_hashed_lm(
+            df.filter(F.col("doc_id") % 20 == 0), "content", n=2, n_buckets=2048
+        )
+        row = (
+            score_lm(df, "content", model)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("lm_nll_micro").alias("nll"),
+            )
+            .collect()[0]
+        )
+        nll = row["nll"]
+        times.append(time.time() - t)
+    best = min(times)
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "docs": n,
+                "nll_micro_total": int(nll),
+                "sec_best": round(best, 2),
+                "sec_all": [round(x, 2) for x in times],
+                "docs_per_sec": round(n / best, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+def main() -> None:
+    args = std_args(default_docs=400000)
+    if args.level:
+        inner(args.level, args.docs, args.iters, args.parts, args.shuf)
+        return
+    run_study(__file__, "LM train + perplexity scoring", args, CORPUS)
+
+
+if __name__ == "__main__":
+    main()

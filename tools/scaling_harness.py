@@ -30,8 +30,20 @@ import os
 import subprocess
 import sys
 
-#: 2M-row synthetic source-code table written by `bench.py` setup
+#: synthetic source-code table written by `bench.py` setup — resolved
+#: dynamically because the bench row count is env-tunable (the largest
+#: existing table wins; the bucketed copy never matches the pattern)
 SRC = "/tmp/dv_bench_src_2000000_42"
+
+
+def resolve_src() -> str:
+    import glob
+
+    cands = sorted(
+        glob.glob("/tmp/dv_bench_src_[0-9]*_42"),
+        key=lambda p: -int(p.rsplit("_", 2)[-2]),
+    )
+    return cands[0] if cands else SRC
 
 LEVELS = (2, 8, 16, 32)
 
@@ -64,7 +76,7 @@ def ensure_corpus(docs: int, path_tmpl: str) -> str:
 
     spark = build_session(8)
     (
-        spark.read.parquet(SRC)
+        spark.read.parquet(resolve_src())
         .limit(docs)
         .select(F.xxhash64("repo", "path", "commit").alias("doc_id"), "content")
         .repartition(64)
