@@ -1641,6 +1641,30 @@ def q_benford(spark, sf_dir):
     return benford_profile(orders, cents)
 
 
+def q_code_metrics(spark, sf_dir):
+    # source-code shape metrics over deterministically code-ified text:
+    # even docs get newline-split "lines", every 5th gains a leading
+    # comment, languages cycle py/c/unmapped — exercising the comment
+    # leader map, blank handling, and the NULL-for-unmapped contract.
+    from datavalid_spark.functions.code import code_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    content = F.when(
+        did % 2 == 0, F.regexp_replace(F.col("text"), " ", "\n")
+    ).otherwise(F.col("text"))
+    content = F.when(
+        did % 5 == 0, F.concat(F.lit("# gen\n"), content)
+    ).otherwise(content)
+    lang = (
+        F.when(did % 3 == 0, F.lit("py"))
+        .when(did % 3 == 1, F.lit("c"))
+        .otherwise(F.lit("zz"))
+    )
+    src = docs.select(did.alias("doc_id"), content.alias("content"), lang.alias("lang"))
+    return src.select("doc_id", *code_metrics("content", "lang"))
+
+
 def q_anomaly_scan(spark, sf_dir):
     # which ingest day looks broken? — per-day (n_rows, null_frac, p50)
     # scored against the cross-day robust median/MAD distribution.
@@ -1807,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_completeness": q_min_completeness,
         "freshness_verdicts": q_freshness,
         "benford_digits": q_benford,
+        "code_metrics": q_code_metrics,
         "drift_two_sample": q_drift_two_sample,
         "multimodal_validate": q_multimodal_validate,
     }
@@ -3094,6 +3119,37 @@ SELECT f.digit, f.n_obs,
        ELSE 0 END AS chi2_term_micro,
   CASE WHEN t.nt > 0 THEN ROUND(f.n_obs::DOUBLE / t.nt, 6) END AS obs_frac
 FROM f CROSS JOIN t
+""",
+        "code_metrics": """
+WITH src AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN '# gen' || chr(10) ELSE '' END ||
+    CASE WHEN doc_id % 2 = 0 THEN replace(text, ' ', chr(10)) ELSE text END
+      AS content,
+    CASE WHEN doc_id % 3 = 0 THEN 'py' WHEN doc_id % 3 = 1 THEN 'c'
+         ELSE 'zz' END AS lang
+  FROM documents),
+l AS (SELECT doc_id, lang, unnest(string_split(content, chr(10))) AS line
+      FROM src),
+agg AS (
+  SELECT doc_id, lang,
+    COUNT(*)::INT AS n_lines,
+    MAX(length(line))::INT AS max_line_len,
+    ROUND(SUM(length(line))::DOUBLE / COUNT(*)::DOUBLE * 1e6)::BIGINT
+      AS avg_line_len_micro,
+    ROUND(SUM(CASE WHEN trim(line) = '' THEN 1 ELSE 0 END)::DOUBLE
+          / COUNT(*)::DOUBLE * 1e6)::BIGINT AS blank_ratio_micro,
+    SUM(CASE WHEN trim(line) != '' THEN 1 ELSE 0 END) AS nb,
+    SUM(CASE WHEN trim(line) != '' AND starts_with(ltrim(line),
+          CASE lang WHEN 'py' THEN '#' WHEN 'c' THEN '//' END)
+        THEN 1 ELSE 0 END) AS com
+  FROM l GROUP BY doc_id, lang)
+SELECT doc_id, n_lines, max_line_len, avg_line_len_micro,
+  blank_ratio_micro,
+  CASE WHEN lang IN ('py', 'c') AND nb > 0
+       THEN ROUND(com::DOUBLE / nb::DOUBLE * 1e6)::BIGINT END
+    AS comment_ratio_micro
+FROM agg
 """,
         "anomaly_scan": """
 WITH stats AS (

@@ -1,0 +1,134 @@
+"""Source-code shape metrics — pure Column expressions for the
+north-rule domain (tables of ``(repo, path, commit, lang, content)``).
+
+Quality/anomaly signals a code-corpus pipeline filters on (the
+code-specific analog of `functions/text.py`'s prose metrics):
+minified/generated files (one enormous line, near-zero blank ratio),
+data-files-pretending-to-be-code (no comments, extreme line lengths),
+truncated files, auto-generated license walls (comment ratio ≈ 1).
+
+Everything is split/filter/aggregate over the LINE ARRAY — JVM-side,
+scan-fused, zero shuffle, zero Python.  Exactness discipline: ratios
+are emitted as micro-unit BIGINTs (``round(1e6·num/den)`` — one IEEE
+division then one rounding, identical on any engine); convenience
+doubles derive from them.
+
+Line splitting is ``split(content, '\\n')`` — CR kept attached on CRLF
+input (a carriage return is content like any other byte; callers
+normalize first if they care).  An empty string has ONE line (the
+empty one), matching every engine's split semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from datavalid_spark.functions.text import let_once
+
+#: micro-unit scale shared with lm/infotheory/benford
+MICRO = 1e6
+
+#: line-comment leaders by language family, longest-match-first where
+#: a prefix shadows another.  Block comments are NOT counted (matching
+#: them needs cross-line state — a different operator).
+LINE_COMMENT = {
+    "py": r"#",
+    "sh": r"#",
+    "rb": r"#",
+    "yaml": r"#",
+    "c": r"//",
+    "cpp": r"//",
+    "go": r"//",
+    "rs": r"//",
+    "java": r"//",
+    "js": r"//",
+    "ts": r"//",
+    "sql": r"--",
+    "lua": r"--",
+    "hs": r"--",
+}
+
+
+def _lines(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, "\n")
+
+
+def line_metrics(col: Column | str) -> Column:
+    """struct over one pass of the line array:
+
+    - ``n_lines`` INT
+    - ``max_line_len`` INT (the minified-file signal)
+    - ``avg_line_len_micro`` BIGINT (``round(1e6·chars/lines)``;
+      chars excludes the newlines themselves)
+    - ``blank_ratio_micro`` BIGINT (whitespace-only lines / lines)
+
+    NULL content → NULL struct."""
+
+    def build(ls: Column) -> Column:
+        n = F.size(ls)
+        lens = F.transform(ls, F.length)
+        total = F.aggregate(lens, F.lit(0).cast("long"), lambda a, x: a + x)
+        blanks = F.size(F.filter(ls, lambda l: F.trim(l) == ""))
+        return F.struct(
+            n.cast("int").alias("n_lines"),
+            F.array_max(lens).cast("int").alias("max_line_len"),
+            F.round(total.cast("double") / n.cast("double") * F.lit(MICRO))
+            .cast("long")
+            .alias("avg_line_len_micro"),
+            F.round(blanks.cast("double") / n.cast("double") * F.lit(MICRO))
+            .cast("long")
+            .alias("blank_ratio_micro"),
+        )
+
+    return let_once(_lines(col), build)
+
+
+def comment_line_ratio_micro(
+    col: Column | str, lang_col: Column | str
+) -> Column:
+    """``round(1e6 · comment_lines / nonblank_lines)`` where a comment
+    line starts (after leading whitespace) with the language's
+    line-comment leader (`LINE_COMMENT`); NULL when the language is
+    unmapped or the file has no non-blank lines.  The
+    generated-license-wall signal (ratio ≈ 1e6) and the
+    data-not-code signal (ratio = 0 over thousands of lines)."""
+    lang = F.col(lang_col) if isinstance(lang_col, str) else lang_col
+    leader = None
+    for lg, ld in LINE_COMMENT.items():
+        branch = F.lit(ld)
+        leader = (
+            F.when(lang == lg, branch)
+            if leader is None
+            else leader.when(lang == lg, branch)
+        )
+
+    def build(ls: Column) -> Column:
+        nonblank = F.filter(ls, lambda l: F.trim(l) != "")
+        n = F.size(nonblank)
+        com = F.size(
+            F.filter(nonblank, lambda l: F.startswith(F.ltrim(l), leader))
+        )
+        return F.when(
+            leader.isNotNull() & (n > 0),
+            F.round(com.cast("double") / n.cast("double") * F.lit(MICRO)).cast(
+                "long"
+            ),
+        )
+
+    return let_once(_lines(col), build)
+
+
+def code_metrics(col: Column | str, lang_col: Column | str) -> list[Column]:
+    """The standard projection: ``line_metrics`` fields flattened plus
+    the comment ratio — append with ``df.select("*", *code_metrics(
+    "content", "lang"))``."""
+    m = line_metrics(col)
+    return [
+        m["n_lines"].alias("n_lines"),
+        m["max_line_len"].alias("max_line_len"),
+        m["avg_line_len_micro"].alias("avg_line_len_micro"),
+        m["blank_ratio_micro"].alias("blank_ratio_micro"),
+        comment_line_ratio_micro(col, lang_col).alias("comment_ratio_micro"),
+    ]

@@ -1,0 +1,83 @@
+"""Source-code shape metrics (functions/code.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.functions.code import (
+    code_metrics,
+    comment_line_ratio_micro,
+    line_metrics,
+)
+
+PY = "#!/usr/bin/env python\n# a comment\n\ndef f():\n    return 1  # trailing\n"
+C = "// header\nint main() {\n  return 0; // not counted: not a prefix? yes it is after ltrim? no\n}\n"
+SQL = "-- q\nSELECT 1;\n"
+
+
+def test_line_metrics_golden(spark):
+    df = spark.createDataFrame([(PY,)], ["content"])
+    m = df.select(line_metrics("content").alias("m")).collect()[0]["m"]
+    # PY has a trailing \n -> 6 lines, last one empty
+    lines = PY.split("\n")
+    assert m["n_lines"] == len(lines) == 6
+    assert m["max_line_len"] == max(len(l) for l in lines)
+    chars = sum(len(l) for l in lines)
+    assert m["avg_line_len_micro"] == round(chars / len(lines) * 1e6)
+    blanks = sum(1 for l in lines if l.strip() == "")
+    assert m["blank_ratio_micro"] == round(blanks / len(lines) * 1e6)
+
+
+def test_line_metrics_edges(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "x")], ["i", "content"]
+    )
+    got = {r["i"]: r["m"] for r in df.select("i", line_metrics("content").alias("m")).collect()}
+    # empty string = ONE empty line
+    assert got[1]["n_lines"] == 1 and got[1]["blank_ratio_micro"] == 1_000_000
+    assert got[1]["avg_line_len_micro"] == 0
+    # NULL content -> NULL fields
+    assert got[2]["n_lines"] is None
+    assert got[3]["n_lines"] == 1 and got[3]["max_line_len"] == 1
+
+
+def test_comment_ratio_per_language(spark):
+    rows = [
+        (1, PY, "py"),
+        (2, C, "c"),
+        (3, SQL, "sql"),
+        (4, PY, "klingon"),  # unmapped language -> NULL
+        (5, "\n \n", "py"),  # no non-blank lines -> NULL
+    ]
+    df = spark.createDataFrame(rows, ["i", "content", "lang"])
+    got = {
+        r["i"]: r["r"]
+        for r in df.select(
+            "i", comment_line_ratio_micro("content", "lang").alias("r")
+        ).collect()
+    }
+
+    def expect(text, leader):
+        nb = [l for l in text.split("\n") if l.strip() != ""]
+        com = sum(1 for l in nb if l.lstrip().startswith(leader))
+        return round(com / len(nb) * 1e6)
+
+    assert got[1] == expect(PY, "#")
+    assert got[2] == expect(C, "//")
+    assert got[3] == expect(SQL, "--")
+    assert got[4] is None
+    assert got[5] is None
+
+
+def test_code_metrics_projection_and_plan(spark):
+    df = spark.createDataFrame([(PY, "py")], ["content", "lang"])
+    out = df.select(*code_metrics("content", "lang"))
+    assert out.columns == [
+        "n_lines",
+        "max_line_len",
+        "avg_line_len_micro",
+        "blank_ratio_micro",
+        "comment_ratio_micro",
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan
+    assert out.collect()[0]["comment_ratio_micro"] is not None
