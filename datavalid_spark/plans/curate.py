@@ -61,6 +61,8 @@ _STAGE_KEYS = {
     "line_dedup": {"min_docs", "inset_limit", "broadcast_key_limit"},
     "span_dedup": {"tile", "min_count", "broadcast_key_limit"},
     "dedup": set(),
+    "perplexity": {"max", "train_on", "ngram", "n_buckets", "hasher",
+                   "keep_unscored"},
     "decontaminate": {"benchmark", "ngram"},
     "quality": {"min"},
     "repetition": {"ngram", "max_dup_gram_frac"},
@@ -73,6 +75,7 @@ _STAGE_KEYS = {
 _STAGE_ORDER = [
     "line_dedup",
     "span_dedup",
+    "perplexity",
     "dedup",
     "decontaminate",
     "quality",
@@ -139,6 +142,34 @@ def load_curate(path) -> CuratePlan:
             isinstance(stages["decontaminate"].get("benchmark"), str),
             "stage 'decontaminate' needs a 'benchmark' path",
         )
+    if "perplexity" in stages:
+        px = stages["perplexity"]
+        _require(
+            isinstance(px.get("max"), (int, float))
+            and not isinstance(px.get("max"), bool),
+            "stage 'perplexity' needs a numeric 'max'",
+        )
+        if "train_on" in px:
+            _require(
+                isinstance(px["train_on"], str) and px["train_on"],
+                "stage 'perplexity' key 'train_on' must be a path",
+            )
+        for key in ("ngram", "n_buckets"):
+            if key in px:
+                _require(
+                    isinstance(px[key], int) and not isinstance(px[key], bool),
+                    f"stage 'perplexity' key {key!r} must be an integer",
+                )
+        if "hasher" in px:
+            _require(
+                px["hasher"] in ("md5", "xxhash64"),
+                "stage 'perplexity' key 'hasher' must be 'md5' or 'xxhash64'",
+            )
+        if "keep_unscored" in px:
+            _require(
+                isinstance(px["keep_unscored"], bool),
+                "stage 'perplexity' key 'keep_unscored' must be a boolean",
+            )
     for name, key, types in (
         ("quality", "min", (int, float)),
         ("repetition", "max_dup_gram_frac", (int, float)),
@@ -178,6 +209,10 @@ def load_curate(path) -> CuratePlan:
         d = dict(resolved["decontaminate"])
         d["benchmark"] = str((base / d["benchmark"]).resolve())
         resolved["decontaminate"] = d
+    if "perplexity" in resolved and "train_on" in resolved["perplexity"]:
+        px = dict(resolved["perplexity"])
+        px["train_on"] = str((base / px["train_on"]).resolve())
+        resolved["perplexity"] = px
     return CuratePlan(
         input=str((base / raw["input"]).resolve()),
         output=str((base / raw["output"]).resolve()),
@@ -222,6 +257,34 @@ def build(plan: CuratePlan, spark):
         docs = remove_duplicated_spans(
             docs, plan.id_column, plan.text_column, **st["span_dedup"]
         ).drop("n_removed_chars")
+    if "perplexity" in st:
+        # LM quality gate runs BEFORE the corpus-level stages: a pure
+        # scan-fused filter, so dropping junk here is the cheapest
+        # point in the pipeline (training is the only extra job, two
+        # tiny bucket-keyed aggs over the reference slice)
+        from datavalid_spark.operators.lm import (
+            perplexity_filter,
+            train_hashed_lm,
+        )
+
+        px = st["perplexity"]
+        train_src = (
+            _read(spark, px["train_on"]) if "train_on" in px else docs
+        )
+        model = train_hashed_lm(
+            train_src,
+            plan.text_column,
+            n=px.get("ngram", 2),
+            n_buckets=px.get("n_buckets", 2048),
+            hasher=px.get("hasher", "md5"),
+        )
+        docs = perplexity_filter(
+            docs,
+            plan.text_column,
+            model,
+            float(px["max"]),
+            keep_unscored=px.get("keep_unscored", False),
+        )
     benchmark = (
         _read(spark, st["decontaminate"]["benchmark"])
         if "decontaminate" in st

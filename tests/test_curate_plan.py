@@ -247,3 +247,71 @@ stages:
     back = spark.read.parquet(str(tmp_path / "out6.parquet"))
     assert back.count() == report["rows_out"] == 5
     assert sorted(r["position"] for r in back.collect()) == list(range(5))
+
+
+def test_perplexity_stage_validation(tmp_path):
+    base = """
+input: corpus.parquet
+output: out.parquet
+stages:
+  perplexity: %s
+"""
+    for bad, frag in (
+        ("{train_on: ref.parquet}", "'max'"),
+        ("{max: true}", "'max'"),
+        ("{max: 100, hasher: sha9000}", "hasher"),
+        ("{max: 100, ngram: 2.5}", "'ngram'"),
+        ("{max: 100, keep_unscored: 1}", "keep_unscored"),
+        ("{max: 100, train_on: 7}", "train_on"),
+    ):
+        with pytest.raises(CurateConfigError, match=frag):
+            load_curate(_write(tmp_path, base % bad, "px.yml"))
+
+
+def test_perplexity_stage_filters_gibberish(spark, tmp_path):
+    from datavalid_spark.operators.lm import score_lm, train_hashed_lm
+
+    clean = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, clean) for i in range(12)] + [
+        (100, "zzq wvx qqj kkx pzt mlw vvk"),
+        (101, "xjw qpz ltk wwv zzm kqp jjx"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus.write.mode("overwrite").parquet(str(tmp_path / "corpus.parquet"))
+    # pick a cut between clean and gibberish self-perplexity
+    model = train_hashed_lm(corpus, "text", n=2, n_buckets=512)
+    ppl = {
+        r["doc_id"]: r["lm_perplexity"]
+        for r in score_lm(corpus, "text", model).collect()
+    }
+    cut = (max(ppl[i] for i in range(12)) + min(ppl[100], ppl[101])) / 2
+    yml = f"""
+input: corpus.parquet
+output: outpx.parquet
+stages:
+  perplexity: {{max: {cut:.4f}, n_buckets: 512}}
+"""
+    plan = load_curate(_write(tmp_path, yml, "cpx.yml"))
+    out = build(plan, spark)
+    assert sorted(r.doc_id for r in out.collect()) == list(range(12))
+
+
+def test_perplexity_train_on_reference(spark, tmp_path):
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(6)] + [
+        (50, "unrelated junk tokens qqq www eee")
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus.write.mode("overwrite").parquet(str(tmp_path / "corpus.parquet"))
+    ref = corpus.filter("doc_id < 6")
+    ref.write.mode("overwrite").parquet(str(tmp_path / "ref.parquet"))
+    yml = """
+input: corpus.parquet
+output: outref.parquet
+stages:
+  perplexity: {max: 100, train_on: ref.parquet, n_buckets: 256}
+"""
+    plan = load_curate(_write(tmp_path, yml, "cref.yml"))
+    assert plan.stages["perplexity"]["train_on"].endswith("ref.parquet")
+    out = build(plan, spark)
+    got = sorted(r.doc_id for r in out.collect())
+    assert 50 not in got and got == list(range(6))
