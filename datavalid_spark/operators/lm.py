@@ -124,6 +124,12 @@ def train_hashed_lm(
     shuffle carries at most ``2·n_buckets`` rows per task."""
     if n < 2:
         raise ValueError("train_hashed_lm: n must be >= 2")
+    if not (1 <= n_buckets <= 65536):
+        # both count arrays ship as PLAN LITERALS at scoring time —
+        # past 64k entries the serialized plan and codegen cost, not
+        # the data, become the bottleneck.  A bigger model wants a
+        # join-based scorer, not a literal fold.
+        raise ValueError("train_hashed_lm: n_buckets must be in [1, 65536]")
     toks = df.select(nonempty_tokens(text_col).alias("ts")).filter(
         F.size("ts") >= n
     )

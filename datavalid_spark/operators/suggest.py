@@ -20,9 +20,11 @@ multi-column ``count(distinct)`` expands the scan (one Expand + one
 partial-agg shuffle carrying O(distinct) rows per column — swap
 ``exact_distinct=False`` for HLL ``approx_count_distinct`` at the
 10^12-row scale, where "unique" suggestions become probabilistic).
-Only columns that qualify for ``options`` trigger a second, tiny
-``collect_set`` pass each (bounded by ``options_max`` values).  All
-rule evaluation is driver-side on the single collected stats row.
+Columns that qualify for ``options`` trigger ONE shared second pass
+(all eligible columns melt into (column, value) pairs inside the scan,
+one distinct, one collect bounded by ``columns × options_max``
+values) — not a scan per column.  All rule evaluation is driver-side
+on the single collected stats row.
 
 Suggestion rules (per column, non-NULL rows = ``m``):
 - ``no_na``       — zero NULLs.
@@ -99,6 +101,27 @@ def suggest_constraints(
     stats = df.agg(*aggs).collect()[0].asDict()
     n = stats["__n"]
 
+    opt_cols = [
+        c
+        for c in cols
+        if isinstance(fields[c], T.StringType)
+        and 0 < stats[f"d_{c}"] <= options_max
+    ]
+    opt_vals: dict[str, list[str]] = {c: [] for c in opt_cols}
+    if opt_cols:
+        melted = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(c).alias("c"), F.col(c).alias("v"))
+                        for c in opt_cols
+                    ]
+                )
+            ).alias("e")
+        ).select("e.c", "e.v")
+        for r in melted.filter(F.col("v").isNotNull()).distinct().collect():
+            opt_vals[r["c"]].append(r["v"])
+
     out: list[tuple] = []
     for c in cols:
         dt = fields[c]
@@ -107,15 +130,8 @@ def suggest_constraints(
             out.append((c, "no_na", None, None, None))
         if m == n and d == n and n > 0:
             out.append((c, "unique", None, None, None))
-        if isinstance(dt, T.StringType) and 0 < d <= options_max:
-            vals = [
-                r["v"]
-                for r in df.select(F.col(c).alias("v"))
-                .filter(F.col(c).isNotNull())
-                .distinct()
-                .collect()
-            ]
-            out.append((c, "options", "|".join(sorted(vals)), None, None))
+        if c in opt_vals and opt_vals[c]:
+            out.append((c, "options", "|".join(sorted(opt_vals[c])), None, None))
         if isinstance(dt, T.StringType) and m > 0 and stats[f"i_{c}"] == m:
             out.append((c, "integer", None, None, None))
         if isinstance(dt, _NUMERIC) and m > 0:

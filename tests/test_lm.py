@@ -172,3 +172,6 @@ def test_train_rejects_unigram(spark):
     df = spark.createDataFrame([("a b",)], ["text"])
     with pytest.raises(ValueError):
         train_hashed_lm(df, "text", n=1)
+    # count arrays are plan literals: cap the model size at 64k buckets
+    with pytest.raises(ValueError, match="n_buckets"):
+        train_hashed_lm(df, "text", n_buckets=1 << 20)
