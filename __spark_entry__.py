@@ -1665,6 +1665,25 @@ def q_code_metrics(spark, sf_dir):
     return src.select("doc_id", *code_metrics("content", "lang"))
 
 
+def q_psi(spark, sf_dir):
+    # exact categorical PSI between the even-key half (baseline) and a
+    # deterministically distorted odd-key half (a third of URGENT rows
+    # removed): per-category micro-quantized terms, total > 0.25 =
+    # broken-distribution verdict.
+    from datavalid_spark.operators.drift import psi_exact
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    cur = orders.filter(
+        (F.col("o_orderkey") % 2 == 1)
+        & ~(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderkey") % 3 == 0)
+        )
+    )
+    return psi_exact(base, cur, "o_orderpriority")
+
+
 def q_anomaly_scan(spark, sf_dir):
     # which ingest day looks broken? — per-day (n_rows, null_frac, p50)
     # scored against the cross-day robust median/MAD distribution.
@@ -1832,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness_verdicts": q_freshness,
         "benford_digits": q_benford,
         "code_metrics": q_code_metrics,
+        "psi_priority": q_psi,
         "drift_two_sample": q_drift_two_sample,
         "multimodal_validate": q_multimodal_validate,
     }
@@ -3150,6 +3170,25 @@ SELECT doc_id, n_lines, max_line_len, avg_line_len_micro,
        THEN ROUND(com::DOUBLE / nb::DOUBLE * 1e6)::BIGINT END
     AS comment_ratio_micro
 FROM agg
+""",
+        "psi_priority": """
+WITH b AS (SELECT o_orderpriority AS v FROM orders WHERE o_orderkey % 2 = 0),
+c AS (SELECT o_orderpriority AS v FROM orders WHERE o_orderkey % 2 = 1
+      AND NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0)),
+ba AS (SELECT v, COUNT(*) AS cb FROM b GROUP BY 1),
+ca AS (SELECT v, COUNT(*) AS cc FROM c GROUP BY 1),
+j AS (SELECT COALESCE(ba.v, ca.v) AS value,
+             COALESCE(cb, 0) AS base_n, COALESCE(cc, 0) AS cur_n
+      FROM ba FULL OUTER JOIN ca ON ba.v IS NOT DISTINCT FROM ca.v),
+t AS (SELECT COUNT(*)::DOUBLE AS k, SUM(base_n)::DOUBLE AS nb,
+             SUM(cur_n)::DOUBLE AS nc FROM j)
+SELECT value, base_n, cur_n,
+  ROUND(((cur_n::DOUBLE + 0.5) / (nc + 0.5 * k)
+         - (base_n::DOUBLE + 0.5) / (nb + 0.5 * k))
+        * ln(((cur_n::DOUBLE + 0.5) / (nc + 0.5 * k))
+             / ((base_n::DOUBLE + 0.5) / (nb + 0.5 * k)))
+        * 1e6)::BIGINT AS psi_term_micro
+FROM j CROSS JOIN t
 """,
         "anomaly_scan": """
 WITH stats AS (

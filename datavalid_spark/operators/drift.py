@@ -33,6 +33,7 @@ from typing import Optional
 
 import numpy as np
 
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from datavalid_spark.operators.profile import (
@@ -308,3 +309,53 @@ def ks_exact_two_sample(base, cur, column: str):
         )
     )
     return out
+
+
+def psi_exact(base: DataFrame, cur: DataFrame, column: str, alpha: float = 0.5):
+    """EXACT population stability index per category — the standard
+    monitoring metric for categorical drift (PSI < 0.1 stable,
+    0.1–0.25 shifting, > 0.25 broken), complementing the KS (numeric)
+    and chi-square verdicts.
+
+    ``PSI = Σ_v (p_v − q_v) · ln(p_v / q_v)`` over the UNION of
+    categories, with additive smoothing ``p_v = (c_v + α) /
+    (n + α·K)`` (K = union category count) so a category present on
+    only one side contributes a finite term instead of ±inf.  Output
+    is ONE ROW PER CATEGORY ``(value, base_n, cur_n,
+    psi_term_micro)`` — the term micro-quantized to an exact BIGINT
+    (same discipline as entropy/MI), so the total is
+    ``sum(psi_term_micro) / 1e6`` and every row is engine-comparable.
+
+    Scale shape: each side reduces to per-value counts first (one
+    partially-aggregated shuffle, O(categories) rows out); the counts
+    full-outer join on the value and the two scalars (K, totals) come
+    from unpartitioned windows over the CATEGORY frame — bounded by
+    the category count, never the row count.  NULL is a category of
+    its own (null-safe join), matching groupBy semantics.
+    """
+    bagg = (
+        base.groupBy(F.col(column).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    cagg = (
+        cur.groupBy(F.col(column).alias("__v2"))
+        .agg(F.count(F.lit(1)).alias("cc"))
+    )
+    j = bagg.join(
+        cagg, F.col("__v").eqNullSafe(F.col("__v2")), "full_outer"
+    ).select(
+        F.coalesce(F.col("__v"), F.col("__v2")).alias("value"),
+        F.coalesce(F.col("cb"), F.lit(0)).alias("base_n"),
+        F.coalesce(F.col("cc"), F.lit(0)).alias("cur_n"),
+    )
+    w = Window.partitionBy()  # category frame: bounded by K, by design
+    k = F.count(F.lit(1)).over(w).cast("double")
+    nb = F.sum("base_n").over(w).cast("double")
+    nc = F.sum("cur_n").over(w).cast("double")
+    a = F.lit(float(alpha))
+    q = (F.col("base_n").cast("double") + a) / (nb + a * k)
+    p = (F.col("cur_n").cast("double") + a) / (nc + a * k)
+    term = F.round((p - q) * F.log(p / q) * F.lit(1e6)).cast("long")
+    return j.select(
+        "value", "base_n", "cur_n", term.alias("psi_term_micro")
+    )

@@ -1,0 +1,58 @@
+"""Exact categorical PSI (operators/drift.psi_exact)."""
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.operators.drift import psi_exact
+
+
+def rhalf(x: float) -> int:
+    v = x
+    return int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
+
+
+def mirror_psi(base, cur, alpha=0.5):
+    cb, cc = Counter(base), Counter(cur)
+    cats = sorted(set(cb) | set(cc), key=str)
+    k, nb, nc = len(cats), len(base), len(cur)
+    out = {}
+    for v in cats:
+        q = (cb.get(v, 0) + alpha) / (nb + alpha * k)
+        p = (cc.get(v, 0) + alpha) / (nc + alpha * k)
+        out[v] = rhalf((p - q) * math.log(p / q) * 1e6)
+    return out
+
+
+def test_identical_distribution_is_zero(spark):
+    vals = ["a"] * 6 + ["b"] * 3 + ["c"]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    rows = psi_exact(df, df, "v").collect()
+    assert all(r["psi_term_micro"] == 0 for r in rows)
+    assert {r["value"] for r in rows} == {"a", "b", "c"}
+
+
+def test_matches_mirror_with_shift_and_nulls(spark):
+    base = ["a"] * 8 + ["b"] * 2 + [None] * 2
+    cur = ["a"] * 3 + ["b"] * 6 + ["z"] * 3  # b inflated, z new, NULL gone
+    bdf = spark.createDataFrame([(v,) for v in base], "v string")
+    cdf = spark.createDataFrame([(v,) for v in cur], "v string")
+    got = {r["value"]: r for r in psi_exact(bdf, cdf, "v").collect()}
+    exp = mirror_psi(base, cur)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert got[v]["psi_term_micro"] == exp[v], v
+    assert got[None]["cur_n"] == 0 and got["z"]["base_n"] == 0
+    total = sum(r["psi_term_micro"] for r in got.values()) / 1e6
+    assert total > 0.25  # a broken-distribution verdict
+
+
+def test_scale_shape(spark):
+    base = spark.createDataFrame([("a",)] * 50, "v string").repartition(5)
+    cur = spark.createDataFrame([("a",), ("b",)] * 25, "v string").repartition(5)
+    out = psi_exact(base, cur, "v")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") >= 2  # both sides pre-aggregated
+    assert out.count() == 2
