@@ -119,6 +119,11 @@ class DriftVerdict:
     #: effect size on a common [0, 1] scale — KS D for numeric, total
     #: variation distance for categorical
     effect: float = 0.0
+    #: population stability index (categorical only; 0.0 for numeric):
+    #: the industry drift dashboard number — <0.1 stable, >0.25 broken.
+    #: Informational alongside the chi-square verdict; the exact
+    #: distributed form is `psi_exact`
+    psi: float = 0.0
 
 
 def _tv_distance(counts_a: dict, counts_b: dict) -> float:
@@ -131,6 +136,23 @@ def _tv_distance(counts_a: dict, counts_b: dict) -> float:
     return 0.5 * sum(
         abs(counts_a.get(k, 0) / na - counts_b.get(k, 0) / nb) for k in keys
     )
+
+
+def _psi_from_counts(counts_a: dict, counts_b: dict, alpha: float = 0.5) -> float:
+    """Smoothed PSI over two categorical count dicts (same formula as
+    `psi_exact`, driver-side over sketch top-K counts)."""
+    na = sum(counts_a.values())
+    nb = sum(counts_b.values())
+    keys = set(counts_a) | set(counts_b)
+    if not keys or na == 0 or nb == 0:
+        return 0.0
+    k = len(keys)
+    tot = 0.0
+    for v in keys:
+        q = (counts_a.get(v, 0) + alpha) / (na + alpha * k)
+        p = (counts_b.get(v, 0) + alpha) / (nb + alpha * k)
+        tot += (p - q) * math.log(p / q)
+    return tot
 
 
 def drift_report(
@@ -162,7 +184,10 @@ def drift_report(
             stat, p, _ = chi2_two_sample(base.topk, cur.topk)
             tv = _tv_distance(base.topk, cur.topk)
             out.append(
-                DriftVerdict(col, "chi2", stat, p, p < alpha and tv >= min_effect, tv)
+                DriftVerdict(
+                    col, "chi2", stat, p, p < alpha and tv >= min_effect, tv,
+                    psi=_psi_from_counts(base.topk, cur.topk),
+                )
             )
     return out
 

@@ -56,3 +56,23 @@ def test_scale_shape(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Aggregate") >= 2  # both sides pre-aggregated
     assert out.count() == 2
+
+
+def test_drift_report_carries_psi(spark):
+    from datavalid_spark.operators.drift import _psi_from_counts, drift_report
+    from datavalid_spark.operators.profile import profile_arrow
+
+    base = spark.createDataFrame(
+        [("a",)] * 20 + [("b",)] * 5, "cat string"
+    )
+    cur = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 20, "cat string"
+    )
+    rep = drift_report(
+        profile_arrow(base, ["cat"]), profile_arrow(cur, ["cat"])
+    )
+    v = {r.column: r for r in rep}["cat"]
+    assert v.kind == "chi2" and v.psi > 0.25
+    same = drift_report(profile_arrow(base, ["cat"]), profile_arrow(base, ["cat"]))
+    assert {r.column: r for r in same}["cat"].psi == 0.0
+    assert _psi_from_counts({}, {}) == 0.0
