@@ -28,9 +28,12 @@ Distributed shape (the scale path, same architecture as
    theorem guarantees every true pair still meets in the index.
    Strings shorter than ``q·(d+1)`` can be edited into sharing no
    q-gram at all, so they are routed to a single short-string block
-   instead (all-pairs within the block, which is tiny for any real
-   corpus of documents; ``max_short_block`` guards pathological
-   inputs).
+   (all-pairs within the block, which is tiny for any real corpus of
+   documents; ``max_short_block`` guards pathological inputs) AND
+   additionally index all their grams — fewer than ``q·d+1`` each —
+   so short↔long pairs straddling the floor still meet (the long
+   side keeps ≥ 1 gram window intact under ``d`` edits, and at most
+   ``d·q`` of its ``d·q+1`` prefix grams can miss the short side).
 2. **Length prefilter** — ``|len(a)−len(b)| ≤ max_dist`` rides the
    index join (lengths are carried through the exploded index), so
    impossible pairs never reach verification.
@@ -133,9 +136,8 @@ def edit_near_dups(
     # strings below the pigeonhole floor share one synthetic block
     # (guarded: a corpus made entirely of tweets would go quadratic
     # here — cap and let the caller shrink q or raise the guard)
-    short = docs.filter(F.col("__len") < min_long).select(
-        "id", "__len", F.lit(_SHORT).alias("gram")
-    )
+    short_docs = docs.filter(F.col("__len") < min_long)
+    short = short_docs.select("id", "__len", F.lit(_SHORT).alias("gram"))
     n_short = short.limit(max_short_block + 1).count()
     if n_short > max_short_block:
         raise ValueError(
@@ -143,7 +145,24 @@ def edit_near_dups(
             "max_short_block=%d: lower q/max_dist or raise the cap"
             % (n_short, min_long, max_short_block)
         )
-    inv = long_inv.unionByName(short)
+    # a SHORT string can still pair with a LONG one (lengths within
+    # max_dist straddling the floor), and the sentinel block never
+    # meets the gram index — so short strings ALSO index ALL their
+    # grams (< q·d+1 each, i.e. within the same prefix budget).
+    # Pigeonhole closes the pair: the long side (len ≥ q·(d+1), so
+    # ≥ q·d+1 gram windows) keeps ≥ 1 window intact under d edits,
+    # hence shares ≥ 1 gram with the short side; and among the long
+    # side's d·q+1 indexed prefix grams at most d·q can be absent
+    # from the short side's full set, so they meet in the index.
+    # Strings shorter than q have no grams at all, but can never be
+    # within max_dist of a long string (length gap > d), so the
+    # sentinel block alone is complete for them.
+    short_grams = short_docs.filter(F.col("__len") >= q).select(
+        "id", "__len", F.explode(grams).alias("gram")
+    )
+    if max_doc_freq is not None:
+        short_grams = short_grams.join(hot, "gram", "left_anti")
+    inv = long_inv.unionByName(short).unionByName(short_grams)
 
     a, b = inv.alias("a"), inv.alias("b")
     cand = (

@@ -135,3 +135,15 @@ def test_prefix_filter_recall_hypothesis(spark):
         release_cached()
 
     run()
+
+
+def test_short_long_boundary_pair(spark):
+    """Regression (hypothesis counterexample): a short string (len <
+    q*(d+1), sentinel block) within max_dist of a LONG string (gram
+    index) must still be found — short strings also index their grams.
+    """
+    rows = [(0, "  "), (1, "  aa"), (2, " a aaa")]
+    df = spark.createDataFrame(rows, "id int, s string")
+    got = sorted(rows_as_tuples(edit_near_dups(df, "id", "s", max_dist=2, q=2)))
+    assert got == _oracle(rows, 2) == [(0, 1, 2), (1, 2, 2)]
+    release_cached()
