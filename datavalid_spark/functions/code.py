@@ -120,6 +120,93 @@ def comment_line_ratio_micro(
     return let_once(_lines(col), build)
 
 
+#: credential patterns a code corpus must be scrubbed of before
+#: training.  Dialect-safe by construction (same RE2 ⊆ Java-regex
+#: discipline as `text.PII_*`): no backrefs, no lookaround, `\b` and
+#: inline `(?i)` only — so a DuckDB/RE2 oracle reproduces the Java
+#: regex byte-for-byte.  Ordered: scrub applies them in this order.
+SECRET_PATTERNS = {
+    # AWS access key id: fixed AKIA prefix + 16 uppercase alnum
+    "aws_key": r"\bAKIA[0-9A-Z]{16}\b",
+    # GitHub personal access token (classic): ghp_ + 36 alnum
+    "github_token": r"\bghp_[A-Za-z0-9]{36}\b",
+    # PEM private-key header (RSA/EC/OPENSSH/none qualifiers)
+    "private_key": r"-----BEGIN [A-Z ]{0,24}PRIVATE KEY-----",
+    # hardcoded password assignment with a quoted literal value
+    "password_assign": r"(?i)password\s*=\s*['\"][^'\"\n]{4,64}['\"]",
+}
+
+
+def secret_counts(col: Column | str) -> Column:
+    """struct of per-class occurrence counts (JVM ``regexp_count``),
+    one field ``n_<class>`` per `SECRET_PATTERNS` entry — the audit
+    companion to `scrub_secrets`, same shape as `text.pii_counts`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.struct(
+        *[
+            F.regexp_count(c, F.lit(pat)).alias(f"n_{name}")
+            for name, pat in SECRET_PATTERNS.items()
+        ]
+    )
+
+
+def has_secret(col: Column | str) -> Column:
+    """True iff any `SECRET_PATTERNS` class matches — the cheap
+    pre-filter: four ``rlike`` scans, short-circuiting OR, no counting
+    and no struct, so the common (clean) row exits on the first
+    scan-fused pass."""
+    c = F.col(col) if isinstance(col, str) else col
+    cond = None
+    for pat in SECRET_PATTERNS.values():
+        hit = c.rlike(pat)
+        cond = hit if cond is None else cond | hit
+    return cond
+
+
+def scrub_secrets(col: Column | str, token: str = "<SECRET:{name}>") -> Column:
+    """Redact every `SECRET_PATTERNS` match — ``regexp_replace`` chain
+    in pattern order, pure JVM, zero Python in the data path.  The
+    replacement embeds the class name so downstream filters can count
+    redactions without re-scanning."""
+    c = F.col(col) if isinstance(col, str) else col
+    for name, pat in SECRET_PATTERNS.items():
+        c = F.regexp_replace(c, pat, token.format(name=name))
+    return c
+
+
+#: license-identifying phrases, checked case-insensitively and in this
+#: precedence order (first hit wins).  Substrings, not regexes: the
+#: detector is a chain of ``contains`` over one lowercased pass, and a
+#: SQL oracle mirrors it with CASE WHEN contains(lower(content), …).
+LICENSE_PHRASES = [
+    ("apache-2.0", "apache license, version 2.0"),
+    ("gpl", "gnu general public license"),
+    ("mpl-2.0", "mozilla public license"),
+    ("bsd-3-clause", "redistribution and use in source and binary forms"),
+    ("mit", "permission is hereby granted, free of charge"),
+]
+
+
+def detect_license(col: Column | str) -> Column:
+    """SPDX-ish license label from header phrases (`LICENSE_PHRASES`),
+    NULL when none match.  One ``lower`` then a when-chain of literal
+    ``contains`` — no regex engine at all, scan-fused and codegen'd."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def build(low: Column) -> Column:
+        out = None
+        for label, phrase in LICENSE_PHRASES:
+            hit = low.contains(phrase)
+            out = (
+                F.when(hit, F.lit(label))
+                if out is None
+                else out.when(hit, F.lit(label))
+            )
+        return out
+
+    return let_once(F.lower(c), build)
+
+
 def code_metrics(col: Column | str, lang_col: Column | str) -> list[Column]:
     """The standard projection: ``line_metrics`` fields flattened plus
     the comment ratio — append with ``df.select("*", *code_metrics(

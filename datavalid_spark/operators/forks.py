@@ -1,0 +1,105 @@
+"""Fork / near-copy repository detection over file-content hashes.
+
+The code-corpus dedup problem one level above documents: two repos that
+share most of their FILES (forks, vendored copies, mirrored releases)
+should be collapsed before training even when no single file pair says
+so.  Per-repo file sets are compared by EXACT Jaccard over content
+hashes — no sketching, so a SQL oracle reproduces every row.
+
+Reference scope note: pckhoi/datavalid validates single files
+independently (``file.py:117-142``) and has no cross-file or cross-repo
+operator; this is engine-added surface for the north-rule corpus
+(``repo, path, commit, lang, content``).
+
+Scale shape (the inverted-index discipline of
+``dedup.ngram_jaccard_pairs``, minus its weaknesses):
+
+- one ``distinct`` on (repo, hash) — the only full-data shuffle;
+- a **document-frequency cap on hashes** (``max_repos_per_hash``)
+  drops ubiquitous files (empty ``__init__.py``, license boilerplate,
+  generated lockfiles) BEFORE the self-join, killing the quadratic
+  hot-key blowup: a hash in R repos contributes R·(R-1)/2 pair rows,
+  so the cap bounds per-hash fan-out at C²/2;
+- the pair self-join keys on the hash — co-partitioned by the
+  upstream distinct's exchange, and AQE handles residual skew;
+- per-repo sizes join WITHOUT a forced broadcast (repo cardinality is
+  unbounded at 10^12-file scale; AQE broadcasts when it fits).
+
+Exactness discipline: Jaccard is emitted as ``jaccard_micro`` =
+``(1_000_000 · |A∩B|) div |A∪B|`` — pure BIGINT arithmetic, no IEEE
+division, so Spark ``div`` ≡ DuckDB ``//`` row-for-row.  Sizes are
+over the FULL file sets (the cap prunes pair *evidence*, not the
+denominator): a pair must share enough non-ubiquitous files to clear
+the threshold, which is the semantics a fork detector wants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: default document-frequency cap: a hash present in more repos than
+#: this is boilerplate, not fork evidence
+MAX_REPOS_PER_HASH = 64
+
+
+def repo_pair_similarity(
+    files: DataFrame,
+    repo_col: str = "repo",
+    hash_col: str = "content_hash",
+    min_jaccard_micro: int = 500_000,
+    max_repos_per_hash: int = MAX_REPOS_PER_HASH,
+) -> DataFrame:
+    """All repo pairs with file-set Jaccard ≥ ``min_jaccard_micro``/1e6.
+
+    Input: one row per file version with its repo and content hash
+    (any exact hash — ``md5``/``sha2``; duplicate rows are fine, the
+    first ``distinct`` absorbs them).  Output columns: ``repo_a``,
+    ``repo_b`` (a < b), ``n_common``, ``n_a``, ``n_b``,
+    ``jaccard_micro``.
+    """
+    pf = (
+        files.select(
+            F.col(repo_col).alias("repo"), F.col(hash_col).alias("h")
+        )
+        .where(F.col("repo").isNotNull() & F.col("h").isNotNull())
+        .distinct()
+    )
+
+    sizes = pf.groupBy("repo").agg(F.count("*").alias("n"))
+
+    # df-cap: hashes shared too widely are boilerplate — prune them
+    # from pair evidence before the quadratic step
+    kept = (
+        pf.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= max_repos_per_hash)
+        .select("h")
+    )
+    evidence = pf.join(kept, "h")
+
+    a = evidence.select(F.col("h"), F.col("repo").alias("repo_a"))
+    b = evidence.select(F.col("h"), F.col("repo").alias("repo_b"))
+    inter = (
+        a.join(b, "h")
+        .where(F.col("repo_a") < F.col("repo_b"))
+        .groupBy("repo_a", "repo_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+
+    sa = sizes.select(F.col("repo").alias("repo_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("repo").alias("repo_b"), F.col("n").alias("n_b"))
+    out = (
+        inter.join(sa, "repo_a")
+        .join(sb, "repo_b")
+        .withColumn(
+            "jaccard_micro",
+            F.expr(
+                "(1000000 * n_common) div (n_a + n_b - n_common)"
+            ).cast("long"),
+        )
+        .where(F.col("jaccard_micro") >= F.lit(int(min_jaccard_micro)))
+    )
+    return out.select(
+        "repo_a", "repo_b", "n_common", "n_a", "n_b", "jaccard_micro"
+    )

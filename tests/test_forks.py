@@ -1,0 +1,86 @@
+"""Fork detection (operators/forks.py): exact Jaccard over per-repo
+file-hash sets — python-set oracle parity, the boilerplate df-cap,
+and the no-forced-broadcast scale contract."""
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from conftest import rows_as_tuples
+from datavalid_spark.operators.forks import repo_pair_similarity
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "repo string, content_hash string")
+
+
+def _oracle(rows, min_j_micro, cap):
+    sets: dict = {}
+    for r, h in rows:
+        if r is None or h is None:
+            continue
+        sets.setdefault(r, set()).add(h)
+    df_count: dict = {}
+    for r, hs in sets.items():
+        for h in hs:
+            df_count[h] = df_count.get(h, 0) + 1
+    out = []
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = {h for h in sets[a] & sets[b] if df_count[h] <= cap}
+        if not inter:
+            continue
+        union = len(sets[a]) + len(sets[b]) - len(inter)
+        jm = (1_000_000 * len(inter)) // union
+        if jm >= min_j_micro:
+            out.append((a, b, len(inter), len(sets[a]), len(sets[b]), jm))
+    return sorted(out)
+
+
+def test_exact_fork_pair(spark):
+    rows = (
+        [("r1", f"h{i}") for i in range(10)]
+        + [("r2", f"h{i}") for i in range(8)]  # 8/10 shared
+        + [("r3", "zz1"), ("r3", "zz2")]       # disjoint
+        + [("r1", "h0")]                        # duplicate row absorbed
+    )
+    out = rows_as_tuples(repo_pair_similarity(_mk(spark, rows),
+                                              min_jaccard_micro=500_000))
+    assert out == _oracle(rows, 500_000, 64)
+    ((a, b, inter, na, nb, jm),) = out
+    assert (a, b, inter, na, nb) == ("r1", "r2", 8, 10, 8)
+    assert jm == (1_000_000 * 8) // 10
+
+
+def test_boilerplate_cap_prunes_evidence_not_sizes(spark):
+    # 5 repos all share LICENSE; r1/r2 additionally share a real file
+    rows = [(f"r{i}", "LIC") for i in range(5)]
+    rows += [("r1", "a"), ("r1", "b"), ("r2", "a"), ("r2", "c")]
+    got = rows_as_tuples(
+        repo_pair_similarity(_mk(spark, rows), min_jaccard_micro=1,
+                             max_repos_per_hash=3)
+    )
+    # LICENSE (df=5 > 3) is not evidence, but still counts in sizes
+    assert got == _oracle(rows, 1, 3)
+    ((a, b, inter, na, nb, jm),) = got
+    assert (a, b, inter, na, nb) == ("r1", "r2", 1, 3, 3)
+    assert jm == 1_000_000 // 5
+
+
+def test_nulls_and_threshold(spark):
+    rows = [("r1", "x"), ("r2", "x"), ("r2", "y"), (None, "x"), ("r3", None)]
+    df = _mk(spark, rows)
+    # jaccard = 1/2 → micro 500000: inclusive threshold keeps it
+    assert rows_as_tuples(repo_pair_similarity(df, min_jaccard_micro=500_000)) \
+        == [("r1", "r2", 1, 1, 2, 500_000)]
+    assert repo_pair_similarity(df, min_jaccard_micro=500_001).count() == 0
+
+
+def test_no_forced_broadcast_in_plan(spark):
+    rows = [("r1", "a"), ("r2", "a")]
+    plan = (
+        repo_pair_similarity(_mk(spark, rows))
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # repo cardinality is unbounded at scale: the sizes joins must not
+    # carry a static broadcast hint (AQE decides at runtime)
+    assert "ResolvedHint" not in plan and "broadcast" not in plan.lower()
