@@ -286,7 +286,67 @@ class MatchRegexFieldChecker(FieldChecker):
         return "<li>Match regexp: <code>%s</code></li>" % self.pattern
 
 
-#: config key → checker class (reference column_schema.py:12-21)
+@dataclass(frozen=True)
+class NoSecretsFieldChecker(FieldChecker):
+    """Engine-added compliance check (no reference analog): non-NULL
+    values containing any ``functions.code.SECRET_PATTERNS`` credential
+    (AWS key, GitHub token, PEM private-key header, hardcoded password
+    literal) are bad.  Pure JVM ``rlike`` chain via ``has_secret`` —
+    the common clean row exits on one scan-fused pass."""
+
+    key = "no_secrets"
+
+    def bad_expr(self, df: DataFrame, column: str) -> Column:
+        from datavalid_spark.functions.code import has_secret
+
+        col = F.col(column)
+        return col.isNotNull() & has_secret(col.cast("string"))
+
+    def to_markdown(self) -> str:
+        return "- No secrets (credential scan)"
+
+
+@dataclass(frozen=True)
+class LicenseInFieldChecker(FieldChecker):
+    """Engine-added compliance check: content whose detected license
+    (``functions.code.detect_license``) is outside the allowed label
+    set is bad; undetected content reads as ``none``, so an allowlist
+    without ``none`` also rejects unlicensed files.  NULL content is
+    never bad (pair with ``no_na`` to forbid it)."""
+
+    allowed: tuple[str, ...] = field(default=())
+
+    key = "license_in"
+
+    def __init__(self, *allowed: str) -> None:
+        from datavalid_spark.functions.code import LICENSE_PHRASES
+
+        known = {label for label, _ in LICENSE_PHRASES} | {"none"}
+        if not allowed or not all(isinstance(a, str) for a in allowed):
+            raise BadFieldConfigError("must be a list of license labels")
+        bad = sorted(set(allowed) - known)
+        if bad:
+            raise BadFieldConfigError(
+                "unknown license label(s) %s (choose from %s)"
+                % (", ".join(bad), ", ".join(sorted(known)))
+            )
+        object.__setattr__(self, "allowed", tuple(allowed))
+
+    def bad_expr(self, df: DataFrame, column: str) -> Column:
+        from datavalid_spark.functions.code import detect_license
+
+        col = F.col(column)
+        lic = F.coalesce(detect_license(col.cast("string")), F.lit("none"))
+        return col.isNotNull() & ~lic.isin(*self.allowed)
+
+    def to_markdown(self) -> str:
+        return "\n".join(
+            ["- License in:"] + ["  - " + a for a in self.allowed]
+        )
+
+
+#: config key → checker class (reference column_schema.py:12-21;
+#: no_secrets / license_in are engine-added compliance keys)
 FIELD_CHECKERS: dict[str, type] = {
     "unique": UniqueFieldChecker,
     "no_na": NoNAFieldChecker,
@@ -296,6 +356,8 @@ FIELD_CHECKERS: dict[str, type] = {
     "range": RangeFieldChecker,
     "title_case": TitleCaseFieldChecker,
     "match_regex": MatchRegexFieldChecker,
+    "no_secrets": NoSecretsFieldChecker,
+    "license_in": LicenseInFieldChecker,
 }
 
 

@@ -255,6 +255,7 @@ class FileSpec:
         schema: Schema,
         save_bad_rows_to: Optional[str] = None,
         no_spinner: bool = False,
+        multiline: bool = True,
         **kwargs,
     ) -> None:
         self.datadir = datadir
@@ -263,6 +264,10 @@ class FileSpec:
         self.schema = schema
         self.save_bad_rows_to = save_bad_rows_to
         self.no_spinner = no_spinner
+        #: pandas-parity CSV parsing (quoted fields may span lines,
+        #: RFC 4180 "" escapes).  ``multiline: false`` opts a file out
+        #: so a huge single CSV stays line-splittable across tasks.
+        self.multiline = multiline
 
 
 class ReconcileSpec:

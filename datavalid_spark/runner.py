@@ -93,7 +93,18 @@ def open_source(spec: FileSpec, spark: SparkSession):
         # spark-avro is an external module; without its jar Spark raises
         # a self-explanatory AnalysisException naming the deployment doc
         return spark.read.format("avro").load(path), None, None
-    return spark.read.csv(path, header=True, inferSchema=True), None, None
+    # pandas read_csv parity (the reference's loader, file.py:121):
+    # quoted fields may span lines (multiLine) and embed doubled
+    # quotes (RFC 4180 escape '"', where Spark's default is
+    # backslash).  Without these, a multiline field silently SPLITS
+    # into garbage rows — the worst failure mode for a validator.
+    # Cost: a multiLine file is read by one task; `multiline: false`
+    # in the file spec restores line-splittable parallel scans for
+    # huge single CSVs that are known newline-free.
+    reader = spark.read.options(header=True, inferSchema=True, escape='"')
+    if getattr(spec, "multiline", True):
+        reader = reader.option("multiLine", True)
+    return reader.csv(path), None, None
 
 
 def load_file(spec: FileSpec, spark: SparkSession) -> DataFrame:
