@@ -1788,6 +1788,34 @@ def q_fork_detect(spark, sf_dir):
     )
 
 
+def q_dep_topk(spark, sf_dir):
+    """Dependency popularity (functions/code.extract_imports): planted
+    python-style import headers — every doc imports pkg<id%13> and
+    from-imports lib<id%7> — extracted in one regexp pass, exploded,
+    counted per root package, top-20 under the deterministic total
+    order (n desc, package asc) so Spark's TakeOrderedAndProject and
+    the oracle's ORDER BY/LIMIT pick the identical set."""
+    from datavalid_spark.functions.code import extract_imports
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.lit("import pkg"),
+        (did % 13).cast("string"),
+        F.lit("\nfrom lib"),
+        (did % 7).cast("string"),
+        F.lit(" import thing\n"),
+        F.col("text"),
+    )
+    return (
+        docs.select(F.explode(extract_imports(aug)).alias("package"))
+        .groupBy("package")
+        .agg(F.count(F.lit(1)).alias("n_files"))
+        .orderBy(F.col("n_files").desc(), F.col("package").asc())
+        .limit(20)
+    )
+
+
 def q_psi(spark, sf_dir):
     # exact categorical PSI between the even-key half (baseline) and a
     # deterministically distorted odd-key half (a third of URGENT rows
@@ -1977,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secret_scan": q_secret_scan,
         "license_detect": q_license_detect,
         "fork_detect": q_fork_detect,
+        "dep_topk": q_dep_topk,
         "psi_priority": q_psi,
         "drift_two_sample": q_drift_two_sample,
         "multimodal_validate": q_multimodal_validate,
@@ -3388,6 +3417,20 @@ FROM inter i
 JOIN sizes sa ON sa.repo = i.repo_a
 JOIN sizes sb ON sb.repo = i.repo_b
 WHERE (1000000 * i.n_common) // (sa.n + sb.n - i.n_common) >= 100000
+""",
+        "dep_topk": r"""
+SELECT package, COUNT(*) AS n_files
+FROM (
+  SELECT unnest(regexp_extract_all(
+    'import pkg' || CAST(doc_id % 13 AS VARCHAR) || chr(10)
+      || 'from lib' || CAST(doc_id % 7 AS VARCHAR) || ' import thing'
+      || chr(10) || text,
+    '(?m)^[ \t]*(?:import|from)[ \t]+([A-Za-z_][A-Za-z0-9_]*)', 1))
+    AS package
+  FROM documents)
+GROUP BY 1
+ORDER BY n_files DESC, package ASC
+LIMIT 20
 """,
         "psi_priority": """
 WITH b AS (SELECT o_orderpriority AS v FROM orders WHERE o_orderkey % 2 = 0),

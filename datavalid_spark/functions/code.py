@@ -174,6 +174,21 @@ def scrub_secrets(col: Column | str, token: str = "<SECRET:{name}>") -> Column:
     return c
 
 
+#: python-ish import statements: ``import x[.y]`` / ``from x import``
+#: at line start (modulo indentation).  Group 1 captures the ROOT
+#: package.  RE2-safe: ``(?m)`` + character classes only.
+IMPORT_RE = r"(?m)^[ \t]*(?:import|from)[ \t]+([A-Za-z_][A-Za-z0-9_]*)"
+
+
+def extract_imports(col: Column | str) -> Column:
+    """array of root packages imported by the file (python-style
+    statements; duplicates kept — callers dedup or count as needed).
+    One JVM ``regexp_extract_all`` pass; the dependency-popularity
+    input for corpus-level package stats."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(IMPORT_RE), 1)
+
+
 #: license-identifying phrases, checked case-insensitively and in this
 #: precedence order (first hit wins).  Substrings, not regexes: the
 #: detector is a chain of ``contains`` over one lowercased pass, and a

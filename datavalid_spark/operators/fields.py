@@ -345,8 +345,46 @@ class LicenseInFieldChecker(FieldChecker):
         )
 
 
+@dataclass(frozen=True)
+class DtypeFieldChecker(FieldChecker):
+    """Engine-added METADATA-ONLY assertion: the column's declared
+    Spark type must equal the expected ``simpleString`` (``bigint``,
+    ``string``, ``decimal(12,2)``, …).  Runs zero jobs — the verdict
+    comes from ``df.schema`` alone, so it costs the same on a
+    10^12-row table as on ten rows; pair with ``integer``/``float``
+    (which SCAN string columns for castability) when the physical
+    bytes, not the declared type, are in question.  On mismatch the
+    report's single offending value is the actual type name."""
+
+    expected: str = ""
+
+    key = "dtype"
+
+    def __init__(self, expected: str) -> None:
+        if not isinstance(expected, str) or not expected.strip():
+            raise BadFieldConfigError("expected dtype must be a string")
+        object.__setattr__(self, "expected", expected.strip().lower())
+
+    def bad_expr(self, df: DataFrame, column: str) -> Column:  # pragma: no cover
+        raise TypeError("dtype is not pointwise; use violations()")
+
+    def violations(self, df: DataFrame, column: str) -> DataFrame:
+        actual = _dtype(df, column).simpleString()
+        spark = df.sparkSession
+        if actual == self.expected:
+            return spark.createDataFrame(
+                [], T.StructType([T.StructField(column, T.StringType())])
+            )
+        return spark.createDataFrame(
+            [(actual,)], T.StructType([T.StructField(column, T.StringType())])
+        )
+
+    def to_markdown(self) -> str:
+        return "- Dtype: `%s`" % self.expected
+
+
 #: config key → checker class (reference column_schema.py:12-21;
-#: no_secrets / license_in are engine-added compliance keys)
+#: no_secrets / license_in / dtype are engine-added keys)
 FIELD_CHECKERS: dict[str, type] = {
     "unique": UniqueFieldChecker,
     "no_na": NoNAFieldChecker,
@@ -358,6 +396,7 @@ FIELD_CHECKERS: dict[str, type] = {
     "match_regex": MatchRegexFieldChecker,
     "no_secrets": NoSecretsFieldChecker,
     "license_in": LicenseInFieldChecker,
+    "dtype": DtypeFieldChecker,
 }
 
 

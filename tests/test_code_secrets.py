@@ -115,3 +115,20 @@ def test_no_python_in_plan(spark):
     )
     plan = out._jdf.queryExecution().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_extract_imports(spark):
+    from datavalid_spark.functions.code import extract_imports
+
+    rows = [
+        (0, "import os\nfrom pathlib import Path\n  import numpy as np\n"
+            "x = 'import fake'\nimportant = 1\nfrom a.b import c"),
+        (1, "no imports here"),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, content string")
+    got = dict(rows_as_tuples(df.select("id", extract_imports("content"))))
+    # mid-line and 'important' don't match; from a.b captures root 'a'
+    assert got[0] == ["os", "pathlib", "numpy", "a"]
+    assert got[1] == []
+    assert got[2] is None

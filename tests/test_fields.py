@@ -178,3 +178,16 @@ def test_license_in(spark):
         build_field_checker("license_in", ["mit", "wtfpl"])
     with pytest.raises(BadFieldConfigError):
         build_field_checker("license_in", True)
+
+
+def test_dtype_metadata_only(spark):
+    c = build_field_checker("dtype", "bigint")
+    good = col_df(spark, [1, 2], T.LongType())
+    assert bad_list(c, good) == []
+    bad = col_df(spark, ["1"], T.StringType())
+    # single offending value = the actual type name; NO scan of df
+    assert bad_list(c, bad) == ["string"]
+    assert bad_list(build_field_checker("dtype", "decimal(12,2)"),
+                    col_df(spark, [], T.DecimalType(12, 2))) == []
+    with pytest.raises(BadFieldConfigError):
+        build_field_checker("dtype", "  ")
