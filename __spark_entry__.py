@@ -3156,6 +3156,12 @@ SELECT * FROM (
 SELECT 'o_orderkey' AS "column", 'no_na' AS "check",
        NULL::VARCHAR AS detail, NULL::DOUBLE AS lo, NULL::DOUBLE AS hi
   FROM s WHERE m1 = n
+UNION ALL SELECT 'o_orderkey', 'dtype', 'bigint', NULL, NULL FROM s
+UNION ALL SELECT 'o_custkey', 'dtype', 'bigint', NULL, NULL FROM s
+UNION ALL SELECT 'o_orderstatus', 'dtype', 'string', NULL, NULL FROM s
+UNION ALL SELECT 'o_totalprice', 'dtype', 'double', NULL, NULL FROM s
+UNION ALL SELECT 'o_orderdate', 'dtype', 'timestamp_ntz', NULL, NULL FROM s
+UNION ALL SELECT 'o_orderpriority', 'dtype', 'string', NULL, NULL FROM s
 UNION ALL SELECT 'o_orderkey', 'unique', NULL, NULL, NULL FROM s
   WHERE m1 = n AND d1 = n AND n > 0
 UNION ALL SELECT 'o_orderkey', 'range', NULL, lo1, hi1 FROM s

@@ -40,6 +40,11 @@ Suggestion rules (per column, non-NULL rows = ``m``):
                     lo/hi are the observed min/max (rounded to 6dp for
                     floats — the YAML emitter widens floats outward so
                     the observed rows always satisfy the bound).
+- ``dtype``       — every column, unconditionally: the declared Spark
+                    type (``simpleString``) anchors the schema against
+                    silent type drift in later loads.  Metadata-only
+                    evidence (no rows involved); ``include_dtype=False``
+                    drops these rows.
 
 A typed date/timestamp column needs no ``valid_date`` suggestion — the
 reference's valid_date task models STRING y/m/d triples, and a typed
@@ -73,6 +78,7 @@ def suggest_constraints(
     options_max: int = 10,
     exact_distinct: bool = True,
     columns: Optional[list[str]] = None,
+    include_dtype: bool = True,
 ) -> DataFrame:
     """One row per suggested check: ``(column, check, detail, lo, hi)``.
 
@@ -126,6 +132,8 @@ def suggest_constraints(
     for c in cols:
         dt = fields[c]
         m, d = stats[f"m_{c}"], stats[f"d_{c}"]
+        if include_dtype:
+            out.append((c, "dtype", dt.simpleString(), None, None))
         if m == n:
             out.append((c, "no_na", None, None, None))
         if m == n and d == n and n > 0:
@@ -165,7 +173,9 @@ def suggestions_to_config(
     for r in suggestions.collect():
         chk = r["check"]
         spec = by_col.setdefault(r["column"], {"name": r["column"]})
-        if chk == "options":
+        if chk == "dtype":
+            spec["dtype"] = r["detail"]
+        elif chk == "options":
             spec["options"] = r["detail"].split("|")
         elif chk == "range":
             lo, hi = r["lo"], r["hi"]

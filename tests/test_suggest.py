@@ -35,10 +35,21 @@ def df(spark):
     )
 
 
+DTYPE_ROWS = [
+    ("id", "dtype", "int", None, None),
+    ("status", "dtype", "string", None, None),
+    ("code", "dtype", "string", None, None),
+    ("score", "dtype", "double", None, None),
+    ("nanval", "dtype", "double", None, None),
+    ("blank", "dtype", "string", None, None),
+]
+
+
 def test_rules(spark, df):
     got = rows_as_tuples(suggest_constraints(df, options_max=4))
     assert got == sorted(
-        [
+        DTYPE_ROWS
+        + [
             ("id", "no_na", None, None, None),
             ("id", "unique", None, None, None),
             ("id", "range", None, 1.0, 3.0),
@@ -73,6 +84,7 @@ def test_config_shape(spark, df):
     cfg = suggestions_to_config(suggest_constraints(df), "data.parquet")
     assert set(cfg) == {"files", "schemas"}
     cols = {c["name"]: c for c in cfg["schemas"]["suggested"]["columns"]}
+    assert cols["id"]["dtype"] == "int" and cols["blank"]["dtype"] == "string"
     assert cols["id"]["unique"] is True and cols["id"]["range"] == [1, 3]
     assert cols["status"]["options"] == ["bad", "ok"]
     assert cols["code"]["integer"] is True
@@ -123,6 +135,10 @@ def test_cli_suggest_roundtrip(spark, tmp_path):
 
 def test_empty_frame(spark):
     df = spark.createDataFrame([], "a int, b string")
-    got = rows_as_tuples(suggest_constraints(df))
+    got = rows_as_tuples(suggest_constraints(df, include_dtype=False))
     # n == 0: no_na vacuously holds (m == n == 0); nothing else fires
     assert got == [("a", "no_na", None, None, None), ("b", "no_na", None, None, None)]
+    # dtype rows are metadata-derived, so they appear even on 0 rows
+    with_dt = rows_as_tuples(suggest_constraints(df))
+    assert ("a", "dtype", "int", None, None) in with_dt
+    assert ("b", "dtype", "string", None, None) in with_dt
