@@ -99,6 +99,11 @@ HEADLINE_QUERIES = [
     # broadcast back)
     "lm_perplexity",
     "monotonic_value",
+    # session-13 additions: code-corpus compliance (regex scan
+    # throughput is the metric for secret scrubbing) and repo-level
+    # fork detection (df-capped inverted hash index)
+    "secret_scan",
+    "fork_detect",
 ]
 
 

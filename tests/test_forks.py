@@ -84,3 +84,38 @@ def test_no_forced_broadcast_in_plan(spark):
     # repo cardinality is unbounded at scale: the sizes joins must not
     # carry a static broadcast hint (AQE decides at runtime)
     assert "ResolvedHint" not in plan and "broadcast" not in plan.lower()
+
+
+def test_random_corpora_hypothesis(spark):
+    """Property: repo_pair_similarity == the python set oracle on
+    random small corpora, across thresholds and caps (exactness claim
+    incl. the df-cap evidence/denominator split)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    rows_st = st.lists(
+        st.tuples(
+            st.sampled_from(["r1", "r2", "r3", "r4"]),
+            st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+
+    @given(rows=rows_st, jm=st.sampled_from([1, 250_000, 600_000]),
+           cap=st.sampled_from([1, 2, 64]))
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def run(rows, jm, cap):
+        df = spark.createDataFrame(
+            rows, "repo string, content_hash string"
+        ) if rows else spark.createDataFrame(
+            [], "repo string, content_hash string"
+        )
+        got = rows_as_tuples(
+            repo_pair_similarity(df, min_jaccard_micro=jm,
+                                 max_repos_per_hash=cap)
+        )
+        assert got == _oracle(rows, jm, cap)
+
+    run()
