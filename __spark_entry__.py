@@ -1816,6 +1816,28 @@ def q_dep_topk(spark, sf_dir):
     )
 
 
+def q_oov_rate(spark, sf_dir):
+    """Tokenizer-coverage audit (operators/vocab.vocab_coverage): the
+    vocabulary is every distinct token of the EVEN docs (the 'train
+    split'); the ODD docs report exact per-doc OOV counts against it.
+    Every 97th odd doc is blanked to whitespace so the explode_outer
+    zero-token path (n_tokens=0, NULL ratio) is exercised under the
+    oracle, not just unit-tested."""
+    from datavalid_spark.operators.vocab import vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    text = F.when(did % 97 == 0, F.lit(" ")).otherwise(F.col("text"))
+    even = docs.filter(did % 2 == 0).select(text.alias("text"))
+    from datavalid_spark.functions.text import nonempty_tokens
+
+    vocab = even.select(
+        F.explode(nonempty_tokens("text")).alias("token")
+    ).distinct()
+    odd = docs.filter(did % 2 == 1).select("doc_id", text.alias("text"))
+    return vocab_coverage(odd, "doc_id", "text", vocab)
+
+
 def q_psi(spark, sf_dir):
     # exact categorical PSI between the even-key half (baseline) and a
     # deterministically distorted odd-key half (a third of URGENT rows
@@ -2006,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "license_detect": q_license_detect,
         "fork_detect": q_fork_detect,
         "dep_topk": q_dep_topk,
+        "oov_rate": q_oov_rate,
         "psi_priority": q_psi,
         "drift_two_sample": q_drift_two_sample,
         "multimodal_validate": q_multimodal_validate,
@@ -3437,6 +3460,31 @@ FROM (
 GROUP BY 1
 ORDER BY n_files DESC, package ASC
 LIMIT 20
+""",
+        "oov_rate": r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 0 THEN ' ' ELSE text END AS text
+  FROM documents),
+vocab AS (
+  SELECT DISTINCT unnest(list_filter(
+    string_split_regex(lower(trim(text)), '\s+'), w -> w != '')) AS w
+  FROM d WHERE doc_id % 2 = 0),
+tok AS (
+  SELECT doc_id, unnest(list_filter(
+    string_split_regex(lower(trim(text)), '\s+'), w -> w != '')) AS w
+  FROM d WHERE doc_id % 2 = 1),
+agg AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+  FROM tok t LEFT JOIN vocab v ON t.w = v.w GROUP BY 1)
+SELECT d.doc_id,
+  COALESCE(a.n_tokens, 0)::BIGINT AS n_tokens,
+  COALESCE(a.n_oov, 0)::BIGINT AS n_oov,
+  CASE WHEN COALESCE(a.n_tokens, 0) > 0
+       THEN (1000000 * a.n_oov) // a.n_tokens END AS oov_ratio_micro
+FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
+WHERE d.doc_id % 2 = 1
 """,
         "psi_priority": """
 WITH b AS (SELECT o_orderpriority AS v FROM orders WHERE o_orderkey % 2 = 0),

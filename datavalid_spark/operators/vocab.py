@@ -1,0 +1,81 @@
+"""Vocabulary coverage / out-of-vocabulary (OOV) audit.
+
+The tokenizer-coverage gate of a training-data pipeline: before
+committing a corpus to a fixed vocabulary (or judging a new data
+source against the tokens the model was trained on), measure how much
+of it the vocabulary actually covers.  A source with a high OOV rate
+is either a new language/domain or garbage — either way, a number the
+mixture designer needs per source, not per anecdote.
+
+Reference scope note: pckhoi/datavalid has no text operators at all;
+this extends the engine's LLM-pipeline family (SURVEY.md §2.6).
+
+Scale shape:
+
+- the corpus EXPLODES to one row per token (``explode_outer`` so
+  zero-token documents keep a row and report 0/0 instead of silently
+  vanishing);
+- the vocabulary is deduplicated and shipped via ``gated_broadcast``
+  — a real tokenizer vocab is 32k–256k terms, far under the gate, so
+  the probe is a map-side hash lookup and the corpus is NEVER
+  shuffled by the join;
+- one ``groupBy(id)`` aggregation follows; partial aggregation
+  collapses each partition to one row per document before the
+  shuffle, so the exchange carries O(documents), not O(tokens).
+
+Exactness discipline: ``oov_ratio_micro = (1_000_000 · n_oov) div
+n_tokens`` — BIGINT arithmetic (Spark ``div`` ≡ DuckDB ``//``),
+NULL for zero-token documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datavalid_spark.cache import gated_broadcast
+from datavalid_spark.functions.text import nonempty_tokens
+
+
+def vocab_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    token_col: str = "token",
+    broadcast_key_limit: int = 1_000_000,
+) -> DataFrame:
+    """Per-document OOV stats against a vocabulary table.
+
+    Output: ``(id_col, n_tokens, n_oov, oov_ratio_micro)`` — exact
+    counts over the engine's whitespace tokens (``text.tokens``:
+    lowercased, trimmed).  ``vocab`` is one term per row in
+    ``token_col``; terms are matched verbatim against lowercased
+    tokens, so supply a lowercased vocabulary.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(nonempty_tokens(text_col)).alias("__w"),
+    )
+    v = gated_broadcast(
+        vocab.select(F.col(token_col).alias("__w"))
+        .where(F.col("__w").isNotNull())
+        .distinct()
+        .withColumn("__in", F.lit(1)),
+        broadcast_key_limit,
+    )
+    joined = toks.join(v, "__w", "left")
+    out = joined.groupBy(id_col).agg(
+        F.count("__w").alias("n_tokens"),
+        F.count(F.when(F.col("__w").isNotNull() & F.col("__in").isNull(), 1))
+        .alias("n_oov"),
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "n_oov",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("(1000000 * n_oov) div n_tokens"),
+        ).alias("oov_ratio_micro"),
+    )

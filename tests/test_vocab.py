@@ -1,0 +1,57 @@
+"""Vocabulary coverage (operators/vocab.py): exact OOV counts, empty
+documents surviving via explode_outer, and the no-corpus-shuffle plan
+contract."""
+
+from conftest import rows_as_tuples
+from datavalid_spark.operators.vocab import vocab_coverage
+
+
+def _vocab(spark, terms):
+    return spark.createDataFrame([(t,) for t in terms], "token string")
+
+
+def test_exact_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat"),          # all in vocab
+            (1, "the dog ran far"),      # dog/ran/far OOV -> 3/4
+            (2, "THE The the"),          # lowercased -> in vocab
+            (3, "   "),                  # zero tokens
+            (4, None),                   # NULL text -> zero tokens
+        ],
+        "id int, text string",
+    )
+    v = _vocab(spark, ["the", "cat", "sat", "cat"])  # dup absorbed
+    got = rows_as_tuples(vocab_coverage(docs, "id", "text", v))
+    assert got == [
+        (0, 3, 0, 0),
+        (1, 4, 3, 750_000),
+        (2, 3, 0, 0),
+        (3, 0, 0, None),
+        (4, 0, 0, None),
+    ]
+
+
+def test_null_vocab_terms_ignored(spark):
+    docs = spark.createDataFrame([(0, "a b")], "id int, text string")
+    v = spark.createDataFrame([("a",), (None,)], "token string")
+    assert rows_as_tuples(vocab_coverage(docs, "id", "text", v)) == [
+        (0, 2, 1, 500_000)
+    ]
+
+
+def test_corpus_not_shuffled_by_join(spark):
+    docs = spark.createDataFrame([(0, "a b")], "id int, text string")
+    v = _vocab(spark, ["a"])
+    plan = (
+        vocab_coverage(docs, "id", "text", v)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # vocab under the gate → broadcast hash join; the corpus's only
+    # exchange is the per-doc aggregation (carrying partial-agg rows) —
+    # the other hash exchange in the plan is the tiny vocab's distinct
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning(id") == 1
+    # no exchange keyed on the token column in the corpus path — the
+    # join itself must never shuffle the exploded tokens
+    assert "Exchange hashpartitioning(__w#5" not in plan
