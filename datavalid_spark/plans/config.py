@@ -256,6 +256,7 @@ class FileSpec:
         save_bad_rows_to: Optional[str] = None,
         no_spinner: bool = False,
         multiline: bool = True,
+        csv_escape: str = '"',
         **kwargs,
     ) -> None:
         self.datadir = datadir
@@ -268,6 +269,11 @@ class FileSpec:
         #: RFC 4180 "" escapes).  ``multiline: false`` opts a file out
         #: so a huge single CSV stays line-splittable across tasks.
         self.multiline = multiline
+        #: quote-escape character inside quoted CSV fields.  '"' is the
+        #: pandas/RFC 4180 default; files written with Spark's own csv
+        #: writer defaults need ``csv_escape: "\\"`` to keep
+        #: backslash-escaped quotes parsing as before.
+        self.csv_escape = csv_escape
 
 
 class ReconcileSpec:

@@ -100,8 +100,15 @@ def open_source(spec: FileSpec, spark: SparkSession):
     # into garbage rows — the worst failure mode for a validator.
     # Cost: a multiLine file is read by one task; `multiline: false`
     # in the file spec restores line-splittable parallel scans for
-    # huge single CSVs that are known newline-free.
-    reader = spark.read.options(header=True, inferSchema=True, escape='"')
+    # huge single CSVs that are known newline-free, and
+    # `csv_escape: "\\"` restores Spark-writer-default backslash
+    # escapes.  getattr defaults keep duck-typed specs (the suggest
+    # CLI passes a plain namespace) on the parity behavior.
+    reader = spark.read.options(
+        header=True,
+        inferSchema=True,
+        escape=getattr(spec, "csv_escape", '"'),
+    )
     if getattr(spec, "multiline", True):
         reader = reader.option("multiLine", True)
     return reader.csv(path), None, None

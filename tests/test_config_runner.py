@@ -429,3 +429,22 @@ def test_multiline_false_optout(spark, tmp_path):
     n_on = load_file(conf_on.files["sources.csv"], spark).count()
     assert n_on == 3  # three logical rows
     assert n_off > n_on  # line-split parse sees the raw lines
+
+
+def test_csv_escape_optout(spark, tmp_path):
+    """`csv_escape: "\\\\"` restores Spark-writer backslash escapes for
+    files not using RFC 4180 doubled quotes."""
+    from datavalid_spark.runner import load_file
+
+    (tmp_path / "bs.csv").write_text('a,b\n1,"say \\"hi\\""\n')
+    mk = lambda **kw: Config(
+        tmp_path,
+        files={"bs.csv": {"schema": "s", **kw}},
+        schemas={"s": {"columns": [{"name": "a"}]}},
+        today=TODAY,
+    ).files["bs.csv"]
+    rows_bs = load_file(mk(csv_escape="\\"), spark).collect()
+    assert rows_bs[0]["b"] == 'say "hi"'
+    # default RFC 4180 parsing reads the backslash literally
+    rows_default = load_file(mk(), spark).collect()
+    assert rows_default[0]["b"] != 'say "hi"'

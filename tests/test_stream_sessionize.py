@@ -30,15 +30,22 @@ def harness(spark, tmp_path):
         )
 
     def read_sink():
+        from pyspark.errors.exceptions.captured import AnalysisException
+
         has_files = os.path.isdir(sink) and any(
             f.endswith(".parquet") for f in os.listdir(sink)
         )
         if not has_files:
             return []  # sink not materialized yet (schema can't infer)
-        return sorted(
-            (r.user, r.session_start, r.session_end, r.n_events)
-            for r in spark.read.parquet(sink).collect()
-        )
+        try:
+            return sorted(
+                (r.user, r.session_start, r.session_end, r.n_events)
+                for r in spark.read.parquet(sink).collect()
+            )
+        except AnalysisException:
+            # raced the writer: a part file exists but isn't committed
+            # yet, so schema inference fails — treat as not ready
+            return []
 
     def run_batch(timeout_ms=None):
         stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
