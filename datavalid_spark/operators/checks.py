@@ -621,6 +621,12 @@ try:
 except ImportError:  # pragma: no cover - mid-import of quality_checks
     pass
 
+try:
+    # registers "max_oov" (same pattern)
+    from datavalid_spark.operators import vocab as _vocab  # noqa: E402,F401
+except ImportError:  # pragma: no cover - mid-import of vocab
+    pass
+
 
 def build_table_check(key: str, value, today: Optional[datetime.date] = None) -> TableCheck:
     if key not in TABLE_CHECKS:
@@ -646,6 +652,7 @@ def build_table_check(key: str, value, today: Optional[datetime.date] = None) ->
         "monotonic",
         "max_fraction",
         "min_completeness",
+        "max_oov",
     ):
         return cls(**(value or {}))
     kwargs = dict(value or {})

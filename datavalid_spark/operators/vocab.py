@@ -30,11 +30,14 @@ NULL for zero-token documents.
 
 from __future__ import annotations
 
+from typing import Optional, Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from datavalid_spark.cache import gated_broadcast
-from datavalid_spark.functions.text import nonempty_tokens
+from datavalid_spark.functions.text import let_once, nonempty_tokens
+from datavalid_spark.operators.checks import TableCheck
 
 
 def vocab_coverage(
@@ -79,3 +82,109 @@ def vocab_coverage(
             F.expr("(1000000 * n_oov) div n_tokens"),
         ).alias("oov_ratio_micro"),
     )
+
+
+class MaxOovCheck(TableCheck):
+    """YAML surface for the tokenizer-coverage gate::
+
+        - name: content stays within the model vocabulary
+          max_oov: {column: content, vocab: vocab.txt, max_ratio: 0.25}
+
+    A row violates when its OOV fraction EXCEEDS ``max_ratio``
+    (zero-token rows never violate — pair with ``min_completeness``
+    to forbid them).  ``vocab`` is a text file, one lowercase term per
+    line, resolved against the config directory (``TaskSpec.
+    PATH_KEYS``, same portability rule as ``no_drift`` baselines).
+
+    Scale shape: the vocabulary loads DRIVER-side once and ships as an
+    ``isin`` literal set — Catalyst compiles it to an O(1) InSet hash
+    probe inside the scan, so the check is a pure filter: zero
+    shuffles, zero joins, embarrassingly parallel.  That is the right
+    plan for a tokenizer-sized vocab (32k–256k terms, guarded by
+    ``vocab_limit``); for an unbounded vocabulary TABLE, use
+    `vocab_coverage` (gated-broadcast join) instead.
+
+    Exactness: the threshold compares in integers —
+    ``1_000_000·n_oov > round(1e6·max_ratio)·n_tokens`` — one float
+    quantization driver-side, no per-row IEEE division.
+    """
+
+    key = "max_oov"
+
+    def __init__(
+        self,
+        column: Optional[str] = None,
+        vocab: Optional[str] = None,
+        max_ratio=None,
+        vocab_limit: int = 1_000_000,
+    ):
+        if not isinstance(column, str) or not column:
+            raise ValueError('should contain key "column"')
+        if not isinstance(vocab, str) or not vocab:
+            raise ValueError('"vocab" should be a path to a term file')
+        if (
+            max_ratio is None
+            or isinstance(max_ratio, bool)
+            or not isinstance(max_ratio, (int, float))
+            or not (0.0 <= float(max_ratio) < 1.0)
+        ):
+            raise ValueError('"max_ratio" should be a number in [0, 1)')
+        self.column = column
+        self.vocab_path = vocab
+        self.max_ratio_micro = round(float(max_ratio) * 1_000_000)
+        self.vocab_limit = vocab_limit
+        self._terms: Optional[list[str]] = None
+
+    def terms(self) -> list[str]:
+        """Vocabulary terms, loaded once (driver-side; see docstring
+        for why that is the right plan at this size)."""
+        if self._terms is None:
+            with open(self.vocab_path, encoding="utf-8") as fh:
+                terms = [ln.strip().lower() for ln in fh]
+            terms = sorted({t for t in terms if t})
+            if len(terms) > self.vocab_limit:
+                raise ValueError(
+                    "vocab %s has %d terms > vocab_limit=%d: use "
+                    "vocab_coverage with a vocabulary table instead"
+                    % (self.vocab_path, len(terms), self.vocab_limit)
+                )
+            if not terms:
+                raise ValueError("vocab %s contains no terms" % self.vocab_path)
+            self._terms = terms
+        return self._terms
+
+    def bad_expr(self, df: DataFrame):
+        terms = self.terms()
+
+        def build(toks):
+            n = F.size(toks)
+            oov = F.size(F.filter(toks, lambda w: ~w.isin(*terms)))
+            return (n > 0) & (
+                oov.cast("long") * F.lit(1_000_000)
+                > F.lit(int(self.max_ratio_micro)) * n.cast("long")
+            )
+
+        return let_once(nonempty_tokens(self.column), build)
+
+    def violations(self, df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+        return df.filter(self.bad_expr(df))
+
+    def _err_msg(self, n: int) -> str:
+        return "%d rows exceed %.1f%% out-of-vocabulary tokens in %s" % (
+            n,
+            self.max_ratio_micro / 10_000.0,
+            self.column,
+        )
+
+    def to_markdown(self) -> str:
+        return "Ensure `%s` stays under %.1f%% OOV against `%s`" % (
+            self.column,
+            self.max_ratio_micro / 10_000.0,
+            self.vocab_path,
+        )
+
+
+# self-registration (same import-cycle dodge as quality_checks)
+from datavalid_spark.operators import checks as _checks  # noqa: E402
+
+_checks.TABLE_CHECKS.setdefault("max_oov", MaxOovCheck)

@@ -117,7 +117,7 @@ class TaskSpec:
     #: stays portable — resolving against the process CWD made
     #: `no_drift: {baseline: baseline.json}` fail under any runner not
     #: started inside the data directory
-    PATH_KEYS = {"no_drift": ("baseline",)}
+    PATH_KEYS = {"no_drift": ("baseline",), "max_oov": ("vocab",)}
 
     def __init__(
         self,

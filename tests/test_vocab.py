@@ -58,3 +58,80 @@ def test_corpus_not_shuffled_by_join(spark):
     # InMemoryRelation subtree, so split the plan there first.
     corpus_plan = plan.split("InMemoryRelation")[0]
     assert "Exchange hashpartitioning(__w#" not in corpus_plan
+
+
+def test_max_oov_check(spark, tmp_path):
+    import pytest
+
+    from datavalid_spark.operators.checks import build_table_check
+
+    vpath = tmp_path / "vocab.txt"
+    vpath.write_text("The\ncat\nSAT\n\ncat\n")  # case/dup/blank tolerated
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat"),        # 0% OOV
+            (1, "the dog ran far"),    # 75% OOV -> violates at 0.5
+            (2, "the cat zig"),        # 33.3% OOV -> passes at 0.5
+            (3, "  "),                 # zero tokens: never violates
+        ],
+        "id int, text string",
+    )
+    chk = build_table_check(
+        "max_oov",
+        {"column": "text", "vocab": str(vpath), "max_ratio": 0.5},
+    )
+    res = chk.run(docs)
+    assert not res.passed and res.n_violations == 1
+    assert [r["id"] for r in chk.violations(docs).collect()] == [1]
+    assert "50.0%" in res.err_msg
+    # boundary: exactly max_ratio does NOT violate (strict >)
+    chk2 = build_table_check(
+        "max_oov", {"column": "text", "vocab": str(vpath), "max_ratio": 0.75}
+    )
+    assert chk2.run(docs).passed
+    # scan-fused: no join or exchange in the violations plan
+    plan = chk.violations(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
+    # config errors
+    with pytest.raises(ValueError, match="max_ratio"):
+        build_table_check("max_oov", {"column": "text", "vocab": str(vpath), "max_ratio": 1.0})
+    with pytest.raises(ValueError, match="vocab"):
+        build_table_check("max_oov", {"column": "text", "max_ratio": 0.5})
+    empty = tmp_path / "empty.txt"
+    empty.write_text("\n")
+    bad = build_table_check(
+        "max_oov", {"column": "text", "vocab": str(empty), "max_ratio": 0.5}
+    )
+    with pytest.raises(ValueError, match="no terms"):
+        bad.violations(docs)
+
+
+def test_max_oov_yaml_e2e(spark, tmp_path):
+    """Relative vocab path resolves against the config dir (PATH_KEYS);
+    the check rides the normal task surface end to end."""
+    import io
+
+    from datavalid_spark.plans.config import load_config
+    from datavalid_spark.runner import run_config
+
+    (tmp_path / "vocab.txt").write_text("alpha\nbeta\n")
+    (tmp_path / "docs.csv").write_text(
+        "id,text\n1,alpha beta alpha\n2,gamma delta zz\n"
+    )
+    (tmp_path / "datavalid.yml").write_text(
+        """
+files:
+  docs.csv:
+    schema: d
+schemas:
+  d:
+    validation_tasks:
+      - name: within model vocabulary
+        max_oov: {column: text, vocab: vocab.txt, max_ratio: 0.5}
+"""
+    )
+    out = io.StringIO()
+    code = run_config(load_config(tmp_path), spark, out=out)
+    text = out.getvalue()
+    assert code == 1
+    assert "within model vocabulary" in text and "50.0%" in text
