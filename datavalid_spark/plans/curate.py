@@ -15,6 +15,7 @@ order (each stage only sees survivors of the previous one):
     text_column: text              # default text
     report: report.json            # optional: row counts json
     stages:
+      scrub_secrets: true                  # credential redaction first
       line_dedup: {min_docs: 10}           # boilerplate line strip
       span_dedup: {tile: 64, min_count: 2} # duplicated-substring cut
       dedup: true                          # exact content dedup
@@ -58,6 +59,7 @@ class CurateConfigError(Exception):
 
 #: stage name → allowed option keys (True-valued stages take no options)
 _STAGE_KEYS = {
+    "scrub_secrets": {"token"},
     "line_dedup": {"min_docs", "inset_limit", "broadcast_key_limit"},
     "span_dedup": {"tile", "min_count", "broadcast_key_limit"},
     "dedup": set(),
@@ -73,6 +75,7 @@ _STAGE_KEYS = {
 
 #: the fixed execution order (see module docstring)
 _STAGE_ORDER = [
+    "scrub_secrets",
     "line_dedup",
     "span_dedup",
     "perplexity",
@@ -194,6 +197,11 @@ def load_curate(path) -> CuratePlan:
             "stage 'shuffle' rows_per_shard and stage 'shards' are "
             "mutually exclusive — pick row-count or token-budget sharding",
         )
+    if "scrub_secrets" in stages and "token" in stages["scrub_secrets"]:
+        _require(
+            isinstance(stages["scrub_secrets"]["token"], str),
+            "stage 'scrub_secrets' key 'token' must be a string template",
+        )
     if "mixture" in stages:
         m = stages["mixture"]
         _require(
@@ -245,6 +253,17 @@ def build(plan: CuratePlan, spark):
             f"(columns: {docs.columns})",
         )
     st = plan.stages
+    if "scrub_secrets" in st:
+        # credential redaction is the FIRST content rewrite: every
+        # downstream hash/gram/quality stage sees scrubbed text, so a
+        # secret can never survive via a dedup winner or ride into a
+        # shard.  Pure scan-fused regexp chain — zero extra jobs.
+        from datavalid_spark.functions.code import scrub_secrets
+
+        docs = docs.withColumn(
+            plan.text_column,
+            scrub_secrets(plan.text_column, **st["scrub_secrets"]),
+        )
     if "line_dedup" in st:
         from datavalid_spark.operators.linededup import remove_common_lines
 
