@@ -1,0 +1,112 @@
+"""Two-level scaling study for the code-compliance scan family
+(functions/code.py: secret_counts + has_secret + scrub_secrets),
+methodology shared via tools/scaling_harness.py (companion to
+bench_scaling.py / bench_lm_scaling.py / bench_dedup_scaling.py /
+bench_text_scaling.py).
+
+Job, end-to-end per iteration (all three compliance expressions over
+every document in one pass):
+
+  1. per-doc secret counts (4 regexp_count scans),
+  2. has_secret flag (4 rlike scans, OR-short-circuited),
+  3. scrub_secrets rewrite forced to execute via xxhash64 of the
+     scrubbed text,
+  reduced to (n_docs, Σ counts, n_flagged, Σ scrub checksums) — one
+  global partial+final agg, zero shuffle of the corpus.
+
+Every 50th doc carries a planted AWS key (derived from doc_id) so
+matches and rewrites actually occur; the dominant cost is the regex
+SCAN of every byte, which is the embarrassingly-parallel regime this
+study evidences scales with cores.
+
+Usage: python tools/bench_scan_scaling.py [--docs 400000] [--iters 5]
+       python tools/bench_scan_scaling.py --level 4   (inner, pinned)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.scaling_harness import build_session, run_study, std_args
+
+CORPUS = "/tmp/dv_scan_scaling_corpus_{docs}"
+
+
+def inner(cpus: int, docs: int, iters: int, parts: int, shuf: int) -> None:
+    from pyspark.sql import functions as F
+
+    from datavalid_spark.functions.code import (
+        has_secret,
+        scrub_secrets,
+        secret_counts,
+    )
+
+    spark = build_session(cpus, shuf, app="scan-scaling")
+    df = (
+        spark.read.parquet(CORPUS.format(docs=docs)).repartition(parts).persist()
+    )
+    n = df.count()
+    # plant a real credential in every 50th doc so matches/rewrites
+    # execute (doc_id-derived: deterministic at any parallelism)
+    content = F.when(
+        F.pmod(F.col("doc_id"), F.lit(50)) == 0,
+        F.concat(
+            F.col("content"),
+            F.lit(" key=AKIA"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10 ** 12)).cast("string"), 16, "0"),
+        ),
+    ).otherwise(F.col("content"))
+    c = secret_counts(content)
+    times, flagged = [], 0
+    for _ in range(iters):
+        t = time.time()
+        row = df.select(
+            c["n_aws_key"].alias("a"),
+            c["n_github_token"].alias("g"),
+            c["n_private_key"].alias("p"),
+            c["n_password_assign"].alias("w"),
+            has_secret(content).cast("int").alias("hit"),
+            # modular checksum: raw xxhash64 sums overflow int64 (ANSI)
+            F.pmod(F.xxhash64(scrub_secrets(content)), F.lit(1_000_000_007))
+            .alias("ck"),
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("a") + F.col("g") + F.col("p") + F.col("w")).alias(
+                "hits"
+            ),
+            F.sum("hit").alias("flagged"),
+            F.sum("ck").alias("checksum"),
+        ).collect()[0]
+        flagged = row["flagged"]
+        times.append(time.time() - t)
+    best = min(times)
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "docs": n,
+                "flagged": int(flagged),
+                "sec_best": round(best, 2),
+                "sec_all": [round(x, 2) for x in times],
+                "docs_per_sec": round(n / best, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+def main() -> None:
+    args = std_args(default_docs=400000)
+    if args.level:
+        inner(args.level, args.docs, args.iters, args.parts, args.shuf)
+        return
+    run_study(__file__, "compliance scan (secrets count+flag+scrub)", args, CORPUS)
+
+
+if __name__ == "__main__":
+    main()
