@@ -3174,12 +3174,26 @@ WITH s AS (
     COUNT(o_orderstatus) AS m3, COUNT(DISTINCT o_orderstatus) AS d3,
     COALESCE(SUM(CASE WHEN regexp_matches(o_orderstatus, '^-?[0-9]+$')
                       THEN 1 ELSE 0 END), 0) AS i3,
+    COALESCE(SUM(CASE WHEN
+        regexp_matches(o_orderstatus, '\bAKIA[0-9A-Z]{16}\b')
+        OR regexp_matches(o_orderstatus, '\bghp_[A-Za-z0-9]{36}\b')
+        OR regexp_matches(o_orderstatus, '-----BEGIN [A-Z ]{0,24}PRIVATE KEY-----')
+        OR regexp_matches(o_orderstatus,
+           '(?i)password\s*=\s*[''"][^''"\n]{4,64}[''"]')
+        THEN 1 ELSE 0 END), 0) AS sec3,
     COUNT(o_totalprice) AS m4, COUNT(DISTINCT o_totalprice) AS d4,
     ROUND(MIN(o_totalprice), 6) AS lo4, ROUND(MAX(o_totalprice), 6) AS hi4,
     COUNT(o_orderdate) AS m5, COUNT(DISTINCT o_orderdate) AS d5,
     COUNT(o_orderpriority) AS m6, COUNT(DISTINCT o_orderpriority) AS d6,
     COALESCE(SUM(CASE WHEN regexp_matches(o_orderpriority, '^-?[0-9]+$')
-                      THEN 1 ELSE 0 END), 0) AS i6
+                      THEN 1 ELSE 0 END), 0) AS i6,
+    COALESCE(SUM(CASE WHEN
+        regexp_matches(o_orderpriority, '\bAKIA[0-9A-Z]{16}\b')
+        OR regexp_matches(o_orderpriority, '\bghp_[A-Za-z0-9]{36}\b')
+        OR regexp_matches(o_orderpriority, '-----BEGIN [A-Z ]{0,24}PRIVATE KEY-----')
+        OR regexp_matches(o_orderpriority,
+           '(?i)password\s*=\s*[''"][^''"\n]{4,64}[''"]')
+        THEN 1 ELSE 0 END), 0) AS sec6
   FROM orders)
 SELECT * FROM (
 SELECT 'o_orderkey' AS "column", 'no_na' AS "check",
@@ -3191,6 +3205,10 @@ UNION ALL SELECT 'o_orderstatus', 'dtype', 'string', NULL, NULL FROM s
 UNION ALL SELECT 'o_totalprice', 'dtype', 'double', NULL, NULL FROM s
 UNION ALL SELECT 'o_orderdate', 'dtype', 'timestamp_ntz', NULL, NULL FROM s
 UNION ALL SELECT 'o_orderpriority', 'dtype', 'string', NULL, NULL FROM s
+UNION ALL SELECT 'o_orderstatus', 'no_secrets', NULL, NULL, NULL FROM s
+  WHERE m3 > 0 AND sec3 = 0
+UNION ALL SELECT 'o_orderpriority', 'no_secrets', NULL, NULL, NULL FROM s
+  WHERE m6 > 0 AND sec6 = 0
 UNION ALL SELECT 'o_orderkey', 'unique', NULL, NULL, NULL FROM s
   WHERE m1 = n AND d1 = n AND n > 0
 UNION ALL SELECT 'o_orderkey', 'range', NULL, lo1, hi1 FROM s

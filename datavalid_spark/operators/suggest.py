@@ -45,6 +45,12 @@ Suggestion rules (per column, non-NULL rows = ``m``):
                     silent type drift in later loads.  Metadata-only
                     evidence (no rows involved); ``include_dtype=False``
                     drops these rows.
+- ``no_secrets``  — string column, m > 0, zero values matching any
+                    ``functions.code.SECRET_PATTERNS`` class: the scan
+                    held on every row, so the emitted config keeps the
+                    table clean going forward.  Adds four rlike scans
+                    per string column to the single stats pass;
+                    ``include_secrets=False`` drops them.
 
 A typed date/timestamp column needs no ``valid_date`` suggestion — the
 reference's valid_date task models STRING y/m/d triples, and a typed
@@ -79,6 +85,7 @@ def suggest_constraints(
     exact_distinct: bool = True,
     columns: Optional[list[str]] = None,
     include_dtype: bool = True,
+    include_secrets: bool = True,
 ) -> DataFrame:
     """One row per suggested check: ``(column, check, detail, lo, hi)``.
 
@@ -104,6 +111,12 @@ def suggest_constraints(
             aggs.append(
                 F.sum(F.col(c).rlike(_INT_RE).cast("long")).alias(f"i_{c}")
             )
+            if include_secrets:
+                from datavalid_spark.functions.code import has_secret
+
+                aggs.append(
+                    F.sum(has_secret(F.col(c)).cast("long")).alias(f"s_{c}")
+                )
     stats = df.agg(*aggs).collect()[0].asDict()
     n = stats["__n"]
 
@@ -142,6 +155,13 @@ def suggest_constraints(
             out.append((c, "options", "|".join(sorted(opt_vals[c])), None, None))
         if isinstance(dt, T.StringType) and m > 0 and stats[f"i_{c}"] == m:
             out.append((c, "integer", None, None, None))
+        if (
+            include_secrets
+            and isinstance(dt, T.StringType)
+            and m > 0
+            and (stats[f"s_{c}"] or 0) == 0
+        ):
+            out.append((c, "no_secrets", None, None, None))
         if isinstance(dt, _NUMERIC) and m > 0:
             lo, hi = stats[f"lo_{c}"], stats[f"hi_{c}"]
             # Spark sorts NaN above every double — a NaN max means the

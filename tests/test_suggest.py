@@ -55,6 +55,8 @@ def test_rules(spark, df):
             ("id", "range", None, 1.0, 3.0),
             ("status", "no_na", None, None, None),
             ("status", "options", "bad|ok", None, None),
+            ("status", "no_secrets", None, None, None),
+            ("code", "no_secrets", None, None, None),
             ("code", "no_na", None, None, None),
             ("code", "unique", None, None, None),
             ("code", "options", "-7|0|42", None, None),
