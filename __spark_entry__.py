@@ -1822,6 +1822,36 @@ def q_dep_topk(spark, sf_dir):
     )
 
 
+def q_code_balance(spark, sf_dir):
+    """Truncation detection (functions/code.delim_balance): planted
+    delimiter damage — every 3rd doc gains (doc_id%4) unclosed braces,
+    every 5th a stray ')' — reported as exact per-pair balances for
+    the flagged docs.  Oracle counts delimiters by length-shrink, the
+    same two string ops."""
+    from datavalid_spark.functions.code import delim_balance
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    content = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0, F.repeat(F.lit("{"), (did % 4).cast("int"))
+        ).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit(")")).otherwise(F.lit("")),
+    )
+    b = delim_balance(content)
+    return (
+        docs.select(
+            "doc_id",
+            b["brace_balance"].alias("brace_balance"),
+            b["paren_balance"].alias("paren_balance"),
+            b["bracket_balance"].alias("bracket_balance"),
+            b["suspect_truncated"].alias("suspect_truncated"),
+        )
+        .filter(F.col("suspect_truncated"))
+    )
+
+
 def q_oov_rate(spark, sf_dir):
     """Tokenizer-coverage audit (operators/vocab.vocab_coverage): the
     vocabulary is every distinct token of the EVEN docs (the 'train
@@ -2034,6 +2064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "license_detect": q_license_detect,
         "fork_detect": q_fork_detect,
         "dep_topk": q_dep_topk,
+        "code_balance": q_code_balance,
         "oov_rate": q_oov_rate,
         "psi_priority": q_psi,
         "drift_two_sample": q_drift_two_sample,
@@ -3485,6 +3516,26 @@ FROM (
 GROUP BY 1
 ORDER BY n_files DESC, package ASC
 LIMIT 20
+""",
+        "code_balance": """
+WITH a AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0 THEN repeat('{', CAST(doc_id % 4 AS INT))
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ')' ELSE '' END AS c
+  FROM documents),
+b AS (
+  SELECT doc_id,
+    CAST((length(c) - length(replace(c, '{', '')))
+       - (length(c) - length(replace(c, '}', ''))) AS INT) AS brace_balance,
+    CAST((length(c) - length(replace(c, '(', '')))
+       - (length(c) - length(replace(c, ')', ''))) AS INT) AS paren_balance,
+    CAST((length(c) - length(replace(c, '[', '')))
+       - (length(c) - length(replace(c, ']', ''))) AS INT) AS bracket_balance
+  FROM a)
+SELECT *, TRUE AS suspect_truncated FROM b
+WHERE brace_balance <> 0 OR paren_balance <> 0 OR bracket_balance <> 0
 """,
         "oov_rate": r"""
 WITH d AS (

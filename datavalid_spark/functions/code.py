@@ -222,6 +222,40 @@ def detect_license(col: Column | str) -> Column:
     return let_once(F.lower(c), build)
 
 
+#: delimiter pairs checked by `delim_balance`
+DELIM_PAIRS = [("brace", "{", "}"), ("paren", "(", ")"), ("bracket", "[", "]")]
+
+
+def _char_count(c: Column, ch: str) -> Column:
+    # count of a single char = length shrink after removing it — two
+    # JVM string ops, no regex engine
+    return F.length(c) - F.length(F.replace(c, F.lit(ch), F.lit("")))
+
+
+def delim_balance(col: Column | str) -> Column:
+    """struct of open-minus-close counts per `DELIM_PAIRS` plus a
+    ``suspect_truncated`` flag (any nonzero balance) — the
+    truncated/corrupt-file signal of a code-corpus filter: a file cut
+    off mid-function leaves unclosed braces; a negative balance means
+    garbage prepended or a stray closer.  Exact integer counts, so any
+    engine reproduces them; strings/comments containing delimiters
+    make this a heuristic, which is why the balances are reported, not
+    just the flag.  NULL content → NULL struct."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def build(cc: Column) -> Column:
+        fields = []
+        flag = None
+        for name, op, cl in DELIM_PAIRS:
+            bal = (_char_count(cc, op) - _char_count(cc, cl)).cast("int")
+            fields.append(bal.alias(f"{name}_balance"))
+            nz = bal != 0
+            flag = nz if flag is None else flag | nz
+        return F.struct(*fields, flag.alias("suspect_truncated"))
+
+    return let_once(c, build)
+
+
 def code_metrics(col: Column | str, lang_col: Column | str) -> list[Column]:
     """The standard projection: ``line_metrics`` fields flattened plus
     the comment ratio — append with ``df.select("*", *code_metrics(

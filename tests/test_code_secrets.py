@@ -132,3 +132,24 @@ def test_extract_imports(spark):
     assert got[0] == ["os", "pathlib", "numpy", "a"]
     assert got[1] == []
     assert got[2] is None
+
+
+def test_delim_balance(spark):
+    from datavalid_spark.functions.code import delim_balance
+
+    rows = [
+        (0, "def f(): return {1: [2]}"),   # balanced
+        (1, "def g(: return {{"),          # +2 braces, -? parens: ( opened 1, ) 1 -> 0
+        (2, "))"),                         # -2 parens
+        (3, ""),                           # balanced empty
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, c string")
+    got = {r["id"]: r.asDict() for r in
+           df.select("id", delim_balance("c").alias("b")).select("id", "b.*").collect()}
+    assert got[0] == {"id": 0, "brace_balance": 0, "paren_balance": 0,
+                      "bracket_balance": 0, "suspect_truncated": False}
+    assert got[1]["brace_balance"] == 2 and got[1]["suspect_truncated"]
+    assert got[2]["paren_balance"] == -2 and got[2]["suspect_truncated"]
+    assert got[3]["suspect_truncated"] is False
+    assert got[4]["suspect_truncated"] is None  # NULL propagates
