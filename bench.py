@@ -100,10 +100,16 @@ HEADLINE_QUERIES = [
     "lm_perplexity",
     "monotonic_value",
     # session-13 additions: code-corpus compliance (regex scan
-    # throughput is the metric for secret scrubbing) and repo-level
-    # fork detection (df-capped inverted hash index)
+    # throughput is the metric for secret scrubbing), repo-level
+    # fork detection (df-capped inverted hash index), license
+    # rollup, dependency popularity, vocabulary coverage, and
+    # truncation balances
     "secret_scan",
     "fork_detect",
+    "license_detect",
+    "dep_topk",
+    "oov_rate",
+    "code_balance",
 ]
 
 
