@@ -1822,6 +1822,19 @@ def q_dep_topk(spark, sf_dir):
     )
 
 
+def q_mixture_report(spark, sf_dir):
+    """Mixture audit (sampling.mixture_report): achieved vs target
+    keep-rate per source for the same {src0: 1.0, src1: 0.5,
+    default 0.8} design the curate pipeline uses — exact counts and
+    integer-micro ratios, oracle recomputes the md5-threshold sample."""
+    from datavalid_spark.operators.sampling import mixture_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_report(
+        docs, "source", {"src0": 1.0, "src1": 0.5}, "doc_id", 0.8
+    )
+
+
 def q_code_balance(spark, sf_dir):
     """Truncation detection (functions/code.delim_balance): planted
     delimiter damage — every 3rd doc gains (doc_id%4) unclosed braces,
@@ -2065,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fork_detect": q_fork_detect,
         "dep_topk": q_dep_topk,
         "code_balance": q_code_balance,
+        "mixture_report": q_mixture_report,
         "oov_rate": q_oov_rate,
         "psi_priority": q_psi,
         "drift_two_sample": q_drift_two_sample,
@@ -3516,6 +3530,19 @@ FROM (
 GROUP BY 1
 ORDER BY n_files DESC, package ASC
 LIMIT 20
+""",
+        "mixture_report": """
+WITH thr AS (
+  SELECT source, COUNT(*) AS n_before,
+    COALESCE(SUM(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '80000000'
+           ELSE 'cccccccc' END THEN 1 ELSE 0 END), 0)::BIGINT AS n_after
+  FROM documents GROUP BY 1)
+SELECT source, n_before, n_after,
+  CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
+       ELSE 800000 END::BIGINT AS target_micro,
+  (1000000 * n_after) // n_before AS achieved_micro
+FROM thr
 """,
         "code_balance": """
 WITH a AS (

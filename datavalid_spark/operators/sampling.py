@@ -379,3 +379,55 @@ def global_shuffle(
             "shard", F.expr(f"position DIV {int(rows_per_shard)}")
         )
     return out
+
+
+def mixture_report(
+    df: DataFrame,
+    group_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Achieved-vs-target audit for `weighted_sample` — the mixture
+    designer's verification row per group::
+
+        (group, n_before, n_after, target_micro, achieved_micro)
+
+    ``achieved_micro = (1_000_000 · n_after) div n_before`` (exact
+    BIGINT, Spark ``div`` ≡ DuckDB ``//``); ``target_micro`` is the
+    configured rate quantized once driver-side.  Deviation between the
+    two is pure hash-sampling noise — at 10^12 rows per group it
+    vanishes, at audit time it is the number a human sanity-checks
+    before committing a mixture to training.
+
+    Scale shape: two independent partial-agg passes (the sample filter
+    fuses into the second scan) meeting on O(groups) rows — the corpus
+    itself never shuffles.
+    """
+    before = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_before"))
+    after = (
+        weighted_sample(df, group_col, rates, id_col, default_rate)
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    target = _group_case(
+        group_col,
+        {
+            v: F.lit(round(float(r) * 1_000_000)).cast("long")
+            for v, r in rates.items()
+        },
+        F.lit(round(float(default_rate) * 1_000_000)).cast("long"),
+    )
+    return (
+        before.join(after, group_col, "left")
+        .withColumn("n_after", F.coalesce(F.col("n_after"), F.lit(0)))
+        .select(
+            group_col,
+            "n_before",
+            "n_after",
+            target.alias("target_micro"),
+            F.expr("(1000000 * n_after) div n_before")
+            .cast("long")
+            .alias("achieved_micro"),
+        )
+    )

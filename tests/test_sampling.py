@@ -281,3 +281,21 @@ def test_global_shuffle_validation(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError, match="rows_per_shard"):
         global_shuffle(df, "doc_id", rows_per_shard=0)
+
+
+def test_mixture_report(spark):
+    from datavalid_spark.operators.sampling import mixture_report, weighted_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    rep = {r["src"]: r.asDict() for r in
+           mixture_report(df, "src", {"a": 0.5}, "id", 0.0).collect()}
+    # n_after must equal the actual sample's group sizes (exact)
+    kept = weighted_sample(df, "src", {"a": 0.5}, "id", 0.0)
+    n_a = kept.filter("src = 'a'").count()
+    assert rep["a"]["n_before"] == 100 and rep["a"]["n_after"] == n_a
+    assert rep["a"]["target_micro"] == 500_000
+    assert rep["a"]["achieved_micro"] == (1_000_000 * n_a) // 100
+    # rate-0 group still reports a row with n_after = 0
+    assert rep["b"] == {"src": "b", "n_before": 100, "n_after": 0,
+                        "target_micro": 0, "achieved_micro": 0}
