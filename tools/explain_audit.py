@@ -41,8 +41,56 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: frame — a deliberate scalar-attach, not a join-key mistake
 NESTED_LOOP_OK = {"knn_bruteforce", "ivf_topk", "embedding_near_dups", "skew_topk"}
 
+#: queries whose UNPARTITIONED windows run on PROVABLY BOUNDED frames
+#: (the whole point of the single-partition-window flag is catching a
+#: whole-TABLE window; these windows see O(values)/O(k) rows):
+#: - skew_topk: rank window over the already-limited top_k rows
+#: - mutual_info / psi_priority: per-distinct-value count frames
+#: - benford_digits: nine leading-digit rows
+SINGLE_PART_WINDOW_OK = {
+    "skew_topk",
+    "mutual_info",
+    "psi_priority",
+    "benford_digits",
+}
+
 #: full plans included in EXPLAIN.md — one representative per family
 FLAGSHIP = ["t1_unique", "minhash_lsh", "profile_stats", "asof_join"]
+
+
+def unpartitioned_windows(optimized: str) -> int:
+    """Count Window nodes with NO partition spec in an optimized
+    logical plan string.  A logical ``Window`` prints
+    ``[funcs], [partSpec], [orderSpec]`` — with no ordering the last
+    group is absent, and with no partitioning the middle one is; the
+    two-group case disambiguates by ASC/DESC (only order specs carry
+    sort direction).  A single-partition window pulls every row of
+    its input through ONE task — fine on a bounded frame, a
+    scale-killer on a table."""
+    n = 0
+    for line in optimized.splitlines():
+        idx = line.find("Window [")
+        if idx < 0:
+            continue
+        depth, groups, cur = 0, [], ""
+        for ch in line[idx + 7:]:
+            if ch == "[":
+                depth += 1
+                if depth == 1:
+                    cur = ""
+                    continue
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(cur)
+                    continue
+            if depth > 0:
+                cur += ch
+        if len(groups) == 1 or (
+            len(groups) == 2 and re.search(r"ASC|DESC", groups[1])
+        ):
+            n += 1
+    return n
 
 
 def formatted_plan(df) -> str:
@@ -109,6 +157,15 @@ def main() -> None:
             flags.append(
                 f"- `{name}`: BroadcastNestedLoopJoin outside the "
                 "intentionally-cartesian kNN family — check the join keys"
+            )
+        n_unp = unpartitioned_windows(
+            df._jdf.queryExecution().optimizedPlan().toString()
+        )
+        if n_unp and name not in SINGLE_PART_WINDOW_OK:
+            flags.append(
+                f"- `{name}`: {n_unp} UNPARTITIONED window(s) — the whole "
+                "input funnels through one task; partition the window or "
+                "whitelist it with a boundedness argument"
             )
 
     lines = [
