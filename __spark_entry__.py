@@ -3207,7 +3207,7 @@ FROM events e JOIN pm
   ON e.user_id IS NOT DISTINCT FROM pm.user_id AND e.ts = pm.ts
 WHERE e.value < pm.prevmax
 """,
-        "suggest_constraints": """
+        "suggest_constraints": r"""
 WITH s AS (
   SELECT COUNT(*) AS n,
     COUNT(o_orderkey) AS m1, COUNT(DISTINCT o_orderkey) AS d1,

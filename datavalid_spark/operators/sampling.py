@@ -418,8 +418,22 @@ def mixture_report(
         },
         F.lit(round(float(default_rate) * 1_000_000)).cast("long"),
     )
+    # NULL-SAFE join: weighted_sample's _group_case matches the NULL
+    # group via eqNullSafe (it samples at default_rate), so the report
+    # must re-attach its survivors — a plain equi-join would silently
+    # report n_after=0 for the NULL-source domain
+    b, a = before.alias("__b"), after.alias("__a")
     return (
-        before.join(after, group_col, "left")
+        b.join(
+            a,
+            F.col("__b." + group_col).eqNullSafe(F.col("__a." + group_col)),
+            "left",
+        )
+        .select(
+            F.col("__b." + group_col).alias(group_col),
+            "n_before",
+            "n_after",
+        )
         .withColumn("n_after", F.coalesce(F.col("n_after"), F.lit(0)))
         .select(
             group_col,

@@ -116,7 +116,7 @@ class MaxOovCheck(TableCheck):
         column: Optional[str] = None,
         vocab: Optional[str] = None,
         max_ratio=None,
-        vocab_limit: int = 1_000_000,
+        vocab_limit: int = 262_144,
     ):
         if not isinstance(column, str) or not column:
             raise ValueError('should contain key "column"')

@@ -299,3 +299,21 @@ def test_mixture_report(spark):
     # rate-0 group still reports a row with n_after = 0
     assert rep["b"] == {"src": "b", "n_before": 100, "n_after": 0,
                         "target_micro": 0, "achieved_micro": 0}
+
+
+def test_mixture_report_null_group(spark):
+    """NULL-group survivors must be re-attached null-safely (review
+    regression: a plain equi-join reported n_after=0 for NULL)."""
+    from datavalid_spark.operators.sampling import mixture_report, weighted_sample
+
+    rows = [(i, None) for i in range(100)] + [(i + 100, "a") for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    rep = {r["src"]: r.asDict() for r in
+           mixture_report(df, "src", {"a": 1.0}, "id", 0.8).collect()}
+    n_null = weighted_sample(df, "src", {"a": 1.0}, "id", 0.8).filter(
+        "src IS NULL").count()
+    assert n_null > 0  # default_rate samples the NULL domain
+    assert rep[None]["n_after"] == n_null
+    assert rep[None]["target_micro"] == 800_000
+    assert rep["a"] == {"src": "a", "n_before": 10, "n_after": 10,
+                        "target_micro": 1_000_000, "achieved_micro": 1_000_000}

@@ -86,8 +86,11 @@ def unpartitioned_windows(optimized: str) -> int:
                     continue
             if depth > 0:
                 cur += ch
+        # anchor on the full sort-direction token (attribute NAMES can
+        # contain ASC/DESC — e.g. a column called DESCRIPTION)
         if len(groups) == 1 or (
-            len(groups) == 2 and re.search(r"ASC|DESC", groups[1])
+            len(groups) == 2
+            and re.search(r"\b(ASC|DESC) NULLS (FIRST|LAST)\b", groups[1])
         ):
             n += 1
     return n
