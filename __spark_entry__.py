@@ -1971,6 +1971,22 @@ def q_multimodal_validate(spark, sf_dir):
     return validate_payloads(media_from_text(_t(spark, sf_dir, "documents")))
 
 
+def q_tokenize_bpe(spark, sf_dir):
+    """Subword (BPE) token counts next to whitespace word counts — the
+    tokenizer-budget primitive (``functions/bpe.py``).  Encode is a
+    fold of literal JVM replaces fused into the scan; the oracle
+    re-runs the identical merge chain in chunked DuckDB CTEs."""
+    from datavalid_spark.functions.bpe import bpe_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count_ws(c).cast("long").alias("n_words"),
+        bpe_token_count(c).alias("n_bpe"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is the driver-sweep order (driver caps at 50/round).
     # Round-3 priority block: the 6 former r1 no_oracle queries, then the
@@ -2026,6 +2042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_report": q_mixture_report,
         "oov_rate": q_oov_rate,
         "psi_priority": q_psi,
+        "tokenize_bpe": q_tokenize_bpe,
         "rollup_agg": q_rollup_agg,
         "unpivot_metrics": q_unpivot_metrics,
         "pivot_counts": q_pivot_counts,
@@ -2197,6 +2214,23 @@ FROM inter
 JOIN g ga ON inter.id_a = ga.id
 JOIN g gb ON inter.id_b = gb.id
 WHERE ni::DOUBLE / (len(ga.gr) + len(gb.gr) - ni) >= 0.5
+"""
+
+
+def _tokenize_bpe_sql() -> str:
+    """DuckDB mirror of ``q_tokenize_bpe``: the module's own oracle
+    generator re-runs the exact merge chain (chunked CTEs — DuckDB's
+    binder caps expression nesting at 128)."""
+    from datavalid_spark.functions.bpe import ORACLE_COUNT_OF_S, oracle_bpe_ctes
+
+    ctes, final = oracle_bpe_ctes("documents", "doc_id, text", "text")
+    return f"""
+WITH {ctes}
+SELECT doc_id,
+  CAST(CASE WHEN trim(text) = '' THEN 0
+       ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_words,
+  {ORACLE_COUNT_OF_S} AS n_bpe
+FROM {final}
 """
 
 
@@ -2465,6 +2499,7 @@ SELECT doc_id,
        ELSE 0.0 END AS punct
 FROM documents
 """,
+        "tokenize_bpe": _tokenize_bpe_sql(),
         "text_lang_id": _lang_id_sql(),
         "text_quality": _quality_sql(),
         "sort_limit_topk": """

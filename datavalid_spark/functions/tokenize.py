@@ -1,0 +1,52 @@
+"""Pluggable tokenizer registry for the token-budget operators.
+
+Every operator that counts, slices, or joins on tokens
+(``chunk_documents``, ``vocab_coverage``, the hashed n-gram LM,
+``pack_shards`` via its ``size_col``) budgets in WHITESPACE word
+tokens by default — bit-comparable with the DuckDB oracles and the
+reference's pandas semantics.  Real training pipelines budget in
+TOKENIZER tokens (word counts mis-budget code corpora by 2-4x), so
+those operators now take a ``tokenizer`` argument resolved here:
+
+* ``"ws"`` / ``"whitespace"`` — ``text.nonempty_tokens`` (default;
+  lowercased, trimmed, split on whitespace)
+* ``"bpe"`` — ``bpe.bpe_tokens`` (subword merge fold, pure JVM
+  Column ops — see ``functions/bpe.py`` for the oracle story)
+* any callable ``Column|str -> Column`` returning ``array<string>``
+  — bring-your-own tokenizer (e.g. ``bpe_tokens`` with a custom
+  merge table)
+
+Train/score pairs (the hashed LM) persist the tokenizer NAME on the
+model so both sides always agree — same discipline as its ``hasher``
+field.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Union
+
+from pyspark.sql import Column
+
+from datavalid_spark.functions.bpe import bpe_tokens
+from datavalid_spark.functions.text import nonempty_tokens
+
+TokenizerSpec = Union[str, Callable[[Union[Column, str]], Column]]
+
+_REGISTRY: dict[str, Callable[[Union[Column, str]], Column]] = {
+    "ws": nonempty_tokens,
+    "whitespace": nonempty_tokens,
+    "bpe": bpe_tokens,
+}
+
+
+def resolve_tokenizer(spec: TokenizerSpec) -> Callable[[Union[Column, str]], Column]:
+    """Resolve a tokenizer spec to a token-array Column builder."""
+    if callable(spec):
+        return spec
+    try:
+        return _REGISTRY[spec]
+    except KeyError:
+        raise ValueError(
+            f"unknown tokenizer {spec!r}: expected one of "
+            f"{sorted(_REGISTRY)} or a Column callable"
+        ) from None

@@ -12,9 +12,9 @@ is per-row CPU only, and the explode multiplies rows by
 ⌈len/stride⌉ WITHIN the scan stage, never through an exchange.
 
 Whitespace tokens (``text.nonempty_tokens``) keep the driver oracle
-bit-comparable; a BPE tokenizer drops in by swapping the token-array
-expression (the counting regex already exists as
-``text.token_count_bpe``).
+bit-comparable; ``tokenizer="bpe"`` budgets windows in subword tokens
+instead (``functions/bpe.py`` — still a pure Column fold, still fused
+into the scan; ``chunk_text`` is then the space-joined subwords).
 """
 
 from __future__ import annotations
@@ -24,7 +24,8 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datavalid_spark.functions.text import let_once, nonempty_tokens
+from datavalid_spark.functions.text import let_once
+from datavalid_spark.functions.tokenize import TokenizerSpec, resolve_tokenizer
 
 
 def chunk_documents(
@@ -33,6 +34,7 @@ def chunk_documents(
     text_col: str,
     chunk_tokens: int = 512,
     stride: Optional[int] = None,
+    tokenizer: TokenizerSpec = "ws",
 ) -> DataFrame:
     """One row per (document, window): ``(id, chunk_id, start_token,
     n_tokens, chunk_text)``.
@@ -55,7 +57,7 @@ def chunk_documents(
     # trap documented in functions/text.py), emit per-chunk structs in
     # the same fused projection
     chunks = let_once(
-        nonempty_tokens(F.col(text_col)),
+        resolve_tokenizer(tokenizer)(F.col(text_col)),
         lambda t: F.transform(
             F.sequence(
                 F.lit(0),

@@ -47,7 +47,6 @@ from pyspark.sql import functions as F
 
 from datavalid_spark.functions.text import (
     let_once,
-    nonempty_tokens,
     word_ngrams_all_of_tokens,
 )
 from datavalid_spark.operators.classify import hash_bucket
@@ -74,7 +73,10 @@ class HashedLM:
     #: "md5" (engine-portable, oracle-checkable) or "xxhash64"
     #: (JVM-native, measured 2.45x faster scoring — the production
     #: choice); train and score always agree because it lives here
-    hasher: str = "md5" 
+    hasher: str = "md5"
+    #: tokenizer NAME ("ws" or "bpe", functions/tokenize.py) — lives on
+    #: the model for the same train/score-agreement reason as hasher
+    tokenizer: str = "ws"
 
     def save(self, path: str) -> None:
         with open(path, "w") as f:
@@ -86,6 +88,7 @@ class HashedLM:
                     "ngram_counts": self.ngram_counts,
                     "ctx_counts": self.ctx_counts,
                     "hasher": self.hasher,
+                    "tokenizer": self.tokenizer,
                 },
                 f,
             )
@@ -113,6 +116,7 @@ def train_hashed_lm(
     n_buckets: int = 2048,
     alpha: float = 0.5,
     hasher: str = "md5",
+    tokenizer: str = "ws",
 ) -> HashedLM:
     """Count hashed n-grams and their contexts over a reference slice.
 
@@ -130,9 +134,15 @@ def train_hashed_lm(
         # the data, become the bottleneck.  A bigger model wants a
         # join-based scorer, not a literal fold.
         raise ValueError("train_hashed_lm: n_buckets must be in [1, 65536]")
-    toks = df.select(nonempty_tokens(text_col).alias("ts")).filter(
-        F.size("ts") >= n
-    )
+    from datavalid_spark.functions.tokenize import resolve_tokenizer
+
+    if not isinstance(tokenizer, str):
+        raise ValueError(
+            "train_hashed_lm: tokenizer must be a registry NAME "
+            "('ws'/'bpe') — it is persisted on the model"
+        )
+    tok = resolve_tokenizer(tokenizer)
+    toks = df.select(tok(text_col).alias("ts")).filter(F.size("ts") >= n)
     t = F.col("ts")
 
     def tag(kind: int):
@@ -160,6 +170,7 @@ def train_hashed_lm(
         ngram_counts=cng,
         ctx_counts=cctx,
         hasher=hasher,
+        tokenizer=tokenizer,
     )
 
 
@@ -206,7 +217,10 @@ def nll_micro_expr(col: Column | str, model: HashedLM) -> Column:
             )
         )
 
-    return let_once(nonempty_tokens(col), build)
+    from datavalid_spark.functions.tokenize import resolve_tokenizer
+
+    tok = resolve_tokenizer(getattr(model, "tokenizer", "ws"))
+    return let_once(tok(col), build)
 
 
 def score_lm(

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from datavalid_spark.cache import gated_broadcast
-from datavalid_spark.functions.text import let_once, nonempty_tokens
+from datavalid_spark.functions.text import let_once
 from datavalid_spark.operators.checks import TableCheck
 
 
@@ -47,18 +47,23 @@ def vocab_coverage(
     vocab: DataFrame,
     token_col: str = "token",
     broadcast_key_limit: int = 1_000_000,
+    tokenizer="ws",
 ) -> DataFrame:
     """Per-document OOV stats against a vocabulary table.
 
     Output: ``(id_col, n_tokens, n_oov, oov_ratio_micro)`` — exact
     counts over the engine's whitespace tokens (``text.tokens``:
-    lowercased, trimmed).  ``vocab`` is one term per row in
+    lowercased, trimmed) by default; ``tokenizer="bpe"`` measures
+    coverage in subword tokens against a subword vocabulary
+    (``functions/tokenize.py``).  ``vocab`` is one term per row in
     ``token_col``; terms are matched verbatim against lowercased
     tokens, so supply a lowercased vocabulary.
     """
+    from datavalid_spark.functions.tokenize import resolve_tokenizer
+
     toks = df.select(
         F.col(id_col),
-        F.explode_outer(nonempty_tokens(text_col)).alias("__w"),
+        F.explode_outer(resolve_tokenizer(tokenizer)(text_col)).alias("__w"),
     )
     v = gated_broadcast(
         vocab.select(F.col(token_col).alias("__w"))
@@ -117,7 +122,13 @@ class MaxOovCheck(TableCheck):
         vocab: Optional[str] = None,
         max_ratio=None,
         vocab_limit: int = 262_144,
+        tokenizer: str = "ws",
     ):
+        from datavalid_spark.functions.tokenize import resolve_tokenizer
+
+        if not isinstance(tokenizer, str):
+            raise ValueError('"tokenizer" should be a tokenizer name')
+        self._tokenize = resolve_tokenizer(tokenizer)  # raises on bad name
         if not isinstance(column, str) or not column:
             raise ValueError('should contain key "column"')
         if not isinstance(vocab, str) or not vocab:
@@ -164,7 +175,7 @@ class MaxOovCheck(TableCheck):
                 > F.lit(int(self.max_ratio_micro)) * n.cast("long")
             )
 
-        return let_once(nonempty_tokens(self.column), build)
+        return let_once(self._tokenize(self.column), build)
 
     def violations(self, df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
         return df.filter(self.bad_expr(df))

@@ -1,0 +1,196 @@
+"""Subword (BPE) tokenizer: Spark Column fold vs the pure-Python
+reference encoder vs the generated DuckDB oracle (SURVEY.md §2 —
+tokenizer-budget primitive; reference engine has no subword tokenizer,
+this is the LLM-pipeline extension surface)."""
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from datavalid_spark.functions.bpe import (
+    MERGES,
+    N_MERGES,
+    bpe_token_count,
+    bpe_tokens,
+    encode_reference,
+    learn_merges,
+    oracle_bpe_count_sql,
+    oracle_bpe_spaced_sql,
+)
+
+SAMPLES = [
+    "the quick brown fox",
+    "internationalization of tokenization",
+    "def validate(table, checks): return []",
+    "",
+    "   ",
+    "a",
+    "UPPER Case MiXeD",
+    "tabs\tand\nnewlines\x0bvertical\ffeed\rreturn",
+    "unicode: héllo wörld — em-dash",
+    "repeated repeated repeated words words",
+    "x" * 300,
+    "\x01\x02 control chars stripped \x02\x01",
+    "don't stop; it's 100% fine (really).",
+]
+
+
+def test_merge_table_deterministic():
+    assert learn_merges("low lower lowest low low", 4) == learn_merges(
+        "low lower lowest low low", 4
+    )
+    assert len(MERGES) == N_MERGES
+    # every merge produces a token built from earlier symbols
+    known = set()
+    for a, b in MERGES:
+        for part in (a, b):
+            assert len(part) == 1 or part in known
+        known.add(a + b)
+
+
+def test_spark_matches_reference_encoder(spark):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(SAMPLES)], "i int, t string")
+    got = {
+        r["i"]: (list(r["toks"]), r["n"])
+        for r in df.select(
+            "i",
+            bpe_tokens("t").alias("toks"),
+            bpe_token_count("t").alias("n"),
+        ).collect()
+    }
+    for i, s in enumerate(SAMPLES):
+        want = encode_reference(s)
+        assert got[i][0] == want, f"sample {i!r}: {got[i][0]} != {want}"
+        assert got[i][1] == len(want)
+
+
+def test_duckdb_oracle_matches_reference():
+    con = duckdb.connect()
+    small = MERGES[:24]  # single-expression form fits the binder cap
+    for s in SAMPLES:
+        n = con.execute(
+            f"SELECT {oracle_bpe_count_sql('t', small)} FROM (SELECT ? AS t)",
+            [s],
+        ).fetchone()[0]
+        assert n == len(encode_reference(s, small)), s
+
+
+def test_subwords_compress_vs_chars(spark):
+    # merges learned from the seed corpus must fuse common fragments:
+    # token count strictly below character count for prose, and common
+    # whole words from the corpus become single tokens
+    df = spark.createDataFrame(
+        [("the validation of the table data",)], "t string"
+    )
+    row = df.select(
+        bpe_tokens("t").alias("toks"), bpe_token_count("t").alias("n")
+    ).collect()[0]
+    assert row["n"] < len("thevalidationofthetabledata")
+    assert "the" in row["toks"]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+        max_size=120,
+    )
+)
+def test_hypothesis_reference_vs_oracle(s):
+    con = duckdb.connect()
+    small = MERGES[:16]
+    n = con.execute(
+        f"SELECT {oracle_bpe_count_sql('t', small)} FROM (SELECT ? AS t)", [s]
+    ).fetchone()[0]
+    assert n == len(encode_reference(s, small))
+
+
+def test_spaced_oracle_expression_shape():
+    # the spaced-form SQL should reference only chr() control chars,
+    # never embed raw \x01/\x02 bytes (transport safety)
+    sql = oracle_bpe_spaced_sql("t", MERGES[:4])
+    assert "\x01" not in sql and "\x02" not in sql
+
+
+def test_empty_and_whitespace_zero(spark):
+    df = spark.createDataFrame([("",), ("   ",), (None,)], "t string")
+    ns = [r[0] for r in df.select(bpe_token_count("t")).collect()]
+    assert ns[0] == 0 and ns[1] == 0 and ns[2] is None
+
+
+@pytest.mark.parametrize("word,better", [("international", 5), ("configuration", 5)])
+def test_common_corpus_words_fuse(word, better):
+    # words over-represented in the seed corpus should encode in few
+    # subwords — the budget-accuracy property the merge table exists for
+    assert len(encode_reference(word)) <= better
+
+
+# --------------------------------------------------------------------
+# tokenizer= integration (functions/tokenize.py)
+# --------------------------------------------------------------------
+
+
+def test_resolve_tokenizer_errors():
+    from datavalid_spark.functions.tokenize import resolve_tokenizer
+
+    with pytest.raises(ValueError, match="unknown tokenizer"):
+        resolve_tokenizer("nope")
+    fn = resolve_tokenizer(lambda c: bpe_tokens(c))
+    assert callable(fn)
+
+
+def test_chunk_documents_bpe_budget(spark):
+    from datavalid_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "the validation of the table data and the configuration"),
+         (2, ""), (3, None)],
+        "doc_id int, text string",
+    )
+    chunks = chunk_documents(df, "doc_id", "text", chunk_tokens=4, tokenizer="bpe")
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+        for r in chunks.collect()
+    )
+    ref = encode_reference("the validation of the table data and the configuration")
+    # windows tile the subword stream: counts sum to the doc's count
+    assert sum(n for d, _, n, _ in rows if d == 1) == len(ref)
+    # chunk_text is the space-joined subword window
+    assert rows[0][3] == " ".join(ref[:4])
+    assert all(d == 1 for d, *_ in rows)  # empty/null docs emit nothing
+
+
+def test_lm_tokenizer_persisted(spark, tmp_path):
+    from datavalid_spark.operators.lm import HashedLM, score_lm, train_hashed_lm
+
+    train = spark.createDataFrame(
+        [("the validation of the table data the validation of tables",)],
+        "t string",
+    )
+    m = train_hashed_lm(train, "t", n=2, n_buckets=64, tokenizer="bpe")
+    assert m.tokenizer == "bpe"
+    p = str(tmp_path / "lm.json")
+    m.save(p)
+    m2 = HashedLM.load(p)
+    assert m2.tokenizer == "bpe"
+    # scoring uses the model's tokenizer: a doc with ONE whitespace word
+    # but several subwords still gets scored under the bpe model
+    df = spark.createDataFrame([("internationalization",)], "t string")
+    row = score_lm(df, "t", m2).collect()[0]
+    assert row["lm_n_scored"] == len(encode_reference("internationalization")) - 1
+    assert row["lm_nll_micro"] is not None
+    with pytest.raises(ValueError, match="registry NAME"):
+        train_hashed_lm(train, "t", tokenizer=lambda c: c)
+
+
+def test_vocab_coverage_bpe(spark):
+    from datavalid_spark.operators.vocab import vocab_coverage
+
+    df = spark.createDataFrame([(1, "the configuration")], "doc_id int, text string")
+    subwords = list(dict.fromkeys(encode_reference("the configuration")))
+    vocab = spark.createDataFrame([(w,) for w in subwords[:-1]], "token string")
+    row = vocab_coverage(df, "doc_id", "text", vocab, tokenizer="bpe").collect()[0]
+    assert row["n_tokens"] == len(encode_reference("the configuration"))
+    assert row["n_oov"] >= 1  # the held-out subword is OOV
