@@ -3728,20 +3728,49 @@ SELECT 'n_chars' AS "column",
        CAST(MAX(nb) AS BIGINT) AS n_cur
 FROM c
 """,
+        # rebuilds all FIVE planted corruption classes of the fixture
+        # container (operators/multimodal.py HEADER_LEN layout) and
+        # re-derives each reason the way the validator does: truncation
+        # compares stored-body bytes to the header's full length,
+        # checksum recomputes md5 over the stored body (DuckDB
+        # md5(varchar) hashes utf-8 bytes = Spark md5(binary)), size
+        # compares to the catalog column, dims compare header vs meta.
+        # Precedence mirrors the validator exactly.
         "multimodal_validate": """
 WITH m AS (
   SELECT doc_id,
-    encode(CASE WHEN doc_id % 37 = 0 THEN 'XXXX' ELSE 'MEDI' END || text)
-      AS payload,
-    octet_length(encode(text))
-      + CASE WHEN doc_id % 41 = 0 THEN 7 ELSE 0 END AS declared_size
-  FROM documents WHERE text IS NOT NULL)
+    CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         ELSE 'video' END AS kind,
+    CASE WHEN doc_id % 43 = 0
+         THEN substr(text, 1, CAST(length(text) // 2 AS INT))
+         ELSE text END AS body,
+    text,
+    octet_length(encode(text)) AS hdr_len,
+    CASE WHEN doc_id % 47 = 0 THEN '00000000'
+         ELSE substr(md5(text), 1, 8) END AS ck_stored
+  FROM documents WHERE text IS NOT NULL),
+v AS (
+  SELECT doc_id, kind,
+    octet_length(encode(body)) AS body_len,
+    hdr_len,
+    ck_stored,
+    substr(md5(body), 1, 8) AS ck_actual,
+    octet_length(encode(body))
+      + CASE WHEN doc_id % 41 = 0 THEN 7 ELSE 0 END AS declared_size,
+    (doc_id % 1024 + 16) AS hdr_w,
+    CASE WHEN doc_id % 53 = 0 THEN doc_id % 1024 + 17
+         ELSE doc_id % 1024 + 16 END AS meta_w
+  FROM m)
 SELECT doc_id,
-  CASE WHEN substring(decode(payload), 1, 4) <> 'MEDI' THEN 'bad magic'
-       WHEN octet_length(payload) - 4 <> declared_size THEN 'size mismatch'
+  CASE WHEN doc_id % 37 = 0 THEN 'bad magic'
+       WHEN body_len < hdr_len THEN 'truncated'
+       WHEN ck_actual <> ck_stored THEN 'checksum mismatch'
+       WHEN body_len <> declared_size THEN 'size mismatch'
+       WHEN kind = 'image' AND hdr_w <> meta_w THEN 'dims mismatch'
   END AS reason
-FROM m
-WHERE substring(decode(payload), 1, 4) <> 'MEDI'
-   OR octet_length(payload) - 4 <> declared_size
+FROM v
+WHERE doc_id % 37 = 0 OR body_len < hdr_len OR ck_actual <> ck_stored
+   OR body_len <> declared_size
+   OR (kind = 'image' AND hdr_w <> meta_w)
 """,
     }

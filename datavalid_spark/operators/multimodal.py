@@ -224,6 +224,16 @@ _PAYLOAD_VIOLATION_SCHEMA = T.StructType(
 #: 4-byte container magic for the deterministic fixture format
 PAYLOAD_MAGIC = b"MEDI"
 
+#: fixture container layout (all-ASCII header so both engines can build
+#: and parse it with plain string ops)::
+#:
+#:     [0:4)   magic "MEDI"
+#:     [4:13)  dims  "WWWWxHHHH"  (zero-padded; "0000x0000" for non-image)
+#:     [13:21) ck8   first 8 hex chars of md5(full utf8 body)
+#:     [21:29) len8  zero-padded byte length of the FULL body
+#:     [29:)   body  utf8(text), possibly truncated
+HEADER_LEN = 29
+
 
 def media_from_text(
     df: DataFrame,
@@ -231,52 +241,164 @@ def media_from_text(
     text_col: str = "text",
     corrupt_magic_mod: int = 37,
     corrupt_size_mod: int = 41,
+    corrupt_trunc_mod: int = 43,
+    corrupt_ck_mod: int = 47,
+    corrupt_dims_mod: int = 53,
 ) -> DataFrame:
     """Deterministic media table derived from a text table: payload =
-    4-byte magic ‖ utf8(text), declared_size = payload body bytes, kind
-    from id.  Defects are PLANTED (wrong magic every ``corrupt_magic_mod``
-    ids, wrong declared size every ``corrupt_size_mod``) so the
-    validation path is exercised on non-empty output — and the whole
-    construction is pure SQL-expressible (oracle builds the same blobs
-    with DuckDB ``encode``)."""
-    magic = F.when(F.col(id_col) % corrupt_magic_mod == 0, F.lit("XXXX")).otherwise(
+    header ‖ utf8(text) (see ``HEADER_LEN`` layout), ``declared_size``
+    = stored body bytes, kind from id, ``meta`` with the externally
+    declared image dims.  FIVE defect classes are PLANTED on disjoint
+    id mods so the validation path is exercised on non-empty output:
+
+    * wrong magic (``corrupt_magic_mod``)
+    * catalog ``declared_size`` off by 7 (``corrupt_size_mod``)
+    * body truncated to half its characters while the header keeps the
+      full byte length (``corrupt_trunc_mod``) — the torn-write class
+    * header checksum zeroed (``corrupt_ck_mod``) — the bit-rot class
+    * ``meta.width`` one off the header's width for images
+      (``corrupt_dims_mod``) — the stale-catalog-dims class
+
+    The whole construction is pure SQL-expressible: truncation is
+    CHARACTER-based (``substring`` in both engines) and the checksum is
+    md5 over the utf-8 body bytes (Spark ``md5(binary)`` ≡ DuckDB
+    ``md5(varchar)``), so the DuckDB oracle rebuilds every class
+    exactly."""
+    did = F.col(id_col)
+    body_full = F.encode(F.col(text_col), "UTF-8")
+    truncated = did % corrupt_trunc_mod == 0
+    body = F.when(
+        truncated,
+        F.encode(
+            F.substring(
+                F.col(text_col), 1, (F.length(text_col) / 2).cast("int")
+            ),
+            "UTF-8",
+        ),
+    ).otherwise(body_full)
+    is_img = did % 3 == 0
+    w = (did % 1024 + 16).cast("int")
+    h = ((did * 7) % 1024 + 16).cast("int")
+    dims = F.when(
+        is_img,
+        F.concat(
+            F.lpad(w.cast("string"), 4, "0"),
+            F.lit("x"),
+            F.lpad(h.cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit("0000x0000"))
+    ck = F.when(did % corrupt_ck_mod == 0, F.lit("00000000")).otherwise(
+        F.substring(F.md5(body_full), 1, 8)
+    )
+    len8 = F.lpad(F.octet_length(body_full).cast("string"), 8, "0")
+    magic = F.when(did % corrupt_magic_mod == 0, F.lit("XXXX")).otherwise(
         F.lit(PAYLOAD_MAGIC.decode())
     )
-    body = F.encode(F.col(text_col), "UTF-8")
     kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    kind = F.element_at(kinds, (did % 3 + 1).cast("int"))
     return df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("doc_id"),
-        F.element_at(kinds, (F.col(id_col) % 3 + 1).cast("int")).alias("kind"),
-        F.concat(F.encode(magic, "UTF-8"), body).alias("data"),
+        did.alias("doc_id"),
+        kind.alias("kind"),
+        F.concat(
+            F.encode(magic, "UTF-8"),
+            F.encode(dims, "UTF-8"),
+            F.encode(ck, "UTF-8"),
+            F.encode(len8, "UTF-8"),
+            body,
+        ).alias("data"),
         (
             F.octet_length(body)
-            + F.when(F.col(id_col) % corrupt_size_mod == 0, 7).otherwise(0)
+            + F.when(did % corrupt_size_mod == 0, 7).otherwise(0)
         ).cast("long").alias("declared_size"),
+        F.struct(
+            F.concat(kind, F.lit("/x-fake")).alias("mime"),
+            F.when(
+                is_img,
+                w + F.when(did % corrupt_dims_mod == 0, 1).otherwise(0),
+            ).alias("width"),
+            F.when(is_img, h).alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
     )
 
 
 def validate_payloads(media: DataFrame, magic: bytes = PAYLOAD_MAGIC) -> DataFrame:
     """Binary payload validation in one Arrow pass (the real plumbing a
-    decoder would sit behind): magic-prefix check, then declared-size
-    consistency.  Returns (doc_id, reason) for violating rows only;
-    reason precedence: 'bad magic' > 'size mismatch'.
+    decoder would sit behind) over the ``HEADER_LEN`` container: magic
+    prefix, header-declared length vs actual body bytes (truncation /
+    torn write), stored checksum vs recomputed md5 of the body (bit
+    rot), catalog ``declared_size`` consistency, and header dims vs the
+    externally declared ``meta`` dims for images.  Returns (doc_id,
+    reason) for violating rows only; reason precedence::
+
+        bad magic > truncated > checksum mismatch > size mismatch
+                  > dims mismatch
 
     Vectorized pandas bytes ops per batch (``.str`` accessor over the
-    Arrow-delivered bytes column) — no per-row/per-byte Python loops.
+    Arrow-delivered bytes column); the one per-row call is
+    ``hashlib.md5`` over each body — a single C call per payload, the
+    same cost class a real decoder pays, never per-byte Python.
+    Checksums are only computed for rows that passed the structural
+    checks (magic + length), so corrupt rows short-circuit cheap.
     """
+    hlen = HEADER_LEN
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            prefix = pdf["data"].str[: len(magic)]
-            n_bytes = pdf["data"].str.len()
-            bad_magic = (prefix != magic) | pdf["data"].isna()
-            bad_size = (n_bytes - len(magic)) != pdf["declared_size"]
-            reason = np.where(
-                bad_magic, "bad magic", np.where(bad_size, "size mismatch", None)
+            data = pdf["data"]
+            isna = data.isna()
+            safe = data.where(~isna, b"")
+            n = safe.str.len()
+            bad_magic = isna | (safe.str[: len(magic)] != magic)
+            hdr_short = n < hlen
+            hdr_len = pd.to_numeric(
+                safe.str[21:29].str.decode("ascii", errors="ignore"),
+                errors="coerce",
+            )
+            body_len = (n - hlen).clip(lower=0)
+            truncated = hdr_short | hdr_len.isna() | (body_len < hdr_len)
+            # checksum: md5 the body only where structure is intact
+            need_ck = ~(bad_magic | truncated)
+            ck_stored = safe.str[13:21]
+            ck_actual = safe.where(need_ck, b"").str[hlen:].map(
+                lambda b: hashlib.md5(b).hexdigest()[:8].encode("ascii")
+            )
+            bad_ck = need_ck & (ck_actual != ck_stored)
+            bad_size = body_len != pdf["declared_size"]
+            # header dims vs externally declared meta dims (images)
+            hdr_w = pd.to_numeric(
+                safe.str[4:8].str.decode("ascii", errors="ignore"),
+                errors="coerce",
+            )
+            hdr_h = pd.to_numeric(
+                safe.str[9:13].str.decode("ascii", errors="ignore"),
+                errors="coerce",
+            )
+            meta = pdf["meta"]
+            meta_w = pd.to_numeric(
+                meta.map(lambda m: None if m is None else m["width"]),
+                errors="coerce",
+            )
+            meta_h = pd.to_numeric(
+                meta.map(lambda m: None if m is None else m["height"]),
+                errors="coerce",
+            )
+            is_img = pdf["kind"] == "image"
+            bad_dims = is_img & ((hdr_w != meta_w) | (hdr_h != meta_h))
+            reason = np.select(
+                [bad_magic, truncated, bad_ck, bad_size, bad_dims],
+                [
+                    "bad magic",
+                    "truncated",
+                    "checksum mismatch",
+                    "size mismatch",
+                    "dims mismatch",
+                ],
+                default=None,
             )
             out = pd.DataFrame({"doc_id": pdf["doc_id"], "reason": reason})
             yield out[out["reason"].notna()]
 
-    return media.select("doc_id", "data", "declared_size").mapInPandas(
+    return media.select("doc_id", "kind", "data", "declared_size", "meta").mapInPandas(
         fn, schema=_PAYLOAD_VIOLATION_SCHEMA
     )

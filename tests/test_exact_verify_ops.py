@@ -58,19 +58,52 @@ def test_ks_exact_disjoint_samples_one(spark):
 
 def test_media_payload_validation(spark):
     docs = spark.createDataFrame(
-        [(i, f"document body number {i}") for i in range(120)],
+        [(i, f"document body number {i}") for i in range(200)],
         "doc_id long, text string",
     )
-    media = media_from_text(docs, corrupt_magic_mod=37, corrupt_size_mod=41)
+    media = media_from_text(docs)  # default mods: 37/41/43/47/53
     got = {r["doc_id"]: r["reason"] for r in validate_payloads(media).collect()}
-    for i in range(120):
+    for i in range(200):
         if i % 37 == 0:
-            assert got[i] == "bad magic"  # precedence over size
+            assert got[i] == "bad magic"  # precedence over everything
+        elif i % 43 == 0:
+            assert got[i] == "truncated"
+        elif i % 47 == 0:
+            assert got[i] == "checksum mismatch"
         elif i % 41 == 0:
             assert got[i] == "size mismatch"
+        elif i % 53 == 0 and i % 3 == 0:
+            assert got[i] == "dims mismatch"  # images only
         else:
-            assert i not in got
-    assert got  # non-empty by construction
+            assert i not in got, (i, got.get(i))
+    # all five classes present in the planted range (159 = 3*53 image)
+    assert {got[37], got[43], got[47], got[41], got[159]} == {
+        "bad magic",
+        "truncated",
+        "checksum mismatch",
+        "size mismatch",
+        "dims mismatch",
+    }
+
+
+def test_media_payload_defect_independence(spark):
+    # disable each class via an out-of-range mod and confirm the others
+    # still fire — classes are detected from the BYTES, not the mods
+    docs = spark.createDataFrame(
+        [(i, f"payload {i} with some body text") for i in range(1, 100)],
+        "doc_id long, text string",  # start at 1: 0 % anything == 0
+    )
+    media = media_from_text(
+        docs,
+        corrupt_magic_mod=999,
+        corrupt_size_mod=999,
+        corrupt_trunc_mod=7,
+        corrupt_ck_mod=999,
+        corrupt_dims_mod=999,
+    )
+    got = {r["doc_id"]: r["reason"] for r in validate_payloads(media).collect()}
+    assert got and all(v == "truncated" for v in got.values())
+    assert set(got) == {i for i in range(1, 100) if i % 7 == 0}
 
 
 def test_media_payload_roundtrip_clean(spark):
