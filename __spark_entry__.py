@@ -1971,6 +1971,43 @@ def q_multimodal_validate(spark, sf_dir):
     return validate_payloads(media_from_text(_t(spark, sf_dir, "documents")))
 
 
+def _dsir_models(spark, sf_dir):
+    """Shared DSIR model fit: target = the English slice, raw = the
+    whole corpus (ns=(1,2), 4096 md5 buckets — oracle-reproducible)."""
+    from datavalid_spark.operators.dsir import train_hashed_bag
+
+    docs = _t(spark, sf_dir, "documents")
+    target = train_hashed_bag(docs.filter(F.col("lang") == "en"), "text")
+    raw = train_hashed_bag(docs, "text")
+    return docs, target, raw
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights (operators/dsir.py, Xie et al.
+    2023): hashed 1+2-gram bag models for target (lang='en') and raw
+    (all docs); per-doc log ratio as exact integer micro-nats — the
+    mixture-design primitive.  The DuckDB oracle re-runs training AND
+    scoring from the same spec."""
+    from datavalid_spark.operators.dsir import dsir_weights
+
+    docs, target, raw = _dsir_models(spark, sf_dir)
+    return dsir_weights(docs, "text", target, raw).select(
+        "doc_id", "dsir_n_feat", "dsir_logratio_micro"
+    )
+
+
+def q_dsir_select(spark, sf_dir):
+    """Deterministic Gumbel-top-k importance resampling: keep the 100
+    documents with the largest logratio + Gumbel(md5(doc_id:42)) key.
+    TakeOrdered plan (per-partition heaps), never a global sort; the
+    float key is rounded to 1e-6 for the cross-engine compare."""
+    from datavalid_spark.operators.dsir import dsir_select
+
+    docs, target, raw = _dsir_models(spark, sf_dir)
+    out = dsir_select(docs, "doc_id", "text", target, raw, k=100, seed=42)
+    return out.select("doc_id", F.round("dsir_key", 6).alias("key_r6"))
+
+
 def q_tokenize_bpe(spark, sf_dir):
     """Subword (BPE) token counts next to whitespace word counts — the
     tokenizer-budget primitive (``functions/bpe.py``).  Encode is a
@@ -1999,6 +2036,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "drift_two_sample": q_drift_two_sample,
         "multimodal_validate": q_multimodal_validate,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
+        "tokenize_bpe": q_tokenize_bpe,
         "topk_per_group": q_topk_per_group,
         "rolling_window": q_rolling_window,
         "scd2_history": q_scd2_history,
@@ -2042,7 +2082,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_report": q_mixture_report,
         "oov_rate": q_oov_rate,
         "psi_priority": q_psi,
-        "tokenize_bpe": q_tokenize_bpe,
         "rollup_agg": q_rollup_agg,
         "unpivot_metrics": q_unpivot_metrics,
         "pivot_counts": q_pivot_counts,
@@ -3209,6 +3248,72 @@ agg AS (SELECT doc_id, COUNT(*)::INT AS n_scored,
 SELECT d.doc_id, COALESCE(a.n_scored, 0) AS lm_n_scored,
        a.nll_micro AS lm_nll_micro
 FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
+        # DSIR: rebuild both hashed 1+2-gram bag models (target =
+        # lang='en', raw = all docs; 4096 md5 buckets, alpha 0.5) and
+        # re-score every document with the same integer micro-nat
+        # quantization — the operators/dsir.py spec end to end.
+        "dsir_weights": f"""
+WITH tok AS (SELECT doc_id, lang, {_TOKS_SEQ} AS ts FROM documents),
+gr AS (
+  SELECT doc_id, lang, ts[i] AS g
+  FROM (SELECT doc_id, lang, unnest(range(1, len(ts) + 1)) AS i, ts FROM tok)
+  UNION ALL
+  SELECT doc_id, lang, ts[i] || ' ' || ts[i + 1] AS g
+  FROM (SELECT doc_id, lang, unnest(range(1, len(ts))) AS i, ts FROM tok)),
+gb AS (SELECT doc_id, lang,
+              (('0x' || substring(md5(g), 1, 8))::BIGINT % 4096) AS b
+       FROM gr),
+tc AS (SELECT b, COUNT(*) AS c FROM gb WHERE lang = 'en' GROUP BY 1),
+rc AS (SELECT b, COUNT(*) AS c FROM gb GROUP BY 1),
+tot AS (SELECT (SELECT COALESCE(SUM(c), 0) FROM tc) AS tt,
+               (SELECT COALESCE(SUM(c), 0) FROM rc) AS rt),
+mic AS (
+  SELECT gb.doc_id,
+    ROUND((ln((COALESCE(tc.c, 0) + 0.5) / (tot.tt + 0.5 * 4096))
+         - ln((COALESCE(rc.c, 0) + 0.5) / (tot.rt + 0.5 * 4096))) * 1e6
+    )::BIGINT AS m
+  FROM gb LEFT JOIN tc USING (b) LEFT JOIN rc USING (b) CROSS JOIN tot),
+agg AS (SELECT doc_id, COUNT(*)::INT AS n_feat, SUM(m)::BIGINT AS lr
+        FROM mic GROUP BY 1)
+SELECT d.doc_id, COALESCE(a.n_feat, 0) AS dsir_n_feat,
+       a.lr AS dsir_logratio_micro
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
+        # Gumbel-top-k selection: same weights + the md5-derived
+        # deterministic Gumbel key (13 hex digits = 52-bit uniform,
+        # exact in a double), top 100 by (key DESC, doc_id).
+        "dsir_select": f"""
+WITH tok AS (SELECT doc_id, lang, {_TOKS_SEQ} AS ts FROM documents),
+gr AS (
+  SELECT doc_id, lang, ts[i] AS g
+  FROM (SELECT doc_id, lang, unnest(range(1, len(ts) + 1)) AS i, ts FROM tok)
+  UNION ALL
+  SELECT doc_id, lang, ts[i] || ' ' || ts[i + 1] AS g
+  FROM (SELECT doc_id, lang, unnest(range(1, len(ts))) AS i, ts FROM tok)),
+gb AS (SELECT doc_id, lang,
+              (('0x' || substring(md5(g), 1, 8))::BIGINT % 4096) AS b
+       FROM gr),
+tc AS (SELECT b, COUNT(*) AS c FROM gb WHERE lang = 'en' GROUP BY 1),
+rc AS (SELECT b, COUNT(*) AS c FROM gb GROUP BY 1),
+tot AS (SELECT (SELECT COALESCE(SUM(c), 0) FROM tc) AS tt,
+               (SELECT COALESCE(SUM(c), 0) FROM rc) AS rt),
+mic AS (
+  SELECT gb.doc_id,
+    ROUND((ln((COALESCE(tc.c, 0) + 0.5) / (tot.tt + 0.5 * 4096))
+         - ln((COALESCE(rc.c, 0) + 0.5) / (tot.rt + 0.5 * 4096))) * 1e6
+    )::BIGINT AS m
+  FROM gb LEFT JOIN tc USING (b) LEFT JOIN rc USING (b) CROSS JOIN tot),
+agg AS (SELECT doc_id, SUM(m)::BIGINT AS lr FROM mic GROUP BY 1),
+sel AS (
+  SELECT d.doc_id,
+    a.lr::DOUBLE / 1e6 + (-ln(-ln(
+      ((('0x' || substring(md5(d.doc_id::VARCHAR || ':42'), 1, 13))::BIGINT
+        )::DOUBLE + 1.0) / (power(16.0, 13) + 2.0)))) AS key
+  FROM documents d JOIN agg a USING (doc_id)
+  WHERE a.lr IS NOT NULL)
+SELECT doc_id, ROUND(key, 6) AS key_r6
+FROM sel ORDER BY key DESC, doc_id LIMIT 100
 """,
         "reconcile_orders": """
 WITH l AS (

@@ -1,0 +1,290 @@
+"""DSIR-style data selection: hashed n-gram importance resampling.
+
+Public algorithm: Xie et al. 2023, "Data Selection for Language Models
+via Importance Resampling" (DSIR) — estimate hashed bag-of-n-grams
+probabilities on a small TARGET corpus (the distribution you want) and
+on the RAW corpus (what you have), score every raw document with the
+log importance ratio ``Σ_g ln p_target(h(g)) − ln p_raw(h(g))``, then
+resample with Gumbel-top-k so the kept set is distributed like the
+target.  This is the mixture-design step a 100 TB pretraining pipeline
+runs between quality filtering and shard packing.
+
+Reference parity note: pckhoi/datavalid has no sampling operators at
+all; this extends the engine's LLM-pipeline family (SURVEY.md §2.6)
+next to the hashed LM (`lm.py`) and NB classifier (`classify.py`),
+sharing their feature hashing, tokenizer registry, and integer
+micro-nat exactness discipline.
+
+Built to the 10^12-row shape:
+
+- **train** (`train_hashed_bag`): one explode → partially-aggregated
+  groupBy(bucket) per corpus; the shuffle carries ≤ ``n_buckets`` rows
+  per task and the collected model is KB-scale.  Train on a SAMPLE of
+  the raw corpus at scale — the model is a distribution estimate, not
+  an index.
+- **score** (`dsir_logratio_expr`): pure Column fold — both count
+  arrays ship as plan literals, each gram's log-ratio is quantized to
+  integer micro-nats BEFORE the sum, so the doc score is a BIGINT,
+  order-independent, and bit-identical across engines/partitionings
+  (the `lm.py` trick; same measure-zero ulp caveat on ``ln``).
+  Scoring fuses into any existing scan: zero shuffle, zero UDF.
+- **select** (`dsir_select`): deterministic Gumbel-top-k — the Gumbel
+  noise comes from an md5-derived uniform of ``(id, seed)``, never an
+  RNG, so selection is reproducible across runs, engines, and
+  partitionings.  Top-k is Spark's distributed TakeOrdered (per-
+  partition heaps + driver merge of k), not a global sort.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datavalid_spark.functions.text import let_once, word_ngrams_all_of_tokens
+from datavalid_spark.operators.classify import hash_bucket
+
+#: micro-nat quantization scale (shared discipline with lm.py)
+MICRO = 1e6
+
+#: md5-uniform mantissa width: 13 hex digits = 52 bits, exact in a double
+_HEX_DIGITS = 13
+_HASH_SPACE = float(16**_HEX_DIGITS)
+
+
+@dataclass
+class HashedBag:
+    """Dense hashed bag-of-n-grams distribution: counts + hyperparams.
+
+    ``counts[b]`` = occurrences of grams (all sizes in ``ns`` pooled —
+    the DSIR formulation) hashing to bucket b; ``total`` = Σ counts.
+    Smoothed probability: ``p(b) = (counts[b] + α) / (total + α·B)``.
+    JSON round-trip via save/load for reuse across jobs."""
+
+    ns: tuple
+    n_buckets: int
+    alpha: float
+    counts: list[int] = field(repr=False)
+    total: int = 0
+    #: "md5" (engine-portable, oracle-checkable) or "xxhash64" (fast)
+    hasher: str = "md5"
+    #: tokenizer NAME — persisted so train/score agree (lm.py rule)
+    tokenizer: str = "ws"
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "ns": list(self.ns),
+                    "n_buckets": self.n_buckets,
+                    "alpha": self.alpha,
+                    "counts": self.counts,
+                    "total": self.total,
+                    "hasher": self.hasher,
+                    "tokenizer": self.tokenizer,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "HashedBag":
+        with open(path) as f:
+            d = json.load(f)
+        d["ns"] = tuple(d["ns"])
+        return cls(**d)
+
+
+def _gram_arrays(t: Column, ns) -> Column:
+    """Concatenated gram stream over a token array: unigrams are the
+    tokens themselves, higher n from the shared element_at builder."""
+    parts = [
+        t if n == 1 else word_ngrams_all_of_tokens(t, n) for n in ns
+    ]
+    return parts[0] if len(parts) == 1 else F.concat(*parts)
+
+
+def train_hashed_bag(
+    df: DataFrame,
+    text_col: str,
+    ns=(1, 2),
+    n_buckets: int = 4096,
+    alpha: float = 0.5,
+    hasher: str = "md5",
+    tokenizer: str = "ws",
+) -> HashedBag:
+    """Count hashed grams over a corpus slice — ONE aggregation pass;
+    the shuffle is keyed on the bucket id (cardinality ``n_buckets``)
+    with map-side partial aggregation."""
+    ns = tuple(sorted(set(int(n) for n in ns)))
+    if not ns or ns[0] < 1:
+        raise ValueError("train_hashed_bag: ns must be gram sizes >= 1")
+    if not (1 <= n_buckets <= 65536):
+        raise ValueError("train_hashed_bag: n_buckets must be in [1, 65536]")
+    if not isinstance(tokenizer, str):
+        raise ValueError(
+            "train_hashed_bag: tokenizer must be a registry NAME "
+            "('ws'/'bpe') — it is persisted on the model"
+        )
+    from datavalid_spark.functions.tokenize import resolve_tokenizer
+
+    tok = resolve_tokenizer(tokenizer)
+    toks = df.select(tok(text_col).alias("ts")).filter(F.size("ts") >= 1)
+    grams = toks.select(
+        F.explode(_gram_arrays(F.col("ts"), ns)).alias("g")
+    )
+    rows = (
+        grams.select(hash_bucket(F.col("g"), n_buckets, hasher).alias("b"))
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    counts = [0] * n_buckets
+    for r in rows:
+        counts[r["b"]] = r["count"]
+    return HashedBag(
+        ns=ns,
+        n_buckets=n_buckets,
+        alpha=alpha,
+        counts=counts,
+        total=sum(counts),
+        hasher=hasher,
+        tokenizer=tokenizer,
+    )
+
+
+def _check_compatible(target: HashedBag, raw: HashedBag) -> None:
+    for attr in ("ns", "hasher", "tokenizer"):
+        if getattr(target, attr) != getattr(raw, attr):
+            raise ValueError(
+                f"dsir: target and raw models disagree on {attr}: "
+                f"{getattr(target, attr)!r} vs {getattr(raw, attr)!r}"
+            )
+
+
+def dsir_logratio_expr(col: Column | str, target: HashedBag, raw: HashedBag) -> Column:
+    """struct(n_feat INT, logratio_micro BIGINT) for one document.
+
+    ``logratio_micro`` = Σ over grams of
+    ``round((ln p_target(h(g)) − ln p_raw(h(g))) · 1e6)`` — exact
+    integer, order-independent, engine-portable.  NULL (n_feat = 0)
+    for documents with no tokens."""
+    _check_compatible(target, raw)
+    from datavalid_spark.functions.tokenize import resolve_tokenizer
+
+    tok = resolve_tokenizer(target.tokenizer)
+    ct = F.lit([int(x) for x in target.counts])
+    cr = F.lit([int(x) for x in raw.counts])
+    dt = F.lit(float(target.total) + target.alpha * target.n_buckets)
+    dr = F.lit(float(raw.total) + raw.alpha * raw.n_buckets)
+
+    def micro(g: Column) -> Column:
+        pt = (
+            F.element_at(ct, hash_bucket(g, target.n_buckets, target.hasher) + 1)
+            .cast("double")
+            + F.lit(float(target.alpha))
+        ) / dt
+        pr = (
+            F.element_at(cr, hash_bucket(g, raw.n_buckets, raw.hasher) + 1)
+            .cast("double")
+            + F.lit(float(raw.alpha))
+        ) / dr
+        return F.round((F.log(pt) - F.log(pr)) * F.lit(MICRO)).cast("long")
+
+    def build(tt: Column) -> Column:
+        grams = _gram_arrays(tt, target.ns)
+        n = F.size(grams)
+        return F.when(
+            n > 0,
+            F.struct(
+                n.cast("int").alias("n_feat"),
+                F.aggregate(
+                    F.transform(grams, micro),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("logratio_micro"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.lit(0).alias("n_feat"),
+                F.lit(None).cast("long").alias("logratio_micro"),
+            )
+        )
+
+    return let_once(tok(col), build)
+
+
+def dsir_weights(
+    df: DataFrame,
+    text_col: str,
+    target: HashedBag,
+    raw: HashedBag,
+    prefix: str = "dsir_",
+) -> DataFrame:
+    """Append ``{prefix}n_feat`` and ``{prefix}logratio_micro`` (the
+    exact integer importance log-weight).  One fused projection — the
+    struct lands in one column first so the gram fold runs once per row
+    (higher-order folds are CodegenFallback, excluded from
+    subexpression elimination — the `classify.py` note)."""
+    s = "__dv_dsir"
+    out = df.withColumn(s, dsir_logratio_expr(text_col, target, raw))
+    return (
+        out.withColumn(f"{prefix}n_feat", F.col(f"{s}.n_feat"))
+        .withColumn(f"{prefix}logratio_micro", F.col(f"{s}.logratio_micro"))
+        .drop(s)
+    )
+
+
+def gumbel_key_expr(
+    id_col: Column | str, logratio_micro: Column, seed: int = 42
+) -> Column:
+    """Deterministic Gumbel perturbation: ``logratio + G(md5(id:seed))``
+    where ``G(u) = −ln(−ln(u))`` and ``u`` is the md5-derived uniform
+    of the id (52-bit mantissa, exact in a double; u ∈ (0,1) — the +1
+    offset keeps ln(0) out).  Sampling k docs by this key IS Gumbel
+    top-k sampling ∝ exp(logratio) — no RNG, reproducible anywhere."""
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    hx = F.substring(
+        F.md5(F.concat(idc.cast("string"), F.lit(f":{int(seed)}"))),
+        1,
+        _HEX_DIGITS,
+    )
+    u = (F.conv(hx, 16, 10).cast("double") + F.lit(1.0)) / F.lit(_HASH_SPACE + 2.0)
+    g = -F.log(-F.log(u))
+    return logratio_micro.cast("double") / F.lit(MICRO) + g
+
+
+def dsir_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: HashedBag,
+    raw: HashedBag,
+    k: int,
+    seed: int = 42,
+    keep_unscored: bool = False,
+) -> DataFrame:
+    """Gumbel-top-k importance resampling: keep the ``k`` documents
+    with the largest ``logratio + Gumbel(md5(id))`` key — a sample
+    without replacement with probability ∝ exp(importance weight),
+    deterministic under ``seed``.
+
+    Scale shape: scoring is a scan-fused projection; the top-k is
+    ``orderBy(...).limit(k)``, which Spark executes as TakeOrdered —
+    per-partition k-heaps merged on the driver, O(k) driver memory,
+    never a global sort.  Returns df's columns + ``dsir_key``."""
+    if k < 1:
+        raise ValueError("dsir_select: k must be >= 1")
+    scored = dsir_weights(df, text_col, target, raw)
+    lr = F.col("dsir_logratio_micro")
+    out = scored.withColumn(
+        "dsir_key", gumbel_key_expr(id_col, lr, seed)
+    )
+    if not keep_unscored:
+        out = out.filter(lr.isNotNull())
+    return (
+        out.orderBy(F.col("dsir_key").desc(), F.col(id_col))
+        .limit(k)
+        .drop("dsir_n_feat", "dsir_logratio_micro")
+    )

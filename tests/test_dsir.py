@@ -1,0 +1,146 @@
+"""DSIR importance resampling (operators/dsir.py): hashed-bag training,
+exact integer log-ratio scoring, deterministic Gumbel-top-k selection.
+Ground truth: a pure-Python reimplementation of the same spec."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.operators.dsir import (
+    HashedBag,
+    dsir_select,
+    dsir_weights,
+    train_hashed_bag,
+)
+
+TARGET = [
+    "the cat sat on the mat and the cat purred",
+    "a cat and a dog share the mat in the sun",
+    "cats nap on warm mats all afternoon long",
+]
+RAW = TARGET + [
+    "stack traces and segfaults fill the terminal with errors",
+    "kernel panic during the nightly build of the driver",
+    "the cat walked past the compiler warnings on the mat",
+    "",
+    "completely unrelated quarterly revenue figures and spreadsheets",
+]
+
+
+def _bucket(g: str, n: int) -> int:
+    return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n
+
+
+def _py_bag(docs, ns, n_buckets, alpha):
+    counts = [0] * n_buckets
+    for d in docs:
+        toks = [w for w in d.lower().split() if w]
+        for n in ns:
+            for i in range(len(toks) - n + 1):
+                counts[_bucket(" ".join(toks[i : i + n]), n_buckets)] += 1
+    return counts, sum(counts)
+
+
+def _py_logratio_micro(doc, tc, tt, rc, rt, ns, n_buckets, alpha):
+    toks = [w for w in doc.lower().split() if w]
+    grams = []
+    for n in ns:
+        grams += [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    if not grams:
+        return 0, None
+    dt, dr = tt + alpha * n_buckets, rt + alpha * n_buckets
+    s = 0
+    for g in grams:
+        b = _bucket(g, n_buckets)
+        s += round(
+            (math.log((tc[b] + alpha) / dt) - math.log((rc[b] + alpha) / dr))
+            * 1e6
+        )
+    return len(grams), s
+
+
+@pytest.fixture(scope="module")
+def models(spark):
+    tdf = spark.createDataFrame([(t,) for t in TARGET], "text string")
+    rdf = spark.createDataFrame([(t,) for t in RAW], "text string")
+    target = train_hashed_bag(tdf, "text", ns=(1, 2), n_buckets=256)
+    raw = train_hashed_bag(rdf, "text", ns=(1, 2), n_buckets=256)
+    return target, raw
+
+
+def test_train_matches_python(spark, models):
+    target, raw = models
+    for bag, docs in ((target, TARGET), (raw, RAW)):
+        counts, total = _py_bag(docs, (1, 2), 256, 0.5)
+        assert bag.counts == counts and bag.total == total
+
+
+def test_weights_match_python(spark, models):
+    target, raw = models
+    tc, tt = _py_bag(TARGET, (1, 2), 256, 0.5)
+    rc, rt = _py_bag(RAW, (1, 2), 256, 0.5)
+    df = spark.createDataFrame(list(enumerate(RAW)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["dsir_n_feat"], r["dsir_logratio_micro"])
+        for r in dsir_weights(df, "text", target, raw).collect()
+    }
+    for i, doc in enumerate(RAW):
+        nf, lr = _py_logratio_micro(doc, tc, tt, rc, rt, (1, 2), 256, 0.5)
+        assert got[i] == (nf, lr), (i, got[i], (nf, lr))
+
+
+def test_target_like_docs_rank_higher(spark, models):
+    target, raw = models
+    df = spark.createDataFrame(list(enumerate(RAW)), "doc_id long, text string")
+    w = {
+        r["doc_id"]: r["dsir_logratio_micro"]
+        for r in dsir_weights(df, "text", target, raw).collect()
+        if r["dsir_logratio_micro"] is not None
+    }
+    cat_docs = {0, 1, 2}  # pure target docs
+    tech_docs = {3, 4, 7}  # pure off-target docs
+    assert min(w[i] for i in cat_docs) > max(w[i] for i in tech_docs)
+
+
+def test_select_deterministic_and_partition_invariant(spark, models):
+    target, raw = models
+    df = spark.createDataFrame(list(enumerate(RAW)), "doc_id long, text string")
+    a = [r["doc_id"] for r in dsir_select(df, "doc_id", "text", target, raw, k=4).collect()]
+    b = [
+        r["doc_id"]
+        for r in dsir_select(
+            df.repartition(7), "doc_id", "text", target, raw, k=4
+        ).collect()
+    ]
+    assert a == b and len(a) == 4
+    # different seed -> (very likely) different gumbel keys; still k rows
+    c = dsir_select(df, "doc_id", "text", target, raw, k=4, seed=7)
+    assert c.count() == 4
+    # unscored (empty) docs excluded unless asked for
+    assert 6 not in a
+
+
+def test_model_roundtrip_and_compat(spark, models, tmp_path):
+    target, raw = models
+    p = str(tmp_path / "bag.json")
+    target.save(p)
+    t2 = HashedBag.load(p)
+    assert t2 == target
+    bad = HashedBag(
+        ns=(1,), n_buckets=256, alpha=0.5, counts=[0] * 256, total=0
+    )
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="disagree on ns"):
+        dsir_weights(df, "text", bad, raw)
+
+
+def test_bpe_tokenizer_threads_through(spark):
+    tdf = spark.createDataFrame([("the configuration of the table",)], "text string")
+    target = train_hashed_bag(tdf, "text", ns=(1,), n_buckets=64, tokenizer="bpe")
+    raw = train_hashed_bag(tdf, "text", ns=(1,), n_buckets=64, tokenizer="bpe")
+    assert target.tokenizer == "bpe" and target.total > 0
+    # same corpus both sides -> every doc's log ratio is exactly 0
+    out = dsir_weights(tdf, "text", target, raw).collect()[0]
+    assert out["dsir_logratio_micro"] == 0 and out["dsir_n_feat"] > 0

@@ -1,0 +1,106 @@
+"""ANN recall study: measured recall@k of ivf_topk / pq_topk against
+exact brute-force cosine at sf0.1, across the approximation knobs
+(VERDICT r2 item 5 — publish the approximate regime's numbers, not
+just full-probe exact-mode unit tests).
+
+Usage: python tools/bench_ann_recall.py  [--sf-dir /root/testdata/sf0.1]
+Prints a markdown table (pasted into BENCH/BASELINE.md) plus one JSON
+line for tooling.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+K = 10
+N_QUERIES = 32
+SEED = 42
+
+
+def topk_sets(df) -> dict:
+    """query_id -> set of returned neighbor ids."""
+    out: dict = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["id"])
+    return out
+
+
+def recall(approx: dict, exact: dict) -> float:
+    num = sum(len(approx.get(q, set()) & ids) for q, ids in exact.items())
+    den = sum(len(ids) for ids in exact.values())
+    return num / den if den else float("nan")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    import bench  # session config shared with the main bench
+    from pyspark.sql import functions as F
+
+    from datavalid_spark.operators.knn import brute_force_topk, ivf_topk, pq_topk
+
+    spark = bench.build_session(args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(os.path.join(args.sf_dir, "embeddings.parquet"))
+    n_corpus = emb.count()
+    # deterministic query sample, ids disjoint from the corpus ids so
+    # a query's own vector counts as a (trivially) correct neighbor
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(N_QUERIES)
+        .select((F.col("vec_id") + 1_000_000_000).alias("vec_id"), "embedding")
+    ).cache()
+    queries.count()
+
+    t0 = time.time()
+    exact = topk_sets(brute_force_topk(emb, queries, k=K))
+    t_exact = time.time() - t0
+
+    rows = []
+    for nprobe in (1, 2, 4, 8, 16):
+        t0 = time.time()
+        approx = topk_sets(
+            ivf_topk(emb, queries, k=K, n_clusters=16, nprobe=nprobe, seed=SEED)
+        )
+        rows.append(
+            {
+                "method": f"ivf nprobe={nprobe}/16",
+                "recall_at_10": round(recall(approx, exact), 4),
+                "sec": round(time.time() - t0, 2),
+            }
+        )
+    for cand in (16, 32, 64, 128):
+        t0 = time.time()
+        approx = topk_sets(
+            pq_topk(emb, queries, k=K, m=8, n_codes=16, candidates=cand, seed=SEED)
+        )
+        rows.append(
+            {
+                "method": f"pq m=8 codes=16 cand={cand}",
+                "recall_at_10": round(recall(approx, exact), 4),
+                "sec": round(time.time() - t0, 2),
+            }
+        )
+
+    print(f"\ncorpus={n_corpus} queries={N_QUERIES} k={K} "
+          f"(exact brute-force baseline: {t_exact:.2f}s)")
+    print("| method | recall@10 | sec |")
+    print("|---|---|---|")
+    for r in rows:
+        print(f"| {r['method']} | {r['recall_at_10']:.4f} | {r['sec']:.2f} |")
+    print(json.dumps({"metric": "ann_recall_at_10", "k": K, "n_queries": N_QUERIES,
+                      "exact_sec": round(t_exact, 2), "rows": rows, "sf_dir": args.sf_dir}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
