@@ -110,6 +110,11 @@ HEADLINE_QUERIES = [
     "dep_topk",
     "oov_rate",
     "code_balance",
+    # round-3 additions: subword tokenization throughput (the
+    # 128-replace JVM fold is the cost to watch) and DSIR selection
+    # (two bag fits + scan-fused scoring + TakeOrdered top-k)
+    "tokenize_bpe",
+    "dsir_select",
 ]
 
 
