@@ -66,25 +66,33 @@ def _fake_decode(data: bytes, dim: int) -> np.ndarray:
 
 
 def extract_features(
-    media: DataFrame, dim: int = 32, backend: str = "fake"
+    media: DataFrame, dim: int = 32, backend: str = "fake", decode_fn=None
 ) -> DataFrame:
     """binary → feature vectors, one Arrow pass.
 
-    ``backend='fake'`` → deterministic stub (sandbox default);
-    any other backend raises until a real decoder is wired in.
+    ``backend='fake'`` → deterministic stub (sandbox default); pass
+    ``decode_fn(data: bytes, dim: int) -> np.float32[dim]`` to inject a
+    real decoder (PIL/torchvision/ffmpeg) WITHOUT editing this module —
+    the callable is pickled to executors and runs once per payload
+    inside the Arrow batch loop, which is exactly where a real decode
+    belongs.  Named backends other than 'fake' raise until the matching
+    library exists in the environment.
     """
-    if backend != "fake":
-        raise NotImplementedError(
-            "only the deterministic 'fake' decode backend exists in this "
-            "container; wire a real decoder here (contract: bytes -> float32[dim])"
-        )
+    if decode_fn is None:
+        if backend != "fake":
+            raise NotImplementedError(
+                "only the deterministic 'fake' decode backend exists in this "
+                "container; pass decode_fn=... to inject a real decoder "
+                "(contract: bytes -> float32[dim])"
+            )
+        decode_fn = _fake_decode
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, hashes, sizes = [], [], []
             for data in pdf["data"]:
                 b = bytes(data) if data is not None else b""
-                feats.append(_fake_decode(b, dim).tolist())
+                feats.append(decode_fn(b, dim).tolist())
                 hashes.append(hashlib.sha256(b).hexdigest())
                 sizes.append(len(b))
             yield pd.DataFrame(
@@ -100,7 +108,11 @@ def extract_features(
 
 
 def resize_images(
-    media: DataFrame, width: int, height: int, backend: str = "fake"
+    media: DataFrame,
+    width: int,
+    height: int,
+    backend: str = "fake",
+    resize_fn=None,
 ) -> DataFrame:
     """Image resize in one Arrow pass: rows with ``kind='image'`` get
     their payload re-encoded at (width, height) and their metadata
@@ -111,31 +123,34 @@ def resize_images(
     the "resized" payload is a seeded byte string derived from
     (sha256(original), width, height) with size proportional to the
     pixel count — stable across runs and partitionings, so tests can
-    assert exact hashes.  Any other backend raises until a real codec
-    (PIL ``Image.resize`` + re-encode) is wired into the marked inner
-    function; the contract is bytes → bytes at the new dims.
+    assert exact hashes.  Pass ``resize_fn(data: bytes, width, height)
+    -> bytes`` to inject a real codec (PIL ``Image.resize`` +
+    re-encode, libvips) WITHOUT editing this module; named backends
+    other than 'fake' raise until the matching library exists.
     """
-    if backend != "fake":
-        raise NotImplementedError(
-            "only the deterministic 'fake' resize backend exists in this "
-            "container; wire PIL/libvips here (contract: bytes -> bytes "
-            "re-encoded at width x height)"
-        )
-    out_len = max(16, (width * height) // 64)
+    if resize_fn is None:
+        if backend != "fake":
+            raise NotImplementedError(
+                "only the deterministic 'fake' resize backend exists in this "
+                "container; pass resize_fn=... to inject PIL/libvips "
+                "(contract: bytes -> bytes re-encoded at width x height)"
+            )
+        out_len = max(16, (width * height) // 64)
 
-    def _fake_resize(data: bytes) -> bytes:
-        # REPLACE with real decode->resize->encode outside the sandbox
-        seed = hashlib.sha256(
-            data + width.to_bytes(4, "big") + height.to_bytes(4, "big")
-        ).digest()
-        reps = -(-out_len // len(seed))
-        return (seed * reps)[:out_len]
+        def resize_fn(data: bytes, w: int, h: int) -> bytes:
+            seed = hashlib.sha256(
+                data + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            ).digest()
+            reps = -(-out_len // len(seed))
+            return (seed * reps)[:out_len]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             is_img = pdf["kind"] == "image"
             data = [
-                _fake_resize(bytes(d) if d is not None else b"") if img else d
+                resize_fn(bytes(d) if d is not None else b"", width, height)
+                if img
+                else d
                 for img, d in zip(is_img, pdf["data"])
             ]
             meta = [

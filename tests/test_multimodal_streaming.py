@@ -382,3 +382,41 @@ def test_stream_batch_near_dup_reconciliation(spark, tmp_path):
     cross_streamed = {p for p in streamed if p[0] <= 4 and p[1] >= 5}
     assert set(exact) == cross_streamed
     assert all(j >= 0.5 for j in exact.values())
+
+
+def test_decode_fn_injection(spark):
+    """A user-supplied decoder runs inside the Arrow batch loop without
+    editing the module — the real-backend extension point."""
+    import numpy as np
+
+    media = multimodal.synth_media(spark, 12)
+
+    def my_decode(data: bytes, dim: int):
+        # stand-in for PIL: first byte replicated — deterministic
+        v = float(data[0]) if data else 0.0
+        return np.full(dim, v, dtype="f4")
+
+    got = {r["doc_id"]: r["features"]
+           for r in multimodal.extract_features(media, dim=3, decode_fn=my_decode).collect()}
+    raw = {r["doc_id"]: bytes(r["data"]) for r in media.collect()}
+    for i, feats in got.items():
+        assert feats == [float(raw[i][0])] * 3
+    # decode_fn wins over backend name (no raise)
+    assert multimodal.extract_features(
+        media, dim=2, backend="pillow", decode_fn=my_decode
+    ).count() == 12
+
+
+def test_resize_fn_injection(spark):
+    media = multimodal.synth_media(spark, 9)
+
+    def my_resize(data: bytes, w: int, h: int) -> bytes:
+        return bytes([w % 256, h % 256]) + data[:4]
+
+    out = multimodal.resize_images(media, 32, 16, resize_fn=my_resize)
+    rows = out.collect()
+    for r in rows:
+        if r["kind"] == "image":
+            b = bytes(r["data"])
+            assert b[:2] == bytes([32, 16]) and len(b) == 6
+            assert r["meta"]["width"] == 32 and r["meta"]["height"] == 16

@@ -1,0 +1,92 @@
+"""Two-level scaling study for the round-3 tokenizer/mixture family
+(methodology + outer harness shared via tools/scaling_harness.py).
+
+Job: BPE-budgeted DSIR mixture selection over N docs of the bench
+source-code table, end-to-end:
+
+  1. subword-tokenize every doc with the 128-merge BPE fold
+     (`functions/bpe.bpe_token_count` — a chain of literal JVM
+     replaces fused into the scan, zero shuffle) and keep its count;
+  2. fit the two DSIR hashed 1+2-gram bag models (target = every 20th
+     doc as the "trusted slice", raw = all docs) — one
+     partially-aggregated bucket-count pass each;
+  3. score every doc with the exact integer micro-nat log ratio and
+     take the Gumbel-top-(docs/10) selection (TakeOrdered);
+  4. sum the selected docs' BPE token counts (the budget a mixture
+     designer actually reads off).
+
+Stages 1 and 3 are the embarrassingly-parallel scan-fused regime;
+stage 2's shuffles carry ≤ n_buckets rows per task — so the family
+should scale near-linearly, and this study is the evidence.
+
+Usage: python tools/bench_tokenize_scaling.py [--docs 400000] [--iters 4]
+       python tools/bench_tokenize_scaling.py --level 2   (inner, pinned)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.scaling_harness import build_session, run_study, std_args
+
+CORPUS = "/tmp/dv_tok_scaling_corpus_{docs}"
+
+
+def inner(cpus: int, docs: int, iters: int, parts: int, shuf: int) -> None:
+    from pyspark.sql import functions as F
+
+    from datavalid_spark.cache import release_cached
+    from datavalid_spark.functions.bpe import bpe_token_count
+    from datavalid_spark.operators.dsir import dsir_select, train_hashed_bag
+
+    spark = build_session(cpus, shuf, app="tok-scaling")
+    df = (
+        spark.read.parquet(CORPUS.format(docs=docs)).repartition(parts).persist()
+    )
+    n = df.count()
+    k = max(1, n // 10)
+    times, budget = [], 0
+    for _ in range(iters):
+        t = time.time()
+        target = train_hashed_bag(
+            df.filter(F.col("doc_id") % 20 == 0), "content"
+        )
+        raw = train_hashed_bag(df, "content")
+        sel = dsir_select(df, "doc_id", "content", target, raw, k=k)
+        budget = sel.agg(
+            F.sum(bpe_token_count("content")).alias("b")
+        ).collect()[0]["b"]
+        times.append(time.time() - t)
+        release_cached()
+    best = min(times)
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "docs": n,
+                "selected": k,
+                "bpe_budget": int(budget),
+                "sec_best": round(best, 2),
+                "sec_all": [round(x, 2) for x in times],
+                "docs_per_sec": round(n / best, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+def main() -> None:
+    args = std_args(default_docs=400000)
+    if args.level:
+        inner(args.level, args.docs, args.iters, args.parts, args.shuf)
+        return
+    run_study(__file__, "BPE tokenize + DSIR mixture select", args, CORPUS)
+
+
+if __name__ == "__main__":
+    main()
