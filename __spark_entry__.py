@@ -2024,6 +2024,39 @@ def q_tokenize_bpe(spark, sf_dir):
     )
 
 
+def q_frequent_items(spark, sf_dir):
+    """Exact heavy hitters over an unbounded key space
+    (operators/freq.py): per-partition mergeable Misra-Gries candidate
+    sketches (bounded state, no shuffle) + an exact recount restricted
+    to the candidate set.  Output is bit-identical to the plain
+    GROUP BY ... HAVING cnt >= θ·N the oracle runs — the sketch can
+    only add candidates, never lose a frequent item."""
+    from datavalid_spark.operators.freq import frequent_items
+
+    ev = _t(spark, sf_dir, "events")
+    return frequent_items(ev, "user_id", threshold=0.007)
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid lexical+vector retrieval with reciprocal-rank fusion
+    (operators/search.py): BM25 top-25 (integer micro-unit scores) ∪
+    exact quantized-MIPS top-25 (integer dot products), fused as
+    Σ round(1e6/(60+rank)).  Integer math end-to-end, so ranks — and
+    the fused scores — are bit-identical across engines."""
+    from datavalid_spark.operators.search import hybrid_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    out = hybrid_topk(docs, emb, BM25_TERMS, qv, k=25)
+    return out.select(
+        "id",
+        "rrf_micro",
+        F.col("bm25_rank").cast("long").alias("bm25_rank"),
+        F.col("vec_rank").cast("long").alias("vec_rank"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is the driver-sweep order (driver caps at 50/round).
     # Round-3 priority block: the 6 former r1 no_oracle queries, then the
@@ -2039,6 +2072,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
         "tokenize_bpe": q_tokenize_bpe,
+        "frequent_items": q_frequent_items,
+        "hybrid_rrf": q_hybrid_rrf,
         "topk_per_group": q_topk_per_group,
         "rolling_window": q_rolling_window,
         "scd2_history": q_scd2_history,
@@ -2539,6 +2574,51 @@ SELECT doc_id,
 FROM documents
 """,
         "tokenize_bpe": _tokenize_bpe_sql(),
+        "frequent_items": """
+SELECT user_id AS item, COUNT(*) AS cnt
+FROM events
+GROUP BY user_id
+HAVING COUNT(*) >= CAST(0.007 AS DOUBLE) * (SELECT COUNT(*) FROM events)
+""",
+        "hybrid_rrf": f"""
+WITH base AS (SELECT doc_id AS id, len({_TOKS_SEQ}) AS dl, {_TOKS_SEQ} AS t
+              FROM documents WHERE text IS NOT NULL),
+stats AS (SELECT count(*)::DOUBLE AS n,
+                 (SUM(dl)::DOUBLE / count(*)) AS avgdl FROM base),
+tf AS (SELECT id, dl, term, count(*)::DOUBLE AS tf
+       FROM (SELECT id, dl, unnest(t) AS term FROM base)
+       WHERE term IN ('spark', 'window', 'vector')
+       GROUP BY id, dl, term),
+idf AS (SELECT term,
+               ln(1 + ((SELECT n FROM stats) - count(*) + 0.5)
+                      / (count(*) + 0.5)) AS idf
+        FROM tf GROUP BY term),
+bscores AS (SELECT tf.id,
+               SUM(ROUND(idf.idf * tf.tf * (1.2 + 1)
+                     / (tf.tf + 1.2 * (1 - 0.75
+                        + 0.75 * (tf.dl::DOUBLE) / (SELECT avgdl FROM stats)))
+                     * 1e6, 0)::BIGINT)::BIGINT AS score_u
+        FROM tf JOIN idf USING (term) GROUP BY tf.id),
+btop AS (SELECT id, row_number() OVER (ORDER BY score_u DESC, id ASC) AS rank
+         FROM bscores QUALIFY rank <= 25),
+qv AS (SELECT list_transform(embedding,
+              x -> CAST(round(CAST(x AS DOUBLE) * 100000) AS BIGINT)) AS q
+       FROM embeddings WHERE vec_id = 0),
+dots AS (SELECT vec_id AS id,
+                CAST(list_dot_product(
+                  list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 100000) AS BIGINT)),
+                  (SELECT q FROM qv)) AS BIGINT) AS dot_q
+         FROM embeddings),
+vtop AS (SELECT id, row_number() OVER (ORDER BY dot_q DESC, id ASC) AS rank
+         FROM dots QUALIFY rank <= 25)
+SELECT id,
+       (COALESCE(CAST(round(1e6 / (60 + b.rank)) AS BIGINT), 0)
+        + COALESCE(CAST(round(1e6 / (60 + v.rank)) AS BIGINT), 0))::BIGINT AS rrf_micro,
+       CAST(b.rank AS BIGINT) AS bm25_rank,
+       CAST(v.rank AS BIGINT) AS vec_rank
+FROM btop b FULL OUTER JOIN vtop v USING (id)
+""",
         "text_lang_id": _lang_id_sql(),
         "text_quality": _quality_sql(),
         "sort_limit_topk": """

@@ -115,6 +115,11 @@ HEADLINE_QUERIES = [
     # (two bag fits + scan-fused scoring + TakeOrdered top-k)
     "tokenize_bpe",
     "dsir_select",
+    # round-3 additions (cont.): bounded-state exact heavy hitters
+    # (Misra-Gries candidates + recount) and hybrid BM25+MIPS RRF
+    # retrieval (two top-k arms fused on k-row lists)
+    "frequent_items",
+    "hybrid_rrf",
 ]
 
 

@@ -1,0 +1,152 @@
+"""Exact frequent-item (heavy-hitter) detection at unbounded key
+cardinality.
+
+Beyond-reference operator (SURVEY.md §2.6 scope): a training-data /
+event pipeline needs "which keys exceed θ·N of the stream" — bot
+users, hot shards, degenerate boilerplate keys — over key spaces too
+large for a plain ``groupBy`` to be cheap (10^9+ distinct keys at
+100 TB means the full aggregate materializes a distinct-key-sized
+shuffle even though the answer is a handful of rows).
+
+Two-phase design, **exact result, bounded state**:
+
+1. **Per-partition Misra–Gries summaries** (`mapInPandas`, one pass,
+   no shuffle): ``k = ceil(1/threshold)`` counters per partition,
+   merged batch-wise (merge the Arrow batch's ``value_counts`` into
+   the counter table, then subtract the (k+1)-th largest count and
+   drop non-positives — the mergeable-summaries form of MG, Agarwal
+   et al., PODS'12).  Guarantee: per-partition undercount ≤
+   N_p/(k+1) < θ·N_p, and any globally θ-frequent item is θ-frequent
+   in at least one partition (averaging), so the union of partition
+   candidate sets is a **superset** of the true answer — the sketch
+   can only add candidates, never lose one (same one-sided-error
+   shape as the hash-compact uniqueness and LSH verify stages).
+   Each partition also emits one row carrying its exact row count, so
+   N needs no second scan.
+2. **Exact recount inside the candidate set**: candidates (≤
+   partitions × (k+1) rows — KB-scale) broadcast-semi-join back into
+   the table, ``groupBy(col).count()``, keep ``count ≥ θ·N``.  The
+   one shuffle carries only candidate-key rows, map-side combined.
+
+The final output is therefore identical to the naive
+``GROUP BY col HAVING count(*) >= θ * N`` — which is exactly the
+DuckDB oracle — while the expensive full-key aggregate never runs.
+
+NULL is a legal item (counted as one key, like ``groupBy``); a
+separate boolean distinguishes the per-partition count rows from
+candidate rows, so no sentinel value collides with real data.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datavalid_spark.cache import persist_tracked
+
+
+def _mg_candidates(df_col: DataFrame, k: int) -> DataFrame:
+    """Per-partition mergeable Misra–Gries: → (item, part_rows,
+    is_item) where item rows carry the surviving counters and one
+    summary row per partition carries the partition's exact size."""
+    (field,) = df_col.schema.fields
+    out_schema = T.StructType(
+        [
+            T.StructField("item", field.dataType),
+            T.StructField("part_rows", T.LongType()),
+            T.StructField("is_item", T.BooleanType()),
+        ]
+    )
+    name = field.name
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # NULL keys never enter the sketch: NULL is an unconditional
+        # candidate in phase 2 (one extra group costs nothing and the
+        # superset guarantee holds for it by construction), which also
+        # sidesteps pandas' NaN-index alignment rules here.
+        counters = pd.Series(dtype="float64")
+        n_rows = 0
+        for pdf in batches:
+            n_rows += len(pdf)
+            vc = pdf[name].value_counts(dropna=True)
+            counters = counters.add(vc, fill_value=0)
+            if len(counters) > k:
+                # mergeable-MG compaction: subtract the (k+1)-th
+                # largest count from everything, drop non-positives —
+                # ≤ k counters survive, undercount bound preserved
+                cut = counters.nlargest(k + 1).iloc[-1]
+                counters = counters - cut
+                counters = counters[counters > 0]
+        idx = counters.index
+        integral = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+        if pd.api.types.is_float_dtype(idx.dtype) and isinstance(
+            field.dataType, integral
+        ):
+            # nullable int batches arrive as float64; restore ints so
+            # the Arrow cast back to the declared type is exact
+            items = [int(x) for x in idx]
+        else:
+            items = list(idx)
+        yield pd.DataFrame(
+            {
+                "item": pd.Series(items + [None], dtype="object"),
+                "part_rows": [0] * len(items) + [n_rows],
+                "is_item": [True] * len(items) + [False],
+            }
+        )
+
+    return df_col.mapInPandas(fn, schema=out_schema)
+
+
+def frequent_items(
+    df: DataFrame,
+    col: str,
+    threshold: float,
+    n_counters: int | None = None,
+) -> DataFrame:
+    """All values of ``col`` occurring in at least ``threshold``
+    fraction of rows, with their EXACT counts: ``(item, cnt)``.
+
+    Equivalent to ``GROUP BY col HAVING count(*) >= threshold * N``
+    but with bounded per-task state (``n_counters`` ≈ 1/threshold
+    counters) and a shuffle restricted to candidate-key rows — the
+    full-cardinality aggregate never materializes.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    k = n_counters if n_counters is not None else math.ceil(1.0 / threshold)
+    if k + 1 <= 1.0 / threshold:
+        raise ValueError(
+            "n_counters must exceed 1/threshold - 1 or the sketch may "
+            "drop a frequent item"
+        )
+    sketch = persist_tracked(_mg_candidates(df.select(col), k))
+    n_total = sketch.filter(~F.col("is_item")).agg(
+        F.sum("part_rows").alias("n")
+    ).collect()[0]["n"]
+    if not n_total:
+        return (
+            df.select(F.col(col).alias("item"))
+            .limit(0)
+            .withColumn("cnt", F.lit(0).cast("long"))
+        )
+    min_count = threshold * n_total
+    # candidate set is ≤ partitions × k rows — always broadcast; NULL
+    # rows bypass the sketch and are unconditionally candidates
+    cands = F.broadcast(
+        sketch.filter(F.col("is_item")).select("item").distinct()
+    )
+    matched = df.select(col).join(
+        cands, F.col(col) == cands["item"], "left_semi"
+    ).unionByName(df.select(col).filter(F.col(col).isNull()))
+    return (
+        matched.groupBy(F.col(col).alias("item"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(min_count))
+    )

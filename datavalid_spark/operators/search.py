@@ -154,3 +154,139 @@ def search_topk(
     TakeOrderedAndProject: per-partition heaps, no global sort."""
     scores = bm25_scores(df, id_col, text_col, query_terms, k1, b)
     return scores.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
+
+
+# --------------------------------------------------------- hybrid retrieval
+
+def ranked(topk: DataFrame, score_col: str, id_col: str = "id") -> DataFrame:
+    """Attach 1-based ranks to a top-k list: ``(id, rank)``, ordered by
+    (score desc, id asc).  The window is global but the input is an
+    already-limited k-row frame (TakeOrdered output), so the single
+    task it implies is bounded by k — never apply this before the
+    limit."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    return topk.select(
+        F.col(id_col).alias("id"), F.row_number().over(w).alias("rank")
+    )
+
+
+def rrf_fuse(lists: dict, rrf_k: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of named
+    ``(id, rank)`` lists: ``score = Σ_lists 1/(rrf_k + rank)``.
+
+    Each list's reciprocal is quantized to integer micro-units BEFORE
+    the sum, so the fused score is a BIGINT — order-independent and
+    bit-identical across engines no matter how many lists are fused
+    (a float Σ would depend on addition order for ≥3 lists).  Output:
+    ``(id, rrf_micro, <name>_rank ...)`` with NULL rank where a list
+    missed the id.  All inputs are k-row frames — every stage here is
+    driver-trivial; the heavy lifting happened in the per-list top-k.
+    """
+    if not lists:
+        raise ValueError("rrf_fuse: need at least one ranked list")
+    parts = [
+        d.select(
+            "id", F.lit(name).alias("__src"), F.col("rank").cast("int").alias("rank")
+        )
+        for name, d in lists.items()
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    contrib = F.round(F.lit(1e6) / (F.lit(rrf_k) + F.col("rank"))).cast("long")
+    return u.groupBy("id").agg(
+        F.sum(contrib).alias("rrf_micro"),
+        *[
+            F.max(F.when(F.col("__src") == name, F.col("rank"))).alias(
+                f"{name}_rank"
+            )
+            for name in lists
+        ],
+    )
+
+
+def quantized_mips_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec,
+    k: int,
+    scale: float = 1e5,
+) -> DataFrame:
+    """Top-k by EXACT integer inner product against one query vector:
+    each component is quantized ``round(double(x)·scale) → bigint`` on
+    both sides, so the scores — and therefore the ranks — are integer
+    math with no cross-engine float-ordering hazard (the per-component
+    double multiply is exact: float widens losslessly, and 64 products
+    of |q|≤~10^5 sum far below 2^53).
+
+    The scan is fused (quantize + zip_with + fold are Column ops, the
+    query ships as a plan literal) and the top-k is TakeOrdered over
+    narrow ``(id, dot_q)`` rows.  This is the exact-MIPS baseline the
+    IVF/PQ paths approximate — same role as ``brute_force_topk`` but
+    single-query, rank-stable, and oracle-checkable."""
+    q = [int(round(float(x) * scale)) for x in query_vec]
+    dot = F.aggregate(
+        F.zip_with(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * F.lit(scale)).cast("long"),
+            ),
+            F.lit(q),
+            lambda a, b: a * b,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.select(F.col(id_col).alias("id"), dot.alias("dot_q"))
+        .orderBy(F.col("dot_q").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: Sequence[str],
+    query_vec,
+    k: int = 20,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Hybrid lexical+vector retrieval with reciprocal-rank fusion —
+    the retrieval shape a curation/decontamination triage pipeline
+    actually runs (BM25 catches exact terms, the embedding side
+    catches paraphrase; RRF needs no score calibration between the
+    two spaces, only ranks).
+
+    Both arms are independent top-k scans (each one shuffle-light:
+    BM25 is O(matching terms), MIPS is scan-fused TakeOrdered), fused
+    over two k-row lists.  Returns ``(id, rrf_micro, bm25_rank,
+    vec_rank)`` — ranks NULL where an arm missed the doc.
+
+    BM25 scores are quantized per (doc, term) to integer micro-units
+    before the doc sum (the `q_search_bm25` discipline), so both arms
+    rank on integers end-to-end."""
+    per_term = bm25_term_scores(docs, id_col, text_col, query_terms, k1, b)
+    bm25 = (
+        per_term.select(
+            "id", F.round(F.col("contrib") * F.lit(1e6)).cast("long").alias("c_u")
+        )
+        .groupBy("id")
+        .agg(F.sum("c_u").alias("score_u"))
+        .orderBy(F.col("score_u").desc(), F.col("id").asc())
+        .limit(k)
+    )
+    vec = quantized_mips_topk(emb, emb_id_col, vec_col, query_vec, k)
+    return rrf_fuse(
+        {"bm25": ranked(bm25, "score_u"), "vec": ranked(vec, "dot_q")},
+        rrf_k=rrf_k,
+    )

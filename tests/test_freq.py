@@ -1,0 +1,101 @@
+"""frequent_items: exact heavy hitters with bounded per-task state.
+
+Ground truth is always the full pandas groupby — the operator's
+contract is bit-identical output to ``GROUP BY HAVING cnt >= θ·N``.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.cache import release_cached
+from datavalid_spark.operators.freq import frequent_items
+
+
+def _truth(values, threshold):
+    s = pd.Series(values, dtype="object")
+    vc = s.value_counts(dropna=False)
+    n = len(s)
+    out = {}
+    for item, cnt in vc.items():
+        if cnt >= threshold * n:
+            out[None if pd.isna(item) else item] = int(cnt)
+    return out
+
+
+def _got(df_out):
+    return {r["item"]: r["cnt"] for r in df_out.collect()}
+
+
+@pytest.fixture(autouse=True)
+def _release():
+    yield
+    release_cached()
+
+
+def test_skewed_ints_exact(spark):
+    # 3 heavy keys + a long uniform tail that overflows any k-counter
+    # budget — the compaction path must still keep the heavy keys
+    values = [1] * 500 + [2] * 300 + [3] * 120 + list(range(100, 1180))
+    df = spark.createDataFrame([(v,) for v in values], "user_id long").repartition(7)
+    got = _got(frequent_items(df, "user_id", threshold=0.05))
+    assert got == _truth(values, 0.05) == {1: 500, 2: 300, 3: 120}
+
+
+def test_threshold_boundary_inclusive(spark):
+    # 10 rows, θ=0.2 → cnt >= 2.0: a key with exactly 2 is IN
+    values = [1, 1, 2, 3, 4, 5, 6, 7, 8, 9]
+    df = spark.createDataFrame([(v,) for v in values], "k long")
+    got = _got(frequent_items(df, "k", threshold=0.2))
+    assert got == {1: 2}
+
+
+def test_null_is_a_key(spark):
+    values = [None] * 40 + [1] * 30 + list(range(10, 40))
+    df = spark.createDataFrame([(v,) for v in values], "k long").repartition(5)
+    got = _got(frequent_items(df, "k", threshold=0.25))
+    assert got == {None: 40, 1: 30}
+
+
+def test_string_column(spark):
+    values = ["a"] * 50 + ["b"] * 20 + [f"tail{i}" for i in range(60)]
+    df = spark.createDataFrame([(v,) for v in values], "s string").repartition(4)
+    got = _got(frequent_items(df, "s", threshold=0.15))
+    assert got == _truth(values, 0.15) == {"a": 50, "b": 20}
+
+
+def test_partition_invariance(spark):
+    values = [i % 17 for i in range(2000)] + [99] * 400
+    truth = _truth(values, 0.05)
+    for parts in (1, 3, 32):
+        df = spark.createDataFrame([(v,) for v in values], "k long").repartition(parts)
+        assert _got(frequent_items(df, "k", threshold=0.05)) == truth
+
+
+def test_small_counter_budget_still_exact(spark):
+    # force heavy compaction: k far below the distinct count but still
+    # > 1/θ — exactness must be unaffected (supersets recounted)
+    values = [7] * 300 + list(range(1000, 3000))
+    df = spark.createDataFrame([(v,) for v in values], "k long").repartition(6)
+    got = _got(frequent_items(df, "k", threshold=0.1, n_counters=12))
+    assert got == {7: 300}
+
+
+def test_counter_budget_validation(spark):
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        frequent_items(df, "k", threshold=0.1, n_counters=9)  # 9+1 <= 10
+    with pytest.raises(ValueError):
+        frequent_items(df, "k", threshold=0.0)
+
+
+def test_empty_frame(spark):
+    df = spark.createDataFrame([], "k long")
+    out = frequent_items(df, "k", threshold=0.5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["item", "cnt"]
+
+
+def test_all_rows_one_key(spark):
+    df = spark.createDataFrame([(5,)] * 64, "k long").repartition(8)
+    assert _got(frequent_items(df, "k", threshold=1.0)) == {5: 64}

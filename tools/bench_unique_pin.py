@@ -1,0 +1,110 @@
+"""t1_unique round-over-round pin (VERDICT r2 item 3).
+
+BENCH_r01 measured `t1_unique` at 0.544 s (sf0.1, warm best-of-2);
+BENCH_r02 at 0.636 s.  The only change to the plain-strategy path
+between rounds is `_gated_broadcast` (eb79a1b): the unconditional
+`F.broadcast(dup_keys)` hint became persist → capped probe count →
+hint-iff-small.  `o_custkey` is a bigint, so `auto` resolves to
+"plain" — the hash-compact rewrite (79fa22f) is NOT on this path.
+
+This tool isolates the delta: the SAME query three ways, warm
+best-of-N in one session —
+
+  gated      — current code (probe job + hinted join)
+  unhinted   — no hint at all, AQE decides (the safe-but-slow floor)
+  unconditional — r1's formulation (hint with no probe; OOM-unsafe on
+                  duplicate-heavy tables, kept here only as the
+                  measurement baseline)
+
+so the bench number decomposes into "probe-job overhead" vs noise.
+
+Usage: python tools/bench_unique_pin.py [--iters 7] [--sf-dir ...]
+Prints a markdown block + one JSON line (pasted into BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--iters", type=int, default=7)
+    args = ap.parse_args()
+
+    import bench
+    from pyspark.sql import functions as F
+
+    from datavalid_spark.cache import release_cached
+    from datavalid_spark.operators.checks import UniqueCheck
+
+    spark = bench.build_session(args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    orders = spark.read.parquet(os.path.join(args.sf_dir, "orders.parquet"))
+
+    def gated():
+        return UniqueCheck(["o_custkey"]).violations(orders).count()
+
+    def unhinted():
+        chk = UniqueCheck(["o_custkey"], broadcast_key_limit=0)
+        return chk.violations(orders).count()
+
+    def unconditional():
+        # r1 formulation, reconstructed: hint without the probe
+        dup = (
+            orders.groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .select("o_custkey")
+        )
+        return (
+            orders.alias("l")
+            .join(F.broadcast(dup).alias("r"), "o_custkey", "left_semi")
+            .count()
+        )
+
+    variants = {"gated": gated, "unconditional": unconditional, "unhinted": unhinted}
+    results = {}
+    expect = None
+    for name, fn in variants.items():
+        times = []
+        for _ in range(args.iters):
+            t0 = time.time()
+            n = fn()
+            times.append(time.time() - t0)
+            release_cached()
+        if expect is None:
+            expect = n
+        assert n == expect, f"{name} returned {n} != {expect}"
+        times.sort()
+        results[name] = {
+            "best": round(times[0], 3),
+            "median": round(times[len(times) // 2], 3),
+            "all": [round(t, 3) for t in times],
+        }
+
+    print(f"\nt1_unique pin — violations={expect}, sf_dir={args.sf_dir}, "
+          f"local[{args.cpus}], best/median of {args.iters} warm")
+    print("| variant | best s | median s |")
+    print("|---|---|---|")
+    for name, r in results.items():
+        print(f"| {name} | {r['best']:.3f} | {r['median']:.3f} |")
+    print(json.dumps({"metric": "t1_unique_pin", "violations": expect,
+                      "sf_dir": args.sf_dir, "iters": args.iters,
+                      "results": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
