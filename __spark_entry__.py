@@ -1973,12 +1973,13 @@ def q_multimodal_validate(spark, sf_dir):
 
 def _dsir_models(spark, sf_dir):
     """Shared DSIR model fit: target = the English slice, raw = the
-    whole corpus (ns=(1,2), 4096 md5 buckets — oracle-reproducible)."""
-    from datavalid_spark.operators.dsir import train_hashed_bag
+    whole corpus (ns=(1,2), 4096 md5 buckets — oracle-reproducible).
+    One-pass pair training: counts bit-identical to two separate
+    fits, but the tokenize→explode→md5 stream runs once."""
+    from datavalid_spark.operators.dsir import train_hashed_bag_pair
 
     docs = _t(spark, sf_dir, "documents")
-    target = train_hashed_bag(docs.filter(F.col("lang") == "en"), "text")
-    raw = train_hashed_bag(docs, "text")
+    target, raw = train_hashed_bag_pair(docs, "text", F.col("lang") == "en")
     return docs, target, raw
 
 
@@ -2057,6 +2058,144 @@ def q_hybrid_rrf(spark, sf_dir):
     )
 
 
+def _synth_url_col():
+    """Deterministic synthetic URL from doc_id — the same arithmetic
+    CASE tree is rebuilt verbatim in the DuckDB oracle, so both
+    engines canonicalize IDENTICAL inputs (the testdata has no URL
+    column; the operator under test is generic)."""
+    d = F.col("doc_id")
+    m3, m4, m5, m2 = d % 3, d % 4, d % 5, d % 2
+    scheme = (
+        F.when(m3 == 0, F.lit("HTTP")).when(m3 == 1, F.lit("https")).otherwise(F.lit("http"))
+    )
+    host = (
+        F.when(m5 == 0, F.lit("WWW.Example.COM:80"))
+        .when(m5 == 1, F.lit("news.bbc.co.uk"))
+        .when(m5 == 2, F.lit("Sub.Site.com.au"))
+        .when(m5 == 3, F.concat(F.lit("cdn"), (d % 7).cast("string"), F.lit(".example.org")))
+        .otherwise(F.lit("10.0.0.1"))
+    )
+    path = (
+        F.when(m4 == 0, F.lit("/A/Path/"))
+        .when(m4 == 1, F.lit(""))
+        .when(m4 == 2, F.lit("/x"))
+        .otherwise(F.concat(F.lit("/p/"), (d % 11).cast("string"), F.lit("/")))
+    )
+    query = (
+        F.when(m4 == 0, F.lit("?utm_source=tw&b=2&a=1"))
+        .when(m4 == 1, F.lit("?z=9&a=1&fbclid=x"))
+        .when(m4 == 2, F.lit(""))
+        .otherwise(F.lit("?q=spark"))
+    )
+    frag = F.when(m2 == 0, F.lit("#frag")).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, query, frag)
+
+
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization + registered-domain rollup
+    (operators/urls.py): the 7-step contract (fragment strip,
+    scheme/host lowercase, default-port drop, www. drop, tracking-
+    param filter + param sort, trailing-slash trim) as pure Column
+    algebra fused into the scan, then eTLD+1 by PSL longest-match.
+    The oracle re-runs every step in DuckDB SQL."""
+    from datavalid_spark.operators.urls import host_of, normalize_url, registered_domain
+
+    docs = _t(spark, sf_dir, "documents")
+    u = docs.select("doc_id", _synth_url_col().alias("url"))
+    return u.select(
+        "doc_id",
+        normalize_url("url").alias("url_norm"),
+        registered_domain(host_of("url")).alias("domain"),
+    )
+
+
+def q_domain_caps(spark, sf_dir):
+    """Per-registered-domain share cap (operators/urls.py): keep ≤ 3
+    docs per domain, chosen by deterministic md5(doc_id) order —
+    SALTED two-phase top-k (phase 1 windows on (partition, domain) so
+    a hot domain never serializes into one task; phase 2 exact cap
+    over ≤ cap·P survivors)."""
+    from datavalid_spark.operators.urls import domain_caps
+
+    docs = _t(spark, sf_dir, "documents")
+    u = docs.select("doc_id", _synth_url_col().alias("url"))
+    return domain_caps(u, "url", "doc_id", cap=3).select("doc_id", "domain")
+
+
+_URL_ORACLE_CTES = """
+gen AS (
+  SELECT doc_id,
+         (CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'http' END)
+         || '://' ||
+         (CASE doc_id % 5 WHEN 0 THEN 'WWW.Example.COM:80'
+                          WHEN 1 THEN 'news.bbc.co.uk'
+                          WHEN 2 THEN 'Sub.Site.com.au'
+                          WHEN 3 THEN 'cdn' || CAST(doc_id % 7 AS VARCHAR) || '.example.org'
+                          ELSE '10.0.0.1' END)
+         || (CASE doc_id % 4 WHEN 0 THEN '/A/Path/' WHEN 1 THEN ''
+                             WHEN 2 THEN '/x'
+                             ELSE '/p/' || CAST(doc_id % 11 AS VARCHAR) || '/' END)
+         || (CASE doc_id % 4 WHEN 0 THEN '?utm_source=tw&b=2&a=1'
+                             WHEN 1 THEN '?z=9&a=1&fbclid=x'
+                             WHEN 2 THEN '' ELSE '?q=spark' END)
+         || (CASE doc_id % 2 WHEN 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents),
+s1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS u FROM gen),
+parts AS (
+  SELECT doc_id, u,
+         lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(.*)$', 1)) AS scheme,
+         regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(.*)$', 2) AS auth,
+         regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(.*)$', 3) AS path,
+         regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(.*)$', 4) AS query
+  FROM s1),
+hostp AS (
+  SELECT *, CASE WHEN h1 LIKE 'www.%' THEN substring(h1, 5) ELSE h1 END AS host
+  FROM (SELECT *,
+          CASE WHEN scheme = 'http'  AND h0 LIKE '%:80'  THEN left(h0, length(h0) - 3)
+               WHEN scheme = 'https' AND h0 LIKE '%:443' THEN left(h0, length(h0) - 4)
+               ELSE h0 END AS h1
+        FROM (SELECT *, lower(auth) AS h0 FROM parts))),
+canon AS (
+  SELECT doc_id, u, scheme, host,
+         (CASE WHEN path = '' THEN '/'
+               WHEN length(path) > 1 AND path LIKE '%/' THEN left(path, length(path) - 1)
+               ELSE path END) AS cpath,
+         list_sort(list_filter(string_split(substring(query, 2), '&'),
+            x -> x <> '' AND NOT (
+                   starts_with(lower(split_part(x, '=', 1)), 'utm_')
+                   OR lower(split_part(x, '=', 1)) IN
+                      ('fbclid','gclid','msclkid','mc_eid','ref','ref_src')))) AS params
+  FROM hostp),
+normed AS (
+  SELECT doc_id,
+         CASE WHEN scheme = '' THEN lower(u)
+              ELSE scheme || '://' || host || cpath ||
+                   (CASE WHEN len(params) = 0 THEN ''
+                         ELSE '?' || array_to_string(params, '&') END)
+         END AS url_norm,
+         host
+  FROM canon),
+dom AS (
+  SELECT doc_id, url_norm,
+         CASE WHEN host IS NULL THEN NULL
+              WHEN len(labels) < 2
+                   OR regexp_matches(host, '^\\d+\\.\\d+\\.\\d+\\.\\d+$')
+                   OR contains(host, ':') THEN host
+              WHEN len(labels) >= 3 AND
+                   (labels[-2] || '.' || labels[-1]) IN ({suffixes})
+                   THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+              ELSE labels[-2] || '.' || labels[-1] END AS domain
+  FROM (SELECT *, string_split(host, '.') AS labels FROM normed))
+"""
+
+
+def _url_oracle_ctes() -> str:
+    from datavalid_spark.operators.urls import TWO_LABEL_SUFFIXES
+
+    suf = ", ".join(f"'{s}'" for s in TWO_LABEL_SUFFIXES)
+    return _URL_ORACLE_CTES.replace("{suffixes}", suf)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is the driver-sweep order (driver caps at 50/round).
     # Round-3 priority block: the 6 former r1 no_oracle queries, then the
@@ -2120,6 +2259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup_agg,
         "unpivot_metrics": q_unpivot_metrics,
         "pivot_counts": q_pivot_counts,
+        "url_canonical": q_url_canonical,
+        "domain_caps": q_domain_caps,
         "t1_unique": q_t1_unique,
         "t1_unique_salted": q_t1_unique_salted,
         "unique_incremental": q_unique_incremental,
@@ -2695,6 +2836,17 @@ v AS (SELECT l_returnflag,
 n AS (SELECT l_returnflag, COUNT(*) AS n_rows FROM lineitem GROUP BY 1)
 SELECT n.l_returnflag, v.n_violations, v.n_violations = 0 AS passed, n.n_rows
 FROM n JOIN v USING (l_returnflag)
+""",
+        "url_canonical": "WITH "
+        + _url_oracle_ctes()
+        + "\nSELECT doc_id, url_norm, domain FROM dom",
+        "domain_caps": "WITH "
+        + _url_oracle_ctes()
+        + """
+SELECT doc_id, domain FROM dom
+QUALIFY row_number() OVER (
+  PARTITION BY domain
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 3
 """,
         "pivot_counts": """
 SELECT o_orderpriority,

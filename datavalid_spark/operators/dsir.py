@@ -154,6 +154,68 @@ def train_hashed_bag(
     )
 
 
+def train_hashed_bag_pair(
+    df: DataFrame,
+    text_col: str,
+    target_cond: Column,
+    ns=(1, 2),
+    n_buckets: int = 4096,
+    alpha: float = 0.5,
+    hasher: str = "md5",
+    tokenizer: str = "ws",
+) -> tuple[HashedBag, HashedBag]:
+    """Fit TARGET and RAW models in ONE corpus pass when the target is
+    a slice of the raw corpus (the standard DSIR setup: raw = all
+    docs, target = ``target_cond`` rows).  Bit-identical to two
+    ``train_hashed_bag`` calls — the per-bucket aggregate just counts
+    every gram twice, once unconditionally and once gated on the flag
+    (NULL flag == excluded, matching ``df.filter(target_cond)``) — but
+    the expensive tokenize→explode→md5 stream over the corpus runs
+    once instead of once-plus-the-slice, and there is one job/collect
+    instead of two.  Returns ``(target, raw)``."""
+    ns = tuple(sorted(set(int(n) for n in ns)))
+    if not ns or ns[0] < 1:
+        raise ValueError("train_hashed_bag_pair: ns must be gram sizes >= 1")
+    if not (1 <= n_buckets <= 65536):
+        raise ValueError(
+            "train_hashed_bag_pair: n_buckets must be in [1, 65536]"
+        )
+    from datavalid_spark.functions.tokenize import resolve_tokenizer
+
+    tok = resolve_tokenizer(tokenizer)
+    toks = df.select(
+        (target_cond == F.lit(True)).alias("is_t"),
+        tok(text_col).alias("ts"),
+    ).filter(F.size("ts") >= 1)
+    grams = toks.select(
+        "is_t", F.explode(_gram_arrays(F.col("ts"), ns)).alias("g")
+    )
+    rows = (
+        grams.select("is_t", hash_bucket(F.col("g"), n_buckets, hasher).alias("b"))
+        .groupBy("b")
+        .agg(
+            F.count("*").alias("raw_cnt"),
+            F.count(F.when(F.col("is_t"), 1)).alias("tgt_cnt"),
+        )
+        .collect()
+    )
+    t_counts = [0] * n_buckets
+    r_counts = [0] * n_buckets
+    for r in rows:
+        t_counts[r["b"]] = r["tgt_cnt"]
+        r_counts[r["b"]] = r["raw_cnt"]
+    mk = lambda counts: HashedBag(  # noqa: E731
+        ns=ns,
+        n_buckets=n_buckets,
+        alpha=alpha,
+        counts=counts,
+        total=sum(counts),
+        hasher=hasher,
+        tokenizer=tokenizer,
+    )
+    return mk(t_counts), mk(r_counts)
+
+
 def _check_compatible(target: HashedBag, raw: HashedBag) -> None:
     for attr in ("ns", "hasher", "tokenizer"):
         if getattr(target, attr) != getattr(raw, attr):

@@ -1,0 +1,232 @@
+"""URL curation: canonicalization, registered-domain (eTLD+1)
+extraction, and per-domain document caps.
+
+Beyond-reference surface (SURVEY.md §2.6 scope): the FIRST stage of a
+web-scale training-data pipeline is URL-level — canonicalize the URL
+(so `HTTP://WWW.Example.com:80/a/?utm_source=x` and
+`http://example.com/a` dedup to one key), roll up to the registered
+domain for blocklists and per-domain share caps (RefinedWeb /
+FineWeb-style: no single domain may dominate the corpus).
+pckhoi/datavalid has no URL operators; this extends the engine's
+curation family next to `dedup.py` and `sampling.py`.
+
+All of it is pure Column algebra — regexp group extraction, array
+filter/sort folds — fused into the scan: zero UDFs, zero shuffles for
+normalization/domain extraction; the per-domain cap shuffles once on
+the domain key (the same `topk_per_group` shape: per-partition
+row_number heaps after a hash exchange).
+
+Canonicalization contract (each step mirrored verbatim in the DuckDB
+oracle — documented so the two engines cannot drift):
+
+1. trim surrounding whitespace; strip the ``#fragment``.
+2. parse ``scheme://authority path ?query`` by regexp groups.  A
+   string with no ``://`` is returned trimmed-lowercased-as-is (not a
+   URL this layer understands — never NULL, so downstream grouping
+   keeps the row visible).
+3. lowercase scheme + authority (host); path and query values keep
+   their case (RFC 3986 §6.2.2.1: only scheme/host are
+   case-insensitive).
+4. drop the default port (``:80`` iff http, ``:443`` iff https).
+5. drop one leading ``www.`` label from the host (corpus-key
+   convention, not RFC — FineWeb dedups `www.` and bare hosts
+   together).
+6. query: split on ``&``, drop tracking params (name starts with
+   ``utm_``, or name ∈ {fbclid, gclid, msclkid, mc_eid, ref,
+   ref_src}), sort the survivors lexicographically (param order is
+   almost never semantic; sorting makes the key canonical), rejoin;
+   an emptied query drops its ``?``.
+7. empty path → ``/``; a trailing ``/`` on a longer path is removed.
+
+``registered_domain`` uses an EMBEDDED SUBSET of the Mozilla Public
+Suffix List — the ~40 highest-traffic two-label suffixes (co.uk,
+com.au, …).  The full PSL is ~9k rules and ships as a data file in
+production; the lookup below is the same longest-match algorithm and
+the swap-in point is the ``extra_suffixes`` parameter.  Per-row cost
+is O(1) InSet probes, JVM-side.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tracking-parameter names dropped by step 6 (exact match, post-lower)
+TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "mc_eid", "ref", "ref_src")
+
+#: embedded PSL subset: two-label public suffixes (longest-match wins
+#: over the one-label default).  Swap in the full list via
+#: ``extra_suffixes`` in production.
+TWO_LABEL_SUFFIXES = (
+    "co.uk ac.uk org.uk gov.uk me.uk net.uk ltd.uk plc.uk "
+    "com.au net.au org.au edu.au gov.au id.au "
+    "co.jp ne.jp or.jp ac.jp go.jp "
+    "com.br net.br org.br gov.br "
+    "co.in net.in org.in firm.in gen.in ind.in "
+    "com.cn net.cn org.cn gov.cn edu.cn "
+    "co.nz net.nz org.nz govt.nz "
+    "co.za org.za net.za gov.za "
+    "com.mx org.mx gob.mx com.ar com.tr com.tw com.sg com.hk com.my"
+).split()
+
+_URL_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(.*)$"
+
+
+def _is_tracking(name: Column) -> Column:
+    return name.startswith("utm_") | name.isin(*TRACKING_PARAMS)
+
+
+def _canon_query(q: Column) -> Column:
+    """'?a=1&utm_x=2' → '?a=1' (dropped trackers, sorted, or '')."""
+    params = F.array_sort(
+        F.filter(
+            F.split(F.substring(q, 2, 1 << 30), "&"),
+            lambda p: (p != "")
+            & ~_is_tracking(F.lower(F.split_part(p, F.lit("="), F.lit(1)))),
+        )
+    )
+    joined = F.array_join(params, "&")
+    return F.when(joined == "", F.lit("")).otherwise(F.concat(F.lit("?"), joined))
+
+
+def _canon_host(scheme: Column, auth: Column) -> Column:
+    h = F.lower(auth)
+    h = F.when(
+        (scheme == "http") & h.endswith(":80"),
+        F.substring(h, 1, F.length(h) - 3),
+    ).when(
+        (scheme == "https") & h.endswith(":443"),
+        F.substring(h, 1, F.length(h) - 4),
+    ).otherwise(h)
+    return F.when(h.startswith("www."), F.substring(h, 5, 1 << 30)).otherwise(h)
+
+
+def _canon_path(p: Column) -> Column:
+    return (
+        F.when(p == "", F.lit("/"))
+        .when((F.length(p) > 1) & p.endswith("/"), F.substring(p, 1, F.length(p) - 1))
+        .otherwise(p)
+    )
+
+
+def normalize_url(url: Column | str) -> Column:
+    """Canonical URL key per the 7-step contract in the module doc.
+    Pure Column algebra fused into the scan — zero UDF, zero shuffle.
+    Non-URL strings (no ``scheme://``) come back trimmed+lowercased;
+    NULL stays NULL."""
+    u = F.trim(F.col(url) if isinstance(url, str) else url)
+    u = F.regexp_replace(u, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, _URL_RE, 1))
+    auth = F.regexp_extract(u, _URL_RE, 2)
+    path = F.regexp_extract(u, _URL_RE, 3)
+    query = F.regexp_extract(u, _URL_RE, 4)
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        _canon_host(scheme, auth),
+        _canon_path(path),
+        _canon_query(query),
+    )
+    return F.when(scheme == "", F.lower(u)).otherwise(rebuilt)
+
+
+def host_of(url: Column | str) -> Column:
+    """Canonical host (post steps 3-5) of a URL; '' for non-URLs."""
+    u = F.trim(F.col(url) if isinstance(url, str) else url)
+    u = F.regexp_replace(u, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, _URL_RE, 1))
+    return _canon_host(scheme, F.regexp_extract(u, _URL_RE, 2))
+
+
+def registered_domain(
+    host: Column | str, extra_suffixes: Optional[Sequence[str]] = None
+) -> Column:
+    """eTLD+1 by PSL longest-match over the embedded suffix subset:
+    if the host's last two labels are a public suffix, keep three
+    labels, else keep two.  Hosts with <2 labels (``localhost``), IPv4
+    literals, and ports pass through unchanged — per-row O(1) InSet
+    probes, JVM-side."""
+    h = F.col(host) if isinstance(host, str) else host
+    suffixes = list(TWO_LABEL_SUFFIXES) + list(extra_suffixes or [])
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(labels, -3), F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    is_ip = h.rlike(r"^\d+\.\d+\.\d+\.\d+$")
+    has_port = h.contains(":")
+    return (
+        F.when(h.isNull(), F.lit(None).cast("string"))
+        .when((n < 2) | is_ip | has_port, h)
+        .when((n >= 3) & last2.isin(*suffixes), last3)
+        .otherwise(last2)
+    )
+
+
+def domain_caps(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    cap: int,
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per registered domain, chosen
+    DETERMINISTICALLY by ``md5(id)`` (an unbiased corpus-stable coin —
+    no RNG, reproducible across runs/engines; the `sampling.py`
+    discipline).  Returns df's columns + ``domain``.
+
+    Scale shape: SALTED two-phase top-k, the skew answer a naive
+    single window lacks.  Phase 1 windows on ``(input partition id,
+    domain)`` — the exchange spreads a pathologically hot domain over
+    P reducer groups instead of serializing it into one task, and each
+    group keeps only its local md5-top-``cap``.  Phase 2 takes the
+    exact global cap over the survivors, whose per-domain size is now
+    ≤ cap·P rows — KB-scale — so its exchange on the bare domain key
+    is skew-proof by construction.  Correctness: every row in the
+    global md5-top-``cap`` of a domain is in its phase-1 group's local
+    top-``cap``, so phase 1 can only discard rows phase 2 would have
+    discarded anyway."""
+    if cap < 1:
+        raise ValueError("domain_caps: cap must be >= 1")
+    from pyspark.sql import Window
+
+    out = df.withColumn(domain_col, registered_domain(host_of(url_col)))
+    order = [F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()]
+    # phase 1: salted local cap — salt = input partition id (any
+    # deterministic row spread works; correctness is salt-independent)
+    local = Window.partitionBy(F.spark_partition_id(), domain_col).orderBy(*order)
+    pre = (
+        out.withColumn("__dv_lrk", F.row_number().over(local))
+        .filter(F.col("__dv_lrk") <= cap)
+        .drop("__dv_lrk")
+    )
+    # phase 2: exact global cap per domain
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    return (
+        pre.withColumn("__dv_rk", F.row_number().over(w))
+        .filter(F.col("__dv_rk") <= cap)
+        .drop("__dv_rk")
+    )
+
+
+def domain_share_report(
+    df: DataFrame, url_col: str, top_n: int = 50
+) -> DataFrame:
+    """Per-registered-domain corpus share: ``(domain, n_docs, share)``,
+    top ``top_n`` by count — the input to a share-cap policy.  One
+    map-side-combined groupBy on the domain key + TakeOrdered."""
+    total = df.count()
+    return (
+        df.select(registered_domain(host_of(url_col)).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn(
+            "share_micro",
+            F.round(F.col("n_docs") * F.lit(1e6) / F.lit(float(total))).cast("long"),
+        )
+        .orderBy(F.col("n_docs").desc(), F.col("domain").asc())
+        .limit(top_n)
+    )

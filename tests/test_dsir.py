@@ -150,3 +150,25 @@ def test_bpe_tokenizer_threads_through(spark):
     # same corpus both sides -> every doc's log ratio is exactly 0
     out = dsir_weights(tdf, "text", target, raw).collect()[0]
     assert out["dsir_logratio_micro"] == 0 and out["dsir_n_feat"] > 0
+
+
+def test_pair_training_matches_two_separate_fits(spark):
+    """train_hashed_bag_pair == (train on filter(cond), train on all),
+    bucket-for-bucket — including NULL-cond rows, which filter() drops
+    and the gated count must also drop."""
+    from datavalid_spark.operators.dsir import train_hashed_bag_pair
+
+    rows = [(i, t, ["en", "de", None][i % 3]) for i, t in enumerate(RAW)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    cond = F.col("lang") == "en"
+    t2 = train_hashed_bag(df.filter(cond), "text")
+    r2 = train_hashed_bag(df, "text")
+    t1, r1 = train_hashed_bag_pair(df, "text", cond)
+    assert t1.counts == t2.counts and t1.total == t2.total
+    assert r1.counts == r2.counts and r1.total == r2.total
+    assert (t1.ns, t1.n_buckets, t1.hasher, t1.tokenizer) == (
+        t2.ns,
+        t2.n_buckets,
+        t2.hasher,
+        t2.tokenizer,
+    )

@@ -1,0 +1,169 @@
+"""URL curation ops (operators/urls.py): canonicalization contract,
+eTLD+1 extraction, salted per-domain caps.  Ground truth: a pure-Python
+reimplementation of the documented 7-step contract."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.operators.urls import (
+    TRACKING_PARAMS,
+    TWO_LABEL_SUFFIXES,
+    domain_caps,
+    domain_share_report,
+    host_of,
+    normalize_url,
+    registered_domain,
+)
+
+
+def _py_norm(u):
+    if u is None:
+        return None
+    u = u.strip()
+    u = u.split("#", 1)[0]
+    if "://" not in u:
+        return u.lower()
+    scheme, rest = u.split("://", 1)
+    scheme = scheme.lower()
+    # authority = up to first / ? #
+    i = len(rest)
+    for ch in "/?":
+        j = rest.find(ch)
+        if j != -1:
+            i = min(i, j)
+    auth, tail = rest[:i], rest[i:]
+    if "?" in tail:
+        path, query = tail.split("?", 1)
+    else:
+        path, query = tail, None
+    host = auth.lower()
+    if scheme == "http" and host.endswith(":80"):
+        host = host[:-3]
+    if scheme == "https" and host.endswith(":443"):
+        host = host[:-4]
+    if host.startswith("www."):
+        host = host[4:]
+    if path == "":
+        path = "/"
+    elif len(path) > 1 and path.endswith("/"):
+        path = path[:-1]
+    qpart = ""
+    if query is not None:
+        keep = []
+        for p in query.split("&"):
+            if p == "":
+                continue
+            name = p.split("=", 1)[0].lower()
+            if name.startswith("utm_") or name in TRACKING_PARAMS:
+                continue
+            keep.append(p)
+        if keep:
+            qpart = "?" + "&".join(sorted(keep))
+    return f"{scheme}://{host}{path}{qpart}"
+
+
+def _py_domain(host):
+    if host is None:
+        return None
+    labels = host.split(".")
+    if len(labels) < 2 or host.replace(".", "").isdigit() or ":" in host:
+        return host
+    if len(labels) >= 3 and ".".join(labels[-2:]) in TWO_LABEL_SUFFIXES:
+        return ".".join(labels[-3:])
+    return ".".join(labels[-2:])
+
+
+URLS = [
+    "HTTP://WWW.Example.COM:80/A/Path/?utm_source=tw&b=2&a=1#frag",
+    "https://example.com:443/a/path?a=1&b=2",
+    "https://news.bbc.co.uk/stories/",
+    "http://sub.deep.example.co.uk/x?fbclid=abc",
+    "  http://example.com  ",
+    "http://example.com",
+    "http://example.com/?",
+    "http://example.com/path/?UTM_CAMPAIGN=x&Z=9&ref=rss",
+    "http://10.0.0.1/admin",
+    "http://localhost:8080/x",
+    "ftp://Files.Example.com/Pub/",
+    "not a url at ALL",
+    "http://example.com/a?b=2&a=1&a=0",
+    "https://www.google.com.au/search?q=spark",
+    None,
+]
+
+
+@pytest.fixture(scope="module")
+def udf_df(spark):
+    return spark.createDataFrame(
+        [(i, u) for i, u in enumerate(URLS)], "id long, url string"
+    )
+
+
+def test_normalize_contract(udf_df):
+    got = {r["id"]: r["n"] for r in udf_df.select("id", normalize_url("url").alias("n")).collect()}
+    for i, u in enumerate(URLS):
+        assert got[i] == _py_norm(u), (u, got[i], _py_norm(u))
+
+
+def test_registered_domain(udf_df):
+    got = {
+        r["id"]: r["d"]
+        for r in udf_df.select(
+            "id", registered_domain(host_of("url")).alias("d")
+        ).collect()
+    }
+    for i, u in enumerate(URLS):
+        want = None if u is None else _py_domain(
+            _py_norm(u).split("://", 1)[1].split("/", 1)[0].split("?", 1)[0]
+            if "://" in _py_norm(u)
+            else ""
+        )
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_idempotent(udf_df):
+    once = udf_df.select("id", normalize_url("url").alias("n"))
+    twice = once.select("id", normalize_url("n").alias("n2"))
+    rows = once.join(twice, "id").collect()
+    assert all(r["n"] == r["n2"] for r in rows)
+
+
+def test_domain_caps_exact_and_partition_invariant(spark):
+    rows = [
+        (i, f"http://{'hotdomain.com' if i % 10 else f'cold{i}.org'}/p{i}")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    kept = domain_caps(df, "url", "id", cap=5)
+    got = sorted((r["domain"], r["id"]) for r in kept.collect())
+    got7 = sorted(
+        (r["domain"], r["id"])
+        for r in domain_caps(df.repartition(7), "url", "id", cap=5).collect()
+    )
+    assert got == got7
+    # ground truth: md5-order top-5 per domain
+    by_dom = {}
+    for i, u in rows:
+        d = _py_domain(u.split("://")[1].split("/")[0])
+        by_dom.setdefault(d, []).append(i)
+    want = sorted(
+        (d, i)
+        for d, ids in by_dom.items()
+        for i in sorted(ids, key=lambda x: (hashlib.md5(str(x).encode()).hexdigest(), x))[:5]
+    )
+    assert got == want
+    counts = {}
+    for d, _ in got:
+        counts[d] = counts.get(d, 0) + 1
+    assert all(c <= 5 for c in counts.values()) and counts["hotdomain.com"] == 5
+    assert sum(1 for d in counts if d.startswith("cold")) == 20
+
+
+def test_domain_share_report(spark):
+    rows = [(i, f"http://d{i % 3}.com/x") for i in range(90)]
+    df = spark.createDataFrame(rows, "id long, url string")
+    rep = {r["domain"]: (r["n_docs"], r["share_micro"]) for r in
+           domain_share_report(df, "url").collect()}
+    assert rep == {f"d{k}.com": (30, 333333) for k in range(3)}
