@@ -2091,6 +2091,17 @@ def _synth_url_col():
     return F.concat(scheme, F.lit("://"), host, path, query, frag)
 
 
+def q_skew_report(spark, sf_dir):
+    """Shuffle-key skew diagnostic (operators/skew.py): per-key counts
+    (one map-side-combined shuffle) reduced to a one-row report with
+    the recommended salt factor for the engine's salted operators.
+    P is pinned to 32 so the answer is environment-independent."""
+    from datavalid_spark.operators.skew import key_skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_report(ev, "user_id", num_partitions=32)
+
+
 def q_url_canonical(spark, sf_dir):
     """URL canonicalization + registered-domain rollup
     (operators/urls.py): the 7-step contract (fragment strip,
@@ -2259,6 +2270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup_agg,
         "unpivot_metrics": q_unpivot_metrics,
         "pivot_counts": q_pivot_counts,
+        "skew_report": q_skew_report,
         "url_canonical": q_url_canonical,
         "domain_caps": q_domain_caps,
         "t1_unique": q_t1_unique,
@@ -2836,6 +2848,18 @@ v AS (SELECT l_returnflag,
 n AS (SELECT l_returnflag, COUNT(*) AS n_rows FROM lineitem GROUP BY 1)
 SELECT n.l_returnflag, v.n_violations, v.n_violations = 0 AS passed, n.n_rows
 FROM n JOIN v USING (l_returnflag)
+""",
+        "skew_report": """
+WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id)
+SELECT SUM(cnt)::BIGINT AS n_rows,
+       COUNT(*)::BIGINT AS n_keys,
+       MAX(cnt)::BIGINT AS max_cnt,
+       CAST(round(MAX(cnt) * 1e6 / SUM(cnt)) AS BIGINT) AS top_share_micro,
+       CAST(round(MAX(cnt)::DOUBLE * COUNT(*) * 1e6 / SUM(cnt)) AS BIGINT)
+         AS skew_ratio_micro,
+       GREATEST(1, CAST(ceil(MAX(cnt)::DOUBLE * 32 / SUM(cnt)) AS BIGINT))
+         AS rec_salt
+FROM c
 """,
         "url_canonical": "WITH "
         + _url_oracle_ctes()
