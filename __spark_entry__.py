@@ -2091,15 +2091,16 @@ def _synth_url_col():
     return F.concat(scheme, F.lit("://"), host, path, query, frag)
 
 
-def q_skew_report(spark, sf_dir):
-    """Shuffle-key skew diagnostic (operators/skew.py): per-key counts
-    (one map-side-combined shuffle) reduced to a one-row report with
-    the recommended salt factor for the engine's salted operators.
+def q_skew_summary(spark, sf_dir):
+    """One-row shuffle-key skew summary (operators/skew.py,
+    `skew_summary` — the scalar companion to the top-k `skew_report`
+    query): per-key counts (one map-side-combined shuffle) reduced to
+    totals + the recommended salt factor the salted operators take.
     P is pinned to 32 so the answer is environment-independent."""
-    from datavalid_spark.operators.skew import key_skew_report
+    from datavalid_spark.operators.skew import skew_summary
 
     ev = _t(spark, sf_dir, "events")
-    return key_skew_report(ev, "user_id", num_partitions=32)
+    return skew_summary(ev, "user_id", num_partitions=32)
 
 
 def q_url_canonical(spark, sf_dir):
@@ -2270,7 +2271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup_agg,
         "unpivot_metrics": q_unpivot_metrics,
         "pivot_counts": q_pivot_counts,
-        "skew_report": q_skew_report,
+        "skew_summary": q_skew_summary,
         "url_canonical": q_url_canonical,
         "domain_caps": q_domain_caps,
         "t1_unique": q_t1_unique,
@@ -2849,7 +2850,7 @@ n AS (SELECT l_returnflag, COUNT(*) AS n_rows FROM lineitem GROUP BY 1)
 SELECT n.l_returnflag, v.n_violations, v.n_violations = 0 AS passed, n.n_rows
 FROM n JOIN v USING (l_returnflag)
 """,
-        "skew_report": """
+        "skew_summary": """
 WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id)
 SELECT SUM(cnt)::BIGINT AS n_rows,
        COUNT(*)::BIGINT AS n_keys,

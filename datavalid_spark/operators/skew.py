@@ -1,53 +1,167 @@
-"""Join/aggregation key skew diagnostics.
+"""Join/shuffle key-skew diagnostic: the measurement that precedes the
+engine's mitigation knobs (salted uniqueness, AQE skew joins,
+repartition-by-repo-hash).
 
-Beyond-reference surface: before shuffling 100 TB on a key, a pipeline
-wants to know whether the key is safe — the north-star failure mode is
-the pathological mono-repo partition that serializes one reducer while
-a thousand idle.  This operator measures exactly that and recommends
-the salt factor the engine's salted operators (`checks.unique` salted
-strategy, `urls.domain_caps`, `sampling` salted join) take as input.
+At 10^12 rows the difference between a job that finishes and one that
+stalls on a straggler is usually ONE hot key (the mono-repo partition
+the north rule calls out).  ``skew_report`` quantifies that in one
+pass over the key space:
 
-One shuffle, keyed on the diagnosed key with map-side partial
-aggregation (the per-key count), then a second KB-scale aggregate over
-the count distribution.  Nothing is collected beyond the one stats
-row.  At 10^9+ distinct keys the per-key aggregate is itself large but
-never wider than (key, bigint), and the plan never materializes it to
-the driver — this is the cost floor for an EXACT answer; the sketch
-alternative (`freq.frequent_items`) answers the top-heavy-key question
-without the full aggregate when θ is known.
+- per-key counts via a partially-aggregated groupBy (map-side combine
+  — the scan emits at most one row per key per task);
+- the global totals (rows, distinct keys) ride ONE tiny aggregate of
+  that counts frame, broadcast back onto the top-k — no second scan of
+  the fact table;
+- top-k heaviest keys via ``orderBy + limit`` — Spark plans
+  ``TakeOrderedAndProject`` (a k-heap per partition, then a k-merge on
+  the driver), never a global sort;
+- deterministic output: ties break on the key value, so the report is
+  reproducible and oracle-comparable.
 
-Definitions (mirrored in the DuckDB oracle):
-
-- ``skew_ratio_micro`` = round(1e6 · max_cnt / (n_rows / n_keys)) —
-  how many times fatter the hottest key is than the average key.
-- ``rec_salt`` = ceil(max_cnt · P / n_rows), the number of salt
-  buckets that brings the hottest key's per-task share down to the
-  average task's row budget (n_rows / P); 1 means "no salting needed".
-  P defaults to ``spark.sql.shuffle.partitions``.
-
-NULL keys count as one key, matching ``groupBy`` semantics.
+Reading the report: ``share`` is the key's fraction of all rows —
+a top-1 share of 0.3 on a 1000-partition shuffle means one task does
+300× the average work; ``x_mean`` says how many times the average key
+size the hot key is, which is the salting factor to start from.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def key_skew_report(
+def skew_report(
+    df: DataFrame, cols: Sequence[str] | str, top_k: int = 20
+) -> DataFrame:
+    """Top-``top_k`` heaviest keys of ``cols`` with their row count,
+    share of all rows, multiple of the mean key size, and rank.
+
+    Returns ``(*cols, n, share, x_mean, rank)`` — ``n`` rows per key,
+    ``share`` = n / total_rows, ``x_mean`` = n / (total_rows /
+    distinct_keys), ``rank`` 1-based by (n desc, key asc).
+    """
+    if isinstance(cols, str):
+        cols = [cols]
+    cols = list(cols)
+    if not cols:
+        raise ValueError("cols should name at least one key column")
+    if top_k < 1:
+        raise ValueError("top_k should be >= 1")
+    counts = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("__total"),
+        F.count(F.lit(1)).alias("__nkeys"),
+    )
+    order = [F.col("n").desc(), *[F.col(c).asc_nulls_last() for c in cols]]
+    top = counts.orderBy(*order).limit(top_k)
+    w = Window.orderBy(*order)  # top_k rows — single tiny partition
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .withColumn("share", F.col("n") / F.col("__total"))
+        .withColumn(
+            "x_mean",
+            F.col("n") * F.col("__nkeys") / F.col("__total"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .select(*cols, "n", "share", "x_mean", "rank")
+    )
+
+
+def suggest_salt_buckets(
+    df: DataFrame, cols: Sequence[str] | str, target_share: float = 0.01
+) -> int:
+    """Salting factor that caps the hottest key's per-bucket share at
+    ``target_share`` of total rows: ceil(top1_share / target_share),
+    floored at 1.  One action over the skew report."""
+    row = skew_report(df, cols, top_k=1).select("share").first()
+    if row is None:
+        return 1
+    import math
+
+    return max(1, math.ceil(row["share"] / target_share))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str] | str,
+    salt_buckets: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-defeating equi-join: the manual fallback when AQE's
+    skew-join split cannot help (AQE splits oversized SHUFFLE
+    partitions, but a single hot KEY is indivisible by partition
+    splitting alone on the build side of an SMJ, and AQE never
+    rewrites a broadcast that doesn't fit).
+
+    Routing: ``big`` rows get ``__dv_salt = pmod(xxhash64(all big
+    columns), S)`` — deterministic (retried tasks re-derive the same
+    salt) and content-based, so a hot KEY's rows spread across all S
+    buckets as long as the rows differ somewhere outside the key
+    (byte-identical full rows share a bucket; full-row duplicates are
+    the dedup family's job, not the join's).  ``small`` is replicated
+    S× via an exploded literal range — its shuffle volume grows S×,
+    which is the price of flattening the hot key; pick S with
+    ``suggest_salt_buckets`` so the hottest key's per-task share is
+    bounded, don't default it large.
+
+    The join runs on ``on + [__dv_salt]`` — same result multiset as
+    the plain join (each big row meets each matching small row exactly
+    once: in its own salt bucket), verified by the parity tests.
+
+    ``how``: 'inner' or 'left' (left rows with no match survive with
+    NULLs, as usual).  Right/full would need the small side UNsalted
+    unmatched-row accounting — out of scope, raises.
+    """
+    if isinstance(on, str):
+        on = [on]
+    on = list(on)
+    if not on:
+        raise ValueError("on should name at least one join column")
+    if salt_buckets < 1:
+        raise ValueError("salt_buckets should be >= 1")
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+
+    salted_big = big.withColumn(
+        "__dv_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)),
+    )
+    replicated_small = small.withColumn(
+        "__dv_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    ).select("__dv_salt", *small.columns)
+    return salted_big.join(
+        replicated_small, on=on + ["__dv_salt"], how=how
+    ).drop("__dv_salt")
+
+
+def skew_summary(
     df: DataFrame,
     key_cols: Sequence[str] | str,
-    num_partitions: Optional[int] = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """One-row skew report for a prospective shuffle key:
-    ``(n_rows, n_keys, max_cnt, top_share_micro, skew_ratio_micro,
-    rec_salt)``.  Exact — the oracle is the same two aggregates in
-    SQL."""
+    """ONE-ROW skew summary for a prospective shuffle key — the scalar
+    companion to ``skew_report``'s top-k table: ``(n_rows, n_keys,
+    max_cnt, top_share_micro, skew_ratio_micro, rec_salt)``.
+
+    - ``skew_ratio_micro`` = round(1e6 · max_cnt / (n_rows/n_keys)) —
+      how many times fatter the hottest key is than the average key;
+    - ``rec_salt`` = ceil(max_cnt · P / n_rows): the salt-bucket count
+      that brings the hottest key's per-task share down to an average
+      task's row budget (n_rows / P), floored at 1.  P defaults to
+      ``spark.sql.shuffle.partitions``.  This is the input
+      ``salted_join`` / the salted uniqueness strategy take.
+
+    Same plan skeleton as ``skew_report``: one map-side-combined
+    per-key count, then a KB-scale aggregate — integers end-to-end, so
+    the DuckDB oracle matches bit-for-bit.  NULL keys count as one
+    key, matching ``groupBy``."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if not keys:
-        raise ValueError("key_skew_report: need at least one key column")
+        raise ValueError("skew_summary: need at least one key column")
     if num_partitions is None:
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")

@@ -1,18 +1,74 @@
-"""Key-skew diagnostics (operators/skew.py) vs pandas ground truth."""
+"""Key-skew diagnostic (operators/skew.py): exact counts/shares,
+deterministic tie-break, plan shape (TakeOrderedAndProject, no global
+sort), salt suggestion."""
 
 import pytest
 from pyspark.sql import functions as F
 
-from datavalid_spark.operators.skew import key_skew_report
+from datavalid_spark.operators.skew import skew_report, suggest_salt_buckets
 
 
-def test_skew_report_exact(spark):
-    # 1 hot key with 900 rows, 100 singletons, 3 NULLs
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # key 'hot' 60 rows, 'warm' 30, ten singletons → 100 rows, 12 keys
+    rows = [("hot",)] * 60 + [("warm",)] * 30 + [(f"k{i}",) for i in range(10)]
+    return spark.createDataFrame(rows, "k string").repartition(4)
+
+
+def test_report_values(spark, skewed):
+    got = {r["k"]: r for r in skew_report(skewed, "k", top_k=3).collect()}
+    assert set(got) == {"hot", "warm", "k0"}
+    hot = got["hot"]
+    assert hot["n"] == 60 and hot["rank"] == 1
+    assert hot["share"] == 0.6
+    assert hot["x_mean"] == 60 * 12 / 100
+    assert got["warm"]["rank"] == 2
+    assert got["k0"]["rank"] == 3  # singleton tie broken by key asc
+
+
+def test_multi_column_keys(spark):
+    df = spark.createDataFrame(
+        [(1, "a")] * 5 + [(1, "b")] * 2 + [(2, "a")], "x int, y string"
+    )
+    top = skew_report(df, ["x", "y"], top_k=2).collect()
+    assert (top[0]["x"], top[0]["y"], top[0]["n"]) == (1, "a", 5)
+    assert (top[1]["x"], top[1]["y"], top[1]["n"]) == (1, "b", 2)
+
+
+def test_no_global_sort_in_plan(spark, skewed):
+    plan = (
+        skew_report(skewed, "k", top_k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_salt_suggestion(spark, skewed):
+    # top share 0.6 → cap at 10% per bucket needs ceil(0.6/0.1) = 6
+    assert suggest_salt_buckets(skewed, "k", target_share=0.1) == 6
+    # uniform data (every key share 0.02) needs no salting at a 5% cap
+    uni = spark.createDataFrame([(i % 50,) for i in range(500)], "k int")
+    assert suggest_salt_buckets(uni, "k", target_share=0.05) == 1
+
+
+def test_guards(spark, skewed):
+    with pytest.raises(ValueError, match="cols"):
+        skew_report(skewed, [])
+    with pytest.raises(ValueError, match="top_k"):
+        skew_report(skewed, "k", top_k=0)
+    empty = skewed.limit(0)
+    assert skew_report(empty, "k").count() == 0
+    assert suggest_salt_buckets(empty, "k") == 1
+
+
+def test_skew_summary_exact(spark):
+    from datavalid_spark.operators.skew import skew_summary
+
     rows = [(i, "hot") for i in range(900)]
     rows += [(900 + i, f"k{i}") for i in range(100)]
     rows += [(1000 + i, None) for i in range(3)]
     df = spark.createDataFrame(rows, "id long, k string").repartition(8)
-    r = key_skew_report(df, "k", num_partitions=32).collect()[0]
+    r = skew_summary(df, "k", num_partitions=32).collect()[0]
     n_rows, n_keys, max_cnt = 1003, 102, 900
     assert (r["n_rows"], r["n_keys"], r["max_cnt"]) == (n_rows, n_keys, max_cnt)
     assert r["top_share_micro"] == round(max_cnt * 1e6 / n_rows)
@@ -22,16 +78,13 @@ def test_skew_report_exact(spark):
     assert r["rec_salt"] == math.ceil(max_cnt * 32 / n_rows) == 29
 
 
-def test_skew_report_uniform_needs_no_salt(spark):
+def test_skew_summary_uniform_needs_no_salt(spark):
+    from datavalid_spark.operators.skew import skew_summary
+
     df = spark.createDataFrame([(i, i % 50) for i in range(1000)], "id long, k long")
-    r = key_skew_report(df, ["k"], num_partitions=16).collect()[0]
+    r = skew_summary(df, ["k"], num_partitions=16).collect()[0]
     assert r["rec_salt"] == 1 and r["skew_ratio_micro"] == 1_000_000
+    import pytest as _pt
 
-
-def test_multi_key_and_validation(spark):
-    df = spark.createDataFrame([(1, "a", "x"), (2, "a", "x"), (3, "b", "y")],
-                               "id long, k1 string, k2 string")
-    r = key_skew_report(df, ["k1", "k2"], num_partitions=4).collect()[0]
-    assert (r["n_rows"], r["n_keys"], r["max_cnt"]) == (3, 2, 2)
-    with pytest.raises(ValueError):
-        key_skew_report(df, [])
+    with _pt.raises(ValueError):
+        skew_summary(df, [])
