@@ -1974,12 +1974,17 @@ def q_multimodal_validate(spark, sf_dir):
 def _dsir_models(spark, sf_dir):
     """Shared DSIR model fit: target = the English slice, raw = the
     whole corpus (ns=(1,2), 4096 md5 buckets — oracle-reproducible).
-    One-pass pair training: counts bit-identical to two separate
-    fits, but the tokenize→explode→md5 stream runs once."""
+    One-pass pair training over a DETERMINISTIC 10% sample
+    (doc_id % 10 = 0) — the documented at-scale practice
+    (operators/dsir.py: the model is a distribution estimate, not an
+    index; at 10^12 rows nobody trains on the full corpus).  Counts
+    are bit-identical to two separate fits on the same sample, and
+    the oracle rebuilds the models from the same sample predicate."""
     from datavalid_spark.operators.dsir import train_hashed_bag_pair
 
     docs = _t(spark, sf_dir, "documents")
-    target, raw = train_hashed_bag_pair(docs, "text", F.col("lang") == "en")
+    sample = docs.filter(F.col("doc_id") % 10 == 0)
+    target, raw = train_hashed_bag_pair(sample, "text", F.col("lang") == "en")
     return docs, target, raw
 
 
@@ -3491,8 +3496,8 @@ cctx AS (SELECT (('0x' || substring(md5(ts[i]), 1, 8))::BIGINT % 2048) AS b,
 sp AS (SELECT doc_id, unnest(range(1, len(ts))) AS i, ts FROM tok
        WHERE len(ts) >= 2),
 mic AS (SELECT sp.doc_id,
-        ROUND(ln((COALESCE(cn.c, 0) + 0.5)
-                 / (COALESCE(cc.c, 0) + 0.5 * 2048)) * 1e6)::BIGINT AS m
+        ROUND((ln(COALESCE(cn.c, 0) + 0.5)
+                 - ln(COALESCE(cc.c, 0) + 0.5 * 2048)) * 1e6)::BIGINT AS m
         FROM sp
         LEFT JOIN cng cn
           ON (('0x' || substring(md5(ts[i] || ' ' || ts[i+1]), 1, 8))::BIGINT
@@ -3506,8 +3511,9 @@ SELECT d.doc_id, COALESCE(a.n_scored, 0) AS lm_n_scored,
        a.nll_micro AS lm_nll_micro
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """,
-        # DSIR: rebuild both hashed 1+2-gram bag models (target =
-        # lang='en', raw = all docs; 4096 md5 buckets, alpha 0.5) and
+        # DSIR: rebuild both hashed 1+2-gram bag models from the SAME
+        # deterministic 10% training sample (doc_id % 10 = 0; target =
+        # lang='en' slice, raw = whole sample; 4096 md5 buckets) and
         # re-score every document with the same integer micro-nat
         # quantization — the operators/dsir.py spec end to end.
         "dsir_weights": f"""
@@ -3521,8 +3527,9 @@ gr AS (
 gb AS (SELECT doc_id, lang,
               (('0x' || substring(md5(g), 1, 8))::BIGINT % 4096) AS b
        FROM gr),
-tc AS (SELECT b, COUNT(*) AS c FROM gb WHERE lang = 'en' GROUP BY 1),
-rc AS (SELECT b, COUNT(*) AS c FROM gb GROUP BY 1),
+tc AS (SELECT b, COUNT(*) AS c FROM gb
+       WHERE doc_id % 10 = 0 AND lang = 'en' GROUP BY 1),
+rc AS (SELECT b, COUNT(*) AS c FROM gb WHERE doc_id % 10 = 0 GROUP BY 1),
 tot AS (SELECT (SELECT COALESCE(SUM(c), 0) FROM tc) AS tt,
                (SELECT COALESCE(SUM(c), 0) FROM rc) AS rt),
 mic AS (
@@ -3551,8 +3558,9 @@ gr AS (
 gb AS (SELECT doc_id, lang,
               (('0x' || substring(md5(g), 1, 8))::BIGINT % 4096) AS b
        FROM gr),
-tc AS (SELECT b, COUNT(*) AS c FROM gb WHERE lang = 'en' GROUP BY 1),
-rc AS (SELECT b, COUNT(*) AS c FROM gb GROUP BY 1),
+tc AS (SELECT b, COUNT(*) AS c FROM gb
+       WHERE doc_id % 10 = 0 AND lang = 'en' GROUP BY 1),
+rc AS (SELECT b, COUNT(*) AS c FROM gb WHERE doc_id % 10 = 0 GROUP BY 1),
 tot AS (SELECT (SELECT COALESCE(SUM(c), 0) FROM tc) AS tt,
                (SELECT COALESCE(SUM(c), 0) FROM rc) AS rt),
 mic AS (

@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from datavalid_spark.functions.text import let_once, nonempty_tokens
+from datavalid_spark.functions.lits import lit_double_array
 
 
 def hash_bucket(token: Column, n_buckets: int, hasher: str = "md5") -> Column:
@@ -107,7 +108,8 @@ def hashed_score(col: Column | str, weights: Sequence[float]) -> Column:
     docs); > 0 leans positive.  Sequential left-to-right fold so the
     summation order is defined."""
     n = len(weights)
-    warr = F.lit([float(x) for x in weights])
+    # single Literal(array<double>) node — see functions/lits.py
+    warr = lit_double_array(weights)
     return let_once(
         nonempty_tokens(col),
         lambda tt: F.when(

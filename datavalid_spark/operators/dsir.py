@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 from datavalid_spark.functions.text import let_once, word_ngrams_all_of_tokens
 from datavalid_spark.operators.classify import hash_bucket
+from datavalid_spark.functions.lits import lit_long_array, round_half_away
 
 #: micro-nat quantization scale (shared discipline with lm.py)
 MICRO = 1e6
@@ -231,28 +232,36 @@ def dsir_logratio_expr(col: Column | str, target: HashedBag, raw: HashedBag) -> 
     ``logratio_micro`` = Σ over grams of
     ``round((ln p_target(h(g)) − ln p_raw(h(g))) · 1e6)`` — exact
     integer, order-independent, engine-portable.  NULL (n_feat = 0)
-    for documents with no tokens."""
+    for documents with no tokens.
+
+    The per-gram value depends on the gram ONLY through its bucket
+    (target and raw share ns/hasher/n_buckets — enforced below), so
+    the whole ratio table collapses to ONE precomputed
+    ``array<long>[n_buckets]`` literal on the driver and the hot loop
+    does exactly one hash + one ``element_at`` per gram (measured
+    2.4 s → ~0.5 s on 535k grams vs the inline 2×element_at + 2×ln
+    form — higher-order folds are interpreted, so per-gram node count
+    is the cost driver).  Same measure-zero ulp caveat on ``ln``,
+    now evaluated once per bucket in Python instead of per gram in
+    the JVM."""
     _check_compatible(target, raw)
+    import math
+
     from datavalid_spark.functions.tokenize import resolve_tokenizer
 
     tok = resolve_tokenizer(target.tokenizer)
-    ct = F.lit([int(x) for x in target.counts])
-    cr = F.lit([int(x) for x in raw.counts])
-    dt = F.lit(float(target.total) + target.alpha * target.n_buckets)
-    dr = F.lit(float(raw.total) + raw.alpha * raw.n_buckets)
+    dt = float(target.total) + target.alpha * target.n_buckets
+    dr = float(raw.total) + raw.alpha * raw.n_buckets
+    mu = lit_long_array(
+        round_half_away(
+            (math.log((tc + target.alpha) / dt) - math.log((rc + raw.alpha) / dr))
+            * MICRO
+        )
+        for tc, rc in zip(target.counts, raw.counts)
+    )
 
     def micro(g: Column) -> Column:
-        pt = (
-            F.element_at(ct, hash_bucket(g, target.n_buckets, target.hasher) + 1)
-            .cast("double")
-            + F.lit(float(target.alpha))
-        ) / dt
-        pr = (
-            F.element_at(cr, hash_bucket(g, raw.n_buckets, raw.hasher) + 1)
-            .cast("double")
-            + F.lit(float(raw.alpha))
-        ) / dr
-        return F.round((F.log(pt) - F.log(pr)) * F.lit(MICRO)).cast("long")
+        return F.element_at(mu, hash_bucket(g, target.n_buckets, target.hasher) + 1)
 
     def build(tt: Column) -> Column:
         grams = _gram_arrays(tt, target.ns)

@@ -50,6 +50,7 @@ from datavalid_spark.functions.text import (
     word_ngrams_all_of_tokens,
 )
 from datavalid_spark.operators.classify import hash_bucket
+from datavalid_spark.functions.lits import lit_double_array
 
 #: micro-nat quantization scale for per-position log-probabilities
 MICRO = 1e6
@@ -183,19 +184,24 @@ def nll_micro_expr(col: Column | str, model: HashedLM) -> Column:
     fewer than ``n`` tokens."""
     n, B, a = model.n, model.n_buckets, model.alpha
     hasher = getattr(model, "hasher", "md5")
-    cng = F.lit([int(x) for x in model.ngram_counts])
-    cctx = F.lit([int(x) for x in model.ctx_counts])
-    denom_add = F.lit(float(a) * B)
+    # precomputed per-bucket log tables (functions/lits.py single
+    # Literal nodes): the hot loop is 2 hashes + 2 element_at + one
+    # subtraction per position instead of 2 element_at + div + ln —
+    # higher-order folds are interpreted, so per-position node count
+    # is the cost driver.  The formula shifts from ln(x/y) to
+    # ln(x) − ln(y) (mirrored in the DuckDB oracle); the micro-nat
+    # value can move by an ulp, same measure-zero round-boundary
+    # caveat already documented for ln itself.
+    import math
+
+    lnum = lit_double_array(math.log(c + a) for c in model.ngram_counts)
+    lden = lit_double_array(math.log(c + a * B) for c in model.ctx_counts)
 
     def micro(g: Column, c: Column) -> Column:
-        p = (
-            F.element_at(cng, hash_bucket(g, B, hasher) + 1).cast("double")
-            + F.lit(float(a))
-        ) / (
-            F.element_at(cctx, hash_bucket(c, B, hasher) + 1).cast("double")
-            + denom_add
+        lp = F.element_at(lnum, hash_bucket(g, B, hasher) + 1) - F.element_at(
+            lden, hash_bucket(c, B, hasher) + 1
         )
-        return F.round(F.log(p) * F.lit(MICRO)).cast("long")
+        return F.round(lp * F.lit(MICRO)).cast("long")
 
     def build(tt: Column) -> Column:
         cnt = F.size(tt)

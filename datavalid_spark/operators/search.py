@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from datavalid_spark.cache import persist_tracked
 from datavalid_spark.functions.text import let_once, nonempty_tokens
+from datavalid_spark.functions.lits import lit_long_array
 
 
 def _case_map(col: Column, mapping: dict[str, float]) -> Column:
@@ -227,14 +228,14 @@ def quantized_mips_topk(
     narrow ``(id, dot_q)`` rows.  This is the exact-MIPS baseline the
     IVF/PQ paths approximate — same role as ``brute_force_topk`` but
     single-query, rank-stable, and oracle-checkable."""
-    q = [int(round(float(x) * scale)) for x in query_vec]
+    q = lit_long_array(int(round(float(x) * scale)) for x in query_vec)
     dot = F.aggregate(
         F.zip_with(
             F.transform(
                 F.col(vec_col),
                 lambda x: F.round(x.cast("double") * F.lit(scale)).cast("long"),
             ),
-            F.lit(q),
+            q,
             lambda a, b: a * b,
         ),
         F.lit(0).cast("long"),
