@@ -177,22 +177,60 @@ class UniqueCheck(TableCheck):
             else self.BROADCAST_KEY_LIMIT
         )
 
-    def _gated_broadcast(self, small: DataFrame) -> DataFrame:
-        """Size-gated static broadcast (ADVICE round 1).
+    #: probe-side size (Catalyst estimate) below which the probe job
+    #: itself is the overhead: for small inputs the extra
+    #: persist+count job costs more than AQE's SMJ→BHJ conversion
+    #: leaves on the table (pinned: tools/bench_unique_pin.py —
+    #: gated 0.454 s vs AQE-only 0.364 s on 1.5M rows, while the
+    #: 20M-row suite measured the hint 2× FASTER than AQE-only)
+    PROBE_WORTHWHILE_BYTES = 256 * 1024 * 1024
+
+    def _gated_broadcast(
+        self, small: DataFrame, probe_side: Optional[DataFrame] = None
+    ) -> DataFrame:
+        """Size-gated static broadcast (ADVICE round 1, re-tuned round
+        3 with ``tools/bench_unique_pin.py``).
 
         A static ``broadcast()`` hint lets the probe side skip its
         shuffle entirely, but an UNCONDITIONAL hint OOMs on
         duplicate-heavy tables (the failure mode a validator exists to
-        catch).  Relying on AQE alone is safe but slow: AQE's SMJ→BHJ
-        conversion happens after the probe side's map shuffle write is
-        already planned — measured 2× slower on the 20M-row bench.  So:
-        persist the (aggregated, usually tiny) key set, count it with a
-        capped probe, and hint only under the limit.  The count's cost
-        is the aggregation the join needs anyway; the persist is
-        tracked for ``datavalid_spark.cache.release_cached``.
+        catch).  Two safe regimes, picked by the PROBE side's Catalyst
+        size estimate — free, no job:
+
+        - probe side SMALL (< ``PROBE_WORTHWHILE_BYTES``, or AQE off):
+          skip the probe entirely and let AQE convert SMJ→BHJ from
+          runtime shuffle stats.  The avoidable shuffle is small, so
+          the extra persist+count job is pure overhead (measured
+          +0.1-0.25 s per check on the 1.5M-row pin).
+        - probe side LARGE (or size unknown — Catalyst reports 8 EiB
+          for unresolvable plans, which lands here): persist the
+          (aggregated, usually tiny) key set, count it with a capped
+          probe, and hint only under ``broadcast_key_limit`` — the
+          hint saves the probe side's full map shuffle write, measured
+          2× on the 20M-row suite.  The count's cost is the
+          aggregation the join needs anyway; the persist is tracked
+          for ``datavalid_spark.cache.release_cached``.
         """
         from datavalid_spark.cache import persist_tracked
 
+        if probe_side is not None:
+            try:
+                est = int(
+                    probe_side._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+                aqe = (
+                    probe_side.sparkSession.conf.get(
+                        "spark.sql.adaptive.enabled", "true"
+                    ).lower()
+                    == "true"
+                )
+                if aqe and est < self.PROBE_WORTHWHILE_BYTES:
+                    return small
+            except Exception:
+                pass  # unknown size → fall through to the probe
         small = persist_tracked(small)
         n = small.limit(self.broadcast_key_limit + 1).count()
         return F.broadcast(small) if n <= self.broadcast_key_limit else small
@@ -228,7 +266,9 @@ class UniqueCheck(TableCheck):
             # case) skip the probe-side shuffle; unbounded ones (a
             # duplicate-heavy table) fall back to the shuffle join
             cand_rows = df.join(
-                self._gated_broadcast(cand), h == F.col("__dv_h"), "left_semi"
+                self._gated_broadcast(cand, probe_side=df),
+                h == F.col("__dv_h"),
+                "left_semi",
             )
             counts = cand_rows.groupBy(*keys).agg(
                 F.count(F.lit(1)).alias("__dv_n")
@@ -266,7 +306,9 @@ class UniqueCheck(TableCheck):
                 .select("__dv_h")
             )
             cand_rows = df.join(
-                self._gated_broadcast(cand), h == F.col("__dv_h"), "left_semi"
+                self._gated_broadcast(cand, probe_side=df),
+                h == F.col("__dv_h"),
+                "left_semi",
             )
             # NULL keys form one window partition — same null grouping
             # as eqNullSafe / pandas `duplicated`
@@ -296,7 +338,9 @@ class UniqueCheck(TableCheck):
         left = df.alias("__dv_l")
         # size-gated broadcast (see _gated_broadcast): static hint iff
         # the dup-key set is provably small, AQE shuffle join otherwise
-        right = self._gated_broadcast(self.duplicate_keys(df, group_cols)).alias(
+        right = self._gated_broadcast(
+            self.duplicate_keys(df, group_cols), probe_side=df
+        ).alias(
             "__dv_r"
         )
         # null-safe: pandas `duplicated` groups NaN keys together
@@ -331,8 +375,10 @@ class UniqueCheck(TableCheck):
                 cond = c if cond is None else (cond & c)
             return cond
 
+        # probe side here is the CORPUS — the one table the plan must
+        # never shuffle; always worth the probe job
         batch_keys = self._gated_broadcast(
-            new_df.select(*keys).dropDuplicates()
+            new_df.select(*keys).dropDuplicates(), probe_side=corpus_df
         ).alias("__dv_bk")
         collided = (
             corpus_df.alias("__dv_c")
@@ -341,7 +387,8 @@ class UniqueCheck(TableCheck):
             .dropDuplicates()
         )
         viol_keys = self._gated_broadcast(
-            collided.unionByName(self.duplicate_keys(new_df)).dropDuplicates()
+            collided.unionByName(self.duplicate_keys(new_df)).dropDuplicates(),
+            probe_side=new_df,
         ).alias("__dv_vk")
         return (
             new_df.alias("__dv_n")

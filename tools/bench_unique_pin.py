@@ -54,7 +54,9 @@ def main() -> None:
     orders = spark.read.parquet(os.path.join(args.sf_dir, "orders.parquet"))
 
     def gated():
-        return UniqueCheck(["o_custkey"]).violations(orders).count()
+        chk = UniqueCheck(["o_custkey"])
+        chk.PROBE_WORTHWHILE_BYTES = 0  # always probe (the r2 behavior)
+        return chk.violations(orders).count()
 
     def unhinted():
         chk = UniqueCheck(["o_custkey"], broadcast_key_limit=0)
@@ -74,7 +76,17 @@ def main() -> None:
             .count()
         )
 
-    variants = {"gated": gated, "unconditional": unconditional, "unhinted": unhinted}
+    def auto():
+        # current code after the round-3 re-tune: probe-side Catalyst
+        # size estimate decides probe-vs-AQE (PROBE_WORTHWHILE_BYTES)
+        return UniqueCheck(["o_custkey"]).violations(orders).count()
+
+    variants = {
+        "auto_retuned": auto,
+        "gated": gated,
+        "unconditional": unconditional,
+        "unhinted": unhinted,
+    }
     results = {}
     expect = None
     for name, fn in variants.items():
