@@ -120,6 +120,11 @@ HEADLINE_QUERIES = [
     # retrieval (two top-k arms fused on k-row lists)
     "frequent_items",
     "hybrid_rrf",
+    # round-3 additions: URL canonicalization (scan-fused Column
+    # algebra), salted per-domain caps, one-row skew summary
+    "url_canonical",
+    "domain_caps",
+    "skew_summary",
 ]
 
 

@@ -47,11 +47,16 @@ NESTED_LOOP_OK = {"knn_bruteforce", "ivf_topk", "embedding_near_dups", "skew_top
 #: - skew_topk: rank window over the already-limited top_k rows
 #: - mutual_info / psi_priority: per-distinct-value count frames
 #: - benford_digits: nine leading-digit rows
+#: - hybrid_rrf: the two `ranked()` windows attach 1-based ranks to
+#:   TakeOrdered outputs — each input is an already-limited k-row
+#:   list (k=25); `search.ranked` documents "never apply before the
+#:   limit"
 SINGLE_PART_WINDOW_OK = {
     "skew_topk",
     "mutual_info",
     "psi_priority",
     "benford_digits",
+    "hybrid_rrf",
 }
 
 #: full plans included in EXPLAIN.md — one representative per family
