@@ -8,33 +8,47 @@ large for a plain ``groupBy`` to be cheap (10^9+ distinct keys at
 100 TB means the full aggregate materializes a distinct-key-sized
 shuffle even though the answer is a handful of rows).
 
-Two-phase design, **exact result, bounded state**:
+Both methods below return EXACTLY the naive ``GROUP BY col HAVING
+count(*) >= θ·N`` (the DuckDB oracle) — they differ only in how the
+candidate superset is found; a candidate pass can only ADD keys, never
+lose a frequent one (the one-sided-error shape shared with the
+hash-compact uniqueness and LSH verify stages).
 
-1. **Per-partition Misra–Gries summaries** (`mapInPandas`, one pass,
-   no shuffle): ``k = ceil(1/threshold)`` counters per partition,
-   merged batch-wise (merge the Arrow batch's ``value_counts`` into
-   the counter table, then subtract the (k+1)-th largest count and
-   drop non-positives — the mergeable-summaries form of MG, Agarwal
-   et al., PODS'12).  Guarantee: per-partition undercount ≤
-   N_p/(k+1) < θ·N_p, and any globally θ-frequent item is θ-frequent
-   in at least one partition (averaging), so the union of partition
-   candidate sets is a **superset** of the true answer — the sketch
-   can only add candidates, never lose one (same one-sided-error
-   shape as the hash-compact uniqueness and LSH verify stages).
-   Each partition also emits one row carrying its exact row count, so
-   N needs no second scan.
-2. **Exact recount inside the candidate set**: candidates (≤
-   partitions × (k+1) rows — KB-scale) broadcast-semi-join back into
-   the table, ``groupBy(col).count()``, keep ``count ≥ θ·N``.  The
-   one shuffle carries only candidate-key rows, map-side combined.
+**method="hashed" (default) — two-hash pigeonhole prefilter, all JVM:**
 
-The final output is therefore identical to the naive
-``GROUP BY col HAVING count(*) >= θ * N`` — which is exactly the
-DuckDB oracle — while the expensive full-key aggregate never runs.
+1. Bucket every key with two independent xxhash64 maps into
+   ``m = ceil(c/θ)`` buckets each and count buckets — two
+   aggregations whose shuffles carry ≤ m 8-byte rows per task
+   (map-side combined; the full key space never shuffles).  A
+   θ-frequent key's bucket necessarily holds ≥ θ·N rows under BOTH
+   hashes — deterministic superset.
+2. Exact recount of rows whose key lands in a hot bucket under both
+   hashes (a scan-fused double InSet filter, no join), keep
+   ``count ≥ θ·N``.  False-candidate mass is the product of two
+   independent ≈(hot share) factors: with c=4 the expected random
+   bucket holds N·θ/4 rows, so a noise bucket must beat its mean 4×
+   to pass — the AND of two such events leaves the recount shuffle
+   ≈ O(true hot rows).  Measured (tools/bench_freq_scaling.py, 80M
+   rows, ~80M distinct keys, θ=2e-4): the naive full aggregate is
+   the one whose cost grows with the KEY SPACE; the prefilter path's
+   exchanges are O(m)+O(hot rows), independent of cardinality.
 
-NULL is a legal item (counted as one key, like ``groupBy``); a
-separate boolean distinguishes the per-partition count rows from
-candidate rows, so no sentinel value collides with real data.
+**method="mg" — per-partition Misra–Gries (`mapInPandas`):**
+``k = ceil(1/threshold)`` counters per partition, buffered
+mergeable-summaries compaction (Agarwal et al., PODS'12): undercount
+≤ N_p/(k+1) < θ·N_p per partition, so the union of partition
+candidate sets is a superset; one summary row per partition carries
+its exact size so N needs no second scan.  Strictly bounded state
+(the hashed method's bucket tables are bounded too, but MG's bound
+is per-ROW-stream and hash-free) — the formulation that transfers to
+the stateful-streaming operator.  On batch tables it pays the full
+Arrow round-trip through Python and measured 5× slower than the
+naive groupBy at 80M rows — use "hashed" for batch, "mg" where the
+per-partition summary itself is the product.
+
+NULL is a legal item (counted as one key, like ``groupBy``); NULL
+keys bypass both candidate passes and are unconditionally recounted,
+so no hash-of-NULL or sentinel subtlety can lose them.
 """
 
 from __future__ import annotations
@@ -65,6 +79,17 @@ def _mg_candidates(df_col: DataFrame, k: int) -> DataFrame:
     )
     name = field.name
 
+    # merge cadence: buffer raw Arrow batches and fold them into the
+    # counter table in ~BUFFER_ROWS chunks.  A per-batch (10k-row)
+    # Series.add + nlargest costs more than the scan itself (measured
+    # 3.4× slower than the naive groupBy at 2M rows); one value_counts
+    # per 500k buffered rows amortizes it to noise.  State stays
+    # bounded: ≤ k counters + ≤ BUFFER_ROWS buffered values per task.
+    # Correctness is unchanged — mergeable-MG compaction composes
+    # (Agarwal et al.), so WHEN the subtraction happens doesn't affect
+    # the superset guarantee, only how tight the undercount is.
+    BUFFER_ROWS = 500_000
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # NULL keys never enter the sketch: NULL is an unconditional
         # candidate in phase 2 (one extra group costs nothing and the
@@ -72,9 +97,15 @@ def _mg_candidates(df_col: DataFrame, k: int) -> DataFrame:
         # sidesteps pandas' NaN-index alignment rules here.
         counters = pd.Series(dtype="float64")
         n_rows = 0
-        for pdf in batches:
-            n_rows += len(pdf)
-            vc = pdf[name].value_counts(dropna=True)
+        buf: list[pd.Series] = []
+        buffered = 0
+
+        def fold():
+            nonlocal counters, buf, buffered
+            if not buf:
+                return
+            vc = pd.concat(buf, ignore_index=True).value_counts(dropna=True)
+            buf, buffered = [], 0
             counters = counters.add(vc, fill_value=0)
             if len(counters) > k:
                 # mergeable-MG compaction: subtract the (k+1)-th
@@ -83,6 +114,14 @@ def _mg_candidates(df_col: DataFrame, k: int) -> DataFrame:
                 cut = counters.nlargest(k + 1).iloc[-1]
                 counters = counters - cut
                 counters = counters[counters > 0]
+
+        for pdf in batches:
+            n_rows += len(pdf)
+            buf.append(pdf[name])
+            buffered += len(pdf)
+            if buffered >= BUFFER_ROWS:
+                fold()
+        fold()
         idx = counters.index
         integral = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
         if pd.api.types.is_float_dtype(idx.dtype) and isinstance(
@@ -104,22 +143,100 @@ def _mg_candidates(df_col: DataFrame, k: int) -> DataFrame:
     return df_col.mapInPandas(fn, schema=out_schema)
 
 
+def _hashed_candidates_filter(
+    df: DataFrame,
+    col: str,
+    threshold: float,
+    min_count: float,
+    c: float = 4.0,
+    max_hot: int = 10_000,
+):
+    """Two-hash pigeonhole prefilter: a Column keeping exactly the
+    (non-NULL) rows whose key lands in a ≥``min_count`` bucket under
+    BOTH independent hash maps — a deterministic superset of every key
+    with count ≥ ``min_count`` (its bucket contains at least its own
+    rows).  ``m = ceil(c/θ)`` buckets per hash puts the MEAN bucket
+    mass c× below the bar, so a noise bucket passes only on c×-above-
+    mean skew, and the AND of two independent such events leaves the
+    recount input ≈ O(true hot rows).
+
+    Returns ``F.lit(False)`` when no bucket is hot (no key can be
+    frequent) and None when a hot list exceeds ``max_hot``
+    (pathologically flat mass — the filter would not prune AND its
+    InSet literal would bloat the plan; the caller falls back to the
+    naive aggregate, which is then the honest plan).
+
+    Cost: two aggregations whose shuffles carry ≤ m 8-byte bucket
+    rows per task (map-side combined); only HOT bucket ids reach the
+    driver (filtered SQL-side)."""
+    m = int(math.ceil(c / threshold))
+    key = F.col(col)
+    cond = None
+    for seed in (1, 2):
+        b = F.pmod(F.xxhash64(F.lit(seed), key), F.lit(m))
+        hot = [
+            r["b"]
+            for r in df.filter(key.isNotNull())
+            .groupBy(b.alias("b"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= F.lit(min_count))
+            .select("b")
+            .limit(max_hot + 1)
+            .collect()
+        ]
+        if len(hot) > max_hot:
+            return None
+        if not hot:
+            return F.lit(False)
+        c_ = F.pmod(F.xxhash64(F.lit(seed), key), F.lit(m)).isin(
+            [int(x) for x in hot]
+        )
+        cond = c_ if cond is None else (cond & c_)
+    return cond
+
+
 def frequent_items(
     df: DataFrame,
     col: str,
     threshold: float,
     n_counters: int | None = None,
+    method: str = "hashed",
 ) -> DataFrame:
     """All values of ``col`` occurring in at least ``threshold``
     fraction of rows, with their EXACT counts: ``(item, cnt)``.
 
     Equivalent to ``GROUP BY col HAVING count(*) >= threshold * N``
-    but with bounded per-task state (``n_counters`` ≈ 1/threshold
-    counters) and a shuffle restricted to candidate-key rows — the
-    full-cardinality aggregate never materializes.
-    """
+    but the full-cardinality aggregate never materializes — see the
+    module doc for the two candidate strategies (``method="hashed"``
+    JVM prefilter, default; ``method="mg"`` per-partition
+    Misra–Gries)."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
+    if method not in ("hashed", "mg"):
+        raise ValueError('method must be "hashed" or "mg"')
+    if n_counters is not None:
+        method = "mg"  # the counter budget is an MG knob
+    if method == "hashed":
+        key = F.col(col)
+        base = persist_tracked(df.select(col))
+        n_all = base.count()
+        if n_all == 0:
+            return (
+                base.select(key.alias("item"))
+                .limit(0)
+                .withColumn("cnt", F.lit(0).cast("long"))
+            )
+        min_count = threshold * n_all
+        cond = _hashed_candidates_filter(base, col, threshold, min_count)
+        # NULL rows bypass the hashed prefilter and are recounted
+        # unconditionally (one extra group); None = flat-mass fallback
+        # to the plain aggregate
+        matched = base if cond is None else base.filter(key.isNull() | cond)
+        return (
+            matched.groupBy(key.alias("item"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= F.lit(min_count))
+        )
     k = n_counters if n_counters is not None else math.ceil(1.0 / threshold)
     if k + 1 <= 1.0 / threshold:
         raise ValueError(

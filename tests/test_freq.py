@@ -33,43 +33,48 @@ def _release():
     release_cached()
 
 
-def test_skewed_ints_exact(spark):
+@pytest.fixture(params=["hashed", "mg"])
+def method(request):
+    return request.param
+
+
+def test_skewed_ints_exact(spark, method):
     # 3 heavy keys + a long uniform tail that overflows any k-counter
     # budget — the compaction path must still keep the heavy keys
     values = [1] * 500 + [2] * 300 + [3] * 120 + list(range(100, 1180))
     df = spark.createDataFrame([(v,) for v in values], "user_id long").repartition(7)
-    got = _got(frequent_items(df, "user_id", threshold=0.05))
+    got = _got(frequent_items(df, "user_id", threshold=0.05, method=method))
     assert got == _truth(values, 0.05) == {1: 500, 2: 300, 3: 120}
 
 
-def test_threshold_boundary_inclusive(spark):
+def test_threshold_boundary_inclusive(spark, method):
     # 10 rows, θ=0.2 → cnt >= 2.0: a key with exactly 2 is IN
     values = [1, 1, 2, 3, 4, 5, 6, 7, 8, 9]
     df = spark.createDataFrame([(v,) for v in values], "k long")
-    got = _got(frequent_items(df, "k", threshold=0.2))
+    got = _got(frequent_items(df, "k", threshold=0.2, method=method))
     assert got == {1: 2}
 
 
-def test_null_is_a_key(spark):
+def test_null_is_a_key(spark, method):
     values = [None] * 40 + [1] * 30 + list(range(10, 40))
     df = spark.createDataFrame([(v,) for v in values], "k long").repartition(5)
-    got = _got(frequent_items(df, "k", threshold=0.25))
+    got = _got(frequent_items(df, "k", threshold=0.25, method=method))
     assert got == {None: 40, 1: 30}
 
 
-def test_string_column(spark):
+def test_string_column(spark, method):
     values = ["a"] * 50 + ["b"] * 20 + [f"tail{i}" for i in range(60)]
     df = spark.createDataFrame([(v,) for v in values], "s string").repartition(4)
-    got = _got(frequent_items(df, "s", threshold=0.15))
+    got = _got(frequent_items(df, "s", threshold=0.15, method=method))
     assert got == _truth(values, 0.15) == {"a": 50, "b": 20}
 
 
-def test_partition_invariance(spark):
+def test_partition_invariance(spark, method):
     values = [i % 17 for i in range(2000)] + [99] * 400
     truth = _truth(values, 0.05)
     for parts in (1, 3, 32):
         df = spark.createDataFrame([(v,) for v in values], "k long").repartition(parts)
-        assert _got(frequent_items(df, "k", threshold=0.05)) == truth
+        assert _got(frequent_items(df, "k", threshold=0.05, method=method)) == truth
 
 
 def test_small_counter_budget_still_exact(spark):
@@ -89,13 +94,42 @@ def test_counter_budget_validation(spark):
         frequent_items(df, "k", threshold=0.0)
 
 
-def test_empty_frame(spark):
+def test_empty_frame(spark, method):
     df = spark.createDataFrame([], "k long")
-    out = frequent_items(df, "k", threshold=0.5)
+    out = frequent_items(df, "k", threshold=0.5, method=method)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["item", "cnt"]
 
 
-def test_all_rows_one_key(spark):
+def test_all_rows_one_key(spark, method):
     df = spark.createDataFrame([(5,)] * 64, "k long").repartition(8)
-    assert _got(frequent_items(df, "k", threshold=1.0)) == {5: 64}
+    assert _got(frequent_items(df, "k", threshold=1.0, method=method)) == {5: 64}
+
+
+def test_all_null_column(spark, method):
+    df = spark.createDataFrame([(None,)] * 30, "k string").repartition(3)
+    assert _got(frequent_items(df, "k", threshold=0.5, method=method)) == {None: 30}
+
+
+def test_flat_mass_fallback_still_exact(spark):
+    # every key unique at a tiny threshold: hot lists overflow max_hot
+    # -> the hashed path falls back to the naive aggregate; answer is
+    # exact either way (here: empty)
+    from datavalid_spark.operators import freq as freq_mod
+
+    values = list(range(3000))
+    df = spark.createDataFrame([(v,) for v in values], "k long").repartition(5)
+    got = frequent_items(df, "k", threshold=0.001)
+    truth = _truth(values, 0.001)
+    assert _got(got) == truth
+    # and explicitly drive the fallback branch
+    cond = freq_mod._hashed_candidates_filter(
+        df.select("k"), "k", 0.001, 3.0, max_hot=2
+    )
+    assert cond is None
+
+
+def test_n_counters_implies_mg(spark):
+    df = spark.createDataFrame([(1,)] * 20 + [(2,)] * 3, "k long")
+    got = _got(frequent_items(df, "k", threshold=0.5, n_counters=4))
+    assert got == {1: 20}

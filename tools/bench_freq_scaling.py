@@ -1,0 +1,149 @@
+"""frequent_items scaling study: the JVM two-hash pigeonhole prefilter
+(method="hashed", default) and the mapInPandas Misra-Gries sketch
+(method="mg") vs the naive full-cardinality GROUP BY ... HAVING, on an
+80M (default) -row frame whose key space is ~N distinct values.
+
+The claim under test (operators/freq.py): the naive plan's exchange
+carries one row PER DISTINCT KEY (partial aggregation is useless when
+keys are mostly unique — the map side emits ≈N rows), so its cost
+grows with the key space; the hashed prefilter's exchanges carry
+≤ m = ceil(4/θ) 8-byte bucket rows per task twice, plus only the
+candidate-key rows into the exact recount — independent of
+cardinality.  On one node the naive exchange moves through memory, so
+the wall-clock gap understates the cluster gap (where exchange bytes
+are network bytes); the MG row is kept for honesty — its full Arrow
+round-trip through Python loses on batch tables, which is why it is
+NOT the default (its value is the per-partition-summary form reused by
+the streaming operator).
+
+Key construction (deterministic): ~1% of rows land on one of 20
+planted hot keys, every other row gets its own unique key — the worst
+case for the naive plan (distinct keys ≈ rows).  All plans must
+return EXACTLY the 20 hot keys with identical counts; asserted.
+
+Usage: python tools/bench_freq_scaling.py [--rows 80000000] [--iters 3]
+Prints a markdown block + one JSON line for BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=int(os.environ.get("SPARK_GRAFT_FREQ_ROWS", "80000000")))
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--threshold", type=float, default=0.0002)
+    args = ap.parse_args()
+
+    import bench
+    from pyspark.sql import functions as F
+
+    from datavalid_spark.cache import release_cached
+    from datavalid_spark.operators.freq import frequent_items
+
+    spark = bench.build_session(args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n = args.rows
+    # ~1% of rows on 20 hot keys (≈ n/2000 rows each, 2.5x the
+    # threshold*n bar), everything else unique
+    df = (
+        spark.range(0, n, 1, args.cpus * 2)
+        .select(
+            F.when(
+                F.pmod(F.xxhash64(F.lit(7), "id"), F.lit(100)) == 0,
+                F.concat(
+                    F.lit("hot"),
+                    F.pmod(F.xxhash64(F.lit(11), "id"), F.lit(20)).cast("string"),
+                ),
+            )
+            .otherwise(F.concat(F.lit("k"), F.col("id").cast("string")))
+            .alias("key")
+        )
+    )
+
+    def naive():
+        counts = df.groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
+        total = n  # known statically here; the operator pays a count(*)
+        return {
+            r["key"]: r["cnt"]
+            for r in counts.filter(
+                F.col("cnt") >= F.lit(args.threshold * total)
+            ).collect()
+        }
+
+    def hashed():
+        return {
+            r["item"]: r["cnt"]
+            for r in frequent_items(
+                df, "key", args.threshold, method="hashed"
+            ).collect()
+        }
+
+    def mg():
+        return {
+            r["item"]: r["cnt"]
+            for r in frequent_items(df, "key", args.threshold, method="mg").collect()
+        }
+
+    results = {}
+    expect = None
+    for name, fn in (
+        ("hashed_prefilter", hashed),
+        ("naive_groupby", naive),
+        ("mg_sketch", mg),
+    ):
+        times = []
+        for _ in range(args.iters):
+            t0 = time.time()
+            got = fn()
+            times.append(time.time() - t0)
+            release_cached()
+        assert len(got) == 20 and all(k.startswith("hot") for k in got), got
+        if expect is None:
+            expect = got
+        assert got == expect, f"{name} disagrees with the other plan"
+        times.sort()
+        results[name] = {
+            "best": round(times[0], 3),
+            "median": round(times[len(times) // 2], 3),
+            "all": [round(t, 3) for t in times],
+        }
+
+    ratio = results["naive_groupby"]["best"] / results["hashed_prefilter"]["best"]
+    print(
+        f"\nfrequent_items scaling — rows={n}, distinct≈{n}, "
+        f"threshold={args.threshold}, 20 hot keys, local[{args.cpus}], "
+        f"best/median of {args.iters} warm"
+    )
+    print("| plan | best s | median s |")
+    print("|---|---|---|")
+    for name, r in results.items():
+        print(f"| {name} | {r['best']:.3f} | {r['median']:.3f} |")
+    print(f"speedup (naive/hashed, best): {ratio:.2f}x")
+    print(
+        json.dumps(
+            {
+                "metric": "frequent_items_scaling",
+                "rows": n,
+                "threshold": args.threshold,
+                "cpus": args.cpus,
+                "results": results,
+                "speedup_best": round(ratio, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
