@@ -167,3 +167,62 @@ def test_domain_share_report(spark):
     rep = {r["domain"]: (r["n_docs"], r["share_micro"]) for r in
            domain_share_report(df, "url").collect()}
     assert rep == {f"d{k}.com": (30, 333333) for k in range(3)}
+
+
+# ---------------------------------------------------------------- hypothesis
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    _SETTLE = settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+
+    # URL parts that stress every contract step: case, ports, www,
+    # empty/trailing paths, tracking/sortable params, fragments,
+    # non-URL garbage, '&&', '=' in values, utm-case
+    _scheme = st.sampled_from(["http", "HTTP", "https", "HtTpS", "ftp", ""])
+    _host = st.sampled_from(
+        [
+            "Example.COM", "www.example.com", "WWW.a.CO.UK", "a.b.c.com.au",
+            "localhost", "10.0.0.1", "example.com:80", "example.com:443",
+            "example.com:8080", "www.x.org",
+        ]
+    )
+    _path = st.sampled_from(["", "/", "/A/Path/", "/x", "/a//b/", "/Trail/"])
+    _query = st.sampled_from(
+        [
+            "", "?", "?a=1", "?b=2&a=1", "?utm_source=x&a=1", "?UTM_X=1",
+            "?fbclid=z", "?a=1&&b=2", "?a=b=c&z=9", "?ref=rss&Ref=keep",
+        ]
+    )
+    _frag = st.sampled_from(["", "#f", "#a#b"])
+
+    @st.composite
+    def _urls(draw):
+        s = draw(_scheme)
+        if s == "":
+            return draw(st.sampled_from(["not a url", "", "  x  ", "a:b/c"]))
+        return (
+            s + "://" + draw(_host) + draw(_path) + draw(_query) + draw(_frag)
+        )
+
+    @given(st.lists(_urls(), min_size=1, max_size=12))
+    @_SETTLE
+    def test_hypothesis_normalize_matches_python(spark, urls):
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "id long, url string"
+        )
+        got = {
+            r["id"]: r["n"]
+            for r in df.select("id", normalize_url("url").alias("n")).collect()
+        }
+        for i, u in enumerate(urls):
+            assert got[i] == _py_norm(u), (u, got[i], _py_norm(u))
