@@ -540,3 +540,116 @@ def drift_monitor(
         sink(batch_id, drift_report(base, cur, alpha=alpha, min_effect=min_effect))
 
     return stream_df.writeStream.foreachBatch(on_batch)
+
+
+# ------------------------------------------- stateful heavy hitters
+
+
+def stateful_frequent_items(
+    stream_df: DataFrame,
+    col: str,
+    k: int = 256,
+    buckets: int = 32,
+    state_timeout_ms: Optional[int] = None,
+):
+    """Streaming heavy-hitter monitor: per-trigger Misra–Gries counter
+    tables over an unbounded key stream — the stateful twin of
+    ``operators/freq.frequent_items(method="mg")`` (the batch default
+    is the JVM hashed prefilter, but a stream has no second pass, so
+    the per-partition-summary MG form is the one that transfers).
+
+    Keys co-partition by ``xxhash64(key) % buckets``, so each group
+    sees EVERY occurrence of its keys and the MG guarantee composes
+    across micro-batches (mergeable summaries): after any prefix of the
+    stream, an item with true count c in a bucket that has seen n_b
+    rows survives whenever ``c > n_b/(k+1)``, and its counter
+    undercounts by at most the bucket's total drain.  To monitor a
+    GLOBAL share threshold θ, size ``k > 1/(θ·buckets)`` — the
+    partitioning divides the counter budget (a θN-frequent item's
+    bucket holds ≤ N/buckets + c rows, so c > n_b/(k+1) follows).
+
+    State per bucket: ≤ k (item, count) pairs + two scalars — strictly
+    bounded, timeout-evictable.  Emits, per trigger and bucket, every
+    surviving counter as ``(item, est_cnt, max_undercount,
+    bucket_rows)``: ``est_cnt ≤ true ≤ est_cnt + max_undercount`` —
+    the exact reconciliation pass is the batch ``frequent_items`` over
+    the same table, same contract as the LSH stream's batch twin.
+
+    Keys are monitored as STRINGS (``cast(col as string)``; NULL →
+    the sentinel below, restored to NULL on emit) — one declared
+    state schema for any input type.
+    """
+    import pandas as pd  # noqa: F401 (executor-side)
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    _NULL = "\x00__dv_null__"
+
+    out_schema = T.StructType(
+        [
+            T.StructField("item", T.StringType()),
+            T.StructField("est_cnt", T.LongType()),
+            T.StructField("max_undercount", T.LongType()),
+            T.StructField("bucket_rows", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("items", T.ArrayType(T.StringType())),
+            T.StructField("counts", T.ArrayType(T.LongType())),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("drained", T.LongType()),
+        ]
+    )
+
+    def mg_fn(key, pdfs, state: GroupState):
+        import pandas as _pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            items, counts, n_rows, drained = state.get
+            counters = _pd.Series(list(counts), index=list(items), dtype="int64")
+        else:
+            counters, n_rows, drained = _pd.Series(dtype="int64"), 0, 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            vc = _pd.concat(chunks, ignore_index=True)["k"].value_counts()
+            n_rows += int(vc.sum())
+            counters = counters.add(vc, fill_value=0).astype("int64")
+            if len(counters) > k:
+                cut = int(counters.nlargest(k + 1).iloc[-1])
+                drained += cut
+                counters = counters - cut
+                counters = counters[counters > 0]
+        state.update(
+            (list(counters.index), [int(x) for x in counters], n_rows, drained)
+        )
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        out = _pd.DataFrame(
+            {
+                "item": [None if i == _NULL else i for i in counters.index],
+                "est_cnt": [int(x) for x in counters],
+                "max_undercount": drained,
+                "bucket_rows": n_rows,
+            }
+        )
+        yield out
+
+    keyed = stream_df.select(
+        F.coalesce(F.col(col).cast("string"), F.lit(_NULL)).alias("k")
+    ).withColumn("__bucket", F.pmod(F.xxhash64(F.col("k")), F.lit(buckets)))
+    return keyed.groupBy("__bucket").applyInPandasWithState(
+        mg_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=(
+            "ProcessingTimeTimeout" if state_timeout_ms is not None else "NoTimeout"
+        ),
+    )

@@ -420,3 +420,66 @@ def test_resize_fn_injection(spark):
             b = bytes(r["data"])
             assert b[:2] == bytes([32, 16]) and len(b) == 6
             assert r["meta"]["width"] == 32 and r["meta"]["height"] == 16
+
+
+def test_stateful_frequent_items_across_batches(spark, tmp_path):
+    """Streaming MG heavy hitters: counts accumulate across micro-
+    batches, the planted hot keys are always present with
+    est <= true <= est + max_undercount, and a small counter budget
+    cannot drop a hot key (k > 1/(theta*buckets))."""
+    import os
+    from collections import Counter
+
+    from datavalid_spark.streaming.validate_stream import (
+        stateful_frequent_items,
+    )
+
+    src = str(tmp_path / "fi_in")
+    ckpt = str(tmp_path / "fi_ckpt")
+    sink = str(tmp_path / "fi_out")
+    os.makedirs(src)
+
+    batch1 = ["hot"] * 60 + ["warm"] * 25 + [f"t{i}" for i in range(40)] + [None] * 30
+    batch2 = ["hot"] * 40 + ["warm"] * 30 + [f"u{i}" for i in range(50)]
+    truth = Counter(batch1) + Counter(batch2)
+
+    def run_batch(rows, qname):
+        spark.createDataFrame([(v,) for v in rows], "key string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("key string").parquet(src)
+        out = stateful_frequent_items(stream, "key", k=16, buckets=4)
+        q = (
+            out.writeStream.format("parquet")
+            .queryName(qname)
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return spark.read.parquet(sink)
+
+    run_batch(batch1, "fi_q1")
+    out = run_batch(batch2, "fi_q2")
+    # keep only each item's LAST emission (max bucket_rows per item is
+    # from the final trigger that touched its bucket)
+    rows = out.collect()
+    last = {}
+    for r in rows:
+        cur = last.get(r["item"])
+        if cur is None or r["bucket_rows"] > cur["bucket_rows"]:
+            last[r["item"]] = r
+    for key in ("hot", "warm", None):
+        r = last[key]
+        t = truth[key]
+        assert r["est_cnt"] <= t <= r["est_cnt"] + r["max_undercount"], (
+            key,
+            t,
+            dict(r.asDict()),
+        )
+    # every emitted estimate respects the one-sided error bound
+    for item, r in last.items():
+        t = truth[item]
+        assert r["est_cnt"] <= t <= r["est_cnt"] + r["max_undercount"], (item, t)
