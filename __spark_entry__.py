@@ -2108,6 +2108,26 @@ def q_skew_summary(spark, sf_dir):
     return skew_summary(ev, "user_id", num_partitions=32)
 
 
+def q_strip_html(spark, sf_dir):
+    """HTML → plain-text extraction (functions/text.strip_html): drop
+    script/style ELEMENTS, tags → one space, 6-entity single-pass
+    decode, whitespace collapse — a fused regexp chain, zero UDF.  The
+    documents table has no markup, so both engines wrap each text in
+    the same deterministic HTML (script + entities + tags) and must
+    strip it back to identical strings."""
+    from datavalid_spark.functions.text import strip_html
+
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = F.concat(
+        F.lit('<div id="'),
+        F.col("doc_id").cast("string"),
+        F.lit('"><script>var x = "<p>";</script><p>A &amp; B</p>'),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("<br>tail &lt;ok&gt;</div>"),
+    )
+    return docs.select("doc_id", strip_html(wrapped).alias("plain"))
+
+
 def q_url_canonical(spark, sf_dir):
     """URL canonicalization + registered-domain rollup
     (operators/urls.py): the 7-step contract (fragment strip,
@@ -2277,6 +2297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_metrics": q_unpivot_metrics,
         "pivot_counts": q_pivot_counts,
         "skew_summary": q_skew_summary,
+        "strip_html": q_strip_html,
         "url_canonical": q_url_canonical,
         "domain_caps": q_domain_caps,
         "t1_unique": q_t1_unique,
@@ -2866,6 +2887,28 @@ SELECT SUM(cnt)::BIGINT AS n_rows,
        GREATEST(1, CAST(ceil(MAX(cnt)::DOUBLE * 32 / SUM(cnt)) AS BIGINT))
          AS rec_salt
 FROM c
+""",
+        "strip_html": """
+WITH wrapped AS (
+  SELECT doc_id,
+         '<div id="' || CAST(doc_id AS VARCHAR)
+         || '"><script>var x = "<p>";</script><p>A &amp; B</p>'
+         || COALESCE(text, '')
+         || '<br>tail &lt;ok&gt;</div>' AS raw
+  FROM documents),
+s1 AS (SELECT doc_id,
+              regexp_replace(raw, '<script\\b[^>]*>.*?</script\\s*>', ' ', 'gis') AS t
+       FROM wrapped),
+s2 AS (SELECT doc_id,
+              regexp_replace(t, '<style\\b[^>]*>.*?</style\\s*>', ' ', 'gis') AS t
+       FROM s1),
+s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s2),
+s4 AS (SELECT doc_id,
+              replace(replace(replace(replace(replace(replace(t,
+                '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS t
+       FROM s3)
+SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS plain FROM s4
 """,
         "url_canonical": "WITH "
         + _url_oracle_ctes()

@@ -429,3 +429,51 @@ def pii_counts(col: Column | str) -> Column:
         F.regexp_count(c, F.lit(PII_EMAIL_RE)).alias("n_email"),
         F.regexp_count(c, F.lit(PII_NUMBER_RE)).alias("n_number"),
     )
+
+
+# --------------------------------------------------------- HTML stripping
+
+#: entity table for strip_html — the six entities that dominate web
+#: text; a full HTML5 entity table belongs to a real parser, which a
+#: 100 TB extraction pass deliberately is not (CCNet/FineWeb strip with
+#: regex-class rules for exactly this reason)
+HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+)
+
+
+def strip_html(col: Column | str) -> Column:
+    """Plain text from HTML-ish markup — the extraction step upstream
+    of every text-quality operator when the corpus is raw web crawl.
+    Four documented sub-steps, each one regexp/replace fused into the
+    scan (zero UDF), mirrored verbatim by the DuckDB oracle:
+
+    1. drop ``<script>``/``<style>`` ELEMENTS wholesale (their text is
+       code, not prose) — case-insensitive, non-greedy, dot-matches-
+       newline;
+    2. replace every remaining tag ``<[^>]*>`` with ONE space (tags
+       are word boundaries: ``a<br>b`` is two words);
+    3. decode the ``HTML_ENTITIES`` table (order matters: ``&amp;``
+       decodes AFTER the angle-bracket entities so ``&amp;lt;`` →
+       ``&lt;`` the literal, not a second decode round — the single-
+       pass convention);
+    4. collapse whitespace runs to one space and trim.
+
+    NULL in → NULL out.  Not a parser: malformed nesting, comments
+    containing ``>``, and CDATA degrade gracefully to over-stripping,
+    never to leaked script text."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    out = F.regexp_replace(out, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    out = F.regexp_replace(out, r"<[^>]*>", " ")
+    # entity pass: angle brackets and quotes first, ampersand LAST
+    for ent, rep in HTML_ENTITIES:
+        if ent != "&amp;":
+            out = F.replace(out, F.lit(ent), F.lit(rep))
+    out = F.replace(out, F.lit("&amp;"), F.lit("&"))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

@@ -1,0 +1,59 @@
+"""strip_html (functions/text.py): 4-step contract vs a pure-Python
+re-implementation of the same steps."""
+
+import re
+
+import pytest
+
+from datavalid_spark.functions.text import HTML_ENTITIES, strip_html
+
+
+def _py_strip(s):
+    if s is None:
+        return None
+    out = re.sub(r"(?is)<script\b[^>]*>.*?</script\s*>", " ", s)
+    out = re.sub(r"(?is)<style\b[^>]*>.*?</style\s*>", " ", out)
+    out = re.sub(r"<[^>]*>", " ", out)
+    for ent, rep in HTML_ENTITIES:
+        if ent != "&amp;":
+            out = out.replace(ent, rep)
+    out = out.replace("&amp;", "&")
+    return re.sub(r"\s+", " ", out).strip()
+
+
+DOCS = [
+    "<html><body><p>Hello <b>world</b></p></body></html>",
+    "<script>var x = '<p>not text</p>';</script>visible",
+    "<SCRIPT TYPE='text/js'>alert(1)</SCRIPT >after",
+    "<style>p { color: red }</style>styled",
+    "a<br>b<BR/>c",
+    "Tom &amp; Jerry &lt;3 &quot;cheese&quot; &#39;y&#39;&nbsp;end",
+    "&amp;lt; stays literal",
+    "no markup at all",
+    "broken <tag never closes",
+    "  \t spaced \n out  ",
+    "<div class='a'>nested <span>deep <i>text</i></span></div>",
+    "<script>s1</script>mid<script>s2</script>done",
+    "",
+    None,
+]
+
+
+def test_strip_html_matches_python(spark):
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(DOCS)], "id long, raw string"
+    )
+    got = {
+        r["id"]: r["t"] for r in df.select("id", strip_html("raw").alias("t")).collect()
+    }
+    for i, d in enumerate(DOCS):
+        assert got[i] == _py_strip(d), (d, got[i], _py_strip(d))
+
+
+def test_script_text_never_leaks(spark):
+    df = spark.createDataFrame(
+        [(0, "<script>SECRET_TOKEN</script>ok <style>LEAK{}</style>fine")],
+        "id long, raw string",
+    )
+    out = df.select(strip_html("raw").alias("t")).head()["t"]
+    assert out == "ok fine" and "SECRET" not in out and "LEAK" not in out
