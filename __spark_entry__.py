@@ -2108,6 +2108,70 @@ def q_skew_summary(spark, sf_dir):
     return skew_summary(ev, "user_id", num_partitions=32)
 
 
+#: entity-record vocab for q_record_linkage — shared between the Spark
+#: derivation and the DuckDB oracle so both engines link IDENTICAL rows
+LINK_FIRSTS = (
+    "james mary robert patricia john jennifer michael linda david "
+    "elizabeth william barbara richard susan joseph jessica thomas "
+    "sarah charles karen daniel nancy lisa"
+).split()
+LINK_LASTS = (
+    "smith johnson williams brown jones garcia miller davis rodriguez "
+    "martinez hernandez lopez gonzalez wilson anderson thomas taylor "
+    "moore jackson martin lee perez thompson white harris sanchez "
+    "clark ramirez lewis robinson walker young allen king wright "
+    "scott torres nguyen hill flores green"
+).split()
+LINK_CITIES = (
+    "berlin paris oslo rome madrid lisbon vienna prague dublin "
+    "warsaw athens helsinki zurich"
+).split()
+
+
+def q_record_linkage(spark, sf_dir):
+    """Record linkage / entity resolution (operators/linkage.py):
+    deterministic synthetic person records derived from doc_id (23
+    firsts × 41 lasts × 13 cities), plus typo'd clones of every 20th
+    record (2nd char of the first name dropped).  Blocking on the full
+    last name, weighted integer-micro Levenshtein score (name 0.7,
+    city 0.3), threshold 0.9e6 — exactly the planted clone pairs
+    survive (same-last strangers score ≤ ~0.72e6; identical-name
+    modular collisions lack the city match).  The oracle re-derives
+    records, blocking, and scoring in SQL."""
+    from datavalid_spark.operators.linkage import linkage_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    first = F.element_at(F.lit(LINK_FIRSTS), (d % 23 + 1).cast("int"))
+    last = F.element_at(F.lit(LINK_LASTS), (d % 41 + 1).cast("int"))
+    city = F.element_at(F.lit(LINK_CITIES), (d % 13 + 1).cast("int"))
+    base = docs.select(
+        d.alias("rec_id"),
+        F.concat(first, F.lit(" "), last).alias("name"),
+        city.alias("city"),
+        last.alias("blk"),
+    )
+    typo_first = F.concat(F.substring(first, 1, 1), F.substring(first, 3, 1 << 20))
+    mutants = docs.filter(d % 20 == 0).select(
+        (d + 1_000_000).alias("rec_id"),
+        F.concat(typo_first, F.lit(" "), last).alias("name"),
+        city.alias("city"),
+        last.alias("blk"),
+    )
+    recs = base.unionByName(mutants)
+    return linkage_pairs(
+        recs,
+        "rec_id",
+        "blk",
+        [("name", 0.7), ("city", 0.3)],
+        threshold_micro=900_000,
+    )
+
+
+def _link_sql_list(xs) -> str:
+    return "[" + ", ".join(f"'{x}'" for x in xs) + "]"
+
+
 def q_strip_html(spark, sf_dir):
     """HTML → plain-text extraction (functions/text.strip_html): drop
     script/style ELEMENTS, tags → one space, 6-entity single-pass
@@ -2297,6 +2361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_metrics": q_unpivot_metrics,
         "pivot_counts": q_pivot_counts,
         "skew_summary": q_skew_summary,
+        "record_linkage": q_record_linkage,
         "strip_html": q_strip_html,
         "url_canonical": q_url_canonical,
         "domain_caps": q_domain_caps,
@@ -2887,6 +2952,34 @@ SELECT SUM(cnt)::BIGINT AS n_rows,
        GREATEST(1, CAST(ceil(MAX(cnt)::DOUBLE * 32 / SUM(cnt)) AS BIGINT))
          AS rec_salt
 FROM c
+""",
+        "record_linkage": f"""
+WITH base AS (
+  SELECT doc_id AS rec_id,
+         {_link_sql_list(LINK_FIRSTS)}[CAST(doc_id % 23 AS INT) + 1] || ' ' ||
+         {_link_sql_list(LINK_LASTS)}[CAST(doc_id % 41 AS INT) + 1] AS name,
+         {_link_sql_list(LINK_CITIES)}[CAST(doc_id % 13 AS INT) + 1] AS city,
+         {_link_sql_list(LINK_LASTS)}[CAST(doc_id % 41 AS INT) + 1] AS blk
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         substring({_link_sql_list(LINK_FIRSTS)}[CAST(doc_id % 23 AS INT) + 1], 1, 1)
+           || substring({_link_sql_list(LINK_FIRSTS)}[CAST(doc_id % 23 AS INT) + 1], 3)
+           || ' ' || {_link_sql_list(LINK_LASTS)}[CAST(doc_id % 41 AS INT) + 1],
+         {_link_sql_list(LINK_CITIES)}[CAST(doc_id % 13 AS INT) + 1],
+         {_link_sql_list(LINK_LASTS)}[CAST(doc_id % 41 AS INT) + 1]
+  FROM documents WHERE doc_id % 20 = 0),
+ok AS (SELECT blk FROM base GROUP BY blk HAVING COUNT(*) <= 1000),
+g AS (SELECT base.* FROM base JOIN ok USING (blk)),
+pairs AS (
+  SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+         (ROUND(0.7 * ROUND((1.0 - levenshtein(a.name, b.name)
+                 / GREATEST(length(a.name), length(b.name), 1)) * 1e6))
+        + ROUND(0.3 * ROUND((1.0 - levenshtein(a.city, b.city)
+                 / GREATEST(length(a.city), length(b.city), 1)) * 1e6)))::BIGINT
+           AS score_micro
+  FROM g a JOIN g b ON a.blk = b.blk AND a.rec_id < b.rec_id)
+SELECT id_a, id_b, score_micro FROM pairs WHERE score_micro >= 900000
 """,
         "strip_html": """
 WITH wrapped AS (

@@ -125,6 +125,10 @@ HEADLINE_QUERIES = [
     "url_canonical",
     "domain_caps",
     "skew_summary",
+    # round-3 additions (cont.): HTML->text extraction and blocked
+    # record linkage
+    "strip_html",
+    "record_linkage",
 ]
 
 

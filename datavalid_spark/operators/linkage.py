@@ -1,0 +1,111 @@
+"""Record linkage (entity resolution): blocked pairwise matching with
+weighted per-field edit-distance similarity.
+
+Beyond-reference surface (SURVEY.md §2.6 scope): reconciling near-
+duplicate ENTITY ROWS (customers, vendors, paper authors) is the
+structured-data sibling of document dedup — same blocking discipline,
+but the unit of similarity is a weighted combination of short FIELDS,
+not a shingled document.  The engine's primitives compose directly:
+LSH-style block caps, `components.connected_components` for
+transitive clustering of the emitted pairs, `editdedup` for the
+long-string case.
+
+Scale shape (the editdedup/LSH discipline end to end):
+
+- **blocking**: one shuffle on the caller-supplied block key; blocks
+  larger than ``max_block_size`` are SKIPPED WHOLESALE (deterministic,
+  mirrored by the oracle's HAVING filter) — the quadratic step is
+  never allowed to run on a degenerate block.  Pick block keys the way
+  LSH picks bands: cheap, high recall, bounded fan-out.
+- **pairing**: equi-self-join on the block key with ``id_a < id_b``
+  (each unordered pair once); per-pair cost is a handful of JVM
+  ``levenshtein`` calls on SHORT fields (cap long fields upstream —
+  `editdedup` owns that regime).
+- **scoring**: per field, ``sim = 1 − lev(a,b)/greatest(len(a),
+  len(b))`` (NULL≡NULL scores 1, NULL vs value scores 0), quantized to
+  integer micro-units per field BEFORE the weighted sum — the
+  cross-engine exactness discipline every scorer here uses.
+
+Emitted pairs are candidates for `connected_components` + canonical
+keep, exactly like the document-dedup pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def field_sim_micro(a: Column, b: Column) -> Column:
+    """round(1e6 · (1 − lev/greatest(len))) as a long; NULL≡NULL → 1e6,
+    NULL vs value → 0.  Identical formula in the DuckDB oracle."""
+    both_null = a.isNull() & b.isNull()
+    one_null = a.isNull() | b.isNull()
+    denom = F.greatest(F.length(a), F.length(b), F.lit(1))
+    sim = F.lit(1.0) - F.levenshtein(a, b).cast("double") / denom.cast("double")
+    return (
+        F.when(both_null, F.lit(MICRO))
+        .when(one_null, F.lit(0))
+        .otherwise(F.round(sim * F.lit(float(MICRO))))
+        .cast("long")
+    )
+
+
+def linkage_pairs(
+    df: DataFrame,
+    id_col: str,
+    block_col: Column | str,
+    fields: Sequence[tuple[str, float]],
+    threshold_micro: int,
+    max_block_size: int = 1_000,
+) -> DataFrame:
+    """All within-block pairs (``id_a < id_b``) whose weighted field
+    similarity reaches ``threshold_micro``: ``(id_a, id_b,
+    score_micro)``.
+
+    ``fields`` = [(column, weight), ...]; weights should sum to ~1 —
+    ``score_micro = Σ_f round(w_f · sim_micro_f)``, an exact integer.
+    NULL block keys never pair (unblockable rows are unmatchable by
+    construction — route them to a different block function instead).
+    """
+    if not fields:
+        raise ValueError("linkage_pairs: need at least one (field, weight)")
+    if threshold_micro <= 0:
+        raise ValueError("linkage_pairs: threshold_micro must be > 0")
+    if max_block_size < 2:
+        raise ValueError("linkage_pairs: max_block_size must be >= 2")
+    blk = F.col(block_col) if isinstance(block_col, str) else block_col
+    cols = [id_col] + [f for f, _ in fields]
+    base = df.select(blk.alias("__blk"), *cols).filter(F.col("__blk").isNotNull())
+    sizes = base.groupBy("__blk").agg(F.count(F.lit(1)).alias("__n"))
+    ok_blocks = sizes.filter(F.col("__n") <= max_block_size).select("__blk")
+    # block-size gate: blocks stream back through one broadcast-able
+    # semi-join (block-key cardinality ≪ rows); oversized blocks are
+    # excluded BEFORE the quadratic join
+    gated = base.join(ok_blocks, "__blk", "left_semi")
+    a = gated.alias("a")
+    b = gated.alias("b")
+    score = None
+    for fcol, w in fields:
+        part = F.round(
+            F.lit(float(w))
+            * field_sim_micro(F.col(f"a.{fcol}"), F.col(f"b.{fcol}")).cast("double")
+        ).cast("long")
+        score = part if score is None else (score + part)
+    return (
+        a.join(
+            b,
+            (F.col("a.__blk") == F.col("b.__blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            score.alias("score_micro"),
+        )
+        .filter(F.col("score_micro") >= F.lit(int(threshold_micro)))
+    )

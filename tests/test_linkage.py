@@ -1,0 +1,134 @@
+"""Record linkage (operators/linkage.py) vs a pure-Python
+re-derivation of the blocked weighted-Levenshtein score."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.operators.linkage import MICRO, linkage_pairs
+
+ROWS = [
+    # (id, name, city) — 1/2 typo pair, 3/4 exact pair, 5 lone,
+    # 6/7 same block different people, 8 NULL city variant of 1
+    (1, "alice johnson", "berlin"),
+    (2, "alice jonson", "berlin"),
+    (3, "bob smith", "paris"),
+    (4, "bob smith", "paris"),
+    (5, "carol white", "oslo"),
+    (6, "dave miller", "rome"),
+    (7, "dina mallory", "rome"),
+    (8, "alice johnson", None),
+]
+
+FIELDS = [("name", 0.7), ("city", 0.3)]
+
+
+def _lev(a, b):
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+        prev = cur
+    return prev[lb]
+
+
+def _sim_micro(a, b):
+    if a is None and b is None:
+        return MICRO
+    if a is None or b is None:
+        return 0
+    return round((1.0 - _lev(a, b) / max(len(a), len(b), 1)) * MICRO)
+
+
+def _truth(rows, block_fn, threshold, cap):
+    from collections import defaultdict
+
+    blocks = defaultdict(list)
+    for r in rows:
+        k = block_fn(r)
+        if k is not None:
+            blocks[k].append(r)
+    out = {}
+    for rs in blocks.values():
+        if len(rs) > cap:
+            continue
+        for i in range(len(rs)):
+            for j in range(i + 1, len(rs)):
+                a, b = sorted((rs[i], rs[j]))
+                s = round(0.7 * _sim_micro(a[1], b[1])) + round(
+                    0.3 * _sim_micro(a[2], b[2])
+                )
+                if s >= threshold:
+                    out[(a[0], b[0])] = s
+    return out
+
+
+def _block(r):
+    return r[1][:4] if r[1] else None
+
+
+def test_linkage_matches_python(spark):
+    df = spark.createDataFrame(ROWS, "id long, name string, city string")
+    got = {
+        (r["id_a"], r["id_b"]): r["score_micro"]
+        for r in linkage_pairs(
+            df, "id", F.substring("name", 1, 4), FIELDS, threshold_micro=850_000
+        ).collect()
+    }
+    want = _truth(ROWS, _block, 850_000, 1000)
+    assert got == want
+    assert (1, 2) in got and (3, 4) in got  # typo pair + exact pair
+    assert (6, 7) not in got  # same block, different people
+    # NULL city vs value scores the city field 0: (1,8) lands at
+    # 0.7e6 — below this threshold, visible at a lower one
+    assert (1, 8) not in got
+    low = {
+        (r["id_a"], r["id_b"]): r["score_micro"]
+        for r in linkage_pairs(
+            df, "id", F.substring("name", 1, 4), FIELDS, threshold_micro=600_000
+        ).collect()
+    }
+    assert low == _truth(ROWS, _block, 600_000, 1000)
+    assert low.get((1, 8)) == round(0.7 * MICRO)
+
+
+def test_block_cap_skips_degenerate_block(spark):
+    rows = [(i, "same name", "x") for i in range(50)] + [
+        (100, "uniq person", "y"),
+        (101, "uniq person", "y"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, city string")
+    got = linkage_pairs(
+        df, "id", F.substring("name", 1, 4), FIELDS, 900_000, max_block_size=10
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(100, 101)}
+
+
+def test_partition_invariance_and_guards(spark):
+    df = spark.createDataFrame(ROWS, "id long, name string, city string")
+    a = sorted(
+        (r["id_a"], r["id_b"], r["score_micro"])
+        for r in linkage_pairs(
+            df, "id", F.substring("name", 1, 4), FIELDS, 850_000
+        ).collect()
+    )
+    b = sorted(
+        (r["id_a"], r["id_b"], r["score_micro"])
+        for r in linkage_pairs(
+            df.repartition(7), "id", F.substring("name", 1, 4), FIELDS, 850_000
+        ).collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError):
+        linkage_pairs(df, "id", "name", [], 1)
+    with pytest.raises(ValueError):
+        linkage_pairs(df, "id", "name", FIELDS, 0)
+    with pytest.raises(ValueError):
+        linkage_pairs(df, "id", "name", FIELDS, 1, max_block_size=1)
