@@ -2032,11 +2032,15 @@ def q_tokenize_bpe(spark, sf_dir):
 
 def q_frequent_items(spark, sf_dir):
     """Exact heavy hitters over an unbounded key space
-    (operators/freq.py): per-partition mergeable Misra-Gries candidate
-    sketches (bounded state, no shuffle) + an exact recount restricted
-    to the candidate set.  Output is bit-identical to the plain
-    GROUP BY ... HAVING cnt >= θ·N the oracle runs — the sketch can
-    only add candidates, never lose a frequent item."""
+    (operators/freq.py): default ``method='hashed'`` two-hash JVM
+    pigeonhole prefilter — two bucket-count aggregations produce a
+    candidate condition (a key can only be frequent if BOTH its hash
+    buckets are), then an exact recount restricted to matching rows.
+    Output is bit-identical to the plain GROUP BY ... HAVING
+    cnt >= θ·N the oracle runs — the prefilter can only admit extra
+    candidates, never lose a frequent item.  (``method='mg'`` keeps
+    the per-partition Misra-Gries sketch form for streaming-summary
+    use; the hashed path measured faster at 80M rows × 80M distinct.)"""
     from datavalid_spark.operators.freq import frequent_items
 
     ev = _t(spark, sf_dir, "events")
@@ -2990,10 +2994,10 @@ WITH wrapped AS (
          || '<br>tail &lt;ok&gt;</div>' AS raw
   FROM documents),
 s1 AS (SELECT doc_id,
-              regexp_replace(raw, '<script\\b[^>]*>.*?</script\\s*>', ' ', 'gis') AS t
+              regexp_replace(raw, '<script\\b[^>]*>.*?</script[ \\t\\n\\x0B\\f\\r]*>', ' ', 'gis') AS t
        FROM wrapped),
 s2 AS (SELECT doc_id,
-              regexp_replace(t, '<style\\b[^>]*>.*?</style\\s*>', ' ', 'gis') AS t
+              regexp_replace(t, '<style\\b[^>]*>.*?</style[ \\t\\n\\x0B\\f\\r]*>', ' ', 'gis') AS t
        FROM s1),
 s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s2),
 s4 AS (SELECT doc_id,
@@ -3001,7 +3005,7 @@ s4 AS (SELECT doc_id,
                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
                 '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS t
        FROM s3)
-SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS plain FROM s4
+SELECT doc_id, trim(regexp_replace(t, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS plain FROM s4
 """,
         "url_canonical": "WITH "
         + _url_oracle_ctes()

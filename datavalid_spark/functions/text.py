@@ -468,12 +468,16 @@ def strip_html(col: Column | str) -> Column:
     containing ``>``, and CDATA degrade gracefully to over-stripping,
     never to leaked script text."""
     c = F.col(col) if isinstance(col, str) else col
-    out = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
-    out = F.regexp_replace(out, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    # explicit ASCII whitespace class, NOT \s: Java's \s includes \x0B
+    # but RE2's (DuckDB oracle) does not — same divergence class as the
+    # U+0130 case-fold fix in functions/bpe.py
+    ws = r"[ \t\n\x0B\f\r]"
+    out = F.regexp_replace(c, rf"(?is)<script\b[^>]*>.*?</script{ws}*>", " ")
+    out = F.regexp_replace(out, rf"(?is)<style\b[^>]*>.*?</style{ws}*>", " ")
     out = F.regexp_replace(out, r"<[^>]*>", " ")
     # entity pass: angle brackets and quotes first, ampersand LAST
     for ent, rep in HTML_ENTITIES:
         if ent != "&amp;":
             out = F.replace(out, F.lit(ent), F.lit(rep))
     out = F.replace(out, F.lit("&amp;"), F.lit("&"))
-    return F.trim(F.regexp_replace(out, r"\s+", " "))
+    return F.trim(F.regexp_replace(out, rf"{ws}+", " "))

@@ -197,11 +197,13 @@ class UniqueCheck(TableCheck):
         catch).  Two safe regimes, picked by the PROBE side's Catalyst
         size estimate — free, no job:
 
-        - probe side SMALL (< ``PROBE_WORTHWHILE_BYTES``, or AQE off):
+        - probe side SMALL (< ``PROBE_WORTHWHILE_BYTES``) AND AQE on:
           skip the probe entirely and let AQE convert SMJ→BHJ from
           runtime shuffle stats.  The avoidable shuffle is small, so
           the extra persist+count job is pure overhead (measured
-          +0.1-0.25 s per check on the 1.5M-row pin).
+          +0.1-0.25 s per check on the 1.5M-row pin).  With AQE OFF
+          there is no runtime conversion, so a small probe side still
+          falls through to the explicit probe+hint below.
         - probe side LARGE (or size unknown — Catalyst reports 8 EiB
           for unresolvable plans, which lands here): persist the
           (aggregated, usually tiny) key set, count it with a capped

@@ -78,6 +78,12 @@ def train_hashed_nb(
     times in a positive doc is five positive observations — the
     multinomial NB convention).  Unseen buckets get weight exactly 0 by
     fiat, so out-of-vocabulary tokens are neutral."""
+    if not alpha > 0:
+        raise ValueError(
+            "alpha must be > 0 — the base rate divides by "
+            "(t_pos + t_neg + 2*alpha), which is 0 for an empty corpus "
+            "with no smoothing"
+        )
     # null-safe: a NULL label is a negative observation (matching the
     # oracle's CASE WHEN label = positive THEN 1 ELSE 0), not a NULL
     # that F.sum would silently drop — an all-null-label bucket would

@@ -121,6 +121,11 @@ def train_hashed_bag(
     ns = tuple(sorted(set(int(n) for n in ns)))
     if not ns or ns[0] < 1:
         raise ValueError("train_hashed_bag: ns must be gram sizes >= 1")
+    if not alpha > 0:
+        raise ValueError(
+            "train_hashed_bag: alpha must be > 0 — importance weights "
+            "take ln(count + alpha) and an empty bucket would have ln(0)"
+        )
     if not (1 <= n_buckets <= 65536):
         raise ValueError("train_hashed_bag: n_buckets must be in [1, 65536]")
     if not isinstance(tokenizer, str):
@@ -177,6 +182,12 @@ def train_hashed_bag_pair(
     ns = tuple(sorted(set(int(n) for n in ns)))
     if not ns or ns[0] < 1:
         raise ValueError("train_hashed_bag_pair: ns must be gram sizes >= 1")
+    if not alpha > 0:
+        raise ValueError(
+            "train_hashed_bag_pair: alpha must be > 0 — importance "
+            "weights take ln(count + alpha) and an empty bucket would "
+            "have ln(0)"
+        )
     if not (1 <= n_buckets <= 65536):
         raise ValueError(
             "train_hashed_bag_pair: n_buckets must be in [1, 65536]"

@@ -259,11 +259,14 @@ def frequent_items(
     cands = F.broadcast(
         sketch.filter(F.col("is_item")).select("item").distinct()
     )
-    matched = df.select(col).join(
-        cands, F.col(col) == cands["item"], "left_semi"
-    ).unionByName(df.select(col).filter(F.col(col).isNull()))
+    # alias the probe side to a reserved name so a column itself named
+    # "item" can't collide with the candidate frame's "item"
+    probe = df.select(F.col(col).alias("__dv_item"))
+    matched = probe.join(
+        cands, probe["__dv_item"] == cands["item"], "left_semi"
+    ).unionByName(probe.filter(F.col("__dv_item").isNull()))
     return (
-        matched.groupBy(F.col(col).alias("item"))
+        matched.groupBy(F.col("__dv_item").alias("item"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= F.lit(min_count))
     )

@@ -121,6 +121,10 @@ def train_hashed_lm(
 ) -> HashedLM:
     """Count hashed n-grams and their contexts over a reference slice.
 
+    ``alpha`` must be > 0: the scoring expression precomputes
+    ``ln(count + alpha)`` per bucket on the driver, and an unsmoothed
+    model with any empty bucket has no finite log-probability.
+
     ONE aggregation pass over the (usually small) training frame: the
     n-gram and context bucket streams are tagged and concatenated
     inside the scan projection, so a single explode → groupBy((kind,
@@ -129,6 +133,11 @@ def train_hashed_lm(
     shuffle carries at most ``2·n_buckets`` rows per task."""
     if n < 2:
         raise ValueError("train_hashed_lm: n must be >= 2")
+    if not alpha > 0:
+        raise ValueError(
+            "train_hashed_lm: alpha must be > 0 — scoring precomputes "
+            "ln(count + alpha) and an empty bucket would have ln(0)"
+        )
     if not (1 <= n_buckets <= 65536):
         # both count arrays ship as PLAN LITERALS at scoring time —
         # past 64k entries the serialized plan and codegen cost, not

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from datavalid_spark.cache import persist_tracked
 from datavalid_spark.functions.text import let_once, nonempty_tokens
-from datavalid_spark.functions.lits import lit_long_array
+from datavalid_spark.functions.lits import lit_long_array, round_half_away
 
 
 def _case_map(col: Column, mapping: dict[str, float]) -> Column:
@@ -228,7 +228,9 @@ def quantized_mips_topk(
     narrow ``(id, dot_q)`` rows.  This is the exact-MIPS baseline the
     IVF/PQ paths approximate — same role as ``brute_force_topk`` but
     single-query, rank-stable, and oracle-checkable."""
-    q = lit_long_array(int(round(float(x) * scale)) for x in query_vec)
+    # half-away-from-zero to match F.round on the document side and
+    # round() in the DuckDB oracle — Python round() is half-even
+    q = lit_long_array(round_half_away(float(x) * scale) for x in query_vec)
     dot = F.aggregate(
         F.zip_with(
             F.transform(

@@ -215,8 +215,9 @@ def domain_caps(
 def domain_share_report(
     df: DataFrame, url_col: str, top_n: int = 50
 ) -> DataFrame:
-    """Per-registered-domain corpus share: ``(domain, n_docs, share)``,
-    top ``top_n`` by count — the input to a share-cap policy.  One
+    """Per-registered-domain corpus share: ``(domain, n_docs,
+    share_micro)`` with ``share_micro = round(n_docs·1e6/total)``, top
+    ``top_n`` by count — the input to a share-cap policy.  One
     map-side-combined groupBy on the domain key + TakeOrdered."""
     total = df.count()
     return (

@@ -104,3 +104,9 @@ def test_null_labels_count_as_negative(spark):
     b_null = df.select(hash_bucket(F.lit("onlyword"), 4096).alias("b")).first()["b"]
     # bucket seen only under a NULL label: c_pos=0, c_neg=1; p0=(1+1)/(2+2)
     assert w[b_null] == pytest.approx((0 + 1.0) / (1 + 2.0) - 2.0 / 4.0)
+
+
+def test_alpha_zero_rejected(spark):
+    df = spark.createDataFrame([("a b", 1)], "text string, y long")
+    with pytest.raises(ValueError, match="alpha"):
+        train_hashed_nb(df, "text", "y", 1, alpha=0.0)

@@ -172,3 +172,9 @@ def test_pair_training_matches_two_separate_fits(spark):
         t2.hasher,
         t2.tokenizer,
     )
+
+
+def test_alpha_zero_rejected(spark):
+    df = spark.createDataFrame([("a b",)], "text string")
+    with pytest.raises(ValueError, match="alpha"):
+        train_hashed_bag(df, "text", alpha=0.0)

@@ -133,3 +133,12 @@ def test_n_counters_implies_mg(spark):
     df = spark.createDataFrame([(1,)] * 20 + [(2,)] * 3, "k long")
     got = _got(frequent_items(df, "k", threshold=0.5, n_counters=4))
     assert got == {1: 20}
+
+
+def test_mg_column_named_item(spark):
+    # regression: the MG recount joins against a candidate frame whose
+    # column is literally named "item" — a monitored column with the
+    # same name must not raise AMBIGUOUS_REFERENCE
+    df = spark.createDataFrame([("a",)] * 20 + [("b",)] * 3, "item string")
+    got = _got(frequent_items(df, "item", threshold=0.5, method="mg"))
+    assert got == {"a": 20}

@@ -156,3 +156,15 @@ def test_ranked_requires_bounded_input_semantics(spark):
 def test_rrf_empty_lists_rejected(spark):
     with pytest.raises(ValueError):
         rrf_fuse({})
+
+
+def test_quantized_query_half_boundary(spark):
+    # regression: the query vector must quantize half-AWAY-from-zero
+    # like F.round on the document side (Python round() is half-even).
+    # scale=4 and x=0.125 make x*scale an exact 0.5 double.
+    emb = spark.createDataFrame([(0, [0.125]), (1, [0.0])],
+                                "id long, embedding array<double>")
+    got = {r["id"]: r["dot_q"] for r in
+           quantized_mips_topk(emb, "id", "embedding", [0.125], k=2,
+                               scale=4.0).collect()}
+    assert got == {0: 1, 1: 0}

@@ -175,3 +175,11 @@ def test_train_rejects_unigram(spark):
     # count arrays are plan literals: cap the model size at 64k buckets
     with pytest.raises(ValueError, match="n_buckets"):
         train_hashed_lm(df, "text", n_buckets=1 << 20)
+
+
+def test_alpha_zero_rejected(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("a b c",)], "text string")
+    with _pytest.raises(ValueError, match="alpha"):
+        train_hashed_lm(df, "text", alpha=0.0)

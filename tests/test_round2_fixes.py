@@ -108,7 +108,7 @@ def _logical_plan(df) -> str:
     return df._jdf.queryExecution().analyzed().toString()
 
 
-def test_unique_check_broadcast_is_size_gated(spark):
+def test_unique_check_broadcast_is_size_gated(spark, monkeypatch):
     # 2_000 distinct dup keys, gate at 100: NO static broadcast hint —
     # an unconditional hint would ship an unbounded key set to every
     # executor on duplicate-heavy tables
@@ -119,12 +119,23 @@ def test_unique_check_broadcast_is_size_gated(spark):
         ).violations(df)
         assert "ResolvedHint" not in _logical_plan(big), strategy
         assert big.count() == 10_000, strategy
-        # tiny dup-key sets DO get the hint (skips the probe shuffle)
-        small = UniqueCheck(
+        # probe side SMALL (this 10k-row frame) + AQE on → the round-3
+        # gate skips the probe AND the hint, leaving the join to AQE
+        small_probe = UniqueCheck(
             "k", strategy=strategy, broadcast_key_limit=100_000
         ).violations(df)
-        assert "ResolvedHint" in _logical_plan(small), strategy
-        assert small.count() == 10_000, strategy
+        assert "ResolvedHint" not in _logical_plan(small_probe), strategy
+        assert small_probe.count() == 10_000, strategy
+        # probe side LARGE (threshold forced to 0) + tiny dup-key set →
+        # the explicit probe runs and DOES hint (skips the probe-side
+        # shuffle)
+        monkeypatch.setattr(UniqueCheck, "PROBE_WORTHWHILE_BYTES", 0)
+        hinted = UniqueCheck(
+            "k", strategy=strategy, broadcast_key_limit=100_000
+        ).violations(df)
+        assert "ResolvedHint" in _logical_plan(hinted), strategy
+        assert hinted.count() == 10_000, strategy
+        monkeypatch.undo()
 
 
 def test_unique_field_checker_broadcast_is_size_gated(spark, monkeypatch):

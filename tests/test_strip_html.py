@@ -11,14 +11,15 @@ from datavalid_spark.functions.text import HTML_ENTITIES, strip_html
 def _py_strip(s):
     if s is None:
         return None
-    out = re.sub(r"(?is)<script\b[^>]*>.*?</script\s*>", " ", s)
-    out = re.sub(r"(?is)<style\b[^>]*>.*?</style\s*>", " ", out)
+    ws = r"[ \t\n\x0B\f\r]"
+    out = re.sub(rf"(?is)<script\b[^>]*>.*?</script{ws}*>", " ", s)
+    out = re.sub(rf"(?is)<style\b[^>]*>.*?</style{ws}*>", " ", out)
     out = re.sub(r"<[^>]*>", " ", out)
     for ent, rep in HTML_ENTITIES:
         if ent != "&amp;":
             out = out.replace(ent, rep)
     out = out.replace("&amp;", "&")
-    return re.sub(r"\s+", " ", out).strip()
+    return re.sub(rf"{ws}+", " ", out).strip(" ")
 
 
 DOCS = [
@@ -32,6 +33,8 @@ DOCS = [
     "no markup at all",
     "broken <tag never closes",
     "  \t spaced \n out  ",
+    "vert\x0Btab <b>kept</b> as\x0B\x0Bspace",
+    "<script>x</script\x0B>after-vt-close",
     "<div class='a'>nested <span>deep <i>text</i></span></div>",
     "<script>s1</script>mid<script>s2</script>done",
     "",
