@@ -1794,6 +1794,33 @@ def q_fork_detect(spark, sf_dir):
     )
 
 
+def q_winnow_clone_pairs(spark, sf_dir):
+    """Code-clone pairs by winnowing/MOSS fingerprints
+    (operators/winnow.winnow_pairs, Schleimer et al. SIGMOD'03): every
+    10th doc is re-planted with its first 200 chars pasted between
+    novel surroundings — LOCAL fingerprinting must still pair
+    clone↔original (shared region ≫ the k+w-1 = 11 detection floor)
+    even though the whole-document token sets diverge, which is exactly
+    the case MinHash-over-the-full-doc dilutes away."""
+    from datavalid_spark.operators.winnow import winnow_pairs
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    plant = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("pasted-into-other-file-"),
+            F.col("doc_id").cast("string"),
+            F.lit(" { "),
+            F.substring("text", 1, 200),
+            F.lit(" } trailer"),
+        ).alias("text"),
+    )
+    both = docs.select("doc_id", "text").unionByName(plant)
+    return winnow_pairs(
+        both, "doc_id", "text", k=8, w=4, min_overlap=0.25, max_bucket_size=50
+    )
+
+
 def q_dep_topk(spark, sf_dir):
     """Dependency popularity (functions/code.extract_imports): planted
     python-style import headers — every doc imports pkg<id%13> and
@@ -2356,6 +2383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secret_scan": q_secret_scan,
         "license_detect": q_license_detect,
         "fork_detect": q_fork_detect,
+        "winnow_clone_pairs": q_winnow_clone_pairs,
         "dep_topk": q_dep_topk,
         "code_balance": q_code_balance,
         "mixture_report": q_mixture_report,
@@ -2465,6 +2493,39 @@ jac AS (
   JOIN sz sa ON inter.id_a = sa.id
   JOIN sz sb ON inter.id_b = sb.id
   WHERE n_inter::DOUBLE / (sa.n + sb.n - n_inter) >= 0.5)"""
+
+
+#: winnowing fingerprints (robust winnowing: per-window min hash,
+#: rightmost tie) over a ``src(doc_id, text)`` CTE — the DuckDB mirror
+#: of operators/winnow.winnow_fingerprints at k=8, w=4.  Whitespace is
+#: the explicit ASCII class spelled with chr() (transport-safe), the
+#: case fold is ASCII translate, and the hash is the md5-hex-prefix
+#: long — all chosen so both engines agree bit-for-bit.
+_WINNOW_FP_CTES = """norm AS (
+  SELECT doc_id AS id,
+         regexp_replace(translate(text,
+             'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+           '[ ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13) || ']',
+           '', 'g') AS s
+  FROM src WHERE text IS NOT NULL),
+pgen AS (
+  SELECT id, s, unnest(range(1, length(s) - 8 + 2))::INTEGER AS p
+  FROM norm WHERE length(s) >= 8),
+gr AS (
+  SELECT id, p,
+         ('0x' || substring(md5(substring(s, p, 8)), 1, 8))::BIGINT AS h
+  FROM pgen),
+nwin AS (SELECT id, GREATEST(MAX(p) - 4 + 1, 1) AS n_windows
+         FROM gr GROUP BY id),
+wgen AS (SELECT id, unnest(range(1, n_windows + 1))::INTEGER AS w_s
+         FROM nwin),
+sel AS (
+  SELECT wgen.id, wgen.w_s, g.h, g.p,
+         ROW_NUMBER() OVER (PARTITION BY wgen.id, wgen.w_s
+                            ORDER BY g.h ASC, g.p DESC) AS rk
+  FROM wgen JOIN gr g ON g.id = wgen.id
+                     AND g.p >= wgen.w_s AND g.p < wgen.w_s + 4),
+wfps AS (SELECT DISTINCT id, h AS fp, p AS pos FROM sel WHERE rk = 1)"""
 
 
 def _lang_id_sql() -> str:
@@ -4065,6 +4126,30 @@ FROM inter i
 JOIN sizes sa ON sa.repo = i.repo_a
 JOIN sizes sb ON sb.repo = i.repo_b
 WHERE (1000000 * i.n_common) // (sa.n + sb.n - i.n_common) >= 100000
+""",
+        "winnow_clone_pairs": f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         'pasted-into-other-file-' || doc_id::VARCHAR || ' {{ '
+           || substr(text, 1, 200) || ' }} trailer'
+  FROM documents WHERE doc_id % 10 = 0),
+{_WINNOW_FP_CTES},
+dfps AS (SELECT DISTINCT id, fp FROM wfps),
+rare AS (SELECT fp FROM dfps GROUP BY fp HAVING COUNT(*) <= 50),
+kept AS (SELECT f.id, f.fp FROM dfps f JOIN rare USING (fp)),
+sizes AS (SELECT id, COUNT(*) AS n_fp FROM dfps GROUP BY id),
+shr AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared
+        FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+        GROUP BY a.id, b.id),
+sc AS (
+  SELECT id_a, id_b, shared,
+         round(shared * 1e6 / LEAST(na.n_fp, nb.n_fp))::BIGINT AS overlap_micro
+  FROM shr JOIN sizes na ON na.id = shr.id_a
+           JOIN sizes nb ON nb.id = shr.id_b)
+SELECT id_a, id_b, shared, overlap_micro FROM sc
+WHERE overlap_micro >= 250000
 """,
         "dep_topk": r"""
 SELECT package, COUNT(*) AS n_files

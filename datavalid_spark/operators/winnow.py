@@ -1,0 +1,195 @@
+"""Winnowing document fingerprints (MOSS) — code clone / near-dup
+detection by LOCAL fingerprinting.
+
+Algorithm (Schleimer, Wilkerson & Aiken, "Winnowing: Local Algorithms
+for Document Fingerprinting", SIGMOD 2003 — the algorithm behind MOSS):
+
+1. normalize: ASCII-only case fold + remove ASCII whitespace (code
+   formatting must not defeat the match — the canonical MOSS prep);
+2. hash every character ``k``-gram of the normalized string;
+3. slide a window of ``w`` consecutive k-gram hashes; in each window
+   select the MINIMUM hash, breaking ties by the RIGHTMOST position
+   (robust winnowing); the distinct selected ``(hash, pos)`` pairs are
+   the document's fingerprints.
+
+The guarantee that makes this the right CODE near-dup operator (and
+distinct from the MinHash/SimHash family in ``operators/dedup.py``):
+any shared substring of length ≥ ``k + w - 1`` is caught by at least
+one COMMON fingerprint — detection is local, so a function pasted into
+an otherwise unrelated file still matches, which whole-document
+signatures (MinHash over the full token set) dilute away.  Expected
+fingerprint density is 2/(w+1) of the k-grams.
+
+Scale shape (the same banded-inverted-index discipline as every dedup
+operator here): fingerprinting is a ZERO-SHUFFLE fused scan (higher-
+order Column functions only — no UDF, no explode before the distinct);
+pairing is an inverted-index self-join on the fingerprint hash with
+corpus-common fingerprints (bucket > ``max_bucket_size`` docs) dropped
+outright — boilerplate shared by hundreds of files is noise for clone
+detection, and dropping it bounds join fan-out at
+``max_bucket_size²/2`` per bucket.  No all-pairs anywhere.
+
+Hashes are md5-hex-prefix longs (the engine-portable recipe of
+``classify.hash_bucket``), so a DuckDB oracle reproduces fingerprints
+and scores bit-for-bit.  Whitespace/case normalization uses the
+explicit ASCII class and ``translate`` fold — Java ``\\s`` and full
+Unicode ``lower`` both diverge from DuckDB (see ``functions/bpe.py``).
+"""
+
+from __future__ import annotations
+
+import string
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datavalid_spark.functions.text import let_once
+
+#: ASCII whitespace stripped before k-gramming (explicit class — Java
+#: and RE2 \s disagree on \x0B)
+_WS_CLASS = r"[ \t\n\x0B\f\r]"
+
+
+def _ascii_fold(c: Column) -> Column:
+    return F.translate(c, string.ascii_uppercase, string.ascii_lowercase)
+
+
+def _gram_hash(gram: Column) -> Column:
+    """md5-hex-prefix → long, identical in DuckDB as
+    ``('0x' || substring(md5(g), 1, 8))::BIGINT``."""
+    return F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """``(id, fp BIGINT, pos INT)`` — one row per selected fingerprint.
+
+    ``pos`` is the 1-based k-gram start in the NORMALIZED string (for
+    locating the matched region).  Documents shorter than ``k``
+    normalized characters emit no rows.  When a document has fewer
+    than ``w`` k-grams, the single window covers all of them (the
+    short-doc convention, mirrored by the oracle).
+
+    Entirely fused into the scan: sequence → transform(substr → md5)
+    → per-window array_min with a rightmost-tie filter, then
+    array_distinct — zero shuffle, zero UDF."""
+    if k < 1 or w < 1:
+        raise ValueError("winnow_fingerprints: k and w must be >= 1")
+    ident = F.col(id_col)
+
+    def build(norm: Column) -> Column:
+        n_grams = F.length(norm) - F.lit(k) + 1
+
+        def with_hashes(hs: Column) -> Column:
+            n_windows = F.greatest(F.size(hs) - F.lit(w) + 1, F.lit(1))
+
+            def pick(s: Column) -> Column:
+                # window is grams s .. s+w-1 (clipped to the array end
+                # for the single short-doc window)
+                win = F.slice(
+                    hs, s, F.least(F.lit(w), F.size(hs) - s + 1)
+                )
+
+                def choose(m: Column) -> Column:
+                    # rightmost position attaining the window minimum
+                    right = F.array_max(
+                        F.filter(
+                            F.sequence(F.lit(1), F.size(win)),
+                            lambda j: F.element_at(win, j) == m,
+                        )
+                    )
+                    return F.struct(
+                        m.alias("fp"),
+                        (s + right - 1).cast("int").alias("pos"),
+                    )
+
+                return let_once(F.array_min(win), choose)
+
+            return F.array_distinct(
+                F.transform(F.sequence(F.lit(1), n_windows), pick)
+            )
+
+        hashes = F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda p: _gram_hash(norm.substr(p, F.lit(k))),
+        )
+        return F.when(n_grams >= 1, let_once(hashes, with_hashes)).otherwise(
+            F.array().cast("array<struct<fp:bigint,pos:int>>")
+        )
+
+    norm = F.regexp_replace(
+        _ascii_fold(F.col(text_col)), _WS_CLASS, ""
+    )
+    return (
+        df.select(ident.alias("id"), build(norm).alias("__dv_fps"))
+        .select("id", F.explode("__dv_fps").alias("f"))
+        .select("id", F.col("f.fp").alias("fp"), F.col("f.pos").alias("pos"))
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    min_overlap: float = 0.25,
+    max_bucket_size: int = 50,
+) -> DataFrame:
+    """Document pairs sharing winnowing fingerprints:
+    ``(id_a, id_b, shared, overlap_micro)`` with
+    ``overlap_micro = round(1e6 · shared / min(|fp_a|, |fp_b|))`` and
+    ``overlap ≥ min_overlap`` — the MOSS similarity report.
+
+    Fingerprints shared by more than ``max_bucket_size`` documents are
+    corpus-common boilerplate (license headers, generated prologues)
+    and are DROPPED before pairing — this both matches MOSS's
+    ignore-too-common rule and hard-bounds the self-join fan-out.
+    Shared counts are computed on the surviving fingerprints; the
+    denominators ``|fp_x|`` are the FULL per-document fingerprint
+    counts, so dropping a hot fingerprint can only lower a score,
+    never inflate one."""
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w).select(
+        "id", "fp"
+    ).distinct()
+    from datavalid_spark.cache import persist_tracked
+
+    fps = persist_tracked(fps)
+    sizes = fps.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__dv_b"))
+        .filter(F.col("__dv_b") <= max_bucket_size)
+        .select("fp")
+    )
+    kept = fps.join(rare, "fp", "left_semi")
+    a = kept.select(F.col("fp"), F.col("id").alias("id_a"))
+    b = kept.select(F.col("fp"), F.col("id").alias("id_b"))
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n_fp").alias("__dv_na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n_fp").alias("__dv_nb"))
+    out = (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "overlap_micro",
+            F.round(
+                F.col("shared")
+                * F.lit(1e6)
+                / F.least(F.col("__dv_na"), F.col("__dv_nb"))
+            ).cast("long"),
+        )
+        .filter(F.col("overlap_micro") >= F.lit(round(min_overlap * 1e6)))
+        .select("id_a", "id_b", "shared", "overlap_micro")
+    )
+    return out

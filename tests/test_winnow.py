@@ -1,0 +1,210 @@
+"""Winnowing/MOSS fingerprints (operators/winnow.py): exact parity vs
+a brute-force python oracle of robust winnowing, the SIGMOD'03 local
+detection guarantee (shared substring ≥ k+w-1 ⇒ shared fingerprint),
+normalization invariance, short-doc edges, pair scoring + the
+corpus-common fingerprint drop."""
+
+import hashlib
+import string
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from datavalid_spark.cache import release_cached
+from datavalid_spark.operators.winnow import winnow_fingerprints, winnow_pairs
+from tests.conftest import rows_as_tuples
+
+
+@pytest.fixture(autouse=True)
+def _release():
+    yield
+    release_cached()
+
+
+_WS = " \t\n\x0b\f\r"
+
+
+def _normalize(text: str) -> str:
+    text = text.translate(
+        str.maketrans(string.ascii_uppercase, string.ascii_lowercase)
+    )
+    return "".join(ch for ch in text if ch not in _WS)
+
+
+def _h(gram: str) -> int:
+    return int(hashlib.md5(gram.encode("utf-8")).hexdigest()[:8], 16)
+
+
+def _oracle_fps(text: str, k: int, w: int) -> set:
+    """Robust winnowing: per window the min hash, rightmost tie; 1-based
+    positions in the normalized string; single clipped window when the
+    doc has fewer than w k-grams."""
+    s = _normalize(text)
+    n = len(s) - k + 1
+    if n < 1:
+        return set()
+    hs = [_h(s[p : p + k]) for p in range(n)]
+    out = set()
+    for start in range(max(n - w + 1, 1)):
+        win = hs[start : start + w]
+        m = min(win)
+        right = max(j for j, v in enumerate(win) if v == m)
+        out.add((m, start + right + 1))
+    return out
+
+
+def _fps_df(spark, rows, k=8, w=4):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return winnow_fingerprints(df, "doc_id", "text", k=k, w=w)
+
+
+CORPUS = [
+    (1, "def foo(x):\n    return x + 1\n"),
+    (2, "def foo(y):\n    return y + 1\n"),
+    (3, "DEF FOO(X):  \n\treturn x + 1\n"),  # == doc 1 after normalize
+    (4, "completely different content here zzz"),
+    (5, "short"),  # < k normalized chars -> no fingerprints
+    (6, "abcdefgh"),  # exactly k -> 1 gram, 1 clipped window
+    (7, None),
+]
+
+
+def test_exact_parity_vs_python_oracle(spark):
+    got = rows_as_tuples(_fps_df(spark, CORPUS), "id", "fp", "pos")
+    want = sorted(
+        [
+            (i, fp, pos)
+            for i, t in CORPUS
+            if t is not None
+            for fp, pos in _oracle_fps(t, 8, 4)
+        ],
+        key=lambda t: tuple((v is None, str(v)) for v in t),
+    )
+    assert got == want
+
+
+def test_normalization_invariance(spark):
+    fps = {
+        i: frozenset((r[1], r[2]) for r in rows)
+        for i, rows in _group(spark, CORPUS).items()
+    }
+    assert fps[1] == fps[3]
+    assert fps[1] != fps[2]
+
+
+def _group(spark, rows, k=8, w=4):
+    out = {}
+    for r in _fps_df(spark, rows, k=k, w=w).collect():
+        out.setdefault(r["id"], []).append((r["id"], r["fp"], r["pos"]))
+    return out
+
+
+def test_short_doc_edges(spark):
+    g = _group(spark, CORPUS)
+    assert 5 not in g  # shorter than k after normalize
+    assert len(g[6]) == 1  # one gram, one window
+    assert g[6][0][2] == 1
+    assert 7 not in g  # NULL text
+
+
+def test_local_detection_guarantee(spark):
+    # the winnowing theorem: a shared substring of length >= k + w - 1
+    # yields at least one COMMON (fp) — regardless of the surroundings
+    k, w = 8, 4
+    shared = "thecommonpastedregionabcdefgh"  # 29 >= 11, ws-free
+    rows = [
+        (1, "UNRELATEDPREFIXONE" + shared + "tailone"),
+        (2, "zzz" + shared + "acompletelydifferenttrailer9"),
+    ]
+    g = _group(spark, rows, k=k, w=w)
+    assert {f for _, f, _ in g[1]} & {f for _, f, _ in g[2]}
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(
+            alphabet=string.ascii_letters + string.digits + " \t\n",
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_hypothesis_parity(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    got = rows_as_tuples(_fps_df(spark, rows, k=4, w=3), "id", "fp", "pos")
+    want = sorted(
+        [
+            (i, fp, pos)
+            for i, t in rows
+            for fp, pos in _oracle_fps(t, 4, 3)
+        ],
+        key=lambda t: tuple((v is None, str(v)) for v in t),
+    )
+    assert got == want
+
+
+def test_pairs_planted_clone(spark):
+    base = "".join(
+        "line%02d of the original function body with real logic\n" % i
+        for i in range(8)
+    )
+    rows = [
+        (1, base),
+        (2, "a totally new file header\n" + base + "\nnew trailer here"),
+        (3, "unrelated content " * 20),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = winnow_pairs(df, "doc_id", "text", k=8, w=4, min_overlap=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+
+def test_pairs_score_and_denominator(spark):
+    # identical docs -> overlap 1.0 (1e6 micro); denominator is the
+    # FULL fingerprint count of the smaller doc
+    rows = [(1, "abcdefghijklmnop"), (2, "abcdefghijklmnop")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_pairs(df, "doc_id", "text", k=8, w=4, min_overlap=0.9).collect()
+    assert len(out) == 1
+    assert out[0]["overlap_micro"] == 1_000_000
+    n_fp = len({(f, p) for f, p in _oracle_fps(rows[0][1], 8, 4)})
+    distinct_fp = len({f for f, _ in _oracle_fps(rows[0][1], 8, 4)})
+    assert out[0]["shared"] == distinct_fp
+    assert n_fp >= distinct_fp
+
+
+def test_pairs_common_fingerprint_dropped(spark):
+    # one fingerprint shared by ALL docs; with max_bucket_size below
+    # the corpus size it must contribute to NO pair
+    boiler = "licenseheaderboilerplate"
+    rows = [(i, boiler + "uniquepart%030d" % (i * 7)) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_pairs(
+        df, "doc_id", "text", k=8, w=4, min_overlap=0.01, max_bucket_size=2
+    ).collect()
+    # every pairing fingerprint must live in a bucket of <= 2 docs; the
+    # boilerplate grams (in all 5) are dropped, so no pair may reach
+    # the overlap a full boiler match would give
+    full = {
+        (r1, r2)
+        for i, (r1, _) in enumerate(rows)
+        for r2, _ in rows[i + 1 :]
+    }
+    assert {(r["id_a"], r["id_b"]) for r in out} != full
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        winnow_fingerprints(df, "doc_id", "text", k=0)
+    with pytest.raises(ValueError):
+        winnow_fingerprints(df, "doc_id", "text", w=0)
