@@ -461,6 +461,24 @@ def q_split_assign(spark, sf_dir):
     return docs.select("doc_id", split.alias("split"))
 
 
+def q_leakage_split(spark, sf_dir):
+    """Leakage-safe split (operators/sampling.leakage_safe_split):
+    near-dup pairs (word-3-gram Jaccard, same ground truth as
+    dedup_ngram_jaccard) close into components, and the split hash is
+    taken on the component min-id — so no near-dup cluster straddles
+    train/eval.  Weights mirror split_assign (75/12.5/12.5) so the
+    only rows that may differ from the per-doc split are exactly the
+    clustered docs."""
+    from datavalid_spark.operators.sampling import leakage_safe_split
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    out = leakage_safe_split(
+        docs, "doc_id", pairs, {"train": 0.75, "val": 0.125, "test": 0.125}
+    )
+    return out.select("doc_id", "split")
+
+
 def q_profile_quantiles(spark, sf_dir):
     """Per-group EXACT interpolated percentiles (native `percentile`,
     no UDF): Spark's rank formula p·(n−1) with linear interpolation is
@@ -2429,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_canonical": q_dedup_keep_canonical,
         "dedup_incremental": q_dedup_incremental,
         "split_assign": q_split_assign,
+        "leakage_split": q_leakage_split,
         "sample_stratified": q_sample_stratified,
         "sample_weighted": q_sample_weighted,
         "sample_repeat": q_sample_repeat,
@@ -3298,6 +3317,26 @@ SELECT doc_id,
             WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
             ELSE 'test' END AS split
 FROM documents
+""",
+        "leakage_split": f"""
+WITH RECURSIVE {_NGRAM_PAIR_CTES},
+edges AS (SELECT id_a AS u, id_b AS v FROM jac
+          UNION SELECT id_b, id_a FROM jac),
+reach AS (
+  SELECT u AS id, u AS comp FROM edges
+  UNION
+  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+comp AS (SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+keyed AS (
+  SELECT d.doc_id,
+         substring(md5(CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)),
+                   1, 1) AS h
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+SELECT doc_id,
+       CASE WHEN h < 'c' THEN 'train'
+            WHEN h < 'e' THEN 'val'
+            ELSE 'test' END AS split
+FROM keyed
 """,
         "pack_shards": """
 SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,

@@ -129,6 +129,9 @@ HEADLINE_QUERIES = [
     # record linkage
     "strip_html",
     "record_linkage",
+    # round-3 additions: winnowing/MOSS code-clone pairs (fused
+    # fingerprint scan + rare-fingerprint inverted-index self-join)
+    "winnow_clone_pairs",
 ]
 
 

@@ -68,6 +68,51 @@ def deterministic_split(
     return df.withColumn("split", expr)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """``deterministic_split`` with a contamination guard: near-dup
+    documents NEVER straddle splits.
+
+    ``pairs`` is any near-dup pair set (MinHash-LSH, n-gram Jaccard,
+    winnowing, edit-distance — every dedup operator here emits the
+    ``(id_a, id_b)`` shape).  Pairs are closed into connected
+    components (``components.duplicate_clusters``) and the split hash
+    is taken on ``coalesce(cluster_id, id)`` — the component's min id —
+    so an eval doc can never have a train-side near-duplicate, the
+    leakage mode a per-document split silently permits (Lee et al.
+    2022 measure this contamination directly).
+
+    Scale: components is the O(log n)-round large-star/small-star
+    DataFrame loop over PAIRS only (tiny vs the corpus); the corpus
+    itself takes ONE left broadcast-able join against the cluster map
+    and a scan-fused hash — no corpus shuffle, no RNG.  Incremental
+    ingest keeps assignments stable for docs whose component is
+    unchanged (the min-id key only moves if a new doc links two
+    existing components or undercuts the min — exactly the rows whose
+    leakage status actually changed).
+    """
+    from datavalid_spark.operators.components import duplicate_clusters
+
+    clusters = duplicate_clusters(pairs, id_a, id_b).select(
+        F.col("id").alias("__dv_cid"), "cluster_id"
+    )
+    joined = df.join(
+        clusters, df[id_col] == clusters["__dv_cid"], "left"
+    ).drop("__dv_cid")
+    keyed = joined.withColumn(
+        "__dv_split_key", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    return deterministic_split(keyed, "__dv_split_key", weights).drop(
+        "__dv_split_key", "cluster_id"
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata: Sequence[str],

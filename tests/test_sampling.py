@@ -317,3 +317,53 @@ def test_mixture_report_null_group(spark):
     assert rep[None]["target_micro"] == 800_000
     assert rep["a"] == {"src": "a", "n_before": 10, "n_after": 10,
                         "target_micro": 1_000_000, "achieved_micro": 1_000_000}
+
+
+# ---------------------------------------------------------------- leakage
+
+
+def test_leakage_safe_split_pairs_never_straddle(spark):
+    from datavalid_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(400)], "doc_id long, text string"
+    )
+    # components: {0,1,2} (chain), {10,11}, plus 396 singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    w = {"train": 0.75, "val": 0.125, "test": 0.125}
+    out = leakage_safe_split(docs, "doc_id", pairs, w)
+    split = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(split) == 400
+    assert split[0] == split[1] == split[2]
+    assert split[10] == split[11]
+    # unpaired docs keep the plain per-doc assignment
+    base = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(docs, "doc_id", w).collect()
+    }
+    clustered = {0, 1, 2, 10, 11}
+    assert all(split[i] == base[i] for i in split if i not in clustered)
+    # the cluster takes the min-id member's hash
+    assert split[0] == base[0]
+    assert split[10] == base[10]
+
+
+def test_leakage_safe_split_empty_pairs_equals_plain(spark):
+    from datavalid_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(200)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    w = {"train": 0.8, "val": 0.2}
+    got = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(docs, "doc_id", pairs, w).collect()
+    }
+    want = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(docs, "doc_id", w).collect()
+    }
+    assert got == want
