@@ -338,6 +338,20 @@ def q_profile_stats(spark, sf_dir):
     )
 
 
+def q_zorder_layout(spark, sf_dir):
+    """Z-order layout report (operators/layout.py): lineitem tiled
+    into 32 Morton-curve buckets over (l_partkey, l_suppkey) at 8
+    bits/column, then the per-bucket skipping rectangles — the min/max
+    stats a file-skipping reader (sources/snaplog.py) prunes on.  The
+    whole pipeline is exact integer arithmetic (scale → interleave →
+    tile → agg), so DuckDB rebuilds it bit-for-bit."""
+    from datavalid_spark.operators.layout import layout_report, z_bucket
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bucketed = z_bucket(li, ["l_partkey", "l_suppkey"], n_buckets=32, bits=8)
+    return layout_report(bucketed, "bucket", ["l_partkey", "l_suppkey"])
+
+
 def q_dedup_exact(spark, sf_dir):
     # the documents fixture has no byte-identical pairs — plant exact
     # copies (every 10th doc re-id'd) so the dup-group machinery runs on
@@ -2439,6 +2453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ref_orphans": q_ref_orphans,
         "ref_orphans_keys": q_ref_orphans_keys,
         "profile_stats": q_profile_stats,
+        "zorder_layout": q_zorder_layout,
         "dedup_exact": q_dedup_exact,
         "dedup_distinct": q_dedup_distinct,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2545,6 +2560,15 @@ sel AS (
   FROM wgen JOIN gr g ON g.id = wgen.id
                      AND g.p >= wgen.w_s AND g.p < wgen.w_s + 4),
 wfps AS (SELECT DISTINCT id, h AS fp, p AS pos FROM sel WHERE rk = 1)"""
+
+
+def _zorder_interleave_sql(scol: str, i: int, n: int, bits: int) -> str:
+    """Morton-interleave terms for scaled column ``scol`` occupying
+    lane ``i`` of ``n`` — the SQL mirror of operators/layout.zorder_key
+    (bit ``b`` lands at position ``b*n + i``)."""
+    return " + ".join(
+        f"(({scol} >> {b}) & 1) * {1 << (b * n + i)}" for b in range(bits)
+    )
 
 
 def _lang_id_sql() -> str:
@@ -2809,6 +2833,31 @@ SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
 UNION ALL
 SELECT 'l_linestatus', COUNT(*), COUNT(*) - COUNT(l_linestatus),
        MIN(l_linestatus), MAX(l_linestatus) FROM lineitem
+""",
+        "zorder_layout": f"""
+WITH bnds AS (
+  SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+         MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+  FROM lineitem),
+sc AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(FLOOR((l_partkey - pmin) * 255
+              / GREATEST(pmax - pmin, 1)) AS BIGINT) AS sp,
+         CAST(FLOOR((l_suppkey - smin) * 255
+              / GREATEST(smax - smin, 1)) AS BIGINT) AS ss
+  FROM lineitem, bnds),
+zk AS (
+  SELECT l_partkey, l_suppkey,
+         ({_zorder_interleave_sql('sp', 0, 2, 8)}
+          + {_zorder_interleave_sql('ss', 1, 2, 8)}) AS zkey
+  FROM sc)
+SELECT CAST(FLOOR(zkey / 2048) AS BIGINT) AS bucket,
+       COUNT(*) AS n_rows,
+       MIN(l_partkey)::BIGINT AS l_partkey_min,
+       MAX(l_partkey)::BIGINT AS l_partkey_max,
+       MIN(l_suppkey)::BIGINT AS l_suppkey_min,
+       MAX(l_suppkey)::BIGINT AS l_suppkey_max
+FROM zk GROUP BY 1
 """,
         "dedup_exact": """
 WITH u AS (

@@ -130,8 +130,12 @@ HEADLINE_QUERIES = [
     "strip_html",
     "record_linkage",
     # round-3 additions: winnowing/MOSS code-clone pairs (fused
-    # fingerprint scan + rare-fingerprint inverted-index self-join)
+    # fingerprint scan + rare-fingerprint inverted-index self-join),
+    # leakage-safe split (components over pairs + scan-fused hash),
+    # z-order layout report (integer Morton algebra + one hash agg)
     "winnow_clone_pairs",
+    "leakage_split",
+    "zorder_layout",
 ]
 
 

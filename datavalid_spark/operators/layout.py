@@ -1,0 +1,173 @@
+"""Z-order (Morton-curve) data layout: multi-dimensional clustering
+for min/max file skipping.
+
+Why this is a first-class 100 TB operator: engines skip files by
+column min/max stats (``sources/snaplog.py`` implements exactly that
+pushdown).  A table sorted by ONE column has tight stats on that
+column only — predicates on any other column read everything.
+Interleaving the bits of several columns (the Morton / Z-order curve,
+the layout behind Delta ``OPTIMIZE ZORDER BY``) makes every
+participating column's values locally clustered, so each file covers a
+small RECTANGLE of the key space and a predicate on ANY of the columns
+skips most files.
+
+Construction is exact integer arithmetic end-to-end so any engine
+reproduces it bit-for-bit (the driver's DuckDB gate):
+
+1. scale: ``sx = (x - min) * (2^bits - 1) // max(max - min, 1)`` —
+   global min/max come from ONE aggregate broadcast back (1-row
+   cross join; no window, no second scan of consequence);
+2. interleave: bit ``b`` of column ``i`` lands at position
+   ``b * ncols + i`` — a sum of ``(sx // 2^b % 2) * 2^(b*ncols+i)``
+   terms, pure Column algebra fused into the scan;
+3. layout: ``zorder_repartition`` range-partitions on the key (the
+   writer path — Spark's range partitioner samples boundaries, which
+   is the right scale behavior but not engine-reproducible), while
+   ``z_bucket`` tiles the curve into fixed-width buckets
+   (deterministic, zero-shuffle — the oracle-checkable form).
+
+``layout_report`` quantifies the payoff: per-bucket row counts and
+per-column min/max rectangles — the exact inputs a skip-estimator
+needs.  A useful summary: with ``n`` buckets over ``d`` columns, a
+z-order layout gives every column average normalized range width
+≈ ``n^(-1/d)`` per bucket, vs width ≈ 1 for every non-sort column of
+a lexicographic sort.
+
+No reference counterpart (the reference validates frames it is handed;
+laying out storage for validation at scale is engine-only surface,
+SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _scaled(col: str, bits: int) -> F.Column:
+    """Min-max scale to [0, 2^bits - 1]; the min/max placeholders are
+    joined in by the caller as ``__dv_min_<col>`` / ``__dv_max_<col>``.
+    ``floor((x-lo)·m / span)`` is exact while ``(x-lo)·m < 2^53``
+    (m = 2^bits − 1): with the default 8 bits that admits column spans
+    up to ~2^45 — beyond that, lower ``bits`` or pre-bin."""
+    x = F.col(col).cast("long")
+    lo = F.col(f"__dv_min_{col}")
+    hi = F.col(f"__dv_max_{col}")
+    span = F.greatest(hi - lo, F.lit(1))
+    return F.floor((x - lo) * F.lit((1 << bits) - 1) / span).cast("long")
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 8,
+    out_col: str = "zkey",
+) -> DataFrame:
+    """Add the Morton key over ``cols`` (integer columns; NULL in any
+    participating column yields a NULL key — order them last).
+
+    ``bits`` per column; total key width ``bits * len(cols)`` must fit
+    a BIGINT (≤ 62).  One aggregate computes all mins/maxes, broadcast
+    back as a 1-row cross join; the key itself is scan-fused Column
+    algebra — zero shuffle beyond the 1-row exchange."""
+    cols = list(cols)
+    if not cols:
+        raise ValueError("zorder_key: need at least one column")
+    if bits < 1 or bits * len(cols) > 62:
+        raise ValueError(
+            f"zorder_key: bits*ncols = {bits * len(cols)} must be in [1, 62]"
+        )
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(F.col(c).cast("long")).alias(f"__dv_min_{c}"))
+        aggs.append(F.max(F.col(c).cast("long")).alias(f"__dv_max_{c}"))
+    bounds = df.agg(*aggs)
+    n = len(cols)
+    with_bounds = df.crossJoin(F.broadcast(bounds))
+    key = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        s = _scaled(c, bits)
+        for b in range(bits):
+            key = key + F.shiftright(s, b).bitwiseAND(F.lit(1)) * F.lit(
+                1 << (b * n + i)
+            )
+    return with_bounds.withColumn(out_col, key).drop(
+        *[f"__dv_min_{c}" for c in cols], *[f"__dv_max_{c}" for c in cols]
+    )
+
+
+def z_bucket(
+    df: DataFrame,
+    cols: Sequence[str],
+    n_buckets: int,
+    bits: int = 8,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Deterministic curve tiling: ``bucket = zkey // ceil(2^(bits*d) /
+    n_buckets)`` — equal key-space volume per bucket (NOT equal rows;
+    use ``zorder_repartition`` for balanced files).  Zero shuffle; the
+    engine-reproducible form the driver gate checks."""
+    if n_buckets < 1:
+        raise ValueError("z_bucket: n_buckets must be >= 1")
+    d = len(list(cols))
+    span = 1 << (bits * d)
+    width = -(-span // n_buckets)  # ceil
+    keyed = zorder_key(df, cols, bits=bits, out_col="__dv_zkey")
+    return keyed.withColumn(
+        out_col, F.floor(F.col("__dv_zkey") / width).cast("long")
+    ).drop("__dv_zkey")
+
+
+def zorder_repartition(
+    df: DataFrame, cols: Sequence[str], n_files: int, bits: int = 8
+) -> DataFrame:
+    """The writer path: range-partition on the Morton key into
+    ``n_files`` output tasks (→ files).  Spark samples range
+    boundaries, so files are row-balanced even on skewed keys — the
+    behavior you want at scale; boundaries are therefore not
+    bit-reproducible across engines (tested by pytest, not the SQL
+    oracle).  Follow with ``df.write...`` and per-file min/max stats
+    (snaplog records them) to get the skipping payoff."""
+    keyed = zorder_key(df, cols, bits=bits, out_col="__dv_zkey")
+    return keyed.repartitionByRange(n_files, "__dv_zkey").drop("__dv_zkey")
+
+
+def layout_report(
+    df: DataFrame,
+    bucket_col: str,
+    cols: Sequence[str],
+) -> DataFrame:
+    """Per-bucket skipping stats: ``(bucket, n_rows, <c>_min, <c>_max
+    ...)`` — the rectangle each bucket/file covers.  A range predicate
+    on column ``c`` must read a bucket iff it intersects
+    ``[c_min, c_max]``; tighter rectangles = more skipped I/O.  One
+    hash aggregation on the bucket id."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(F.col(c).cast("long")).alias(f"{c}_min"))
+        aggs.append(F.max(F.col(c).cast("long")).alias(f"{c}_max"))
+    return df.groupBy(F.col(bucket_col).alias("bucket")).agg(*aggs)
+
+
+def skip_fraction(
+    report: DataFrame,
+    col: str,
+    lo: int,
+    hi: int,
+) -> DataFrame:
+    """One-row estimate of the layout's value for ``col BETWEEN lo AND
+    hi``: fraction of buckets (and of rows) whose rectangle does NOT
+    intersect the range — i.e. what a min/max-stat reader skips."""
+    hit = (F.col(f"{col}_min") <= F.lit(hi)) & (
+        F.col(f"{col}_max") >= F.lit(lo)
+    )
+    return report.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(~hit, 1).otherwise(0)).alias("buckets_skipped"),
+        (
+            F.sum(F.when(~hit, F.col("n_rows")).otherwise(0))
+            / F.sum("n_rows")
+        ).alias("row_frac_skipped"),
+    )

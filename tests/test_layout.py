@@ -1,0 +1,105 @@
+"""Z-order layout (operators/layout.py): Morton key parity vs a python
+reference, curve-tiling determinism, the skipping payoff vs a
+lexicographic sort, and the range-partitioned writer path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.operators.layout import (
+    layout_report,
+    skip_fraction,
+    z_bucket,
+    zorder_key,
+    zorder_repartition,
+)
+
+
+def _morton(vals, bits):
+    out = 0
+    n = len(vals)
+    for i, v in enumerate(vals):
+        for b in range(bits):
+            out |= ((v >> b) & 1) << (b * n + i)
+    return out
+
+
+@pytest.fixture(scope="module")
+def grid(spark):
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    return spark.createDataFrame(rows, "x long, y long").repartition(4)
+
+
+def test_zorder_key_matches_python_reference(spark, grid):
+    # 16x16 grid: min=0 max=15, bits=4 -> scaling is identity, so the
+    # key must equal the plain Morton interleave
+    out = zorder_key(grid, ["x", "y"], bits=4).collect()
+    for r in out:
+        assert r["zkey"] == _morton([r["x"], r["y"]], 4)
+
+
+def test_zorder_key_scaling_and_constant_column(spark):
+    # span wider than 2^bits collapses by scaling; a constant column
+    # contributes zero bits (span guard, no div-by-zero)
+    df = spark.createDataFrame(
+        [(0, 7), (1024, 7), (2048, 7)], "x long, y long"
+    )
+    out = {r["x"]: r["zkey"] for r in zorder_key(df, ["x", "y"], bits=2).collect()}
+    # scaled x: 0, 1, 3 -> interleaved into even positions
+    assert out[0] == _morton([0, 0], 2)
+    assert out[1024] == _morton([1, 0], 2)
+    assert out[2048] == _morton([3, 0], 2)
+
+
+def test_zorder_key_validation(spark, grid):
+    with pytest.raises(ValueError):
+        zorder_key(grid, [], bits=8)
+    with pytest.raises(ValueError):
+        zorder_key(grid, ["x", "y"], bits=32)  # 64 > 62
+    with pytest.raises(ValueError):
+        z_bucket(grid, ["x", "y"], n_buckets=0)
+
+
+def test_z_bucket_tiling(spark, grid):
+    out = z_bucket(grid, ["x", "y"], n_buckets=16, bits=4)
+    got = out.groupBy("bucket").count().collect()
+    assert len(got) == 16
+    # equal key-space volume AND (on the full grid) equal rows: the
+    # z-curve visits each 16-key tile exactly once per 4x4 quadrant
+    assert all(r["count"] == 16 for r in got)
+
+
+def test_zorder_beats_lexicographic_sort_for_second_column(spark, grid):
+    # the reason this operator exists: with a lexicographic (x, y) sort
+    # a predicate on y skips nothing; z-order skips most buckets
+    zrep = layout_report(
+        z_bucket(grid, ["x", "y"], n_buckets=16, bits=4), "bucket", ["y"]
+    )
+    zskip = skip_fraction(zrep, "y", 3, 4).collect()[0]
+
+    lex = grid.withColumn(
+        "bucket", F.floor((F.col("x") * 16 + F.col("y")) / 16).cast("long")
+    )
+    lrep = layout_report(lex, "bucket", ["y"])
+    lskip = skip_fraction(lrep, "y", 3, 4).collect()[0]
+
+    assert lskip["buckets_skipped"] == 0  # sort on x: y-range hits all
+    assert zskip["buckets_skipped"] >= 8  # z-order: most tiles miss
+    # y in [3,4] straddles the 4-row quadrant boundary, so exactly half
+    # the tiles intersect — still infinitely better than the sort's 0
+    assert zskip["row_frac_skipped"] >= 0.5
+
+
+def test_zorder_repartition_ranges_disjoint(spark, grid):
+    # recompute key per row: partition zkey ranges must not overlap
+    rows = (
+        zorder_repartition(grid, ["x", "y"], n_files=4, bits=4)
+        .withColumn("pid", F.spark_partition_id())
+        .collect()
+    )
+    by_pid = {}
+    for r in rows:
+        by_pid.setdefault(r["pid"], []).append(_morton([r["x"], r["y"]], 4))
+    spans = sorted((min(v), max(v)) for v in by_pid.values())
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi <= b_lo
+    assert len(by_pid) > 1  # actually parallel
