@@ -39,7 +39,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: broadcast cross join
 #: skew_topk joins its top-k rows against a ONE-row broadcast totals
 #: frame — a deliberate scalar-attach, not a join-key mistake
-NESTED_LOOP_OK = {"knn_bruteforce", "ivf_topk", "embedding_near_dups", "skew_topk"}
+#: zorder_layout cross-joins the ONE-row global min/max bounds frame
+#: into the scan (layout.zorder_key) — a scalar-attach with fan-out 1
+NESTED_LOOP_OK = {
+    "knn_bruteforce",
+    "ivf_topk",
+    "embedding_near_dups",
+    "skew_topk",
+    "zorder_layout",
+}
 
 #: queries whose UNPARTITIONED windows run on PROVABLY BOUNDED frames
 #: (the whole point of the single-partition-window flag is catching a
