@@ -1,0 +1,212 @@
+"""Schema contracts: evolution diff + pre-flight contract gate.
+
+The cheapest validation a 100 TB job can run is the one that touches
+ZERO data: both operators here work purely on DataFrame metadata — no
+job, no scan, no shuffle — so a pipeline fails in milliseconds on a
+renamed column or a silently narrowed type instead of N executor-hours
+in.  They complement the data-level checks (`operators/checks.py`,
+`operators/fields.py`, reference `datavalid/checkers.py` semantics):
+those ask "are the VALUES right", these ask "is the SHAPE right", and
+the shape question must come first.
+
+Change taxonomy (``compat`` column):
+
+- ``safe``      — identical type and nullability;
+- ``widening``  — strictly information-preserving promotion: the
+  integer ladder byte→short→int→long, float→double, date→timestamp,
+  and nullability relaxed (NOT NULL → nullable).  Readers keep working;
+- ``breaking``  — everything else: dropped column, any other type
+  change (including long→double, which loses integer precision above
+  2^53, and ANY change inside a nested struct/array/map — nested types
+  compare atomically by their full DDL string), nullability tightened
+  (nullable → NOT NULL is a new promise old data may violate).
+
+Added columns are reported as ``added``/``widening`` (old readers are
+unaffected) — the Iceberg/Delta schema-evolution stance.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+#: strictly information-preserving promotions (simpleString names)
+_WIDENINGS = {
+    ("tinyint", "smallint"),
+    ("tinyint", "int"),
+    ("tinyint", "bigint"),
+    ("smallint", "int"),
+    ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+    ("date", "timestamp"),
+    ("date", "timestamp_ntz"),
+}
+
+_DIFF_SCHEMA = (
+    "column string, change string, from_type string, to_type string, "
+    "compat string"
+)
+
+_CONTRACT_SCHEMA = (
+    "column string, status string, expected string, actual string"
+)
+
+
+def _classify(old_f, new_f) -> str:
+    ot, nt = old_f.dataType.simpleString(), new_f.dataType.simpleString()
+    if ot != nt:
+        return "widening" if (ot, nt) in _WIDENINGS else "breaking"
+    if old_f.nullable != new_f.nullable:
+        # relaxing (required -> nullable) is safe for readers; the
+        # reverse promises more than old data guarantees
+        return "widening" if new_f.nullable else "breaking"
+    return "safe"
+
+
+def schema_diff(old: StructType, new: StructType) -> list[dict]:
+    """Column-level evolution report between two schemas (driver-side
+    list — no SparkSession needed, usable in pre-flight scripts)."""
+    old_by = {f.name: f for f in old.fields}
+    new_by = {f.name: f for f in new.fields}
+    out = []
+    for name, f in old_by.items():
+        if name not in new_by:
+            out.append(
+                {
+                    "column": name,
+                    "change": "dropped",
+                    "from_type": f.dataType.simpleString(),
+                    "to_type": None,
+                    "compat": "breaking",
+                }
+            )
+            continue
+        g = new_by[name]
+        compat = _classify(f, g)
+        if compat != "safe":
+            out.append(
+                {
+                    "column": name,
+                    "change": "type_changed"
+                    if f.dataType != g.dataType
+                    else "nullability_changed",
+                    "from_type": f.dataType.simpleString()
+                    + ("" if f.nullable else " not null"),
+                    "to_type": g.dataType.simpleString()
+                    + ("" if g.nullable else " not null"),
+                    "compat": compat,
+                }
+            )
+    for name, g in new_by.items():
+        if name not in old_by:
+            out.append(
+                {
+                    "column": name,
+                    "change": "added",
+                    "from_type": None,
+                    "to_type": g.dataType.simpleString(),
+                    "compat": "widening",
+                }
+            )
+    return out
+
+
+def diff_report(
+    spark: SparkSession, old: StructType, new: StructType
+) -> DataFrame:
+    """``schema_diff`` as a DataFrame (for sinks/joins with lineage)."""
+    rows = [
+        (d["column"], d["change"], d["from_type"], d["to_type"], d["compat"])
+        for d in schema_diff(old, new)
+    ]
+    return spark.createDataFrame(rows, _DIFF_SCHEMA)
+
+
+def is_compatible(old: StructType, new: StructType) -> bool:
+    """True iff every change is ``safe``/``widening`` — the gate a
+    writer checks before committing an evolved snapshot."""
+    return all(d["compat"] != "breaking" for d in schema_diff(old, new))
+
+
+def _contract_rows(
+    schema: StructType,
+    contract: Mapping[str, str],
+    allow_extra: bool,
+    widening_ok: bool,
+) -> list[tuple]:
+    fields = {f.name: f for f in schema.fields}
+    rows = []
+    for name, spec in contract.items():
+        spec = spec.strip().lower()
+        want_nn = spec.endswith(" not null")
+        want_type = spec[: -len(" not null")].strip() if want_nn else spec
+        f = fields.get(name)
+        actual = (
+            None
+            if f is None
+            else f.dataType.simpleString() + ("" if f.nullable else " not null")
+        )
+        if f is None:
+            status = "missing"
+        else:
+            at = f.dataType.simpleString()
+            type_ok = at == want_type or (
+                widening_ok and (want_type, at) in _WIDENINGS
+            )
+            if not type_ok:
+                status = "type_mismatch"
+            elif want_nn and f.nullable:
+                status = "nullable_violation"
+            else:
+                status = "ok"
+        rows.append((name, status, spec, actual))
+    if not allow_extra:
+        for name, f in fields.items():
+            if name not in contract:
+                rows.append(
+                    (name, "extra", None, f.dataType.simpleString())
+                )
+    return rows
+
+
+def contract_check(
+    df: DataFrame,
+    contract: Mapping[str, str],
+    allow_extra: bool = True,
+    widening_ok: bool = True,
+) -> DataFrame:
+    """Pre-flight gate: does ``df`` satisfy a ``column → type`` promise?
+
+    ``contract`` values are Spark DDL simpleStrings (``"bigint"``,
+    ``"array<double>"``); append `` not null`` to also require
+    non-nullability.  Emits one verdict row per contract column (and,
+    with ``allow_extra=False``, per unexpected extra column):
+    ``status ∈ ok | missing | type_mismatch | nullable_violation |
+    extra``.  With ``widening_ok`` the actual type may sit ABOVE the
+    promised one on the widening ladder (a long column satisfies an
+    ``int`` contract — the reader that assumed int range still works).
+
+    Pure metadata on the input — ``df`` is never scanned (collecting
+    the verdict frame itself is one driver-local parallelize; use
+    ``contract_passes`` for the job-free scalar form).
+    """
+    rows = _contract_rows(df.schema, contract, allow_extra, widening_ok)
+    return df.sparkSession.createDataFrame(rows, _CONTRACT_SCHEMA)
+
+
+def contract_passes(
+    df: DataFrame,
+    contract: Mapping[str, str],
+    allow_extra: bool = True,
+    widening_ok: bool = True,
+) -> bool:
+    """Scalar form of ``contract_check`` — computed entirely on the
+    driver from ``df.schema``: ZERO Spark jobs, the fail-fast gate to
+    call before any cluster time is spent."""
+    return all(
+        r[1] == "ok"
+        for r in _contract_rows(df.schema, contract, allow_extra, widening_ok)
+    )

@@ -1,0 +1,128 @@
+"""Schema contracts (operators/schema_contract.py): evolution diff
+taxonomy, the widening ladder, nested atomicity, and the zero-job
+pre-flight gate."""
+
+import pytest
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from datavalid_spark.operators.schema_contract import (
+    contract_check,
+    contract_passes,
+    diff_report,
+    is_compatible,
+    schema_diff,
+)
+
+
+def _s(*fields):
+    return StructType([StructField(n, t, nullable=nul) for n, t, nul in fields])
+
+
+OLD = _s(
+    ("id", LongType(), False),
+    ("name", StringType(), True),
+    ("score", IntegerType(), True),
+    ("tags", ArrayType(StringType()), True),
+)
+
+
+def _by_col(diff):
+    return {d["column"]: d for d in diff}
+
+
+def test_identical_schemas_empty_diff():
+    assert schema_diff(OLD, OLD) == []
+    assert is_compatible(OLD, OLD)
+
+
+def test_widening_ladder_and_breaking_changes():
+    new = _s(
+        ("id", LongType(), True),  # relaxed nullability -> widening
+        ("name", IntegerType(), True),  # string -> int: breaking
+        ("score", LongType(), True),  # int -> bigint: widening
+        ("tags", ArrayType(DoubleType()), True),  # nested change: breaking
+        ("extra", StringType(), True),  # added: widening
+    )
+    d = _by_col(schema_diff(OLD, new))
+    assert d["id"]["compat"] == "widening"
+    assert d["id"]["change"] == "nullability_changed"
+    assert d["name"]["compat"] == "breaking"
+    assert d["score"]["compat"] == "widening"
+    assert d["tags"]["compat"] == "breaking"
+    assert d["extra"]["change"] == "added"
+    assert not is_compatible(OLD, new)
+
+
+def test_dropped_and_tightened_are_breaking():
+    new = _s(
+        ("id", LongType(), False),
+        ("name", StringType(), False),  # nullable -> NOT NULL: breaking
+        ("tags", ArrayType(StringType()), True),
+    )
+    d = _by_col(schema_diff(OLD, new))
+    assert d["score"]["change"] == "dropped"
+    assert d["score"]["compat"] == "breaking"
+    assert d["name"]["compat"] == "breaking"
+
+
+def test_diff_report_dataframe(spark):
+    new = _s(("id", LongType(), False), ("name", StringType(), True))
+    rep = diff_report(spark, OLD, new)
+    assert rep.columns == ["column", "change", "from_type", "to_type", "compat"]
+    assert rep.count() == 2  # score + tags dropped
+
+
+def test_contract_check_statuses(spark):
+    df = spark.createDataFrame(
+        [], "id bigint, name string, score int, v array<double>"
+    )
+    out = {
+        r["column"]: r["status"]
+        for r in contract_check(
+            df,
+            {
+                "id": "bigint",
+                "name": "bigint",  # mismatch
+                "score": "int not null",  # nullable violation
+                "v": "array<double>",
+                "gone": "string",  # missing
+            },
+        ).collect()
+    }
+    assert out == {
+        "id": "ok",
+        "name": "type_mismatch",
+        "score": "nullable_violation",
+        "v": "ok",
+        "gone": "missing",
+    }
+
+
+def test_contract_widening_and_extra(spark):
+    df = spark.createDataFrame([], "id bigint, other string")
+    # a bigint column satisfies an int promise when widening_ok
+    assert contract_passes(df, {"id": "int"})
+    assert not contract_passes(df, {"id": "int"}, widening_ok=False)
+    out = {
+        r["column"]: r["status"]
+        for r in contract_check(df, {"id": "bigint"}, allow_extra=False).collect()
+    }
+    assert out["other"] == "extra"
+
+
+def test_gate_runs_zero_jobs(spark):
+    # the whole point: the verdict must not touch data
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = spark.range(10).withColumnRenamed("id", "k")
+    assert contract_passes(df, {"k": "bigint"})
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
