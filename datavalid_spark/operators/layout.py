@@ -33,6 +33,15 @@ z-order layout gives every column average normalized range width
 ≈ ``n^(-1/d)`` per bucket, vs width ≈ 1 for every non-sort column of
 a lexicographic sort.
 
+Relationship to ``sources/snaplog.py``: the snapshot table's
+``rewrite(z_order_by=...)`` clusters FILES it writes using sampled
+quantile boundaries (rank-balanced, any orderable type — the right
+writer default).  This module is the complement: an exact,
+engine-reproducible key (min-max integer scaling — the driver's DuckDB
+gate can replay it bit-for-bit), plus the diagnostics
+(``layout_report`` / ``skip_fraction``) that quantify ANY layout's
+skipping power, including one produced by snaplog's rewrite.
+
 No reference counterpart (the reference validates frames it is handed;
 laying out storage for validation at scale is engine-only surface,
 SURVEY.md §2.6).

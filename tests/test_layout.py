@@ -103,3 +103,27 @@ def test_zorder_repartition_ranges_disjoint(spark, grid):
     for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
         assert a_hi <= b_lo
     assert len(by_pid) > 1  # actually parallel
+
+
+def test_layout_report_predicts_snaplog_pruning(spark, tmp_path):
+    """Cross-module contract: skip_fraction over per-FILE rectangles
+    (bucket = file name) must equal what SnapshotTable.prune_files
+    actually skips — the diagnostic is the planner's arithmetic."""
+    from datavalid_spark.sources.snaplog import SnapshotTable
+
+    grid = spark.createDataFrame(
+        [(x, y, x * 1000 + y) for x in range(50) for y in range(50)],
+        "x int, y int, payload int",
+    ).repartition(4)
+    t = SnapshotTable(spark, str(tmp_path / "zt"))
+    t.create(grid)
+    t.compact(target_file_rows=157, z_order_by=["x", "y"])
+
+    files = layout_report(
+        t.read().withColumn("f", F.input_file_name()), "f", ["y"]
+    )
+    sk = skip_fraction(files, "y", 7, 7).collect()[0]
+    kept, total = t.prune_files([("y", "=", 7)])
+    assert sk["n_buckets"] == total
+    assert sk["buckets_skipped"] == total - len(kept)
+    assert sk["buckets_skipped"] > 0  # the layout actually helps
