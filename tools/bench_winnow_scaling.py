@@ -1,0 +1,78 @@
+"""Two-level scaling study for winnowing code-clone detection
+(companion to tools/bench_dedup_scaling.py; same pinned-JVM method and
+the same two methodology rules — fixed task granularity across levels,
+>=5 warm iterations — documented there).
+
+Job: MOSS winnowing end-to-end over N files of the bench source-code
+table: normalize -> char-8-gram md5 -> robust winnow (w=4) ->
+rare-fingerprint inverted-index self-join -> overlap score >= 0.25
+(operators/winnow.py).  ``max_bucket_size=20``: this corpus is
+TEMPLATED (byte-identical mega-groups), so corpus-common fingerprints
+are both semantically noise (boilerplate) and the fan-out hazard — the
+cap is load-bearing, exactly as in the LSH study.
+
+Usage: python tools/bench_winnow_scaling.py [--docs 200000] [--iters 5]
+       python tools/bench_winnow_scaling.py --level 8   (inner, pinned)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.scaling_harness import build_session, run_study, std_args
+
+CORPUS = "/tmp/dv_winnow_scaling_corpus_{docs}"
+
+
+def inner(cpus: int, docs: int, iters: int, parts: int, shuf: int) -> None:
+    from datavalid_spark.cache import release_cached
+    from datavalid_spark.operators.winnow import winnow_pairs
+
+    spark = build_session(cpus, shuf, app="winnow-scaling")
+    df = spark.read.parquet(CORPUS.format(docs=docs)).repartition(parts).persist()
+    n = df.count()
+    times, pairs = [], 0
+    for _ in range(iters):
+        t = time.time()
+        pairs = winnow_pairs(
+            df,
+            "doc_id",
+            "content",
+            k=8,
+            w=4,
+            min_overlap=0.25,
+            max_bucket_size=20,
+        ).count()
+        times.append(time.time() - t)
+        release_cached()
+    best = min(times)
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "docs": n,
+                "pairs": pairs,
+                "sec_best": round(best, 2),
+                "sec_all": [round(x, 2) for x in times],
+                "docs_per_sec": round(n / best, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+def main() -> None:
+    args = std_args(default_docs=200000)
+    if args.level:
+        inner(args.level, args.docs, args.iters, args.parts, args.shuf)
+        return
+    run_study(__file__, "winnowing code-clone detection", args, CORPUS)
+
+
+if __name__ == "__main__":
+    main()
