@@ -3,6 +3,8 @@ reference, curve-tiling determinism, the skipping payoff vs a
 lexicographic sort, and the range-partitioned writer path."""
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from datavalid_spark.operators.layout import (
@@ -127,3 +129,34 @@ def test_layout_report_predicts_snaplog_pruning(spark, tmp_path):
     assert sk["n_buckets"] == total
     assert sk["buckets_skipped"] == total - len(kept)
     assert sk["buckets_skipped"] > 0  # the layout actually helps
+
+
+def _scale(v, lo, hi, bits):
+    span = max(hi - lo, 1)
+    return ((v - lo) * ((1 << bits) - 1)) // span
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**6), max_value=10**6),
+            st.integers(min_value=-(10**6), max_value=10**6),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_hypothesis_zorder_parity(spark, pts):
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "i long, x long, y long")
+    got = {r["i"]: r["zkey"] for r in zorder_key(df, ["x", "y"], bits=6).collect()}
+    xs, ys = [x for x, _ in pts], [y for _, y in pts]
+    lox, hix, loy, hiy = min(xs), max(xs), min(ys), max(ys)
+    for i, (x, y) in enumerate(pts):
+        want = _morton([_scale(x, lox, hix, 6), _scale(y, loy, hiy, 6)], 6)
+        assert got[i] == want, (i, x, y, got[i], want)
