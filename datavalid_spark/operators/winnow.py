@@ -90,25 +90,29 @@ def winnow_fingerprints(
 
             def pick(s: Column) -> Column:
                 # window is grams s .. s+w-1 (clipped to the array end
-                # for the single short-doc window)
-                win = F.slice(
-                    hs, s, F.least(F.lit(w), F.size(hs) - s + 1)
-                )
-
-                def choose(m: Column) -> Column:
-                    # rightmost position attaining the window minimum
-                    right = F.array_max(
-                        F.filter(
-                            F.sequence(F.lit(1), F.size(win)),
-                            lambda j: F.element_at(win, j) == m,
+                # for the single short-doc window); let-bound — the
+                # slice would otherwise re-copy per reference inside
+                # the tie-break
+                def with_win(win: Column) -> Column:
+                    def choose(m: Column) -> Column:
+                        # rightmost position attaining the window min
+                        right = F.array_max(
+                            F.filter(
+                                F.sequence(F.lit(1), F.size(win)),
+                                lambda j: F.element_at(win, j) == m,
+                            )
                         )
-                    )
-                    return F.struct(
-                        m.alias("fp"),
-                        (s + right - 1).cast("int").alias("pos"),
-                    )
+                        return F.struct(
+                            m.alias("fp"),
+                            (s + right - 1).cast("int").alias("pos"),
+                        )
 
-                return let_once(F.array_min(win), choose)
+                    return let_once(F.array_min(win), choose)
+
+                return let_once(
+                    F.slice(hs, s, F.least(F.lit(w), F.size(hs) - s + 1)),
+                    with_win,
+                )
 
             return F.array_distinct(
                 F.transform(F.sequence(F.lit(1), n_windows), pick)
