@@ -129,7 +129,9 @@ def test_local_detection_guarantee(spark):
 @given(
     st.lists(
         st.text(
-            alphabet=string.ascii_letters + string.digits + " \t\n",
+            # non-ASCII included: k-gramming must be code-point-based
+            # (python slicing semantics), not byte-based
+            alphabet=string.ascii_letters + string.digits + " \t\n" + "éß漢字",
             min_size=0,
             max_size=60,
         ),
