@@ -870,6 +870,59 @@ def q_text_quality(spark, sf_dir):
 # ---- engine ops beyond the reference (SURVEY.md §2.6 checklist) ----------
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality rules (Rae et al. 2021 A1.1;
+    functions/text.gopher_signals): per-doc word/line/symbol signals +
+    the composite pass verdict, one fused scan.  The struct is selected
+    ONCE then expanded (CollapseProject's multi-reference guard keeps
+    the signal computation single-evaluation)."""
+    from datavalid_spark.functions.text import gopher_signals
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    g = docs.select("doc_id", gopher_signals(F.col("text")).alias("g"))
+    return g.select(
+        "doc_id",
+        F.col("g.n_words").alias("n_words"),
+        F.col("g.mean_word_len").alias("mean_word_len"),
+        F.col("g.symbol_ratio").alias("symbol_ratio"),
+        F.col("g.bullet_frac").alias("bullet_frac"),
+        F.col("g.ellipsis_frac").alias("ellipsis_frac"),
+        F.col("g.alpha_frac").alias("alpha_frac"),
+        F.col("g.stopword_hits").alias("stopword_hits"),
+        F.col("g.pass").alias("passed"),
+    )
+
+
+#: encoding-damage plants, spelled as \u escapes (multibyte
+#: artifacts written literally risk editor/transport mangling --
+#: the round-2 no_secrets lesson); 7th docs get a cp1252 curly-
+#: quote pair + a double-encoded e-acute, 11th docs a U+FFFD
+_PLANT_MOJIBAKE_7 = " said \u00e2\u20ac\u0153no\u00e2\u20ac\u009d \u00c3\u00a9"
+_PLANT_MOJIBAKE_11 = " x\ufffdy"
+
+
+def q_encoding_check(spark, sf_dir):
+    """Mojibake / encoding-damage scan (functions/text.mojibake_count):
+    deterministic artifacts planted from doc_id (every 7th doc gets a
+    cp1252 double-encoding, every 11th a U+FFFD replacement char) — the
+    clean word-salad corpus would otherwise make the scan trivially
+    all-zero."""
+    from datavalid_spark.functions.text import mojibake_count
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(_PLANT_MOJIBAKE_7)).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(_PLANT_MOJIBAKE_11)).otherwise(
+            F.lit("")
+        ),
+    )
+    out = docs.select("doc_id", mojibake_count(aug).alias("n_mojibake"))
+    return out.withColumn("clean", F.col("n_mojibake") == 0)
+
+
 def q_sort_limit_topk(spark, sf_dir):
     # deterministic top-k: price desc, orderkey asc tiebreak
     return (
@@ -2483,6 +2536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_metrics": q_text_metrics,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
+        "gopher_rules": q_gopher_rules,
+        "encoding_check": q_encoding_check,
         "sort_limit_topk": q_sort_limit_topk,
         "agg_pricing": q_agg_pricing,
         "window_running": q_window_running,
@@ -2560,6 +2615,104 @@ sel AS (
   FROM wgen JOIN gr g ON g.id = wgen.id
                      AND g.p >= wgen.w_s AND g.p < wgen.w_s + 4),
 wfps AS (SELECT DISTINCT id, h AS fp, p AS pos FROM sel WHERE rk = 1)"""
+
+
+def _sql_ustr(s: str) -> str:
+    """A DuckDB expression for string ``s`` with every non-ASCII code
+    point spelled ``chr(n)`` — transport-safe (no raw multibyte bytes
+    in the SQL, the round-2 no_secrets lesson)."""
+    parts: list[str] = []
+    run = ""
+    for ch in s:
+        if ord(ch) < 128:
+            run += ch
+        else:
+            if run:
+                parts.append("'" + run.replace("'", "''") + "'")
+                run = ""
+            parts.append(f"chr({ord(ch)})")
+    if run:
+        parts.append("'" + run.replace("'", "''") + "'")
+    return " || ".join(parts) if parts else "''"
+
+
+def _gopher_sql() -> str:
+    """DuckDB mirror of functions/text.gopher_signals over documents."""
+    from datavalid_spark.functions.text import GOPHER_STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    bullet = _sql_ustr("•")
+    ell = _sql_ustr("…")
+    fold = (
+        "translate(w, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+        " 'abcdefghijklmnopqrstuvwxyz')"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     w -> w != '') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents WHERE text IS NOT NULL),
+s AS (
+  SELECT doc_id,
+    len(toks) AS n_words,
+    len(lines) AS n_lines,
+    COALESCE(list_sum(list_transform(toks, w -> length(w))), 0) AS wchars,
+    length(text)
+      - length(replace(replace(text, '#', ''), {ell}, '')) AS symbols,
+    len(list_filter(lines, l -> starts_with(ltrim(l), {bullet})
+        OR starts_with(ltrim(l), '-')
+        OR starts_with(ltrim(l), '*'))) AS bullets,
+    len(list_filter(lines, l -> ends_with(rtrim(l), {ell})
+        OR ends_with(rtrim(l), '...'))) AS ellipses,
+    len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+    len(list_filter(toks, w -> {fold} IN ({stops}))) AS stop_hits
+  FROM t),
+r AS (
+  SELECT doc_id, n_words::INT AS n_words,
+    CASE WHEN n_words = 0 THEN 0.0
+         ELSE wchars::DOUBLE / n_words END AS mean_word_len,
+    CASE WHEN n_words = 0 THEN 0.0
+         ELSE symbols::DOUBLE / n_words END AS symbol_ratio,
+    CASE WHEN n_lines = 0 THEN 0.0
+         ELSE bullets::DOUBLE / n_lines END AS bullet_frac,
+    CASE WHEN n_lines = 0 THEN 0.0
+         ELSE ellipses::DOUBLE / n_lines END AS ellipsis_frac,
+    CASE WHEN n_words = 0 THEN 0.0
+         ELSE alpha_words::DOUBLE / n_words END AS alpha_frac,
+    stop_hits::INT AS stopword_hits
+  FROM s)
+SELECT *,
+  (n_words >= 50 AND n_words <= 100000
+   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+   AND symbol_ratio < 0.1 AND bullet_frac < 0.9
+   AND ellipsis_frac < 0.3 AND alpha_frac > 0.8
+   AND stopword_hits >= 2) AS passed
+FROM r
+"""
+
+
+def _encoding_sql() -> str:
+    """DuckDB mirror of q_encoding_check: same plants, same artifact
+    alternation (built from the SAME python constants via chr())."""
+    from datavalid_spark.functions.text import _MOJIBAKE_RE
+
+    pat = _sql_ustr(_MOJIBAKE_RE)
+    p7 = _sql_ustr(_PLANT_MOJIBAKE_7)
+    p11 = _sql_ustr(_PLANT_MOJIBAKE_11)
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+           || CASE WHEN doc_id % 7 = 0 THEN {p7} ELSE '' END
+           || CASE WHEN doc_id % 11 = 0 THEN {p11} ELSE '' END AS a
+  FROM documents WHERE text IS NOT NULL)
+SELECT doc_id,
+       len(regexp_extract_all(a, {pat}))::INT AS n_mojibake,
+       len(regexp_extract_all(a, {pat})) = 0 AS clean
+FROM aug
+"""
 
 
 def _zorder_interleave_sql(scol: str, i: int, n: int, bits: int) -> str:
@@ -2999,6 +3152,8 @@ FROM btop b FULL OUTER JOIN vtop v USING (id)
 """,
         "text_lang_id": _lang_id_sql(),
         "text_quality": _quality_sql(),
+        "gopher_rules": _gopher_sql(),
+        "encoding_check": _encoding_sql(),
         "sort_limit_topk": """
 SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
 """,

@@ -136,6 +136,10 @@ HEADLINE_QUERIES = [
     "winnow_clone_pairs",
     "leakage_split",
     "zorder_layout",
+    # round-3 additions: Gopher quality rules (one fused scan) and
+    # mojibake/encoding-damage scan (single regexp_count)
+    "gopher_rules",
+    "encoding_check",
 ]
 
 

@@ -10,6 +10,8 @@ oracle over the ``documents`` table.
 
 from __future__ import annotations
 
+import string
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -481,3 +483,138 @@ def strip_html(col: Column | str) -> Column:
             out = F.replace(out, F.lit(ent), F.lit(rep))
     out = F.replace(out, F.lit("&amp;"), F.lit("&"))
     return F.trim(F.regexp_replace(out, rf"{ws}+", " "))
+
+
+# ------------------------------------------------------------------ gopher
+
+#: Rae et al. 2021 (Gopher, Appendix A1.1) require >= 2 of a small
+#: English stop-word list as a "real prose" signal
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+#: leading characters that mark a bulleted line
+_BULLET_CHARS = ("•", "-", "*")
+
+
+def gopher_signals(col: Column | str) -> Column:
+    """Gopher quality-rule signals (Rae et al. 2021, A1.1) as ONE
+    struct computed in a single fused pass — no UDF, no shuffle:
+
+    ``n_words`` (whitespace tokens), ``mean_word_len``,
+    ``symbol_ratio`` ('#'/'…' per word), ``bullet_frac`` /
+    ``ellipsis_frac`` (of lines), ``alpha_frac`` (words containing a
+    letter), ``stopword_hits``, and the composite ``pass`` verdict
+    (50 ≤ words ≤ 100k, 3 ≤ mean len ≤ 10, symbols < 0.1,
+    bullets < 0.9, ellipses < 0.3, alpha > 0.8, stopwords ≥ 2).
+
+    Dialect-safety (the DuckDB-oracle rules this module already
+    follows): tokens are RAW whitespace splits (no full-Unicode
+    ``lower`` — Spark and DuckDB disagree on it, see functions/bpe.py);
+    stop-word membership folds case with an ASCII ``translate``; symbol
+    counting is ``length - length(translate(...))``, not regex."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def build(t: Column) -> Column:
+        def with_lines(lines: Column) -> Column:
+            n_words = F.size(t)
+            n_lines = F.size(lines)
+            word_chars = F.aggregate(
+                t, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+            )
+            symbols = F.length(c) - F.length(F.translate(c, "#…", ""))
+            # starts_with / ends_with, NOT negative-index substring:
+            # Spark and DuckDB disagree on short-string negative starts
+            bullets = F.size(
+                F.filter(
+                    lines,
+                    lambda l: let_once(
+                        F.ltrim(l),
+                        lambda s: F.startswith(s, F.lit("•"))
+                        | F.startswith(s, F.lit("-"))
+                        | F.startswith(s, F.lit("*")),
+                    ),
+                )
+            )
+            ellipses = F.size(
+                F.filter(
+                    lines,
+                    lambda l: let_once(
+                        F.rtrim(l),
+                        lambda s: F.endswith(s, F.lit("…"))
+                        | F.endswith(s, F.lit("...")),
+                    ),
+                )
+            )
+            alpha_words = F.size(
+                F.filter(t, lambda w: w.rlike("[A-Za-z]"))
+            )
+            stop_hits = F.size(
+                F.filter(
+                    t,
+                    lambda w: F.translate(
+                        w, string.ascii_uppercase, string.ascii_lowercase
+                    ).isin(*GOPHER_STOPWORDS),
+                )
+            )
+            nwd = n_words.cast("double")
+            empty = n_words == 0
+            mean_len = F.when(empty, 0.0).otherwise(word_chars / nwd)
+            sym_r = F.when(empty, 0.0).otherwise(symbols / nwd)
+            bul_r = F.when(n_lines == 0, 0.0).otherwise(
+                bullets / n_lines.cast("double")
+            )
+            ell_r = F.when(n_lines == 0, 0.0).otherwise(
+                ellipses / n_lines.cast("double")
+            )
+            alpha_r = F.when(empty, 0.0).otherwise(alpha_words / nwd)
+            ok = (
+                (n_words >= 50)
+                & (n_words <= 100_000)
+                & (mean_len >= 3.0)
+                & (mean_len <= 10.0)
+                & (sym_r < 0.1)
+                & (bul_r < 0.9)
+                & (ell_r < 0.3)
+                & (alpha_r > 0.8)
+                & (stop_hits >= 2)
+            )
+            return F.struct(
+                n_words.cast("int").alias("n_words"),
+                mean_len.alias("mean_word_len"),
+                sym_r.alias("symbol_ratio"),
+                bul_r.alias("bullet_frac"),
+                ell_r.alias("ellipsis_frac"),
+                alpha_r.alias("alpha_frac"),
+                stop_hits.cast("int").alias("stopword_hits"),
+                ok.alias("pass"),
+            )
+
+        return let_once(F.split(c, "\n"), with_lines)
+
+    raw_tokens = F.filter(
+        F.split(F.trim(c), r"\s+"), lambda w: w != ""
+    )
+    # NULL text -> NULL struct (size(NULL) would otherwise yield -1)
+    return F.when(c.isNotNull(), let_once(raw_tokens, build))
+
+
+def gopher_pass(col: Column | str) -> Column:
+    """The Gopher composite verdict alone (see ``gopher_signals``)."""
+    return gopher_signals(col)["pass"]
+
+
+#: canonical UTF-8-as-Latin-1 double-encoding artifacts + the Unicode
+#: replacement character — the fingerprints of mangled text (what ftfy
+#: repairs); alternation of LITERALS so Java regex and RE2 agree
+_MOJIBAKE_RE = "(\u00e2\u20ac\u2122|\u00e2\u20ac\u0153|\u00e2\u20ac\u009d|\u00e2\u20ac\u201d|\u00e2\u20ac\u00a6|\u00c3\u00a9|\u00c3\u00a8|\u00c3\u00bc|\u00c3\u00a4|\u00c3\u00b6|\u00c3\u00b1|\u00c3\u00a7|\u00c2\u00b0|\u00c2\u00bb|\u00ef\u00bf\u00bd|\ufffd)"
+
+
+def mojibake_count(col: Column | str) -> Column:
+    """Occurrences of classic encoding-mangling artifacts (UTF-8 bytes
+    decoded as Latin-1/cp1252, double encodings, U+FFFD replacement
+    chars).  A nonzero count marks a document whose upstream decode was
+    wrong — the validation any multi-source text ingest needs before
+    training on it."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(
+        F.regexp_count(c, F.lit(_MOJIBAKE_RE)), F.lit(0)
+    ).cast("int")

@@ -1,0 +1,113 @@
+"""Gopher quality rules + mojibake detection (functions/text.py):
+signal values vs a pure-python ground truth, rule boundaries, NULL and
+empty edges, artifact counting."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.functions.text import (
+    GOPHER_STOPWORDS,
+    gopher_pass,
+    gopher_signals,
+    mojibake_count,
+)
+
+MOJI_QUOTE_OPEN = "\u00e2\u20ac\u0153"
+MOJI_QUOTE_CLOSE = "\u00e2\u20ac\u009d"
+MOJI_EACUTE = "\u00c3\u00a9"
+REPLACEMENT = "\ufffd"
+
+PROSE = "the quick brown fox and that dog have fun with all of it " * 5
+
+
+def _py_signals(text):
+    toks = [w for w in re.split(r"\s+", text.strip()) if w]
+    lines = text.split("\n")
+    n, nl = len(toks), len(lines)
+    if n == 0:
+        return dict(
+            n_words=0, mean_word_len=0.0, symbol_ratio=0.0,
+            bullet_frac=0.0, ellipsis_frac=0.0, alpha_frac=0.0,
+            stopword_hits=0,
+        )
+    symbols = sum(text.count(ch) for ch in "#…")
+    bullets = sum(
+        1 for l in lines if l.lstrip()[:1] in ("•", "-", "*")
+    )
+    ell = sum(
+        1
+        for l in lines
+        if l.rstrip().endswith("…") or l.rstrip().endswith("...")
+    )
+    alpha = sum(1 for w in toks if re.search("[A-Za-z]", w))
+    stops = sum(1 for w in toks if w.lower() in GOPHER_STOPWORDS)
+    return dict(
+        n_words=n,
+        mean_word_len=sum(len(w) for w in toks) / n,
+        symbol_ratio=symbols / n,
+        bullet_frac=bullets / nl,
+        ellipsis_frac=ell / nl,
+        alpha_frac=alpha / n,
+        stopword_hits=stops,
+    )
+
+
+CASES = [
+    PROSE,
+    "- one\n- two\n  - three\nplain",
+    "wait for it…\nmore...\nok then",
+    "#### tags " * 40,
+    "x",
+    "",
+    "   \n \t ",
+    "• bullet only",
+]
+
+
+def test_signals_match_python_ground_truth(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CASES)], "i long, text string"
+    )
+    rows = df.select("i", gopher_signals(F.col("text")).alias("g")).collect()
+    for r in rows:
+        want = _py_signals(CASES[r["i"]])
+        got = r["g"].asDict()
+        got.pop("pass")
+        for k, v in want.items():
+            assert got[k] == pytest.approx(v), (r["i"], k, got[k], v)
+
+
+def test_pass_rule_and_null(spark):
+    df = spark.createDataFrame(
+        [(1, PROSE), (2, "short text"), (3, None)],
+        "i long, text string",
+    )
+    got = {
+        r["i"]: r["p"]
+        for r in df.select("i", gopher_pass(F.col("text")).alias("p")).collect()
+    }
+    assert got[1] is True
+    assert got[2] is False  # < 50 words
+    assert got[3] is None  # NULL in -> NULL verdict, not -1 garbage
+
+
+def test_mojibake_count(spark):
+    rows = [
+        (1, "clean café text"),  # real é is NOT mojibake
+        (2, f"bad {MOJI_QUOTE_OPEN}q{MOJI_QUOTE_CLOSE} {MOJI_EACUTE}"),
+        (3, f"torn {REPLACEMENT} byte"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    got = {
+        r["i"]: r["m"]
+        for r in df.select(
+            "i", mojibake_count(F.col("text")).alias("m")
+        ).collect()
+    }
+    assert got[1] == 0
+    assert got[2] == 3
+    assert got[3] == 1
+    assert got[4] == 0  # coalesced
