@@ -923,6 +923,32 @@ def q_encoding_check(spark, sf_dir):
     return out.withColumn("clean", F.col("n_mojibake") == 0)
 
 
+def q_corpus_scorecard(spark, sf_dir):
+    """Per-source corpus health report (pipelines.corpus_scorecard):
+    exact-dup copies (every 10th doc) and mojibake plants (every 7th)
+    make dedup/encoding columns non-trivial; every aggregate is an
+    order-independent integer so the report hash-matches across
+    engines and partitionings."""
+    from datavalid_spark.pipelines import corpus_scorecard
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_PLANT_MOJIBAKE_7)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    copies = base.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return corpus_scorecard(base.unionByName(copies))
+
+
 def q_sort_limit_topk(spark, sf_dir):
     # deterministic top-k: price desc, orderkey asc tiebreak
     return (
@@ -2538,6 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "gopher_rules": q_gopher_rules,
         "encoding_check": q_encoding_check,
+        "corpus_scorecard": q_corpus_scorecard,
         "sort_limit_topk": q_sort_limit_topk,
         "agg_pricing": q_agg_pricing,
         "window_running": q_window_running,
@@ -2636,8 +2663,8 @@ def _sql_ustr(s: str) -> str:
     return " || ".join(parts) if parts else "''"
 
 
-def _gopher_sql() -> str:
-    """DuckDB mirror of functions/text.gopher_signals over documents."""
+def _gopher_sql(src: str = "documents") -> str:
+    """DuckDB mirror of functions/text.gopher_signals over ``src``."""
     from datavalid_spark.functions.text import GOPHER_STOPWORDS
 
     stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
@@ -2653,7 +2680,7 @@ WITH t AS (
          list_filter(string_split_regex(trim(text), '\\s+'),
                      w -> w != '') AS toks,
          string_split(text, chr(10)) AS lines
-  FROM documents WHERE text IS NOT NULL),
+  FROM {src} WHERE text IS NOT NULL),
 s AS (
   SELECT doc_id,
     len(toks) AS n_words,
@@ -2715,6 +2742,46 @@ FROM aug
 """
 
 
+def _scorecard_sql() -> str:
+    """DuckDB mirror of q_corpus_scorecard: rebuild the plants, then
+    reuse the gopher/quality oracle builders over the planted union as
+    subqueries."""
+    from datavalid_spark.functions.text import _MOJIBAKE_RE
+
+    p7 = _sql_ustr(_PLANT_MOJIBAKE_7)
+    pat = _sql_ustr(_MOJIBAKE_RE)
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, lang,
+         text || CASE WHEN doc_id % 7 = 0 THEN {p7} ELSE '' END AS text
+  FROM documents WHERE text IS NOT NULL),
+all_docs AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT doc_id + 1000000, source, lang, text FROM base
+  WHERE doc_id % 10 = 0),
+gop AS (SELECT * FROM ({_gopher_sql("all_docs")})),
+qual AS (SELECT * FROM ({_quality_sql("all_docs")})),
+perdoc AS (
+  SELECT a.doc_id, a.source, a.lang, md5(a.text) AS fp,
+         len(regexp_extract_all(a.text, {pat})) AS moji,
+         g.passed, g.n_words, ROUND(q.quality * 1e6)::BIGINT AS qmicro
+  FROM all_docs a
+  JOIN gop g USING (doc_id)
+  JOIN qual q USING (doc_id))
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT fp) AS n_unique_texts,
+       SUM(CASE WHEN passed THEN 1 ELSE 0 END)::BIGINT AS gopher_pass_n,
+       SUM(CASE WHEN moji > 0 THEN 1 ELSE 0 END)::BIGINT AS mojibake_docs,
+       SUM(n_words::BIGINT)::BIGINT AS sum_words,
+       SUM(qmicro)::BIGINT AS sum_quality_micro,
+       COUNT(DISTINCT lang) AS n_langs
+FROM perdoc
+GROUP BY source
+"""
+
+
 def _zorder_interleave_sql(scol: str, i: int, n: int, bits: int) -> str:
     """Morton-interleave terms for scaled column ``scol`` occupying
     lane ``i`` of ``n`` — the SQL mirror of operators/layout.zorder_key
@@ -2742,7 +2809,7 @@ SELECT doc_id, CASE WHEN best > 0 THEN {case} END AS lang_pred FROM s
 """
 
 
-def _quality_sql() -> str:
+def _quality_sql(src: str = "documents") -> str:
     sw = ", ".join(
         f"len(list_intersect({_TOKS}, [{', '.join(repr(w) for w in STOPWORDS[lang])}]))"
         for lang in sorted(STOPWORDS)
@@ -2760,7 +2827,7 @@ WITH b AS (
     CASE WHEN length(text) > 0
          THEN length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g'))::DOUBLE / length(text)
          ELSE 0.0 END AS pr
-  FROM documents
+  FROM {src}
 )
 SELECT doc_id,
   0.3 * len_band + 0.3 * alpha + 0.2 * sw_band +
@@ -3154,6 +3221,7 @@ FROM btop b FULL OUTER JOIN vtop v USING (id)
         "text_quality": _quality_sql(),
         "gopher_rules": _gopher_sql(),
         "encoding_check": _encoding_sql(),
+        "corpus_scorecard": _scorecard_sql(),
         "sort_limit_topk": """
 SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
 """,

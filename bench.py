@@ -140,6 +140,9 @@ HEADLINE_QUERIES = [
     # mojibake/encoding-damage scan (single regexp_count)
     "gopher_rules",
     "encoding_check",
+    # round-3 additions: per-source corpus health report (one fused
+    # scan + one hash agg; order-independent integer aggregates)
+    "corpus_scorecard",
 ]
 
 

@@ -135,3 +135,64 @@ def curate_corpus(
             order_by=["position"] if shuffle_seed is not None else [id_col],
         )
     return out
+
+
+def corpus_scorecard(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    lang_col: Optional[str] = "lang",
+) -> DataFrame:
+    """Per-source corpus health report — the one-glance dashboard a
+    multi-source ingest reviews before training: document counts,
+    exact-dup rate, Gopher pass rate, encoding damage, token volume,
+    quality mass, language spread.
+
+    ONE fused scan computes every per-doc signal (Gopher struct,
+    mojibake count, quality score, content fingerprint), then ONE hash
+    aggregation on the source key — two shuffles total (the second is
+    the two count-distincts), regardless of corpus size.
+
+    All aggregates are ORDER-INDEPENDENT integers (counts + sums of
+    per-doc `round(·×1e6)` micro-units) — never a floating sum whose
+    value depends on partitioning — so the report is bit-identical
+    across engines and cluster sizes; derive rates downstream
+    (`gopher_pass_n / n_docs` etc.).
+    """
+    from datavalid_spark.functions.text import (
+        gopher_signals,
+        mojibake_count,
+        quality_score,
+    )
+
+    c = F.col(text_col)
+    per = df.filter(c.isNotNull()).select(
+        F.col(source_col).alias("source"),
+        gopher_signals(c).alias("__g"),
+        mojibake_count(c).alias("__moji"),
+        F.round(quality_score(c) * 1e6).cast("long").alias("__qmicro"),
+        F.md5(c).alias("__fp"),
+        *( [F.col(lang_col).alias("__lang")] if lang_col else [] ),
+    )
+    flat = per.select(
+        "source",
+        F.col("__g.pass").alias("__pass"),
+        F.col("__g.n_words").alias("__nw"),
+        "__moji",
+        "__qmicro",
+        "__fp",
+        *( ["__lang"] if lang_col else [] ),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("__fp").alias("n_unique_texts"),
+        F.sum(F.when(F.col("__pass"), 1).otherwise(0)).alias("gopher_pass_n"),
+        F.sum(F.when(F.col("__moji") > 0, 1).otherwise(0)).alias(
+            "mojibake_docs"
+        ),
+        F.sum(F.col("__nw").cast("long")).alias("sum_words"),
+        F.sum("__qmicro").alias("sum_quality_micro"),
+    ]
+    if lang_col:
+        aggs.append(F.countDistinct("__lang").alias("n_langs"))
+    return flat.groupBy("source").agg(*aggs)

@@ -1,0 +1,103 @@
+"""Per-source corpus scorecard (pipelines.corpus_scorecard): aggregate
+values vs a pure-python ground truth, partition invariance (the
+order-independent-integers contract), lang-less form."""
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.functions.text import GOPHER_STOPWORDS
+from datavalid_spark.pipelines import corpus_scorecard
+
+PROSE = "the quick brown fox and that dog have fun with all of it " * 5
+
+ROWS = [
+    (1, "a", "en", PROSE),
+    (2, "a", "en", PROSE),  # exact dup of 1's text
+    (3, "a", "fr", "court"),
+    (4, "b", "en", "- one\n- two\n- three"),
+    (5, "b", "de", PROSE + " extra"),
+    (6, "b", None, "x�y torn bytes here"),
+    (7, "b", "en", None),  # NULL text dropped
+]
+
+
+def _py_pass(text):
+    toks = [w for w in re.split(r"\s+", text.strip()) if w]
+    n = len(toks)
+    if n == 0:
+        return False, 0
+    lines = text.split("\n")
+    mean = sum(len(w) for w in toks) / n
+    sym = sum(text.count(c) for c in "#…") / n
+    bul = sum(1 for l in lines if l.lstrip()[:1] in ("•", "-", "*")) / len(lines)
+    ell = sum(
+        1 for l in lines
+        if l.rstrip().endswith("…") or l.rstrip().endswith("...")
+    ) / len(lines)
+    alpha = sum(1 for w in toks if re.search("[A-Za-z]", w)) / n
+    stops = sum(1 for w in toks if w.lower() in GOPHER_STOPWORDS)
+    ok = (
+        50 <= n <= 100_000 and 3 <= mean <= 10 and sym < 0.1
+        and bul < 0.9 and ell < 0.3 and alpha > 0.8 and stops >= 2
+    )
+    return ok, n
+
+
+def _expected():
+    out = {}
+    for _i, src, lang, text in ROWS:
+        if text is None:
+            continue
+        d = out.setdefault(
+            src,
+            dict(n_docs=0, fps=set(), gopher_pass_n=0, mojibake_docs=0,
+                 sum_words=0, langs=set()),
+        )
+        ok, n = _py_pass(text)
+        d["n_docs"] += 1
+        d["fps"].add(hashlib.md5(text.encode()).hexdigest())
+        d["gopher_pass_n"] += ok
+        d["mojibake_docs"] += "�" in text
+        d["sum_words"] += n
+        if lang is not None:
+            d["langs"].add(lang)
+    return out
+
+
+def test_scorecard_matches_python(spark):
+    df = spark.createDataFrame(
+        ROWS, "doc_id long, source string, lang string, text string"
+    )
+    got = {r["source"]: r.asDict() for r in corpus_scorecard(df).collect()}
+    want = _expected()
+    assert set(got) == set(want)
+    for src, w in want.items():
+        g = got[src]
+        assert g["n_docs"] == w["n_docs"]
+        assert g["n_unique_texts"] == len(w["fps"])
+        assert g["gopher_pass_n"] == w["gopher_pass_n"]
+        assert g["mojibake_docs"] == w["mojibake_docs"]
+        assert g["sum_words"] == w["sum_words"]
+        assert g["n_langs"] == len(w["langs"])
+        assert g["sum_quality_micro"] > 0
+
+
+def test_scorecard_partition_invariant(spark):
+    df = spark.createDataFrame(
+        ROWS, "doc_id long, source string, lang string, text string"
+    )
+    a = sorted(map(tuple, corpus_scorecard(df.repartition(1)).collect()))
+    b = sorted(map(tuple, corpus_scorecard(df.repartition(7)).collect()))
+    assert a == b
+
+
+def test_scorecard_without_lang(spark):
+    df = spark.createDataFrame(
+        [(s, t) for _, s, _, t in ROWS if t], "source string, text string"
+    )
+    out = corpus_scorecard(df, lang_col=None)
+    assert "n_langs" not in out.columns
+    assert out.count() == 2
