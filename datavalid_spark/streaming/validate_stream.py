@@ -489,6 +489,69 @@ def stateful_sessionize(
     )
 
 
+def scorecard_stream(
+    stream_df: DataFrame,
+    ts_col: str,
+    source_col: str = "source",
+    text_col: str = "text",
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``pipelines.corpus_scorecard``: per-source
+    corpus health over event-time windows — doc counts, approximate
+    unique-text count, Gopher pass count, mojibake count, word and
+    quality-micro sums.
+
+    Every per-doc signal fuses into the stream's scan (the same pure
+    Column expressions as the batch scorecard); the only stateful op is
+    ONE windowed aggregation whose state the watermark bounds.  Exact
+    ``countDistinct`` is unbounded state in a stream, so unique texts
+    use ``approx_count_distinct`` (HLL) here — the batch
+    ``corpus_scorecard`` over the landed data is the exact
+    reconciliation pass, the same stream↔batch contract as the LSH
+    near-dup stream."""
+    from datavalid_spark.functions.text import (
+        gopher_signals,
+        mojibake_count,
+        quality_score,
+    )
+
+    c = F.col(text_col)
+    per = stream_df.filter(c.isNotNull()).select(
+        F.col(ts_col).alias("__ts"),
+        F.col(source_col).alias("source"),
+        gopher_signals(c).alias("__g"),
+        mojibake_count(c).alias("__moji"),
+        F.round(quality_score(c) * 1e6).cast("long").alias("__qmicro"),
+        F.md5(c).alias("__fp"),
+    )
+    flat = per.select(
+        "__ts",
+        "source",
+        F.col("__g.pass").alias("__pass"),
+        F.col("__g.n_words").alias("__nw"),
+        "__moji",
+        "__qmicro",
+        "__fp",
+    )
+    return (
+        flat.withWatermark("__ts", watermark)
+        .groupBy(F.window(F.col("__ts"), window).alias("window"), "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.approx_count_distinct("__fp").alias("approx_unique_texts"),
+            F.sum(F.when(F.col("__pass"), 1).otherwise(0)).alias(
+                "gopher_pass_n"
+            ),
+            F.sum(F.when(F.col("__moji") > 0, 1).otherwise(0)).alias(
+                "mojibake_docs"
+            ),
+            F.sum(F.col("__nw").cast("long")).alias("sum_words"),
+            F.sum("__qmicro").alias("sum_quality_micro"),
+        )
+    )
+
+
 def drift_monitor(
     stream_df: DataFrame,
     baseline_path: str,

@@ -101,3 +101,50 @@ def test_scorecard_without_lang(spark):
     out = corpus_scorecard(df, lang_col=None)
     assert "n_langs" not in out.columns
     assert out.count() == 2
+
+
+def test_scorecard_stream_matches_batch(spark, tmp_path):
+    """Stream->batch reconciliation: the windowed streaming scorecard's
+    integer aggregates equal the batch corpus_scorecard over the same
+    landed rows (the approx unique count is the one documented
+    divergence; on small inputs HLL is exact too)."""
+    import datetime
+    import os
+
+    from datavalid_spark.streaming.validate_stream import (
+        run_to_memory,
+        scorecard_stream,
+    )
+
+    src = str(tmp_path / "sc_in")
+    os.makedirs(src)
+    t0 = datetime.datetime(2026, 1, 1, 0, 5)
+    rows = [
+        (t0, s, l, t)
+        for (_i, s, l, t) in ROWS
+        if t is not None
+    ]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, source string, lang string, text string"
+    )
+    df.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = run_to_memory(
+        scorecard_stream(stream, "ts", window="1 hour"),
+        "sc_q1",
+        output_mode="complete",
+    )
+    got = {r["source"]: r.asDict() for r in out.collect()}
+    batch = {
+        r["source"]: r.asDict()
+        for r in corpus_scorecard(df, lang_col=None).collect()
+    }
+    assert set(got) == set(batch)
+    for srcname, b in batch.items():
+        g = got[srcname]
+        assert g["n_docs"] == b["n_docs"]
+        assert g["gopher_pass_n"] == b["gopher_pass_n"]
+        assert g["mojibake_docs"] == b["mojibake_docs"]
+        assert g["sum_words"] == b["sum_words"]
+        assert g["sum_quality_micro"] == b["sum_quality_micro"]
+        assert g["approx_unique_texts"] == b["n_unique_texts"]  # small-n exact
