@@ -676,6 +676,12 @@ try:
 except ImportError:  # pragma: no cover - mid-import of vocab
     pass
 
+try:
+    # registers "gopher_quality" (same pattern)
+    from datavalid_spark.operators import gopher_check as _gopher_check  # noqa: E402,F401
+except ImportError:  # pragma: no cover - mid-import of gopher_check
+    pass
+
 
 def build_table_check(key: str, value, today: Optional[datetime.date] = None) -> TableCheck:
     if key not in TABLE_CHECKS:
@@ -702,6 +708,7 @@ def build_table_check(key: str, value, today: Optional[datetime.date] = None) ->
         "max_fraction",
         "min_completeness",
         "max_oov",
+        "gopher_quality",
     ):
         return cls(**(value or {}))
     kwargs = dict(value or {})

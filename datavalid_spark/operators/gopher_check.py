@@ -1,0 +1,141 @@
+"""``gopher_quality`` — the YAML task surface for the Gopher document
+quality rules + encoding validation (functions/text.gopher_signals /
+mojibake_count).
+
+Config::
+
+    checks:
+      gopher_quality:
+        column: text
+        min_words: 50            # every threshold optional; defaults
+        max_words: 100000        # are the Rae et al. 2021 A1.1 values
+        min_mean_word_len: 3
+        max_mean_word_len: 10
+        max_symbol_ratio: 0.1
+        max_bullet_frac: 0.9
+        max_ellipsis_frac: 0.3
+        min_alpha_frac: 0.8
+        min_stopword_hits: 2
+        max_mojibake: 0          # encoding gate; null disables it
+
+A row violates when it fails ANY configured rule (NULL text is a
+violation — a corpus document with no content is not "unknown", it is
+bad).  The whole predicate is one scan-fused Column expression — the
+signal struct is let-bound once (``let_once``) so the nine threshold
+comparisons share a single evaluation — zero shuffle, zero UDF; the
+same check-class contract (violations / run / group_verdicts) as every
+table check, so it composes with ``where``/``group_by`` and the
+checkpointed partitioned runner (reference ``task.py:87-130`` shape).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datavalid_spark.functions.text import (
+    gopher_signals,
+    let_once,
+    mojibake_count,
+)
+from datavalid_spark.operators.checks import TableCheck
+
+_DEFAULTS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_ratio": 0.1,
+    "max_bullet_frac": 0.9,
+    "max_ellipsis_frac": 0.3,
+    "min_alpha_frac": 0.8,
+    "min_stopword_hits": 2,
+}
+
+
+class GopherQualityCheck(TableCheck):
+    """Document-quality gate (see module docstring)."""
+
+    key = "gopher_quality"
+
+    def __init__(self, column: Optional[str] = None, max_mojibake=0, **thresholds):
+        if column is None:
+            raise ValueError('should contain key "column"')
+        if not isinstance(column, str):
+            raise ValueError('"column" should be a column name')
+        unknown = set(thresholds) - set(_DEFAULTS)
+        if unknown:
+            raise ValueError(
+                "unknown threshold(s): %s" % ", ".join(sorted(unknown))
+            )
+        for k, v in thresholds.items():
+            if not isinstance(v, (int, float)) or isinstance(v, bool):
+                raise ValueError('"%s" should be a number' % k)
+        if max_mojibake is not None and (
+            not isinstance(max_mojibake, int)
+            or isinstance(max_mojibake, bool)
+            or max_mojibake < 0
+        ):
+            raise ValueError('"max_mojibake" should be a non-negative int or null')
+        self.column = column
+        self.max_mojibake = max_mojibake
+        self.t = {**_DEFAULTS, **thresholds}
+
+    def bad_expr(self, df: DataFrame):
+        c = F.col(self.column)
+        t = self.t
+
+        def fails(g) -> F.Column:
+            return (
+                (g["n_words"] < F.lit(t["min_words"]))
+                | (g["n_words"] > F.lit(t["max_words"]))
+                | (g["mean_word_len"] < F.lit(float(t["min_mean_word_len"])))
+                | (g["mean_word_len"] > F.lit(float(t["max_mean_word_len"])))
+                | (g["symbol_ratio"] >= F.lit(float(t["max_symbol_ratio"])))
+                | (g["bullet_frac"] >= F.lit(float(t["max_bullet_frac"])))
+                | (g["ellipsis_frac"] >= F.lit(float(t["max_ellipsis_frac"])))
+                | (g["alpha_frac"] <= F.lit(float(t["min_alpha_frac"])))
+                | (g["stopword_hits"] < F.lit(t["min_stopword_hits"]))
+            )
+
+        bad = let_once(gopher_signals(c), fails)
+        if self.max_mojibake is not None:
+            bad = bad | (mojibake_count(c) > F.lit(self.max_mojibake))
+        # NULL text is a violation, and NULL must not slip through the
+        # three-valued logic of the OR above
+        return c.isNull() | F.coalesce(bad, F.lit(True))
+
+    def violations(self, df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+        return df.filter(self.bad_expr(df))
+
+    def _err_msg(self, n: int) -> str:
+        return "%d documents fail the quality rules" % n
+
+    def to_markdown(self) -> str:
+        enc = (
+            " and at most %d encoding artifacts" % self.max_mojibake
+            if self.max_mojibake is not None
+            else ""
+        )
+        return (
+            "Ensure `%s` passes the Gopher quality rules "
+            "(%d–%d words, mean word length %s–%s, bounded symbol/"
+            "bullet/ellipsis rates, ≥%d stopwords)%s"
+            % (
+                self.column,
+                self.t["min_words"],
+                self.t["max_words"],
+                self.t["min_mean_word_len"],
+                self.t["max_mean_word_len"],
+                self.t["min_stopword_hits"],
+                enc,
+            )
+        )
+
+
+# self-registration (same import-cycle dodge as dedup_check)
+from datavalid_spark.operators import checks as _checks  # noqa: E402
+
+_checks.TABLE_CHECKS.setdefault("gopher_quality", GopherQualityCheck)

@@ -1,0 +1,117 @@
+"""gopher_quality table check (operators/gopher_check.py): YAML build,
+default + overridden thresholds, NULL semantics, encoding gate,
+group verdicts, config validation."""
+
+import pytest
+
+from datavalid_spark.operators.checks import TABLE_CHECKS, build_table_check
+from datavalid_spark.operators.gopher_check import GopherQualityCheck
+
+PROSE = "the quick brown fox and that dog have fun with all of it " * 5
+BULLETS = "- one\n- two\n- three"
+MOJI = "\u00e2\u20ac\u0153quoted\u00e2\u20ac\u009d " + PROSE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, PROSE),     # passes everything
+        (2, "tiny"),    # < min_words
+        (3, BULLETS),   # bullet ratio + word count
+        (4, None),      # NULL text -> violation
+        (5, MOJI),      # passes rules, fails encoding gate
+    ]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_registered_and_yaml_build():
+    assert TABLE_CHECKS["gopher_quality"] is GopherQualityCheck
+    check = build_table_check("gopher_quality", {"column": "text"})
+    assert isinstance(check, GopherQualityCheck)
+    assert check.t["min_words"] == 50
+
+
+def test_default_rules_and_null(spark, docs):
+    check = GopherQualityCheck(column="text")
+    bad = sorted(r["id"] for r in check.violations(docs).collect())
+    assert bad == [2, 3, 4, 5]
+    res = check.run(docs)
+    assert not res.passed and res.n_violations == 4
+    assert "quality rules" in res.err_msg
+
+
+def test_encoding_gate_toggle(spark, docs):
+    lax = GopherQualityCheck(column="text", max_mojibake=None)
+    assert sorted(r["id"] for r in lax.violations(docs).collect()) == [2, 3, 4]
+    tolerant = GopherQualityCheck(column="text", max_mojibake=5)
+    assert sorted(r["id"] for r in tolerant.violations(docs).collect()) == [
+        2, 3, 4,
+    ]
+
+
+def test_threshold_overrides(spark, docs):
+    # drop the word floor to 1 and the stopword floor to 0: bullets doc
+    # still fails on bullet_frac, tiny doc on mean length is fine ->
+    # only alpha/stopword-free docs remain caught by other rules
+    check = GopherQualityCheck(
+        column="text",
+        min_words=1,
+        min_stopword_hits=0,
+        max_mojibake=None,
+    )
+    bad = sorted(r["id"] for r in check.violations(docs).collect())
+    assert 3 in bad and 4 in bad and 1 not in bad
+
+
+def test_group_verdicts(spark, docs):
+    from pyspark.sql import functions as F
+
+    tagged = docs.withColumn("g", F.col("id") % 2)
+    check = GopherQualityCheck(column="text")
+    verd = {
+        r["g"]: (r["passed"], r["n_violations"])
+        for r in check.group_verdicts(tagged, ["g"]).collect()
+    }
+    assert verd == {0: (False, 2), 1: (False, 2)}
+
+
+def test_config_errors():
+    with pytest.raises(ValueError, match='"column"'):
+        GopherQualityCheck()
+    with pytest.raises(ValueError, match="unknown threshold"):
+        GopherQualityCheck(column="text", min_wordz=5)
+    with pytest.raises(ValueError, match="should be a number"):
+        GopherQualityCheck(column="text", min_words="many")
+    with pytest.raises(ValueError, match="max_mojibake"):
+        GopherQualityCheck(column="text", max_mojibake=-1)
+    assert "Gopher" in GopherQualityCheck(column="text").to_markdown()
+
+
+def test_yaml_end_to_end(spark, tmp_path):
+    import io
+
+    from datavalid_spark.plans.config import load_config
+    from datavalid_spark.runner import run_config
+
+    good = "the be to of and that have with words enough " * 6
+    (tmp_path / "docs.csv").write_text(
+        "id,text\n1,%s\n2,tiny\n" % good.strip()
+    )
+    (tmp_path / "datavalid.yml").write_text(
+        """
+files:
+  docs.csv:
+    schema: d
+schemas:
+  d:
+    validation_tasks:
+      - name: document quality gate
+        gopher_quality: {column: text}
+"""
+    )
+    out = io.StringIO()
+    code = run_config(load_config(tmp_path), spark, out=out)
+    text = out.getvalue()
+    assert code == 1
+    assert "document quality gate" in text
+    assert "1 documents fail" in text
