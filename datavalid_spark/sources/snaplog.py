@@ -813,6 +813,48 @@ class SnapshotTable:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*files)
 
+    def diff(
+        self,
+        sid_old: int,
+        sid_new: int,
+        keys: list,
+        compare_cols: Optional[list] = None,
+    ) -> DataFrame:
+        """Row-level audit between two snapshots: ``keys +
+        diff_status`` (added | removed | changed) — time-travel reads
+        into ``operators.diffs.table_diff`` (fingerprint full-outer
+        join; one shuffle per side).  The question WAP review asks:
+        what exactly did this commit change?"""
+        from datavalid_spark.operators.diffs import table_diff
+
+        return table_diff(
+            self.read(sid_old), self.read(sid_new), keys, compare_cols
+        )
+
+    def diff_summary(self, sid_old: int, sid_new: int, keys: list) -> dict:
+        """Driver-side commit audit: row-change counts + the SCHEMA
+        evolution between two snapshots' stored schemas
+        (``operators.schema_contract.schema_diff`` — safe / widening /
+        breaking taxonomy).  One aggregation job for the counts; the
+        schema half is pure manifest metadata."""
+        from datavalid_spark.operators.schema_contract import schema_diff
+
+        counts = {
+            r["diff_status"]: r["n"]
+            for r in self.diff(sid_old, sid_new, keys)
+            .groupBy("diff_status")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        old_schema = T.StructType.fromJson(self.manifest(sid_old)["schema"])
+        new_schema = T.StructType.fromJson(self.manifest(sid_new)["schema"])
+        return {
+            "added": counts.get("added", 0),
+            "removed": counts.get("removed", 0),
+            "changed": counts.get("changed", 0),
+            "schema_changes": schema_diff(old_schema, new_schema),
+        }
+
     def prune_files(
         self, predicates, snapshot_id: Optional[int] = None
     ) -> tuple[list[str], int]:

@@ -117,3 +117,30 @@ def test_table_diff_plan_is_fingerprint_projected_full_outer(spark):
     plan = diff._jdf.queryExecution().toString()
     assert "FullOuter" in plan
     assert "__dv_fp_old" in plan and "__dv_fp_new" in plan
+
+
+def test_snapshot_diff_and_summary(spark, tmp_path):
+    """SnapshotTable.diff/diff_summary: the commit audit — row changes
+    between two time-travel reads plus the manifest-schema evolution."""
+    from datavalid_spark.sources.snaplog import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, s string, v int"
+    )
+    sid1 = t.create(v1)
+    # v2: row 3 removed, row 2 changed, row 4 added, schema gains a col
+    v2 = spark.createDataFrame(
+        [(1, "a", 10, None), (2, "B", 20, "x"), (4, "d", 40, "y")],
+        "id long, s string, v int, extra string",
+    )
+    sid2 = t.overwrite(v2)
+
+    d = {r["id"]: r["diff_status"] for r in t.diff(sid1, sid2, ["id"]).collect()}
+    assert d == {2: "changed", 3: "removed", 4: "added"}
+
+    summ = t.diff_summary(sid1, sid2, ["id"])
+    assert (summ["added"], summ["removed"], summ["changed"]) == (1, 1, 1)
+    sch = {c["column"]: c for c in summ["schema_changes"]}
+    assert sch["extra"]["change"] == "added"
+    assert sch["extra"]["compat"] == "widening"
