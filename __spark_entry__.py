@@ -2677,8 +2677,9 @@ def _gopher_sql(src: str = "documents") -> str:
     return f"""
 WITH t AS (
   SELECT doc_id, text,
-         list_filter(string_split_regex(trim(text), '\\s+'),
-                     w -> w != '') AS toks,
+         list_filter(string_split_regex(trim(text),
+             '[ ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)
+             || ']+'), w -> w != '') AS toks,
          string_split(text, chr(10)) AS lines
   FROM {src} WHERE text IS NOT NULL),
 s AS (

@@ -590,8 +590,10 @@ def gopher_signals(col: Column | str) -> Column:
 
         return let_once(F.split(c, "\n"), with_lines)
 
+    # explicit ASCII whitespace class, NOT \s: Java's \s includes \x0B,
+    # RE2's (the DuckDB oracle) does not — the bpe.py divergence class
     raw_tokens = F.filter(
-        F.split(F.trim(c), r"\s+"), lambda w: w != ""
+        F.split(F.trim(c), "[ \t\n\x0B\f\r]+"), lambda w: w != ""
     )
     # NULL text -> NULL struct (size(NULL) would otherwise yield -1)
     return F.when(c.isNotNull(), let_once(raw_tokens, build))

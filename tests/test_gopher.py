@@ -23,7 +23,7 @@ PROSE = "the quick brown fox and that dog have fun with all of it " * 5
 
 
 def _py_signals(text):
-    toks = [w for w in re.split(r"\s+", text.strip()) if w]
+    toks = [w for w in re.split("[ \t\n\x0b\f\r]+", text.strip()) if w]
     lines = text.split("\n")
     n, nl = len(toks), len(lines)
     if n == 0:

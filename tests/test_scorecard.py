@@ -25,7 +25,7 @@ ROWS = [
 
 
 def _py_pass(text):
-    toks = [w for w in re.split(r"\s+", text.strip()) if w]
+    toks = [w for w in re.split("[ \t\n\x0b\f\r]+", text.strip()) if w]
     n = len(toks)
     if n == 0:
         return False, 0
