@@ -709,6 +709,7 @@ def build_table_check(key: str, value, today: Optional[datetime.date] = None) ->
         "min_completeness",
         "max_oov",
         "gopher_quality",
+        "quantile_bounds",
     ):
         return cls(**(value or {}))
     kwargs = dict(value or {})

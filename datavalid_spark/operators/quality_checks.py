@@ -187,3 +187,141 @@ from datavalid_spark.operators import checks as _checks  # noqa: E402
 
 _checks.TABLE_CHECKS.setdefault("min_completeness", MinCompletenessCheck)
 _checks.TABLE_CHECKS.setdefault("freshness", FreshnessCheck)
+
+
+class QuantileBoundsCheck(TableCheck):
+    """``quantile_bounds: {column: x, q: 0.99, min: a, max: b}`` — the
+    table (or each validation group) fails when the q-quantile of
+    ``column`` falls outside ``[min, max]`` (either bound optional,
+    at least one required).  The Deequ ``hasApproxQuantile`` shape —
+    the p99-latency / max-doc-length style gate per-row checks cannot
+    express.
+
+    Like freshness, the property belongs to the DISTRIBUTION, not to a
+    row: ``violations`` is empty by definition and the verdict rides
+    ONE aggregation — ``approx_percentile`` by default (t-digest-class
+    mergeable sketch, the only sane answer at 10^12 rows; documented
+    rank error ≤ 1/accuracy) or the exact ``percentile`` with
+    ``exact: true`` for modest tables / oracle comparisons.  NULLs are
+    ignored by both (SQL aggregate semantics); an all-NULL / empty
+    input fails with an explicit message rather than passing a vacuous
+    gate."""
+
+    key = "quantile_bounds"
+
+    def __init__(
+        self,
+        column: Optional[str] = None,
+        q: Optional[float] = None,
+        min: Optional[float] = None,  # noqa: A002 - YAML surface name
+        max: Optional[float] = None,  # noqa: A002
+        exact: bool = False,
+        accuracy: int = 10_000,
+    ):
+        if column is None:
+            raise ValueError('should contain key "column"')
+        if not isinstance(column, str):
+            raise ValueError('"column" should be a column name')
+        if q is None:
+            raise ValueError('should contain key "q"')
+        if (
+            not isinstance(q, (int, float))
+            or isinstance(q, bool)
+            or not (0.0 <= float(q) <= 1.0)
+        ):
+            raise ValueError('"q" should be a number in [0, 1]')
+        if min is None and max is None:
+            raise ValueError('should contain "min" and/or "max"')
+        for name, v in (("min", min), ("max", max)):
+            if v is not None and (
+                not isinstance(v, (int, float)) or isinstance(v, bool)
+            ):
+                raise ValueError('"%s" should be a number' % name)
+        if not isinstance(accuracy, int) or isinstance(accuracy, bool) or accuracy < 1:
+            raise ValueError('"accuracy" should be a positive int')
+        self.column = column
+        self.q = float(q)
+        self.lo = None if min is None else float(min)
+        self.hi = None if max is None else float(max)
+        self.exact = bool(exact)
+        self.accuracy = accuracy
+
+    def _agg(self):
+        c = F.col(self.column)
+        if self.exact:
+            return F.expr(
+                "percentile(%s, %s)" % (self.column, repr(self.q))
+            ).alias("__dv_q")
+        return F.percentile_approx(c, self.q, self.accuracy).alias("__dv_q")
+
+    def _verdict(self, qv) -> tuple[bool, Optional[str]]:
+        if qv is None:
+            return False, (
+                "%s has no non-NULL values; the p%g gate cannot pass vacuously"
+                % (self.column, self.q * 100)
+            )
+        if self.lo is not None and qv < self.lo:
+            return False, self._bound_msg(qv, "below", self.lo)
+        if self.hi is not None and qv > self.hi:
+            return False, self._bound_msg(qv, "above", self.hi)
+        return True, None
+
+    def _bound_msg(self, qv, side: str, bound) -> str:
+        return "p%g of %s = %s is %s the %s bound" % (
+            self.q * 100,
+            self.column,
+            qv,
+            side,
+            bound,
+        )
+
+    def violations(self, df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+        # a distribution property has no row to blame (same stance as
+        # freshness)
+        return df.limit(0)
+
+    def run(self, df: DataFrame, group_cols: Sequence[str] = ()) -> CheckResult:
+        qv = df.agg(self._agg()).collect()[0]["__dv_q"]
+        ok, msg = self._verdict(qv)
+        if ok:
+            return CheckResult(True, None, None, 0)
+        return CheckResult(False, msg, df.limit(0), 0)
+
+    def group_verdicts(
+        self, df: DataFrame, group_cols: Sequence[str]
+    ) -> DataFrame:
+        agg = df.groupBy(*group_cols).agg(
+            self._agg(), F.count(F.lit(1)).alias("n_rows")
+        )
+        qc = F.col("__dv_q")
+        passed = qc.isNotNull()
+        if self.lo is not None:
+            passed = passed & (qc >= F.lit(self.lo))
+        if self.hi is not None:
+            passed = passed & (qc <= F.lit(self.hi))
+        return agg.select(
+            *group_cols,
+            F.when(passed, F.lit(0)).otherwise(F.col("n_rows")).alias(
+                "n_violations"
+            ),
+            passed.alias("passed"),
+            F.col("n_rows"),
+        )
+
+    def _err_msg(self, n: int) -> str:  # pragma: no cover - run() is custom
+        return "quantile out of bounds"
+
+    def to_markdown(self) -> str:
+        parts = []
+        if self.lo is not None:
+            parts.append(">= %s" % self.lo)
+        if self.hi is not None:
+            parts.append("<= %s" % self.hi)
+        return "Ensure p%g of `%s` is %s" % (
+            self.q * 100,
+            self.column,
+            " and ".join(parts),
+        )
+
+
+_checks.TABLE_CHECKS.setdefault("quantile_bounds", QuantileBoundsCheck)

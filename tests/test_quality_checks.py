@@ -139,3 +139,68 @@ def test_freshness_yaml_build(spark, timed):
         today=datetime.date(2024, 1, 31),
     )
     assert check.run(timed).passed
+
+
+# ------------------------------------------------- quantile_bounds
+
+
+def test_quantile_bounds_exact_and_approx(spark):
+    from datavalid_spark.operators.quality_checks import QuantileBoundsCheck
+
+    df = spark.createDataFrame([(float(i),) for i in range(101)], "v double")
+    # exact p50 of 0..100 is 50
+    ok = QuantileBoundsCheck(column="v", q=0.5, min=49, max=51, exact=True)
+    assert ok.run(df).passed
+    low = QuantileBoundsCheck(column="v", q=0.5, max=40, exact=True)
+    res = low.run(df)
+    assert not res.passed and "above" in res.err_msg
+    hi = QuantileBoundsCheck(column="v", q=0.5, min=60, exact=True)
+    assert "below" in hi.run(df).err_msg
+    # approx path agrees on this tiny input (sketch is exact here)
+    assert QuantileBoundsCheck(column="v", q=0.5, min=49, max=51).run(df).passed
+
+
+def test_quantile_bounds_nulls_and_empty(spark):
+    from datavalid_spark.operators.quality_checks import QuantileBoundsCheck
+
+    check = QuantileBoundsCheck(column="v", q=0.9, max=10)
+    nulls = spark.createDataFrame([(None,), (None,)], "v double")
+    res = check.run(nulls)
+    assert not res.passed and "no non-NULL" in res.err_msg
+    # NULLs ignored when real values exist
+    mixed = spark.createDataFrame(
+        [(None,), (1.0,), (2.0,), (3.0,)], "v double"
+    )
+    assert QuantileBoundsCheck(column="v", q=1.0, max=3, exact=True).run(mixed).passed
+
+
+def test_quantile_bounds_group_verdicts(spark):
+    from pyspark.sql import functions as F
+
+    from datavalid_spark.operators.quality_checks import QuantileBoundsCheck
+
+    df = spark.createDataFrame(
+        [(i % 2, float(i)) for i in range(100)], "g int, v double"
+    )
+    # group 1 holds the odd values -> higher p90
+    check = QuantileBoundsCheck(column="v", q=0.9, max=89, exact=True)
+    verd = {r["g"]: r["passed"] for r in check.group_verdicts(df, ["g"]).collect()}
+    assert verd == {0: True, 1: False}
+
+
+def test_quantile_bounds_config_errors():
+    from datavalid_spark.operators.checks import build_table_check
+    from datavalid_spark.operators.quality_checks import QuantileBoundsCheck
+
+    with pytest.raises(ValueError, match='"column"'):
+        QuantileBoundsCheck(q=0.5, max=1)
+    with pytest.raises(ValueError, match='"q"'):
+        QuantileBoundsCheck(column="v", q=1.5, max=1)
+    with pytest.raises(ValueError, match='"min" and/or "max"'):
+        QuantileBoundsCheck(column="v", q=0.5)
+    with pytest.raises(ValueError, match='"accuracy"'):
+        QuantileBoundsCheck(column="v", q=0.5, max=1, accuracy=0)
+    check = build_table_check(
+        "quantile_bounds", {"column": "v", "q": 0.99, "max": 100}
+    )
+    assert "p99" in check.to_markdown()
