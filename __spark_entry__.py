@@ -46,6 +46,7 @@ from datavalid_spark.operators.checks import (
     ValidDateCheck,
 )
 from datavalid_spark.operators.components import duplicate_clusters, keep_canonical
+from datavalid_spark.operators import graphrank as _graphrank_oracle
 from datavalid_spark.operators.dedup import (
     distinct_by_content,
     embedding_near_dups,
@@ -2205,6 +2206,63 @@ def q_hybrid_rrf(spark, sf_dir):
     )
 
 
+def _graph_edges_sql() -> str:
+    """Supplier hand-off edges: consecutive suppliers within each order
+    (by l_linenumber) — the deterministic directed graph both engines
+    derive identically."""
+    return (
+        "SELECT l_suppkey AS src, LEAD(l_suppkey) OVER "
+        "(PARTITION BY l_orderkey ORDER BY l_linenumber, l_suppkey) AS dst "
+        "FROM lineitem"
+    )
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """Fixed-point integer PageRank (operators/graphrank.py) over the
+    supplier hand-off graph (edge u→v when supplier v fills the line
+    right after supplier u within an order).  Ranks are bigint
+    micro-probabilities; every distribution step is an integer
+    multiply + `div`, so Spark at any parallelism and the DuckDB
+    unrolled-CTE oracle produce identical bigints.  Edges (with
+    out-degree pre-joined) persist once and are never re-shuffled
+    across the 5 iterations; the O(nodes) rank frame broadcasts."""
+    from pyspark.sql import Window
+
+    from datavalid_spark.operators.graphrank import page_rank
+
+    li = _t(spark, sf_dir, "lineitem")
+    # the synthetic lineitem has duplicate line numbers within orders —
+    # the secondary l_suppkey key makes the LEAD sequence deterministic
+    # (tied rows share the value LEAD reads) on both engines
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_suppkey")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        F.lead("l_suppkey").over(w).alias("dst"),
+    )
+    return page_rank(edges, iterations=5)
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Exact triangle count (operators/graphrank.py) of the supplier
+    co-occurrence graph (edge when two suppliers appear in the same
+    order — all-pairs within an order is bounded by the ≤7-line order
+    shape, so edge generation is group-size-bounded, not quadratic in
+    the table).  Degree-ordered wedge join caps the self-join fan-out
+    at O(sqrt(m)) per node regardless of hub degree."""
+    from datavalid_spark.operators.graphrank import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
 def _synth_url_col():
     """Deterministic synthetic URL from doc_id — the same arithmetic
     CASE tree is rebuilt verbatim in the DuckDB oracle, so both
@@ -2456,6 +2514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_bpe": q_tokenize_bpe,
         "frequent_items": q_frequent_items,
         "hybrid_rrf": q_hybrid_rrf,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_triangles": q_graph_triangles,
         "topk_per_group": q_topk_per_group,
         "rolling_window": q_rolling_window,
         "scd2_history": q_scd2_history,
@@ -3218,6 +3278,14 @@ SELECT id,
        CAST(v.rank AS BIGINT) AS vec_rank
 FROM btop b FULL OUTER JOIN vtop v USING (id)
 """,
+        "graph_pagerank": _graphrank_oracle.page_rank_oracle_sql(
+            _graph_edges_sql(), iterations=5
+        ),
+        "graph_triangles": _graphrank_oracle.triangle_count_oracle_sql(
+            "SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst "
+            "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+            "WHERE a.l_suppkey < b.l_suppkey"
+        ),
         "text_lang_id": _lang_id_sql(),
         "text_quality": _quality_sql(),
         "gopher_rules": _gopher_sql(),

@@ -1,0 +1,336 @@
+"""Link-graph analytics over edge tables: fixed-point PageRank and
+degree-ordered triangle counting.
+
+Why this belongs in a training-data/validation engine: web- and
+code-corpus curation ranks sources by link structure (CommonCrawl
+harmonic/PageRank domain ranks decide crawl priority and quality
+buckets; fork/clone graphs rank canonical repos), and triangle density
+is the standard local-clustering signal for spam-farm / link-ring
+detection.  Both need to run on edge tables with 10^9-10^12 rows, so
+both are built as a fixed small number of joins/aggregations per
+round — no vertex-program framework, no driver-side adjacency.
+
+Determinism contract (what makes these oracle-checkable bit-for-bit
+against DuckDB): PageRank runs in FIXED-POINT INTEGER arithmetic —
+ranks are bigint micro-probabilities (``scale`` units ≈ total mass 1.0)
+and every distribution step is an integer multiply + integer ``div``.
+Integer sums are associative/commutative regardless of partitioning,
+so Spark at any parallelism and DuckDB produce identical bigints;
+float PageRank would differ in the last ulps per engine and per run.
+The cost is a deterministic rounding leak (each ``div`` floors), which
+is irrelevant for ranking and bounded by ``iterations × nodes`` units
+out of ``scale``.
+
+Scale notes (10^12 edges):
+- The edge table is joined once per iteration against the rank table
+  (O(nodes) rows — orders of magnitude smaller than edges).  The edge
+  side carries its out-degree pre-joined and is persisted ONCE; it is
+  never re-shuffled across iterations.  The rank side goes through the
+  size-gated broadcast, so for graphs whose node table fits (domains,
+  repos — typically 10^6-10^9) every iteration is a map-side join plus
+  one groupBy(dst) partial aggregation.
+- Rank frames are ``localCheckpoint``\\ ed each iteration: an iterative
+  loop otherwise nests the plan ``iterations`` deep and Catalyst
+  re-analysis dominates (same pattern as components.py).  On a real
+  cluster prefer ``setCheckpointDir`` + ``.checkpoint()``.
+- Dangling mass (nodes with no out-edges) is one bigint scalar per
+  iteration, computed with a left-anti + sum over the O(nodes) rank
+  frame — a driver round-trip of ONE row per iteration, not a collect
+  of data.
+- Triangle counting orients each undirected edge from its lower-degree
+  endpoint to its higher-degree endpoint (ties by id).  The wedge
+  self-join then fans out only on OUT-degree, which the orientation
+  bounds by O(sqrt(m)) even when raw degrees are power-law (Suri &
+  Vassilvitskii, "Counting Triangles and the Curse of the Last
+  Reducer", WWW 2011) — the classic fix for the hub-node quadratic
+  blowup.
+
+Reference scope note: the reference engine (pckhoi/datavalid) has no
+graph operator — this extends the curation-signal family of the
+LLM-pipeline surface (SURVEY.md §2.6), same footing as components.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datavalid_spark.cache import gated_broadcast, persist_tracked
+
+
+def _canon_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct non-null (src, dst) bigint pairs, self-loops dropped.
+
+    PageRank is defined here on the SIMPLE directed graph: parallel
+    edges collapse (a page linking twice still transfers one share) and
+    self-loops are removed (they only slow mixing).  Collapsing is also
+    what keeps the result independent of upstream edge-extraction
+    multiplicity — the deterministic choice.
+    """
+    return (
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def page_rank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    broadcast_rank_limit: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank in bigint fixed point.
+
+    Returns ``(node_id, rank_fp)`` — one row per node appearing in any
+    edge; ``rank_fp`` is the rank in units of ``1/scale`` (so ranks sum
+    to ~``scale`` minus the deterministic flooring leak).
+
+    Update rule per iteration (all integer arithmetic)::
+
+        contrib(u→v) = (rank(u) * damping_pct) div (100 * outdeg(u))
+        rank'(v)     = (scale * (100-damping_pct)) div (100 * N)
+                       + (dangling * damping_pct) div (100 * N)
+                       + Σ_in contrib
+        dangling     = Σ rank(u) over nodes with outdeg 0
+
+    ``damping_pct`` is the damping factor in percent (85 = the classic
+    0.85).  ``iterations`` is fixed rather than convergence-tested so
+    the result is a pure function of the input — the property the
+    DuckDB oracle needs.  5-10 iterations is the usual curation-grade
+    rank (CommonCrawl publishes ranks from a comparable budget).
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct must be in (0, 100)")
+    e = _canon_edges(edges, src, dst)
+    nodes = persist_tracked(
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct(),
+        eager=True,
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            F.col("id").alias("node_id"), F.lit(0).cast("long").alias("rank_fp")
+        )
+    outdeg = persist_tracked(
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), eager=True
+    )
+    # out-degree rides the edge table once; iterations re-join only ranks
+    edeg = persist_tracked(e.join(outdeg, "src"), eager=True)
+    dangling_ids = persist_tracked(
+        nodes.join(outdeg.select(F.col("src").alias("id")), "id", "left_anti"),
+        eager=True,
+    )
+    base = (scale * (100 - damping_pct)) // (100 * n)
+    ranks = nodes.select("id", F.lit(int(scale // n)).cast("long").alias("rank"))
+    contrib_expr = F.expr(f"(rank * {int(damping_pct)}) div (100 * outdeg)")
+    for _ in range(iterations):
+        ranks = ranks.localCheckpoint(eager=True)
+        dangling = (
+            dangling_ids.join(ranks, "id")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("s"))
+            .first()["s"]
+        )
+        # base + dangling share fold to ONE driver-side bigint literal —
+        # exact Python integer math, nothing distributed
+        floor_mass = base + (int(dangling) * damping_pct) // (100 * n)
+        inbound = (
+            edeg.join(
+                gated_broadcast(
+                    ranks.withColumnRenamed("id", "src"), broadcast_rank_limit
+                ),
+                "src",
+            )
+            .select(F.col("dst").alias("id"), contrib_expr.alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("inb"))
+        )
+        ranks = nodes.join(inbound, "id", "left").select(
+            "id",
+            (F.lit(int(floor_mass)).cast("long") + F.coalesce("inb", F.lit(0))).alias(
+                "rank"
+            ),
+        )
+    return ranks.select(
+        F.col("id").alias("node_id"), F.col("rank").cast("long").alias("rank_fp")
+    )
+
+
+def oriented_edges(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Undirected simple edges oriented low→high by (degree, id).
+
+    Output ``(lo, hi, hi_deg)`` with (deg(lo), lo) < (deg(hi), hi)
+    under lexicographic struct order.  ``hi_deg`` rides along so the
+    wedge join can canonicalise candidate pairs by the SAME total
+    order without re-joining degrees.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src).cast("long"), F.col(dst).cast("long")).alias("a"),
+            F.greatest(F.col(src).cast("long"), F.col(dst).cast("long")).alias("b"),
+        )
+        .filter(F.col("a").isNotNull() & (F.col("a") != F.col("b")))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .union(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    d = und.join(deg.withColumnRenamed("id", "a"), "a").withColumnRenamed(
+        "deg", "da"
+    ).join(deg.withColumnRenamed("id", "b"), "b").withColumnRenamed("deg", "db")
+    lo_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return d.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(lo_first, F.col("db")).otherwise(F.col("da")).alias("hi_deg"),
+    )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact global triangle count of the undirected simple graph.
+
+    Returns a ONE-ROW frame ``(triangles)``.  Degree-ordered wedge
+    join: every triangle has a unique apex (its minimum node under the
+    (degree, id) order) with out-edges to the other two; the wedge
+    (apex's out-neighbor pair) is closed by one equi-join back against
+    the oriented edge set.  Fan-out is bounded by the oriented
+    out-degree ≤ O(sqrt(m)) — see module docstring.
+    """
+    oe = persist_tracked(oriented_edges(edges, src, dst), eager=True)
+    e1 = oe.select(
+        F.col("lo").alias("apex"),
+        F.col("hi").alias("b"),
+        F.col("hi_deg").alias("b_deg"),
+    )
+    e2 = oe.select(
+        F.col("lo").alias("apex"),
+        F.col("hi").alias("c"),
+        F.col("hi_deg").alias("c_deg"),
+    )
+    # each out-neighbor pair once, canonicalised by the SAME total
+    # order that oriented the edges — so the closing edge, if present,
+    # is exactly (w_lo → w_hi) and the probe is a plain equi-join
+    b_first = (F.col("b_deg") < F.col("c_deg")) | (
+        (F.col("b_deg") == F.col("c_deg")) & (F.col("b") < F.col("c"))
+    )
+    wedges = (
+        e1.join(e2, "apex")
+        .filter(F.col("b") != F.col("c"))
+        .filter(b_first)
+        .select(F.col("b").alias("lo"), F.col("c").alias("hi"))
+    )
+    closed = wedges.join(oe.select("lo", "hi"), ["lo", "hi"], "left_semi")
+    return closed.agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+
+
+def page_rank_oracle_sql(
+    edges_sql: str,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> str:
+    """DuckDB mirror of ``page_rank``: the same integer update rule
+    unrolled into ``iterations`` chained CTEs.  ``edges_sql`` must
+    select columns ``src`` and ``dst`` (pre-canonicalised or not —
+    the same simple-graph canonicalisation is applied here).
+
+    Kept next to the operator so the arithmetic can only drift in one
+    place; ``__spark_entry__.oracle_sql`` embeds the generated string.
+    """
+    d = int(damping_pct)
+    parts = [
+        f"""WITH e AS (
+  SELECT DISTINCT src, dst FROM ({edges_sql})
+  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+r0 AS (
+  SELECT id, CAST({scale} AS BIGINT) // (SELECT n FROM nn) AS rank
+  FROM nodes
+)"""
+    ]
+    for i in range(iterations):
+        parts.append(
+            f""",
+d{i} AS (
+  SELECT COALESCE(SUM(rank), 0) AS dang FROM r{i}
+  WHERE id NOT IN (SELECT src FROM outdeg)
+),
+c{i} AS (
+  SELECT e.dst AS id,
+         SUM((r.rank * {d}) // (100 * o.outdeg)) AS inb
+  FROM e
+  JOIN r{i} r ON r.id = e.src
+  JOIN outdeg o ON o.src = e.src
+  GROUP BY e.dst
+),
+r{i + 1} AS (
+  SELECT nodes.id,
+         (CAST({scale} AS BIGINT) * {100 - d}) // (100 * (SELECT n FROM nn))
+         + ((SELECT dang FROM d{i}) * {d}) // (100 * (SELECT n FROM nn))
+         + COALESCE(c{i}.inb, 0) AS rank
+  FROM nodes LEFT JOIN c{i} ON c{i}.id = nodes.id
+)"""
+        )
+    parts.append(
+        f"\nSELECT id AS node_id, CAST(rank AS BIGINT) AS rank_fp"
+        f" FROM r{iterations}"
+    )
+    return "".join(parts)
+
+
+def triangle_count_oracle_sql(edges_sql: str) -> str:
+    """DuckDB mirror of ``triangle_count`` over ``edges_sql`` (columns
+    ``src``/``dst``).  Same orientation, same wedge closure."""
+    return f"""WITH und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM ({edges_sql})
+  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+),
+deg AS (
+  SELECT id, COUNT(*) AS deg FROM (
+    SELECT a AS id FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY id
+),
+oe AS (
+  SELECT CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.a ELSE u.b END AS lo,
+         CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.b ELSE u.a END AS hi,
+         CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN db.deg ELSE da.deg END
+           AS hi_deg
+  FROM und u
+  JOIN deg da ON da.id = u.a
+  JOIN deg db ON db.id = u.b
+),
+wedges AS (
+  SELECT CASE WHEN (e1.hi_deg, e1.hi) < (e2.hi_deg, e2.hi)
+              THEN e1.hi ELSE e2.hi END AS lo,
+         CASE WHEN (e1.hi_deg, e1.hi) < (e2.hi_deg, e2.hi)
+              THEN e2.hi ELSE e1.hi END AS hi
+  FROM oe e1
+  JOIN oe e2 ON e1.lo = e2.lo
+  WHERE e1.hi <> e2.hi
+    AND (e1.hi_deg, e1.hi) < (e2.hi_deg, e2.hi)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+FROM wedges w
+WHERE EXISTS (SELECT 1 FROM oe WHERE oe.lo = w.lo AND oe.hi = w.hi)"""

@@ -1,0 +1,157 @@
+"""PageRank / triangle counting: Spark vs a pure-Python fixed-point
+reference and vs the DuckDB oracle-SQL generators (the same strings
+__spark_entry__ embeds)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from datavalid_spark.cache import release_cached
+from datavalid_spark.operators.graphrank import (
+    page_rank,
+    page_rank_oracle_sql,
+    triangle_count,
+    triangle_count_oracle_sql,
+)
+
+
+def py_pagerank(edges, iterations=5, d=85, scale=10**12):
+    """Reference fixed-point PageRank (dict-of-ints, exact)."""
+    e = sorted({(a, b) for a, b in edges if a != b and a is not None})
+    nodes = sorted({x for p in e for x in p})
+    n = len(nodes)
+    out = {}
+    for a, _ in e:
+        out[a] = out.get(a, 0) + 1
+    r = {v: scale // n for v in nodes}
+    base = (scale * (100 - d)) // (100 * n)
+    for _ in range(iterations):
+        dang = sum(r[v] for v in nodes if v not in out)
+        nxt = {v: base + (dang * d) // (100 * n) for v in nodes}
+        for a, b in e:
+            nxt[b] += (r[a] * d) // (100 * out[a])
+        r = nxt
+    return r
+
+
+def py_triangles(edges):
+    und = {frozenset((a, b)) for a, b in edges if a != b}
+    adj = {}
+    for p in und:
+        a, b = tuple(p)
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    count = 0
+    for p in und:
+        a, b = tuple(p)
+        count += len(adj[a] & adj[b])
+    return count // 3
+
+
+EDGES = [
+    (1, 2), (2, 3), (3, 1),          # triangle
+    (3, 4), (4, 5), (5, 3),          # second triangle sharing node 3
+    (5, 6), (6, 7),                   # tail; 7 dangling
+    (2, 1),                           # reverse edge (directed pair)
+    (4, 4),                           # self loop (dropped)
+    (1, 2),                           # duplicate (collapsed)
+]
+
+
+@pytest.fixture(scope="module")
+def edges_df(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(EDGES, columns=["src", "dst"]).astype("int64")
+    )
+    yield df
+    release_cached()
+
+
+def test_pagerank_matches_python_reference(spark, edges_df):
+    got = {
+        r["node_id"]: r["rank_fp"]
+        for r in page_rank(edges_df, iterations=5).collect()
+    }
+    assert got == py_pagerank(EDGES, iterations=5)
+
+
+def test_pagerank_mass_conserved_within_floor_leak(spark, edges_df):
+    ranks = page_rank(edges_df, iterations=3)
+    total = sum(r["rank_fp"] for r in ranks.collect())
+    n = ranks.count()
+    # each of 3 iterations floors at most (n + 2) divisions of ≥1 unit
+    # per node; the leak is tiny relative to scale
+    assert 10**12 - total < 3 * (n + 2) * (n + 2)
+    assert total <= 10**12
+
+
+def test_pagerank_matches_duckdb_oracle(spark, edges_df, tmp_path):
+    p = str(tmp_path / "edges.parquet")
+    edges_df.toPandas().to_parquet(p)
+    sql = page_rank_oracle_sql(f"SELECT src, dst FROM '{p}'", iterations=4)
+    want = {
+        int(r.node_id): int(r.rank_fp)
+        for r in duckdb.sql(sql).df().itertuples()
+    }
+    got = {
+        r["node_id"]: r["rank_fp"]
+        for r in page_rank(edges_df, iterations=4).collect()
+    }
+    assert got == want
+
+
+def test_pagerank_parallelism_invariant(spark, edges_df):
+    a = page_rank(edges_df.repartition(1), iterations=3).collect()
+    b = page_rank(edges_df.repartition(7), iterations=3).collect()
+    assert {(r["node_id"], r["rank_fp"]) for r in a} == {
+        (r["node_id"], r["rank_fp"]) for r in b
+    }
+
+
+def test_pagerank_sink_outranks_sources(spark):
+    # star: many sources pointing at one sink — sink must collect the mass
+    star = [(i, 100) for i in range(1, 9)]
+    df = spark.createDataFrame(
+        pd.DataFrame(star, columns=["src", "dst"]).astype("int64")
+    )
+    got = {r["node_id"]: r["rank_fp"] for r in page_rank(df).collect()}
+    assert got[100] == max(got.values())
+    assert len({got[i] for i in range(1, 9)}) == 1  # symmetric sources tie
+
+
+def test_triangle_count_matches_python(spark, edges_df):
+    assert triangle_count(edges_df).first()["triangles"] == py_triangles(EDGES)
+    assert py_triangles(EDGES) == 2
+
+
+def test_triangle_count_matches_duckdb(spark, tmp_path):
+    # K5 (10 triangles) + one pendant edge + an isolated triangle
+    edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    edges += [(4, 9), (20, 21), (21, 22), (22, 20)]
+    df = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["src", "dst"]).astype("int64")
+    )
+    p = str(tmp_path / "edges.parquet")
+    df.toPandas().to_parquet(p)
+    sql = triangle_count_oracle_sql(f"SELECT src, dst FROM '{p}'")
+    want = int(duckdb.sql(sql).df().iloc[0, 0])
+    assert triangle_count(df).first()["triangles"] == want == 11
+    release_cached()
+
+
+def test_triangle_count_direction_and_dupes_ignored(spark):
+    df1 = spark.createDataFrame(
+        pd.DataFrame([(1, 2), (2, 3), (3, 1)], columns=["src", "dst"]).astype(
+            "int64"
+        )
+    )
+    df2 = spark.createDataFrame(
+        pd.DataFrame(
+            [(2, 1), (1, 2), (3, 2), (1, 3), (3, 1)], columns=["src", "dst"]
+        ).astype("int64")
+    )
+    assert triangle_count(df1).first()["triangles"] == 1
+    assert triangle_count(df2).first()["triangles"] == 1
+    release_cached()
