@@ -2263,6 +2263,29 @@ def q_graph_triangles(spark, sf_dir):
     return triangle_count(edges)
 
 
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning (operators/compaction.py) with
+    documents standing in as a files listing (size = n_chars, table
+    partition = lang): deterministic floor-cumsum bin packing of the
+    undersized files, summarised to one row per planned rewrite bin.
+    The plan is a pure function of the listing (no first-fit state),
+    so the window-cumsum DataFrame op and the DuckDB mirror agree
+    bigint-for-bigint.  One window per partition-group, bounded by
+    per-partition file count — the Iceberg rewrite_data_files planning
+    unit."""
+    from datavalid_spark.operators.compaction import (
+        compaction_summary,
+        plan_compaction,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    files = docs.select("lang", "doc_id", "n_chars")
+    plan = plan_compaction(
+        files, "n_chars", ["doc_id"], ["lang"], target_bytes=5000
+    )
+    return compaction_summary(plan, "n_chars", ["lang"])
+
+
 def _synth_url_col():
     """Deterministic synthetic URL from doc_id — the same arithmetic
     CASE tree is rebuilt verbatim in the DuckDB oracle, so both
@@ -2516,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "graph_pagerank": q_graph_pagerank,
         "graph_triangles": q_graph_triangles,
+        "compaction_plan": q_compaction_plan,
         "topk_per_group": q_topk_per_group,
         "rolling_window": q_rolling_window,
         "scd2_history": q_scd2_history,
@@ -3286,6 +3310,26 @@ FROM btop b FULL OUTER JOIN vtop v USING (id)
             "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
             "WHERE a.l_suppkey < b.l_suppkey"
         ),
+        "compaction_plan": """
+WITH c AS (
+  SELECT lang, doc_id, n_chars,
+         SUM(n_chars) OVER (PARTITION BY lang, n_chars < 2500
+                            ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+),
+p AS (
+  SELECT lang, n_chars,
+         CASE WHEN n_chars < 2500
+              THEN (cum - n_chars) // 5000 END AS bin
+  FROM c
+)
+SELECT lang, CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_chars) AS BIGINT) AS bin_bytes
+FROM p WHERE bin IS NOT NULL
+GROUP BY lang, bin
+""",
         "text_lang_id": _lang_id_sql(),
         "text_quality": _quality_sql(),
         "gopher_rules": _gopher_sql(),

@@ -1,0 +1,129 @@
+"""Small-file compaction planning as a DataFrame operator.
+
+The 10^12-file failure mode of any table format is not data volume but
+FILE COUNT: every streaming commit, late-arriving partition backfill,
+or per-executor write fans out small files, and scan planning + task
+scheduling degrade linearly in files, not bytes.  Real table services
+(Iceberg ``rewrite_data_files``, Delta OPTIMIZE) answer with bin-pack
+compaction: group undersized files into ~target-size rewrite groups
+and rewrite ONLY those groups, leaving well-sized files untouched.
+
+``plan_compaction`` is the planning half, expressed over a FILES
+table (one row per data file with its size) rather than driver-side
+metadata: at 10^12 files the manifest listing itself is a distributed
+dataset (Iceberg's ``files`` metadata table), so the planner must be a
+DataFrame op.  The bin rule is deterministic floor-cumsum packing:
+within each group (table partition), order files by name, take the
+running byte sum, and assign ``bin = (cumsum - size) div target`` —
+every bin closes as soon as it reaches the target, oversized files
+occupy bins alone, and the assignment is a pure function of the input
+(no first-fit heuristic state), which is what makes it SQL-expressible
+and engine-independent.
+
+Scale shape: one window cumsum per partition-group.  Groups are table
+partitions, so the sequential window is bounded by the worst
+per-partition file count (the quantity compaction exists to keep
+small), and planning parallelises across partitions — the same
+planning unit Iceberg uses.  No shuffle beyond the window's
+partitionBy.
+
+The execution half for the local snapshot-table stand-in is
+``SnapshotTable.compact_partial`` (sources/snaplog.py), which applies
+the identical rule to the manifest file list and rewrites only the
+planned bins in one atomic replace commit.
+
+Reference scope note: the reference engine (pckhoi/datavalid) has no
+storage layer; this extends the table-maintenance family around the
+snapshot source (SURVEY.md §2.5+), same footing as zorder layout.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def plan_compaction(
+    files: DataFrame,
+    size_col: str = "bytes",
+    order_cols: Sequence[str] = ("path",),
+    group_cols: Optional[Sequence[str]] = None,
+    target_bytes: int = 128 * 1024 * 1024,
+    small_threshold: Optional[int] = None,
+) -> DataFrame:
+    """Assign every undersized file to a rewrite bin.
+
+    Input: one row per file.  Output: the input columns plus
+    ``bin`` (bigint) — NULL for files already ≥ ``small_threshold``
+    (default ``target_bytes // 2``, Iceberg's min-file-size default
+    shape: only files under half the target are worth rewriting).
+
+    ``bin`` numbering restarts per ``group_cols`` group; callers
+    rewrite each (group, bin) as one output file.
+    """
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    thresh = target_bytes // 2 if small_threshold is None else small_threshold
+    gcols = [F.col(c) for c in (group_cols or [])]
+    size = F.col(size_col).cast("long")
+    is_small = size < F.lit(int(thresh))
+    # window over SMALL files only: well-sized files must not occupy
+    # space in the running sum (they are not rewritten)
+    w = (
+        Window.partitionBy(*(gcols + [is_small]))
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(size).over(w)
+    bin_expr = F.expr(
+        f"(__cum - CAST({size_col} AS BIGINT)) div {int(target_bytes)}"
+    )
+    return (
+        files.withColumn("__cum", cum)
+        .withColumn(
+            "bin",
+            F.when(is_small, bin_expr.cast("long")).otherwise(F.lit(None)),
+        )
+        .drop("__cum")
+    )
+
+
+def compaction_summary(
+    plan: DataFrame,
+    size_col: str = "bytes",
+    group_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """One row per planned rewrite bin: ``(group..., bin, n_files,
+    bin_bytes)`` — files with NULL bin (already well-sized) excluded.
+    This is what a compaction service actually schedules; n_files per
+    bin also bounds each rewrite task's open-file count."""
+    keys = list(group_cols or []) + ["bin"]
+    return (
+        plan.filter(F.col("bin").isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(F.col(size_col).cast("long")).cast("long").alias("bin_bytes"),
+        )
+    )
+
+
+def plan_bins_py(
+    sizes: Sequence[int], target_bytes: int, small_threshold: Optional[int] = None
+) -> list[Optional[int]]:
+    """Driver-side twin of ``plan_compaction`` for metadata already in
+    memory (the local SnapshotTable manifest).  MUST stay rule-identical
+    to the DataFrame op: floor-cumsum over the small files in the given
+    order; well-sized files get None."""
+    thresh = target_bytes // 2 if small_threshold is None else small_threshold
+    out: list[Optional[int]] = []
+    cum = 0
+    for s in sizes:
+        if s < thresh:
+            out.append(cum // target_bytes)
+            cum += s
+        else:
+            out.append(None)
+    return out

@@ -1133,6 +1133,59 @@ class SnapshotTable:
             expected_parent=sid,
         )
 
+    def compact_partial(
+        self,
+        target_bytes: int = 128 * 1024 * 1024,
+        small_threshold: Optional[int] = None,
+    ) -> Optional[int]:
+        """Partial bin-pack compaction (Iceberg ``rewrite_data_files``
+        with its min-file-size filter): rewrite ONLY the undersized
+        files, leave well-sized files referenced untouched.  At
+        10^12 files a full-table ``compact()`` is not an option — the
+        steady-state maintenance job touches exactly the small tail
+        each commit wave left behind.
+
+        Plan rule is ``operators.compaction.plan_bins_py`` — the
+        driver-metadata twin of the distributed ``plan_compaction``
+        (floor-cumsum bins in sorted-path order), applied to on-disk
+        file sizes from the current manifest.  Files under
+        ``small_threshold`` (default ``target_bytes // 2``) are packed;
+        each planned bin becomes one rewrite partition.
+
+        Returns the new snapshot id, or None when fewer than two files
+        are undersized (nothing to fold).  Superseded files stay
+        time-travelable until ``expire_snapshots`` + ``vacuum``; OCC
+        via ``expected_parent`` — a concurrent commit wins and this
+        rewrite retries cleanly."""
+        from datavalid_spark.operators.compaction import plan_bins_py
+
+        sid = self.current_snapshot_id()
+        m = self.manifest(sid)
+        ordered = sorted(m["files"])
+        sizes = [os.path.getsize(os.path.join(self.root, f)) for f in ordered]
+        bins = plan_bins_py(sizes, target_bytes, small_threshold)
+        small = [f for f, b in zip(ordered, bins) if b is not None]
+        if len(small) < 2:
+            return None
+        n_bins = max(b for b in bins if b is not None) + 1
+        kept = [f for f in m["files"] if f not in set(small)]
+        schema = T.StructType.fromJson(m["schema"])
+        df = (
+            self.spark.read.schema(schema)
+            .parquet(*[os.path.join(self.root, f) for f in small])
+            .repartition(n_bins)
+        )
+        return self._commit(
+            "replace",
+            df,
+            kept,
+            extra_summary={
+                "rewritten_files": len(small),
+                "planned_bins": int(n_bins),
+            },
+            expected_parent=sid,
+        )
+
     def merge(
         self,
         source: DataFrame,
@@ -1337,6 +1390,56 @@ class SnapshotTable:
         )
 
     # ---------------------------------------------------------- cleanup
+
+    def bisect_first_bad(
+        self,
+        predicate,
+        lo: Optional[int] = None,
+        hi: Optional[int] = None,
+    ) -> Optional[int]:
+        """Binary-search the snapshot history for the FIRST snapshot
+        whose time-travel read fails ``predicate`` (a callable
+        ``DataFrame -> bool``, True = check passes) — ``git bisect``
+        for data: a validation suite goes red at snapshot 4127, and the
+        question is which commit introduced the violation.
+
+        Requires the check to be MONOTONE over history (once violated,
+        later snapshots stay violated — true for accumulated-state
+        checks like uniqueness/referential violations on append-mostly
+        tables; NOT for checks a later delete could repair — the
+        caller owns that judgment, same contract as ``git bisect``).
+
+        Cost: O(log n_snapshots) predicate evaluations, each one
+        time-travel read — the read itself prunes to the manifest's
+        file list, so old snapshots don't scan newer files.  Returns
+        the first failing snapshot id, or None if ``hi`` (default:
+        current) passes.  Raises ValueError when ``lo`` itself fails
+        with no known-good ancestor to anchor the search."""
+        ids = [s["snapshot_id"] for s in self.snapshots()]
+        if lo is not None:
+            ids = [i for i in ids if i >= lo]
+        if hi is not None:
+            ids = [i for i in ids if i <= hi]
+        if not ids:
+            raise ValueError("no snapshots in the requested range")
+        ids.sort()
+        if predicate(self.read(ids[-1])):
+            return None  # newest in range is clean — nothing to find
+        if not predicate(self.read(ids[0])):
+            if lo is not None:
+                raise ValueError(
+                    f"snapshot {ids[0]} already fails — widen lo to "
+                    "anchor the bisect at a passing snapshot"
+                )
+            return ids[0]  # bad from the very first commit
+        good, bad = 0, len(ids) - 1  # invariant: ids[good] passes, ids[bad] fails
+        while bad - good > 1:
+            mid = (good + bad) // 2
+            if predicate(self.read(ids[mid])):
+                good = mid
+            else:
+                bad = mid
+        return ids[bad]
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop the oldest manifests, keeping the newest ``keep_last``

@@ -1,0 +1,75 @@
+"""SnapshotTable.bisect_first_bad: locating the commit that introduced
+a violation, with O(log n) predicate evaluations."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.sources.snaplog import SnapshotTable
+
+
+def unique_ids(df) -> bool:
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("id").alias("d"),
+    ).first()
+    return r["n"] == r["d"]
+
+
+@pytest.fixture()
+def history(spark, tmp_path):
+    """10 snapshots; snapshot 7 introduces a duplicate id."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.create(spark.range(0, 10).select("id"))
+    for i in range(1, 10):
+        lo = i * 10
+        df = spark.range(lo, lo + 10).select("id")
+        if i == 6:  # commits as snapshot 7
+            df = df.union(spark.range(3, 4).select("id"))
+        t.append(df)
+    return t
+
+
+def test_bisect_finds_introducing_snapshot(spark, history):
+    assert history.bisect_first_bad(unique_ids) == 7
+
+
+def test_bisect_counts_log_evaluations(spark, history):
+    calls = []
+
+    def probe(df):
+        ok = unique_ids(df)
+        calls.append(ok)
+        return ok
+
+    history.bisect_first_bad(probe)
+    # 10 snapshots: 2 endpoint probes + ~log2(10) midpoints
+    assert len(calls) <= 2 + 4
+
+
+def test_bisect_all_clean_returns_none(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "clean"))
+    t.create(spark.range(5).select("id"))
+    t.append(spark.range(5, 9).select("id"))
+    assert t.bisect_first_bad(unique_ids) is None
+
+
+def test_bisect_bad_from_first_commit(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "bad0"))
+    t.create(
+        spark.range(3).select("id").union(spark.range(1, 2).select("id"))
+    )
+    t.append(spark.range(10, 12).select("id"))
+    assert t.bisect_first_bad(unique_ids) == 1
+
+
+def test_bisect_range_anchoring(spark, history):
+    # restricting the range to start at an already-bad snapshot must
+    # refuse rather than return a wrong answer
+    with pytest.raises(ValueError):
+        history.bisect_first_bad(unique_ids, lo=8)
+    # a range that ends before the break reports clean
+    assert history.bisect_first_bad(unique_ids, hi=6) is None
+    # a well-anchored narrowed range still finds it
+    assert history.bisect_first_bad(unique_ids, lo=5, hi=9) == 7

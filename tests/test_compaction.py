@@ -1,0 +1,171 @@
+"""Compaction planner: DataFrame op vs hand-computed bins, vs the
+driver-side twin, vs an inline DuckDB mirror; SnapshotTable
+compact_partial end-to-end (data equality, file counts, time travel)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.operators.compaction import (
+    compaction_summary,
+    plan_bins_py,
+    plan_compaction,
+)
+from datavalid_spark.sources.snaplog import SnapshotTable
+
+FILES = pd.DataFrame(
+    {
+        "part": ["a"] * 5 + ["b"] * 3,
+        "path": [f"f{i:02d}" for i in range(8)],
+        "bytes": [40, 40, 30, 200, 10, 90, 90, 25],
+    }
+)
+# target=100, threshold=50:
+#   part a smalls (40,40,30,10): cums 40,80,110,120 -> bins 0,0,0(80<100... ),1
+#     bin = (cum - size) div 100 -> f00:(0)0, f01:(40)0, f02:(80)0, f04:(110)1
+#   f03 (200) large -> NULL
+#   part b smalls (25): f07 -> bin 0 ; f05,f06 (90) >= 50 -> NULL... 90>=50 large
+EXPECT = {
+    "f00": 0,
+    "f01": 0,
+    "f02": 0,
+    "f03": None,
+    "f04": 1,
+    "f05": None,
+    "f06": None,
+    "f07": 0,
+}
+
+
+def test_plan_matches_hand_computed(spark):
+    df = spark.createDataFrame(FILES)
+    plan = plan_compaction(
+        df, "bytes", ["path"], ["part"], target_bytes=100
+    ).toPandas()
+    got = {
+        r.path: (None if pd.isna(r.bin) else int(r.bin))
+        for r in plan.itertuples()
+    }
+    assert got == EXPECT
+
+
+def test_plan_matches_driver_twin():
+    for part in ("a", "b"):
+        sub = FILES[FILES.part == part].sort_values("path")
+        bins = plan_bins_py(list(sub.bytes), 100)
+        want = [EXPECT[p] for p in sub.path]
+        assert bins == want
+
+
+def test_plan_matches_duckdb(spark, tmp_path):
+    p = str(tmp_path / "files.parquet")
+    FILES.to_parquet(p)
+    want = duckdb.sql(
+        f"""
+        WITH c AS (
+          SELECT part, path, bytes,
+                 SUM(bytes) OVER (PARTITION BY part, bytes < 50
+                                  ORDER BY path
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+          FROM '{p}'
+        )
+        SELECT part, path, bytes,
+               CASE WHEN bytes < 50
+                    THEN CAST((cum - bytes) // 100 AS BIGINT) END AS bin
+        FROM c
+        """
+    ).df()
+    df = spark.createDataFrame(FILES)
+    got = plan_compaction(df, "bytes", ["path"], ["part"], target_bytes=100)
+    g = got.toPandas().sort_values("path").reset_index(drop=True)
+    w = want.sort_values("path").reset_index(drop=True)[g.columns]
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_summary_counts(spark):
+    df = spark.createDataFrame(FILES)
+    plan = plan_compaction(df, "bytes", ["path"], ["part"], target_bytes=100)
+    s = {
+        (r.part, r.bin): (r.n_files, r.bin_bytes)
+        for r in compaction_summary(plan, "bytes", ["part"]).toPandas().itertuples()
+    }
+    assert s == {("a", 0): (3, 110), ("a", 1): (1, 10), ("b", 0): (1, 25)}
+
+
+def test_plan_parallelism_invariant(spark):
+    df = spark.createDataFrame(FILES)
+    a = plan_compaction(
+        df.repartition(1), "bytes", ["path"], ["part"], 100
+    ).collect()
+    b = plan_compaction(
+        df.repartition(7), "bytes", ["path"], ["part"], 100
+    ).collect()
+    key = lambda r: (r["path"], r["bin"])  # noqa: E731
+    assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def test_plan_rejects_bad_target(spark):
+    with pytest.raises(ValueError):
+        plan_compaction(spark.range(1), "id", ["id"], None, 0)
+
+
+@pytest.fixture()
+def small_file_table(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(spark, root)
+    base = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") * 7 % 13).alias("v")
+    )
+    t.create(base.coalesce(1))  # one well-sized file
+    for i in range(6):  # six tiny commit files
+        t.append(
+            spark.range(2000 + i * 10, 2010 + i * 10)
+            .select(F.col("id"), (F.col("id") * 7 % 13).alias("v"))
+            .coalesce(1)
+        )
+    return t
+
+
+def test_compact_partial_folds_small_files(spark, small_file_table):
+    t = small_file_table
+    sid = t.current_snapshot_id()
+    before = t.manifest(sid)
+    before_rows = sorted((r["id"], r["v"]) for r in t.read().collect())
+    big = max(
+        before["files"],
+        key=lambda f: os.path.getsize(os.path.join(t.root, f)),
+    )
+    # threshold (= target/2) sits between the tiny commit files and the
+    # base file, so exactly the six tiny files are rewrite candidates
+    big_bytes = os.path.getsize(os.path.join(t.root, big))
+    new_sid = t.compact_partial(target_bytes=big_bytes)
+    assert new_sid == sid + 1
+    after = t.manifest(new_sid)
+    # the six small files folded into one planned bin; big file untouched
+    assert big in after["files"]
+    assert len(after["files"]) < len(before["files"])
+    assert after["summary"]["rewritten_files"] == len(before["files"]) - 1
+    assert after["summary"]["planned_bins"] == 1
+    # data byte-identical
+    assert sorted((r["id"], r["v"]) for r in t.read().collect()) == before_rows
+    # time travel to the pre-compaction snapshot still works
+    assert t.read(sid).count() == len(before_rows)
+    # untouched file's stats carried forward, new files harvested
+    assert big in after["stats"]
+    for f in after["files"]:
+        assert f in after["stats"]
+
+
+def test_compact_partial_noop_when_nothing_small(spark, tmp_path):
+    root = str(tmp_path / "tbl2")
+    t = SnapshotTable(spark, root)
+    t.create(spark.range(100).coalesce(1))
+    sid = t.current_snapshot_id()
+    # every file is "large" relative to a tiny target
+    assert t.compact_partial(target_bytes=2) is None
+    assert t.current_snapshot_id() == sid
