@@ -55,7 +55,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datavalid_spark.cache import gated_broadcast, persist_tracked
+from datavalid_spark.cache import persist_tracked
 
 
 def _canon_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -133,6 +133,10 @@ def page_rank(
     base = (scale * (100 - damping_pct)) // (100 * n)
     ranks = nodes.select("id", F.lit(int(scale // n)).cast("long").alias("rank"))
     contrib_expr = F.expr(f"(rank * {int(damping_pct)}) div (100 * outdeg)")
+    # broadcastability is a property of the NODE COUNT, already known —
+    # decide once instead of re-persisting + counting (gated_broadcast)
+    # the rank frame every iteration
+    bcast = n <= broadcast_rank_limit
     for _ in range(iterations):
         ranks = ranks.localCheckpoint(eager=True)
         dangling = (
@@ -143,13 +147,9 @@ def page_rank(
         # base + dangling share fold to ONE driver-side bigint literal —
         # exact Python integer math, nothing distributed
         floor_mass = base + (int(dangling) * damping_pct) // (100 * n)
+        probe = ranks.withColumnRenamed("id", "src")
         inbound = (
-            edeg.join(
-                gated_broadcast(
-                    ranks.withColumnRenamed("id", "src"), broadcast_rank_limit
-                ),
-                "src",
-            )
+            edeg.join(F.broadcast(probe) if bcast else probe, "src")
             .select(F.col("dst").alias("id"), contrib_expr.alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("inb"))

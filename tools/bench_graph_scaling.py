@@ -1,0 +1,129 @@
+"""Two-level scaling study for the graph family (PageRank) —
+companion to tools/bench_dedup_scaling.py / bench_winnow_scaling.py;
+same pinned-JVM method and methodology rules (fixed task granularity
+across levels, >=5 warm iterations, best-of-warm — documented in
+tools/scaling_harness.py).
+
+Job: 5 iterations of fixed-point integer PageRank
+(operators/graphrank.py) over a deterministic synthetic edge table:
+``--docs`` edges over docs/10 nodes, hash-derived, with a planted hot
+set (10% of edges rerouted into the smallest 1% of node ids) so the
+per-iteration groupBy(dst) sees realistic in-degree skew rather than a
+uniform load.  The iterative shape is what the study measures: the
+edge table persists once; every iteration moves only the O(nodes)
+rank frame plus one scalar dangling aggregate.
+
+Usage: python tools/bench_graph_scaling.py [--docs 5000000] [--iters 5]
+       python tools/bench_graph_scaling.py --level 8   (inner, pinned)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.scaling_harness import LEVELS, build_session, run_level, std_args
+
+CORPUS = "/tmp/dv_graph_scaling_edges_{docs}"
+
+
+def ensure_edges(docs: int) -> str:
+    path = CORPUS.format(docs=docs)
+    if os.path.isdir(path):
+        return path
+    from pyspark.sql import functions as F
+
+    spark = build_session(8)
+    v = max(docs // 10, 100)
+    hot = max(v // 100, 1)
+    idc = F.col("id")
+    (
+        spark.range(docs)
+        .select(
+            F.pmod(F.xxhash64(idc), F.lit(v)).alias("src"),
+            F.when(
+                F.pmod(F.xxhash64(idc + 1), F.lit(10)) == 0,
+                F.pmod(F.xxhash64(idc + 2), F.lit(hot)),
+            )
+            .otherwise(F.pmod(F.xxhash64(idc + 3), F.lit(v)))
+            .alias("dst"),
+        )
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    spark.stop()
+    return path
+
+
+def inner(cpus: int, docs: int, iters: int, parts: int, shuf: int) -> None:
+    from datavalid_spark.cache import release_cached
+    from datavalid_spark.operators.graphrank import page_rank
+
+    spark = build_session(cpus, shuf, app="graph-scaling")
+    df = spark.read.parquet(CORPUS.format(docs=docs)).repartition(parts).persist()
+    n = df.count()
+    times, nodes = [], 0
+    for _ in range(iters):
+        t = time.time()
+        nodes = page_rank(df, iterations=5).count()
+        times.append(time.time() - t)
+        release_cached()
+    best = min(times)
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "docs": n,
+                "nodes": nodes,
+                "sec_best": round(best, 2),
+                "sec_all": [round(x, 2) for x in times],
+                "docs_per_sec": round(n / best, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+def main() -> None:
+    args = std_args(default_docs=5_000_000)
+    if args.level:
+        inner(args.level, args.docs, args.iters, args.parts, args.shuf)
+        return
+    ensure_edges(args.docs)
+    levels = {}
+    for cpus in LEVELS:
+        levels[cpus] = run_level(
+            __file__, cpus, args.docs, args.iters, args.parts, args.shuf
+        )
+        print(f"level {cpus}: {levels[cpus]}", file=sys.stderr)
+    pairs = []
+    for n in (2, 4, 8):
+        if n in levels and n * 4 in levels:
+            e = levels[n * 4]["docs_per_sec"] / (4 * levels[n]["docs_per_sec"])
+            pairs.append({"N": n, "4N": n * 4, "scaling_efficiency": round(e, 3)})
+    eff = pairs[0]["scaling_efficiency"] if pairs else None
+    print(
+        json.dumps(
+            {
+                "job": "pagerank 5-iteration fixed point (edges/sec)",
+                "docs": args.docs,
+                "parts": args.parts,
+                "shuffle_partitions": args.shuf,
+                "levels": levels,
+                "N": 2,
+                "4N": 8,
+                "scaling_efficiency": eff,
+                "meets_0.8": bool(eff and eff >= 0.8),
+                "pairs": pairs,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
