@@ -2242,6 +2242,30 @@ def q_graph_pagerank(spark, sf_dir):
     return page_rank(edges, iterations=5)
 
 
+def q_graph_trustrank(spark, sf_dir):
+    """TrustRank (operators/graphrank.py) over the supplier hand-off
+    graph: teleport mass concentrated on a vetted seed set (suppliers
+    of nations 0-4) so trust decays with link distance from the seeds
+    — the whitelist-propagation source-curation signal (Gyöngyi et
+    al., VLDB 2004).  Same integer fixed point as graph_pagerank;
+    seeds outside the graph are dropped by both engines."""
+    from pyspark.sql import Window
+
+    from datavalid_spark.operators.graphrank import trust_rank
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_suppkey")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        F.lead("l_suppkey").over(w).alias("dst"),
+    )
+    seeds = sup.filter(F.col("s_nationkey") < 5).select(
+        F.col("s_suppkey").alias("id")
+    )
+    return trust_rank(edges, seeds, iterations=5)
+
+
 def q_graph_triangles(spark, sf_dir):
     """Exact triangle count (operators/graphrank.py) of the supplier
     co-occurrence graph (edge when two suppliers appear in the same
@@ -2538,6 +2562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_items": q_frequent_items,
         "hybrid_rrf": q_hybrid_rrf,
         "graph_pagerank": q_graph_pagerank,
+        "graph_trustrank": q_graph_trustrank,
         "graph_triangles": q_graph_triangles,
         "compaction_plan": q_compaction_plan,
         "topk_per_group": q_topk_per_group,
@@ -3304,6 +3329,11 @@ FROM btop b FULL OUTER JOIN vtop v USING (id)
 """,
         "graph_pagerank": _graphrank_oracle.page_rank_oracle_sql(
             _graph_edges_sql(), iterations=5
+        ),
+        "graph_trustrank": _graphrank_oracle.trust_rank_oracle_sql(
+            _graph_edges_sql(),
+            "SELECT s_suppkey AS id FROM supplier WHERE s_nationkey < 5",
+            iterations=5,
         ),
         "graph_triangles": _graphrank_oracle.triangle_count_oracle_sql(
             "SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst "

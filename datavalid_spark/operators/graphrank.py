@@ -107,20 +107,83 @@ def page_rank(
     DuckDB oracle needs.  5-10 iterations is the usual curation-grade
     rank (CommonCrawl publishes ranks from a comparable budget).
     """
+    return _fixed_point_loop(
+        _canon_edges(edges, src, dst),
+        None,
+        iterations,
+        damping_pct,
+        scale,
+        broadcast_rank_limit,
+    )
+
+
+def trust_rank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "id",
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    broadcast_rank_limit: int = 1_000_000,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina, Pedersen, "Combating Web
+    Spam with TrustRank", VLDB 2004): PageRank whose teleport vector is
+    concentrated on a hand-vetted SEED set instead of uniform — trust
+    flows outward from known-good sources, so link farms that inflate
+    plain PageRank stay near zero unless a trusted path reaches them.
+    The standard whitelist-propagation signal for corpus source
+    curation (rank domains/repos by proximity to vetted ones).
+
+    Same fixed-point integer arithmetic and iteration shape as
+    ``page_rank``; the only differences are the initial mass (split
+    over seeds) and the per-iteration floor mass (teleport + dangling
+    redistribution go to seeds only).  Seeds not present in the edge
+    set are ignored; raises if no seed touches the graph.
+    """
+    seed_ids = seeds.select(F.col(seed_col).cast("long").alias("id")).distinct()
+    return _fixed_point_loop(
+        _canon_edges(edges, src, dst),
+        seed_ids,
+        iterations,
+        damping_pct,
+        scale,
+        broadcast_rank_limit,
+    )
+
+
+def _fixed_point_loop(
+    e: DataFrame,
+    seed_ids: "DataFrame | None",
+    iterations: int,
+    damping_pct: int,
+    scale: int,
+    broadcast_rank_limit: int,
+) -> DataFrame:
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
-    e = _canon_edges(edges, src, dst)
-    nodes = persist_tracked(
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
-        .distinct(),
-        eager=True,
-    )
+    nodes = e.select(F.col("src").alias("id")).union(
+        e.select(F.col("dst").alias("id"))
+    ).distinct()
+    if seed_ids is not None:
+        nodes = nodes.join(
+            seed_ids.select("id", F.lit(True).alias("is_seed")), "id", "left"
+        ).select("id", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
+    else:
+        nodes = nodes.select("id", F.lit(True).alias("is_seed"))
+    nodes = persist_tracked(nodes, eager=True)
     n = nodes.count()
     if n == 0:
         return nodes.select(
             F.col("id").alias("node_id"), F.lit(0).cast("long").alias("rank_fp")
         )
+    # mass recipients: all nodes (uniform) or the in-graph seed set
+    n_mass = (
+        n if seed_ids is None else nodes.filter("is_seed").limit(n + 1).count()
+    )
+    if n_mass == 0:
+        raise ValueError("no seed id appears in the edge set")
     outdeg = persist_tracked(
         e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), eager=True
     )
@@ -130,8 +193,9 @@ def page_rank(
         nodes.join(outdeg.select(F.col("src").alias("id")), "id", "left_anti"),
         eager=True,
     )
-    base = (scale * (100 - damping_pct)) // (100 * n)
-    ranks = nodes.select("id", F.lit(int(scale // n)).cast("long").alias("rank"))
+    base = (scale * (100 - damping_pct)) // (100 * n_mass)
+    init = F.when(F.col("is_seed"), F.lit(int(scale // n_mass))).otherwise(F.lit(0))
+    ranks = nodes.select("id", init.cast("long").alias("rank"))
     contrib_expr = F.expr(f"(rank * {int(damping_pct)}) div (100 * outdeg)")
     # broadcastability is a property of the NODE COUNT, already known —
     # decide once instead of re-persisting + counting (gated_broadcast)
@@ -146,7 +210,7 @@ def page_rank(
         )
         # base + dangling share fold to ONE driver-side bigint literal —
         # exact Python integer math, nothing distributed
-        floor_mass = base + (int(dangling) * damping_pct) // (100 * n)
+        floor_mass = base + (int(dangling) * damping_pct) // (100 * n_mass)
         probe = ranks.withColumnRenamed("id", "src")
         inbound = (
             edeg.join(F.broadcast(probe) if bcast else probe, "src")
@@ -154,11 +218,10 @@ def page_rank(
             .groupBy("id")
             .agg(F.sum("c").alias("inb"))
         )
+        mass = F.when(F.col("is_seed"), F.lit(int(floor_mass))).otherwise(F.lit(0))
         ranks = nodes.join(inbound, "id", "left").select(
             "id",
-            (F.lit(int(floor_mass)).cast("long") + F.coalesce("inb", F.lit(0))).alias(
-                "rank"
-            ),
+            (mass.cast("long") + F.coalesce("inb", F.lit(0))).alias("rank"),
         )
     return ranks.select(
         F.col("id").alias("node_id"), F.col("rank").cast("long").alias("rank_fp")
@@ -255,20 +318,56 @@ def page_rank_oracle_sql(
     Kept next to the operator so the arithmetic can only drift in one
     place; ``__spark_entry__.oracle_sql`` embeds the generated string.
     """
+    return _rank_oracle_sql(edges_sql, None, iterations, damping_pct, scale)
+
+
+def trust_rank_oracle_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> str:
+    """DuckDB mirror of ``trust_rank``.  ``seeds_sql`` selects one
+    column ``id``; seeds outside the edge set are dropped, matching
+    the operator."""
+    return _rank_oracle_sql(edges_sql, seeds_sql, iterations, damping_pct, scale)
+
+
+def _rank_oracle_sql(
+    edges_sql: str,
+    seeds_sql: "str | None",
+    iterations: int,
+    damping_pct: int,
+    scale: int,
+) -> str:
     d = int(damping_pct)
+    seeds = (
+        "SELECT id FROM nodes"
+        if seeds_sql is None
+        else f"SELECT DISTINCT id FROM ({seeds_sql}) "
+        "WHERE id IN (SELECT id FROM nodes)"
+    )
+    mass = f"CASE WHEN nodes.id IN (SELECT id FROM seeds) THEN {{v}} ELSE 0 END"
     parts = [
         f"""WITH e AS (
   SELECT DISTINCT src, dst FROM ({edges_sql})
   WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
 ),
 nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
-nn AS (SELECT COUNT(*) AS n FROM nodes),
+seeds AS ({seeds}),
+nm AS (SELECT COUNT(*) AS n FROM seeds),
 outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
 r0 AS (
-  SELECT id, CAST({scale} AS BIGINT) // (SELECT n FROM nn) AS rank
+  SELECT nodes.id,
+         {mass.format(v=f"CAST({scale} AS BIGINT) // (SELECT n FROM nm)")} AS rank
   FROM nodes
 )"""
     ]
+    floor_v = (
+        f"(CAST({scale} AS BIGINT) * {100 - d}) // (100 * (SELECT n FROM nm))"
+        f" + ((SELECT dang FROM d{{i}}) * {d}) // (100 * (SELECT n FROM nm))"
+    )
     for i in range(iterations):
         parts.append(
             f""",
@@ -286,8 +385,7 @@ c{i} AS (
 ),
 r{i + 1} AS (
   SELECT nodes.id,
-         (CAST({scale} AS BIGINT) * {100 - d}) // (100 * (SELECT n FROM nn))
-         + ((SELECT dang FROM d{i}) * {d}) // (100 * (SELECT n FROM nn))
+         {mass.format(v="(" + floor_v.format(i=i) + ")")}
          + COALESCE(c{i}.inb, 0) AS rank
   FROM nodes LEFT JOIN c{i} ON c{i}.id = nodes.id
 )"""

@@ -14,6 +14,8 @@ from datavalid_spark.operators.graphrank import (
     page_rank_oracle_sql,
     triangle_count,
     triangle_count_oracle_sql,
+    trust_rank,
+    trust_rank_oracle_sql,
 )
 
 
@@ -119,6 +121,92 @@ def test_pagerank_sink_outranks_sources(spark):
     got = {r["node_id"]: r["rank_fp"] for r in page_rank(df).collect()}
     assert got[100] == max(got.values())
     assert len({got[i] for i in range(1, 9)}) == 1  # symmetric sources tie
+
+
+def py_trustrank(edges, seeds, iterations=5, d=85, scale=10**12):
+    e = sorted({(a, b) for a, b in edges if a != b and a is not None})
+    nodes = sorted({x for p in e for x in p})
+    sset = {s for s in seeds if s in nodes}
+    ns = len(sset)
+    out = {}
+    for a, _ in e:
+        out[a] = out.get(a, 0) + 1
+    r = {v: (scale // ns if v in sset else 0) for v in nodes}
+    base = (scale * (100 - d)) // (100 * ns)
+    for _ in range(iterations):
+        dang = sum(r[v] for v in nodes if v not in out)
+        nxt = {
+            v: (base + (dang * d) // (100 * ns) if v in sset else 0)
+            for v in nodes
+        }
+        for a, b in e:
+            nxt[b] += (r[a] * d) // (100 * out[a])
+        r = nxt
+    return r
+
+
+def test_trustrank_matches_python_reference(spark, edges_df):
+    seeds = spark.createDataFrame(pd.DataFrame({"id": [1, 5]}).astype("int64"))
+    got = {
+        r["node_id"]: r["rank_fp"]
+        for r in trust_rank(edges_df, seeds, iterations=5).collect()
+    }
+    assert got == py_trustrank(EDGES, [1, 5], iterations=5)
+
+
+def test_trustrank_matches_duckdb_oracle(spark, edges_df, tmp_path):
+    p = str(tmp_path / "edges.parquet")
+    edges_df.toPandas().to_parquet(p)
+    seeds = spark.createDataFrame(
+        pd.DataFrame({"id": [2, 6, 999]}).astype("int64")  # 999 not in graph
+    )
+    sql = trust_rank_oracle_sql(
+        f"SELECT src, dst FROM '{p}'",
+        "SELECT * FROM (VALUES (2), (6), (999)) t(id)",
+        iterations=4,
+    )
+    want = {
+        int(r.node_id): int(r.rank_fp)
+        for r in duckdb.sql(sql).df().itertuples()
+    }
+    got = {
+        r["node_id"]: r["rank_fp"]
+        for r in trust_rank(edges_df, seeds, iterations=4).collect()
+    }
+    assert got == want
+
+
+def test_trustrank_trust_decays_with_distance(spark):
+    # chain 1→2→3→4: trust from seed 1 must strictly decay along it
+    chain = [(1, 2), (2, 3), (3, 4)]
+    df = spark.createDataFrame(
+        pd.DataFrame(chain, columns=["src", "dst"]).astype("int64")
+    )
+    seeds = spark.createDataFrame(pd.DataFrame({"id": [1]}).astype("int64"))
+    got = {
+        r["node_id"]: r["rank_fp"]
+        for r in trust_rank(df, seeds, iterations=8).collect()
+    }
+    assert got[1] > got[2] > got[3] > got[4] > 0
+
+
+def test_trustrank_unreachable_stays_zero(spark):
+    # disconnected pair (10,11) gets no trust from seed 1
+    df = spark.createDataFrame(
+        pd.DataFrame([(1, 2), (10, 11)], columns=["src", "dst"]).astype("int64")
+    )
+    seeds = spark.createDataFrame(pd.DataFrame({"id": [1]}).astype("int64"))
+    got = {
+        r["node_id"]: r["rank_fp"]
+        for r in trust_rank(df, seeds, iterations=5).collect()
+    }
+    assert got[10] == 0 and got[11] == 0 and got[2] > 0
+
+
+def test_trustrank_no_seed_in_graph_raises(spark, edges_df):
+    seeds = spark.createDataFrame(pd.DataFrame({"id": [999]}).astype("int64"))
+    with pytest.raises(ValueError):
+        trust_rank(edges_df, seeds)
 
 
 def test_triangle_count_matches_python(spark, edges_df):
