@@ -2266,6 +2266,62 @@ def q_graph_trustrank(spark, sf_dir):
     return trust_rank(edges, seeds, iterations=5)
 
 
+def _supplier_cooccurrence_edges(spark, sf_dir):
+    """Undirected supplier co-occurrence edges (same order), distinct;
+    all-pairs within an order is bounded by the ≤7-line order shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("dst"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+_COOCCUR_SQL = (
+    "SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst "
+    "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+    "WHERE a.l_suppkey < b.l_suppkey"
+)
+
+
+def q_graph_communities(spark, sf_dir):
+    """Synchronous label propagation (operators/graphrank.py) over the
+    supplier co-occurrence graph: mesoscale link communities —
+    deterministic by construction (synchronous rounds + total
+    (count DESC, label ASC) tie order), unlike classic
+    async-random-order LPA.  Per round: one broadcast join of the
+    O(nodes) label frame against the persisted symmetrized edges +
+    two partial-aggregating groupBys."""
+    from datavalid_spark.operators.graphrank import label_propagation
+
+    return label_propagation(
+        _supplier_cooccurrence_edges(spark, sf_dir), iterations=4
+    )
+
+
+def q_graph_degrees(spark, sf_dir):
+    """Out-degree histogram of the supplier hand-off graph
+    (operators/graphrank.py) — the pre-flight skew diagnostic for any
+    graph rank: the tail row says whether groupBy(dst) needs salting,
+    degree-0 counts the dangling mass.  Result cardinality is the
+    number of DISTINCT degrees (O(sqrt(edges)) worst case), so the
+    histogram never materialises a per-node frame to the driver."""
+    from pyspark.sql import Window
+
+    from datavalid_spark.operators.graphrank import degree_histogram
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_suppkey")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        F.lead("l_suppkey").over(w).alias("dst"),
+    )
+    return degree_histogram(edges)
+
+
 def q_graph_triangles(spark, sf_dir):
     """Exact triangle count (operators/graphrank.py) of the supplier
     co-occurrence graph (edge when two suppliers appear in the same
@@ -2275,16 +2331,7 @@ def q_graph_triangles(spark, sf_dir):
     at O(sqrt(m)) per node regardless of hub degree."""
     from datavalid_spark.operators.graphrank import triangle_count
 
-    li = _t(spark, sf_dir, "lineitem")
-    a = li.select("l_orderkey", F.col("l_suppkey").alias("src"))
-    b = li.select("l_orderkey", F.col("l_suppkey").alias("dst"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
-    return triangle_count(edges)
+    return triangle_count(_supplier_cooccurrence_edges(spark, sf_dir))
 
 
 def q_compaction_plan(spark, sf_dir):
@@ -2564,6 +2611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_trustrank": q_graph_trustrank,
         "graph_triangles": q_graph_triangles,
+        "graph_degrees": q_graph_degrees,
+        "graph_communities": q_graph_communities,
         "compaction_plan": q_compaction_plan,
         "topk_per_group": q_topk_per_group,
         "rolling_window": q_rolling_window,
@@ -3335,10 +3384,14 @@ FROM btop b FULL OUTER JOIN vtop v USING (id)
             "SELECT s_suppkey AS id FROM supplier WHERE s_nationkey < 5",
             iterations=5,
         ),
+        "graph_degrees": _graphrank_oracle.degree_histogram_oracle_sql(
+            _graph_edges_sql()
+        ),
+        "graph_communities": _graphrank_oracle.label_propagation_oracle_sql(
+            _COOCCUR_SQL, iterations=4
+        ),
         "graph_triangles": _graphrank_oracle.triangle_count_oracle_sql(
-            "SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst "
-            "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
-            "WHERE a.l_suppkey < b.l_suppkey"
+            _COOCCUR_SQL
         ),
         "compaction_plan": """
 WITH c AS (

@@ -143,6 +143,12 @@ HEADLINE_QUERIES = [
     # round-3 additions: per-source corpus health report (one fused
     # scan + one hash agg; order-independent integer aggregates)
     "corpus_scorecard",
+    # round-3 additions: link-graph rank (iterative joins; edges
+    # persist once, rank frame broadcasts), degree-ordered triangle
+    # counting, and compaction bin planning (one window per group)
+    "graph_pagerank",
+    "graph_triangles",
+    "compaction_plan",
 ]
 
 

@@ -197,20 +197,26 @@ def _fixed_point_loop(
     init = F.when(F.col("is_seed"), F.lit(int(scale // n_mass))).otherwise(F.lit(0))
     ranks = nodes.select("id", init.cast("long").alias("rank"))
     contrib_expr = F.expr(f"(rank * {int(damping_pct)}) div (100 * outdeg)")
+    # dangling share stays a COLUMN from a broadcast one-row aggregate
+    # instead of a collected driver scalar: one job per iteration (the
+    # localCheckpoint materialisation) with zero driver round-trips —
+    # the serial per-iteration cost is what caps scaling efficiency on
+    # an iterative job, and integer arithmetic keeps the fold exact
+    # either way
+    dang_share = F.expr(
+        f"(__dang * {int(damping_pct)}) div {100 * int(n_mass)}"
+    )
     # broadcastability is a property of the NODE COUNT, already known —
     # decide once instead of re-persisting + counting (gated_broadcast)
     # the rank frame every iteration
     bcast = n <= broadcast_rank_limit
     for _ in range(iterations):
         ranks = ranks.localCheckpoint(eager=True)
-        dangling = (
-            dangling_ids.join(ranks, "id")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("s"))
-            .first()["s"]
+        dang_row = F.broadcast(
+            dangling_ids.join(ranks, "id").agg(
+                F.coalesce(F.sum("rank"), F.lit(0)).alias("__dang")
+            )
         )
-        # base + dangling share fold to ONE driver-side bigint literal —
-        # exact Python integer math, nothing distributed
-        floor_mass = base + (int(dangling) * damping_pct) // (100 * n_mass)
         probe = ranks.withColumnRenamed("id", "src")
         inbound = (
             edeg.join(F.broadcast(probe) if bcast else probe, "src")
@@ -218,14 +224,61 @@ def _fixed_point_loop(
             .groupBy("id")
             .agg(F.sum("c").alias("inb"))
         )
-        mass = F.when(F.col("is_seed"), F.lit(int(floor_mass))).otherwise(F.lit(0))
-        ranks = nodes.join(inbound, "id", "left").select(
-            "id",
-            (mass.cast("long") + F.coalesce("inb", F.lit(0))).alias("rank"),
+        mass = F.when(
+            F.col("is_seed"), F.lit(int(base)) + dang_share
+        ).otherwise(F.lit(0))
+        ranks = (
+            nodes.join(inbound, "id", "left")
+            .crossJoin(dang_row)
+            .select(
+                "id",
+                (mass.cast("long") + F.coalesce("inb", F.lit(0))).alias("rank"),
+            )
         )
     return ranks.select(
         F.col("id").alias("node_id"), F.col("rank").cast("long").alias("rank_fp")
     )
+
+
+def degree_histogram(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Out-degree histogram of the simple directed graph:
+    ``(degree, n_nodes)`` — one row per distinct out-degree, including
+    ``degree = 0`` for dangling nodes (appear only as targets).
+
+    The first thing to look at before ranking a link graph: the
+    power-law tail tells you whether the per-iteration groupBy(dst)
+    needs skew handling, and the dangling count sizes the teleport
+    correction.  Cost: one distinct + one groupBy over edges, then a
+    groupBy over the O(nodes) degree frame — row count of the result
+    is the number of DISTINCT degrees, O(sqrt(edges)) even for
+    pathological graphs (sum of k distinct degrees ≥ k(k+1)/2)."""
+    e = _canon_edges(edges, src, dst)
+    nodes = e.select(F.col("src").alias("id")).union(
+        e.select(F.col("dst").alias("id"))
+    ).distinct()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    return (
+        nodes.join(outdeg.withColumnRenamed("src", "id"), "id", "left")
+        .select(F.coalesce("outdeg", F.lit(0)).cast("long").alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+
+
+def degree_histogram_oracle_sql(edges_sql: str) -> str:
+    """DuckDB mirror of ``degree_histogram``."""
+    return f"""WITH e AS (
+  SELECT DISTINCT src, dst FROM ({edges_sql})
+  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)
+SELECT CAST(COALESCE(o.outdeg, 0) AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM nodes n LEFT JOIN outdeg o ON o.src = n.id
+GROUP BY 1"""
 
 
 def oriented_edges(
@@ -268,14 +321,23 @@ def oriented_edges(
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
-    """Exact global triangle count of the undirected simple graph.
+    """Exact triangle census of the undirected simple graph.
 
-    Returns a ONE-ROW frame ``(triangles)``.  Degree-ordered wedge
-    join: every triangle has a unique apex (its minimum node under the
-    (degree, id) order) with out-edges to the other two; the wedge
-    (apex's out-neighbor pair) is closed by one equi-join back against
-    the oriented edge set.  Fan-out is bounded by the oriented
-    out-degree ≤ O(sqrt(m)) — see module docstring.
+    Returns a ONE-ROW frame ``(triangles, wedges, clustering_micro)``:
+    the exact triangle count, the exact wedge (2-path) count, and the
+    global clustering coefficient 3·triangles/wedges in integer
+    micro-units (0..1_000_000; NULL for a wedge-free graph) — the
+    transitivity signal that separates organically clustered link
+    neighborhoods from link farms' star bursts.
+
+    Degree-ordered wedge join: every triangle has a unique apex (its
+    minimum node under the (degree, id) order) with out-edges to the
+    other two; the wedge (apex's out-neighbor pair) is closed by one
+    equi-join back against the oriented edge set.  Fan-out is bounded
+    by the oriented out-degree ≤ O(sqrt(m)) — see module docstring.
+    The WEDGE total is NOT counted from the oriented self-join (that
+    only sees degree-ordered wedges): it is Σ d(d-1)/2 over the
+    undirected degree frame — one aggregation, no join.
     """
     oe = persist_tracked(oriented_edges(edges, src, dst), eager=True)
     e1 = oe.select(
@@ -294,14 +356,124 @@ def triangle_count(
     b_first = (F.col("b_deg") < F.col("c_deg")) | (
         (F.col("b_deg") == F.col("c_deg")) & (F.col("b") < F.col("c"))
     )
-    wedges = (
+    wedge_pairs = (
         e1.join(e2, "apex")
         .filter(F.col("b") != F.col("c"))
         .filter(b_first)
         .select(F.col("b").alias("lo"), F.col("c").alias("hi"))
     )
-    closed = wedges.join(oe.select("lo", "hi"), ["lo", "hi"], "left_semi")
-    return closed.agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    closed = wedge_pairs.join(oe.select("lo", "hi"), ["lo", "hi"], "left_semi")
+    tri = closed.agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    deg = (
+        oe.select(F.col("lo").alias("id"))
+        .union(oe.select(F.col("hi").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wed = deg.agg(
+        F.coalesce(F.sum(F.expr("d * (d - 1) div 2")), F.lit(0))
+        .cast("long")
+        .alias("wedges")
+    )
+    return tri.crossJoin(wed).select(
+        "triangles",
+        "wedges",
+        F.expr("CASE WHEN wedges > 0 THEN (3 * triangles * 1000000) div wedges END")
+        .cast("long")
+        .alias("clustering_micro"),
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 4,
+    broadcast_label_limit: int = 1_000_000,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan, Albert, Kumara 2007)
+    over the undirected simple graph: ``(node_id, label)`` after
+    ``iterations`` rounds of neighbor-majority voting.  Communities at
+    mesoscale — finer than connected components (which merge anything
+    linked by one edge), the usual "which link neighborhood does this
+    domain/repo belong to" signal.
+
+    Determinism contract: SYNCHRONOUS updates (classic LPA updates
+    asynchronously in random node order — unreproducible by design)
+    and a total tie order — each node adopts the neighbor label with
+    the highest vote count, smallest label winning ties.  That makes
+    the result a pure function of the edge set, same as the rank ops.
+
+    Scale shape: per iteration one join of the persisted symmetrized
+    edge set against the O(nodes) label frame (broadcast under the
+    gate) + two partial-aggregating groupBys; labels localCheckpoint
+    per round.  No collect_list of neighborhoods — a hub's votes
+    partial-aggregate map-side as (node, label) count rows.
+    """
+    e = _canon_edges(edges, src, dst)
+    sym = persist_tracked(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(e.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct(),
+        eager=True,
+    )
+    nodes = persist_tracked(sym.select(F.col("a").alias("id")).distinct(), eager=True)
+    n = nodes.count()
+    labels = nodes.select("id", F.col("id").alias("label"))
+    bcast = n <= broadcast_label_limit
+    for _ in range(iterations):
+        labels = labels.localCheckpoint(eager=True)
+        probe = labels.withColumnRenamed("id", "b")
+        votes = (
+            sym.join(F.broadcast(probe) if bcast else probe, "b")
+            .groupBy(F.col("a").alias("id"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = votes.groupBy("id").agg(
+            F.min_by(
+                "label", F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
+            ).alias("label")
+        )
+    return labels.select(F.col("id").alias("node_id"), F.col("label").cast("long"))
+
+
+def label_propagation_oracle_sql(edges_sql: str, iterations: int = 4) -> str:
+    """DuckDB mirror of ``label_propagation``: unrolled rounds, the
+    same (count DESC, label ASC) tie order via ROW_NUMBER."""
+    parts = [
+        f"""WITH e0 AS (
+  SELECT DISTINCT src, dst FROM ({edges_sql})
+  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+),
+sym AS (
+  SELECT src AS a, dst AS b FROM e0
+  UNION
+  SELECT dst AS a, src AS b FROM e0
+),
+l0 AS (SELECT DISTINCT a AS id, a AS label FROM sym)"""
+    ]
+    for i in range(iterations):
+        parts.append(
+            f""",
+v{i} AS (
+  SELECT sym.a AS id, l.label, COUNT(*) AS cnt
+  FROM sym JOIN l{i} l ON l.id = sym.b
+  GROUP BY sym.a, l.label
+),
+l{i + 1} AS (
+  SELECT id, label FROM (
+    SELECT id, label,
+           ROW_NUMBER() OVER (PARTITION BY id
+                              ORDER BY cnt DESC, label ASC) AS rn
+    FROM v{i}
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"\nSELECT id AS node_id, CAST(label AS BIGINT) AS label"
+        f" FROM l{iterations}"
+    )
+    return "".join(parts)
 
 
 def page_rank_oracle_sql(
@@ -399,7 +571,8 @@ r{i + 1} AS (
 
 def triangle_count_oracle_sql(edges_sql: str) -> str:
     """DuckDB mirror of ``triangle_count`` over ``edges_sql`` (columns
-    ``src``/``dst``).  Same orientation, same wedge closure."""
+    ``src``/``dst``).  Same orientation, same wedge closure, same
+    Σ d(d-1)/2 wedge total and micro-unit coefficient."""
     return f"""WITH und AS (
   SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
   FROM ({edges_sql})
@@ -419,7 +592,7 @@ oe AS (
   JOIN deg da ON da.id = u.a
   JOIN deg db ON db.id = u.b
 ),
-wedges AS (
+wedge_pairs AS (
   SELECT CASE WHEN (e1.hi_deg, e1.hi) < (e2.hi_deg, e2.hi)
               THEN e1.hi ELSE e2.hi END AS lo,
          CASE WHEN (e1.hi_deg, e1.hi) < (e2.hi_deg, e2.hi)
@@ -428,7 +601,18 @@ wedges AS (
   JOIN oe e2 ON e1.lo = e2.lo
   WHERE e1.hi <> e2.hi
     AND (e1.hi_deg, e1.hi) < (e2.hi_deg, e2.hi)
+),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+  FROM wedge_pairs w
+  WHERE EXISTS (SELECT 1 FROM oe WHERE oe.lo = w.lo AND oe.hi = w.hi)
+),
+wed AS (
+  SELECT CAST(COALESCE(SUM(deg * (deg - 1) // 2), 0) AS BIGINT) AS wedges
+  FROM deg
 )
-SELECT CAST(COUNT(*) AS BIGINT) AS triangles
-FROM wedges w
-WHERE EXISTS (SELECT 1 FROM oe WHERE oe.lo = w.lo AND oe.hi = w.hi)"""
+SELECT triangles, wedges,
+       CAST(CASE WHEN wedges > 0
+                 THEN (3 * triangles * 1000000) // wedges END AS BIGINT)
+         AS clustering_micro
+FROM tri, wed"""

@@ -10,6 +10,10 @@ import pytest
 
 from datavalid_spark.cache import release_cached
 from datavalid_spark.operators.graphrank import (
+    degree_histogram,
+    degree_histogram_oracle_sql,
+    label_propagation,
+    label_propagation_oracle_sql,
     page_rank,
     page_rank_oracle_sql,
     triangle_count,
@@ -209,9 +213,21 @@ def test_trustrank_no_seed_in_graph_raises(spark, edges_df):
         trust_rank(edges_df, seeds)
 
 
+def py_wedges(edges):
+    und = {frozenset((a, b)) for a, b in edges if a != b}
+    deg = {}
+    for p in und:
+        a, b = tuple(p)
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return sum(d * (d - 1) // 2 for d in deg.values())
+
+
 def test_triangle_count_matches_python(spark, edges_df):
-    assert triangle_count(edges_df).first()["triangles"] == py_triangles(EDGES)
-    assert py_triangles(EDGES) == 2
+    row = triangle_count(edges_df).first()
+    assert row["triangles"] == py_triangles(EDGES) == 2
+    assert row["wedges"] == py_wedges(EDGES)
+    assert row["clustering_micro"] == 3 * 2 * 1_000_000 // py_wedges(EDGES)
 
 
 def test_triangle_count_matches_duckdb(spark, tmp_path):
@@ -224,9 +240,90 @@ def test_triangle_count_matches_duckdb(spark, tmp_path):
     p = str(tmp_path / "edges.parquet")
     df.toPandas().to_parquet(p)
     sql = triangle_count_oracle_sql(f"SELECT src, dst FROM '{p}'")
-    want = int(duckdb.sql(sql).df().iloc[0, 0])
-    assert triangle_count(df).first()["triangles"] == want == 11
+    want = duckdb.sql(sql).df().iloc[0]
+    got = triangle_count(df).first()
+    assert got["triangles"] == int(want["triangles"]) == 11
+    assert got["wedges"] == int(want["wedges"]) == py_wedges(edges)
+    assert got["clustering_micro"] == int(want["clustering_micro"])
     release_cached()
+
+
+def py_lpa(edges, iterations=4):
+    und = {frozenset((a, b)) for a, b in edges if a != b}
+    adj = {}
+    for p in und:
+        a, b = tuple(p)
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {v: v for v in adj}
+    for _ in range(iterations):
+        nxt = {}
+        for v, nbrs in adj.items():
+            votes = {}
+            for u in nbrs:
+                votes[lab[u]] = votes.get(lab[u], 0) + 1
+            nxt[v] = min(votes, key=lambda c: (-votes[c], c))
+        lab = nxt
+    return lab
+
+
+def test_lpa_matches_python_reference(spark, edges_df):
+    got = {
+        r["node_id"]: r["label"]
+        for r in label_propagation(edges_df, iterations=4).collect()
+    }
+    assert got == py_lpa(EDGES, iterations=4)
+
+
+def test_lpa_matches_duckdb(spark, edges_df, tmp_path):
+    p = str(tmp_path / "edges.parquet")
+    edges_df.toPandas().to_parquet(p)
+    sql = label_propagation_oracle_sql(f"SELECT src, dst FROM '{p}'", 3)
+    want = {
+        int(r.node_id): int(r.label) for r in duckdb.sql(sql).df().itertuples()
+    }
+    got = {
+        r["node_id"]: r["label"]
+        for r in label_propagation(edges_df, iterations=3).collect()
+    }
+    assert got == want
+
+
+def test_lpa_separates_two_cliques(spark):
+    # two K4 cliques bridged by a single edge: each clique converges to
+    # one label and the two labels differ
+    k1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    k2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    df = spark.createDataFrame(
+        pd.DataFrame(k1 + k2 + [(3, 10)], columns=["src", "dst"]).astype(
+            "int64"
+        )
+    )
+    got = {
+        r["node_id"]: r["label"]
+        for r in label_propagation(df, iterations=6).collect()
+    }
+    c1 = {got[v] for v in range(4)}
+    c2 = {got[v] for v in range(10, 14)}
+    assert len(c1) == 1 and len(c2) == 1 and c1 != c2
+
+
+def test_degree_histogram(spark, edges_df, tmp_path):
+    # simple graph after canonicalisation: out-degrees
+    #   1:{2} 2:{3,1} 3:{1,4} 4:{5} 5:{3,6} 6:{7} 7:{} -> degree 0
+    got = {
+        r["degree"]: r["n_nodes"] for r in degree_histogram(edges_df).collect()
+    }
+    assert got == {0: 1, 1: 3, 2: 3}
+    p = str(tmp_path / "edges.parquet")
+    edges_df.toPandas().to_parquet(p)
+    want = {
+        int(r.degree): int(r.n_nodes)
+        for r in duckdb.sql(
+            degree_histogram_oracle_sql(f"SELECT src, dst FROM '{p}'")
+        ).df().itertuples()
+    }
+    assert got == want
 
 
 def test_triangle_count_direction_and_dupes_ignored(spark):
