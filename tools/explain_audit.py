@@ -41,12 +41,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: frame — a deliberate scalar-attach, not a join-key mistake
 #: zorder_layout cross-joins the ONE-row global min/max bounds frame
 #: into the scan (layout.zorder_key) — a scalar-attach with fan-out 1
+#: graph_pagerank / graph_trustrank cross-join the ONE-row dangling
+#: aggregate into each iteration's update (graphrank._fixed_point_loop
+#: — the fold that removed the per-iteration driver collect);
+#: graph_triangles cross-joins two ONE-row aggregates (triangle count
+#: × wedge count) to emit the single census row.  All fan-out 1.
 NESTED_LOOP_OK = {
     "knn_bruteforce",
     "ivf_topk",
     "embedding_near_dups",
     "skew_topk",
     "zorder_layout",
+    "graph_pagerank",
+    "graph_trustrank",
+    "graph_triangles",
 }
 
 #: queries whose UNPARTITIONED windows run on PROVABLY BOUNDED frames
