@@ -2268,8 +2268,15 @@ def q_graph_trustrank(spark, sf_dir):
 
 def _supplier_cooccurrence_edges(spark, sf_dir):
     """Undirected supplier co-occurrence edges (same order), distinct;
-    all-pairs within an order is bounded by the ≤7-line order shape."""
-    li = _t(spark, sf_dir, "lineitem")
+    all-pairs within an order is bounded by the ≤7-line order shape.
+
+    Deterministic 1-in-50 order sample: the FULL co-occurrence graph
+    over the small supplier universe is near-complete at sf0.1
+    (~500k edges over 1k nodes → ~166M triangles — a dense-clique
+    stress, not a realistic link topology), which both drowns the
+    bench in one query and collapses LPA to a single community.  The
+    sampled graph keeps realistic density at every sf."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
     a = li.select("l_orderkey", F.col("l_suppkey").alias("src"))
     b = li.select("l_orderkey", F.col("l_suppkey").alias("dst"))
     return (
@@ -2283,7 +2290,8 @@ def _supplier_cooccurrence_edges(spark, sf_dir):
 _COOCCUR_SQL = (
     "SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst "
     "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
-    "WHERE a.l_suppkey < b.l_suppkey"
+    "WHERE a.l_suppkey < b.l_suppkey "
+    "AND a.l_orderkey % 50 = 0 AND b.l_orderkey % 50 = 0"
 )
 
 

@@ -53,7 +53,15 @@ def table_main(argv) -> int:
     parser = argparse.ArgumentParser("datavalid_spark table")
     parser.add_argument("root", help="snapshot table directory")
     parser.add_argument(
-        "action", choices=["snapshots", "compact", "expire", "vacuum", "delete"]
+        "action",
+        choices=[
+            "snapshots",
+            "compact",
+            "compact-partial",
+            "expire",
+            "vacuum",
+            "delete",
+        ],
     )
     parser.add_argument(
         "--where", action="append", default=None, metavar="COL,OP[,VALUE]",
@@ -64,6 +72,15 @@ def table_main(argv) -> int:
     parser.add_argument(
         "--target-rows", type=int, default=1_000_000,
         help="compact: rows per output file",
+    )
+    parser.add_argument(
+        "--target-bytes", type=int, default=128 * 1024 * 1024,
+        help="compact-partial: bytes per planned output file",
+    )
+    parser.add_argument(
+        "--small-threshold", type=int, default=None,
+        help="compact-partial: only files under this size are rewritten "
+        "(default target-bytes/2)",
     )
     parser.add_argument(
         "--sort-by", type=str, default=None,
@@ -137,6 +154,28 @@ def table_main(argv) -> int:
                     "deleted %d rows, rewrote %d files (snapshot %d)"
                     % (s["deleted_rows"], s["rewritten_files"], sid)
                 )
+            return 0
+        if args.action == "compact-partial":
+            before = len(t.manifest()["files"])
+            sid = t.compact_partial(
+                target_bytes=args.target_bytes,
+                small_threshold=args.small_threshold,
+            )
+            if sid is None:
+                print("nothing to compact (fewer than two undersized files)")
+                return 0
+            m = t.manifest(sid)
+            print(
+                "folded %d small files into %d bins; %d files -> %d "
+                "(snapshot %d)"
+                % (
+                    m["summary"]["rewritten_files"],
+                    m["summary"]["planned_bins"],
+                    before,
+                    m["summary"]["total_files"],
+                    sid,
+                )
+            )
             return 0
         sort_by = args.sort_by.split(",") if args.sort_by else None
         z_order_by = args.z_order_by.split(",") if args.z_order_by else None

@@ -161,6 +161,32 @@ def test_compact_partial_folds_small_files(spark, small_file_table):
         assert f in after["stats"]
 
 
+def test_compact_partial_cli(spark, small_file_table, capsys):
+    """python -m datavalid_spark table <root> compact-partial."""
+    from datavalid_spark.__main__ import main
+
+    t = small_file_table
+    big = max(
+        t.manifest()["files"],
+        key=lambda f: os.path.getsize(os.path.join(t.root, f)),
+    )
+    target = os.path.getsize(os.path.join(t.root, big))
+    rows = t.read().count()
+    assert (
+        main(["table", t.root, "compact-partial", "--target-bytes", str(target)])
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "folded 6 small files into 1 bins" in out
+    assert t.read().count() == rows
+    # second run: everything is already packed
+    assert (
+        main(["table", t.root, "compact-partial", "--target-bytes", str(target)])
+        == 0
+    )
+    assert "nothing to compact" in capsys.readouterr().out
+
+
 def test_compact_partial_noop_when_nothing_small(spark, tmp_path):
     root = str(tmp_path / "tbl2")
     t = SnapshotTable(spark, root)
