@@ -2342,6 +2342,34 @@ def q_graph_triangles(spark, sf_dir):
     return triangle_count(_supplier_cooccurrence_edges(spark, sf_dir))
 
 
+def q_max_degree_verdicts(spark, sf_dir):
+    """`max_degree` YAML check (operators/graph_check.py) over the
+    supplier→part supply edge table, grouped by nation: per-group
+    (n_violations, passed, n_rows) verdicts where a violation is a
+    supplier whose fan-out exceeds the bound — the link-farm /
+    skew-key gate as a validation task.  One partial-aggregating
+    groupBy for degrees, one for group row counts; the edge table is
+    never windowed or self-joined."""
+    from datavalid_spark.operators.graph_check import MaxDegreeCheck
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    e = li.join(sup, li["l_suppkey"] == sup["s_suppkey"]).select(
+        "s_nationkey",
+        F.col("l_suppkey").alias("src"),
+        F.col("l_partkey").alias("dst"),
+    )
+    gv = MaxDegreeCheck(src="src", dst="dst", max=640).group_verdicts(
+        e, ["s_nationkey"]
+    )
+    return gv.select(
+        "s_nationkey",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        "passed",
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
 def q_compaction_plan(spark, sf_dir):
     """Small-file compaction planning (operators/compaction.py) with
     documents standing in as a files listing (size = n_chars, table
@@ -2621,6 +2649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "graph_degrees": q_graph_degrees,
         "graph_communities": q_graph_communities,
+        "max_degree_verdicts": q_max_degree_verdicts,
         "compaction_plan": q_compaction_plan,
         "topk_per_group": q_topk_per_group,
         "rolling_window": q_rolling_window,
@@ -3398,6 +3427,33 @@ FROM btop b FULL OUTER JOIN vtop v USING (id)
         "graph_communities": _graphrank_oracle.label_propagation_oracle_sql(
             _COOCCUR_SQL, iterations=4
         ),
+        "max_degree_verdicts": """
+WITH e AS (
+  SELECT s.s_nationkey, l.l_suppkey AS src, l.l_partkey AS dst
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+),
+deg AS (
+  SELECT s_nationkey, src, COUNT(*) AS d
+  FROM e WHERE src IS NOT NULL
+  GROUP BY s_nationkey, src
+),
+ns AS (
+  SELECT s_nationkey,
+         CAST(SUM(CASE WHEN d > 640 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations,
+         MAX(d) <= 640 AS passed
+  FROM deg GROUP BY s_nationkey
+),
+ag AS (
+  SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM e GROUP BY s_nationkey
+)
+SELECT ag.s_nationkey,
+       COALESCE(ns.n_violations, 0) AS n_violations,
+       COALESCE(ns.passed, TRUE) AS passed,
+       ag.n_rows
+FROM ag LEFT JOIN ns USING (s_nationkey)
+""",
         "graph_triangles": _graphrank_oracle.triangle_count_oracle_sql(
             _COOCCUR_SQL
         ),

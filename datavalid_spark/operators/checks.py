@@ -682,6 +682,12 @@ try:
 except ImportError:  # pragma: no cover - mid-import of gopher_check
     pass
 
+try:
+    # registers "max_degree" (same pattern)
+    from datavalid_spark.operators import graph_check as _graph_check  # noqa: E402,F401
+except ImportError:  # pragma: no cover - mid-import of graph_check
+    pass
+
 
 def build_table_check(key: str, value, today: Optional[datetime.date] = None) -> TableCheck:
     if key not in TABLE_CHECKS:
@@ -710,6 +716,7 @@ def build_table_check(key: str, value, today: Optional[datetime.date] = None) ->
         "max_oov",
         "gopher_quality",
         "quantile_bounds",
+        "max_degree",
     ):
         return cls(**(value or {}))
     kwargs = dict(value or {})

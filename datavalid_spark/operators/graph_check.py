@@ -1,0 +1,197 @@
+"""``max_degree`` YAML table check: bound a node's edge count in an
+edge-list table.
+
+The validation-side twin of the graph curation family (graphrank.py):
+a referential/link table (repo → dependency, doc → citation, page →
+link) is healthy only while no node fans out (or in) beyond a bound —
+a repo "depending" on 10^6 others is generated spam, a page with 10^6
+inbound links from one crawl batch is a link farm, and operationally
+an over-degree key is exactly the skew that melts the downstream
+groupBy/join.  Same stance as Deequ's uniqueness-ratio checks: the
+property belongs to the key's GROUP SIZE, so the check is one
+partial-aggregating groupBy over the edge table — never a window,
+never a self-join.
+
+Config::
+
+    max_degree: {src: repo, dst: dep, max: 10000}          # out-degree
+    max_degree: {src: repo, dst: dep, max: 10000, direction: in}
+    max_degree: {src: repo, dst: dep, max: 10000, direction: both}
+
+``direction`` picks which endpoint's degree is bounded: ``out``
+(default) counts rows per ``src`` value, ``in`` per ``dst``, ``both``
+bounds the undirected degree (each row counts once for each
+endpoint).  Degrees here are ROW counts per node (parallel edges
+count; NULL endpoints are ignored) — the multigraph reading, because
+a validation check must explain itself in terms of the rows the user
+can see.  Violations are the edge ROWS incident to an over-degree
+node (the reference's rows-with-offending-columns convention,
+`/root/reference/datavalid/checkers.py` semantics), produced with a
+size-gated broadcast semi-join of the (tiny) offending-node set —
+the edge table is never shuffled.
+
+Reference scope note: the reference has no graph-aware check; this
+extends the table-check family (SURVEY.md §2.6) on the same
+registration surface as dedup_check / quality_checks.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datavalid_spark.cache import gated_broadcast
+from datavalid_spark.operators.checks import CheckResult, TableCheck
+
+_DIRECTIONS = ("out", "in", "both")
+
+
+class MaxDegreeCheck(TableCheck):
+    key = "max_degree"
+
+    def __init__(
+        self,
+        src: Optional[str] = None,
+        dst: Optional[str] = None,
+        max: Optional[int] = None,  # noqa: A002 - YAML surface name
+        direction: str = "out",
+        broadcast_key_limit: int = 1_000_000,
+    ):
+        if src is None:
+            raise ValueError('should contain key "src"')
+        if not isinstance(src, str):
+            raise ValueError('"src" should be a column name')
+        if dst is None:
+            raise ValueError('should contain key "dst"')
+        if not isinstance(dst, str):
+            raise ValueError('"dst" should be a column name')
+        if max is None:
+            raise ValueError('should contain key "max"')
+        if not isinstance(max, int) or isinstance(max, bool) or max < 1:
+            raise ValueError('"max" should be a positive int')
+        if direction not in _DIRECTIONS:
+            raise ValueError(
+                '"direction" should be one of %s' % (", ".join(_DIRECTIONS))
+            )
+        self.src = src
+        self.dst = dst
+        self.max = max
+        self.direction = direction
+        self.broadcast_key_limit = broadcast_key_limit
+
+    def _degrees(self, df: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+        """(group..., __dv_node, __dv_deg) — degree per node within each
+        validation group.  ``both`` unions the two endpoint projections
+        BEFORE the single aggregation (still one shuffle; a row with
+        src == dst counts twice, the multigraph/self-loop reading)."""
+        g = [F.col(c) for c in group_cols]
+        if self.direction == "out":
+            ends = df.select(*g, F.col(self.src).alias("__dv_node"))
+        elif self.direction == "in":
+            ends = df.select(*g, F.col(self.dst).alias("__dv_node"))
+        else:
+            ends = df.select(*g, F.col(self.src).alias("__dv_node")).unionAll(
+                df.select(*g, F.col(self.dst).alias("__dv_node"))
+            )
+        return (
+            ends.filter(F.col("__dv_node").isNotNull())
+            .groupBy(*(list(group_cols) + ["__dv_node"]))
+            .agg(F.count(F.lit(1)).alias("__dv_deg"))
+        )
+
+    def _offenders(self, df: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+        return self._degrees(df, group_cols).filter(
+            F.col("__dv_deg") > F.lit(self.max)
+        )
+
+    def violations(self, df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+        """Edge rows incident to an over-degree node (within their
+        group).  The offending-node set is at most rows/max nodes —
+        tiny by construction — so it rides the size-gated broadcast
+        and the edge table sees one map-side semi-join per endpoint."""
+        bad = self._offenders(df, group_cols).drop("__dv_deg")
+        keys = list(group_cols) + ["__dv_node"]
+        out = None
+        cols = (
+            [self.src] if self.direction == "out"
+            else [self.dst] if self.direction == "in"
+            else [self.src, self.dst]
+        )
+        for c in cols:
+            probe = bad.withColumnRenamed("__dv_node", c)
+            hit = df.join(
+                gated_broadcast(probe, self.broadcast_key_limit),
+                list(group_cols) + [c],
+                "left_semi",
+            ).select(*df.columns)  # joins reorder keys first; keep original
+            out = hit if out is None else out.unionAll(hit)
+        return out.distinct() if len(cols) == 2 else out
+
+    def run(self, df: DataFrame, group_cols: Sequence[str] = ()) -> CheckResult:
+        bad = self._offenders(df, group_cols)
+        sample = bad.orderBy(F.col("__dv_deg").desc(), "__dv_node").limit(3).collect()
+        if not sample:
+            return CheckResult(True, None, None, 0)
+        n_bad = bad.count()
+        worst = ", ".join(
+            "%s (%s-degree %d)" % (r["__dv_node"], self.direction, r["__dv_deg"])
+            for r in sample
+        )
+        return CheckResult(
+            False,
+            "%d node(s) exceed %s-degree %d: %s"
+            % (n_bad, self.direction, self.max, worst),
+            self.violations(df, group_cols),
+            n_bad,
+        )
+
+    def group_verdicts(
+        self, df: DataFrame, group_cols: Sequence[str]
+    ) -> DataFrame:
+        """``n_violations`` counts OVER-DEGREE NODES per group (the
+        unit the error message talks about); ``n_rows`` keeps the base
+        contract — edge rows scanned per group (rows_scanned in
+        lineage) — via the same one-count aggregation the base class
+        uses."""
+        node_stats = (
+            self._degrees(df, group_cols)
+            .groupBy(*group_cols)
+            .agg(
+                F.sum(
+                    F.when(F.col("__dv_deg") > self.max, F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                ).alias("n_violations"),
+                (F.max("__dv_deg") <= F.lit(self.max)).alias("passed"),
+            )
+        )
+        all_groups = df.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("n_rows")
+        )
+        # left join FROM all_groups: a group whose endpoints are all
+        # NULL has no degree row but must still report (0, passed)
+        return all_groups.join(node_stats, list(group_cols), "left").select(
+            *group_cols,
+            F.coalesce("n_violations", F.lit(0)).alias("n_violations"),
+            F.coalesce("passed", F.lit(True)).alias("passed"),
+            "n_rows",
+        )
+
+    def _err_msg(self, n: int) -> str:  # pragma: no cover - run() is custom
+        return "node degree over bound"
+
+    def to_markdown(self) -> str:
+        what = {
+            "out": "`%s` fan-out" % self.src,
+            "in": "`%s` fan-in" % self.dst,
+            "both": "degree over `%s`/`%s`" % (self.src, self.dst),
+        }[self.direction]
+        return "Ensure no node's %s exceeds %d" % (what, self.max)
+
+
+# self-registration (same import-cycle dodge as dedup_check)
+from datavalid_spark.operators import checks as _checks  # noqa: E402
+
+_checks.TABLE_CHECKS.setdefault("max_degree", MaxDegreeCheck)

@@ -1,0 +1,137 @@
+"""max_degree YAML table check: verdicts, violations, groups,
+directions, config validation, and the YAML runner surface."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from datavalid_spark.cache import release_cached
+from datavalid_spark.operators.checks import build_table_check
+from datavalid_spark.operators.graph_check import MaxDegreeCheck
+
+EDGES = pd.DataFrame(
+    {
+        "grp": ["a"] * 7 + ["b"] * 2,
+        "s": [1, 1, 1, 2, 2, 3, None, 1, 9],
+        "d": [10, 11, 12, 10, 13, 10, 14, 10, 10],
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    df = spark.createDataFrame(EDGES)
+    yield df
+    release_cached()
+
+
+def test_out_degree_pass_and_fail(spark, edges):
+    # node 1 has out-degree 4 (3 in grp a + 1 in grp b, ungrouped run)
+    assert MaxDegreeCheck(src="s", dst="d", max=4).run(edges).passed
+    res = MaxDegreeCheck(src="s", dst="d", max=2).run(edges)
+    assert not res.passed
+    assert "1 node(s) exceed out-degree 2" in res.err_msg
+    assert "out-degree 4" in res.err_msg
+    viol = res.violations.toPandas()
+    assert len(viol) == 4 and set(viol.s) == {1}
+    assert list(viol.columns) == ["grp", "s", "d"]  # original columns
+
+
+def test_in_degree_direction(spark, edges):
+    res = MaxDegreeCheck(src="s", dst="d", max=3, direction="in").run(edges)
+    # node 10 has in-degree 5
+    assert not res.passed and "in-degree 5" in res.err_msg
+    assert set(res.violations.toPandas().d) == {10}
+
+
+def test_both_direction_counts_each_endpoint(spark, edges):
+    # undirected degree: node 1 deg 4, node 10 deg 5; max=4 flags only 10
+    res = MaxDegreeCheck(src="s", dst="d", max=4, direction="both").run(edges)
+    assert not res.passed and res.n_violations == 1
+    v = res.violations.toPandas()
+    assert ((v.s == 10) | (v.d == 10)).all()
+
+
+def test_null_endpoints_ignored(spark, edges):
+    # the None src row contributes no out-degree node
+    res = MaxDegreeCheck(src="s", dst="d", max=1).run(edges)
+    bad_nodes = {r for r in res.violations.toPandas().s}
+    assert None not in bad_nodes
+
+
+def test_group_verdicts_per_group_degrees(spark, edges):
+    gv = {
+        r["grp"]: (r["n_violations"], r["passed"], r["n_rows"])
+        for r in MaxDegreeCheck(src="s", dst="d", max=2)
+        .group_verdicts(edges, ["grp"])
+        .collect()
+    }
+    # within grp a node 1 has degree 3 (> 2); grp b max degree is 1
+    assert gv == {"a": (1, False, 7), "b": (0, True, 2)}
+
+
+def test_build_and_config_validation(spark):
+    c = build_table_check("max_degree", {"src": "s", "dst": "d", "max": 10})
+    assert isinstance(c, MaxDegreeCheck)
+    for bad, msg in [
+        ({}, '"src"'),
+        ({"src": "s"}, '"dst"'),
+        ({"src": "s", "dst": "d"}, '"max"'),
+        ({"src": "s", "dst": "d", "max": 0}, "positive"),
+        ({"src": "s", "dst": "d", "max": True}, "positive"),
+        ({"src": "s", "dst": "d", "max": 5, "direction": "up"}, "direction"),
+        ({"src": 3, "dst": "d", "max": 5}, "column name"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            build_table_check("max_degree", bad)
+
+
+def test_markdown(spark):
+    assert "fan-out" in MaxDegreeCheck(src="s", dst="d", max=9).to_markdown()
+    assert "fan-in" in MaxDegreeCheck(
+        src="s", dst="d", max=9, direction="in"
+    ).to_markdown()
+
+
+def test_yaml_runner_surface(spark, tmp_path):
+    """End-to-end through the config runner: a datavalid.yml task with
+    max_degree fails on a planted hub and reports ✕."""
+    import io
+
+    from datavalid_spark.plans.config import Config
+    from datavalid_spark.runner import run_config
+
+    edges = pd.DataFrame(
+        {"repo": ["r%d" % (i % 3) for i in range(30)], "dep": range(30)}
+    )
+    edges.loc[edges.index[:20], "repo"] = "hub"
+    (tmp_path / "edges.csv").write_text(edges.to_csv(index=False))
+
+    def conf(max_deg):
+        return Config(
+            str(tmp_path),
+            files={"edges.csv": {"schema": "edges"}},
+            schemas={
+                "edges": {
+                    "validation_tasks": [
+                        {
+                            "name": "no dependency hubs",
+                            "max_degree": {
+                                "src": "repo",
+                                "dst": "dep",
+                                "max": max_deg,
+                            },
+                        }
+                    ]
+                }
+            },
+        )
+
+    out = io.StringIO()
+    assert run_config(conf(10), spark, out=out) == 1
+    text = out.getvalue()
+    assert "no dependency hubs" in text and "✕" in text and "hub" in text
+    out = io.StringIO()
+    assert run_config(conf(25), spark, out=out) == 0
+    assert "✓" in out.getvalue()
