@@ -2370,6 +2370,27 @@ def q_max_degree_verdicts(spark, sf_dir):
     )
 
 
+def q_graph_acyclic(spark, sf_dir):
+    """`acyclic` dependency-DAG check summary (operators/graph_check.py)
+    over the supplier hand-off graph: iterative source peeling — a DAG
+    peels to empty, cycle edges survive every round — reduced to one
+    row (has_cycle, residual_edges).  The DuckDB oracle computes the
+    same residual from first principles with a recursive-CTE closure
+    (edges whose source is reachable from a self-reachable node),
+    pinning the peeling fixpoint to the textbook definition."""
+    from pyspark.sql import Window
+
+    from datavalid_spark.operators.graph_check import acyclic_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_suppkey")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        F.lead("l_suppkey").over(w).alias("dst"),
+    )
+    return acyclic_report(edges, "src", "dst", max_depth=200)
+
+
 def q_compaction_plan(spark, sf_dir):
     """Small-file compaction planning (operators/compaction.py) with
     documents standing in as a files listing (size = n_chars, table
@@ -2650,6 +2671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": q_graph_degrees,
         "graph_communities": q_graph_communities,
         "max_degree_verdicts": q_max_degree_verdicts,
+        "graph_acyclic": q_graph_acyclic,
         "compaction_plan": q_compaction_plan,
         "topk_per_group": q_topk_per_group,
         "rolling_window": q_rolling_window,
@@ -3427,6 +3449,27 @@ FROM btop b FULL OUTER JOIN vtop v USING (id)
         "graph_communities": _graphrank_oracle.label_propagation_oracle_sql(
             _COOCCUR_SQL, iterations=4
         ),
+        "graph_acyclic": f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT src, dst FROM ({_graph_edges_sql()})
+  WHERE src IS NOT NULL AND dst IS NOT NULL
+),
+reach(s, d) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN e ON e.src = r.d
+),
+cyc AS (SELECT DISTINCT s FROM reach WHERE s = d),
+below AS (
+  SELECT s FROM cyc
+  UNION
+  SELECT r.d AS s FROM reach r WHERE r.s IN (SELECT s FROM cyc)
+)
+SELECT EXISTS(SELECT 1 FROM cyc) AS has_cycle,
+       CAST((SELECT COUNT(*) FROM e
+             WHERE e.src IN (SELECT s FROM below)) AS BIGINT)
+         AS residual_edges
+""",
         "max_degree_verdicts": """
 WITH e AS (
   SELECT s.s_nationkey, l.l_suppkey AS src, l.l_partkey AS dst

@@ -717,6 +717,7 @@ def build_table_check(key: str, value, today: Optional[datetime.date] = None) ->
         "gopher_quality",
         "quantile_bounds",
         "max_degree",
+        "acyclic",
     ):
         return cls(**(value or {}))
     kwargs = dict(value or {})

@@ -191,7 +191,159 @@ class MaxDegreeCheck(TableCheck):
         return "Ensure no node's %s exceeds %d" % (what, self.max)
 
 
+class AcyclicCheck(TableCheck):
+    """``acyclic: {src: pkg, dst: dep}`` — the edge-list table must
+    describe a DAG.  Dependency tables (package → dependency, task →
+    prerequisite, schema → reference) are only usable while acyclic;
+    a cycle deadlocks resolution and usually marks generated spam.
+
+    Algorithm: iterative SOURCE PEELING — drop every edge whose source
+    node has no incoming edge, repeat to fixpoint.  A DAG peels to
+    empty in longest-path rounds; any cycle's edges survive every
+    round (each cycle node always retains an in-edge).  So: residual
+    edges ⟺ a cycle exists — an exact VERDICT, while the residual
+    itself is the cycles plus everything downstream-of-a-cycle (an
+    intentionally small superset used to localise violations; exact
+    cycle membership needs SCCs, which the verdict does not).
+
+    Scale shape: each round is a distinct-projection + one semi-join,
+    localCheckpointed; rounds = longest acyclic chain (real dependency
+    graphs are shallow).  ``max_depth`` caps the loop and raises
+    rather than guessing when the fixpoint is not reached — an
+    undecided verdict must never pass or fail silently.  Self-loops
+    are the degenerate cycle and short-circuit before any iteration.
+    Groups peel SIMULTANEOUSLY (node identity is (group, node)), so
+    grouped validation costs the same loop, not groups × loop.
+    """
+
+    key = "acyclic"
+
+    def __init__(
+        self,
+        src: Optional[str] = None,
+        dst: Optional[str] = None,
+        max_depth: int = 100,
+    ):
+        if src is None:
+            raise ValueError('should contain key "src"')
+        if not isinstance(src, str):
+            raise ValueError('"src" should be a column name')
+        if dst is None:
+            raise ValueError('should contain key "dst"')
+        if not isinstance(dst, str):
+            raise ValueError('"dst" should be a column name')
+        if not isinstance(max_depth, int) or isinstance(max_depth, bool) or max_depth < 1:
+            raise ValueError('"max_depth" should be a positive int')
+        self.src = src
+        self.dst = dst
+        self.max_depth = max_depth
+
+    def _residual(self, df: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+        """Edges surviving source-peeling (distinct (group, src, dst);
+        NULL endpoints ignored — a dangling reference is refint's job,
+        not the cycle check's)."""
+        g = list(group_cols)
+        e = (
+            df.select(
+                *[F.col(c) for c in g],
+                F.col(self.src).alias("__dv_s"),
+                F.col(self.dst).alias("__dv_d"),
+            )
+            .filter(F.col("__dv_s").isNotNull() & F.col("__dv_d").isNotNull())
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n = e.count()
+        for _ in range(self.max_depth):
+            if n == 0:
+                return e
+            has_incoming = e.select(
+                *g, F.col("__dv_d").alias("__dv_s")
+            ).distinct()
+            nxt = e.join(
+                has_incoming, g + ["__dv_s"], "left_semi"
+            ).localCheckpoint(eager=True)
+            m = nxt.count()
+            if m == n:  # fixpoint: pure cycle residue
+                return nxt
+            e, n = nxt, m
+        if n > 0:
+            raise ValueError(
+                "acyclic check undecided after max_depth=%d peeling rounds "
+                "(longest dependency chain exceeds it); raise max_depth"
+                % self.max_depth
+            )
+        return e
+
+    def violations(self, df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+        res = self._residual(df, group_cols).withColumnRenamed(
+            "__dv_s", self.src
+        ).withColumnRenamed("__dv_d", self.dst)
+        keys = list(group_cols) + [self.src, self.dst]
+        return df.join(res, keys, "left_semi").select(*df.columns)
+
+    def run(self, df: DataFrame, group_cols: Sequence[str] = ()) -> CheckResult:
+        res = self._residual(df, group_cols)
+        sample = res.orderBy("__dv_s", "__dv_d").limit(3).collect()
+        if not sample:
+            return CheckResult(True, None, None, 0)
+        n = res.count()
+        cyc = ", ".join(
+            "%s→%s" % (r["__dv_s"], r["__dv_d"]) for r in sample
+        )
+        return CheckResult(
+            False,
+            "dependency cycle detected: %d edge(s) in or below a cycle "
+            "(e.g. %s)" % (n, cyc),
+            self.violations(df, group_cols),
+            n,
+        )
+
+    def group_verdicts(
+        self, df: DataFrame, group_cols: Sequence[str]
+    ) -> DataFrame:
+        res_counts = (
+            self._residual(df, group_cols)
+            .groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+        )
+        all_groups = df.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("n_rows")
+        )
+        return all_groups.join(res_counts, list(group_cols), "left").select(
+            *group_cols,
+            F.coalesce("n_violations", F.lit(0)).alias("n_violations"),
+            (F.coalesce("n_violations", F.lit(0)) == 0).alias("passed"),
+            "n_rows",
+        )
+
+    def _err_msg(self, n: int) -> str:  # pragma: no cover - run() is custom
+        return "dependency cycle"
+
+    def to_markdown(self) -> str:
+        return "Ensure `%s` → `%s` references form no cycle" % (
+            self.src,
+            self.dst,
+        )
+
+
+def acyclic_report(
+    df: DataFrame, src: str, dst: str, max_depth: int = 100
+) -> DataFrame:
+    """ONE-ROW summary of ``AcyclicCheck``'s peeling: ``(has_cycle,
+    residual_edges)`` — residual = distinct edges on or downstream of a
+    cycle (the peeling fixpoint; equals, in closure terms, edges whose
+    source is reachable from a cycle node — the identity the DuckDB
+    recursive-CTE oracle computes)."""
+    res = AcyclicCheck(src=src, dst=dst, max_depth=max_depth)._residual(df, [])
+    return res.agg(
+        (F.count(F.lit(1)) > 0).alias("has_cycle"),
+        F.count(F.lit(1)).cast("long").alias("residual_edges"),
+    )
+
+
 # self-registration (same import-cycle dodge as dedup_check)
 from datavalid_spark.operators import checks as _checks  # noqa: E402
 
 _checks.TABLE_CHECKS.setdefault("max_degree", MaxDegreeCheck)
+_checks.TABLE_CHECKS.setdefault("acyclic", AcyclicCheck)

@@ -94,6 +94,75 @@ def test_markdown(spark):
     ).to_markdown()
 
 
+class TestAcyclic:
+    def _df(self, spark, pairs, grp=None):
+        rows = pd.DataFrame(pairs, columns=["s", "d"])
+        if grp is not None:
+            rows.insert(0, "grp", grp)
+        return spark.createDataFrame(rows)
+
+    def test_dag_passes(self, spark):
+        from datavalid_spark.operators.graph_check import AcyclicCheck
+
+        dag = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)]
+        assert AcyclicCheck(src="s", dst="d").run(self._df(spark, dag)).passed
+
+    def test_cycle_fails_with_localised_edges(self, spark):
+        from datavalid_spark.operators.graph_check import AcyclicCheck
+
+        g = [(1, 2), (2, 3), (3, 1), (3, 4), (10, 1)]  # cycle 1-2-3
+        res = AcyclicCheck(src="s", dst="d").run(self._df(spark, g))
+        assert not res.passed and "cycle" in res.err_msg
+        viol = {(r["s"], r["d"]) for r in res.violations.collect()}
+        # residual = the cycle + its downstream edge; the feeder edge
+        # (10, 1) peels away
+        assert viol == {(1, 2), (2, 3), (3, 1), (3, 4)}
+
+    def test_self_loop_is_a_cycle(self, spark):
+        from datavalid_spark.operators.graph_check import AcyclicCheck
+
+        res = AcyclicCheck(src="s", dst="d").run(
+            self._df(spark, [(1, 2), (3, 3)])
+        )
+        assert not res.passed and "3→3" in res.err_msg
+
+    def test_group_verdicts_mixed(self, spark):
+        from datavalid_spark.operators.graph_check import AcyclicCheck
+
+        pairs = [(1, 2), (2, 1), (1, 2), (2, 3)]
+        grp = ["bad", "bad", "ok", "ok"]
+        gv = {
+            r["grp"]: (r["n_violations"], r["passed"], r["n_rows"])
+            for r in AcyclicCheck(src="s", dst="d")
+            .group_verdicts(self._df(spark, pairs, grp), ["grp"])
+            .collect()
+        }
+        assert gv == {"bad": (2, False, 2), "ok": (0, True, 2)}
+
+    def test_deep_chain_exceeding_max_depth_raises(self, spark):
+        from datavalid_spark.operators.graph_check import AcyclicCheck
+
+        chain = [(i, i + 1) for i in range(12)]
+        with pytest.raises(ValueError, match="max_depth"):
+            AcyclicCheck(src="s", dst="d", max_depth=5).run(
+                self._df(spark, chain)
+            )
+        assert (
+            AcyclicCheck(src="s", dst="d", max_depth=20)
+            .run(self._df(spark, chain))
+            .passed
+        )
+
+    def test_config_validation(self, spark):
+        for bad, msg in [
+            ({}, '"src"'),
+            ({"src": "s"}, '"dst"'),
+            ({"src": "s", "dst": "d", "max_depth": 0}, "positive"),
+        ]:
+            with pytest.raises(ValueError, match=msg):
+                build_table_check("acyclic", bad)
+
+
 def test_yaml_runner_surface(spark, tmp_path):
     """End-to-end through the config runner: a datavalid.yml task with
     max_degree fails on a planted hub and reports ✕."""
