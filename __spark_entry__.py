@@ -2391,6 +2391,23 @@ def q_graph_acyclic(spark, sf_dir):
     return acyclic_report(edges, "src", "dst", max_depth=200)
 
 
+def q_graph_shared_deps(spark, sf_dir):
+    """Co-citation pairing (operators/graphrank.py): supplier pairs
+    related by shared parts supplied — the inverted-index shape of the
+    dedup family applied to adjacency (group by TARGET, pair the
+    sources, never all-pairs over nodes), with the hub-target
+    frequency cap that bounds the pairing fan-out at C(cap, 2) per
+    target.  Exact counts; the oracle applies the same cap before
+    both sides of its pairing join."""
+    from datavalid_spark.operators.graphrank import co_citation_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return co_citation_pairs(edges, min_shared=2, max_target_freq=25)
+
+
 def q_compaction_plan(spark, sf_dir):
     """Small-file compaction planning (operators/compaction.py) with
     documents standing in as a files listing (size = n_chars, table
@@ -2672,6 +2689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_communities": q_graph_communities,
         "max_degree_verdicts": q_max_degree_verdicts,
         "graph_acyclic": q_graph_acyclic,
+        "graph_shared_deps": q_graph_shared_deps,
         "compaction_plan": q_compaction_plan,
         "topk_per_group": q_topk_per_group,
         "rolling_window": q_rolling_window,
@@ -3470,6 +3488,11 @@ SELECT EXISTS(SELECT 1 FROM cyc) AS has_cycle,
              WHERE e.src IN (SELECT s FROM below)) AS BIGINT)
          AS residual_edges
 """,
+        "graph_shared_deps": _graphrank_oracle.co_citation_oracle_sql(
+            "SELECT l_suppkey AS src, l_partkey AS dst FROM lineitem",
+            min_shared=2,
+            max_target_freq=25,
+        ),
         "max_degree_verdicts": """
 WITH e AS (
   SELECT s.s_nationkey, l.l_suppkey AS src, l.l_partkey AS dst

@@ -476,6 +476,76 @@ l{i + 1} AS (
     return "".join(parts)
 
 
+def co_citation_pairs(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_shared: int = 2,
+    max_target_freq: Optional[int] = 10_000,
+) -> DataFrame:
+    """Node pairs related by SHARED TARGETS: ``(a, b, shared)`` with
+    ``a < b`` and ``shared`` = number of distinct targets both point
+    at (co-citation: repos importing the same dependencies, pages
+    citing the same pages, users touching the same items).  The
+    similarity signal behind "related sources" and collaborative
+    filtering, and the graph twin of the dedup family's shared-token
+    pairing.
+
+    Scale shape — identical to the n-gram inverted index (dedup.py):
+    group by TARGET and pair the sources that share it, never
+    all-pairs over nodes.  ``max_target_freq`` drops targets pointed
+    at by more than that many sources BEFORE pairing — a hub target
+    (the `stdlib` dependency every repo imports) contributes
+    C(freq, 2) pairs of pure noise and is also semantically
+    uninformative (same argument as the LSH ``max_bucket_size`` and
+    CCNet document-frequency caps; the cap is the reason this runs at
+    10^12 edges).  Pass None to disable (exact co-citation counts —
+    the oracle-comparison mode).  The pairing self-join fans out
+    C(freq, 2) per surviving target, bounded by the cap.
+    """
+    e = _canon_edges(edges, src, dst)
+    if max_target_freq is not None:
+        freq = e.groupBy("dst").agg(F.count(F.lit(1)).alias("__tf"))
+        e = (
+            e.join(freq.filter(F.col("__tf") <= max_target_freq), "dst")
+            .drop("__tf")
+        )
+    a = e.select(F.col("dst").alias("t"), F.col("src").alias("a"))
+    b = e.select(F.col("dst").alias("t"), F.col("src").alias("b"))
+    return (
+        a.join(b, "t")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= F.lit(int(min_shared)))
+    )
+
+
+def co_citation_oracle_sql(
+    edges_sql: str, min_shared: int = 2, max_target_freq: Optional[int] = None
+) -> str:
+    """DuckDB mirror of ``co_citation_pairs`` — the frequency cap (when
+    set) filters the edge set BEFORE both sides of the pairing join,
+    exactly as the operator does."""
+    if max_target_freq is None:
+        capped = "SELECT src, dst FROM e0"
+    else:
+        capped = f"""SELECT e0.src, e0.dst FROM e0
+  JOIN (SELECT dst FROM e0 GROUP BY dst
+        HAVING COUNT(*) <= {int(max_target_freq)}) f USING (dst)"""
+    return f"""WITH e0 AS (
+  SELECT DISTINCT src, dst FROM ({edges_sql})
+  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+),
+e AS (
+  {capped}
+)
+SELECT x.src AS a, y.src AS b, CAST(COUNT(*) AS BIGINT) AS shared
+FROM e x JOIN e y ON x.dst = y.dst AND x.src < y.src
+GROUP BY x.src, y.src
+HAVING COUNT(*) >= {int(min_shared)}"""
+
+
 def page_rank_oracle_sql(
     edges_sql: str,
     iterations: int = 5,

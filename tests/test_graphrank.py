@@ -10,6 +10,8 @@ import pytest
 
 from datavalid_spark.cache import release_cached
 from datavalid_spark.operators.graphrank import (
+    co_citation_oracle_sql,
+    co_citation_pairs,
     degree_histogram,
     degree_histogram_oracle_sql,
     label_propagation,
@@ -306,6 +308,51 @@ def test_lpa_separates_two_cliques(spark):
     c1 = {got[v] for v in range(4)}
     c2 = {got[v] for v in range(10, 14)}
     assert len(c1) == 1 and len(c2) == 1 and c1 != c2
+
+
+def test_co_citation_pairs_hand_computed(spark):
+    # repos 1,2 share deps {10,11}; 2,3 share {11}; hub dep 99 shared
+    # by everyone
+    edges = [
+        (1, 10), (1, 11), (2, 10), (2, 11), (3, 11),
+        (1, 99), (2, 99), (3, 99), (4, 99),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["src", "dst"]).astype("int64")
+    )
+    got = {
+        (r["a"], r["b"]): r["shared"]
+        for r in co_citation_pairs(df, min_shared=2, max_target_freq=None).collect()
+    }
+    assert got == {(1, 2): 3, (1, 3): 2, (2, 3): 2}
+    # capping at freq 3 drops the hub dep 99 from every pair count
+    capped = {
+        (r["a"], r["b"]): r["shared"]
+        for r in co_citation_pairs(df, min_shared=2, max_target_freq=3).collect()
+    }
+    assert capped == {(1, 2): 2}
+    release_cached()
+
+
+def test_co_citation_matches_duckdb(spark, edges_df, tmp_path):
+    p = str(tmp_path / "edges.parquet")
+    edges_df.toPandas().to_parquet(p)
+    for cap in (None, 2):
+        sql = co_citation_oracle_sql(
+            f"SELECT src, dst FROM '{p}'", min_shared=1, max_target_freq=cap
+        )
+        want = {
+            (int(r.a), int(r.b)): int(r.shared)
+            for r in duckdb.sql(sql).df().itertuples()
+        }
+        got = {
+            (r["a"], r["b"]): r["shared"]
+            for r in co_citation_pairs(
+                edges_df, min_shared=1, max_target_freq=cap
+            ).collect()
+        }
+        assert got == want
+    release_cached()
 
 
 def test_degree_histogram(spark, edges_df, tmp_path):
