@@ -84,6 +84,37 @@ def windowed_duplicate_keys(
     )
 
 
+def windowed_degree_alerts(
+    stream_df: DataFrame,
+    node_col: str,
+    ts_col: str,
+    max_degree: int,
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of the ``max_degree`` table check
+    (operators/graph_check.py): nodes whose edge-row count inside an
+    event-time window exceeds ``max_degree`` — the live link-farm /
+    hot-key alarm (a crawl frontier suddenly emitting one domain, a
+    dependency feed spamming one package).  ``node_col`` is whichever
+    endpoint the bound applies to (pass the src column for fan-out,
+    dst for fan-in — same direction semantics as the batch check).
+
+    One watermark-bounded windowed count — state is O(windows ×
+    active nodes), and the batch ``MaxDegreeCheck`` over the landed
+    table is the exact reconciliation pass (windowed counts
+    undercount a node that straddles windows; the batch check is the
+    truth, the stream is the early warning — the established
+    stream↔batch contract)."""
+    return (
+        stream_df.filter(F.col(node_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col(node_col))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .filter(F.col("degree") > max_degree)
+    )
+
+
 def run_to_memory(
     result_stream: DataFrame,
     query_name: str,

@@ -104,6 +104,37 @@ def test_windowed_duplicate_keys(spark, stream_dir):
     assert len(rows) == 1 and rows[0]["id"] == 2 and rows[0]["n"] == 2
 
 
+def test_windowed_degree_alerts_matches_batch_check(spark, tmp_path):
+    """Streaming max_degree twin: a planted hub inside one window
+    alerts; the batch MaxDegreeCheck over the landed table reconciles
+    exactly (single-window data → stream and batch agree)."""
+    from datavalid_spark.operators.graph_check import MaxDegreeCheck
+    from datavalid_spark.streaming.validate_stream import (
+        run_to_memory,
+        windowed_degree_alerts,
+    )
+
+    rows = [("hub", i, "2024-01-01 00:0%d:00" % (i % 5)) for i in range(8)]
+    rows += [("r1", 100, "2024-01-01 00:01:00"), ("r2", 101, "2024-01-01 00:02:00")]
+    df = (
+        spark.createDataFrame(rows, "repo string, dep long, ts string")
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    path = str(tmp_path / "edges")
+    df.coalesce(1).write.parquet(path)
+    static = spark.read.parquet(path)
+    stream = spark.readStream.schema(static.schema).parquet(path)
+    alerts = windowed_degree_alerts(
+        stream, "repo", "ts", max_degree=5, window="10 minutes"
+    )
+    out = run_to_memory(alerts, "deg_alerts", output_mode="complete").collect()
+    assert len(out) == 1
+    assert out[0]["repo"] == "hub" and out[0]["degree"] == 8
+    # batch reconciliation: the exact check flags the same node
+    res = MaxDegreeCheck(src="repo", dst="dep", max=5).run(static)
+    assert not res.passed and "hub" in res.err_msg
+
+
 def test_stateful_first_seen_across_batches(spark, tmp_path):
     """applyInPandasWithState dedup: only the first row per content
     survives, including across restarts (state lives in the streaming
