@@ -1,0 +1,75 @@
+"""Hypothesis fuzz for the graph family: Spark vs the pure-Python
+references on random small multigraphs (self-loops, duplicate and
+reversed edges, disconnected fragments, dangling sinks included by
+construction).  Pins the determinism contracts — bigint fixed-point
+PageRank, synchronous-LPA tie order, degree-ordered triangle census —
+on inputs no hand-written case covers."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from datavalid_spark.cache import release_cached
+from datavalid_spark.operators.graphrank import (
+    label_propagation,
+    page_rank,
+    triangle_count,
+)
+from tests.test_graphrank import py_lpa, py_pagerank, py_triangles, py_wedges
+
+SETTLE = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)),
+    min_size=1,
+    max_size=24,
+)
+
+
+def _df(spark, edges):
+    return spark.createDataFrame(
+        pd.DataFrame(edges, columns=["src", "dst"]).astype("int64")
+    )
+
+
+@SETTLE
+@given(edges=edge_lists)
+def test_pagerank_fuzz(spark, edges):
+    if all(a == b for a, b in edges):
+        edges = edges + [(0, 1)]  # canon drops self-loops; keep graph non-empty
+    got = {
+        r["node_id"]: r["rank_fp"]
+        for r in page_rank(_df(spark, edges), iterations=3).collect()
+    }
+    assert got == py_pagerank(edges, iterations=3)
+    release_cached()
+
+
+@SETTLE
+@given(edges=edge_lists)
+def test_triangles_fuzz(spark, edges):
+    if all(a == b for a, b in edges):
+        edges = edges + [(0, 1)]
+    row = triangle_count(_df(spark, edges)).first()
+    assert row["triangles"] == py_triangles(edges)
+    assert row["wedges"] == py_wedges(edges)
+    release_cached()
+
+
+@SETTLE
+@given(edges=edge_lists)
+def test_lpa_fuzz(spark, edges):
+    if all(a == b for a, b in edges):
+        edges = edges + [(0, 1)]
+    got = {
+        r["node_id"]: r["label"]
+        for r in label_propagation(_df(spark, edges), iterations=3).collect()
+    }
+    assert got == py_lpa(edges, iterations=3)
+    release_cached()
