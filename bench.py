@@ -149,6 +149,11 @@ HEADLINE_QUERIES = [
     "graph_pagerank",
     "graph_triangles",
     "compaction_plan",
+    # round-3 additions: co-citation pairing (inverted-index pairing
+    # with the hub-target cap) and LPA communities (per-round label
+    # join + two partial aggs)
+    "graph_shared_deps",
+    "graph_communities",
 ]
 
 
