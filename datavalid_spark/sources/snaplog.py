@@ -1168,7 +1168,8 @@ class SnapshotTable:
         if len(small) < 2:
             return None
         n_bins = max(b for b in bins if b is not None) + 1
-        kept = [f for f in m["files"] if f not in set(small)]
+        small_set = set(small)
+        kept = [f for f in m["files"] if f not in small_set]
         schema = T.StructType.fromJson(m["schema"])
         df = (
             self.spark.read.schema(schema)
