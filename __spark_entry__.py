@@ -47,6 +47,7 @@ from datavalid_spark.operators.checks import (
 )
 from datavalid_spark.operators.components import duplicate_clusters, keep_canonical
 from datavalid_spark.operators import graphrank as _graphrank_oracle
+from datavalid_spark.operators import hll as _hll_oracle
 from datavalid_spark.operators.dedup import (
     distinct_by_content,
     embedding_near_dups,
@@ -2408,6 +2409,21 @@ def q_graph_shared_deps(spark, sf_dir):
     return co_citation_pairs(edges, min_shared=2, max_target_freq=25)
 
 
+def q_hll_registers(spark, sf_dir):
+    """Exportable mergeable HLL register sketch (operators/hll.py):
+    the registers themselves as rows ``(idx, rho)`` — store ≤2^p rows
+    in a metrics table, merge by max with tomorrow's batch sketch,
+    track distinct counts incrementally without rescanning history
+    (the north rule's "distinct approx via HLL" made composable).
+    Register arithmetic is integer ops on the shared md5-prefix hash,
+    so registers — not just estimates — are bit-identical across
+    engines and parallelism levels."""
+    from datavalid_spark.operators.hll import hll_registers
+
+    orders = _t(spark, sf_dir, "orders")
+    return hll_registers(orders, "o_custkey", p=10)
+
+
 def q_compaction_plan(spark, sf_dir):
     """Small-file compaction planning (operators/compaction.py) with
     documents standing in as a files listing (size = n_chars, table
@@ -2690,6 +2706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_degree_verdicts": q_max_degree_verdicts,
         "graph_acyclic": q_graph_acyclic,
         "graph_shared_deps": q_graph_shared_deps,
+        "hll_registers": q_hll_registers,
         "compaction_plan": q_compaction_plan,
         "topk_per_group": q_topk_per_group,
         "rolling_window": q_rolling_window,
@@ -3488,6 +3505,9 @@ SELECT EXISTS(SELECT 1 FROM cyc) AS has_cycle,
              WHERE e.src IN (SELECT s FROM below)) AS BIGINT)
          AS residual_edges
 """,
+        "hll_registers": _hll_oracle.hll_registers_oracle_sql(
+            "SELECT o_custkey FROM orders", "o_custkey", p=10
+        ),
         "graph_shared_deps": _graphrank_oracle.co_citation_oracle_sql(
             "SELECT l_suppkey AS src, l_partkey AS dst FROM lineitem",
             min_shared=2,

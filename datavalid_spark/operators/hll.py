@@ -1,0 +1,148 @@
+"""Exportable, mergeable HyperLogLog register sketches for incremental
+cardinality validation.
+
+The north rule asks for "distinct approx via HLL".  Spark's
+``approx_count_distinct`` IS HLL++, but its sketch lives only inside
+one aggregation — it cannot be stored in a metrics table, merged with
+last week's run, or compared across two engines.  At 10^12 rows the
+operation that matters is INCREMENTAL: keep the registers of the
+already-validated corpus (2^p tiny rows), sketch only today's batch,
+merge by ``max`` — distinct-count tracking without ever rescanning
+history.  This module makes the registers themselves the data:
+
+- ``hll_registers(df, col, p)`` → one row per non-empty register
+  ``(idx, rho)`` (plus group columns) — a partial-aggregating groupBy,
+  output ≤ 2^p rows per group regardless of input size.
+- ``hll_merge(a, b, ...)`` → union + max — EXACTLY the registers of
+  the union of the inputs (HLL's defining property, asserted in
+  tests, not approximated).
+- ``hll_estimate_rows(rows, p)`` → the Flajolet et al. 2007 estimate
+  with the standard small-range (linear counting) correction; driver
+  math over ≤ 2^p register rows.
+
+Determinism contract: the 60-bit hash is the first 15 hex chars of
+``md5(cast(col as string))`` — the repo's established cross-engine
+hash (sampling.py) — and the register index/rank are integer ops on
+it, so Spark at any parallelism and DuckDB produce IDENTICAL register
+rows; the correctness gate compares registers (exact bigints), while
+estimation accuracy (±1.04/sqrt(2^p)) is pinned by unit tests against
+known cardinalities.  NULLs are skipped (SQL distinct-count
+semantics).
+
+Scale shape: one map-side-combining groupBy on (group, idx) — 2^p
+(default 4096) cells per group; the sketch frame is broadcast-size by
+construction.  No windows, no driver collect before the final ≤ 2^p
+rows.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: 15 hex chars = 60 hash bits (signed-long safe in Spark's conv and
+#: DuckDB's 0x cast)
+_HASH_BITS = 60
+
+
+def hll_registers(
+    df: DataFrame,
+    col: str,
+    p: int = 12,
+    group_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Non-empty HLL registers of ``col``: ``(group..., idx, rho)``.
+
+    ``idx`` = low ``p`` bits of the 60-bit md5 hash; ``rho`` = rank of
+    the first set bit (from MSB) of the remaining ``60-p``-bit word,
+    with the all-zero word mapping to ``60-p+1`` (the standard
+    convention).  Registers with no value hashing into them are simply
+    absent (treated as 0 by the estimator) — sparse representation,
+    the natural storage form.
+    """
+    if not 4 <= p <= 18:
+        raise ValueError("p should be in [4, 18] (2^p registers)")
+    g = [F.col(c) for c in (group_cols or [])]
+    w_bits = _HASH_BITS - p
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashed = df.filter(F.col(col).isNotNull()).select(*g, h.alias("__h"))
+    split = hashed.select(
+        *g,
+        F.pmod(F.col("__h"), F.lit(1 << p)).cast("long").alias("idx"),
+        F.expr(f"__h div {1 << p}").alias("__w"),
+    )
+    # bit length via base-2 conv: conv('0')='0' has length 1, so the
+    # w=0 case (rho = w_bits+1) is split out explicitly
+    bitlen = F.length(F.conv(F.col("__w").cast("string"), 10, 2))
+    rho = (
+        F.when(F.col("__w") == 0, F.lit(w_bits + 1))
+        .otherwise(F.lit(w_bits) - bitlen + 1)
+        .cast("long")
+    )
+    return (
+        split.select(*g, "idx", rho.alias("__rho"))
+        .groupBy(*(list(group_cols or []) + ["idx"]))
+        .agg(F.max("__rho").alias("rho"))
+    )
+
+
+def hll_registers_oracle_sql(
+    source_sql: str, col: str, p: int = 12
+) -> str:
+    """DuckDB mirror of ``hll_registers`` (ungrouped form): identical
+    hash, index, and rank arithmetic."""
+    w_bits = _HASH_BITS - p
+    return f"""WITH h AS (
+  SELECT CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15)) AS BIGINT)
+           AS h
+  FROM ({source_sql}) WHERE {col} IS NOT NULL
+),
+split AS (
+  SELECT h % {1 << p} AS idx, h // {1 << p} AS w FROM h
+)
+SELECT CAST(idx AS BIGINT) AS idx,
+       CAST(MAX(CASE WHEN w = 0 THEN {w_bits + 1}
+                     ELSE {w_bits} - length(bin(w)) + 1 END) AS BIGINT) AS rho
+FROM split GROUP BY idx"""
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Registers of the UNION of the sketched inputs: union + max per
+    register.  Exact (not approximately) equal to sketching the
+    concatenated data — the property that makes stored sketches
+    composable across batches, partitions, and runs."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c != "rho"]
+    return out.groupBy(*keys).agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate_rows(rows, p: int) -> float:
+    """Cardinality estimate from collected register rows (each with
+    ``idx`` and ``rho``).  Flajolet–Fusy–Gandouet–Meunier 2007 raw
+    estimate with the small-range linear-counting correction; absent
+    registers count as rho=0."""
+    m = 1 << p
+    regs = {}
+    for r in rows:
+        regs[r["idx"]] = max(regs.get(r["idx"], 0), r["rho"])
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / m))
+    z = sum(2.0 ** -rho for rho in regs.values()) + (m - len(regs))
+    raw = alpha * m * m / z
+    zeros = m - len(regs)
+    if raw <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return raw
+
+
+def hll_estimate(sketch: DataFrame, p: int) -> float:
+    """Driver-side estimate from a (≤ 2^p row) register frame."""
+    return hll_estimate_rows(sketch.select("idx", "rho").collect(), p)

@@ -1,0 +1,96 @@
+"""HLL register sketches: DuckDB register parity, the exact merge
+property, estimation accuracy, groups, NULLs."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.operators.hll import (
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+    hll_registers_oracle_sql,
+)
+
+
+def regs(df):
+    return {(r["idx"], r["rho"]) for r in df.collect()}
+
+
+def test_registers_match_duckdb(spark, tmp_path):
+    pdf = pd.DataFrame({"v": [f"item-{i}" for i in range(2000)] + [None]})
+    p = str(tmp_path / "v.parquet")
+    pdf.to_parquet(p)
+    df = spark.createDataFrame(pdf)
+    got = regs(hll_registers(df, "v", p=8))
+    want = {
+        (int(r.idx), int(r.rho))
+        for r in duckdb.sql(
+            hll_registers_oracle_sql(f"SELECT v FROM '{p}'", "v", p=8)
+        ).df().itertuples()
+    }
+    assert got == want and len(got) > 200
+
+
+def test_merge_equals_sketch_of_union(spark):
+    a = spark.createDataFrame(
+        pd.DataFrame({"v": [f"a{i}" for i in range(500)]})
+    )
+    b = spark.createDataFrame(
+        pd.DataFrame({"v": [f"b{i}" for i in range(400)] + [f"a{i}" for i in range(100)]})
+    )
+    merged = regs(hll_merge(hll_registers(a, "v", 10), hll_registers(b, "v", 10)))
+    union = regs(hll_registers(a.unionByName(b), "v", 10))
+    assert merged == union  # exact, not approximate
+
+
+def test_estimate_accuracy(spark):
+    n = 50_000
+    df = spark.range(n).select(F.concat(F.lit("k"), F.col("id")).alias("v"))
+    est = hll_estimate(hll_registers(df, "v", p=12), p=12)
+    assert abs(est - n) / n < 0.05  # 1.04/sqrt(4096) ≈ 1.6%; 5% margin
+
+
+def test_small_range_linear_counting(spark):
+    df = spark.range(30).select(F.col("id").cast("string").alias("v"))
+    est = hll_estimate(hll_registers(df, "v", p=12), p=12)
+    assert abs(est - 30) < 3
+
+
+def test_duplicates_do_not_move_registers(spark):
+    once = spark.createDataFrame(pd.DataFrame({"v": ["x", "y", "z"]}))
+    many = spark.createDataFrame(
+        pd.DataFrame({"v": ["x", "y", "z"] * 100})
+    )
+    assert regs(hll_registers(once, "v", 8)) == regs(hll_registers(many, "v", 8))
+
+
+def test_grouped_registers(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"g": ["a"] * 50 + ["b"] * 30, "v": [f"x{i}" for i in range(80)]}
+        )
+    )
+    sk = hll_registers(df, "v", p=6, group_cols=["g"])
+    by_g = {}
+    for r in sk.collect():
+        by_g.setdefault(r["g"], []).append(r)
+    from datavalid_spark.operators.hll import hll_estimate_rows
+
+    assert abs(hll_estimate_rows(by_g["a"], 6) - 50) < 15
+    assert abs(hll_estimate_rows(by_g["b"], 6) - 30) < 12
+
+
+def test_parallelism_invariant(spark):
+    df = spark.range(5000).select(F.col("id").cast("string").alias("v"))
+    a = regs(hll_registers(df.repartition(1), "v", 10))
+    b = regs(hll_registers(df.repartition(13), "v", 10))
+    assert a == b
+
+
+def test_bad_p_rejected(spark):
+    with pytest.raises(ValueError):
+        hll_registers(spark.range(1), "id", p=3)
