@@ -154,6 +154,9 @@ HEADLINE_QUERIES = [
     # join + two partial aggs)
     "graph_shared_deps",
     "graph_communities",
+    # round-3 addition: exportable HLL registers (one combining
+    # groupBy, ≤2^p output rows)
+    "hll_registers",
 ]
 
 

@@ -91,6 +91,30 @@ def test_parallelism_invariant(spark):
     assert a == b
 
 
+def test_stored_sketch_round_trip(spark, tmp_path):
+    """The incremental story end-to-end: persist day-1 registers in a
+    snapshot table, sketch day-2 separately, merge stored + new — the
+    estimate tracks the union without re-reading day-1 data."""
+    from datavalid_spark.operators.hll import hll_estimate_rows
+    from datavalid_spark.sources.snaplog import SnapshotTable
+
+    day1 = spark.range(3000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("v")
+    )
+    day2 = spark.range(2000, 5000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("v")
+    )
+    t = SnapshotTable(spark, str(tmp_path / "sketches"))
+    t.create(hll_registers(day1, "v", p=10))
+    merged = hll_merge(t.read(), hll_registers(day2, "v", p=10))
+    est = hll_estimate_rows(merged.collect(), 10)
+    assert abs(est - 5000) / 5000 < 0.10
+    # and the stored+new merge equals sketching the union directly
+    assert regs(merged) == regs(
+        hll_registers(day1.unionByName(day2), "v", p=10)
+    )
+
+
 def test_bad_p_rejected(spark):
     with pytest.raises(ValueError):
         hll_registers(spark.range(1), "id", p=3)
