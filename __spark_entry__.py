@@ -48,6 +48,7 @@ from datavalid_spark.operators.checks import (
 from datavalid_spark.operators.components import duplicate_clusters, keep_canonical
 from datavalid_spark.operators import graphrank as _graphrank_oracle
 from datavalid_spark.operators import hll as _hll_oracle
+from datavalid_spark.operators import kmv as _kmv_oracle
 from datavalid_spark.operators.dedup import (
     distinct_by_content,
     embedding_near_dups,
@@ -2424,6 +2425,22 @@ def q_hll_registers(spark, sf_dir):
     return hll_registers(orders, "o_custkey", p=10)
 
 
+def q_kmv_sketch(spark, sf_dir):
+    """KMV/theta bottom-k sketch (operators/kmv.py): the k smallest
+    distinct md5-prefix hashes of a key column — a pure function of
+    the key SET (no randomness, no order dependence), so the sketch
+    rows themselves are the cross-engine contract.  Unlike HLL it
+    composes into set-operation estimates (corpus overlap, benchmark
+    contamination, snapshot Jaccard) from stored sketches alone.
+    Spark plans the bottom-k as TakeOrderedAndProject over the
+    distinct-hash frame — per-partition heaps, k-row driver merge,
+    never a global sort."""
+    from datavalid_spark.operators.kmv import kmv_sketch
+
+    li = _t(spark, sf_dir, "lineitem")
+    return kmv_sketch(li, "l_partkey", k=512)
+
+
 def q_compaction_plan(spark, sf_dir):
     """Small-file compaction planning (operators/compaction.py) with
     documents standing in as a files listing (size = n_chars, table
@@ -2707,6 +2724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_acyclic": q_graph_acyclic,
         "graph_shared_deps": q_graph_shared_deps,
         "hll_registers": q_hll_registers,
+        "kmv_sketch": q_kmv_sketch,
         "compaction_plan": q_compaction_plan,
         "topk_per_group": q_topk_per_group,
         "rolling_window": q_rolling_window,
@@ -3507,6 +3525,9 @@ SELECT EXISTS(SELECT 1 FROM cyc) AS has_cycle,
 """,
         "hll_registers": _hll_oracle.hll_registers_oracle_sql(
             "SELECT o_custkey FROM orders", "o_custkey", p=10
+        ),
+        "kmv_sketch": _kmv_oracle.kmv_sketch_oracle_sql(
+            "SELECT l_partkey FROM lineitem", "l_partkey", k=512
         ),
         "graph_shared_deps": _graphrank_oracle.co_citation_oracle_sql(
             "SELECT l_suppkey AS src, l_partkey AS dst FROM lineitem",

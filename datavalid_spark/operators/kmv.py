@@ -1,0 +1,149 @@
+"""KMV (bottom-k / theta) sketches: mergeable distinct sketches that
+also answer SET-OPERATION questions.
+
+The HLL registers (operators/hll.py) track one set's cardinality
+incrementally, but can't say how much two sets OVERLAP — the question
+corpus work actually asks: how much of today's crawl is already in the
+corpus?  How contaminated is this source by that benchmark?  What's
+the Jaccard between two snapshots' key sets?  The KMV sketch (Bar-
+Yossef et al. 2002; Beyer et al. SIGMOD 2007) answers all of them
+from sketches alone: keep the k SMALLEST distinct hash values of each
+set; the k-th smallest normalised hash θ estimates density
+((k-1)/θ ≈ distinct count), and because every sketch keeps the SAME
+deterministic bottom region of hash space, sketches intersect
+meaningfully: |A∩B| ≈ (shared values under the merged θ) / θ.
+
+Determinism contract: the sketch of a set is its bottom-k distinct
+md5-prefix hashes — a pure FUNCTION of the set, no randomness, no
+order dependence, identical in Spark at any parallelism and in DuckDB
+(the correctness gate compares sketch ROWS).  Merge is exact:
+bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B)) — asserted in
+tests, the property that lets stored sketches compose.
+
+Scale shape: distinct-hash then a global bottom-k — Spark plans
+ORDER BY + LIMIT as TakeOrderedAndProject (per-partition k-heaps, one
+k-row driver merge), never a global sort.  Sketch size is k rows
+(default 1024) regardless of input size.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: 15 hex chars = 60 bits, signed-long safe in both engines (same
+#: cross-engine hash as operators/hll.py / sampling.py)
+_HASH_SPACE = float(1 << 60)
+
+
+def _hash60(col: str) -> F.Column:
+    return F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    col: str,
+    k: int = 1024,
+    group_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Bottom-``k`` distinct hashes of ``col``: ``(group..., h)``.
+
+    Ungrouped: a global TakeOrdered (per-partition heaps).  Grouped: a
+    rank window over the distinct-hash frame — the window input is
+    O(distinct hashes), never the raw table.  NULLs are skipped.
+    A set with fewer than k distinct values keeps them all (the sketch
+    is then EXACT and the estimator detects it via θ).
+    """
+    if k < 16:
+        raise ValueError("k should be >= 16 (estimator variance)")
+    g = list(group_cols or [])
+    hashed = (
+        df.filter(F.col(col).isNotNull())
+        .select(*[F.col(c) for c in g], _hash60(col).alias("h"))
+        .distinct()
+    )
+    if not g:
+        return hashed.orderBy("h").limit(k)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*g).orderBy("h")
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_sketch_oracle_sql(source_sql: str, col: str, k: int = 1024) -> str:
+    """DuckDB mirror of the ungrouped ``kmv_sketch``."""
+    return f"""SELECT h FROM (
+  SELECT DISTINCT
+    CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM ({source_sql}) WHERE {col} IS NOT NULL
+) ORDER BY h LIMIT {int(k)}"""
+
+
+def kmv_merge(k: int, *sketches: DataFrame) -> DataFrame:
+    """Bottom-k of the union — EXACTLY the sketch of the unioned
+    data (hash sets compose; duplicates collapse in the distinct)."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate_rows(rows, k: int) -> float:
+    """Distinct-count estimate from a collected sketch (list of rows
+    with ``h``).  Fewer than k rows ⇒ the sketch saw every distinct
+    value ⇒ exact count; else the Beyer et al. unbiased (k-1)/θ."""
+    hs = sorted(r["h"] for r in rows)
+    if len(hs) < k:
+        return float(len(hs))
+    theta = hs[k - 1] / _HASH_SPACE
+    return (k - 1) / theta
+
+
+def kmv_overlap_rows(rows_a, rows_b, k: int) -> dict:
+    """Set-operation estimates from two sketches: ``union``,
+    ``intersection``, ``jaccard``, ``containment_a_in_b``.
+
+    Standard theta-sketch composition: θ = min(θ_A, θ_B); restrict
+    both hash sets to values < θ (each is then a uniform sample of its
+    set at rate θ); counts under θ scale by 1/θ.  Jaccard uses the
+    shared-under-θ ratio directly (Beyer et al. 2007 §4).
+    """
+    a = sorted(r["h"] for r in rows_a)
+    b = sorted(r["h"] for r in rows_b)
+    if not a or not b:
+        inter = 0.0
+        union = kmv_estimate_rows(rows_a, k) + kmv_estimate_rows(rows_b, k)
+        return {
+            "union": union,
+            "intersection": inter,
+            "jaccard": 0.0,
+            "containment_a_in_b": 0.0,
+        }
+    # θ per side: exact sketches (fewer than k values) cover all of
+    # hash space (θ = 1), else the k-th smallest normalised hash
+    theta_a = a[k - 1] / _HASH_SPACE if len(a) >= k else 1.0
+    theta_b = b[k - 1] / _HASH_SPACE if len(b) >= k else 1.0
+    theta = min(theta_a, theta_b)
+    cut = theta * _HASH_SPACE
+    sa = {h for h in a if h < cut or theta == 1.0}
+    sb = {h for h in b if h < cut or theta == 1.0}
+    shared = len(sa & sb)
+    total = len(sa | sb)
+    inter = shared / theta if theta > 0 else 0.0
+    union = total / theta if theta > 0 else 0.0
+    return {
+        "union": union,
+        "intersection": inter,
+        "jaccard": (shared / total) if total else 0.0,
+        "containment_a_in_b": (shared / len(sa)) if sa else 0.0,
+    }

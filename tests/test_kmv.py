@@ -1,0 +1,111 @@
+"""KMV/theta sketches: DuckDB sketch parity, the exact merge property,
+distinct/overlap estimation accuracy, groups, small-set exactness."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.operators.kmv import (
+    kmv_estimate_rows,
+    kmv_merge,
+    kmv_overlap_rows,
+    kmv_sketch,
+    kmv_sketch_oracle_sql,
+)
+
+
+def hs(df):
+    return [r["h"] for r in df.orderBy("h").collect()]
+
+
+def test_sketch_matches_duckdb(spark, tmp_path):
+    pdf = pd.DataFrame({"v": [f"row-{i}" for i in range(5000)]})
+    p = str(tmp_path / "v.parquet")
+    pdf.to_parquet(p)
+    got = hs(kmv_sketch(spark.createDataFrame(pdf), "v", k=256))
+    want = [
+        int(r.h)
+        for r in duckdb.sql(
+            kmv_sketch_oracle_sql(f"SELECT v FROM '{p}'", "v", k=256)
+        ).df().itertuples()
+    ]
+    assert got == want and len(got) == 256
+
+
+def test_merge_equals_sketch_of_union(spark):
+    a = spark.createDataFrame(pd.DataFrame({"v": [f"a{i}" for i in range(3000)]}))
+    b = spark.createDataFrame(
+        pd.DataFrame({"v": [f"b{i}" for i in range(2000)] + [f"a{i}" for i in range(500)]})
+    )
+    merged = hs(kmv_merge(128, kmv_sketch(a, "v", 128), kmv_sketch(b, "v", 128)))
+    union = hs(kmv_sketch(a.unionByName(b), "v", 128))
+    assert merged == union  # exact
+
+
+def test_distinct_estimate_accuracy(spark):
+    n = 40_000
+    df = spark.range(n).select(F.concat(F.lit("k"), F.col("id")).alias("v"))
+    rows = kmv_sketch(df, "v", k=1024).collect()
+    est = kmv_estimate_rows(rows, 1024)
+    assert abs(est - n) / n < 0.10  # se ≈ 1/sqrt(k-2) ≈ 3%
+
+
+def test_small_set_is_exact(spark):
+    df = spark.createDataFrame(pd.DataFrame({"v": list("abcdefg")}))
+    rows = kmv_sketch(df, "v", k=64).collect()
+    assert kmv_estimate_rows(rows, 64) == 7.0
+
+
+def test_overlap_estimates(spark):
+    # |A|=6000, |B|=6000, |A∩B|=2000 → J = 2000/10000 = 0.2
+    a = spark.range(0, 6000).select(F.concat(F.lit("x"), F.col("id")).alias("v"))
+    b = spark.range(4000, 10000).select(
+        F.concat(F.lit("x"), F.col("id")).alias("v")
+    )
+    ra = kmv_sketch(a, "v", 512).collect()
+    rb = kmv_sketch(b, "v", 512).collect()
+    est = kmv_overlap_rows(ra, rb, 512)
+    assert abs(est["jaccard"] - 0.2) < 0.06
+    assert abs(est["intersection"] - 2000) / 2000 < 0.25
+    assert abs(est["union"] - 10000) / 10000 < 0.12
+    assert abs(est["containment_a_in_b"] - 2000 / 6000) < 0.08
+
+
+def test_disjoint_sets_zero_overlap(spark):
+    a = spark.range(0, 3000).select(F.concat(F.lit("L"), F.col("id")).alias("v"))
+    b = spark.range(0, 3000).select(F.concat(F.lit("R"), F.col("id")).alias("v"))
+    est = kmv_overlap_rows(
+        kmv_sketch(a, "v", 256).collect(),
+        kmv_sketch(b, "v", 256).collect(),
+        256,
+    )
+    assert est["jaccard"] < 0.02 and est["intersection"] < 120
+
+
+def test_grouped_sketch(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"g": ["a"] * 100 + ["b"] * 40, "v": [f"v{i}" for i in range(140)]}
+        )
+    )
+    sk = kmv_sketch(df, "v", k=16, group_cols=["g"])
+    sizes = {
+        r["g"]: r["n"]
+        for r in sk.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sizes == {"a": 16, "b": 16}
+
+
+def test_parallelism_invariant(spark):
+    df = spark.range(8000).select(F.col("id").cast("string").alias("v"))
+    assert hs(kmv_sketch(df.repartition(1), "v", 200)) == hs(
+        kmv_sketch(df.repartition(11), "v", 200)
+    )
+
+
+def test_bad_k_rejected(spark):
+    with pytest.raises(ValueError):
+        kmv_sketch(spark.range(1), "id", k=4)
