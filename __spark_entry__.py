@@ -4,8 +4,11 @@
 ``queries()`` exposes one callable per implemented operator from
 SURVEY.md §2 (validation core F1-F8 / T1-T5 / P1-P6, referential,
 profiling) plus the training-pipeline operators (dedup family, ANN,
-text analysis, drift, multimodal); ``oracle_sql()`` gives the DuckDB
-equivalent for every SQL-expressible query.
+text analysis, drift, multimodal, graph curation signals —
+PageRank/TrustRank/LPA/triangles/co-citation — graph validation
+checks, mergeable HLL/KMV sketches, compaction planning);
+``oracle_sql()`` gives the DuckDB equivalent for every
+SQL-expressible query.
 
 Column names AND types are aligned pairwise between the Spark plan and
 the oracle SQL (the driver hashes values after sorting columns by
