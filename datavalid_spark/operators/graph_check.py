@@ -112,22 +112,41 @@ class MaxDegreeCheck(TableCheck):
         tiny by construction — so it rides the size-gated broadcast
         and the edge table sees one map-side semi-join per endpoint."""
         bad = self._offenders(df, group_cols).drop("__dv_deg")
-        keys = list(group_cols) + ["__dv_node"]
-        out = None
         cols = (
             [self.src] if self.direction == "out"
             else [self.dst] if self.direction == "in"
             else [self.src, self.dst]
         )
-        for c in cols:
-            probe = bad.withColumnRenamed("__dv_node", c)
-            hit = df.join(
+        if len(cols) == 1:
+            probe = bad.withColumnRenamed("__dv_node", cols[0])
+            return df.join(
                 gated_broadcast(probe, self.broadcast_key_limit),
-                list(group_cols) + [c],
+                list(group_cols) + cols,
                 "left_semi",
             ).select(*df.columns)  # joins reorder keys first; keep original
-            out = hit if out is None else out.unionAll(hit)
-        return out.distinct() if len(cols) == 2 else out
+        # direction="both": a row is a violation if EITHER endpoint is
+        # over-degree.  Two semi-joins unioned would need a distinct to
+        # dedupe rows matching on both ends — which would ALSO collapse
+        # genuinely duplicate edge rows (multigraph) and understate the
+        # violation set.  Flag each endpoint with a broadcast left join
+        # instead: multiplicity preserved, no distinct.
+        marked = df
+        flags = []
+        for c in cols:
+            flag = f"__dv_bad_{c}"
+            probe = bad.withColumnRenamed("__dv_node", c).withColumn(
+                flag, F.lit(True)
+            )
+            marked = marked.join(
+                gated_broadcast(probe, self.broadcast_key_limit),
+                list(group_cols) + [c],
+                "left",
+            )
+            flags.append(flag)
+        cond = F.coalesce(F.col(flags[0]), F.lit(False)) | F.coalesce(
+            F.col(flags[1]), F.lit(False)
+        )
+        return marked.filter(cond).select(*df.columns)
 
     def run(self, df: DataFrame, group_cols: Sequence[str] = ()) -> CheckResult:
         bad = self._offenders(df, group_cols)

@@ -53,6 +53,19 @@ def test_both_direction_counts_each_endpoint(spark, edges):
     assert ((v.s == 10) | (v.d == 10)).all()
 
 
+def test_both_direction_preserves_duplicate_rows(spark):
+    # multigraph: the duplicated (1,2) row must appear TWICE in the
+    # violations (each edge row is a violation), and a row whose both
+    # endpoints are over-degree must appear exactly once
+    df = spark.createDataFrame(
+        pd.DataFrame({"s": [1, 1, 1, 2], "d": [2, 2, 3, 3]}).astype("int64")
+    )
+    # degrees (both): 1→3, 2→3, 3→2; max=2 flags nodes 1 and 2
+    res = MaxDegreeCheck(src="s", dst="d", max=2, direction="both").run(df)
+    viol = sorted((r["s"], r["d"]) for r in res.violations.collect())
+    assert viol == [(1, 2), (1, 2), (1, 3), (2, 3)]
+
+
 def test_null_endpoints_ignored(spark, edges):
     # the None src row contributes no out-degree node
     res = MaxDegreeCheck(src="s", dst="d", max=1).run(edges)
