@@ -92,6 +92,16 @@ def kmv_merge(k: int, *sketches: DataFrame) -> DataFrame:
     data (hash sets compose; duplicates collapse in the distinct)."""
     if not sketches:
         raise ValueError("need at least one sketch")
+    for s in sketches:
+        if s.columns != ["h"]:
+            # a grouped sketch under a global ORDER BY h LIMIT k would
+            # silently keep only the globally-smallest hashes and
+            # destroy per-group sketches — refuse instead
+            raise ValueError(
+                "kmv_merge merges ungrouped sketches (single column 'h'); "
+                f"got columns {s.columns} — merge grouped sketches per "
+                "group with a rank window"
+            )
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)

@@ -106,6 +106,16 @@ def test_parallelism_invariant(spark):
     )
 
 
+def test_merge_refuses_grouped_sketch(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["a", "b"], "v": ["x", "y"]})
+    )
+    grouped = kmv_sketch(df, "v", k=16, group_cols=["g"])
+    flat = kmv_sketch(df, "v", k=16)
+    with pytest.raises(ValueError, match="ungrouped"):
+        kmv_merge(16, flat, grouped)
+
+
 def test_bad_k_rejected(spark):
     with pytest.raises(ValueError):
         kmv_sketch(spark.range(1), "id", k=4)
