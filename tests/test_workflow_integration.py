@@ -1,0 +1,100 @@
+"""End-to-end maintenance narrative over one snapshot table: ingest in
+small commits → incremental-only re-validation → sketch-tracked distinct
+counts → a bad commit caught and LOCATED by bisect → partial compaction
+that changes layout but nothing else.  Each piece has its own unit
+tests; this pins that they compose on one table and one history."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.operators.checks import UniqueCheck
+from datavalid_spark.operators.hll import hll_estimate, hll_merge, hll_registers
+from datavalid_spark.sources.snaplog import SnapshotTable
+
+
+def batch(spark, lo, hi, dup=None):
+    df = spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("content-"), F.col("id")).alias("text"),
+    )
+    if dup is not None:
+        df = df.union(
+            spark.range(dup, dup + 1).select(
+                F.col("id").alias("doc_id"),
+                F.concat(F.lit("content-"), F.col("id")).alias("text"),
+            )
+        )
+    return df.coalesce(1)
+
+
+@pytest.fixture()
+def story(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "corpus"))
+    t.create(batch(spark, 0, 400))
+    sids = [t.current_snapshot_id()]
+    for i in range(4):
+        lo = 400 + i * 100
+        # snapshot 4 (i=2) re-ingests doc 7 — the planted violation
+        t.append(batch(spark, lo, lo + 100, dup=7 if i == 2 else None))
+        sids.append(t.current_snapshot_id())
+    return t, sids
+
+
+def test_full_maintenance_story(spark, story):
+    t, sids = story
+    check = UniqueCheck(["doc_id"])
+
+    # 1. incremental re-validation: only the delta since the last-known
+    #    good snapshot is scanned, and the dup shows up exactly there
+    delta = t.read_incremental(sids[2])  # rows added after snapshot 3
+    assert delta.count() == 201  # 2×100 + the duplicate row
+    viol = check.incremental_violations(delta, t.read(sids[2]))
+    assert [r["doc_id"] for r in viol.collect()] == [7]
+
+    # 2. bisect pins the INTRODUCING commit without scanning history
+    def uniq(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("d")
+        ).first()
+        return r["n"] == r["d"]
+
+    assert t.bisect_first_bad(uniq) == sids[3]
+
+    # 3. sketch-tracked distinct counts: stored registers of the clean
+    #    prefix merge with the delta's sketch — estimate tracks the
+    #    union without rescanning the prefix
+    stored = hll_registers(t.read(sids[2]), "doc_id", p=11)
+    merged = hll_merge(stored, hll_registers(delta, "doc_id", p=11))
+    est = hll_estimate(merged, p=11)
+    assert abs(est - 800) / 800 < 0.10  # 800 true distinct ids
+
+    # 4. the bad commit is repaired copy-on-write; history stays intact
+    before_repair = t.current_snapshot_id()
+    sid_fix = t.delete([("doc_id", "=", 7)])
+    assert sid_fix == before_repair + 1
+    t.append(batch(spark, 7, 8))  # re-ingest the single doc cleanly
+    assert uniq(t.read())
+    assert not uniq(t.read(sids[3]))  # time travel still shows the bug
+
+    # 5. partial compaction folds the small commit files; data and
+    #    verdicts are unchanged, only layout moves
+    files_before = len(t.manifest()["files"])
+    rows_before = sorted(r["doc_id"] for r in t.read().collect())
+    biggest = max(
+        os.path.getsize(os.path.join(t.root, f)) for f in t.manifest()["files"]
+    )
+    sid_c = t.compact_partial(target_bytes=biggest * 4)
+    assert sid_c is not None
+    assert len(t.manifest()["files"]) < files_before
+    assert sorted(r["doc_id"] for r in t.read().collect()) == rows_before
+    assert uniq(t.read())
+
+    # 6. the whole history is auditable: every snapshot's operation is
+    #    recorded in order
+    ops = [s["operation"] for s in t.snapshots()]
+    assert ops[0] == "create" and ops[-1] == "replace"
+    assert "delete" in ops
