@@ -2444,6 +2444,33 @@ def q_kmv_sketch(spark, sf_dir):
     return kmv_sketch(li, "l_partkey", k=512)
 
 
+def q_no_overlap_violations(spark, sf_dir):
+    """`no_overlap` validity-interval check (operators/fdcheck.py):
+    half-open per-customer intervals derived from orders (start =
+    order date in epoch days, end = start + orderkey%30) — offending
+    rows are the later-starting party of each overlap plus same-start
+    conflicts, computed on the aggregated distinct-start frame and
+    broadcast back (the fact table is never row-shuffled).  Integer
+    day arithmetic keeps both engines bit-identical."""
+    from datavalid_spark.operators.fdcheck import NoOverlapCheck
+
+    orders = _t(spark, sf_dir, "orders")
+    iv = orders.select(
+        F.col("o_custkey"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("s_day"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+            + F.pmod(F.col("o_orderkey"), F.lit(30))
+        )
+        .cast("long")
+        .alias("e_day"),
+    )
+    chk = NoOverlapCheck(start="s_day", end="e_day", per=["o_custkey"])
+    return chk.violations(iv)
+
+
 def q_compaction_plan(spark, sf_dir):
     """Small-file compaction planning (operators/compaction.py) with
     documents standing in as a files listing (size = n_chars, table
@@ -2728,6 +2755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_shared_deps": q_graph_shared_deps,
         "hll_registers": q_hll_registers,
         "kmv_sketch": q_kmv_sketch,
+        "no_overlap_violations": q_no_overlap_violations,
         "compaction_plan": q_compaction_plan,
         "topk_per_group": q_topk_per_group,
         "rolling_window": q_rolling_window,
@@ -3532,6 +3560,33 @@ SELECT EXISTS(SELECT 1 FROM cyc) AS has_cycle,
         "kmv_sketch": _kmv_oracle.kmv_sketch_oracle_sql(
             "SELECT l_partkey FROM lineitem", "l_partkey", k=512
         ),
+        "no_overlap_violations": """
+WITH iv AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+           AS s_day,
+         CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+              + o_orderkey % 30 AS BIGINT) AS e_day
+  FROM orders
+),
+agg AS (
+  SELECT o_custkey, s_day, COUNT(*) AS n, MAX(e_day) AS me
+  FROM iv GROUP BY o_custkey, s_day
+),
+w AS (
+  SELECT o_custkey, s_day, n,
+         MAX(me) OVER (PARTITION BY o_custkey ORDER BY s_day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS rme
+  FROM agg
+),
+bad AS (
+  SELECT o_custkey, s_day FROM w
+  WHERE n > 1 OR (rme IS NOT NULL AND s_day < rme)
+)
+SELECT iv.o_custkey, iv.s_day, iv.e_day
+FROM iv JOIN bad USING (o_custkey, s_day)
+""",
         "graph_shared_deps": _graphrank_oracle.co_citation_oracle_sql(
             "SELECT l_suppkey AS src, l_partkey AS dst FROM lineitem",
             min_shared=2,

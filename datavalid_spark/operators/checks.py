@@ -718,6 +718,7 @@ def build_table_check(key: str, value, today: Optional[datetime.date] = None) ->
         "quantile_bounds",
         "max_degree",
         "acyclic",
+        "no_overlap",
     ):
         return cls(**(value or {}))
     kwargs = dict(value or {})

@@ -368,9 +368,126 @@ class MonotonicCheck(TableCheck):
         return "".join(parts)
 
 
+class NoOverlapCheck(TableCheck):
+    """``no_overlap: {start: valid_from, end: valid_to, per: [id]}`` —
+    half-open validity intervals ``[start, end)`` must not overlap
+    within each ``per`` partition (× validation group).  The history-
+    table invariant SCD2 relies on: two versions of the same entity
+    claiming the same instant make point-in-time joins ambiguous.
+
+    Semantics (all deterministic under ties and partitioning):
+
+    - touching is legal: ``end == next start`` is the half-open ideal.
+    - a NULL ``end`` is an OPEN interval (the SCD2 "current" row): it
+      overlaps every later-starting row of its partition.
+    - two rows sharing (partition, start) always conflict.
+    - rows with NULL ``start`` are skipped (``no_na`` owns those).
+    - the LATER-STARTING party of an overlap is what gets flagged
+      (same convention as ``monotonic``: the row that breaches the
+      running coverage), plus every row of a same-start conflict.
+
+    Scale shape (same as ``monotonic``): aggregate to one row per
+    (keys, start) — count, max end, any-open — then ONE window over
+    that DISTINCT-start frame computes the strictly-earlier running
+    coverage (max end so far / any open so far).  The window input is
+    bounded by the distinct-start count, never the row count, and only
+    offending (keys, start) tuples ride a size-gated broadcast back to
+    the fact table; a healthy table is never row-shuffled.
+    """
+
+    key = "no_overlap"
+
+    def __init__(
+        self,
+        start: Optional[str] = None,
+        end: Optional[str] = None,
+        per=None,
+        broadcast_key_limit: Optional[int] = None,
+    ):
+        if start is None:
+            raise ValueError('should contain key "start"')
+        if not isinstance(start, str):
+            raise ValueError('"start" should be a column name')
+        if end is None:
+            raise ValueError('should contain key "end"')
+        if not isinstance(end, str):
+            raise ValueError('"end" should be a column name')
+        if per is None:
+            per = []
+        if isinstance(per, str):
+            per = [per]
+        if not isinstance(per, list) or not all(isinstance(c, str) for c in per):
+            raise ValueError('"per" should be a column name or list of them')
+        self.start = start
+        self.end = end
+        self.per = per
+        self.broadcast_key_limit = broadcast_key_limit or 1_000_000
+
+    def bad_starts(self, df: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+        keys = [*group_cols, *self.per]
+        agg = (
+            df.filter(F.col(self.start).isNotNull())
+            .groupBy(*keys, F.col(self.start).alias("__dv_s"))
+            .agg(
+                F.count(F.lit(1)).alias("__dv_n"),
+                F.max(self.end).alias("__dv_me"),
+                F.max(F.col(self.end).isNull().cast("int")).alias("__dv_open"),
+            )
+        )
+        w = (
+            Window.partitionBy(*[F.col(c) for c in keys])
+            .orderBy(F.col("__dv_s").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        run_me = F.max("__dv_me").over(w)
+        run_open = F.max("__dv_open").over(w)
+        covered = (run_open == 1) | (
+            run_me.isNotNull() & (F.col("__dv_s") < run_me)
+        )
+        breach = (F.col("__dv_n") > 1) | F.coalesce(covered, F.lit(False))
+        return agg.select(
+            *keys, "__dv_s", breach.alias("__dv_bad")
+        ).filter("__dv_bad").drop("__dv_bad")
+
+    def violations(self, df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+        keys = [*group_cols, *self.per]
+        bad = gated_broadcast(
+            self.bad_starts(df, group_cols), self.broadcast_key_limit
+        ).select(
+            *[F.col(c).alias("__dv_k_%s" % c) for c in keys],
+            F.col("__dv_s"),
+        )
+        on = [F.col(c).eqNullSafe(F.col("__dv_k_%s" % c)) for c in keys] + [
+            F.col(self.start) == F.col("__dv_s")
+        ]
+        cond = on[0]
+        for e in on[1:]:
+            cond = cond & e
+        return df.join(bad, cond, "left_semi")
+
+    def _err_msg(self, n: int) -> str:
+        scope = " per %s" % ", ".join(self.per) if self.per else ""
+        return "[%s, %s) intervals overlap%s. There are %d such rows" % (
+            self.start,
+            self.end,
+            scope,
+            n,
+        )
+
+    def to_markdown(self) -> str:
+        out = "Ensure `[%s, %s)` intervals do not overlap" % (
+            self.start,
+            self.end,
+        )
+        if self.per:
+            out += " within each %s" % ", ".join("`%s`" % c for c in self.per)
+        return out
+
+
 # self-registration (same import-cycle dodge as dedup_check)
 from datavalid_spark.operators import checks as _checks  # noqa: E402
 
 _checks.TABLE_CHECKS.setdefault("functional_dependency", FunctionalDependencyCheck)
 _checks.TABLE_CHECKS.setdefault("no_gaps", NoGapsCheck)
 _checks.TABLE_CHECKS.setdefault("monotonic", MonotonicCheck)
+_checks.TABLE_CHECKS.setdefault("no_overlap", NoOverlapCheck)

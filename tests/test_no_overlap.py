@@ -1,0 +1,89 @@
+"""no_overlap validity-interval check: half-open semantics, open (NULL)
+ends, same-start conflicts, per-key partitioning, flag convention."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from datavalid_spark.operators.checks import build_table_check
+from datavalid_spark.operators.fdcheck import NoOverlapCheck
+
+
+def run(spark, rows, **kw):
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "s", "e"]).astype(
+            {"k": "str", "s": "int64"}
+        )
+    )
+    return NoOverlapCheck(start="s", end="e", per=["k"], **kw).run(df)
+
+
+def viol(res):
+    return sorted(
+        (r["k"], r["s"]) for r in (res.violations.collect() if res.violations is not None else [])
+    )
+
+
+def test_touching_intervals_pass(spark):
+    rows = [("a", 0, 10), ("a", 10, 20), ("a", 20, 30), ("b", 0, 5)]
+    assert run(spark, rows).passed
+
+
+def test_overlap_flags_later_party(spark):
+    rows = [("a", 0, 10), ("a", 5, 8), ("a", 20, 25)]
+    res = run(spark, rows)
+    assert not res.passed
+    assert viol(res) == [("a", 5)]  # the later-starting interval
+
+
+def test_open_interval_covers_everything_after(spark):
+    rows = [("a", 0, None), ("a", 100, 110), ("b", 0, 1), ("b", 5, None)]
+    res = run(spark, rows)
+    assert not res.passed
+    assert viol(res) == [("a", 100)]  # b's open row starts AFTER [0,1)
+
+
+def test_same_start_conflict_flags_both(spark):
+    rows = [("a", 0, 5), ("a", 0, 7), ("a", 10, 12)]
+    res = run(spark, rows)
+    assert not res.passed
+    assert viol(res) == [("a", 0), ("a", 0)]
+
+
+def test_null_start_skipped(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": ["a", "a"], "s": [None, 3], "e": [9, 5]}
+        ).astype({"s": "Int64", "e": "int64"})
+    )
+    assert NoOverlapCheck(start="s", end="e", per=["k"]).run(df).passed
+
+
+def test_group_verdicts(spark):
+    rows = [("a", 0, 10), ("a", 5, 8), ("b", 0, 5), ("b", 5, 9)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "s", "e"]))
+    gv = {
+        r["k"]: (r["n_violations"], r["passed"])
+        for r in NoOverlapCheck(start="s", end="e")
+        .group_verdicts(df, ["k"])
+        .collect()
+    }
+    assert gv == {"a": (1, False), "b": (0, True)}
+
+
+def test_config_validation(spark):
+    c = build_table_check("no_overlap", {"start": "s", "end": "e", "per": "k"})
+    assert isinstance(c, NoOverlapCheck) and c.per == ["k"]
+    for bad, msg in [
+        ({}, '"start"'),
+        ({"start": "s"}, '"end"'),
+        ({"start": "s", "end": "e", "per": 3}, '"per"'),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            build_table_check("no_overlap", bad)
+
+
+def test_markdown(spark):
+    md = NoOverlapCheck(start="s", end="e", per=["k"]).to_markdown()
+    assert "overlap" in md and "`k`" in md
