@@ -84,6 +84,28 @@ def test_config_validation(spark):
             build_table_check("no_overlap", bad)
 
 
+def test_scd2_build_output_passes(spark):
+    """Cross-operator contract: the SCD2 history builder's validity
+    intervals satisfy the no_overlap invariant by construction —
+    including the NULL-valid_to current rows."""
+    from datavalid_spark.operators.history import scd2_build
+
+    log = [
+        (1, "2024-01-01", "a"),
+        (1, "2024-01-05", "b"),
+        (1, "2024-01-09", "b"),  # compressed away
+        (1, "2024-02-01", "c"),
+        (2, "2024-01-03", "x"),
+        (2, "2024-03-03", "y"),
+    ]
+    df = spark.createDataFrame(log, "id long, ts string, attr string")
+    hist = scd2_build(df, "id", "ts", "attr")
+    res = NoOverlapCheck(
+        start="valid_from", end="valid_to", per=["id"]
+    ).run(hist)
+    assert res.passed
+
+
 def test_markdown(spark):
     md = NoOverlapCheck(start="s", end="e", per=["k"]).to_markdown()
     assert "overlap" in md and "`k`" in md
