@@ -99,13 +99,37 @@ def kmv_merge(k: int, *sketches: DataFrame) -> DataFrame:
             # destroy per-group sketches — refuse instead
             raise ValueError(
                 "kmv_merge merges ungrouped sketches (single column 'h'); "
-                f"got columns {s.columns} — merge grouped sketches per "
-                "group with a rank window"
+                f"got columns {s.columns} — use kmv_merge_grouped for "
+                "per-group sketches"
             )
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
     return out.distinct().orderBy("h").limit(k)
+
+
+def kmv_merge_grouped(
+    k: int, group_cols: Sequence[str], *sketches: DataFrame
+) -> DataFrame:
+    """Per-group form of ``kmv_merge``: bottom-k within each group of
+    the unioned sketch rows — exactly each group's union sketch.  The
+    rank window runs over sketch rows only (≤ n_sketches × k per
+    group), never data."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    from pyspark.sql import Window
+
+    g = list(group_cols)
+    w = Window.partitionBy(*[F.col(c) for c in g]).orderBy("h")
+    return (
+        out.distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
 
 
 def kmv_estimate_rows(rows, k: int) -> float:

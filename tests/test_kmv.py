@@ -106,6 +106,30 @@ def test_parallelism_invariant(spark):
     )
 
 
+def test_grouped_merge_equals_grouped_union_sketch(spark):
+    from datavalid_spark.operators.kmv import kmv_merge_grouped
+
+    a = spark.createDataFrame(
+        pd.DataFrame(
+            {"g": ["x"] * 300 + ["y"] * 200, "v": [f"a{i}" for i in range(500)]}
+        )
+    )
+    b = spark.createDataFrame(
+        pd.DataFrame(
+            {"g": ["x"] * 250 + ["y"] * 250, "v": [f"b{i}" for i in range(500)]}
+        )
+    )
+    merged = kmv_merge_grouped(
+        64,
+        ["g"],
+        kmv_sketch(a, "v", 64, group_cols=["g"]),
+        kmv_sketch(b, "v", 64, group_cols=["g"]),
+    )
+    union = kmv_sketch(a.unionByName(b), "v", 64, group_cols=["g"])
+    key = lambda df: sorted((r["g"], r["h"]) for r in df.collect())  # noqa: E731
+    assert key(merged) == key(union)
+
+
 def test_merge_refuses_grouped_sketch(spark):
     df = spark.createDataFrame(
         pd.DataFrame({"g": ["a", "b"], "v": ["x", "y"]})
