@@ -2247,6 +2247,28 @@ def q_graph_pagerank(spark, sf_dir):
     return page_rank(edges, iterations=5)
 
 
+def q_graph_pagerank_weighted(spark, sf_dir):
+    """Weighted PageRank (operators/graphrank.py): the hand-off graph
+    with edge weight = hand-off MULTIPLICITY (how often supplier v
+    followed u), so mass splits proportionally to link strength —
+    contrib = (rank·d·w) div (100·Σw).  Parallel edge observations
+    accumulate weight in both engines' canonicalisation; still pure
+    bigint arithmetic, still bit-identical to the unrolled-CTE
+    oracle."""
+    from pyspark.sql import Window
+
+    from datavalid_spark.operators.graphrank import page_rank
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_suppkey")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        F.lead("l_suppkey").over(w).alias("dst"),
+        F.lit(1).alias("w"),
+    )
+    return page_rank(edges, weight="w", iterations=5)
+
+
 def q_graph_trustrank(spark, sf_dir):
     """TrustRank (operators/graphrank.py) over the supplier hand-off
     graph: teleport mass concentrated on a vetted seed set (suppliers
@@ -2746,6 +2768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_items": q_frequent_items,
         "hybrid_rrf": q_hybrid_rrf,
         "graph_pagerank": q_graph_pagerank,
+        "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "graph_trustrank": q_graph_trustrank,
         "graph_triangles": q_graph_triangles,
         "graph_degrees": q_graph_degrees,
@@ -3521,6 +3544,11 @@ FROM btop b FULL OUTER JOIN vtop v USING (id)
 """,
         "graph_pagerank": _graphrank_oracle.page_rank_oracle_sql(
             _graph_edges_sql(), iterations=5
+        ),
+        "graph_pagerank_weighted": _graphrank_oracle.page_rank_oracle_sql(
+            "SELECT src, dst, 1 AS w FROM (" + _graph_edges_sql() + ")",
+            iterations=5,
+            weighted=True,
         ),
         "graph_trustrank": _graphrank_oracle.trust_rank_oracle_sql(
             _graph_edges_sql(),

@@ -78,6 +78,31 @@ def _canon_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
+def _canon_weighted_edges(
+    edges: DataFrame, src: str, dst: str, weight: str
+) -> DataFrame:
+    """Weighted canonicalisation: parallel edges ACCUMULATE weight
+    (``(src, dst, w = Σ weight)``), self-loops and non-positive /
+    NULL weights dropped.  Weights must be integers — the integer
+    update rule's exactness is the whole determinism contract; rescale
+    fractional weights to fixed-point integers upstream."""
+    return (
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+            F.col(weight).cast("long").alias("__w"),
+        )
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+            & (F.col("__w") > 0)
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("__w").alias("w"))
+    )
+
+
 def page_rank(
     edges: DataFrame,
     src: str = "src",
@@ -86,6 +111,7 @@ def page_rank(
     damping_pct: int = 85,
     scale: int = 10**12,
     broadcast_rank_limit: int = 1_000_000,
+    weight: "str | None" = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in bigint fixed point.
 
@@ -106,9 +132,22 @@ def page_rank(
     the result is a pure function of the input — the property the
     DuckDB oracle needs.  5-10 iterations is the usual curation-grade
     rank (CommonCrawl publishes ranks from a comparable budget).
+
+    ``weight`` names an INTEGER edge-weight column: mass then splits
+    proportionally — ``contrib = (rank·d·w) div (100·Σw(u))`` — the
+    link-multiplicity / co-occurrence-strength rank, with parallel
+    edges accumulating weight instead of collapsing.  Exactness bound:
+    ``scale · damping_pct · max_weight`` must stay under 2^63
+    (~10^5 max weight at the default scale) — beyond that, downscale
+    weights upstream.
     """
+    e = (
+        _canon_edges(edges, src, dst)
+        if weight is None
+        else _canon_weighted_edges(edges, src, dst, weight)
+    )
     return _fixed_point_loop(
-        _canon_edges(edges, src, dst),
+        e,
         None,
         iterations,
         damping_pct,
@@ -184,8 +223,10 @@ def _fixed_point_loop(
     )
     if n_mass == 0:
         raise ValueError("no seed id appears in the edge set")
+    weighted = "w" in e.columns
+    wsum = F.sum("w") if weighted else F.count(F.lit(1))
     outdeg = persist_tracked(
-        e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), eager=True
+        e.groupBy("src").agg(wsum.alias("outdeg")), eager=True
     )
     # out-degree rides the edge table once; iterations re-join only ranks
     edeg = persist_tracked(e.join(outdeg, "src"), eager=True)
@@ -196,7 +237,11 @@ def _fixed_point_loop(
     base = (scale * (100 - damping_pct)) // (100 * n_mass)
     init = F.when(F.col("is_seed"), F.lit(int(scale // n_mass))).otherwise(F.lit(0))
     ranks = nodes.select("id", init.cast("long").alias("rank"))
-    contrib_expr = F.expr(f"(rank * {int(damping_pct)}) div (100 * outdeg)")
+    contrib_expr = F.expr(
+        f"(rank * {int(damping_pct)} * w) div (100 * outdeg)"
+        if weighted
+        else f"(rank * {int(damping_pct)}) div (100 * outdeg)"
+    )
     # dangling share stays a COLUMN from a broadcast one-row aggregate
     # instead of a collected driver scalar: one job per iteration (the
     # localCheckpoint materialisation) with zero driver round-trips —
@@ -551,16 +596,20 @@ def page_rank_oracle_sql(
     iterations: int = 5,
     damping_pct: int = 85,
     scale: int = 10**12,
+    weighted: bool = False,
 ) -> str:
     """DuckDB mirror of ``page_rank``: the same integer update rule
     unrolled into ``iterations`` chained CTEs.  ``edges_sql`` must
     select columns ``src`` and ``dst`` (pre-canonicalised or not —
-    the same simple-graph canonicalisation is applied here).
+    the same simple-graph canonicalisation is applied here); with
+    ``weighted=True`` it must also select an integer ``w``.
 
     Kept next to the operator so the arithmetic can only drift in one
     place; ``__spark_entry__.oracle_sql`` embeds the generated string.
     """
-    return _rank_oracle_sql(edges_sql, None, iterations, damping_pct, scale)
+    return _rank_oracle_sql(
+        edges_sql, None, iterations, damping_pct, scale, weighted
+    )
 
 
 def trust_rank_oracle_sql(
@@ -582,6 +631,7 @@ def _rank_oracle_sql(
     iterations: int,
     damping_pct: int,
     scale: int,
+    weighted: bool = False,
 ) -> str:
     d = int(damping_pct)
     seeds = (
@@ -591,15 +641,31 @@ def _rank_oracle_sql(
         "WHERE id IN (SELECT id FROM nodes)"
     )
     mass = f"CASE WHEN nodes.id IN (SELECT id FROM seeds) THEN {{v}} ELSE 0 END"
+    if weighted:
+        # DuckDB promotes SUM(BIGINT) to HUGEINT, whose `//` drifts by
+        # a few ulps from BIGINT integer division (measured +2..3 per
+        # iteration) — cast the sums back so both engines divide in
+        # the same domain
+        e_cte = f"""SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w
+  FROM ({edges_sql})
+  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+    AND w IS NOT NULL AND w > 0
+  GROUP BY src, dst"""
+        outdeg_cte = "SELECT src, CAST(SUM(w) AS BIGINT) AS outdeg FROM e GROUP BY src"
+        contrib = f"(r.rank * {d} * e.w) // (100 * o.outdeg)"
+    else:
+        e_cte = f"""SELECT DISTINCT src, dst FROM ({edges_sql})
+  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst"""
+        outdeg_cte = "SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src"
+        contrib = f"(r.rank * {d}) // (100 * o.outdeg)"
     parts = [
         f"""WITH e AS (
-  SELECT DISTINCT src, dst FROM ({edges_sql})
-  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+  {e_cte}
 ),
 nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
 seeds AS ({seeds}),
 nm AS (SELECT COUNT(*) AS n FROM seeds),
-outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+outdeg AS ({outdeg_cte}),
 r0 AS (
   SELECT nodes.id,
          {mass.format(v=f"CAST({scale} AS BIGINT) // (SELECT n FROM nm)")} AS rank
@@ -619,7 +685,7 @@ d{i} AS (
 ),
 c{i} AS (
   SELECT e.dst AS id,
-         SUM((r.rank * {d}) // (100 * o.outdeg)) AS inb
+         SUM({contrib}) AS inb
   FROM e
   JOIN r{i} r ON r.id = e.src
   JOIN outdeg o ON o.src = e.src

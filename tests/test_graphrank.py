@@ -129,6 +129,84 @@ def test_pagerank_sink_outranks_sources(spark):
     assert len({got[i] for i in range(1, 9)}) == 1  # symmetric sources tie
 
 
+def py_pagerank_weighted(wedges, iterations=5, d=85, scale=10**12):
+    """Reference weighted fixed-point PageRank ((src, dst, w) triples;
+    parallel edges accumulate weight, non-positive weights dropped)."""
+    acc = {}
+    for a, b, w in wedges:
+        if a is not None and a != b and w and w > 0:
+            acc[(a, b)] = acc.get((a, b), 0) + w
+    nodes = sorted({x for p in acc for x in p})
+    n = len(nodes)
+    out = {}
+    for (a, _), w in acc.items():
+        out[a] = out.get(a, 0) + w
+    r = {v: scale // n for v in nodes}
+    base = (scale * (100 - d)) // (100 * n)
+    for _ in range(iterations):
+        dang = sum(r[v] for v in nodes if v not in out)
+        nxt = {v: base + (dang * d) // (100 * n) for v in nodes}
+        for (a, b), w in acc.items():
+            nxt[b] += (r[a] * d * w) // (100 * out[a])
+        r = nxt
+    return r
+
+
+WEDGES = [
+    (1, 2, 3), (1, 2, 2),   # parallel: accumulates to weight 5
+    (1, 3, 1),
+    (2, 3, 4), (3, 1, 2),
+    (3, 4, 1), (4, 4, 9),    # self loop dropped
+    (4, 5, 0), (4, 5, 7),    # zero-weight edge dropped
+    (5, 1, None),            # NULL weight dropped -> 5 dangling
+]
+
+
+def test_weighted_pagerank_matches_python(spark):
+    df = spark.createDataFrame(WEDGES, "src long, dst long, w long")
+    got = {
+        r["node_id"]: r["rank_fp"]
+        for r in page_rank(df, weight="w", iterations=4).collect()
+    }
+    assert got == py_pagerank_weighted(WEDGES, iterations=4)
+    release_cached()
+
+
+def test_weighted_pagerank_matches_duckdb(spark, tmp_path):
+    df = spark.createDataFrame(WEDGES, "src long, dst long, w long")
+    p = str(tmp_path / "wedges.parquet")
+    df.toPandas().to_parquet(p)
+    sql = page_rank_oracle_sql(
+        f"SELECT src, dst, w FROM '{p}'", iterations=4, weighted=True
+    )
+    want = {
+        int(r.node_id): int(r.rank_fp)
+        for r in duckdb.sql(sql).df().itertuples()
+    }
+    got = {
+        r["node_id"]: r["rank_fp"]
+        for r in page_rank(df, weight="w", iterations=4).collect()
+    }
+    assert got == want
+    release_cached()
+
+
+def test_weighted_mass_follows_heavy_edge(spark):
+    # 1 sends 9/10 of its mass to 2 and 1/10 to 3
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, 2, 9), (1, 3, 1), (2, 1, 1), (3, 1, 1)],
+            columns=["src", "dst", "w"],
+        ).astype("int64")
+    )
+    got = {
+        r["node_id"]: r["rank_fp"]
+        for r in page_rank(df, weight="w", iterations=6).collect()
+    }
+    assert got[2] > got[3]
+    release_cached()
+
+
 def py_trustrank(edges, seeds, iterations=5, d=85, scale=10**12):
     e = sorted({(a, b) for a, b in edges if a != b and a is not None})
     nodes = sorted({x for p in e for x in p})
