@@ -53,6 +53,7 @@ NESTED_LOOP_OK = {
     "skew_topk",
     "zorder_layout",
     "graph_pagerank",
+    "graph_pagerank_weighted",
     "graph_trustrank",
     "graph_triangles",
 }
