@@ -2752,10 +2752,69 @@ def _url_oracle_ctes() -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is the driver-sweep order (driver caps at 50/round).
-    # Round-3 priority block: the 6 former r1 no_oracle queries, then the
-    # entries that have never received a driver correctness row; queries
-    # already driver-green in r1/r2 follow.  See VERDICT.md round 2, item 1.
+    # Round-4 priority block: the 31 entries that have never received a
+    # driver correctness row (registry positions 51-81 of the round-3
+    # order), then the 8 entries last checked in round 1, then new
+    # round-4 queries, topped up with the oldest round-2 rows.  See
+    # VERDICT.md round 3, item 1.
     return {
+        # --- round-4 driver window (first 50) -------------------------
+        # Block A: the 31 entries with no driver row in any round
+        # (VERDICT.md round 3, item 1).
+        "suggest_constraints": q_suggest,
+        "join_profile": q_join_profile,
+        "entropy_profile": q_entropy_profile,
+        "mutual_info": q_mutual_info,
+        "cross_column_check": q_cross_column_check,
+        "min_completeness": q_min_completeness,
+        "freshness_verdicts": q_freshness,
+        "benford_digits": q_benford,
+        "code_metrics": q_code_metrics,
+        "secret_scan": q_secret_scan,
+        "license_detect": q_license_detect,
+        "fork_detect": q_fork_detect,
+        "winnow_clone_pairs": q_winnow_clone_pairs,
+        "dep_topk": q_dep_topk,
+        "code_balance": q_code_balance,
+        "mixture_report": q_mixture_report,
+        "oov_rate": q_oov_rate,
+        "psi_priority": q_psi,
+        "rollup_agg": q_rollup_agg,
+        "unpivot_metrics": q_unpivot_metrics,
+        "pivot_counts": q_pivot_counts,
+        "skew_summary": q_skew_summary,
+        "record_linkage": q_record_linkage,
+        "strip_html": q_strip_html,
+        "url_canonical": q_url_canonical,
+        "domain_caps": q_domain_caps,
+        "zorder_layout": q_zorder_layout,
+        "leakage_split": q_leakage_split,
+        "gopher_rules": q_gopher_rules,
+        "encoding_check": q_encoding_check,
+        "corpus_scorecard": q_corpus_scorecard,
+        # Block B: last driver-checked in round 1 (least recent).
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "sort_limit_topk": q_sort_limit_topk,
+        "agg_pricing": q_agg_pricing,
+        "window_running": q_window_running,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "set_except": q_set_except,
+        # Block C: new round-4 queries are inserted here as added.
+        # Block D: oldest round-2 driver rows fill the window to 50.
+        "t1_unique": q_t1_unique,
+        "t1_unique_salted": q_t1_unique_salted,
+        "unique_incremental": q_unique_incremental,
+        "agg_dup_key_counts": q_agg_dup_key_counts,
+        "t2_empty": q_t2_empty,
+        "p_condition": q_p_condition,
+        "t3_no_consecutive": q_t3_no_consecutive,
+        "t4_once_per_n_days": q_t4_once_per_n_days,
+        "t5_valid_date_min": q_t5_valid_date_min,
+        "date_error_classes": q_date_error_classes,
+        "f1_unique_field": q_f1_unique_field,
+        # --- below the 50-entry window: driver-green in r2/r3 ---------
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "embedding_near_dups": q_embedding_near_dups,
@@ -2806,43 +2865,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "reconcile_orders": q_reconcile_orders,
         "monotonic_value": q_monotonic,
-        "suggest_constraints": q_suggest,
-        "join_profile": q_join_profile,
-        "entropy_profile": q_entropy_profile,
-        "mutual_info": q_mutual_info,
-        "cross_column_check": q_cross_column_check,
-        "min_completeness": q_min_completeness,
-        "freshness_verdicts": q_freshness,
-        "benford_digits": q_benford,
-        "code_metrics": q_code_metrics,
-        "secret_scan": q_secret_scan,
-        "license_detect": q_license_detect,
-        "fork_detect": q_fork_detect,
-        "winnow_clone_pairs": q_winnow_clone_pairs,
-        "dep_topk": q_dep_topk,
-        "code_balance": q_code_balance,
-        "mixture_report": q_mixture_report,
-        "oov_rate": q_oov_rate,
-        "psi_priority": q_psi,
-        "rollup_agg": q_rollup_agg,
-        "unpivot_metrics": q_unpivot_metrics,
-        "pivot_counts": q_pivot_counts,
-        "skew_summary": q_skew_summary,
-        "record_linkage": q_record_linkage,
-        "strip_html": q_strip_html,
-        "url_canonical": q_url_canonical,
-        "domain_caps": q_domain_caps,
-        "t1_unique": q_t1_unique,
-        "t1_unique_salted": q_t1_unique_salted,
-        "unique_incremental": q_unique_incremental,
-        "agg_dup_key_counts": q_agg_dup_key_counts,
-        "t2_empty": q_t2_empty,
-        "p_condition": q_p_condition,
-        "t3_no_consecutive": q_t3_no_consecutive,
-        "t4_once_per_n_days": q_t4_once_per_n_days,
-        "t5_valid_date_min": q_t5_valid_date_min,
-        "date_error_classes": q_date_error_classes,
-        "f1_unique_field": q_f1_unique_field,
         "f2_no_na": q_f2_no_na,
         "f3_options": q_f3_options,
         "f4_integer_float": q_f4_integer_float,
@@ -2856,7 +2878,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ref_orphans": q_ref_orphans,
         "ref_orphans_keys": q_ref_orphans_keys,
         "profile_stats": q_profile_stats,
-        "zorder_layout": q_zorder_layout,
         "dedup_exact": q_dedup_exact,
         "dedup_distinct": q_dedup_distinct,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2865,7 +2886,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_canonical": q_dedup_keep_canonical,
         "dedup_incremental": q_dedup_incremental,
         "split_assign": q_split_assign,
-        "leakage_split": q_leakage_split,
         "sample_stratified": q_sample_stratified,
         "sample_weighted": q_sample_weighted,
         "sample_repeat": q_sample_repeat,
@@ -2884,17 +2904,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "knn_bruteforce": q_knn_bruteforce,
         "text_metrics": q_text_metrics,
-        "text_lang_id": q_text_lang_id,
-        "text_quality": q_text_quality,
-        "gopher_rules": q_gopher_rules,
-        "encoding_check": q_encoding_check,
-        "corpus_scorecard": q_corpus_scorecard,
-        "sort_limit_topk": q_sort_limit_topk,
-        "agg_pricing": q_agg_pricing,
-        "window_running": q_window_running,
-        "asof_join": q_asof_join,
-        "sessionize": q_sessionize,
-        "set_except": q_set_except,
     }
 
 

@@ -111,7 +111,16 @@ class MaxDegreeCheck(TableCheck):
         group).  The offending-node set is at most rows/max nodes —
         tiny by construction — so it rides the size-gated broadcast
         and the edge table sees one map-side semi-join per endpoint."""
-        bad = self._offenders(df, group_cols).drop("__dv_deg")
+        return self._violations_from(
+            df, self._offenders(df, group_cols).drop("__dv_deg"), group_cols
+        )
+
+    def _violations_from(
+        self, df: DataFrame, bad: DataFrame, group_cols: Sequence[str]
+    ) -> DataFrame:
+        """violations() body over a PRE-COMPUTED offender-node frame —
+        run() checkpoints the offenders once and feeds sample, count,
+        and this join from the same materialisation."""
         cols = (
             [self.src] if self.direction == "out"
             else [self.dst] if self.direction == "in"
@@ -149,7 +158,11 @@ class MaxDegreeCheck(TableCheck):
         return marked.filter(cond).select(*df.columns)
 
     def run(self, df: DataFrame, group_cols: Sequence[str] = ()) -> CheckResult:
-        bad = self._offenders(df, group_cols)
+        # the offender frame is tiny (≤ rows/max nodes): materialise it
+        # ONCE and feed the sample, the count, and the violations join
+        # from the same localCheckpoint instead of re-running the
+        # degree aggregation three times
+        bad = self._offenders(df, group_cols).localCheckpoint(eager=True)
         sample = bad.orderBy(F.col("__dv_deg").desc(), "__dv_node").limit(3).collect()
         if not sample:
             return CheckResult(True, None, None, 0)
@@ -162,7 +175,7 @@ class MaxDegreeCheck(TableCheck):
             False,
             "%d node(s) exceed %s-degree %d: %s"
             % (n_bad, self.direction, self.max, worst),
-            self.violations(df, group_cols),
+            self._violations_from(df, bad.drop("__dv_deg"), group_cols),
             n_bad,
         )
 
@@ -230,7 +243,9 @@ class AcyclicCheck(TableCheck):
     graphs are shallow).  ``max_depth`` caps the loop and raises
     rather than guessing when the fixpoint is not reached — an
     undecided verdict must never pass or fail silently.  Self-loops
-    are the degenerate cycle and short-circuit before any iteration.
+    are the degenerate cycle: such an edge is its own in-edge, so it
+    (and everything downstream) survives peeling like any cycle — no
+    special case needed.
     Groups peel SIMULTANEOUSLY (node identity is (group, node)), so
     grouped validation costs the same loop, not groups × loop.
     """
@@ -295,13 +310,25 @@ class AcyclicCheck(TableCheck):
         return e
 
     def violations(self, df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
-        res = self._residual(df, group_cols).withColumnRenamed(
-            "__dv_s", self.src
-        ).withColumnRenamed("__dv_d", self.dst)
+        return self._violations_from(
+            df, self._residual(df, group_cols), group_cols
+        )
+
+    def _violations_from(
+        self, df: DataFrame, res: DataFrame, group_cols: Sequence[str]
+    ) -> DataFrame:
+        """violations() body over a PRE-COMPUTED residual: run() peels
+        once (the expensive iterative part) and reuses the checkpointed
+        fixpoint for sample, count, and this join."""
+        res = res.withColumnRenamed("__dv_s", self.src).withColumnRenamed(
+            "__dv_d", self.dst
+        )
         keys = list(group_cols) + [self.src, self.dst]
         return df.join(res, keys, "left_semi").select(*df.columns)
 
     def run(self, df: DataFrame, group_cols: Sequence[str] = ()) -> CheckResult:
+        # _residual already localCheckpoints its fixpoint, so sample,
+        # count, and the violations join below all reuse one peel
         res = self._residual(df, group_cols)
         sample = res.orderBy("__dv_s", "__dv_d").limit(3).collect()
         if not sample:
@@ -314,7 +341,7 @@ class AcyclicCheck(TableCheck):
             False,
             "dependency cycle detected: %d edge(s) in or below a cycle "
             "(e.g. %s)" % (n, cyc),
-            self.violations(df, group_cols),
+            self._violations_from(df, res, group_cols),
             n,
         )
 

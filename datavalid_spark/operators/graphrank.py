@@ -52,6 +52,8 @@ LLM-pipeline surface (SURVEY.md §2.6), same footing as components.py.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 

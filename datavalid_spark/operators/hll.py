@@ -111,16 +111,42 @@ SELECT CAST(idx AS BIGINT) AS idx,
 FROM split GROUP BY idx"""
 
 
-def hll_merge(*sketches: DataFrame) -> DataFrame:
+def hll_merge(*sketches: DataFrame, p: int | None = None) -> DataFrame:
     """Registers of the UNION of the sketched inputs: union + max per
     register.  Exact (not approximately) equal to sketching the
     concatenated data — the property that makes stored sketches
-    composable across batches, partitions, and runs."""
+    composable across batches, partitions, and runs.
+
+    EVERY input must have been built with the SAME precision ``p``:
+    registers from different index spaces union silently into a
+    meaningless estimate.  Pass ``p`` to enforce this in-plan — each
+    register index is asserted ``< 2**p`` at execution time (a
+    projection over the O(2^p) register rows, effectively free), so a
+    sketch built at a larger precision fails the merge instead of
+    corrupting it.  ``hll_estimate_rows`` re-checks at estimate time.
+    """
     if not sketches:
         raise ValueError("need at least one sketch")
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
+    if p is not None:
+        if not 4 <= p <= 18:
+            raise ValueError("p should be in [4, 18] (2^p registers)")
+        out = out.withColumn(
+            "idx",
+            F.when(
+                F.col("idx") < F.lit(1 << p), F.col("idx")
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"hll_merge: register idx >= 2^{p} — "
+                              "sketch built with a different precision: "),
+                        F.col("idx").cast("string"),
+                    )
+                ).cast("long")
+            ),
+        )
     keys = [c for c in out.columns if c != "rho"]
     return out.groupBy(*keys).agg(F.max("rho").alias("rho"))
 
@@ -129,10 +155,17 @@ def hll_estimate_rows(rows, p: int) -> float:
     """Cardinality estimate from collected register rows (each with
     ``idx`` and ``rho``).  Flajolet–Fusy–Gandouet–Meunier 2007 raw
     estimate with the small-range linear-counting correction; absent
-    registers count as rho=0."""
+    registers count as rho=0.  Rejects register indices outside
+    ``[0, 2^p)`` — the symptom of merging sketches built at different
+    precisions (see ``hll_merge``)."""
     m = 1 << p
     regs = {}
     for r in rows:
+        if not 0 <= r["idx"] < m:
+            raise ValueError(
+                f"register idx {r['idx']} outside [0, 2^{p}) — sketch "
+                "was built with a different precision than estimated at"
+            )
         regs[r["idx"]] = max(regs.get(r["idx"], 0), r["rho"])
     alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / m))
     z = sum(2.0 ** -rho for rho in regs.values()) + (m - len(regs))

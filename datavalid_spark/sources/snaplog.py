@@ -363,6 +363,12 @@ class CommitConflict(RuntimeError):
 class SnapshotTable:
     """A snapshot-versioned parquet table at ``root``."""
 
+    #: compact_partial honors the exact bin plan (one scan branch per
+    #: bin) up to this many bins; beyond it the union plan itself gets
+    #: expensive to analyze and the rewrite falls back to a single
+    #: hash repartition with the same output file count
+    _MAX_EXACT_BINS = 200
+
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
         self.root = str(root)
@@ -1150,7 +1156,14 @@ class SnapshotTable:
         (floor-cumsum bins in sorted-path order), applied to on-disk
         file sizes from the current manifest.  Files under
         ``small_threshold`` (default ``target_bytes // 2``) are packed;
-        each planned bin becomes one rewrite partition.
+        each planned bin's file group is read as its own branch and
+        ``coalesce(1)``\\ d, so each bin becomes EXACTLY one output
+        file with its planned membership and byte target — and since
+        coalesce narrows within a branch, the rewrite needs NO shuffle
+        at all.  Plans wider than ``_MAX_EXACT_BINS`` bins (a giant
+        small-file backlog — not the steady-state case this API
+        serves) fall back to one hash ``repartition(n_bins)``: output
+        file COUNT still matches the plan, membership is approximate.
 
         Returns the new snapshot id, or None when fewer than two files
         are undersized (nothing to fold).  Superseded files stay
@@ -1171,20 +1184,60 @@ class SnapshotTable:
         small_set = set(small)
         kept = [f for f in m["files"] if f not in small_set]
         schema = T.StructType.fromJson(m["schema"])
-        df = (
-            self.spark.read.schema(schema)
-            .parquet(*[os.path.join(self.root, f) for f in small])
-            .repartition(n_bins)
+        summary = {
+            "rewritten_files": len(small),
+            "planned_bins": int(n_bins),
+        }
+        if n_bins > self._MAX_EXACT_BINS:
+            # plan-size guard: approximate fold, same file count
+            df = (
+                self.spark.read.schema(schema)
+                .parquet(*[os.path.join(self.root, f) for f in small])
+                .repartition(n_bins)
+            )
+            return self._commit(
+                "replace", df, kept, extra_summary=summary,
+                expected_parent=sid,
+            )
+        # exact plan: each bin's file group is read and written as its
+        # own one-partition job — membership and byte targets honored
+        # literally, NO shuffle anywhere.  (A single union of
+        # coalesce(1) branches does not work: the optimizer collapses
+        # it to one output partition.)  Per-bin jobs run concurrently,
+        # each into its own subdirectory so their output committers
+        # cannot collide.
+        if self.current_snapshot_id() != sid:  # same OCC gate _commit has
+            raise CommitConflict(
+                f"table advanced past snapshot {sid} at {self.root!r}"
+            )
+        groups: dict[int, list[str]] = {}
+        for f, b in zip(ordered, bins):
+            if b is not None:
+                groups.setdefault(b, []).append(f)
+        rel_dir = os.path.join("data", f"s{sid + 1:04d}-{uuid.uuid4().hex[:8]}")
+        out_dir = os.path.join(self.root, rel_dir)
+
+        def _write_bin(b: int) -> None:
+            (
+                self.spark.read.schema(schema)
+                .parquet(*[os.path.join(self.root, f) for f in groups[b]])
+                .coalesce(1)
+                .write.mode("error")
+                .parquet(os.path.join(out_dir, f"bin-{b:05d}"))
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, n_bins)) as pool:
+            list(pool.map(_write_bin, sorted(groups)))
+        added = sorted(
+            os.path.relpath(os.path.join(dp, fn), self.root)
+            for dp, _, fns in os.walk(out_dir)
+            for fn in fns
+            if fn.endswith(".parquet") and not fn.startswith((".", "_"))
         )
-        return self._commit(
-            "replace",
-            df,
-            kept,
-            extra_summary={
-                "rewritten_files": len(small),
-                "planned_bins": int(n_bins),
-            },
-            expected_parent=sid,
+        return self._finish_commit(
+            "replace", sid, added, kept, schema, extra_summary=summary
         )
 
     def merge(

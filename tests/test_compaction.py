@@ -195,3 +195,54 @@ def test_compact_partial_noop_when_nothing_small(spark, tmp_path):
     # every file is "large" relative to a tiny target
     assert t.compact_partial(target_bytes=2) is None
     assert t.current_snapshot_id() == sid
+
+
+def test_compact_partial_honors_bin_membership(spark, small_file_table):
+    """The exact-plan path (n_bins <= _MAX_EXACT_BINS): each planned
+    bin's file group lands in EXACTLY one output file — the per-output-
+    file row sets equal the per-bin unions of input rows, not a hash
+    redistribution that merely matches the file count."""
+    t = small_file_table
+    sid = t.current_snapshot_id()
+    m = t.manifest(sid)
+    ordered = sorted(m["files"])
+    sizes = [os.path.getsize(os.path.join(t.root, f)) for f in ordered]
+    # target sized so the six tiny files pack into >1 bin: use ~2.5
+    # tiny-file sizes as the target (threshold = target/2 still above a
+    # tiny file, below the base file)
+    tiny = sorted(sizes)[0]
+    target = int(tiny * 2.5)
+    bins = plan_bins_py(sizes, target, None)
+    planned = {}
+    for f, b in zip(ordered, bins):
+        if b is not None:
+            planned.setdefault(b, []).append(f)
+    assert len(planned) > 1  # the interesting case: multiple bins
+    expected_sets = []
+    for group in planned.values():
+        rows = set()
+        for f in group:
+            rows |= {
+                r["id"]
+                for r in spark.read.parquet(
+                    os.path.join(t.root, f)
+                ).collect()
+            }
+        expected_sets.append(frozenset(rows))
+    new_sid = t.compact_partial(target_bytes=target)
+    after = t.manifest(new_sid)
+    added = [f for f in after["files"] if f not in m["files"]]
+    assert len(added) == len(planned)  # one output file per bin
+    actual_sets = []
+    for f in added:
+        actual_sets.append(
+            frozenset(
+                r["id"]
+                for r in spark.read.parquet(
+                    os.path.join(t.root, f)
+                ).collect()
+            )
+        )
+    assert sorted(actual_sets, key=sorted) == sorted(
+        expected_sets, key=sorted
+    )

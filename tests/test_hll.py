@@ -118,3 +118,28 @@ def test_stored_sketch_round_trip(spark, tmp_path):
 def test_bad_p_rejected(spark):
     with pytest.raises(ValueError):
         hll_registers(spark.range(1), "id", p=3)
+
+
+def test_merge_rejects_mismatched_precision(spark):
+    """hll_merge(p=...) asserts register indices in-plan: a sketch
+    built at a larger precision (idx space 2^12) fails the p=8 merge
+    instead of silently corrupting the estimate."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    s8 = hll_registers(spark.range(100), "id", p=8)
+    s12 = hll_registers(spark.range(100, 5000), "id", p=12)
+    with pytest.raises(SparkRuntimeException, match="different precision"):
+        hll_merge(s8, s12, p=8).collect()
+    # matching precisions pass through the same guard unharmed
+    ok = hll_merge(
+        hll_registers(spark.range(100), "id", p=8),
+        hll_registers(spark.range(100, 200), "id", p=8),
+        p=8,
+    )
+    assert regs(ok) == regs(hll_registers(spark.range(200), "id", p=8))
+
+
+def test_estimate_rejects_out_of_range_idx(spark):
+    s12 = hll_registers(spark.range(5000), "id", p=12)
+    with pytest.raises(ValueError, match="different precision"):
+        hll_estimate(s12, p=8)
