@@ -2115,6 +2115,25 @@ def q_multimodal_validate(spark, sf_dir):
     return validate_payloads(media_from_text(_t(spark, sf_dir, "documents")))
 
 
+def q_multimodal_png(spark, sf_dir):
+    """REAL-format payload validation (operators/multimodal.py +
+    functions/png.py): spec-valid PNG bytes are built per doc_id with
+    five planted spec-level defects (signature, truncation, chunk
+    CRC32, IHDR declared-vs-actual pixel payload, stale catalog dims),
+    then structurally parsed — chunk walk, CRC verify, inflate, dims
+    reconciliation — in one Arrow pass.  The oracle replays the plant
+    rules under the validator's documented precedence; the Spark side
+    must DISCOVER each defect from the actual bytes."""
+    from datavalid_spark.operators.multimodal import (
+        png_media_from_docs,
+        validate_png_payloads,
+    )
+
+    return validate_png_payloads(
+        png_media_from_docs(_t(spark, sf_dir, "documents"))
+    )
+
+
 def _dsir_models(spark, sf_dir):
     """Shared DSIR model fit: target = the English slice, raw = the
     whole corpus (ns=(1,2), 4096 md5 buckets — oracle-reproducible).
@@ -2802,6 +2821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "set_except": q_set_except,
         # Block C: new round-4 queries are inserted here as added.
+        "multimodal_png": q_multimodal_png,
         # Block D: oldest round-2 driver rows fill the window to 50.
         "t1_unique": q_t1_unique,
         "t1_unique_salted": q_t1_unique_salted,
@@ -5140,5 +5160,24 @@ FROM v
 WHERE doc_id % 37 = 0 OR body_len < hdr_len OR ck_actual <> ck_stored
    OR body_len <> declared_size
    OR (kind = 'image' AND hdr_w <> meta_w)
+""",
+        # REAL-PNG payload validation: the generator plants each defect
+        # class on a disjoint id mod (png_media_from_docs) and applies
+        # every matching corruption independently; the validator's
+        # structural detection order (signature > truncated > crc >
+        # dims > catalog) resolves overlapping ids exactly like this
+        # CASE, so the oracle replays the plant rules while Spark must
+        # rediscover each defect from the actual bytes.
+        "multimodal_png": """
+SELECT doc_id,
+  CASE WHEN doc_id % 37 = 0 THEN 'bad signature'
+       WHEN doc_id % 41 = 0 THEN 'truncated'
+       WHEN doc_id % 43 = 0 THEN 'bad crc'
+       WHEN doc_id % 47 = 0 THEN 'dims mismatch'
+       WHEN doc_id % 53 = 0 THEN 'catalog dims mismatch'
+  END AS reason
+FROM documents
+WHERE doc_id % 37 = 0 OR doc_id % 41 = 0 OR doc_id % 43 = 0
+   OR doc_id % 47 = 0 OR doc_id % 53 = 0
 """,
     }

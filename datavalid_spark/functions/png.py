@@ -1,0 +1,242 @@
+"""Pure-python/numpy PNG codec + structural validator (no pillow in
+this container; built from the PUBLIC PNG specification, RFC 2083 /
+W3C PNG — signature, chunk framing with CRC32, IHDR fields, zlib
+IDAT, scanline filters 0-4).
+
+Why it exists: the multimodal validation surface
+(`operators/multimodal.py`) must prove itself on REAL format bytes,
+not only the engine's own fixture container (VERDICT.md round 3,
+item 3).  This module gives the engine:
+
+* ``png_encode`` — gray8 / rgb8 arrays → spec-valid PNG bytes, with a
+  selectable scanline filter so decoder tests exercise every filter
+  type the spec defines;
+* ``png_decode`` — PNG bytes → numpy array (filters 0-4, color types
+  0 and 2, bit depth 8 — the subset the engine generates; anything
+  else raises ``PngFormatError`` rather than mis-decoding);
+* ``png_validate_reason`` — the defect classifier used by
+  ``validate_png_payloads``: signature, chunk-frame integrity +
+  truncation, per-chunk CRC32, zlib-stream integrity, IHDR
+  declared-vs-actual pixel payload, IHDR-vs-catalog dims.
+
+Cost stance (this runs inside Arrow batches on executors): the chunk
+walk is O(chunks) ≈ 3 iterations per file, CRC32 and inflate are
+single C calls over the buffer — the same cost class any real decoder
+pays per payload.  Unfiltering is numpy-vectorized along each row for
+filters 0/1/2 (cumsum trick for Sub); Average and Paeth carry a
+per-pixel data dependence in the spec itself, so they fall back to a
+per-column loop with vectorized channel math.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+#: IHDR color types supported (bit depth 8 only)
+_GRAY, _RGB = 0, 2
+_CHANNELS = {_GRAY: 1, _RGB: 3}
+
+
+class PngFormatError(ValueError):
+    """Raised by png_decode on bytes it cannot PROVE it decodes
+    correctly (unsupported bit depth / color type / interlace, or any
+    structural defect png_validate_reason would flag)."""
+
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data))
+    )
+
+
+def _filter_scanlines(img: np.ndarray, filter_type: int) -> bytes:
+    """Apply one spec filter to every scanline (encoder side).  The
+    filter operates on BYTES with per-byte wraparound; `left` is the
+    byte one pixel (bpp bytes) earlier in the same row."""
+    h, w, ch = img.shape
+    bpp = ch
+    out = bytearray()
+    prev = np.zeros((w * ch,), dtype=np.int16)
+    for y in range(h):
+        raw = img[y].reshape(-1).astype(np.int16)
+        left = np.concatenate([np.zeros(bpp, dtype=np.int16), raw[:-bpp]])
+        up = prev
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.int16), prev[:-bpp]])
+        if filter_type == 0:
+            filt = raw
+        elif filter_type == 1:
+            filt = raw - left
+        elif filter_type == 2:
+            filt = raw - up
+        elif filter_type == 3:
+            filt = raw - (left + up) // 2
+        elif filter_type == 4:
+            filt = raw - _paeth(left, up, upleft)
+        else:
+            raise ValueError(f"unknown filter type {filter_type}")
+        out.append(filter_type)
+        out.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = raw
+    return bytes(out)
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (spec §6.6): choose among left a,
+    up b, upper-left c the one closest to p = a + b - c."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def png_encode(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 array (h, w) gray or (h, w, 3) rgb → spec-valid PNG."""
+    if img.dtype != np.uint8:
+        raise ValueError("png_encode expects uint8")
+    if img.ndim == 2:
+        img = img[:, :, None]
+        color = _GRAY
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color = _RGB
+    else:
+        raise ValueError("expected (h, w) gray or (h, w, 3) rgb")
+    h, w = img.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(_filter_scanlines(img, filter_type))
+    return (
+        SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _walk_chunks(data: bytes):
+    """Yield (type, payload) for each chunk after CRC verification;
+    raises PngFormatError('truncated' / 'bad crc') on frame damage."""
+    pos = len(SIGNATURE)
+    saw_iend = False
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise PngFormatError("truncated")
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        end = pos + 8 + ln + 4
+        if end > len(data):
+            raise PngFormatError("truncated")
+        payload = data[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln : end])
+        if zlib.crc32(typ + payload) != crc:
+            raise PngFormatError("bad crc")
+        yield typ, payload
+        if typ == b"IEND":
+            saw_iend = True
+            break
+        pos = end
+    if not saw_iend:
+        raise PngFormatError("truncated")
+
+
+def _parse(data: bytes):
+    """signature + chunk walk → (width, height, channels, raw
+    unfiltered-stream bytes).  Raises PngFormatError on any defect."""
+    if data[: len(SIGNATURE)] != SIGNATURE:
+        raise PngFormatError("bad signature")
+    ihdr = None
+    idat = bytearray()
+    for typ, payload in _walk_chunks(data):
+        if typ == b"IHDR":
+            ihdr = payload
+        elif typ == b"IDAT":
+            idat.extend(payload)
+    if ihdr is None or len(ihdr) != 13:
+        raise PngFormatError("missing IHDR")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or color not in _CHANNELS or interlace or comp or filt:
+        raise PngFormatError(
+            f"unsupported format (depth={depth} color={color} "
+            f"interlace={interlace})"
+        )
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise PngFormatError("bad pixel data") from exc
+    ch = _CHANNELS[color]
+    if len(raw) != h * (1 + w * ch):
+        raise PngFormatError("dims mismatch")
+    return w, h, ch, raw
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """PNG bytes → uint8 array (h, w) for gray, (h, w, 3) for rgb."""
+    w, h, ch, raw = _parse(data)
+    stride = 1 + w * ch
+    bpp = ch
+    out = np.zeros((h, w * ch), dtype=np.uint8)
+    prev = np.zeros((w * ch,), dtype=np.int16)
+    for y in range(h):
+        line = raw[y * stride : (y + 1) * stride]
+        ftype = line[0]
+        filt = np.frombuffer(line, dtype=np.uint8, offset=1).astype(np.int16)
+        if ftype == 0:
+            recon = filt
+        elif ftype == 1:
+            # Sub: recon[x] = filt[x] + recon[x-bpp] — a per-channel
+            # prefix sum mod 256
+            recon = filt.reshape(-1, bpp).cumsum(axis=0).reshape(-1) % 256
+        elif ftype == 2:
+            recon = (filt + prev) % 256
+        elif ftype in (3, 4):
+            # Average / Paeth depend on the just-reconstructed left
+            # pixel — sequential along x by spec; loop columns,
+            # vectorize the channel math
+            recon = np.zeros_like(filt)
+            for x in range(0, w * ch, bpp):
+                left = recon[x - bpp : x] if x else np.zeros(bpp, np.int16)
+                up = prev[x : x + bpp]
+                if ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    upleft = (
+                        prev[x - bpp : x] if x else np.zeros(bpp, np.int16)
+                    )
+                    pred = _paeth(left, up, upleft)
+                recon[x : x + bpp] = (filt[x : x + bpp] + pred) % 256
+        else:
+            raise PngFormatError(f"unknown filter type {ftype}")
+        recon = recon % 256
+        out[y] = recon.astype(np.uint8)
+        prev = recon.astype(np.int16)
+    arr = out.reshape(h, w, ch)
+    return arr[:, :, 0] if ch == 1 else arr
+
+
+def png_validate_reason(
+    data: bytes | None,
+    catalog_w: int | None = None,
+    catalog_h: int | None = None,
+) -> str | None:
+    """Defect class for one payload, or None when valid.  Precedence
+    (first failure wins — mirrors the oracle's CASE order)::
+
+        bad signature > truncated > bad crc > bad pixel data
+                      > dims mismatch > catalog dims mismatch
+    """
+    if data is None or data[: len(SIGNATURE)] != SIGNATURE:
+        return "bad signature"
+    try:
+        w, h, _ch, _raw = _parse(bytes(data))
+    except PngFormatError as exc:
+        return str(exc)
+    if catalog_w is not None and (w != catalog_w or h != catalog_h):
+        return "catalog dims mismatch"
+    return None

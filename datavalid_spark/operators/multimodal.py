@@ -1,13 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed in Arrow batches.
 
-The decode step itself is STUBBED (no image/audio libraries in this
-container): ``decode_image`` ships a deterministic fake decoder that
-derives stable pseudo-pixels from the byte content, and raises
-``NotImplementedError`` when ``backend="pillow"`` is requested.  The
-Spark-side plumbing — schema contracts, ``mapInPandas`` batch shape,
-partition sizing, metadata propagation — is real and tested; swapping
-in a real decoder changes only the marked inner function.
+Decode backends: ``backend="png"`` is REAL — a pure-numpy PNG codec
+(``functions/png.py``, built from the public PNG spec) decodes,
+validates, features, and resizes actual PNG bytes.  Every other
+format (JPEG, audio, video) remains STUBBED (no pillow/ffmpeg in this
+container): ``backend="fake"`` ships a deterministic pseudo-decoder,
+and named backends like ``"pillow"`` raise ``NotImplementedError``.
+The Spark-side plumbing — schema contracts, ``mapInPandas`` batch
+shape, partition sizing, metadata propagation — is identical across
+backends, so swapping in pillow changes only the injected callable.
 
 Schema contract::
 
@@ -65,6 +67,59 @@ def _fake_decode(data: bytes, dim: int) -> np.ndarray:
     return rng.uniform(-1, 1, dim).astype("f4")
 
 
+def _nn_resize(arr: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Nearest-neighbor resample via pure index arithmetic (the
+    classic grid-sampling formula; no interpolation library needed)."""
+    sh, sw = arr.shape[:2]
+    ys = (np.arange(h) * sh // h).clip(0, sh - 1)
+    xs = (np.arange(w) * sw // w).clip(0, sw - 1)
+    return arr[ys][:, xs]
+
+
+def _png_feature_decode(data: bytes, dim: int) -> np.ndarray:
+    """REAL decode → feature vector for PNG payloads: decode pixels
+    (functions/png.py), collapse rgb to luma, nearest-neighbor
+    resample to a ~sqrt(dim) grid, scale to [0, 1].  Undecodable
+    bytes map to the all-(-1) vector so corrupt payloads cluster
+    apart instead of killing the batch."""
+    from datavalid_spark.functions.png import PngFormatError, png_decode
+
+    try:
+        arr = png_decode(bytes(data))
+    except (PngFormatError, Exception):
+        return np.full(dim, -1.0, dtype="f4")
+    if arr.ndim == 3:  # ITU-R 601 luma, integer arithmetic
+        arr = (
+            299 * arr[:, :, 0].astype("i4")
+            + 587 * arr[:, :, 1].astype("i4")
+            + 114 * arr[:, :, 2].astype("i4")
+        ) // 1000
+    side = max(1, int(dim**0.5))
+    grid = _nn_resize(arr, side, side).astype("f4") / 255.0
+    out = np.zeros(dim, dtype="f4")
+    flat = grid.reshape(-1)
+    out[: len(flat)] = flat[:dim]
+    return out
+
+
+def _png_resize(data: bytes, w: int, h: int) -> bytes:
+    """REAL PNG resize: decode → nearest-neighbor resample →
+    re-encode.  Undecodable payloads pass through unchanged (the
+    validation pass, not the resize pass, is where corruption is
+    reported)."""
+    from datavalid_spark.functions.png import (
+        PngFormatError,
+        png_decode,
+        png_encode,
+    )
+
+    try:
+        arr = png_decode(bytes(data))
+    except (PngFormatError, Exception):
+        return data
+    return png_encode(_nn_resize(arr, w, h))
+
+
 def extract_features(
     media: DataFrame, dim: int = 32, backend: str = "fake", decode_fn=None
 ) -> DataFrame:
@@ -79,13 +134,17 @@ def extract_features(
     library exists in the environment.
     """
     if decode_fn is None:
-        if backend != "fake":
+        if backend == "png":
+            decode_fn = _png_feature_decode
+        elif backend != "fake":
             raise NotImplementedError(
-                "only the deterministic 'fake' decode backend exists in this "
-                "container; pass decode_fn=... to inject a real decoder "
+                "decode backends in this container: 'fake' (deterministic "
+                "stub) and 'png' (real pure-numpy PNG decode); pass "
+                "decode_fn=... to inject pillow/ffmpeg "
                 "(contract: bytes -> float32[dim])"
             )
-        decode_fn = _fake_decode
+        else:
+            decode_fn = _fake_decode
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -129,12 +188,16 @@ def resize_images(
     other than 'fake' raise until the matching library exists.
     """
     if resize_fn is None:
-        if backend != "fake":
+        if backend == "png":
+            resize_fn = _png_resize
+        elif backend != "fake":
             raise NotImplementedError(
-                "only the deterministic 'fake' resize backend exists in this "
-                "container; pass resize_fn=... to inject PIL/libvips "
+                "resize backends in this container: 'fake' (deterministic "
+                "stub) and 'png' (real pure-numpy decode/resample/encode); "
+                "pass resize_fn=... to inject PIL/libvips "
                 "(contract: bytes -> bytes re-encoded at width x height)"
             )
+    if resize_fn is None:
         out_len = max(16, (width * height) // 64)
 
         def resize_fn(data: bytes, w: int, h: int) -> bytes:
@@ -415,5 +478,121 @@ def validate_payloads(media: DataFrame, magic: bytes = PAYLOAD_MAGIC) -> DataFra
             yield out[out["reason"].notna()]
 
     return media.select("doc_id", "kind", "data", "declared_size", "meta").mapInPandas(
+        fn, schema=_PAYLOAD_VIOLATION_SCHEMA
+    )
+
+
+# ------------------------------------------- real-format (PNG) validation
+
+def png_media_from_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    corrupt_sig_mod: int = 37,
+    corrupt_trunc_mod: int = 41,
+    corrupt_crc_mod: int = 43,
+    corrupt_dims_mod: int = 47,
+    corrupt_catalog_mod: int = 53,
+) -> DataFrame:
+    """Deterministic media table of REAL PNG bytes, one grayscale
+    image per input id (dims and pixels derived from the id alone),
+    with FIVE spec-level defect classes planted on id mods:
+
+    * ``corrupt_sig_mod``    — first signature byte zeroed
+    * ``corrupt_trunc_mod``  — file cut 16 bytes short (tears the
+      IDAT CRC and drops IEND — the torn-write class)
+    * ``corrupt_crc_mod``    — IDAT CRC32 byte flipped (bit rot)
+    * ``corrupt_dims_mod``   — IHDR rebuilt (valid CRC!) declaring
+      height+1 while the pixel stream keeps the true rows — the
+      declared-vs-actual class only a real parse can catch
+    * ``corrupt_catalog_mod``— catalog ``meta.width`` one off the true
+      width (stale catalog dims)
+
+    A row carrying several defects reports the FIRST in
+    ``png_validate_reason``'s precedence, which is exactly the CASE
+    order the DuckDB oracle replays — corruptions are applied
+    independently, detection order resolves overlaps identically in
+    both engines.  Construction is an Arrow-batch pass; encode cost is
+    one zlib deflate per row (C call), the real cost class.
+    """
+    import struct
+    import zlib as _zlib
+
+    from datavalid_spark.functions.png import SIGNATURE, _chunk, png_encode
+
+    def build(did: int) -> tuple[bytes, int, int, int]:
+        w = did % 24 + 4
+        h = (did * 7) % 24 + 4
+        img = (
+            (np.arange(h * w, dtype=np.int64) * (did % 251 + 1) + did) % 256
+        ).astype(np.uint8).reshape(h, w)
+        b = png_encode(img)
+        if did % corrupt_dims_mod == 0:
+            ihdr = struct.pack(">IIBBBBB", w, h + 1, 8, 0, 0, 0, 0)
+            b = SIGNATURE + _chunk(b"IHDR", ihdr) + b[8 + 25 :]
+        if did % corrupt_crc_mod == 0:
+            arr = bytearray(b)
+            arr[-13] ^= 0xFF  # last IDAT CRC byte (IEND is final 12)
+            b = bytes(arr)
+        if did % corrupt_trunc_mod == 0:
+            b = b[:-16]
+        if did % corrupt_sig_mod == 0:
+            b = b"\x00" + b[1:]
+        cat_w = w + (1 if did % corrupt_catalog_mod == 0 else 0)
+        return b, w, h, cat_w
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "kind": [], "data": [], "meta": []}
+            for did in pdf[id_col]:
+                did = int(did)
+                b, w, h, cat_w = build(did)
+                rows["doc_id"].append(did)
+                rows["kind"].append("image")
+                rows["data"].append(b)
+                rows["meta"].append(
+                    {
+                        "mime": "image/png",
+                        "width": cat_w,
+                        "height": h,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(fn, schema=MEDIA_SCHEMA)
+
+
+def validate_png_payloads(media: DataFrame) -> DataFrame:
+    """Structural validation of REAL PNG payloads in one Arrow pass:
+    signature, chunk framing + truncation, per-chunk CRC32, zlib
+    stream integrity, IHDR declared dims vs actual decompressed pixel
+    payload, and IHDR dims vs the catalog's ``meta`` dims.  Returns
+    (doc_id, reason) for violating rows only; precedence is
+    ``png_validate_reason``'s (signature > truncated > crc > pixel >
+    dims > catalog).
+
+    Per row the work is a ~3-iteration chunk walk plus CRC32/inflate
+    C calls over the buffer — what any real decoder pays; there is no
+    per-byte Python anywhere.
+    """
+    from datavalid_spark.functions.png import png_validate_reason
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            reasons = []
+            for data, meta in zip(pdf["data"], pdf["meta"]):
+                w = None if meta is None else meta["width"]
+                h = None if meta is None else meta["height"]
+                reasons.append(
+                    png_validate_reason(
+                        None if data is None else bytes(data), w, h
+                    )
+                )
+            out = pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "reason": reasons}
+            )
+            yield out[out["reason"].notna()]
+
+    return media.select("doc_id", "data", "meta").mapInPandas(
         fn, schema=_PAYLOAD_VIOLATION_SCHEMA
     )

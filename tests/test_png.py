@@ -1,0 +1,135 @@
+"""Pure-numpy PNG codec (functions/png.py) and the real-format
+payload validation path (operators/multimodal.py): encode/decode
+round trips across every spec filter type, defect classification for
+each planted corruption class, precedence on overlapping defects, and
+the real 'png' decode/resize backends."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from datavalid_spark.functions.png import (
+    SIGNATURE,
+    PngFormatError,
+    _chunk,
+    png_decode,
+    png_encode,
+    png_validate_reason,
+)
+from datavalid_spark.operators.multimodal import (
+    _nn_resize,
+    extract_features,
+    png_media_from_docs,
+    resize_images,
+    validate_png_payloads,
+)
+
+RNG = np.random.RandomState(11)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("shape", [(1, 1), (5, 9), (12, 3, 3), (4, 4, 3)])
+def test_round_trip_every_filter(filter_type, shape):
+    img = RNG.randint(0, 256, shape, dtype=np.uint8)
+    data = png_encode(img, filter_type=filter_type)
+    assert data[:8] == SIGNATURE
+    assert np.array_equal(png_decode(data), img)
+    assert png_validate_reason(data) is None
+
+
+def test_gradient_image_exercises_filter_math():
+    # smooth gradients are where Sub/Average/Paeth predictions differ
+    # most from None — a wrong predictor implementation shows up here
+    y, x = np.mgrid[0:20, 0:17]
+    img = ((x * 3 + y * 5) % 256).astype(np.uint8)
+    for ft in range(5):
+        assert np.array_equal(png_decode(png_encode(img, ft)), img)
+
+
+def _valid_png():
+    return png_encode(RNG.randint(0, 256, (8, 6), dtype=np.uint8))
+
+
+def test_defect_classes():
+    b = _valid_png()
+    assert png_validate_reason(b"\x00" + b[1:]) == "bad signature"
+    assert png_validate_reason(b[:-16]) == "truncated"
+    bad_crc = bytearray(b)
+    bad_crc[-13] ^= 0xFF  # IDAT CRC byte (IEND is the final 12)
+    assert png_validate_reason(bytes(bad_crc)) == "bad crc"
+    # garbage zlib stream behind a VALID crc
+    idat = b"not-a-zlib-stream"
+    b_zlib = b[: 8 + 25] + _chunk(b"IDAT", idat) + b[-12:]
+    assert png_validate_reason(b_zlib) == "bad pixel data"
+    # IHDR rebuilt with valid CRC but height+1: only a real parse
+    # (inflate + payload-length reconciliation) catches it
+    ihdr = struct.pack(">IIBBBBB", 6, 9, 8, 0, 0, 0, 0)
+    b_dims = SIGNATURE + _chunk(b"IHDR", ihdr) + b[8 + 25 :]
+    assert png_validate_reason(b_dims) == "dims mismatch"
+    assert png_validate_reason(b, 7, 8) == "catalog dims mismatch"
+    assert png_validate_reason(b, 6, 8) is None
+    assert png_validate_reason(None) == "bad signature"
+
+
+def test_decode_rejects_unsupported():
+    # 16-bit depth: spec-valid but outside the supported subset — must
+    # refuse rather than mis-decode
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    raw = zlib.compress(bytes(2 * (1 + 2 * 2)))
+    b = SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", raw) + _chunk(b"IEND", b"")
+    with pytest.raises(PngFormatError, match="unsupported"):
+        png_decode(b)
+
+
+def test_validate_png_payloads_classes(spark):
+    # ids chosen so each defect class fires exactly once, plus clean
+    # rows and one all-mods overlap (0) resolved by precedence
+    ids = [0, 37 * 2, 41 * 2, 43 * 2, 47 * 2, 53 * 2, 1, 2, 3]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        (r["doc_id"], r["reason"])
+        for r in validate_png_payloads(png_media_from_docs(df)).collect()
+    }
+    assert got == {
+        (0, "bad signature"),  # fires every mod; precedence picks first
+        (74, "bad signature"),
+        (82, "truncated"),
+        (86, "bad crc"),
+        (94, "dims mismatch"),
+        (106, "catalog dims mismatch"),
+    }
+
+
+def test_png_backend_features_are_real_pixels(spark):
+    df = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    media = png_media_from_docs(df)
+    feats = {
+        r["doc_id"]: np.array(r["features"])
+        for r in extract_features(media, dim=16, backend="png").collect()
+    }
+    # recompute doc 1's expected grid features by hand from the
+    # generator's pixel rule
+    did = 1
+    w, h = did % 24 + 4, (did * 7) % 24 + 4
+    img = (
+        (np.arange(h * w, dtype=np.int64) * (did % 251 + 1) + did) % 256
+    ).astype(np.uint8).reshape(h, w)
+    grid = _nn_resize(img, 4, 4).astype("f4") / 255.0
+    assert np.allclose(feats[1], grid.reshape(-1))
+    assert not np.allclose(feats[1], feats[2])
+
+
+def test_png_backend_resize_round_trip(spark):
+    df = spark.createDataFrame([(5,)], "doc_id long")
+    media = png_media_from_docs(df)
+    (orig,) = media.collect()
+    (resized,) = resize_images(media, 6, 7, backend="png").collect()
+    expect = _nn_resize(png_decode(bytes(orig["data"])), 6, 7)
+    assert np.array_equal(png_decode(bytes(resized["data"])), expect)
+    assert resized["meta"]["width"] == 6 and resized["meta"]["height"] == 7
+    # resized output is itself a valid PNG per the validator
+    assert png_validate_reason(bytes(resized["data"]), 6, 7) is None
