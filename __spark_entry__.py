@@ -1731,6 +1731,115 @@ def q_min_completeness(spark, sf_dir):
     return check.violations(planted).select("event_id")
 
 
+def q_quantile_bounds_verdicts(spark, sf_dir):
+    """``quantile_bounds`` YAML check (operators/quality_checks.py),
+    verdict path: per-group exact p90 of the event value against an
+    upper bound sat between the groups' true p90s (click 123.1 and
+    signup 118.0 fail a 115 cap; error/purchase/view pass).  ``exact:
+    true`` makes the quantile the interpolated exact percentile —
+    Spark ``percentile`` ≡ DuckDB ``quantile_cont`` — and the verdict
+    frame carries only ints and booleans, so the comparison is
+    bit-stable."""
+    check = build_table_check(
+        "quantile_bounds",
+        {"column": "value", "q": 0.9, "max": 115.0, "exact": True},
+    )
+    return check.group_verdicts(
+        _t(spark, sf_dir, "events"), ["event_type"]
+    )
+
+
+#: fixed vocabulary for the max_oov driver query — a LITERAL list so
+#: both engines evaluate the identical membership set (the check's
+#: file-loading path is exercised the same way: the query writes these
+#: terms to a temp vocab file first)
+_OOV_VOCAB = (
+    "join hash row batch scan column customer filter small slow merge "
+    "vector order line table data agg value key stream the a of and "
+    "to in for with on"
+).split()
+
+
+def q_max_oov_verdicts(spark, sf_dir):
+    """``max_oov`` YAML check (operators/vocab.py): rows whose
+    whitespace-token OOV fraction against a fixed vocabulary exceeds
+    30% (131 violating docs at sf0.01 — a zero-row check proves
+    nothing).  The vocab ships through the check's real file surface (temp
+    file, one term per line) and compiles to an InSet probe inside the
+    scan; the threshold compares in integers (micro-ratio · n), so
+    both engines decide identically."""
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".txt", delete=False
+    ) as fh:
+        fh.write("\n".join(_OOV_VOCAB))
+        vocab_path = fh.name
+    check = build_table_check(
+        "max_oov",
+        {"column": "text", "vocab": vocab_path, "max_ratio": 0.3},
+    )
+    return check.violations(_t(spark, sf_dir, "documents")).select("doc_id")
+
+
+def q_max_boilerplate_verdicts(spark, sf_dir):
+    """``max_boilerplate`` YAML check (operators/boilerplate_check.py,
+    line method): documents shaped into 5-word lines (the line_dedup
+    fixture convention), lines common to ≥3 docs counted as removable,
+    violation when the removed-character fraction (including the
+    removed lines' newline separators) exceeds 15% of the original
+    text.  The fraction is int/int IEEE division in both engines —
+    identical bits, identical comparisons."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            "text", r"(\S+ \S+ \S+ \S+ \S+) ", "$1\n"
+        ).alias("text"),
+    )
+    check = build_table_check(
+        "max_boilerplate",
+        {"id": "doc_id", "content": "text", "method": "line",
+         "max_frac": 0.15, "min_docs": 3},
+    )
+    return check.violations(docs).select("doc_id")
+
+
+def q_no_drift_verdicts(spark, sf_dir):
+    """``no_drift`` YAML check (operators/drift_check.py), verdict
+    path against a SAVED baseline sketch file (the north rule's
+    "compared against a baseline snapshot", through the check's real
+    load path): the baseline profiles a deliberately shifted copy of
+    the table (n_chars ×10 — KS D near 1; lang collapsed to a single
+    value — TV distance near 1) plus the untouched source column, so
+    the drifted/not-drifted booleans sit far from every decision
+    threshold and the oracle can replay them from the construction.
+    Output is (column, kind, drifted) only — the float statistics stay
+    internal."""
+    import tempfile
+
+    from datavalid_spark.operators.drift import save_baseline
+    from datavalid_spark.operators.drift_check import NoDriftCheck
+    from datavalid_spark.operators.profile import profile_arrow
+
+    docs = _t(spark, sf_dir, "documents")
+    shifted = docs.select(
+        (F.col("n_chars") * 10).alias("n_chars"),
+        F.lit("xx").alias("lang"),
+        F.col("source"),
+    )
+    base = profile_arrow(shifted, ["n_chars", "lang", "source"])
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as fh:
+        baseline_path = fh.name
+    save_baseline(base, baseline_path)
+    check = NoDriftCheck(baseline=baseline_path)
+    rows = [
+        (v.column, v.kind, bool(v.drifted)) for v in check.verdicts(docs)
+    ]
+    return spark.createDataFrame(
+        rows, "column string, kind string, drifted boolean"
+    )
+
+
 def q_freshness(spark, sf_dir):
     # dbt-style source freshness with an injectable clock: per-bucket
     # newest ts against a 57m36s cutoff before 2024-01-31 midnight —
@@ -2288,6 +2397,29 @@ def q_graph_pagerank_weighted(spark, sf_dir):
     return page_rank(edges, weight="w", iterations=5)
 
 
+def q_graph_pagerank_tol(spark, sf_dir):
+    """Convergence-mode PageRank (operators/graphrank.py ``tol_fp``):
+    each round additionally reads the integer L1 rank delta from the
+    checkpointed frame and stops early when delta < tol.  ``tol_fp=1``
+    is the exactness-preserving setting — the loop stops only at an
+    EXACT integer fixpoint, after which further iterations reproduce
+    the same ranks, so the output is bit-identical to the fixed
+    5-iteration oracle whether or not the early stop fires.  (Early
+    stopping at looser tolerances is pinned in pytest, where both
+    sides of the equality are Spark.)"""
+    from pyspark.sql import Window
+
+    from datavalid_spark.operators.graphrank import page_rank
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_suppkey")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        F.lead("l_suppkey").over(w).alias("dst"),
+    )
+    return page_rank(edges, iterations=5, tol_fp=1)
+
+
 def q_graph_trustrank(spark, sf_dir):
     """TrustRank (operators/graphrank.py) over the supplier hand-off
     graph: teleport mass concentrated on a vetted seed set (suppliers
@@ -2822,6 +2954,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_except": q_set_except,
         # Block C: new round-4 queries are inserted here as added.
         "multimodal_png": q_multimodal_png,
+        "graph_pagerank_tol": q_graph_pagerank_tol,
+        "quantile_bounds_verdicts": q_quantile_bounds_verdicts,
+        "max_oov_verdicts": q_max_oov_verdicts,
+        "max_boilerplate_verdicts": q_max_boilerplate_verdicts,
+        "no_drift_verdicts": q_no_drift_verdicts,
         # Block D: oldest round-2 driver rows fill the window to 50.
         "t1_unique": q_t1_unique,
         "t1_unique_salted": q_t1_unique_salted,
@@ -3572,6 +3709,15 @@ SELECT id,
 FROM btop b FULL OUTER JOIN vtop v USING (id)
 """,
         "graph_pagerank": _graphrank_oracle.page_rank_oracle_sql(
+            _graph_edges_sql(), iterations=5
+        ),
+        # tol_fp=1 stops only at an exact integer fixpoint, after which
+        # every further iteration is the identity — so the fixed
+        # unrolled CTE is exact regardless of where (or whether) the
+        # early stop fires.  5 iterations, not more: DuckDB inlines
+        # each unrolled rank CTE at both its reference sites, so the
+        # plan doubles per iteration and 8 levels exhausts memory.
+        "graph_pagerank_tol": _graphrank_oracle.page_rank_oracle_sql(
             _graph_edges_sql(), iterations=5
         ),
         "graph_pagerank_weighted": _graphrank_oracle.page_rank_oracle_sql(
@@ -5179,5 +5325,75 @@ SELECT doc_id,
 FROM documents
 WHERE doc_id % 37 = 0 OR doc_id % 41 = 0 OR doc_id % 43 = 0
    OR doc_id % 47 = 0 OR doc_id % 53 = 0
+""",
+        # exact interpolated percentile: Spark `percentile` ≡ DuckDB
+        # `quantile_cont` (same q·(n-1) linear interpolation); verdict
+        # columns are ints/booleans only
+        "quantile_bounds_verdicts": """
+SELECT event_type,
+  CASE WHEN quantile_cont(value, 0.9) <= 115.0
+       THEN 0 ELSE count(*) END AS n_violations,
+  quantile_cont(value, 0.9) IS NOT NULL
+    AND quantile_cont(value, 0.9) <= 115.0 AS passed,
+  count(*) AS n_rows
+FROM events GROUP BY event_type
+""",
+        # same fixed vocabulary literal, same whitespace tokens, same
+        # integer micro-ratio threshold (oov·10^6 > 300000·n)
+        "max_oov_verdicts": f"""
+SELECT doc_id FROM (
+  SELECT doc_id,
+         len({_TOKS_SEQ}) AS n,
+         len(list_filter({_TOKS_SEQ},
+             w -> w NOT IN ({", ".join("'%s'" % w for w in _OOV_VOCAB)})))
+           AS oov
+  FROM documents)
+WHERE n > 0 AND oov * 1000000 > 300000 * n
+""",
+        # the line_dedup oracle's rewrite, reduced to the removed-char
+        # fraction: docs where (orig_len - kept_len) / orig_len > 0.15,
+        # kept text = non-common lines rejoined with chr(10)
+        "max_boilerplate_verdicts": r"""
+WITH lined AS (
+  SELECT doc_id,
+         regexp_replace(text, '(\S+ \S+ \S+ \S+ \S+) ', '\1' || chr(10), 'g') AS text
+  FROM documents
+),
+lx AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM lined
+),
+common AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS nd
+    FROM lx WHERE line <> '' GROUP BY line
+  ) WHERE nd >= 3
+),
+kept AS (
+  SELECT doc_id, line, pos FROM lx
+  WHERE line NOT IN (SELECT line FROM common)
+),
+agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS ktext
+  FROM kept GROUP BY doc_id
+)
+SELECT l.doc_id
+FROM lined l LEFT JOIN agg a USING (doc_id)
+WHERE length(l.text) > 0
+  AND (length(l.text) - coalesce(length(a.ktext), 0)) / length(l.text) > 0.15
+""",
+        # the verdict booleans are fully determined by the planted
+        # construction (n_chars ×10 → KS D ≈ 1; lang collapsed → TV ≈ 1;
+        # source untouched → statistic ≈ 0): every decision sits far
+        # from the alpha/min_effect thresholds, so the oracle replays
+        # the plant while Spark must derive each verdict from the
+        # sketch comparison
+        "no_drift_verdicts": """
+SELECT * FROM (VALUES
+  ('lang', 'chi2', true),
+  ('n_chars', 'ks', true),
+  ('source', 'chi2', false)) AS t("column", kind, drifted)
 """,
     }

@@ -114,6 +114,7 @@ def page_rank(
     scale: int = 10**12,
     broadcast_rank_limit: int = 1_000_000,
     weight: "str | None" = None,
+    tol_fp: Optional[int] = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in bigint fixed point.
 
@@ -142,6 +143,19 @@ def page_rank(
     ``scale · damping_pct · max_weight`` must stay under 2^63
     (~10^5 max weight at the default scale) — beyond that, downscale
     weights upstream.
+
+    ``tol_fp`` turns on convergence mode: after each iteration the L1
+    rank delta (Σ|rank'−rank| in fixed-point units) is computed from
+    the just-checkpointed frame — one tiny O(nodes) aggregation job
+    per round, no recompute — and the loop stops early when
+    ``delta < tol_fp``; ``iterations`` becomes the cap.  Determinism
+    is preserved: the stop decision is a pure function of the input
+    (integer delta against an integer threshold), and the output
+    equals fixed-mode at the stop iteration exactly.  ``tol_fp=1``
+    ("stop at exact fixpoint") is the special value that keeps the
+    output IDENTICAL to running the full cap — once delta is 0 every
+    later iteration reproduces the same ranks — which is what the
+    oracle-gated driver query uses.
     """
     e = (
         _canon_edges(edges, src, dst)
@@ -155,6 +169,7 @@ def page_rank(
         damping_pct,
         scale,
         broadcast_rank_limit,
+        tol_fp=tol_fp,
     )
 
 
@@ -201,9 +216,12 @@ def _fixed_point_loop(
     damping_pct: int,
     scale: int,
     broadcast_rank_limit: int,
+    tol_fp: Optional[int] = None,
 ) -> DataFrame:
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
+    if tol_fp is not None and tol_fp < 1:
+        raise ValueError("tol_fp must be a positive fixed-point integer")
     nodes = e.select(F.col("src").alias("id")).union(
         e.select(F.col("dst").alias("id"))
     ).distinct()
@@ -274,7 +292,7 @@ def _fixed_point_loop(
         mass = F.when(
             F.col("is_seed"), F.lit(int(base)) + dang_share
         ).otherwise(F.lit(0))
-        ranks = (
+        new_ranks = (
             nodes.join(inbound, "id", "left")
             .crossJoin(dang_row)
             .select(
@@ -282,6 +300,27 @@ def _fixed_point_loop(
                 (mass.cast("long") + F.coalesce("inb", F.lit(0))).alias("rank"),
             )
         )
+        if tol_fp is None:
+            ranks = new_ranks
+            continue
+        # convergence mode: attach the previous (checkpointed) rank,
+        # checkpoint the new frame, and read the L1 delta as ONE row
+        # from a tiny aggregation over that checkpoint — no recompute,
+        # integer arithmetic so the stop decision is deterministic at
+        # any parallelism.  The delta read is the one extra driver
+        # round-trip per round a convergence test inherently needs.
+        prev = ranks.select("id", F.col("rank").alias("__prev"))
+        new_ranks = new_ranks.join(
+            F.broadcast(prev) if bcast else prev, "id"
+        ).localCheckpoint(eager=True)
+        delta = new_ranks.agg(
+            F.coalesce(
+                F.sum(F.abs(F.col("rank") - F.col("__prev"))), F.lit(0)
+            )
+        ).first()[0]
+        ranks = new_ranks.drop("__prev")
+        if delta < tol_fp:
+            break
     return ranks.select(
         F.col("id").alias("node_id"), F.col("rank").cast("long").alias("rank_fp")
     )

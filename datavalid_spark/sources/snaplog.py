@@ -57,6 +57,7 @@ engine's surface (``read``/``scan``/``merge``/``compact``/
 from __future__ import annotations
 
 import datetime as _dt
+import hashlib
 import json
 import math
 import os
@@ -262,6 +263,80 @@ def _file_may_match(stats: Optional[dict], col: str, op: str, value) -> bool:
     raise ValueError(f"unknown predicate op {op!r}")
 
 
+# ------------------------------------------------- bloom membership sidecars
+#
+# min/max bounds cannot prune EQUALITY probes on high-cardinality keys
+# (sha256, doc_id): every file's [min, max] spans the whole key space,
+# so a point lookup opens every file.  Iceberg's answer is a per-file
+# membership sketch stored OUTSIDE the manifest (Puffin sidecars); the
+# same shape here: a classic Bloom filter per (data file, key column),
+# built once at commit-harvest time from the actual column values,
+# stored as a raw-bitmap sidecar under metadata/blooms/, referenced
+# from the manifest stats and loaded lazily (and cached) at prune
+# time.  Absence of a bloom is always conservative — the file is kept.
+#
+# Hashing is md5 double-hashing (Kirsch-Mitzenmacher: h_i = h1 + i*h2)
+# over a type-tagged canonical encoding, so build and probe agree
+# byte-for-byte across sessions and library versions — a hash mismatch
+# here would cause FALSE NEGATIVES, i.e. wrong pruning, so no
+# version-dependent hash (pandas object hashing etc.) is acceptable.
+
+_BLOOM_LN2 = math.log(2.0)
+
+
+def _bloom_key(v) -> Optional[bytes]:
+    """Type-tagged canonical bytes for bloom hashing; None =
+    unsupported type (floats/dates excluded — equality probes on them
+    are ill-posed anyway)."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, bytes):
+        return b"b:" + v
+    if isinstance(v, str):
+        return b"s:" + v.encode("utf-8")
+    if isinstance(v, int):
+        return b"i:%d" % v
+    return None
+
+
+def _bloom_positions(key: bytes, k: int, m: int):
+    d = hashlib.md5(key).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_build(values, fpp: float) -> Optional[tuple[int, int, bytes]]:
+    """(k, m_bits, bitmap) for the distinct supported values, sized to
+    the target false-positive rate; None when any value has an
+    unsupported type (a partial bloom could wrongly prune)."""
+    keys = []
+    for v in values:
+        if v is None:
+            continue
+        kb = _bloom_key(v)
+        if kb is None:
+            return None
+        keys.append(kb)
+    n = max(1, len(set(keys)))
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (_BLOOM_LN2**2))))
+    k = max(1, min(16, round(m / n * _BLOOM_LN2)))
+    bits = bytearray((m + 7) // 8)
+    for kb in keys:
+        for pos in _bloom_positions(kb, k, m):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return k, m, bytes(bits)
+
+
+def _bloom_contains(bits: bytes, k: int, m: int, v) -> bool:
+    kb = _bloom_key(v)
+    if kb is None:
+        return True  # unsupported probe type — cannot prune
+    return all(
+        bits[pos >> 3] & (1 << (pos & 7)) for pos in _bloom_positions(kb, k, m)
+    )
+
+
 def _predicates_column(predicates) -> "F.Column":
     """Exact row-level conjunction of the simple predicate tuples (the
     truth the conservative file pruning approximates).  SQL three-value
@@ -369,11 +444,31 @@ class SnapshotTable:
     #: hash repartition with the same output file count
     _MAX_EXACT_BINS = 200
 
-    def __init__(self, spark: SparkSession, root: str) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        bloom_columns: Sequence[str] = (),
+        bloom_fpp: float = 0.01,
+        bloom_max_rows: int = 2_000_000,
+    ) -> None:
+        """``bloom_columns`` opts key columns into per-file membership
+        sidecars built at commit time (see the bloom section above):
+        equality / IN probes on them can then prune files whose bounds
+        are useless (random high-cardinality keys).  ``bloom_max_rows``
+        caps the build — a file with more rows than this gets no bloom
+        (stays conservative) instead of a multi-MB sidecar.  The
+        setting is per-HANDLE: commits made through a handle without
+        ``bloom_columns`` simply add files without blooms, which every
+        reader treats as unprunable — mixed manifests stay correct."""
         self.spark = spark
         self.root = str(root)
         self._meta = os.path.join(self.root, "metadata")
         self._hint = os.path.join(self._meta, "version-hint.text")
+        self.bloom_columns = tuple(bloom_columns)
+        self.bloom_fpp = float(bloom_fpp)
+        self.bloom_max_rows = int(bloom_max_rows)
+        self._bloom_cache: dict[str, Optional[bytes]] = {}
 
     # ------------------------------------------------------------ state
 
@@ -482,7 +577,11 @@ class SnapshotTable:
 
     def _harvest_stats(self, added: list[str]) -> dict:
         """Footer-only per-file column stats; reads are tiny but
-        serial-latency-bound for thousands of files — thread pool."""
+        serial-latency-bound for thousands of files — thread pool.
+        When the handle has ``bloom_columns``, each added file
+        additionally gets a membership sidecar per key column (one
+        column read + one md5 pass per value — paid once at commit,
+        amortised over every point-lookup prune after)."""
         stats: dict = {}
         if added:
             from concurrent.futures import ThreadPoolExecutor
@@ -496,7 +595,66 @@ class SnapshotTable:
                     ),
                 ):
                     stats[rel] = st
+            if self.bloom_columns:
+                with ThreadPoolExecutor(max_workers=min(8, len(added))) as pool:
+                    list(pool.map(lambda rel: self._attach_blooms(stats, rel), added))
         return stats
+
+    def _attach_blooms(self, stats: dict, rel: str) -> None:
+        import pyarrow.parquet as pq
+
+        st = stats.get(rel)
+        if not st or st.get("rows", 0) > self.bloom_max_rows:
+            return
+        path = os.path.join(self.root, rel)
+        schema_names = set(pq.ParquetFile(path).schema_arrow.names)
+        cols = [c for c in self.bloom_columns if c in schema_names]
+        if not cols:
+            return
+        tbl = pq.read_table(path, columns=cols)
+        os.makedirs(os.path.join(self._meta, "blooms"), exist_ok=True)
+        for c in cols:
+            built = _bloom_build(tbl.column(c).to_pylist(), self.bloom_fpp)
+            if built is None:
+                continue
+            k, m, bits = built
+            side_rel = os.path.join(
+                "metadata", "blooms", f"{uuid.uuid4().hex}.bloom"
+            )
+            with open(os.path.join(self.root, side_rel), "wb") as f:
+                f.write(bits)
+            st.setdefault("columns", {}).setdefault(c, {})["bloom"] = {
+                "path": side_rel,
+                "k": int(k),
+                "m": int(m),
+            }
+
+    def _load_bloom(self, side_rel: str) -> Optional[bytes]:
+        if side_rel not in self._bloom_cache:
+            try:
+                with open(os.path.join(self.root, side_rel), "rb") as f:
+                    self._bloom_cache[side_rel] = f.read()
+            except OSError:
+                # sidecar lost (partial copy, over-eager cleanup):
+                # conservative — the file simply stops pruning
+                self._bloom_cache[side_rel] = None
+        return self._bloom_cache[side_rel]
+
+    def _bloom_may_match(self, file_stats: Optional[dict], col, op, value) -> bool:
+        """Membership-sidecar half of prune_files: False only when the
+        bloom PROVES no probed value is in the file."""
+        if op not in ("=", "in") or not file_stats:
+            return True
+        info = file_stats.get("columns", {}).get(col, {}).get("bloom")
+        if not info:
+            return True
+        bits = self._load_bloom(info["path"])
+        if bits is None or len(bits) * 8 < info["m"]:
+            return True
+        vals = value if op == "in" else [value]
+        return any(
+            _bloom_contains(bits, info["k"], info["m"], v) for v in vals
+        )
 
     def _finish_commit(
         self,
@@ -867,10 +1025,12 @@ class SnapshotTable:
         """Manifest-level file skipping: return (kept root-relative
         files, total files) for a conjunction of simple predicates
         ``[(col, op, value), ...]`` with op in ``= < <= > >= in isnull
-        notnull``.  A file survives unless its stored footer bounds
-        PROVE no row can match — the planner-side half of Iceberg scan
-        planning, and the reason a 10^12-file table is queryable: the
-        executors never even open the skipped files."""
+        notnull``.  A file survives unless its stored footer bounds —
+        or, for ``=``/``in`` probes on columns with membership
+        sidecars (``bloom_columns``), its per-file bloom — PROVE no
+        row can match: the planner-side half of Iceberg scan planning,
+        and the reason a 10^12-file table is queryable: the executors
+        never even open the skipped files."""
         m = self.manifest(snapshot_id)
         stats = m.get("stats", {})
         kept = [
@@ -878,6 +1038,9 @@ class SnapshotTable:
             for f in m["files"]
             if all(
                 _file_may_match(stats.get(f), col, op, rest[0] if rest else None)
+                and self._bloom_may_match(
+                    stats.get(f), col, op, rest[0] if rest else None
+                )
                 for col, op, *rest in predicates
             )
         ]
@@ -1570,6 +1733,27 @@ class SnapshotTable:
                     import shutil
 
                     shutil.rmtree(full)
+        # bloom sidecars referenced by no remaining manifest's stats
+        # (their data file expired with its snapshots) — same age gate
+        bloom_dir = os.path.join(self._meta, "blooms")
+        if os.path.isdir(bloom_dir):
+            live_blooms: set[str] = set()
+            for sid in range(1, newest + 1):
+                path = self._manifest_path(sid)
+                if not os.path.isfile(path):
+                    continue
+                with open(path) as f:
+                    for st in json.load(f).get("stats", {}).values():
+                        for cs in st.get("columns", {}).values():
+                            if "bloom" in cs:
+                                live_blooms.add(cs["bloom"]["path"])
+            for name in os.listdir(bloom_dir):
+                rel = os.path.join("metadata", "blooms", name)
+                full = os.path.join(bloom_dir, name)
+                if rel not in live_blooms and os.stat(full).st_mtime <= cutoff:
+                    orphans.append(rel)
+                    if not dry_run:
+                        os.unlink(full)
         return sorted(orphans)
 
     # ------------------------------------------------------------ drift

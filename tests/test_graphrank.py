@@ -465,3 +465,54 @@ def test_triangle_count_direction_and_dupes_ignored(spark):
     assert triangle_count(df1).first()["triangles"] == 1
     assert triangle_count(df2).first()["triangles"] == 1
     release_cached()
+
+
+def test_tol_mode_exact_fixpoint_equals_fixed(spark):
+    """tol_fp=1 (stop only at an exact integer fixpoint) must be
+    bit-identical to running the full iteration cap: once delta is 0,
+    every further iteration reproduces the same ranks."""
+    # a 2-cycle reaches its integer fixpoint almost immediately, so the
+    # early stop FIRES here and the equality is the interesting claim
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    fixed = {
+        (r["node_id"], r["rank_fp"])
+        for r in page_rank(edges, iterations=12).collect()
+    }
+    tol = {
+        (r["node_id"], r["rank_fp"])
+        for r in page_rank(edges, iterations=12, tol_fp=1).collect()
+    }
+    assert tol == fixed
+
+
+def test_tol_mode_stops_at_some_fixed_iteration(spark):
+    """With a loose tolerance the loop stops early; the output must
+    equal fixed-mode at EXACTLY the stop iteration (no partial
+    updates, no drift)."""
+    edges = spark.createDataFrame(
+        [(i, (i * 3) % 17) for i in range(17)] + [(0, 5), (5, 9)],
+        "src long, dst long",
+    )
+    out = {
+        (r["node_id"], r["rank_fp"])
+        for r in page_rank(edges, iterations=8, tol_fp=10**11).collect()
+    }
+    matches = [
+        k
+        for k in range(1, 9)
+        if out
+        == {
+            (r["node_id"], r["rank_fp"])
+            for r in page_rank(edges, iterations=k).collect()
+        }
+    ]
+    assert matches, "tol output equals no fixed-iteration output"
+    assert matches[0] < 8, "loose tolerance should stop before the cap"
+
+
+def test_tol_mode_rejects_bad_tol(spark):
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="tol_fp"):
+        page_rank(edges, tol_fp=0)

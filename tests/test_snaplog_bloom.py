@@ -1,0 +1,126 @@
+"""Per-file bloom membership sidecars (sources/snaplog.py): point
+probes on high-cardinality keys prune files min/max bounds cannot,
+results always equal the unpruned scan, absence/loss of a sidecar is
+conservative, and vacuum sweeps only unreferenced sidecars."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalid_spark.sources.snaplog import (
+    SnapshotTable,
+    _bloom_build,
+    _bloom_contains,
+)
+
+
+def _hash_df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), F.sha2(F.col("id").cast("string"), 256).alias("h")
+    )
+
+
+@pytest.fixture()
+def bloom_table(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), bloom_columns=("h",))
+    t.create(_hash_df(spark, 0, 4000).repartition(8))
+    return t
+
+
+def test_unit_bloom_build_contains():
+    built = _bloom_build([f"k{i}" for i in range(500)] + [None], 0.01)
+    assert built is not None
+    k, m, bits = built
+    assert all(_bloom_contains(bits, k, m, f"k{i}") for i in range(500))
+    misses = sum(
+        _bloom_contains(bits, k, m, f"absent{i}") for i in range(2000)
+    )
+    assert misses < 2000 * 0.05  # ~1% target fpp, generous margin
+    # unsupported value type anywhere → no bloom (partial would mis-prune)
+    assert _bloom_build(["a", 1.5], 0.01) is None
+    # int and bytes keys round-trip
+    k2, m2, b2 = _bloom_build([7, b"xy"], 0.01)
+    assert _bloom_contains(b2, k2, m2, 7) and _bloom_contains(b2, k2, m2, b"xy")
+
+
+def test_point_probe_prunes_but_matches_full_scan(spark, bloom_table):
+    t = bloom_table
+    df = _hash_df(spark, 0, 4000)
+    probe = [r["h"] for r in df.filter(F.col("id").isin(11, 3999)).collect()]
+    kept, total = t.prune_files([("h", "in", probe)])
+    assert total == 8 and len(kept) <= 3  # ≥5 files bloom-pruned
+    got = sorted(r["id"] for r in t.scan([("h", "in", probe)]).collect())
+    assert got == [11, 3999]
+    # absent but IN-BOUNDS key (middle char flipped): bounds keep every
+    # file, blooms prune all (allow fpp stragglers)
+    fake = probe[0][:32] + ("0" if probe[0][32] != "0" else "1") + probe[0][33:]
+    kept2, _ = t.prune_files([("h", "=", fake)])
+    assert len(kept2) <= 1
+    assert t.scan([("h", "=", fake)]).count() == 0
+
+
+def test_fresh_handle_reads_sidecars(spark, bloom_table, tmp_path):
+    # pruning info lives in the manifest + sidecars, not the handle:
+    # a plain reader handle prunes identically
+    t2 = SnapshotTable(bloom_table.spark, bloom_table.root)
+    df = _hash_df(spark, 0, 4000)
+    probe = [r["h"] for r in df.filter(F.col("id") == 2222).collect()]
+    kept_a, _ = bloom_table.prune_files([("h", "=", probe[0])])
+    kept_b, _ = t2.prune_files([("h", "=", probe[0])])
+    assert kept_a == kept_b and len(kept_a) >= 1
+
+
+def test_bloomless_commit_stays_conservative(spark, bloom_table):
+    t2 = SnapshotTable(bloom_table.spark, bloom_table.root)  # no blooms
+    new = _hash_df(spark, 4000, 5000).coalesce(1)
+    t2.append(new)
+    key = new.filter(F.col("id") == 4500).collect()[0]["h"]
+    kept, total = t2.prune_files([("h", "=", key)])
+    assert total == 9 and 1 <= len(kept) <= 2  # new file survives
+    assert [r["id"] for r in t2.scan([("h", "=", key)]).collect()] == [4500]
+
+
+def test_lost_sidecar_is_conservative(spark, bloom_table):
+    t = bloom_table
+    for name in os.listdir(os.path.join(t.root, "metadata", "blooms")):
+        os.unlink(os.path.join(t.root, "metadata", "blooms", name))
+    t._bloom_cache.clear()
+    fake = "f" * 64
+    kept, total = t.prune_files([("h", "=", fake)])
+    # bounds may prune (f* is above most maxima) but nothing errors and
+    # the scan stays correct
+    assert t.scan([("h", "=", fake)]).count() == 0
+    assert len(kept) <= total
+
+
+def test_vacuum_sweeps_only_orphaned_sidecars(spark, bloom_table):
+    t = bloom_table
+    n_live = len(os.listdir(os.path.join(t.root, "metadata", "blooms")))
+    assert n_live == 8
+    removed = t.vacuum(min_age_seconds=0)
+    assert not any("blooms" in r for r in removed)
+    # replace the table contents; expire history → snapshot-1 files and
+    # their sidecars become orphans
+    t.overwrite(_hash_df(spark, 0, 100).coalesce(1))
+    t.expire_snapshots(keep_last=1)
+    removed = t.vacuum(min_age_seconds=0)
+    swept = [r for r in removed if "blooms" in r]
+    assert len(swept) == n_live  # all 8 old sidecars, new one kept
+    assert len(os.listdir(os.path.join(t.root, "metadata", "blooms"))) == 1
+    # and the surviving sidecar still prunes for the new snapshot
+    key = _hash_df(spark, 0, 100).filter(F.col("id") == 5).collect()[0]["h"]
+    assert [r["id"] for r in t.scan([("h", "=", key)]).collect()] == [5]
+
+
+def test_max_rows_cap_skips_bloom(spark, tmp_path):
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), bloom_columns=("h",), bloom_max_rows=100
+    )
+    t.create(_hash_df(spark, 0, 500).coalesce(1))  # 500 rows > cap
+    st = t.manifest()["stats"]
+    assert all("bloom" not in cs.get("columns", {}).get("h", {}) for cs in st.values())
+    # conservative: no pruning, scan still right
+    assert t.scan([("h", "=", "a" * 64)]).count() == 0

@@ -81,6 +81,49 @@ def main():
     out["speedup_vs_full_filter"] = round(
         out["full_scan_filter_s"] / max(out["pruned_scan_s"], 1e-9), 2
     )
+
+    # -- point-membership pruning (bloom sidecars): equality probes on
+    #    the content sha — a key whose per-file [min, max] spans the
+    #    whole space, so bounds prune NOTHING; the per-file blooms are
+    #    what lets incremental dedup skip untouched files.  Build the
+    #    bloom-equipped layout once (same data, hash column added).
+    from pyspark.sql import functions as SF
+
+    from datavalid_spark.sources.snaplog import SnapshotTable
+
+    btbl = TBL + "_bloom"
+    tb = SnapshotTable(spark, btbl, bloom_columns=("content_sha",))
+    if not SnapshotTable.exists(btbl):
+        src = spark.read.parquet(bench.CACHE).withColumn(
+            "content_sha", SF.sha2("content", 256)
+        )
+        tb.create(src.repartition(64))
+    # a small incremental batch probing for prior occurrences — the
+    # membership case: 8 present keys, hash-random so min/max bounds
+    # keep every file and only the blooms can narrow the scan
+    probe_df = (
+        tb.read()
+        .filter(SF.col("content_sha").startswith("00"))  # hash-random spread
+        .select("content_sha")
+        .limit(8)
+    )
+    probes = [r["content_sha"] for r in probe_df.collect()]
+    assert probes, "probe selection matched no rows"
+    kept_b, total_b = tb.prune_files([("content_sha", "in", probes)])
+    out["point_membership"] = {
+        "probes": len(probes),
+        "files_opened": {"pruned": len(kept_b), "full": total_b},
+    }
+    n_hit_pruned, out["point_membership"]["pruned_s"] = timed(
+        lambda: tb.scan([("content_sha", "in", probes)]).count()
+    )
+    n_hit_full, out["point_membership"]["full_s"] = timed(
+        lambda: tb.read()
+        .filter(SF.col("content_sha").isin(probes))
+        .count()
+    )
+    assert n_hit_pruned == n_hit_full, (n_hit_pruned, n_hit_full)
+    out["point_membership"]["rows_matched"] = n_hit_pruned
     print(json.dumps(out))
 
 
