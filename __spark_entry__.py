@@ -2243,6 +2243,26 @@ def q_multimodal_png(spark, sf_dir):
     )
 
 
+def q_multimodal_jpeg(spark, sf_dir):
+    """Structural JPEG validation (operators/multimodal.py +
+    functions/jpeg.py): spec-valid marker skeletons built per doc_id
+    with five planted marker-stream defects (SOI, truncation, corrupt
+    segment length, unescaped entropy marker, stale catalog dims),
+    then walked and scanned per ITU T.81 framing.  The oracle replays
+    the plant rules in the validator's parse order: signature, then
+    the segment walk (so corrupt lengths beat the truncated tail
+    behind them), then the entropy scan (injected markers beat the
+    missing EOI), then catalog dims."""
+    from datavalid_spark.operators.multimodal import (
+        jpeg_media_from_docs,
+        validate_jpeg_payloads,
+    )
+
+    return validate_jpeg_payloads(
+        jpeg_media_from_docs(_t(spark, sf_dir, "documents"))
+    )
+
+
 def _dsir_models(spark, sf_dir):
     """Shared DSIR model fit: target = the English slice, raw = the
     whole corpus (ns=(1,2), 4096 md5 buckets — oracle-reproducible).
@@ -2954,6 +2974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_except": q_set_except,
         # Block C: new round-4 queries are inserted here as added.
         "multimodal_png": q_multimodal_png,
+        "multimodal_jpeg": q_multimodal_jpeg,
         "graph_pagerank_tol": q_graph_pagerank_tol,
         "quantile_bounds_verdicts": q_quantile_bounds_verdicts,
         "max_oov_verdicts": q_max_oov_verdicts,
@@ -5320,6 +5341,23 @@ SELECT doc_id,
        WHEN doc_id % 41 = 0 THEN 'truncated'
        WHEN doc_id % 43 = 0 THEN 'bad crc'
        WHEN doc_id % 47 = 0 THEN 'dims mismatch'
+       WHEN doc_id % 53 = 0 THEN 'catalog dims mismatch'
+  END AS reason
+FROM documents
+WHERE doc_id % 37 = 0 OR doc_id % 41 = 0 OR doc_id % 43 = 0
+   OR doc_id % 47 = 0 OR doc_id % 53 = 0
+""",
+        # JPEG marker-stream defects, replayed in the validator's
+        # PARSE order: signature first; the segment walk sees a
+        # corrupt DQT length before the truncated tail behind it
+        # (43 before 41); the entropy scan hits an injected marker
+        # before the missing EOI (47 before 41); catalog dims last
+        "multimodal_jpeg": """
+SELECT doc_id,
+  CASE WHEN doc_id % 37 = 0 THEN 'bad signature'
+       WHEN doc_id % 43 = 0 THEN 'bad segment'
+       WHEN doc_id % 47 = 0 THEN 'bad marker'
+       WHEN doc_id % 41 = 0 THEN 'truncated'
        WHEN doc_id % 53 = 0 THEN 'catalog dims mismatch'
   END AS reason
 FROM documents

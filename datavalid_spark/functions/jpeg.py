@@ -1,0 +1,151 @@
+"""Pure-python JPEG structural validator + minimal encoder (no
+pillow in this container; built from the PUBLIC JPEG interchange
+format, ITU-T T.81 / JFIF: SOI/EOI framing, FF-marker segments with
+big-endian self-inclusive lengths, SOF dimension fields, byte-stuffed
+entropy data).
+
+Companion to ``functions/png.py`` (VERDICT r3 item 3): PNG covers the
+chunk+CRC family of container defects; JPEG covers the marker-stream
+family — segment framing, length-field corruption, unescaped markers
+inside entropy data, missing EOI — which is what a real crawl's torn
+JPEG payloads actually exhibit.  ``jpeg_encode_stub`` emits a
+spec-valid marker skeleton (SOI, JFIF APP0, DQT, SOF0 with real dims,
+DHT, SOS) around a BYTE-STUFFED pseudo-entropy stream: the entropy
+bytes are not a decodable Huffman scan (writing one needs a full
+codec), but every STRUCTURAL property a validator can check — and
+every defect class the generator plants — is exactly per spec.
+
+Cost stance: the validator is a marker walk (a handful of segments)
+plus one ``bytes.find``-driven scan over the entropy data — C-speed
+byte search, no per-byte Python loop.
+"""
+
+from __future__ import annotations
+
+import struct
+
+SOI = b"\xff\xd8"
+EOI = b"\xff\xd9"
+
+#: markers that stand alone (no length field): TEM, RST0-7, SOI, EOI
+_STANDALONE = {0x01, *range(0xD0, 0xD8), 0xD8, 0xD9}
+#: SOF markers carrying frame dimensions (C0-CF minus DHT C4, JPG C8,
+#: DAC CC — per T.81 table B.1)
+_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        0xCD, 0xCE, 0xCF}
+
+
+class JpegFormatError(ValueError):
+    pass
+
+
+def _segment(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def jpeg_encode_stub(
+    width: int, height: int, entropy: bytes = b""
+) -> bytes:
+    """Spec-valid JPEG marker skeleton around byte-stuffed pseudo
+    entropy data (every 0xFF in ``entropy`` is stuffed to FF 00, per
+    T.81 §B.1.1.5, so the scan contains no accidental markers)."""
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\x00" + bytes(64)  # table 0, 64 byte quantizers
+    sof = (
+        b"\x08"  # precision
+        + struct.pack(">HH", height, width)
+        + b"\x01"  # 1 component
+        + b"\x01\x11\x00"  # id, 1x1 sampling, q-table 0
+    )
+    dht = b"\x00" + bytes(16) + b""  # class 0 table 0, no codes
+    sos = b"\x01" + b"\x01\x00" + b"\x00\x3f\x00"
+    stuffed = entropy.replace(b"\xff", b"\xff\x00")
+    return (
+        SOI
+        + _segment(0xE0, app0)
+        + _segment(0xDB, dqt)
+        + _segment(0xC0, sof)
+        + _segment(0xC4, dht)
+        + _segment(0xDA, sos)
+        + stuffed
+        + EOI
+    )
+
+
+def jpeg_parse(data: bytes) -> tuple[int, int]:
+    """Structural parse → (width, height) from the SOF segment.
+    Raises JpegFormatError naming the first defect (precedence =
+    scan order: signature, then segment framing, then entropy-stream
+    integrity, then missing-structure checks)::
+
+        bad signature    — no SOI at offset 0
+        bad segment      — marker byte invalid, or a length field that
+                           is < 2 / runs past the buffer
+        truncated        — buffer ends before EOI (torn write)
+        bad marker       — unescaped non-RST marker inside entropy data
+        missing SOF      — no frame header before SOS
+    """
+    if data[:2] != SOI:
+        raise JpegFormatError("bad signature")
+    pos = 2
+    dims = None
+    # ---- marker segments until SOS
+    while True:
+        if pos + 2 > len(data):
+            raise JpegFormatError("truncated")
+        if data[pos] != 0xFF:
+            raise JpegFormatError("bad segment")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI before any scan — structurally short
+            raise JpegFormatError("missing SOF")
+        if marker in _STANDALONE:
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise JpegFormatError("truncated")
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if ln < 2 or pos + 2 + ln > len(data):
+            raise JpegFormatError("bad segment")
+        payload = data[pos + 4 : pos + 2 + ln]
+        if marker in _SOF:
+            if len(payload) < 5:
+                raise JpegFormatError("bad segment")
+            h, w = struct.unpack(">HH", payload[1:5])
+            dims = (w, h)
+        pos += 2 + ln
+        if marker == 0xDA:  # SOS — entropy data follows
+            break
+    if dims is None:
+        raise JpegFormatError("missing SOF")
+    # ---- entropy data: only stuffed FF00 and RST markers allowed
+    # until EOI; C-speed find loop, no per-byte Python
+    while True:
+        nxt = data.find(b"\xff", pos)
+        if nxt < 0 or nxt + 1 >= len(data):
+            raise JpegFormatError("truncated")
+        code = data[nxt + 1]
+        if code == 0x00 or 0xD0 <= code <= 0xD7:  # stuffing / restart
+            pos = nxt + 2
+            continue
+        if code == 0xD9:  # EOI
+            return dims
+        raise JpegFormatError("bad marker")
+
+
+def jpeg_validate_reason(
+    data: bytes | None,
+    catalog_w: int | None = None,
+    catalog_h: int | None = None,
+) -> str | None:
+    """Defect class for one payload, or None when structurally valid.
+    Mirrors ``png_validate_reason``'s contract: parse-order precedence
+    first, then the catalog-dims reconciliation."""
+    if data is None or bytes(data[:2]) != SOI:
+        return "bad signature"
+    try:
+        w, h = jpeg_parse(bytes(data))
+    except JpegFormatError as exc:
+        return str(exc)
+    if catalog_w is not None and (w != catalog_w or h != catalog_h):
+        return "catalog dims mismatch"
+    return None

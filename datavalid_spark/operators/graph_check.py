@@ -242,7 +242,12 @@ class AcyclicCheck(TableCheck):
     localCheckpointed; rounds = longest acyclic chain (real dependency
     graphs are shallow).  ``max_depth`` caps the loop and raises
     rather than guessing when the fixpoint is not reached — an
-    undecided verdict must never pass or fail silently.  Self-loops
+    undecided verdict must never pass or fail silently.  (A
+    path-doubling variant would finish in O(log n) rounds, but
+    squaring the edge relation materialises O(n²) intermediate pairs
+    on dense graphs — linear rounds over the O(m) edge set is the
+    deliberate scale-safe trade; chains deeper than ``max_depth`` are
+    a data smell the raise surfaces.)  Self-loops
     are the degenerate cycle: such an edge is its own in-edge, so it
     (and everything downstream) survives peeling like any cycle — no
     special case needed.

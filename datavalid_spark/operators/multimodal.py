@@ -596,3 +596,112 @@ def validate_png_payloads(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "data", "meta").mapInPandas(
         fn, schema=_PAYLOAD_VIOLATION_SCHEMA
     )
+
+
+# ------------------------------------------ real-format (JPEG) validation
+
+def jpeg_media_from_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    corrupt_sig_mod: int = 37,
+    corrupt_trunc_mod: int = 41,
+    corrupt_seg_mod: int = 43,
+    corrupt_marker_mod: int = 47,
+    corrupt_catalog_mod: int = 53,
+) -> DataFrame:
+    """Deterministic media table of structurally REAL JPEG bytes
+    (functions/jpeg.py marker skeleton; dims and the byte-stuffed
+    entropy payload derived from the id), with FIVE marker-stream
+    defect classes planted on id mods:
+
+    * ``corrupt_sig_mod``    — SOI first byte zeroed
+    * ``corrupt_trunc_mod``  — file cut 6 bytes short (drops EOI)
+    * ``corrupt_seg_mod``    — DQT length field rewritten to run past
+      the buffer (the corrupt-length class)
+    * ``corrupt_marker_mod`` — unescaped invalid marker (FF 05)
+      injected into the entropy stream
+    * ``corrupt_catalog_mod``— catalog ``meta.width`` one off
+
+    Overlapping ids resolve by the validator's PARSE ORDER (signature,
+    then the segment walk, then the entropy scan — so a corrupt
+    segment length is seen before a truncated tail, and an injected
+    marker before the missing EOI behind it); the DuckDB oracle's CASE
+    replays that exact order.
+    """
+    import struct as _struct
+
+    from datavalid_spark.functions.jpeg import jpeg_encode_stub
+
+    def build(did: int) -> tuple[bytes, int, int, int]:
+        w = did % 24 + 4
+        h = (did * 7) % 24 + 4
+        entropy = bytes(
+            (did * 31 + i * 7) % 256 for i in range(16 + did % 32)
+        )
+        b = jpeg_encode_stub(w, h, entropy)
+        if did % corrupt_seg_mod == 0:
+            i = b.find(b"\xff\xdb")
+            b = b[: i + 2] + _struct.pack(">H", 60000) + b[i + 4 :]
+        if did % corrupt_marker_mod == 0:
+            i = b.find(b"\xff\xda")
+            ln = _struct.unpack(">H", b[i + 2 : i + 4])[0]
+            cut = i + 2 + ln
+            b = b[:cut] + b"\xff\x05" + b[cut:]
+        if did % corrupt_trunc_mod == 0:
+            b = b[:-6]
+        if did % corrupt_sig_mod == 0:
+            b = b"\x00" + b[1:]
+        cat_w = w + (1 if did % corrupt_catalog_mod == 0 else 0)
+        return b, w, h, cat_w
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "kind": [], "data": [], "meta": []}
+            for did in pdf[id_col]:
+                did = int(did)
+                b, w, h, cat_w = build(did)
+                rows["doc_id"].append(did)
+                rows["kind"].append("image")
+                rows["data"].append(b)
+                rows["meta"].append(
+                    {
+                        "mime": "image/jpeg",
+                        "width": cat_w,
+                        "height": h,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(fn, schema=MEDIA_SCHEMA)
+
+
+def validate_jpeg_payloads(media: DataFrame) -> DataFrame:
+    """Structural validation of JPEG payloads in one Arrow pass:
+    SOI/EOI framing, FF-marker segment walk with length-bound checks,
+    byte-stuffing integrity of the entropy stream, SOF presence, and
+    SOF dims vs the catalog ``meta``.  Returns (doc_id, reason) for
+    violating rows only.  Per row the work is a ~5-segment walk plus a
+    C-speed ``find`` scan over the entropy bytes — no per-byte
+    Python."""
+    from datavalid_spark.functions.jpeg import jpeg_validate_reason
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            reasons = []
+            for data, meta in zip(pdf["data"], pdf["meta"]):
+                w = None if meta is None else meta["width"]
+                h = None if meta is None else meta["height"]
+                reasons.append(
+                    jpeg_validate_reason(
+                        None if data is None else bytes(data), w, h
+                    )
+                )
+            out = pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "reason": reasons}
+            )
+            yield out[out["reason"].notna()]
+
+    return media.select("doc_id", "data", "meta").mapInPandas(
+        fn, schema=_PAYLOAD_VIOLATION_SCHEMA
+    )

@@ -133,3 +133,78 @@ def test_png_backend_resize_round_trip(spark):
     assert resized["meta"]["width"] == 6 and resized["meta"]["height"] == 7
     # resized output is itself a valid PNG per the validator
     assert png_validate_reason(bytes(resized["data"]), 6, 7) is None
+
+
+# ------------------------------------------------------------ JPEG sibling
+
+from datavalid_spark.functions.jpeg import (  # noqa: E402
+    jpeg_encode_stub,
+    jpeg_parse,
+    jpeg_validate_reason,
+)
+from datavalid_spark.operators.multimodal import (  # noqa: E402
+    jpeg_media_from_docs,
+    validate_jpeg_payloads,
+)
+
+
+def test_jpeg_skeleton_valid_and_parses_dims():
+    b = jpeg_encode_stub(33, 21, entropy=bytes(range(256)) * 3)
+    assert jpeg_parse(b) == (33, 21)
+    assert jpeg_validate_reason(b) is None
+    assert jpeg_validate_reason(b, 33, 21) is None
+    assert jpeg_validate_reason(b, 34, 21) == "catalog dims mismatch"
+
+
+def test_jpeg_defect_classes():
+    import struct
+
+    b = jpeg_encode_stub(8, 6, entropy=b"entropy-bytes\xff\x01\xffmore")
+    assert jpeg_validate_reason(b"\x00" + b[1:]) == "bad signature"
+    assert jpeg_validate_reason(b[:-6]) == "truncated"
+    i = b.find(b"\xff\xdb")
+    seg = b[: i + 2] + struct.pack(">H", 60000) + b[i + 4 :]
+    assert jpeg_validate_reason(seg) == "bad segment"
+    i = b.find(b"\xff\xda")
+    ln = struct.unpack(">H", b[i + 2 : i + 4])[0]
+    cut = i + 2 + ln
+    marked = b[:cut] + b"\xff\x05" + b[cut:]
+    assert jpeg_validate_reason(marked) == "bad marker"
+    # stuffed FFs and restart markers in entropy data are NOT defects
+    rst = b[:cut] + b"\xff\xd0" + b[cut:]
+    assert jpeg_validate_reason(rst) is None
+    assert jpeg_validate_reason(None) == "bad signature"
+
+
+def test_jpeg_overlap_precedence_is_parse_order():
+    """A payload carrying both a corrupt segment length AND a
+    truncated tail reports the segment defect — the walk reaches it
+    first — matching the oracle's CASE order (43 before 41)."""
+    import struct
+
+    b = jpeg_encode_stub(8, 6, entropy=b"0123456789abcdef")
+    i = b.find(b"\xff\xdb")
+    both = (b[: i + 2] + struct.pack(">H", 60000) + b[i + 4 :])[:-6]
+    assert jpeg_validate_reason(both) == "bad segment"
+    # injected entropy marker + truncation → the marker is hit first
+    i = b.find(b"\xff\xda")
+    cut = i + 2 + struct.unpack(">H", b[i + 2 : i + 4])[0]
+    both2 = (b[:cut] + b"\xff\x05" + b[cut:])[:-6]
+    assert jpeg_validate_reason(both2) == "bad marker"
+
+
+def test_validate_jpeg_payloads_classes(spark):
+    ids = [0, 37 * 2, 41 * 2, 43 * 2, 47 * 2, 53 * 2, 1, 2, 3]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        (r["doc_id"], r["reason"])
+        for r in validate_jpeg_payloads(jpeg_media_from_docs(df)).collect()
+    }
+    assert got == {
+        (0, "bad signature"),
+        (74, "bad signature"),
+        (82, "truncated"),
+        (86, "bad segment"),
+        (94, "bad marker"),
+        (106, "catalog dims mismatch"),
+    }
