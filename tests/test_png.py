@@ -208,3 +208,39 @@ def test_validate_jpeg_payloads_classes(spark):
         (94, "bad marker"),
         (106, "catalog dims mismatch"),
     }
+
+
+# ------------------------------------------------- property tests
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    ch=st.sampled_from([1, 3]),
+    ft=st.integers(0, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_round_trip_property(w, h, ch, ft, seed):
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if ch == 1 else (h, w, 3)
+    img = rng.randint(0, 256, shape, dtype=np.uint8)
+    data = png_encode(img, filter_type=ft)
+    assert np.array_equal(png_decode(data), img)
+    assert png_validate_reason(data, w, h) is None
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 4096),
+    h=st.integers(1, 4096),
+    entropy=st.binary(min_size=0, max_size=512),
+)
+def test_jpeg_skeleton_property(w, h, entropy):
+    b = jpeg_encode_stub(w, h, entropy)
+    assert jpeg_parse(b) == (w, h)
+    assert jpeg_validate_reason(b, w, h) is None
+    # any single-byte truncation of the tail is caught (never passes)
+    assert jpeg_validate_reason(b[:-1]) is not None

@@ -239,9 +239,12 @@ def write_md(summary: dict, iters: int) -> None:
         f"Raw summary: `{json.dumps(summary)}`",
         "",
     ]
-    with open("BENCH/BASELINE.md", "w") as f:
+    # write a sibling file: BENCH/BASELINE.md has accumulated many
+    # hand-written sections since round 2 — regenerating it from one
+    # study summary would silently discard them (it did, once)
+    with open("BENCH/scaling_latest.md", "w") as f:
         f.write("\n".join(lines))
-    print("wrote BENCH/BASELINE.md")
+    print("wrote BENCH/scaling_latest.md (merge into BENCH/BASELINE.md by hand)")
 
 
 if __name__ == "__main__":
