@@ -514,3 +514,47 @@ def test_stateful_frequent_items_across_batches(spark, tmp_path):
     for item, r in last.items():
         t = truth[item]
         assert r["est_cnt"] <= t <= r["est_cnt"] + r["max_undercount"], (item, t)
+
+
+def test_streaming_png_payload_validation_parity(spark, tmp_path):
+    """Real-format payload validation composes with Structured
+    Streaming unchanged: validate_png_payloads is a row-local
+    mapInPandas transformation, so readStream → validate → sink is the
+    same function as the batch pass.  Two micro-batches of planted-
+    defect PNG media are streamed and the union of streamed violations
+    must equal the batch validator over the combined corpus — the
+    stream↔batch reconciliation contract the fixture-container
+    validator already pins."""
+    import os
+
+    from datavalid_spark.operators.multimodal import (
+        png_media_from_docs,
+        validate_png_payloads,
+    )
+    from datavalid_spark.streaming.validate_stream import run_to_memory
+
+    src = str(tmp_path / "media_in")
+    os.makedirs(src)
+    ids1 = [0, 1, 2, 37, 41, 43]
+    ids2 = [47, 53, 74, 82, 5, 6]
+    for batch in (ids1, ids2):
+        df = spark.createDataFrame([(i,) for i in batch], "doc_id long")
+        png_media_from_docs(df).coalesce(1).write.mode("append").parquet(src)
+
+    media_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(media_schema).parquet(src)
+    streamed = run_to_memory(
+        validate_png_payloads(stream), "png_violations", timeout_sec=120
+    )
+    got = {(r["doc_id"], r["reason"]) for r in streamed.collect()}
+
+    batch_df = spark.createDataFrame(
+        [(i,) for i in ids1 + ids2], "doc_id long"
+    )
+    want = {
+        (r["doc_id"], r["reason"])
+        for r in validate_png_payloads(
+            png_media_from_docs(batch_df)
+        ).collect()
+    }
+    assert got == want and len(want) >= 6
