@@ -2263,6 +2263,39 @@ def q_multimodal_jpeg(spark, sf_dir):
     )
 
 
+def q_multimodal_auto(spark, sf_dir):
+    """Mixed-format corpus validation in ONE Arrow pass
+    (operators/multimodal.validate_payloads_auto): a single media
+    table carries PNG (doc_id%3=0), JPEG (%3=1), and fixture-container
+    (%3=2) payloads; each row dispatches on its MAGIC BYTES to the
+    matching structural validator.  ``strict=True``: a payload whose
+    magic matches no known format — including the planted
+    signature-corruption class, which is indistinguishable from an
+    unknown format by content — reports ``unknown format``.  The
+    oracle replays each branch's plant rules (PNG/JPEG) or rebuilds
+    the container bytes in SQL (the multimodal_validate construction),
+    with the per-branch precedence the validators document."""
+    from datavalid_spark.operators.multimodal import (
+        jpeg_media_from_docs,
+        media_from_text,
+        png_media_from_docs,
+        validate_payloads_auto,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    nosize = F.lit(None).cast("long").alias("declared_size")
+    cols = ["doc_id", "kind", "data", "declared_size", "meta"]
+    png = png_media_from_docs(docs.filter(F.col("doc_id") % 3 == 0)).select(
+        "doc_id", "kind", "data", nosize, "meta"
+    )
+    jpg = jpeg_media_from_docs(docs.filter(F.col("doc_id") % 3 == 1)).select(
+        "doc_id", "kind", "data", nosize, "meta"
+    )
+    cont = media_from_text(docs.filter(F.col("doc_id") % 3 == 2)).select(*cols)
+    mixed = png.unionByName(jpg).unionByName(cont)
+    return validate_payloads_auto(mixed, strict=True)
+
+
 def _dsir_models(spark, sf_dir):
     """Shared DSIR model fit: target = the English slice, raw = the
     whole corpus (ns=(1,2), 4096 md5 buckets — oracle-reproducible).
@@ -2975,6 +3008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Block C: new round-4 queries are inserted here as added.
         "multimodal_png": q_multimodal_png,
         "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_auto": q_multimodal_auto,
         "graph_pagerank_tol": q_graph_pagerank_tol,
         "quantile_bounds_verdicts": q_quantile_bounds_verdicts,
         "max_oov_verdicts": q_max_oov_verdicts,
@@ -5363,6 +5397,62 @@ SELECT doc_id,
 FROM documents
 WHERE doc_id % 37 = 0 OR doc_id % 41 = 0 OR doc_id % 43 = 0
    OR doc_id % 47 = 0 OR doc_id % 53 = 0
+""",
+        # mixed-format dispatch under strict=True: PNG branch (%3=0)
+        # and JPEG branch (%3=1) replay their plant rules with the
+        # signature class relabelled 'unknown format' (a corrupt magic
+        # is indistinguishable from an unknown format by content); the
+        # container branch (%3=2, text rows only) REBUILDS the blobs
+        # in SQL exactly like the multimodal_validate oracle — its
+        # defect classes depend on actual byte lengths, not only mods
+        "multimodal_auto": """
+WITH pngs AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 37 = 0 THEN 'unknown format'
+         WHEN doc_id % 41 = 0 THEN 'truncated'
+         WHEN doc_id % 43 = 0 THEN 'bad crc'
+         WHEN doc_id % 47 = 0 THEN 'dims mismatch'
+         WHEN doc_id % 53 = 0 THEN 'catalog dims mismatch'
+    END AS reason
+  FROM documents WHERE doc_id % 3 = 0),
+jpegs AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 37 = 0 THEN 'unknown format'
+         WHEN doc_id % 43 = 0 THEN 'bad segment'
+         WHEN doc_id % 47 = 0 THEN 'bad marker'
+         WHEN doc_id % 41 = 0 THEN 'truncated'
+         WHEN doc_id % 53 = 0 THEN 'catalog dims mismatch'
+    END AS reason
+  FROM documents WHERE doc_id % 3 = 1),
+cm AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 43 = 0
+         THEN substr(text, 1, CAST(length(text) // 2 AS INT))
+         ELSE text END AS body,
+    octet_length(encode(text)) AS hdr_len,
+    CASE WHEN doc_id % 47 = 0 THEN '00000000'
+         ELSE substr(md5(text), 1, 8) END AS ck_stored
+  FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 2),
+cv AS (
+  SELECT doc_id,
+    octet_length(encode(body)) AS body_len,
+    hdr_len, ck_stored,
+    substr(md5(body), 1, 8) AS ck_actual,
+    octet_length(encode(body))
+      + CASE WHEN doc_id % 41 = 0 THEN 7 ELSE 0 END AS declared_size
+  FROM cm),
+conts AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 37 = 0 THEN 'unknown format'
+         WHEN body_len < hdr_len THEN 'truncated'
+         WHEN ck_actual <> ck_stored THEN 'checksum mismatch'
+         WHEN body_len <> declared_size THEN 'size mismatch'
+    END AS reason
+  FROM cv)
+SELECT doc_id, reason FROM (
+  SELECT * FROM pngs UNION ALL SELECT * FROM jpegs
+  UNION ALL SELECT * FROM conts)
+WHERE reason IS NOT NULL
 """,
         # exact interpolated percentile: Spark `percentile` ≡ DuckDB
         # `quantile_cont` (same q·(n-1) linear interpolation); verdict

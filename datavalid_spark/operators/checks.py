@@ -688,6 +688,12 @@ try:
 except ImportError:  # pragma: no cover - mid-import of graph_check
     pass
 
+try:
+    # registers "valid_media" (same pattern)
+    from datavalid_spark.operators import media_check as _media_check  # noqa: E402,F401
+except ImportError:  # pragma: no cover - mid-import of media_check
+    pass
+
 
 def build_table_check(key: str, value, today: Optional[datetime.date] = None) -> TableCheck:
     if key not in TABLE_CHECKS:
@@ -719,6 +725,7 @@ def build_table_check(key: str, value, today: Optional[datetime.date] = None) ->
         "max_degree",
         "acyclic",
         "no_overlap",
+        "valid_media",
     ):
         return cls(**(value or {}))
     kwargs = dict(value or {})

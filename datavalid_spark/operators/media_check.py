@@ -1,0 +1,133 @@
+"""``valid_media`` YAML table check: structural payload validation of
+binary media columns on the task surface.
+
+The multimodal validators (`operators/multimodal.py`,
+`functions/png.py`, `functions/jpeg.py`) do the work; this check puts
+them on the reference's table-checker contract (task fails iff any
+payload is structurally invalid; ``violations`` returns the offending
+ROWS with their original columns — reference task.py:26-130
+convention), so a data platform can gate ingestion with::
+
+    tasks:
+      - name: image payloads are intact
+        valid_media:
+          id: doc_id
+          format: auto          # png | jpeg | container | auto
+          strict: false         # auto only: flag unknown formats?
+
+Scale shape: one Arrow pass over (id, kind, data, declared_size?,
+meta) — row-local work (chunk walks, CRC32/inflate C calls), zero
+shuffle; the violations join carries only the (tiny) offending-id
+set back against the original rows through the size-gated broadcast.
+
+Reference scope note: the reference validates CSV-shaped frames only;
+this extends the table-check family (SURVEY.md §2.6) on the same
+registration surface as dedup_check / quality_checks.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datavalid_spark.cache import gated_broadcast
+from datavalid_spark.operators.checks import CheckResult, TableCheck
+
+_FORMATS = ("png", "jpeg", "container", "auto")
+
+
+class ValidMediaCheck(TableCheck):
+    key = "valid_media"
+
+    def __init__(
+        self,
+        id: Optional[str] = None,  # noqa: A002 - YAML surface name
+        format: str = "auto",  # noqa: A002
+        strict: bool = False,
+        broadcast_key_limit: int = 1_000_000,
+    ):
+        if id is None:
+            raise ValueError('should contain key "id"')
+        if not isinstance(id, str):
+            raise ValueError('"id" should be a column name')
+        if format not in _FORMATS:
+            raise ValueError(
+                '"format" should be one of %s' % ", ".join(_FORMATS)
+            )
+        if not isinstance(strict, bool):
+            raise ValueError('"strict" should be a boolean')
+        self.id = id
+        self.format = format
+        self.strict = strict
+        self.broadcast_key_limit = broadcast_key_limit
+
+    def reasons(self, df: DataFrame) -> DataFrame:
+        """(doc_id, reason) for structurally invalid payloads — the
+        per-payload diagnosis ``violations`` joins back to rows."""
+        from datavalid_spark.operators import multimodal as mm
+
+        media = df
+        if self.id != "doc_id":
+            media = media.withColumn("doc_id", F.col(self.id))
+        if self.format == "png":
+            return mm.validate_png_payloads(media)
+        if self.format == "jpeg":
+            return mm.validate_jpeg_payloads(media)
+        if self.format == "container":
+            return mm.validate_payloads(media)
+        return mm.validate_payloads_auto(media, strict=self.strict)
+
+    def violations(self, df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+        bad_ids = self.reasons(df).select(
+            F.col("doc_id").alias(self.id)
+        ).distinct()
+        return df.join(
+            gated_broadcast(bad_ids, self.broadcast_key_limit),
+            [self.id],
+            "left_semi",
+        ).select(*df.columns)
+
+    def run(self, df: DataFrame, group_cols: Sequence[str] = ()) -> CheckResult:
+        # diagnose once: the reasons frame is tiny (violations only) —
+        # sample, count, and the row join all reuse one materialisation
+        reasons = self.reasons(df).localCheckpoint(eager=True)
+        sample = reasons.orderBy("doc_id").limit(3).collect()
+        if not sample:
+            return CheckResult(True, None, None, 0)
+        n = reasons.count()
+        detail = ", ".join(
+            "%s (%s)" % (r["doc_id"], r["reason"]) for r in sample
+        )
+        bad_ids = reasons.select(
+            F.col("doc_id").alias(self.id)
+        ).distinct()
+        viol = df.join(
+            gated_broadcast(bad_ids, self.broadcast_key_limit),
+            [self.id],
+            "left_semi",
+        ).select(*df.columns)
+        return CheckResult(
+            False,
+            "%d structurally invalid %s payload(s): e.g. %s"
+            % (n, self.format, detail),
+            viol,
+            n,
+        )
+
+    def _err_msg(self, n: int) -> str:  # pragma: no cover - run() custom
+        return "invalid media payload"
+
+    def to_markdown(self) -> str:
+        what = {
+            "png": "PNG", "jpeg": "JPEG",
+            "container": "container", "auto": "media",
+        }[self.format]
+        return "Ensure every %s payload is structurally valid" % what
+
+
+# self-registration (same import-cycle dodge as dedup_check)
+from datavalid_spark.operators import checks as _checks  # noqa: E402
+
+_checks.TABLE_CHECKS.setdefault("valid_media", ValidMediaCheck)

@@ -705,3 +705,100 @@ def validate_jpeg_payloads(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "data", "meta").mapInPandas(
         fn, schema=_PAYLOAD_VIOLATION_SCHEMA
     )
+
+
+# ------------------------------------- mixed-format dispatch validation
+
+def _container_reason(b, declared_size, kind, meta) -> "str | None":
+    """Row-scalar twin of ``validate_payloads``'s vectorized pass —
+    byte-identical semantics (precedence: bad magic > truncated >
+    checksum > size > dims) so the auto dispatcher and the dedicated
+    validator agree on every payload."""
+    if b is None or bytes(b[:4]) != PAYLOAD_MAGIC:
+        return "bad magic"
+    b = bytes(b)
+    if len(b) < HEADER_LEN:
+        return "truncated"
+    try:
+        hdr_len = int(b[21:29])
+    except ValueError:
+        return "truncated"
+    body = b[HEADER_LEN:]
+    if len(body) < hdr_len:
+        return "truncated"
+    if hashlib.md5(body).hexdigest()[:8].encode("ascii") != b[13:21]:
+        return "checksum mismatch"
+    if declared_size is None or len(body) != declared_size:
+        return "size mismatch"
+    if kind == "image":
+        try:
+            hdr_w, hdr_h = int(b[4:8]), int(b[9:13])
+        except ValueError:
+            return "dims mismatch"
+        mw = None if meta is None else meta["width"]
+        mh = None if meta is None else meta["height"]
+        if mw is None or mh is None or hdr_w != mw or hdr_h != mh:
+            return "dims mismatch"
+    return None
+
+
+def validate_payloads_auto(
+    media: DataFrame, strict: bool = False
+) -> DataFrame:
+    """Mixed-format payload validation in ONE Arrow pass: each row
+    dispatches on its MAGIC BYTES (content truth, not the catalog's
+    mime claim) — PNG signature → the chunk/CRC/zlib validator, JPEG
+    SOI → the marker-stream validator, the engine's fixture container
+    magic → the header/checksum validator.  A payload matching none of
+    them passes when ``strict=False`` (the curation default: unknown
+    formats are someone else's stage) and reports ``unknown format``
+    when ``strict=True``.  Returns (doc_id, reason) for violations
+    only — the realistic corpus shape where one table carries many
+    formats and the validation pass must not need per-format tables.
+    """
+    from datavalid_spark.functions.jpeg import SOI, jpeg_validate_reason
+    from datavalid_spark.functions.png import (
+        SIGNATURE as _PNG_SIG,
+        png_validate_reason,
+    )
+
+    def one(data, declared_size, kind, meta):
+        b = None if data is None else bytes(data)
+        mw = None if meta is None else meta["width"]
+        mh = None if meta is None else meta["height"]
+        if b is not None and b[:8] == _PNG_SIG:
+            return png_validate_reason(b, mw, mh)
+        if b is not None and b[:2] == SOI:
+            return jpeg_validate_reason(b, mw, mh)
+        if b is not None and b[:4] == PAYLOAD_MAGIC:
+            return _container_reason(b, declared_size, kind, meta)
+        return "unknown format" if strict else None
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            has_size = "declared_size" in pdf.columns
+            reasons = [
+                one(
+                    d,
+                    int(s) if has_size and s == s and s is not None else None,
+                    k,
+                    m,
+                )
+                for d, s, k, m in zip(
+                    pdf["data"],
+                    pdf["declared_size"] if has_size else [None] * len(pdf),
+                    pdf["kind"],
+                    pdf["meta"],
+                )
+            ]
+            out = pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "reason": reasons}
+            )
+            yield out[out["reason"].notna()]
+
+    cols = ["doc_id", "kind", "data", "meta"]
+    if "declared_size" in media.columns:
+        cols.insert(3, "declared_size")
+    return media.select(*cols).mapInPandas(
+        fn, schema=_PAYLOAD_VIOLATION_SCHEMA
+    )

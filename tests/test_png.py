@@ -244,3 +244,130 @@ def test_jpeg_skeleton_property(w, h, entropy):
     assert jpeg_validate_reason(b, w, h) is None
     # any single-byte truncation of the tail is caught (never passes)
     assert jpeg_validate_reason(b[:-1]) is not None
+
+
+# ----------------------------------------- mixed-format dispatch + YAML
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from datavalid_spark.operators.checks import build_table_check  # noqa: E402
+from datavalid_spark.operators.multimodal import (  # noqa: E402
+    media_from_text,
+    validate_payloads,
+    validate_payloads_auto,
+)
+
+
+def _mixed_media(spark, ids):
+    docs = spark.createDataFrame(
+        [(i, f"some deterministic text body number {i} with words") for i in ids],
+        "doc_id long, text string",
+    )
+    nosize = F.lit(None).cast("long").alias("declared_size")
+    cols = ["doc_id", "kind", "data", "declared_size", "meta"]
+    png = png_media_from_docs(docs.filter(F.col("doc_id") % 3 == 0)).select(
+        "doc_id", "kind", "data", nosize, "meta"
+    )
+    jpg = jpeg_media_from_docs(docs.filter(F.col("doc_id") % 3 == 1)).select(
+        "doc_id", "kind", "data", nosize, "meta"
+    )
+    cont = media_from_text(docs.filter(F.col("doc_id") % 3 == 2)).select(*cols)
+    return png.unionByName(jpg).unionByName(cont)
+
+
+def test_auto_dispatch_agrees_with_dedicated_validators(spark):
+    """Per-format slices of the auto pass equal the dedicated
+    validators (the container's signature class excepted: content
+    cannot distinguish corrupt magic from unknown format — strict mode
+    relabels it)."""
+    ids = list(range(120))
+    mixed = _mixed_media(spark, ids)
+    auto = {
+        (r["doc_id"], r["reason"])
+        for r in validate_payloads_auto(mixed, strict=True).collect()
+    }
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+    def relabel(pairs, sig_label):
+        return {
+            (d, "unknown format" if r == sig_label else r) for d, r in pairs
+        }
+
+    png_want = relabel(
+        {
+            (r["doc_id"], r["reason"])
+            for r in validate_png_payloads(
+                png_media_from_docs(docs.filter(F.col("doc_id") % 3 == 0))
+            ).collect()
+        },
+        "bad signature",
+    )
+    jpg_want = relabel(
+        {
+            (r["doc_id"], r["reason"])
+            for r in validate_jpeg_payloads(
+                jpeg_media_from_docs(docs.filter(F.col("doc_id") % 3 == 1))
+            ).collect()
+        },
+        "bad signature",
+    )
+    texts = spark.createDataFrame(
+        [(i, f"some deterministic text body number {i} with words") for i in ids],
+        "doc_id long, text string",
+    )
+    cont_want = relabel(
+        {
+            (r["doc_id"], r["reason"])
+            for r in validate_payloads(
+                media_from_text(texts.filter(F.col("doc_id") % 3 == 2))
+            ).collect()
+        },
+        "bad magic",
+    )
+    assert auto == png_want | jpg_want | cont_want
+    assert len(auto) >= 8  # non-vacuous: several classes fired
+
+
+def test_auto_non_strict_passes_unknown(spark):
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"GIF89a-not-a-known-format"), None,
+          {"mime": "image/gif", "width": 3, "height": 3, "duration_ms": None})],
+        "doc_id long, kind string, data binary, declared_size long, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    assert validate_payloads_auto(df, strict=False).count() == 0
+    rows = validate_payloads_auto(df, strict=True).collect()
+    assert [(r["doc_id"], r["reason"]) for r in rows] == [(1, "unknown format")]
+
+
+def test_valid_media_yaml_check(spark):
+    ids = list(range(90))
+    mixed = _mixed_media(spark, ids)
+    check = build_table_check(
+        "valid_media", {"id": "doc_id", "format": "auto", "strict": True}
+    )
+    res = check.run(mixed)
+    assert not res.passed and res.n_violations >= 5
+    assert "structurally invalid" in res.err_msg
+    # violations are original ROWS (reference convention), media schema
+    assert set(res.violations.columns) == set(mixed.columns)
+    bad_ids = {r["doc_id"] for r in res.violations.select("doc_id").collect()}
+    want_ids = {
+        r["doc_id"]
+        for r in validate_payloads_auto(mixed, strict=True).collect()
+    }
+    assert bad_ids == want_ids
+    # group verdicts ride the base contract
+    gv = {r["kind"]: r["n_violations"] for r in check.group_verdicts(mixed, ["kind"]).collect()}
+    assert sum(gv.values()) == len(want_ids)
+    # a clean PNG-only table passes
+    clean = png_media_from_docs(
+        spark.createDataFrame([(3,), (6, ), (9,)], "doc_id long")
+    ).select("doc_id", "kind", "data", F.lit(None).cast("long").alias("declared_size"), "meta")
+    assert check.run(clean).passed
+    # config errors
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match='"format"'):
+        build_table_check("valid_media", {"id": "doc_id", "format": "gif"})
+    with _pytest.raises(ValueError, match='should contain key "id"'):
+        build_table_check("valid_media", {"format": "png"})
