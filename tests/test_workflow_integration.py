@@ -98,3 +98,62 @@ def test_full_maintenance_story(spark, story):
     ops = [s["operation"] for s in t.snapshots()]
     assert ops[0] == "create" and ops[-1] == "replace"
     assert "delete" in ops
+
+
+def test_media_corpus_story(spark, tmp_path):
+    """Round-4 narrative: a MEDIA corpus lives in a bloom-equipped
+    snapshot table; ingestion is gated by the `valid_media` YAML check;
+    a corrupt batch is caught, its rows LOCATED by a bloom-pruned point
+    probe (opening O(probes) files, not the table), repaired
+    copy-on-write, and the re-validation comes back clean with history
+    intact.  Each piece has its own unit tests; this pins composition."""
+    from pyspark.sql import functions as F
+
+    from datavalid_spark.operators.checks import build_table_check
+    from datavalid_spark.operators.multimodal import png_media_from_docs
+    from datavalid_spark.sources.snaplog import SnapshotTable
+
+    def media(ids):
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        return (
+            png_media_from_docs(df)
+            .withColumn("sha", F.sha2(F.col("data"), 256))
+            .coalesce(1)
+        )
+
+    check = build_table_check("valid_media", {"id": "doc_id", "format": "png"})
+    t = SnapshotTable(spark, str(tmp_path / "media"), bloom_columns=("sha",))
+
+    # 1. clean ingestion in three commits (ids avoid every defect mod)
+    clean = [i for i in range(1, 400) if all(i % m for m in (37, 41, 43, 47, 53))]
+    t.create(media(clean[:120]))
+    t.append(media(clean[120:240]))
+    t.append(media(clean[240:]))
+    good_sid = t.current_snapshot_id()
+    assert check.run(t.read()).passed
+
+    # 2. a corrupt batch lands: ids hitting the truncation + crc mods
+    bad_ids = [41 * 3, 43 * 3, 41 * 5]
+    t.append(media(bad_ids + clean[:2]))  # mixed batch, mostly fine
+    res = check.run(t.read())
+    assert not res.passed and res.n_violations == len(bad_ids)
+
+    # 3. locate the offenders' FILES with a bloom point probe on their
+    #    payload hashes — bounds on sha span everything, so only the
+    #    membership sidecars can narrow the scan
+    bad_rows = res.violations.select("doc_id", "sha").collect()
+    probe = [r["sha"] for r in bad_rows]
+    kept, total = t.prune_files([("sha", "in", probe)])
+    assert total == 4 and len(kept) == 1  # all in the one new file
+    assert sorted(
+        r["doc_id"] for r in t.scan([("sha", "in", probe)]).collect()
+    ) == sorted(bad_ids)
+
+    # 4. copy-on-write repair: delete the corrupt rows; only the file
+    #    that holds them is rewritten, history stays time-travelable
+    t2 = SnapshotTable(spark, t.root, bloom_columns=("sha",))
+    t2.delete([("doc_id", "in", bad_ids)])
+    assert check.run(t2.read()).passed
+    assert t2.read().count() == len(clean) + 2
+    # the pre-repair snapshot still shows the corruption (audit trail)
+    assert not check.run(t2.read(good_sid + 1)).passed
