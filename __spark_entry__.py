@@ -2106,15 +2106,17 @@ def q_code_balance(spark, sf_dir):
         F.when(did % 5 == 0, F.lit(")")).otherwise(F.lit("")),
     )
     b = delim_balance(content)
-    return (
-        docs.select(
-            "doc_id",
-            b["brace_balance"].alias("brace_balance"),
-            b["paren_balance"].alias("paren_balance"),
-            b["bracket_balance"].alias("bracket_balance"),
-            b["suspect_truncated"].alias("suspect_truncated"),
-        )
-        .filter(F.col("suspect_truncated"))
+    # filter BEFORE projecting the struct fields: filtering the aliased
+    # field lets predicate pushdown clone the whole balance builder
+    # into the filter above the projection (2× per row); filtering the
+    # expression directly runs it once per row, and the projection
+    # re-evaluates only on the few surviving rows
+    return docs.filter(b["suspect_truncated"]).select(
+        "doc_id",
+        b["brace_balance"].alias("brace_balance"),
+        b["paren_balance"].alias("paren_balance"),
+        b["bracket_balance"].alias("bracket_balance"),
+        b["suspect_truncated"].alias("suspect_truncated"),
     )
 
 

@@ -358,6 +358,37 @@ def let_once(value: Column, fn) -> Column:
     return F.get(F.transform(F.array(value), fn), 0)
 
 
+def grams_with_count(col: Column | str, n: int) -> Column:
+    """``array<struct<gram:string, n_grams:long>>`` — the document's
+    DISTINCT word n-grams, each element carrying the document's
+    distinct-gram count — as ONE let-bound expression tree built to be
+    exploded INLINE in the same projection that builds it.
+
+    Why the count rides inside every element instead of being a sibling
+    projection column: exploding an array that was aliased in a lower
+    projection lets ``InferFiltersFromGenerate`` put ``size(arr) > 0
+    AND isnotnull(arr)`` above that projection, and predicate-pushdown
+    alias substitution then clones the whole tokenizer+gram builder
+    into both predicates — 3 evaluations per row (the let_once pushdown
+    trap at the plan-node level, where let_once itself can't reach;
+    measured 7× on the winnowing scan).  One generator expression,
+    evaluated once, sidesteps the inference entirely."""
+    c = F.col(col) if isinstance(col, str) else col
+    return let_once(
+        nonempty_tokens(c),
+        lambda t: let_once(
+            word_ngrams_of_tokens(t, n),
+            lambda g: F.transform(
+                g,
+                lambda x: F.struct(
+                    x.alias("gram"),
+                    F.size(g).cast("long").alias("n_grams"),
+                ),
+            ),
+        ),
+    )
+
+
 def dup_gram_frac_text(
     col: Column | str, n: int, max_frac: float
 ) -> Column:

@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from datavalid_spark.cache import gated_broadcast
-from datavalid_spark.functions.text import nonempty_tokens, word_ngrams_of_tokens
+from datavalid_spark.functions.text import (
+    grams_with_count,
+    let_once,
+    nonempty_tokens,
+    word_ngrams_of_tokens,
+)
 
 
 def benchmark_ngrams(
@@ -36,17 +41,17 @@ def benchmark_ngrams(
 
     Distinct per document scan-side first (array_distinct inside the
     n-gram builder) so the global distinct's shuffle carries no
-    within-document duplicates.  Tokens are materialised in their own
-    projection: higher-order functions evaluate interpreted, so a
-    tokenizer inlined into the per-gram lambda re-runs at every gram
-    (the shingles_of_normalized caveat — measured ~8× slower here)."""
-    toks = benchmark.select(nonempty_tokens(text_col).alias("__dv_t"))
-    return (
-        toks.select(
-            F.explode(word_ngrams_of_tokens(F.col("__dv_t"), n)).alias("gram")
-        )
-        .distinct()
+    within-document duplicates.  Tokens are let-bound (not a separate
+    projection): a tokenizer inlined raw into the per-gram lambda
+    re-runs at every gram, while a tokens PROJECTION under an explode
+    gets the whole builder cloned into the generator's inferred filter
+    — ``let_once`` + inline explode avoids both (see
+    ``text.grams_with_count``)."""
+    gen = let_once(
+        nonempty_tokens(text_col),
+        lambda t: word_ngrams_of_tokens(t, n),
     )
+    return benchmark.select(F.explode(gen).alias("gram")).distinct()
 
 
 def contamination_report(
@@ -70,17 +75,16 @@ def contamination_report(
     bench = gated_broadcast(
         benchmark_ngrams(benchmark, text_col, n), broadcast_key_limit
     )
-    # materialise tokens, then the gram array, each in its own
-    # projection (an inlined builder re-evaluates per consumer / per
-    # lambda element — see benchmark_ngrams)
+    # one generator expression: each exploded element carries the
+    # document's gram count, so tokenizer + builder run exactly once
+    # per row (see text.grams_with_count for the plan-level trap the
+    # old three-projection shape hit)
     doc_grams = docs.select(
-        F.col(id_col), nonempty_tokens(text_col).alias("__dv_t")
-    ).select(
-        F.col(id_col), word_ngrams_of_tokens(F.col("__dv_t"), n).alias("__dv_g")
+        F.col(id_col), F.explode(grams_with_count(text_col, n)).alias("__f")
     ).select(
         F.col(id_col),
-        F.size("__dv_g").cast("long").alias("n_grams"),
-        F.explode("__dv_g").alias("gram"),
+        F.col("__f.n_grams").alias("n_grams"),
+        F.col("__f.gram").alias("gram"),
     )
     hits = doc_grams.join(bench, "gram")
     return hits.groupBy(id_col, "n_grams").agg(
@@ -125,25 +129,29 @@ def containment_report(
     Returns ``(doc_id_col, bench_id_col, n_overlap, n_bench_grams,
     containment)`` for pairs at or above ``min_containment``.
     """
-    b_toks = benchmark.select(
-        F.col(bench_id_col), nonempty_tokens(text_col).alias("__dv_t")
-    ).select(
-        F.col(bench_id_col),
-        word_ngrams_of_tokens(F.col("__dv_t"), n).alias("__dv_g"),
-    )
+    # inline explode of one struct-payload expression per side: the
+    # bench side's ``size > 0`` pre-filter is gone (an inner explode of
+    # an empty array yields no rows), which also removes the alias the
+    # pushdown used to clone the builder into (text.grams_with_count)
     bench_grams = gated_broadcast(
-        b_toks.filter(F.size("__dv_g") > 0).select(
+        benchmark.select(
             F.col(bench_id_col),
-            F.size("__dv_g").cast("long").alias("n_bench_grams"),
-            F.explode("__dv_g").alias("gram"),
+            F.explode(grams_with_count(text_col, n)).alias("__f"),
+        ).select(
+            F.col(bench_id_col),
+            F.col("__f.n_grams").alias("n_bench_grams"),
+            F.col("__f.gram").alias("gram"),
         ),
         broadcast_key_limit,
     )
     doc_grams = docs.select(
-        F.col(doc_id_col), nonempty_tokens(text_col).alias("__dv_t")
-    ).select(
         F.col(doc_id_col),
-        F.explode(word_ngrams_of_tokens(F.col("__dv_t"), n)).alias("gram"),
+        F.explode(
+            let_once(
+                nonempty_tokens(text_col),
+                lambda t: word_ngrams_of_tokens(t, n),
+            )
+        ).alias("gram"),
     )
     pairs = doc_grams.join(bench_grams, "gram")
     return (

@@ -712,11 +712,14 @@ def ngram_jaccard_pairs(
     toks = _persist(
         df.select(F.col(id_col).alias("id"), nonempty_tokens(F.col(content_col)).alias("__t"))
     )  # materialise: keeps the tokenizer out of the n-gram lambda
+    # The emptiness filter sits ABOVE the persist: filtering the
+    # gram-array alias inside the cached plan lets predicate pushdown
+    # substitute the whole n-gram builder into the filter (plus its
+    # inferred isnotnull twin) — the builder then runs 3× per row at
+    # cache-fill.  Above the cache it reads the materialised column.
     grams = _persist(
-        toks.select("id", word_ngrams_of_tokens(F.col("__t"), n).alias("grams")).filter(
-            F.size("grams") > 0
-        )
-    )
+        toks.select("id", word_ngrams_of_tokens(F.col("__t"), n).alias("grams"))
+    ).filter(F.size("grams") > 0)
     inv = grams.select(
         "id", F.size("grams").alias("n_grams"), F.explode("grams").alias("gram")
     )

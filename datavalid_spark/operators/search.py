@@ -70,20 +70,30 @@ def bm25_term_scores(
         raise ValueError("query_terms must be non-empty")
 
     # let_once: the tokenizer runs exactly once per row even though two
-    # fields reference it (see functions/text.py for the pushdown trap)
-    packed = let_once(
+    # things derive from it (see functions/text.py for the pushdown
+    # trap).  ``dl`` rides INSIDE each exploded element so the whole
+    # tokenize → prune → explode chain is ONE generator expression —
+    # splitting dl and hits into sibling projection columns puts one
+    # tokenizer clone in the Generate and one in the child Project
+    # (CSE does not span plan nodes), and filtering on an aliased hits
+    # column adds a third clone via predicate-pushdown alias
+    # substitution (the measured 3× of VERDICT r3's winnow finding).
+    hits_gen = let_once(
         nonempty_tokens(F.col(text_col)),
-        lambda t: F.struct(
-            F.size(t).alias("dl"),
+        lambda t: F.transform(
             # scan-fused prune: only query-term occurrences survive to
             # the explode, so downstream is O(matches), not O(tokens)
-            F.filter(t, lambda w: w.isin(terms)).alias("hits"),
+            F.filter(t, lambda w: w.isin(terms)),
+            lambda w: F.struct(
+                w.alias("term"), F.size(t).alias("dl")
+            ),
         ),
     )
     base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"),
-        packed.getField("dl").alias("dl"),
-        packed.getField("hits").alias("__hits"),
+        let_once(
+            nonempty_tokens(F.col(text_col)), lambda t: F.size(t)
+        ).alias("dl"),
     )
 
     # corpus stats: two scalars from one partial-aggregated scan
@@ -102,9 +112,16 @@ def bm25_term_scores(
         ).limit(0)
     avgdl = float(sum_dl) / float(n_docs)
 
+    # Inner explode of an empty hits array yields no rows, so no
+    # ``size > 0`` pre-filter is needed (the old aliased-column filter
+    # was also what triggered the tokenizer-cloning pushdown).
     tf = persist_tracked(
-        base.filter(F.size("__hits") > 0)
-        .select("id", "dl", F.explode("__hits").alias("term"))
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(hits_gen).alias("__h"),
+        )
+        .select("id", F.col("__h.dl").alias("dl"), F.col("__h.term").alias("term"))
         .groupBy("id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

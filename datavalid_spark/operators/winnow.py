@@ -134,11 +134,17 @@ def winnow_fingerprints(
     norm = F.regexp_replace(
         _ascii_fold(F.col(text_col)), _WS_CLASS, ""
     )
-    return (
-        df.select(ident.alias("id"), let_once(norm, build).alias("__dv_fps"))
-        .select("id", F.explode("__dv_fps").alias("f"))
-        .select("id", F.col("f.fp").alias("fp"), F.col("f.pos").alias("pos"))
-    )
+    # The explode must sit in the SAME projection as the array builder:
+    # aliasing the array in one select and exploding the alias in the
+    # next lets InferFiltersFromGenerate add ``size(arr) > 0 AND
+    # isnotnull(arr)`` above the builder projection, and predicate
+    # pushdown then substitutes the alias into BOTH predicates — the
+    # whole fingerprint expression evaluated 3× per row (measured 7.1 s
+    # vs 0.9 s on the sf0.1 clone-pairs scan).  With the builder inline
+    # in the generator no filter is inferred and it runs once.
+    return df.select(
+        ident.alias("id"), F.explode(let_once(norm, build)).alias("f")
+    ).select("id", F.col("f.fp").alias("fp"), F.col("f.pos").alias("pos"))
 
 
 def winnow_pairs(

@@ -76,6 +76,44 @@ SINGLE_PART_WINDOW_OK = {
     "hybrid_rrf",
 }
 
+#: queries allowed a HEAVY lambda-bearing Filter node (>400 chars of
+#: condition).  The heavy-filter flag catches the cloned-builder trap:
+#: exploding / filtering an ALIASED expensive array column lets
+#: InferFiltersFromGenerate + predicate-pushdown alias substitution
+#: clone the whole builder into the filter, so it evaluates 2–3× per
+#: row (fixed round 4 in winnow / search / decontaminate / ngram-
+#: jaccard / dsir_select — measured 7× on the winnowing scan).  The
+#: whitelisted queries evaluate their heavy predicate exactly ONCE,
+#: in a filter-first shape where the builder legitimately lives in
+#: the Filter node:
+#: - code_balance: filter(suspect) precedes the projection — the
+#:   balance fold runs once per row, fields re-derived only on the
+#:   few surviving rows
+#: - max_oov_verdicts / max_boilerplate_verdicts / quantile-style
+#:   checks: `violations()` IS a single filter on the scan
+#: - curate_pipeline: the quality predicate is pushed into both
+#:   branches of the dedup join-back — intended (prune-early beats
+#:   persisting a 100 TB intermediate); each branch evaluates once
+HEAVY_FILTER_OK = {
+    "code_balance",
+    "max_oov_verdicts",
+    "max_boilerplate_verdicts",
+    "curate_pipeline",
+}
+
+
+def heavy_lambda_filters(optimized: str) -> int:
+    """Count Filter nodes whose condition carries a big higher-order
+    expression — the signature of a builder cloned out of a projection
+    by alias substitution (see HEAVY_FILTER_OK)."""
+    n = 0
+    for line in optimized.splitlines():
+        ls = line.strip()
+        if "Filter" in ls[:30] and "lambdafunction" in ls and len(ls) > 400:
+            n += 1
+    return n
+
+
 #: full plans included in EXPLAIN.md — one representative per family
 FLAGSHIP = ["t1_unique", "minhash_lsh", "profile_stats", "asof_join"]
 
@@ -183,14 +221,22 @@ def main() -> None:
                 f"- `{name}`: BroadcastNestedLoopJoin outside the "
                 "intentionally-cartesian kNN family — check the join keys"
             )
-        n_unp = unpartitioned_windows(
-            df._jdf.queryExecution().optimizedPlan().toString()
-        )
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        n_unp = unpartitioned_windows(optimized)
         if n_unp and name not in SINGLE_PART_WINDOW_OK:
             flags.append(
                 f"- `{name}`: {n_unp} UNPARTITIONED window(s) — the whole "
                 "input funnels through one task; partition the window or "
                 "whitelist it with a boundedness argument"
+            )
+        n_hf = heavy_lambda_filters(optimized)
+        if n_hf and name not in HEAVY_FILTER_OK:
+            flags.append(
+                f"- `{name}`: {n_hf} heavy lambda-bearing Filter(s) — an "
+                "expensive builder was likely cloned out of a projection "
+                "by alias substitution (explode/filter the expression "
+                "inline, not its alias), or whitelist with a once-per-row "
+                "argument"
             )
 
     lines = [
