@@ -97,7 +97,16 @@ def _t_fanout(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     per-vector math) runs on one core.  Fan out to the session's
     parallelism up front — a sub-MB shuffle that unlocks every core.
     At real scale the files exceed maxPartitionBytes and the
-    repartition collapses to a cheap rebalance."""
+    repartition collapses to a cheap rebalance.
+
+    When to use it (measured, noop-sink A/B over all 34 document
+    queries at sf0.1): fan out ONLY when expensive per-row compute is
+    fused into the scan itself (BPE encode 2.05→0.61 s, LM scoring,
+    the text-quality/lang-id/Gopher regex suites, linkage blocking).
+    Queries whose heavy work happens AFTER a shuffle (groupBy / join
+    aggregation pipelines: dedup, search, caps, top-k) parallelize
+    there anyway, and the extra text-payload exchange only costs
+    (fork_detect 0.83→1.78 s) — those read via plain ``_t``."""
     return _t(spark, sf_dir, name).repartition(spark.sparkContext.defaultParallelism)
 
 
@@ -526,7 +535,7 @@ def q_text_scrub(spark, sf_dir):
     byte-for-byte (Java regex vs RE2 — patterns chosen dialect-safe)."""
     from datavalid_spark.functions.text import pii_counts, scrub_pii
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fanout(spark, sf_dir, "documents")
     aug = F.concat(
         F.col("text"),
         F.lit(" contact doc"),
@@ -715,7 +724,7 @@ def q_chunk_documents(spark, sf_dir):
     from datavalid_spark.operators.chunking import chunk_documents
 
     return chunk_documents(
-        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        _t_fanout(spark, sf_dir, "documents"), "doc_id", "text",
         chunk_tokens=32, stride=24,
     )
 
@@ -851,7 +860,7 @@ def q_knn_bruteforce(spark, sf_dir):
 
 
 def q_text_metrics(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fanout(spark, sf_dir, "documents")
     c = F.col("text")
     return docs.select(
         "doc_id",
@@ -864,12 +873,12 @@ def q_text_metrics(spark, sf_dir):
 
 
 def q_text_lang_id(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fanout(spark, sf_dir, "documents")
     return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 
 def q_text_quality(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fanout(spark, sf_dir, "documents")
     return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
@@ -884,7 +893,7 @@ def q_gopher_rules(spark, sf_dir):
     the signal computation single-evaluation)."""
     from datavalid_spark.functions.text import gopher_signals
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = _t_fanout(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     g = docs.select("doc_id", gopher_signals(F.col("text")).alias("g"))
     return g.select(
         "doc_id",
@@ -915,7 +924,7 @@ def q_encoding_check(spark, sf_dir):
     all-zero."""
     from datavalid_spark.functions.text import mojibake_count
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = _t_fanout(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     aug = F.concat(
         F.col("text"),
         F.when(F.col("doc_id") % 7 == 0, F.lit(_PLANT_MOJIBAKE_7)).otherwise(
@@ -937,7 +946,7 @@ def q_corpus_scorecard(spark, sf_dir):
     engines and partitionings."""
     from datavalid_spark.pipelines import corpus_scorecard
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = _t_fanout(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     base = docs.select(
         "doc_id",
         "source",
@@ -1587,7 +1596,7 @@ def q_classify_quality(spark, sf_dir):
     # Train + score both rerun in the DuckDB oracle; scores rounded to
     # 6dp because DuckDB's SUM order over the token-weight join is
     # arbitrary while Spark's fold is sequential (≈1e-15 drift).
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fanout(spark, sf_dir, "documents")
     w = train_hashed_nb(docs, "text", "lang", "en", n_buckets=1024)
     out = classify(docs, "text", w)
     return out.select(
@@ -1603,7 +1612,7 @@ def q_lm_perplexity(spark, sf_dir):
     # The DuckDB oracle re-runs training AND scoring from the same spec.
     from datavalid_spark.operators.lm import score_lm, train_hashed_lm
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fanout(spark, sf_dir, "documents")
     model = train_hashed_lm(
         docs.filter(F.col("lang") == "en"), "text", n=2, n_buckets=2048
     )
@@ -2348,7 +2357,7 @@ def q_tokenize_bpe(spark, sf_dir):
     re-runs the identical merge chain in chunked DuckDB CTEs."""
     from datavalid_spark.functions.bpe import bpe_token_count
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fanout(spark, sf_dir, "documents")
     c = F.col("text")
     return docs.select(
         "doc_id",
@@ -2799,7 +2808,7 @@ def q_record_linkage(spark, sf_dir):
     records, blocking, and scoring in SQL."""
     from datavalid_spark.operators.linkage import linkage_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fanout(spark, sf_dir, "documents")
     d = F.col("doc_id")
     first = F.element_at(F.lit(LINK_FIRSTS), (d % 23 + 1).cast("int"))
     last = F.element_at(F.lit(LINK_LASTS), (d % 41 + 1).cast("int"))
@@ -2840,7 +2849,7 @@ def q_strip_html(spark, sf_dir):
     strip it back to identical strings."""
     from datavalid_spark.functions.text import strip_html
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fanout(spark, sf_dir, "documents")
     wrapped = F.concat(
         F.lit('<div id="'),
         F.col("doc_id").cast("string"),
