@@ -385,7 +385,14 @@ def run_queries(spark) -> tuple[dict[str, float], dict]:
     # flagged — the reader can then trust per-query numbers only up to
     # that spread (VERDICT.md round 3, item 2).
     _time_query(spark, qs["t2_empty"])  # sentinel's own codegen warmup
-    sentinel_start = _time_query(spark, qs["t2_empty"])
+    # best-of-3 per sentinel measurement: a single-shot start sample
+    # can still ride the JVM's broader JIT warm-up (one clean r4 run
+    # measured start 0.344 vs end 0.204 — spread 1.69 flagged, but the
+    # END was the faster one, i.e. warm-up, not tenancy); the best of
+    # three back-to-back runs is stable against that
+    sentinel_start = min(
+        _time_query(spark, qs["t2_empty"]) for _ in range(3)
+    )
     for name in HEADLINE_QUERIES:
         # best over warm runs: the first run of a multi-join plan is
         # dominated by whole-stage codegen compilation (measured 18.1 s
@@ -403,7 +410,9 @@ def run_queries(spark) -> tuple[dict[str, float], dict]:
             # persisted intermediates between queries
             release_cached()
         out[name] = round(best, 3)
-    sentinel_end = _time_query(spark, qs["t2_empty"])
+    sentinel_end = min(
+        _time_query(spark, qs["t2_empty"]) for _ in range(3)
+    )
     spread = max(sentinel_start, sentinel_end) / max(
         1e-9, min(sentinel_start, sentinel_end)
     )
