@@ -1,0 +1,130 @@
+"""Plan-shape regression tests for the cloned-builder-filter trap.
+
+Exploding or filtering an ALIASED expensive array column lets
+``InferFiltersFromGenerate`` put ``size(arr) > 0 AND isnotnull(arr)``
+above the builder projection, and predicate-pushdown alias
+substitution then clones the whole builder into both predicates — the
+expression evaluates 2–3× per row (measured 7× wall on the winnowing
+scan, round 4).  These tests pin the FIXED plan shapes: the operators
+below must never reacquire a heavy lambda-bearing Filter node.
+
+The same detector runs over every registry query in
+``tools/explain_audit.py``; this file locks the operator-level
+contract into the test suite so a refactor that reintroduces the
+aliased-explode shape fails fast without the full audit.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def heavy_lambda_filters(df) -> list[str]:
+    """Filter nodes carrying a big higher-order expression in the
+    optimized plan — the clone signature (explain_audit's rule)."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return [
+        ls
+        for ls in (line.strip() for line in plan.splitlines())
+        if "Filter" in ls[:30] and "lambdafunction" in ls and len(ls) > 400
+    ]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):  # noqa: F811
+    rows = [
+        (i, "alpha beta gamma delta epsilon zeta eta theta %d word" % (i % 7))
+        for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_winnow_fingerprints_plan_has_no_cloned_filter(docs):
+    from datavalid_spark.operators.winnow import winnow_fingerprints
+
+    assert heavy_lambda_filters(winnow_fingerprints(docs, "doc_id", "text")) == []
+
+
+def test_winnow_pairs_plan_has_no_cloned_filter(docs):
+    from datavalid_spark.operators.winnow import winnow_pairs
+
+    out = winnow_pairs(docs, "doc_id", "text", k=4, w=2, min_overlap=0.1)
+    try:
+        assert heavy_lambda_filters(out) == []
+    finally:
+        from datavalid_spark.cache import release_cached
+
+        release_cached()
+
+
+def test_bm25_plan_has_no_cloned_filter(docs):
+    from datavalid_spark.operators.search import bm25_term_scores
+
+    out = bm25_term_scores(docs, "doc_id", "text", ["alpha", "theta"])
+    try:
+        assert heavy_lambda_filters(out) == []
+    finally:
+        from datavalid_spark.cache import release_cached
+
+        release_cached()
+
+
+def test_contamination_report_plan_has_no_cloned_filter(docs):
+    from datavalid_spark.operators.decontaminate import contamination_report
+
+    bench = docs.filter(F.col("doc_id") % 5 == 0)
+    out = contamination_report(docs, bench, id_col="doc_id", text_col="text", n=3)
+    assert heavy_lambda_filters(out) == []
+
+
+def test_containment_report_plan_has_no_cloned_filter(docs):
+    from datavalid_spark.operators.decontaminate import containment_report
+
+    bench = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    out = containment_report(
+        docs, bench, doc_id_col="doc_id", bench_id_col="bench_id",
+        text_col="text", n=2,
+    )
+    assert heavy_lambda_filters(out) == []
+
+
+def test_dsir_select_plan_evaluates_scoring_once(spark, docs):  # noqa: F811
+    from datavalid_spark.operators.dsir import (
+        dsir_select,
+        train_hashed_bag,
+    )
+
+    target = train_hashed_bag(docs.filter(F.col("doc_id") % 2 == 0), "text")
+    raw = train_hashed_bag(docs, "text")
+    out = dsir_select(docs, "doc_id", "text", target, raw, k=5)
+    assert heavy_lambda_filters(out) == []
+
+
+def test_dsir_select_null_drop_matches_prefilter_semantics(spark):  # noqa: F811
+    """The null-key drop moved above the Limit (round 4); with fewer
+    scored docs than k the unscored rows must still be excluded, same
+    as the old pre-top-k filter."""
+    from datavalid_spark.operators.dsir import dsir_select, train_hashed_bag
+
+    rows = [(1, "alpha beta gamma"), (2, "beta gamma delta"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = train_hashed_bag(df.filter(F.col("doc_id") == 1), "text")
+    raw = train_hashed_bag(df.filter(F.col("doc_id").isNotNull()), "text")
+    got = dsir_select(df, "doc_id", "text", target, raw, k=10)
+    ids = {r["doc_id"] for r in got.collect()}
+    assert 3 not in ids  # unscored row never selected even with k > n
+    assert ids == {1, 2}
+
+
+def test_ngram_jaccard_cachefill_has_no_cloned_filter(docs):
+    from datavalid_spark.cache import release_cached
+    from datavalid_spark.operators.dedup import ngram_jaccard_pairs
+
+    try:
+        out = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.1)
+        assert heavy_lambda_filters(out) == []
+    finally:
+        release_cached()
