@@ -373,12 +373,35 @@ def _time_query(spark, fn) -> float:
     return time.time() - t0
 
 
+def _release_leaked_rdds(spark, keep: frozenset) -> int:
+    """Unpersist every persistent RDD not present at sweep start.
+
+    ``localCheckpoint`` blocks (the iterative graph/dedup loops) are
+    reclaimed only when the driver GCs and the ContextCleaner processes
+    the weak references — on a pre-touched 12 GB heap that can be never
+    during the sweep, so completed queries' checkpoint blocks pile into
+    the old gen (measured 61 MB after graph_acyclic alone, growing
+    across the 66-query sweep) and inflate later queries via GC
+    pressure.  Between queries everything a finished query persisted or
+    checkpointed is dead by construction (``release_cached`` has run),
+    so the sweep drops it deterministically instead of waiting for GC."""
+    n = 0
+    for rid, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
+        if rid not in keep:
+            rdd.unpersist()
+            n += 1
+    return n
+
+
 def run_queries(spark) -> tuple[dict[str, float], dict]:
     import __spark_entry__ as entrymod
     from datavalid_spark.operators.dedup import release_cached
 
     qs = entrymod.queries()
     out: dict[str, float] = {}
+    baseline_rdds = frozenset(
+        spark.sparkContext._jsc.getPersistentRDDs().keys()
+    )
     # noise sentinel: the same cheap fixed job timed at sweep start and
     # end.  The sweep takes minutes; if the host's tenancy changed
     # under it, the sentinel spread shows it and the whole run is
@@ -407,8 +430,10 @@ def run_queries(spark) -> tuple[dict[str, float], dict]:
             if not (name in HEAVY_TAIL and i == 0):
                 best = dt if best is None else min(best, dt)
             # long-lived-session hygiene: reclaim the dedup operators'
-            # persisted intermediates between queries
+            # persisted intermediates, then any localCheckpoint blocks
+            # the query left for the GC (see _release_leaked_rdds)
             release_cached()
+            _release_leaked_rdds(spark, baseline_rdds)
         out[name] = round(best, 3)
     sentinel_end = min(
         _time_query(spark, qs["t2_empty"]) for _ in range(3)

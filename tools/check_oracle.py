@@ -54,6 +54,9 @@ def main() -> int:
     oracles = e.oracle_sql()
     only = set(sys.argv[1:])
     n_fail = 0
+    baseline_rdds = frozenset(
+        spark.sparkContext._jsc.getPersistentRDDs().keys()
+    )
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -66,8 +69,15 @@ def main() -> int:
             continue
         finally:
             # long single-session sweep: reclaim operator-persisted
-            # intermediates between queries (same hygiene as bench.py)
+            # intermediates, then completed queries' localCheckpoint
+            # blocks the ContextCleaner would otherwise hold until a
+            # driver GC (same hygiene as bench.py)
             release_cached()
+            for rid, rdd in (
+                spark.sparkContext._jsc.getPersistentRDDs().items()
+            ):
+                if rid not in baseline_rdds:
+                    rdd.unpersist()
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             continue
