@@ -1,0 +1,83 @@
+"""Randomized parity for ``text.grams_with_count`` (round 4): the
+struct-payload gram builder — written so an INLINE explode evaluates
+tokenizer + n-gram builder exactly once per row (the cloned-builder-
+filter fix, see tests/test_plan_shapes.py) — must agree gram-for-gram
+with a pure-Python reference built from the documented semantics:
+lowercase → trim → split on ASCII whitespace → drop empty tokens →
+space-joined consecutive n-grams → DISTINCT; every exploded element
+carries the document's distinct-gram count.
+
+Alphabet restricted to printable ASCII + ASCII whitespace: Java's
+``\\s`` / ``String.trim`` and Python's ``\\s`` / ``str.strip``
+deliberately diverge on Unicode and C0 control characters, and that
+divergence is a documented engine boundary (functions/bpe.py), not a
+gram-builder defect."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from datavalid_spark.functions.text import grams_with_count
+
+SETTLE = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# small word pool forces repeated grams (array_distinct must bite);
+# raw whitespace runs exercise the empty-token filter and trim edges
+WORD = st.sampled_from(["a", "B", "ab", "Ab", "q", ""])
+SEP = st.sampled_from([" ", "  ", "\t", "\n", " \t "])
+texts = st.lists(st.tuples(WORD, SEP), min_size=0, max_size=8).map(
+    lambda ps: "".join(w + s for w, s in ps)
+)
+doc_text = st.one_of(st.none(), texts)
+corpora = st.lists(doc_text, min_size=1, max_size=6)
+
+
+def _py_grams(text: str | None, n: int) -> list[tuple[str, int]]:
+    """Reference from documented semantics, not the implementation."""
+    if text is None:
+        return []
+    toks = [
+        t
+        for t in re.split(r"[ \t\n\x0b\f\r]+", text.strip().lower())
+        if t != ""
+    ]
+    grams: list[str] = []
+    for i in range(len(toks) - n + 1):
+        g = " ".join(toks[i : i + n])
+        if g not in grams:
+            grams.append(g)
+    return [(g, len(grams)) for g in grams]
+
+
+@pytest.mark.parametrize("n", [1, 2, 3])
+@given(corpus=corpora)
+@SETTLE
+def test_grams_with_count_matches_python(spark, corpus, n):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = (
+        df.select(
+            "doc_id", F.explode(grams_with_count("text", n)).alias("f")
+        )
+        .select("doc_id", "f.gram", "f.n_grams")
+        .collect()
+    )
+    got_set = {(r["doc_id"], r["gram"], r["n_grams"]) for r in got}
+    want_set = {
+        (i, g, c)
+        for i, t in enumerate(corpus)
+        for g, c in _py_grams(t, n)
+    }
+    assert got_set == want_set
+    # multiplicity: the builder is distinct per document — no dup rows
+    assert len(got) == len(got_set)
