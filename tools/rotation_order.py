@@ -1,0 +1,82 @@
+"""Driver-window rotation planner (read-only).
+
+The per-round correctness gate checks the FIRST 50 entries of
+``__spark_entry__.queries()`` against their DuckDB oracles
+(CORRECTNESS_r{N}.json).  With 147 registry entries, full driver
+coverage needs the window rotated every round toward the entries the
+driver has seen least recently.  This tool reads every
+CORRECTNESS_r*.json, reports per-entry coverage (which rounds produced
+a green row), and prints the suggested next window: never-checked
+entries first, then by oldest most-recent round, ties broken by
+current registry position (stable).
+
+It does NOT modify ``__spark_entry__.py`` — the registry dict is
+hand-ordered with per-round rationale comments; reorder it manually
+from this tool's output, and only AFTER the current round's driver
+run has consumed the existing window.
+
+Usage: python tools/rotation_order.py [--window 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--window", type=int, default=50)
+    ap.add_argument("--repo", default="/root/repo")
+    args = ap.parse_args()
+
+    import __spark_entry__ as e
+
+    names = list(e.queries())
+    pos = {n: i for i, n in enumerate(names)}
+
+    # round number -> set of green names
+    rounds: dict[int, set] = {}
+    for path in sorted(glob.glob(os.path.join(args.repo, "CORRECTNESS_r*.json"))):
+        rnum = int("".join(c for c in os.path.basename(path) if c.isdigit()))
+        data = json.load(open(path))
+        rounds[rnum] = {
+            n
+            for n, row in data.items()
+            if row.get("rows_match") and row.get("err") is None
+        }
+
+    last_green: dict[str, int] = {}
+    for rnum in sorted(rounds):
+        for n in rounds[rnum]:
+            if n in pos:
+                last_green[n] = rnum
+
+    never = [n for n in names if n not in last_green]
+    seen = sorted(
+        (n for n in names if n in last_green),
+        key=lambda n: (last_green[n], pos[n]),
+    )
+    suggested = (never + seen)[: args.window]
+
+    print(f"registry entries: {len(names)}")
+    print(f"rounds found: {sorted(rounds)}")
+    print(f"never driver-checked: {len(never)}")
+    for n in never:
+        print(f"  (never) {n}  [currently at position {pos[n] + 1}]")
+    print(f"\nsuggested next window (first {args.window}):")
+    for i, n in enumerate(suggested, 1):
+        tag = "never" if n not in last_green else f"r{last_green[n]}"
+        print(f"  {i:3d}. {n}  (last green: {tag})")
+    in_window_now = set(names[: args.window])
+    moves = [n for n in suggested if n not in in_window_now]
+    print(f"\nentries that must move INTO the window: {len(moves)}")
+
+
+if __name__ == "__main__":
+    main()
