@@ -2114,18 +2114,29 @@ def q_code_balance(spark, sf_dir):
         ).otherwise(F.lit("")),
         F.when(did % 5 == 0, F.lit(")")).otherwise(F.lit("")),
     )
+    from datavalid_spark.functions.text import let_once
+
     b = delim_balance(content)
     # filter BEFORE projecting the struct fields: filtering the aliased
     # field lets predicate pushdown clone the whole balance builder
     # into the filter above the projection (2× per row); filtering the
-    # expression directly runs it once per row, and the projection
-    # re-evaluates only on the few surviving rows
-    return docs.filter(b["suspect_truncated"]).select(
-        "doc_id",
-        b["brace_balance"].alias("brace_balance"),
-        b["paren_balance"].alias("paren_balance"),
-        b["bracket_balance"].alias("bracket_balance"),
-        b["suspect_truncated"].alias("suspect_truncated"),
+    # expression directly runs it once per row.  The projection then
+    # let-binds the struct so survivors evaluate the fold once total,
+    # not once per extracted field (interpreted HOFs get no cross-field
+    # CSE — ADVICE r4)
+    packed = let_once(
+        b,
+        lambda x: F.struct(
+            x["brace_balance"].alias("brace_balance"),
+            x["paren_balance"].alias("paren_balance"),
+            x["bracket_balance"].alias("bracket_balance"),
+            x["suspect_truncated"].alias("suspect_truncated"),
+        ),
+    )
+    return (
+        docs.filter(b["suspect_truncated"])
+        .select("doc_id", packed.alias("_b"))
+        .select("doc_id", "_b.*")
     )
 
 

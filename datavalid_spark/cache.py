@@ -36,6 +36,32 @@ def release_cached() -> None:
             pass
 
 
+def release_untracked_rdds(spark, keep: frozenset) -> int:
+    """Unpersist every persistent RDD not in ``keep`` (harness hygiene,
+    shared by bench.py and tools/check_oracle.py).
+
+    ``localCheckpoint`` blocks (the iterative graph/dedup loops) are
+    reclaimed only when the driver GCs and the ContextCleaner processes
+    the weak references — on a pre-touched heap that can be never
+    during a long sweep, so completed queries' checkpoint blocks pile
+    into the old gen and inflate later queries via GC pressure.
+
+    INVARIANT (operator authors): no operator may memoize a
+    ``localCheckpoint``-ed frame across top-level query calls.  A
+    localCheckpoint truncates lineage, so once this sweep cleanup (or
+    any unpersist) drops its blocks the frame is unrecoverable
+    (checkpoint-block-not-found on reuse).  Every checkpoint user in
+    the package is within-query by construction; keep it that way —
+    this helper blanket-drops everything not present at sweep start,
+    which is only safe between fully-forced, self-contained queries."""
+    n = 0
+    for rid, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
+        if rid not in keep:
+            rdd.unpersist()
+            n += 1
+    return n
+
+
 def gated_broadcast(small: DataFrame, limit: int = 1_000_000) -> DataFrame:
     """Size-gated static broadcast (shared form of
     ``UniqueCheck._gated_broadcast`` — see checks.py for the full

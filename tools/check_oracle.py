@@ -15,7 +15,10 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
-from datavalid_spark.cache import release_cached  # noqa: E402
+from datavalid_spark.cache import (  # noqa: E402
+    release_cached,
+    release_untracked_rdds,
+)
 
 SF_DIR = "/root/testdata/sf0.01"
 TABLES = (
@@ -73,11 +76,7 @@ def main() -> int:
             # blocks the ContextCleaner would otherwise hold until a
             # driver GC (same hygiene as bench.py)
             release_cached()
-            for rid, rdd in (
-                spark.sparkContext._jsc.getPersistentRDDs().items()
-            ):
-                if rid not in baseline_rdds:
-                    rdd.unpersist()
+            release_untracked_rdds(spark, baseline_rdds)
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             continue

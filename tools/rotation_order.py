@@ -24,6 +24,7 @@ import argparse
 import glob
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -43,7 +44,10 @@ def main() -> None:
     # round number -> set of green names
     rounds: dict[int, set] = {}
     for path in sorted(glob.glob(os.path.join(args.repo, "CORRECTNESS_r*.json"))):
-        rnum = int("".join(c for c in os.path.basename(path) if c.isdigit()))
+        m = re.search(r"_r(\d+)\.json$", os.path.basename(path))
+        if m is None:  # e.g. CORRECTNESS_r04_sf1.json — not a driver round
+            continue
+        rnum = int(m.group(1))
         data = json.load(open(path))
         rounds[rnum] = {
             n
