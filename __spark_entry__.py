@@ -2978,15 +2978,68 @@ def _url_oracle_ctes() -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is the driver-sweep order (driver caps at 50/round).
-    # Round-4 priority block: the 31 entries that have never received a
-    # driver correctness row (registry positions 51-81 of the round-3
-    # order), then the 8 entries last checked in round 1, then new
-    # round-4 queries, topped up with the oldest round-2 rows.  See
-    # VERDICT.md round 3, item 1.
+    # Round-5 window: after round 4 every entry has a driver-green row,
+    # so the final rotation simply promotes the 50 least-recently-checked
+    # entries (tools/rotation_order.py) — the SURVEY-§2 reference core
+    # closes the project driver-verified on final code.
     return {
-        # --- round-4 driver window (first 50) -------------------------
-        # Block A: the 31 entries with no driver row in any round
-        # (VERDICT.md round 3, item 1).
+        # --- round-5 driver window (first 50): the least-recently
+        # driver-checked entries per tools/rotation_order.py — led by
+        # the entire SURVEY-§2 core (last driver row: r2), then the
+        # early dedup/sampling/text families, topped up with the
+        # oldest r3 rows (VERDICT.md round 4, item 2). -------------
+        "agg_dup_key_counts": q_agg_dup_key_counts,
+        "t2_empty": q_t2_empty,
+        "p_condition": q_p_condition,
+        "t3_no_consecutive": q_t3_no_consecutive,
+        "t4_once_per_n_days": q_t4_once_per_n_days,
+        "t5_valid_date_min": q_t5_valid_date_min,
+        "date_error_classes": q_date_error_classes,
+        "f1_unique_field": q_f1_unique_field,
+        "f2_no_na": q_f2_no_na,
+        "f3_options": q_f3_options,
+        "f4_integer_float": q_f4_integer_float,
+        "f4_integer_string": q_f4_integer_string,
+        "f5_float_string": q_f5_float_string,
+        "f6_range": q_f6_range,
+        "f7_title_case": q_f7_title_case,
+        "f8_match_regex": q_f8_match_regex,
+        "fd_violations": q_fd_violations,
+        "seq_gaps": q_seq_gaps,
+        "ref_orphans": q_ref_orphans,
+        "ref_orphans_keys": q_ref_orphans_keys,
+        "profile_stats": q_profile_stats,
+        "dedup_exact": q_dedup_exact,
+        "dedup_distinct": q_dedup_distinct,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "edit_dedup": q_edit_dedup,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_canonical": q_dedup_keep_canonical,
+        "dedup_incremental": q_dedup_incremental,
+        "split_assign": q_split_assign,
+        "sample_stratified": q_sample_stratified,
+        "sample_weighted": q_sample_weighted,
+        "sample_repeat": q_sample_repeat,
+        "global_shuffle": q_global_shuffle,
+        "table_diff": q_table_diff,
+        "pack_shards": q_pack_shards,
+        "text_repetition": q_text_repetition,
+        "decontaminate": q_decontaminate,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
+        "chunk_documents": q_chunk_documents,
+        "line_dedup": q_line_dedup,
+        "span_dedup": q_span_dedup,
+        "curate_pipeline": q_curate_pipeline,
+        "profile_quantiles": q_profile_quantiles,
+        "text_scrub": q_text_scrub,
+        "text_normalize": q_text_normalize,
+        "knn_bruteforce": q_knn_bruteforce,
+        "text_metrics": q_text_metrics,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "embedding_near_dups": q_embedding_near_dups,
+        # --- below the 50-entry window: driver-green in r3/r4,
+        # prior relative order preserved. ---------------------------
         "suggest_constraints": q_suggest,
         "join_profile": q_join_profile,
         "entropy_profile": q_entropy_profile,
@@ -3018,7 +3071,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "encoding_check": q_encoding_check,
         "corpus_scorecard": q_corpus_scorecard,
-        # Block B: last driver-checked in round 1 (least recent).
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
         "sort_limit_topk": q_sort_limit_topk,
@@ -3027,7 +3079,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "set_except": q_set_except,
-        # Block C: new round-4 queries are inserted here as added.
         "multimodal_png": q_multimodal_png,
         "multimodal_jpeg": q_multimodal_jpeg,
         "multimodal_auto": q_multimodal_auto,
@@ -3036,22 +3087,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_oov_verdicts": q_max_oov_verdicts,
         "max_boilerplate_verdicts": q_max_boilerplate_verdicts,
         "no_drift_verdicts": q_no_drift_verdicts,
-        # Block D: oldest round-2 driver rows fill the window to 50.
         "t1_unique": q_t1_unique,
         "t1_unique_salted": q_t1_unique_salted,
         "unique_incremental": q_unique_incremental,
-        "agg_dup_key_counts": q_agg_dup_key_counts,
-        "t2_empty": q_t2_empty,
-        "p_condition": q_p_condition,
-        "t3_no_consecutive": q_t3_no_consecutive,
-        "t4_once_per_n_days": q_t4_once_per_n_days,
-        "t5_valid_date_min": q_t5_valid_date_min,
-        "date_error_classes": q_date_error_classes,
-        "f1_unique_field": q_f1_unique_field,
-        # --- below the 50-entry window: driver-green in r2/r3 ---------
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "embedding_near_dups": q_embedding_near_dups,
         "ivf_topk": q_ivf_topk,
         "drift_two_sample": q_drift_two_sample,
         "multimodal_validate": q_multimodal_validate,
@@ -3099,45 +3137,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "reconcile_orders": q_reconcile_orders,
         "monotonic_value": q_monotonic,
-        "f2_no_na": q_f2_no_na,
-        "f3_options": q_f3_options,
-        "f4_integer_float": q_f4_integer_float,
-        "f4_integer_string": q_f4_integer_string,
-        "f5_float_string": q_f5_float_string,
-        "f6_range": q_f6_range,
-        "f7_title_case": q_f7_title_case,
-        "f8_match_regex": q_f8_match_regex,
-        "fd_violations": q_fd_violations,
-        "seq_gaps": q_seq_gaps,
-        "ref_orphans": q_ref_orphans,
-        "ref_orphans_keys": q_ref_orphans_keys,
-        "profile_stats": q_profile_stats,
-        "dedup_exact": q_dedup_exact,
-        "dedup_distinct": q_dedup_distinct,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "edit_dedup": q_edit_dedup,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_keep_canonical": q_dedup_keep_canonical,
-        "dedup_incremental": q_dedup_incremental,
-        "split_assign": q_split_assign,
-        "sample_stratified": q_sample_stratified,
-        "sample_weighted": q_sample_weighted,
-        "sample_repeat": q_sample_repeat,
-        "global_shuffle": q_global_shuffle,
-        "table_diff": q_table_diff,
-        "pack_shards": q_pack_shards,
-        "text_repetition": q_text_repetition,
-        "decontaminate": q_decontaminate,
-        "decontaminate_fuzzy": q_decontaminate_fuzzy,
-        "chunk_documents": q_chunk_documents,
-        "line_dedup": q_line_dedup,
-        "span_dedup": q_span_dedup,
-        "curate_pipeline": q_curate_pipeline,
-        "profile_quantiles": q_profile_quantiles,
-        "text_scrub": q_text_scrub,
-        "text_normalize": q_text_normalize,
-        "knn_bruteforce": q_knn_bruteforce,
-        "text_metrics": q_text_metrics,
     }
 
 
