@@ -2285,6 +2285,26 @@ def q_multimodal_jpeg(spark, sf_dir):
     )
 
 
+def q_multimodal_jpeg_pixels(spark, sf_dir):
+    """REAL baseline-JPEG entropy decode, oracle-verified end-to-end
+    (functions/jpeg.jpeg_encode/jpeg_decode, VERDICT r4 item 6): each
+    doc gets a genuinely entropy-coded JPEG whose pixels are constant
+    per 8×8 tile — DC-only blocks the quant=1 codec carries EXACTLY —
+    and the decode path reports actual decoded dims plus the exact
+    integer pixel sum.  DuckDB cannot decode JPEG, but it doesn't have
+    to: constant-tile sums are pure id-rule arithmetic, so any
+    Huffman/DCT/dequant/zigzag bug in the real decoder shows as an
+    integer mismatch against the arithmetic oracle."""
+    from datavalid_spark.operators.multimodal import (
+        jpeg_pixel_stats,
+        jpeg_tile_media_from_docs,
+    )
+
+    return jpeg_pixel_stats(
+        jpeg_tile_media_from_docs(_t(spark, sf_dir, "documents"))
+    )
+
+
 def q_multimodal_auto(spark, sf_dir):
     """Mixed-format corpus validation in ONE Arrow pass
     (operators/multimodal.validate_payloads_auto): a single media
@@ -3037,6 +3057,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_metrics": q_text_metrics,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        # new round-5 query (real entropy-decode oracle) takes the
+        # window's last slot; embedding_near_dups keeps its r3 green
+        # row and moves just below the cap
+        "multimodal_jpeg_pixels": q_multimodal_jpeg_pixels,
         "embedding_near_dups": q_embedding_near_dups,
         # --- below the 50-entry window: driver-green in r3/r4,
         # prior relative order preserved. ---------------------------
@@ -5418,6 +5442,33 @@ SELECT doc_id,
 FROM documents
 WHERE doc_id % 37 = 0 OR doc_id % 41 = 0 OR doc_id % 43 = 0
    OR doc_id % 47 = 0 OR doc_id % 53 = 0
+""",
+        # real entropy decode verified WITHOUT decoding: constant-tile
+        # JPEGs decode exactly (DC-only blocks at quant=1), so the
+        # decoded pixel sum equals the id-rule arithmetic — per tile,
+        # value x clipped tile area, summed over the ceil(h/8) x
+        # ceil(w/8) grid
+        "multimodal_jpeg_pixels": """
+WITH dims AS (
+  SELECT doc_id,
+         doc_id % 24 + 4 AS w,
+         (doc_id * 7) % 24 + 4 AS h
+  FROM documents
+),
+tiles AS (
+  SELECT d.doc_id, d.w, d.h, tr.tr, tc.tc
+  FROM dims d
+  CROSS JOIN LATERAL (SELECT UNNEST(range((d.h + 7) // 8)) AS tr) tr
+  CROSS JOIN LATERAL (SELECT UNNEST(range((d.w + 7) // 8)) AS tc) tc
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(SUM(((doc_id * 31 + tr * 7 + tc * 13) % 256)
+                * LEAST(8, h - tr * 8)
+                * LEAST(8, w - tc * 8)) AS BIGINT) AS pixel_sum
+FROM tiles
+GROUP BY doc_id, w, h
 """,
         # mixed-format dispatch under strict=True: PNG branch (%3=0)
         # and JPEG branch (%3=1) replay their plant rules with the

@@ -11,9 +11,13 @@ inside entropy data, missing EOI — which is what a real crawl's torn
 JPEG payloads actually exhibit.  ``jpeg_encode_stub`` emits a
 spec-valid marker skeleton (SOI, JFIF APP0, DQT, SOF0 with real dims,
 DHT, SOS) around a BYTE-STUFFED pseudo-entropy stream: the entropy
-bytes are not a decodable Huffman scan (writing one needs a full
-codec), but every STRUCTURAL property a validator can check — and
-every defect class the generator plants — is exactly per spec.
+bytes are not a decodable Huffman scan, but every STRUCTURAL property
+a validator can check — and every defect class the generator plants —
+is exactly per spec.  Since round 5 the module ALSO carries the full
+baseline entropy codec (``jpeg_encode``/``jpeg_decode`` below —
+VERDICT r4 item 6), so decodable streams are first-class too; the
+stub stays because the structural defect generator and its DuckDB
+oracle are pinned to its fixed marker layout.
 
 Cost stance: the validator is a marker walk (a handful of segments)
 plus one ``bytes.find``-driven scan over the entropy data — C-speed
@@ -149,3 +153,389 @@ def jpeg_validate_reason(
     if catalog_w is not None and (w != catalog_w or h != catalog_h):
         return "catalog dims mismatch"
     return None
+
+
+# --------------------------------------------------------------------
+# Baseline entropy codec (VERDICT r4 item 6): a real grayscale
+# baseline-JPEG encoder/decoder in pure numpy — 8×8 DCT-II, uniform
+# quantisation, canonical Huffman entropy coding per ITU-T T.81 (the
+# public spec; no Annex-K table transcription: the encoder GENERATES
+# flat spec-valid canonical tables and writes them in DHT, and the
+# decoder reconstructs codes from whatever DHT the file carries, so it
+# also reads externally-encoded baseline scans).  This lifts the last
+# NotImplementedError in operators/multimodal.py: backend="jpeg" now
+# does real pixel decode, mirroring the pure-numpy "png" backend.
+#
+# Cost stance: DCT/IDCT and quantisation are whole-image einsum over
+# the (blocks, 8, 8) tensor; the entropy scan is the one per-symbol
+# Python loop (the same stance as png.py's per-scanline filter loop) —
+# payloads are KB-scale media cells inside an Arrow batch, not the
+# dataframe hot path.
+
+import math
+
+import numpy as np
+
+
+def _zigzag_pairs() -> list[tuple[int, int]]:
+    """The standard zigzag traversal of an 8×8 block: anti-diagonals
+    of constant row+col, odd sums walked row-ascending, even sums
+    row-descending — (0,0),(0,1),(1,0),(2,0),(1,1),(0,2),…"""
+    out = []
+    for s in range(15):
+        rows = range(s + 1)
+        if s % 2 == 0:
+            rows = reversed(rows)
+        out += [(r, s - r) for r in rows if r < 8 and s - r < 8]
+    return out
+
+
+_ZZ = _zigzag_pairs()
+_ZZ_ROWS = np.array([r for r, _ in _ZZ])
+_ZZ_COLS = np.array([c for _, c in _ZZ])
+
+#: orthonormal 8-point DCT-II matrix: forward F = C @ X @ C.T,
+#: inverse X = C.T @ F @ C
+_DCT = np.array(
+    [
+        [
+            (math.sqrt(1 / 8) if k == 0 else math.sqrt(2 / 8))
+            * math.cos((2 * n + 1) * k * math.pi / 16)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+
+#: flat canonical Huffman tables (BITS, HUFFVAL): every DC category
+#: symbol gets a 4-bit code (12 ≤ 15 usable — the all-ones code is
+#: reserved per T.81 C.2), every AC run/size symbol an 8-bit code
+#: (162 ≤ 255).  Deterministic, spec-valid, compression-indifferent.
+_DC_BITS = tuple(12 if ln == 4 else 0 for ln in range(1, 17))
+_DC_VALS = tuple(range(12))
+_AC_BITS = tuple(162 if ln == 8 else 0 for ln in range(1, 17))
+_AC_VALS = tuple(
+    sorted(
+        [0x00, 0xF0]
+        + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+    )
+)
+
+
+def _canonical_codes(bits, vals) -> dict:
+    """symbol → (length, code) per T.81 C.1–C.3: codes of each length
+    count up from the left-shifted continuation of the previous
+    length."""
+    out, code = {}, 0
+    i = 0
+    for ln_index, count in enumerate(bits):
+        length = ln_index + 1
+        for _ in range(count):
+            out[vals[i]] = (length, code)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+_DC_ENC = _canonical_codes(_DC_BITS, _DC_VALS)
+_AC_ENC = _canonical_codes(_AC_BITS, _AC_VALS)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+
+    def done(self) -> bytes:
+        if self.nbits:  # pad with 1-bits to the byte boundary (B.1.1.5)
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+        return bytes(self.buf)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _magnitude_bits(v: int, size: int) -> int:
+    # negative values are stored one's-complement style (F.1.2.1)
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+def jpeg_encode(arr: np.ndarray, quant: int | np.ndarray = 1) -> bytes:
+    """Real grayscale baseline JPEG: uint8 (h, w) → decodable bytes.
+
+    ``quant`` is a scalar divisor or a 64-long / 8×8 table (natural
+    order); quant=1 is near-lossless (DCT rounding only, max per-pixel
+    error ≤ 4).  The emitted stream carries its own DQT and DHT, so
+    any baseline decoder reads it."""
+    arr = np.asarray(arr)
+    if arr.ndim != 2 or arr.dtype != np.uint8:
+        raise ValueError("jpeg_encode wants a uint8 (h, w) array")
+    h, w = arr.shape
+    if h == 0 or w == 0 or h > 0xFFFF or w > 0xFFFF:
+        raise ValueError("dims must be 1..65535")
+    q = np.asarray(quant, dtype="f8")
+    if q.size == 1:
+        q = np.full((8, 8), float(q))
+    q = q.reshape(8, 8)
+    if not np.all((q >= 1) & (q <= 255)):
+        raise ValueError("quantizers must be 1..255")
+    q = np.round(q)
+
+    # pad to 8×8 multiples by edge replication, block-ize, DCT, quantise
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(arr, ((0, ph - h), (0, pw - w)), mode="edge")
+    blocks = (
+        padded.reshape(ph // 8, 8, pw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .astype("f8")
+        - 128.0
+    )
+    coeffs = np.einsum("ij,bcjk,lk->bcil", _DCT, blocks, _DCT)
+    quantised = np.round(coeffs / q).astype("i4")
+
+    # entropy-code blocks row-major, DC differentially
+    zz = quantised[:, :, _ZZ_ROWS, _ZZ_COLS].reshape(-1, 64)
+    bw = _BitWriter()
+    pred = 0
+    for row in zz:
+        dc = int(row[0])
+        diff = dc - pred
+        pred = dc
+        size = _category(diff)
+        ln, code = _DC_ENC[size]
+        bw.write(code, ln)
+        if size:
+            bw.write(_magnitude_bits(diff, size), size)
+        nz = np.nonzero(row[1:])[0]
+        k = 0  # index into row[1:]
+        for idx in nz:
+            run = int(idx) - k
+            while run >= 16:
+                ln, code = _AC_ENC[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            v = int(row[1 + idx])
+            size = _category(v)
+            ln, code = _AC_ENC[(run << 4) | size]
+            bw.write(code, ln)
+            bw.write(_magnitude_bits(v, size), size)
+            k = int(idx) + 1
+        if k < 63:
+            ln, code = _AC_ENC[0x00]  # EOB
+            bw.write(code, ln)
+    entropy = bw.done().replace(b"\xff", b"\xff\x00")
+
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\x00" + bytes(
+        int(q[r, c]) for r, c in _ZZ
+    )  # table 0, zigzag order per B.2.4.1
+    sof = b"\x08" + struct.pack(">HH", h, w) + b"\x01" + b"\x01\x11\x00"
+    dht_dc = b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+    dht_ac = b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS)
+    sos = b"\x01" + b"\x01\x00" + b"\x00\x3f\x00"
+    return (
+        SOI
+        + _segment(0xE0, app0)
+        + _segment(0xDB, dqt)
+        + _segment(0xC0, sof)
+        + _segment(0xC4, dht_dc)
+        + _segment(0xC4, dht_ac)
+        + _segment(0xDA, sos)
+        + entropy
+        + EOI
+    )
+
+
+class _BitReader:
+    """MSB-first reader over de-stuffed entropy bytes."""
+
+    def __init__(self, data: bytes) -> None:
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        if self.pos + n > len(self.bits):
+            raise JpegFormatError("truncated")
+        v = 0
+        for b in self.bits[self.pos : self.pos + n]:
+            v = (v << 1) | int(b)
+        self.pos += n
+        return v
+
+    def huff(self, table: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read(1)
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise JpegFormatError("bad huffman code")
+
+
+def _receive_extend(br: _BitReader, size: int) -> int:
+    if size == 0:
+        return 0
+    v = br.read(size)
+    if v < (1 << (size - 1)):
+        v -= (1 << size) - 1
+    return v
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Baseline grayscale decode → uint8 (h, w).  Reads the stream's
+    own DQT/DHT (any valid canonical tables, not just this module's),
+    single-component SOF0/SOF1 scans, no restart intervals.  Raises
+    ``JpegFormatError`` on structural defects (same classes as
+    ``jpeg_parse``) or unsupported baseline features."""
+    data = bytes(data)
+    if data[:2] != SOI:
+        raise JpegFormatError("bad signature")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    dims = None
+    comp_q = 0
+    scan_dc, scan_ac = 0, 0
+    while True:
+        if pos + 2 > len(data):
+            raise JpegFormatError("truncated")
+        if data[pos] != 0xFF:
+            raise JpegFormatError("bad segment")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            raise JpegFormatError("missing SOF")
+        if marker in _STANDALONE:
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise JpegFormatError("truncated")
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if ln < 2 or pos + 2 + ln > len(data):
+            raise JpegFormatError("bad segment")
+        payload = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:  # DQT: one or more (pq/tq, 64 values)
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 15
+                step = 1 + (128 if pq else 64)
+                if p + step > len(payload):
+                    raise JpegFormatError("bad segment")
+                raw = payload[p + 1 : p + step]
+                vals = (
+                    np.frombuffer(raw, dtype=">u2")
+                    if pq
+                    else np.frombuffer(raw, dtype=np.uint8)
+                ).astype("f8")
+                tab = np.empty((8, 8))
+                tab[_ZZ_ROWS, _ZZ_COLS] = vals
+                qtables[tq] = tab
+                p += step
+        elif marker == 0xC4:  # DHT: one or more (tc/th, bits, vals)
+            p = 0
+            while p < len(payload):
+                if p + 17 > len(payload):
+                    raise JpegFormatError("bad segment")
+                tc, th = payload[p] >> 4, payload[p] & 15
+                bits = list(payload[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + n])
+                if len(vals) < n:
+                    raise JpegFormatError("bad segment")
+                enc = _canonical_codes(bits, vals)
+                htables[(tc, th)] = {
+                    (length, code): sym for sym, (length, code) in enc.items()
+                }
+                p += 17 + n
+        elif marker in _SOF:
+            if marker not in (0xC0, 0xC1):
+                raise JpegFormatError("unsupported: progressive/arithmetic scan")
+            if len(payload) < 6 or payload[0] != 8:
+                raise JpegFormatError("unsupported: precision")
+            h, w = struct.unpack(">HH", payload[1:5])
+            if payload[5] != 1:
+                raise JpegFormatError("unsupported: multi-component scan")
+            if len(payload) < 9 or payload[7] != 0x11:
+                raise JpegFormatError("unsupported: subsampling")
+            comp_q = payload[8]
+            dims = (w, h)
+        elif marker == 0xDA:
+            if len(payload) < 4 or payload[0] != 1:
+                raise JpegFormatError("unsupported: multi-component scan")
+            scan_dc, scan_ac = payload[2] >> 4, payload[2] & 15
+            pos += 2 + ln
+            break
+        pos += 2 + ln
+    if dims is None:
+        raise JpegFormatError("missing SOF")
+    w, h = dims
+    if w == 0 or h == 0:
+        raise JpegFormatError("bad segment")
+    q = qtables.get(comp_q)
+    dc_tab = htables.get((0, scan_dc))
+    ac_tab = htables.get((1, scan_ac))
+    if q is None or dc_tab is None or ac_tab is None:
+        raise JpegFormatError("missing table")
+
+    # entropy span: up to the first non-stuffing, non-RST marker
+    # (must be EOI); de-stuff, then bit-decode
+    end = pos
+    while True:
+        nxt = data.find(b"\xff", end)
+        if nxt < 0 or nxt + 1 >= len(data):
+            raise JpegFormatError("truncated")
+        code = data[nxt + 1]
+        if code == 0x00:
+            end = nxt + 2
+            continue
+        if 0xD0 <= code <= 0xD7:  # no DRI was seen — RSTs unsupported
+            raise JpegFormatError("unsupported: restart markers")
+        if code != 0xD9:
+            raise JpegFormatError("bad marker")
+        break
+    br = _BitReader(data[pos:nxt].replace(b"\xff\x00", b"\xff"))
+
+    bh, bw_ = -(-h // 8), -(-w // 8)
+    zz = np.zeros((bh * bw_, 64), dtype="f8")
+    pred = 0
+    for bi in range(bh * bw_):
+        size = br.huff(dc_tab)
+        if size > 11:
+            raise JpegFormatError("bad huffman code")
+        pred += _receive_extend(br, size)
+        zz[bi, 0] = pred
+        k = 1
+        while k < 64:
+            rs = br.huff(ac_tab)
+            run, size = rs >> 4, rs & 15
+            if size == 0:
+                if rs == 0x00:
+                    break
+                if rs == 0xF0:
+                    k += 16
+                    continue
+                raise JpegFormatError("bad huffman code")
+            k += run
+            if k > 63:
+                raise JpegFormatError("bad huffman code")
+            zz[bi, k] = _receive_extend(br, size)
+            k += 1
+
+    blocks = np.zeros((bh, bw_, 8, 8))
+    blocks[:, :, _ZZ_ROWS, _ZZ_COLS] = zz.reshape(bh, bw_, 64)
+    blocks *= q
+    pixels = np.einsum("ji,bcjk,kl->bcil", _DCT, blocks, _DCT) + 128.0
+    out = (
+        pixels.transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)[:h, :w]
+    )
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)

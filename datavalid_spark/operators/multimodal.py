@@ -120,6 +120,42 @@ def _png_resize(data: bytes, w: int, h: int) -> bytes:
     return png_encode(_nn_resize(arr, w, h))
 
 
+def _jpeg_feature_decode(data: bytes, dim: int) -> np.ndarray:
+    """REAL decode → feature vector for baseline JPEG payloads
+    (functions/jpeg.jpeg_decode — grayscale, so no luma collapse
+    needed); same contract as ``_png_feature_decode``: undecodable
+    bytes map to the all-(-1) vector."""
+    from datavalid_spark.functions.jpeg import JpegFormatError, jpeg_decode
+
+    try:
+        arr = jpeg_decode(bytes(data))
+    except (JpegFormatError, Exception):
+        return np.full(dim, -1.0, dtype="f4")
+    side = max(1, int(dim**0.5))
+    grid = _nn_resize(arr, side, side).astype("f4") / 255.0
+    out = np.zeros(dim, dtype="f4")
+    flat = grid.reshape(-1)
+    out[: len(flat)] = flat[:dim]
+    return out
+
+
+def _jpeg_resize(data: bytes, w: int, h: int) -> bytes:
+    """REAL JPEG resize: baseline decode → nearest-neighbor resample →
+    re-encode (quant=1, near-lossless).  Undecodable payloads pass
+    through unchanged, mirroring ``_png_resize``."""
+    from datavalid_spark.functions.jpeg import (
+        JpegFormatError,
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    try:
+        arr = jpeg_decode(bytes(data))
+    except (JpegFormatError, Exception):
+        return data
+    return jpeg_encode(_nn_resize(arr, w, h))
+
+
 def extract_features(
     media: DataFrame, dim: int = 32, backend: str = "fake", decode_fn=None
 ) -> DataFrame:
@@ -136,10 +172,12 @@ def extract_features(
     if decode_fn is None:
         if backend == "png":
             decode_fn = _png_feature_decode
+        elif backend == "jpeg":
+            decode_fn = _jpeg_feature_decode
         elif backend != "fake":
             raise NotImplementedError(
                 "decode backends in this container: 'fake' (deterministic "
-                "stub) and 'png' (real pure-numpy PNG decode); pass "
+                "stub), 'png' and 'jpeg' (real pure-numpy decodes); pass "
                 "decode_fn=... to inject pillow/ffmpeg "
                 "(contract: bytes -> float32[dim])"
             )
@@ -190,11 +228,14 @@ def resize_images(
     if resize_fn is None:
         if backend == "png":
             resize_fn = _png_resize
+        elif backend == "jpeg":
+            resize_fn = _jpeg_resize
         elif backend != "fake":
             raise NotImplementedError(
                 "resize backends in this container: 'fake' (deterministic "
-                "stub) and 'png' (real pure-numpy decode/resample/encode); "
-                "pass resize_fn=... to inject PIL/libvips "
+                "stub), 'png' and 'jpeg' (real pure-numpy "
+                "decode/resample/encode); pass resize_fn=... to inject "
+                "PIL/libvips "
                 "(contract: bytes -> bytes re-encoded at width x height)"
             )
     if resize_fn is None:
@@ -599,6 +640,126 @@ def validate_png_payloads(media: DataFrame) -> DataFrame:
 
 
 # ------------------------------------------ real-format (JPEG) validation
+
+def jpeg_pixel_media_from_docs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic media table of DECODABLE baseline JPEGs: the same
+    id-derived grayscale pixel rule as ``png_media_from_docs``, really
+    entropy-encoded (functions/jpeg.jpeg_encode, quant=1 near-lossless)
+    — the pixel-parity counterpart of the marker-skeleton generator
+    below, for driving the real ``backend="jpeg"`` decode path."""
+    from datavalid_spark.functions.jpeg import jpeg_encode
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "kind": [], "data": [], "meta": []}
+            for did in pdf[id_col]:
+                did = int(did)
+                w = did % 24 + 4
+                h = (did * 7) % 24 + 4
+                img = (
+                    (np.arange(h * w, dtype=np.int64) * (did % 251 + 1) + did)
+                    % 256
+                ).astype(np.uint8).reshape(h, w)
+                rows["doc_id"].append(did)
+                rows["kind"].append("image")
+                rows["data"].append(jpeg_encode(img))
+                rows["meta"].append(
+                    {
+                        "mime": "image/jpeg",
+                        "width": w,
+                        "height": h,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(fn, schema=MEDIA_SCHEMA)
+
+
+def jpeg_tile_media_from_docs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decodable baseline JPEGs whose pixels are CONSTANT per 8×8 tile
+    (value ``(id*31 + tile_row*7 + tile_col*13) % 256``), dims from the
+    id rule shared with the PNG generator.  Constant tiles are DC-only
+    blocks, which the quant=1 codec carries EXACTLY (the half-unit DCT
+    rounding slack absorbs the float error), so the decoded pixel sums
+    are integer-reproducible by pure arithmetic — the property the
+    ``multimodal_jpeg_pixels`` DuckDB oracle exploits to verify the
+    real entropy decode end-to-end without being able to decode."""
+    from datavalid_spark.functions.jpeg import jpeg_encode
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "kind": [], "data": [], "meta": []}
+            for did in pdf[id_col]:
+                did = int(did)
+                w = did % 24 + 4
+                h = (did * 7) % 24 + 4
+                tr, tc = np.mgrid[0:h, 0:w]
+                img = ((did * 31 + (tr // 8) * 7 + (tc // 8) * 13) % 256).astype(
+                    np.uint8
+                )
+                rows["doc_id"].append(did)
+                rows["kind"].append("image")
+                rows["data"].append(jpeg_encode(img))
+                rows["meta"].append(
+                    {
+                        "mime": "image/jpeg",
+                        "width": w,
+                        "height": h,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(fn, schema=MEDIA_SCHEMA)
+
+
+_PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+    ]
+)
+
+
+def jpeg_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL entropy decode of every payload → (doc_id, actual width,
+    actual height, exact pixel sum).  One Arrow pass; undecodable
+    payloads report (-1, -1, -1) so corruption is visible, not fatal.
+    This is the auditable surface of the decode path: dims come from
+    the decoded array (not the catalog), and the sum covers every
+    pixel, so any entropy/DCT/dequant bug shows as an integer
+    mismatch."""
+    from datavalid_spark.functions.jpeg import jpeg_decode
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, sums = [], [], []
+            for data in pdf["data"]:
+                try:
+                    arr = jpeg_decode(bytes(data))
+                    hs.append(arr.shape[0])
+                    ws.append(arr.shape[1])
+                    sums.append(int(arr.sum(dtype=np.int64)))
+                except Exception:
+                    ws.append(-1)
+                    hs.append(-1)
+                    sums.append(-1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "width": np.array(ws, dtype="i4"),
+                    "height": np.array(hs, dtype="i4"),
+                    "pixel_sum": np.array(sums, dtype="i8"),
+                }
+            )
+
+    return media.select("doc_id", "data").mapInPandas(
+        fn, schema=_PIXEL_STATS_SCHEMA
+    )
+
 
 def jpeg_media_from_docs(
     df: DataFrame,
