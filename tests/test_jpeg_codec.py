@@ -201,3 +201,36 @@ def test_jpeg_backend_resize_round_trip(spark):
     assert resized["meta"]["width"] == 6 and resized["meta"]["height"] == 7
     # resized output is itself a structurally valid JPEG
     assert jpeg_validate_reason(bytes(resized["data"]), 6, 7) is None
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    nflips=st.integers(1, 12),
+)
+def test_fuzz_corrupted_streams_never_crash_unexpectedly(seed, nflips):
+    # the decoder faces corrupt crawl payloads by design: any byte
+    # corruption of a valid stream must either still decode to SOME
+    # uint8 array or raise the module's typed error — never hang, never
+    # escape with an IndexError/struct.error from half-parsed state
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (16, 24), dtype=np.uint8)
+    b = bytearray(jpeg_encode(img))
+    for _ in range(nflips):
+        b[rng.randint(2, len(b))] ^= 1 << rng.randint(8)
+    try:
+        out = jpeg_decode(bytes(b))
+        assert isinstance(out, np.ndarray) and out.dtype == np.uint8
+    except JpegFormatError:
+        pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(min_size=0, max_size=400))
+def test_fuzz_arbitrary_bytes_never_crash_unexpectedly(data):
+    for payload in (data, b"\xff\xd8" + data):
+        try:
+            out = jpeg_decode(payload)
+            assert isinstance(out, np.ndarray)
+        except JpegFormatError:
+            pass
