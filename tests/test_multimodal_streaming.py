@@ -558,3 +558,51 @@ def test_streaming_png_payload_validation_parity(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) >= 6
+
+
+def test_streaming_jpeg_entropy_decode_parity(spark, tmp_path):
+    """The REAL entropy decode path (jpeg_pixel_stats — r5) is also a
+    row-local mapInPandas transformation, so it composes with
+    Structured Streaming unchanged: two micro-batches of decodable
+    constant-tile JPEGs streamed through readStream → decode → sink
+    must report exactly the batch pass's (dims, pixel_sum) rows — the
+    same stream↔batch reconciliation contract the validators pin, now
+    covering the decoder itself."""
+    import os
+
+    from datavalid_spark.operators.multimodal import (
+        jpeg_pixel_stats,
+        jpeg_tile_media_from_docs,
+    )
+    from datavalid_spark.streaming.validate_stream import run_to_memory
+
+    src = str(tmp_path / "jpeg_in")
+    os.makedirs(src)
+    ids1 = [0, 1, 2, 9, 15]
+    ids2 = [23, 31, 40, 57, 64]
+    for batch in (ids1, ids2):
+        df = spark.createDataFrame([(i,) for i in batch], "doc_id long")
+        jpeg_tile_media_from_docs(df).coalesce(1).write.mode("append").parquet(src)
+
+    media_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(media_schema).parquet(src)
+    streamed = run_to_memory(
+        jpeg_pixel_stats(stream), "jpeg_pixels", timeout_sec=120
+    )
+    got = {
+        (r["doc_id"], r["width"], r["height"], r["pixel_sum"])
+        for r in streamed.collect()
+    }
+
+    batch_df = spark.createDataFrame(
+        [(i,) for i in ids1 + ids2], "doc_id long"
+    )
+    want = {
+        (r["doc_id"], r["width"], r["height"], r["pixel_sum"])
+        for r in jpeg_pixel_stats(
+            jpeg_tile_media_from_docs(batch_df)
+        ).collect()
+    }
+    assert got == want and len(want) == 10
+    # decode really ran: sums are the id-rule arithmetic, not -1 sentinels
+    assert all(s >= 0 for (_, _, _, s) in got)
