@@ -270,17 +270,78 @@ def _magnitude_bits(v: int, size: int) -> int:
     return v if v >= 0 else v + (1 << size) - 1
 
 
+#: JFIF color transform (Kr/Kb per ITU-R BT.601): YCbCr = RGB @ M.T
+#: (+[0,128,128]); the inverse is the numeric matrix inverse, so the
+#: pair is exact in float arithmetic
+_KR, _KB = 0.299, 0.114
+_KG = 1.0 - _KR - _KB
+_RGB2YCC = np.array(
+    [
+        [_KR, _KG, _KB],
+        [-_KR / (2 * (1 - _KB)), -_KG / (2 * (1 - _KB)), 0.5],
+        [0.5, -_KG / (2 * (1 - _KR)), -_KB / (2 * (1 - _KR))],
+    ]
+)
+_YCC2RGB = np.linalg.inv(_RGB2YCC)
+
+
+def _plane_zigzag(plane: np.ndarray, q: np.ndarray, h: int, w: int) -> np.ndarray:
+    """One level-shifted float plane → (nblocks, 64) quantised zigzag
+    coefficients (edge-replicated padding, whole-plane DCT einsum)."""
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    blocks = padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+    coeffs = np.einsum("ij,bcjk,lk->bcil", _DCT, blocks, _DCT)
+    quantised = np.round(coeffs / q).astype("i4")
+    return quantised[:, :, _ZZ_ROWS, _ZZ_COLS].reshape(-1, 64)
+
+
+def _encode_block(bw: "_BitWriter", row: np.ndarray, pred: int) -> int:
+    """Huffman-encode one zigzag block; returns the new DC predictor."""
+    dc = int(row[0])
+    diff = dc - pred
+    size = _category(diff)
+    ln, code = _DC_ENC[size]
+    bw.write(code, ln)
+    if size:
+        bw.write(_magnitude_bits(diff, size), size)
+    nz = np.nonzero(row[1:])[0]
+    k = 0  # index into row[1:]
+    for idx in nz:
+        run = int(idx) - k
+        while run >= 16:
+            ln, code = _AC_ENC[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        v = int(row[1 + idx])
+        size = _category(v)
+        ln, code = _AC_ENC[(run << 4) | size]
+        bw.write(code, ln)
+        bw.write(_magnitude_bits(v, size), size)
+        k = int(idx) + 1
+    if k < 63:
+        ln, code = _AC_ENC[0x00]  # EOB
+        bw.write(code, ln)
+    return dc
+
+
 def jpeg_encode(arr: np.ndarray, quant: int | np.ndarray = 1) -> bytes:
-    """Real grayscale baseline JPEG: uint8 (h, w) → decodable bytes.
+    """Real baseline JPEG: uint8 (h, w) grayscale or (h, w, 3) RGB →
+    decodable bytes.  RGB goes through the JFIF YCbCr transform at
+    4:4:4 (one block per component per MCU, interleaved Y Cb Cr —
+    no chroma subsampling, so quant=1 color stays near-lossless too).
 
     ``quant`` is a scalar divisor or a 64-long / 8×8 table (natural
-    order); quant=1 is near-lossless (DCT rounding only, max per-pixel
-    error ≤ 4).  The emitted stream carries its own DQT and DHT, so
-    any baseline decoder reads it."""
+    order) shared by all components; quant=1 is near-lossless (DCT
+    rounding only: max per-pixel error ≤ 4 gray / ≤ 8 RGB through the
+    color transform's gain).  The emitted stream carries its own DQT
+    and DHT, so any baseline decoder reads it."""
     arr = np.asarray(arr)
-    if arr.ndim != 2 or arr.dtype != np.uint8:
-        raise ValueError("jpeg_encode wants a uint8 (h, w) array")
-    h, w = arr.shape
+    if arr.dtype != np.uint8 or arr.ndim not in (2, 3) or (
+        arr.ndim == 3 and arr.shape[2] != 3
+    ):
+        raise ValueError("jpeg_encode wants a uint8 (h, w) or (h, w, 3) array")
+    h, w = arr.shape[:2]
     if h == 0 or w == 0 or h > 0xFFFF or w > 0xFFFF:
         raise ValueError("dims must be 1..65535")
     q = np.asarray(quant, dtype="f8")
@@ -291,58 +352,38 @@ def jpeg_encode(arr: np.ndarray, quant: int | np.ndarray = 1) -> bytes:
         raise ValueError("quantizers must be 1..255")
     q = np.round(q)
 
-    # pad to 8×8 multiples by edge replication, block-ize, DCT, quantise
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.pad(arr, ((0, ph - h), (0, pw - w)), mode="edge")
-    blocks = (
-        padded.reshape(ph // 8, 8, pw // 8, 8)
-        .transpose(0, 2, 1, 3)
-        .astype("f8")
-        - 128.0
-    )
-    coeffs = np.einsum("ij,bcjk,lk->bcil", _DCT, blocks, _DCT)
-    quantised = np.round(coeffs / q).astype("i4")
+    if arr.ndim == 2:
+        planes = [arr.astype("f8") - 128.0]
+    else:
+        ycc = arr.astype("f8") @ _RGB2YCC.T  # Y in [0,255], chroma in [-128,127]
+        planes = [ycc[:, :, 0] - 128.0, ycc[:, :, 1], ycc[:, :, 2]]
+    ncomp = len(planes)
 
-    # entropy-code blocks row-major, DC differentially
-    zz = quantised[:, :, _ZZ_ROWS, _ZZ_COLS].reshape(-1, 64)
+    zz_planes = [_plane_zigzag(p, q, h, w) for p in planes]
     bw = _BitWriter()
-    pred = 0
-    for row in zz:
-        dc = int(row[0])
-        diff = dc - pred
-        pred = dc
-        size = _category(diff)
-        ln, code = _DC_ENC[size]
-        bw.write(code, ln)
-        if size:
-            bw.write(_magnitude_bits(diff, size), size)
-        nz = np.nonzero(row[1:])[0]
-        k = 0  # index into row[1:]
-        for idx in nz:
-            run = int(idx) - k
-            while run >= 16:
-                ln, code = _AC_ENC[0xF0]
-                bw.write(code, ln)
-                run -= 16
-            v = int(row[1 + idx])
-            size = _category(v)
-            ln, code = _AC_ENC[(run << 4) | size]
-            bw.write(code, ln)
-            bw.write(_magnitude_bits(v, size), size)
-            k = int(idx) + 1
-        if k < 63:
-            ln, code = _AC_ENC[0x00]  # EOB
-            bw.write(code, ln)
+    preds = [0] * ncomp
+    for bi in range(zz_planes[0].shape[0]):  # interleaved MCU order
+        for ci in range(ncomp):
+            preds[ci] = _encode_block(bw, zz_planes[ci][bi], preds[ci])
     entropy = bw.done().replace(b"\xff", b"\xff\x00")
 
     app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
     dqt = b"\x00" + bytes(
         int(q[r, c]) for r, c in _ZZ
     )  # table 0, zigzag order per B.2.4.1
-    sof = b"\x08" + struct.pack(">HH", h, w) + b"\x01" + b"\x01\x11\x00"
+    sof = (
+        b"\x08"
+        + struct.pack(">HH", h, w)
+        + bytes([ncomp])
+        + b"".join(bytes([cid + 1, 0x11, 0]) for cid in range(ncomp))
+    )
     dht_dc = b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
     dht_ac = b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS)
-    sos = b"\x01" + b"\x01\x00" + b"\x00\x3f\x00"
+    sos = (
+        bytes([ncomp])
+        + b"".join(bytes([cid + 1, 0x00]) for cid in range(ncomp))
+        + b"\x00\x3f\x00"
+    )
     return (
         SOI
         + _segment(0xE0, app0)
@@ -395,9 +436,12 @@ def _receive_extend(br: _BitReader, size: int) -> int:
 def jpeg_decode(data: bytes) -> np.ndarray:
     """Baseline grayscale decode → uint8 (h, w).  Reads the stream's
     own DQT/DHT (any valid canonical tables, not just this module's),
-    single-component SOF0/SOF1 scans, no restart intervals.  Raises
+    1-component grayscale or 3-component 4:4:4 YCbCr SOF0/SOF1 frames
+    in one interleaved scan, no restart intervals.  Returns (h, w)
+    uint8 for grayscale, (h, w, 3) RGB for color.  Raises
     ``JpegFormatError`` on structural defects (same classes as
-    ``jpeg_parse``) or unsupported baseline features."""
+    ``jpeg_parse``) or unsupported baseline features (progressive /
+    arithmetic / subsampled / >8-bit / multi-scan streams)."""
     data = bytes(data)
     if data[:2] != SOI:
         raise JpegFormatError("bad signature")
@@ -405,8 +449,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     dims = None
-    comp_q = 0
-    scan_dc, scan_ac = 0, 0
+    frame_comps: list = []
+    scan_tabs: dict = {}
     while True:
         if pos + 2 > len(data):
             raise JpegFormatError("truncated")
@@ -463,16 +507,29 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             if len(payload) < 6 or payload[0] != 8:
                 raise JpegFormatError("unsupported: precision")
             h, w = struct.unpack(">HH", payload[1:5])
-            if payload[5] != 1:
-                raise JpegFormatError("unsupported: multi-component scan")
-            if len(payload) < 9 or payload[7] != 0x11:
-                raise JpegFormatError("unsupported: subsampling")
-            comp_q = payload[8]
+            nf = payload[5]
+            if nf not in (1, 3):
+                raise JpegFormatError("unsupported: component count")
+            if len(payload) < 6 + 3 * nf:
+                raise JpegFormatError("bad segment")
+            frame_comps = []
+            for ci in range(nf):
+                cid, samp, tq = payload[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise JpegFormatError("unsupported: subsampling")
+                frame_comps.append((cid, tq))
             dims = (w, h)
         elif marker == 0xDA:
-            if len(payload) < 4 or payload[0] != 1:
-                raise JpegFormatError("unsupported: multi-component scan")
-            scan_dc, scan_ac = payload[2] >> 4, payload[2] & 15
+            if len(payload) < 1:
+                raise JpegFormatError("bad segment")
+            ns = payload[0]
+            if len(payload) < 1 + 2 * ns + 3:
+                raise JpegFormatError("bad segment")
+            scan_tabs = {}
+            for ci in range(ns):
+                cs = payload[1 + 2 * ci]
+                tdta = payload[2 + 2 * ci]
+                scan_tabs[cs] = (tdta >> 4, tdta & 15)
             pos += 2 + ln
             break
         pos += 2 + ln
@@ -481,11 +538,20 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     w, h = dims
     if w == 0 or h == 0:
         raise JpegFormatError("bad segment")
-    q = qtables.get(comp_q)
-    dc_tab = htables.get((0, scan_dc))
-    ac_tab = htables.get((1, scan_ac))
-    if q is None or dc_tab is None or ac_tab is None:
-        raise JpegFormatError("missing table")
+    if len(scan_tabs) != len(frame_comps) or any(
+        cid not in scan_tabs for cid, _ in frame_comps
+    ):
+        raise JpegFormatError("unsupported: multi-scan frame")
+    # per-component (quant table, DC huffman, AC huffman), frame order
+    comps = []
+    for cid, tq in frame_comps:
+        td, ta = scan_tabs[cid]
+        q = qtables.get(tq)
+        dc_tab = htables.get((0, td))
+        ac_tab = htables.get((1, ta))
+        if q is None or dc_tab is None or ac_tab is None:
+            raise JpegFormatError("missing table")
+        comps.append((q, dc_tab, ac_tab))
 
     # entropy span: up to the first non-stuffing, non-RST marker
     # (must be EOI); de-stuff, then bit-decode
@@ -506,36 +572,47 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     br = _BitReader(data[pos:nxt].replace(b"\xff\x00", b"\xff"))
 
     bh, bw_ = -(-h // 8), -(-w // 8)
-    zz = np.zeros((bh * bw_, 64), dtype="f8")
-    pred = 0
-    for bi in range(bh * bw_):
-        size = br.huff(dc_tab)
-        if size > 11:
-            raise JpegFormatError("bad huffman code")
-        pred += _receive_extend(br, size)
-        zz[bi, 0] = pred
-        k = 1
-        while k < 64:
-            rs = br.huff(ac_tab)
-            run, size = rs >> 4, rs & 15
-            if size == 0:
-                if rs == 0x00:
-                    break
-                if rs == 0xF0:
-                    k += 16
-                    continue
+    ncomp = len(comps)
+    zz = np.zeros((ncomp, bh * bw_, 64), dtype="f8")
+    preds = [0] * ncomp
+    for bi in range(bh * bw_):  # interleaved MCU order, 1 block/comp
+        for ci, (_, dc_tab, ac_tab) in enumerate(comps):
+            size = br.huff(dc_tab)
+            if size > 11:
                 raise JpegFormatError("bad huffman code")
-            k += run
-            if k > 63:
-                raise JpegFormatError("bad huffman code")
-            zz[bi, k] = _receive_extend(br, size)
-            k += 1
+            preds[ci] += _receive_extend(br, size)
+            zz[ci, bi, 0] = preds[ci]
+            k = 1
+            while k < 64:
+                rs = br.huff(ac_tab)
+                run, size = rs >> 4, rs & 15
+                if size == 0:
+                    if rs == 0x00:
+                        break
+                    if rs == 0xF0:
+                        k += 16
+                        continue
+                    raise JpegFormatError("bad huffman code")
+                k += run
+                if k > 63:
+                    raise JpegFormatError("bad huffman code")
+                zz[ci, bi, k] = _receive_extend(br, size)
+                k += 1
 
-    blocks = np.zeros((bh, bw_, 8, 8))
-    blocks[:, :, _ZZ_ROWS, _ZZ_COLS] = zz.reshape(bh, bw_, 64)
-    blocks *= q
-    pixels = np.einsum("ji,bcjk,kl->bcil", _DCT, blocks, _DCT) + 128.0
-    out = (
-        pixels.transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)[:h, :w]
-    )
+    planes = []
+    for ci, (q, _, _) in enumerate(comps):
+        blocks = np.zeros((bh, bw_, 8, 8))
+        blocks[:, :, _ZZ_ROWS, _ZZ_COLS] = zz[ci].reshape(bh, bw_, 64)
+        blocks *= q
+        pixels = np.einsum("ji,bcjk,kl->bcil", _DCT, blocks, _DCT) + 128.0
+        planes.append(
+            pixels.transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)[:h, :w]
+        )
+    if ncomp == 1:
+        out = planes[0]
+    else:  # JFIF YCbCr at 4:4:4 → RGB
+        ycc = np.stack(planes, axis=-1)
+        ycc[:, :, 1] -= 128.0
+        ycc[:, :, 2] -= 128.0
+        out = ycc @ _YCC2RGB.T
     return np.clip(np.round(out), 0, 255).astype(np.uint8)

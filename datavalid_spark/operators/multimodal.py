@@ -131,6 +131,12 @@ def _jpeg_feature_decode(data: bytes, dim: int) -> np.ndarray:
         arr = jpeg_decode(bytes(data))
     except (JpegFormatError, Exception):
         return np.full(dim, -1.0, dtype="f4")
+    if arr.ndim == 3:  # ITU-R 601 luma, integer arithmetic (as PNG)
+        arr = (
+            299 * arr[:, :, 0].astype("i4")
+            + 587 * arr[:, :, 1].astype("i4")
+            + 114 * arr[:, :, 2].astype("i4")
+        ) // 1000
     side = max(1, int(dim**0.5))
     grid = _nn_resize(arr, side, side).astype("f4") / 255.0
     out = np.zeros(dim, dtype="f4")

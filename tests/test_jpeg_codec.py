@@ -234,3 +234,82 @@ def test_fuzz_arbitrary_bytes_never_crash_unexpectedly(data):
             assert isinstance(out, np.ndarray)
         except JpegFormatError:
             pass
+
+
+# ------------------------------------------------------------ color (4:4:4)
+
+def test_color_constant_round_trip_exactly():
+    img = np.full((16, 16, 3), (37, 130, 220), dtype=np.uint8)
+    out = jpeg_decode(jpeg_encode(img))
+    assert np.array_equal(out, img)
+
+
+@pytest.mark.parametrize("shape", [(1, 1, 3), (9, 17, 3), (37, 53, 3)])
+def test_color_random_round_trip_within_bound(shape):
+    # quant=1 coefficient rounding maps through the YCbCr->RGB gain
+    # (|1.402| + |0.714| + ... per channel), so the color bound is 8
+    img = RNG.randint(0, 256, shape, dtype=np.uint8)
+    out = jpeg_decode(jpeg_encode(img))
+    assert out.shape == img.shape
+    assert int(np.max(np.abs(out.astype(int) - img.astype(int)))) <= 8
+
+
+def test_color_stream_is_three_component_baseline():
+    img = RNG.randint(0, 256, (12, 20, 3), dtype=np.uint8)
+    b = jpeg_encode(img)
+    assert jpeg_parse(b) == (20, 12)
+    assert jpeg_validate_reason(b, 20, 12) is None
+    i = b.find(b"\xff\xc0")
+    assert b[i + 9] == 3  # SOF component count
+
+
+def test_color_encoder_rejects_bad_channel_count():
+    with pytest.raises(ValueError):
+        jpeg_encode(np.zeros((4, 4, 2), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        jpeg_encode(np.zeros((4, 4, 4), dtype=np.uint8))
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_hypothesis_color_round_trip(w, h, seed):
+    img = np.random.RandomState(seed).randint(
+        0, 256, (h, w, 3), dtype=np.uint8
+    )
+    out = jpeg_decode(jpeg_encode(img))
+    assert out.shape == (h, w, 3)
+    assert int(np.max(np.abs(out.astype(int) - img.astype(int)))) <= 8
+
+
+def test_jpeg_backend_color_features_collapse_to_luma(spark):
+    from datavalid_spark.operators.multimodal import (
+        _nn_resize,
+        extract_features,
+    )
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    img = RNG.randint(0, 256, (20, 20, 3), dtype=np.uint8)
+    payload = jpeg_encode(img)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "data": [payload]}),
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("data", T.BinaryType()),
+            ]
+        ),
+    )
+    (row,) = extract_features(df, dim=16, backend="jpeg").collect()
+    decoded = jpeg_decode(payload)
+    luma = (
+        299 * decoded[:, :, 0].astype("i4")
+        + 587 * decoded[:, :, 1].astype("i4")
+        + 114 * decoded[:, :, 2].astype("i4")
+    ) // 1000
+    expect = _nn_resize(luma, 4, 4).astype("f4") / 255.0
+    assert np.allclose(np.array(row["features"]), expect.reshape(-1))
