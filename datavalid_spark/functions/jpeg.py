@@ -285,15 +285,29 @@ _RGB2YCC = np.array(
 _YCC2RGB = np.linalg.inv(_RGB2YCC)
 
 
-def _plane_zigzag(plane: np.ndarray, q: np.ndarray, h: int, w: int) -> np.ndarray:
-    """One level-shifted float plane → (nblocks, 64) quantised zigzag
-    coefficients (edge-replicated padding, whole-plane DCT einsum)."""
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+def _plane_zigzag(
+    plane: np.ndarray, q: np.ndarray, ph: int, pw: int
+) -> np.ndarray:
+    """One level-shifted float plane → (rows, cols, 64) quantised
+    zigzag block grid, edge-replicate padded to (ph, pw) — ph/pw are
+    the MCU-aligned plane dims (8-multiples for 1×1 sampling,
+    16-multiples for the 2×2 luma of a 4:2:0 frame)."""
+    h, w = plane.shape
     padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
     blocks = padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
     coeffs = np.einsum("ij,bcjk,lk->bcil", _DCT, blocks, _DCT)
     quantised = np.round(coeffs / q).astype("i4")
-    return quantised[:, :, _ZZ_ROWS, _ZZ_COLS].reshape(-1, 64)
+    return quantised[:, :, _ZZ_ROWS, _ZZ_COLS]
+
+
+def _box2(plane: np.ndarray) -> np.ndarray:
+    """2×2 box-mean downsample (edge-padded to even dims first) — the
+    chroma decimation of a 4:2:0 encode."""
+    h, w = plane.shape
+    p = np.pad(plane, ((0, h % 2), (0, w % 2)), mode="edge")
+    return (
+        p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(axis=(1, 3))
+    )
 
 
 def _encode_block(bw: "_BitWriter", row: np.ndarray, pred: int) -> int:
@@ -325,7 +339,12 @@ def _encode_block(bw: "_BitWriter", row: np.ndarray, pred: int) -> int:
     return dc
 
 
-def jpeg_encode(arr: np.ndarray, quant: int | np.ndarray = 1) -> bytes:
+def jpeg_encode(
+    arr: np.ndarray,
+    quant: int | np.ndarray = 1,
+    restart_interval: int = 0,
+    subsampling: str = "444",
+) -> bytes:
     """Real baseline JPEG: uint8 (h, w) grayscale or (h, w, 3) RGB →
     decodable bytes.  RGB goes through the JFIF YCbCr transform at
     4:4:4 (one block per component per MCU, interleaved Y Cb Cr —
@@ -334,8 +353,14 @@ def jpeg_encode(arr: np.ndarray, quant: int | np.ndarray = 1) -> bytes:
     ``quant`` is a scalar divisor or a 64-long / 8×8 table (natural
     order) shared by all components; quant=1 is near-lossless (DCT
     rounding only: max per-pixel error ≤ 4 gray / ≤ 8 RGB through the
-    color transform's gain).  The emitted stream carries its own DQT
-    and DHT, so any baseline decoder reads it."""
+    color transform's gain).  ``restart_interval`` > 0 emits a DRI
+    segment and RST0–7 markers every that-many MCUs (byte-aligned, DC
+    predictors reset — T.81 §B.2.1.2/E.1.4), the layout real encoders
+    use for error resilience.  ``subsampling``: ``"444"`` (default,
+    one block per component per MCU) or ``"420"`` for color — 2×2
+    box-decimated chroma, 16×16 MCUs of 4 Y + Cb + Cr blocks, the
+    dominant real-world layout.  The emitted stream carries its own
+    DQT and DHT, so any baseline decoder reads it."""
     arr = np.asarray(arr)
     if arr.dtype != np.uint8 or arr.ndim not in (2, 3) or (
         arr.ndim == 3 and arr.shape[2] != 3
@@ -352,20 +377,55 @@ def jpeg_encode(arr: np.ndarray, quant: int | np.ndarray = 1) -> bytes:
         raise ValueError("quantizers must be 1..255")
     q = np.round(q)
 
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    if not isinstance(restart_interval, int) or restart_interval < 0:
+        raise ValueError("restart_interval must be a non-negative int")
+
+    # per component: (level-shifted plane, h_i, v_i sampling factors)
     if arr.ndim == 2:
-        planes = [arr.astype("f8") - 128.0]
+        comps = [(arr.astype("f8") - 128.0, 1, 1)]
     else:
         ycc = arr.astype("f8") @ _RGB2YCC.T  # Y in [0,255], chroma in [-128,127]
-        planes = [ycc[:, :, 0] - 128.0, ycc[:, :, 1], ycc[:, :, 2]]
-    ncomp = len(planes)
+        y, cb, cr = ycc[:, :, 0] - 128.0, ycc[:, :, 1], ycc[:, :, 2]
+        if subsampling == "420":
+            comps = [(y, 2, 2), (_box2(cb), 1, 1), (_box2(cr), 1, 1)]
+        else:
+            comps = [(y, 1, 1), (cb, 1, 1), (cr, 1, 1)]
+    ncomp = len(comps)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mw = -(-w // (8 * hmax))
+    mh = -(-h // (8 * vmax))
+    # block grids padded to exact MCU coverage per component
+    zz_planes = [
+        _plane_zigzag(p, q, mh * 8 * vi, mw * 8 * hi)
+        for p, hi, vi in comps
+    ]
 
-    zz_planes = [_plane_zigzag(p, q, h, w) for p in planes]
+    chunks: list[bytes] = []
     bw = _BitWriter()
     preds = [0] * ncomp
-    for bi in range(zz_planes[0].shape[0]):  # interleaved MCU order
-        for ci in range(ncomp):
-            preds[ci] = _encode_block(bw, zz_planes[ci][bi], preds[ci])
-    entropy = bw.done().replace(b"\xff", b"\xff\x00")
+    for bi in range(mh * mw):  # interleaved MCU order, row-major
+        if restart_interval and bi and bi % restart_interval == 0:
+            # byte-align, stuff, emit the cycling RSTn, reset DC preds
+            chunks.append(bw.done().replace(b"\xff", b"\xff\x00"))
+            chunks.append(
+                bytes([0xFF, 0xD0 + (bi // restart_interval - 1) % 8])
+            )
+            bw = _BitWriter()
+            preds = [0] * ncomp
+        r, c = bi // mw, bi % mw
+        for ci, (_, hi, vi) in enumerate(comps):
+            for dv in range(vi):
+                for dh in range(hi):
+                    preds[ci] = _encode_block(
+                        bw,
+                        zz_planes[ci][r * vi + dv, c * hi + dh],
+                        preds[ci],
+                    )
+    chunks.append(bw.done().replace(b"\xff", b"\xff\x00"))
+    entropy = b"".join(chunks)
 
     app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
     dqt = b"\x00" + bytes(
@@ -375,7 +435,10 @@ def jpeg_encode(arr: np.ndarray, quant: int | np.ndarray = 1) -> bytes:
         b"\x08"
         + struct.pack(">HH", h, w)
         + bytes([ncomp])
-        + b"".join(bytes([cid + 1, 0x11, 0]) for cid in range(ncomp))
+        + b"".join(
+            bytes([cid + 1, (hi << 4) | vi, 0])
+            for cid, (_, hi, vi) in enumerate(comps)
+        )
     )
     dht_dc = b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
     dht_ac = b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS)
@@ -384,6 +447,11 @@ def jpeg_encode(arr: np.ndarray, quant: int | np.ndarray = 1) -> bytes:
         + b"".join(bytes([cid + 1, 0x00]) for cid in range(ncomp))
         + b"\x00\x3f\x00"
     )
+    dri = (
+        _segment(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         SOI
         + _segment(0xE0, app0)
@@ -391,6 +459,7 @@ def jpeg_encode(arr: np.ndarray, quant: int | np.ndarray = 1) -> bytes:
         + _segment(0xC0, sof)
         + _segment(0xC4, dht_dc)
         + _segment(0xC4, dht_ac)
+        + dri
         + _segment(0xDA, sos)
         + entropy
         + EOI
@@ -451,6 +520,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     dims = None
     frame_comps: list = []
     scan_tabs: dict = {}
+    restart = 0
     while True:
         if pos + 2 > len(data):
             raise JpegFormatError("truncated")
@@ -515,10 +585,24 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             frame_comps = []
             for ci in range(nf):
                 cid, samp, tq = payload[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise JpegFormatError("unsupported: subsampling")
-                frame_comps.append((cid, tq))
+                frame_comps.append((cid, samp >> 4, samp & 15, tq))
+            samps = [(hi, vi) for _, hi, vi, _ in frame_comps]
+            # supported layouts: all-1×1 (grayscale / 4:4:4), or the
+            # 4:2:0 frame — 2×2 luma with 1×1 chroma
+            if not (
+                all(s == (1, 1) for s in samps)
+                or (
+                    len(samps) == 3
+                    and samps[0] == (2, 2)
+                    and samps[1] == samps[2] == (1, 1)
+                )
+            ):
+                raise JpegFormatError("unsupported: subsampling")
             dims = (w, h)
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            if len(payload) < 2:
+                raise JpegFormatError("bad segment")
+            (restart,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:
             if len(payload) < 1:
                 raise JpegFormatError("bad segment")
@@ -539,22 +623,25 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     if w == 0 or h == 0:
         raise JpegFormatError("bad segment")
     if len(scan_tabs) != len(frame_comps) or any(
-        cid not in scan_tabs for cid, _ in frame_comps
+        cid not in scan_tabs for cid, _, _, _ in frame_comps
     ):
         raise JpegFormatError("unsupported: multi-scan frame")
-    # per-component (quant table, DC huffman, AC huffman), frame order
+    # per-component (quant, DC huffman, AC huffman, h_i, v_i), frame order
     comps = []
-    for cid, tq in frame_comps:
+    for cid, hi, vi, tq in frame_comps:
         td, ta = scan_tabs[cid]
         q = qtables.get(tq)
         dc_tab = htables.get((0, td))
         ac_tab = htables.get((1, ta))
         if q is None or dc_tab is None or ac_tab is None:
             raise JpegFormatError("missing table")
-        comps.append((q, dc_tab, ac_tab))
+        comps.append((q, dc_tab, ac_tab, hi, vi))
 
-    # entropy span: up to the first non-stuffing, non-RST marker
-    # (must be EOI); de-stuff, then bit-decode
+    # entropy span: up to the first non-stuffing, non-RST marker (must
+    # be EOI); RSTn markers split the scan into restart segments — each
+    # a fresh byte-aligned bit stream with DC predictors reset
+    segments: list[bytes] = []
+    seg_start = pos
     end = pos
     while True:
         nxt = data.find(b"\xff", end)
@@ -564,53 +651,85 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         if code == 0x00:
             end = nxt + 2
             continue
-        if 0xD0 <= code <= 0xD7:  # no DRI was seen — RSTs unsupported
-            raise JpegFormatError("unsupported: restart markers")
+        if 0xD0 <= code <= 0xD7:
+            if restart == 0:  # no DRI was seen — RSTs malformed here
+                raise JpegFormatError("unsupported: restart markers")
+            segments.append(data[seg_start:nxt])
+            seg_start = end = nxt + 2
+            continue
         if code != 0xD9:
             raise JpegFormatError("bad marker")
         break
-    br = _BitReader(data[pos:nxt].replace(b"\xff\x00", b"\xff"))
+    segments.append(data[seg_start:nxt])
 
-    bh, bw_ = -(-h // 8), -(-w // 8)
+    def _reader(seg: bytes) -> _BitReader:
+        return _BitReader(seg.replace(b"\xff\x00", b"\xff"))
+
+    seg_i = 0
+    br = _reader(segments[0])
+
     ncomp = len(comps)
-    zz = np.zeros((ncomp, bh * bw_, 64), dtype="f8")
+    hmax = max(hi for _, _, _, hi, _ in comps)
+    vmax = max(vi for _, _, _, _, vi in comps)
+    mw = -(-w // (8 * hmax))
+    mh = -(-h // (8 * vmax))
+    # per-component zigzag block grids, MCU-aligned
+    zz = [
+        np.zeros((mh * vi, mw * hi, 64), dtype="f8")
+        for _, _, _, hi, vi in comps
+    ]
     preds = [0] * ncomp
-    for bi in range(bh * bw_):  # interleaved MCU order, 1 block/comp
-        for ci, (_, dc_tab, ac_tab) in enumerate(comps):
-            size = br.huff(dc_tab)
-            if size > 11:
-                raise JpegFormatError("bad huffman code")
-            preds[ci] += _receive_extend(br, size)
-            zz[ci, bi, 0] = preds[ci]
-            k = 1
-            while k < 64:
-                rs = br.huff(ac_tab)
-                run, size = rs >> 4, rs & 15
-                if size == 0:
-                    if rs == 0x00:
-                        break
-                    if rs == 0xF0:
-                        k += 16
-                        continue
-                    raise JpegFormatError("bad huffman code")
-                k += run
-                if k > 63:
-                    raise JpegFormatError("bad huffman code")
-                zz[ci, bi, k] = _receive_extend(br, size)
-                k += 1
+    for bi in range(mh * mw):  # interleaved MCU order, row-major
+        if restart and bi and bi % restart == 0:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise JpegFormatError("truncated")
+            br = _reader(segments[seg_i])
+            preds = [0] * ncomp
+        r, c = bi // mw, bi % mw
+        for ci, (_, dc_tab, ac_tab, hi, vi) in enumerate(comps):
+            for dv in range(vi):
+                for dh in range(hi):
+                    coeffs = zz[ci][r * vi + dv, c * hi + dh]
+                    size = br.huff(dc_tab)
+                    if size > 11:
+                        raise JpegFormatError("bad huffman code")
+                    preds[ci] += _receive_extend(br, size)
+                    coeffs[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = br.huff(ac_tab)
+                        run, size = rs >> 4, rs & 15
+                        if size == 0:
+                            if rs == 0x00:
+                                break
+                            if rs == 0xF0:
+                                k += 16
+                                continue
+                            raise JpegFormatError("bad huffman code")
+                        k += run
+                        if k > 63:
+                            raise JpegFormatError("bad huffman code")
+                        coeffs[k] = _receive_extend(br, size)
+                        k += 1
 
     planes = []
-    for ci, (q, _, _) in enumerate(comps):
-        blocks = np.zeros((bh, bw_, 8, 8))
-        blocks[:, :, _ZZ_ROWS, _ZZ_COLS] = zz[ci].reshape(bh, bw_, 64)
+    for ci, (q, _, _, hi, vi) in enumerate(comps):
+        by, bx = zz[ci].shape[:2]
+        blocks = np.zeros((by, bx, 8, 8))
+        blocks[:, :, _ZZ_ROWS, _ZZ_COLS] = zz[ci]
         blocks *= q
         pixels = np.einsum("ji,bcjk,kl->bcil", _DCT, blocks, _DCT) + 128.0
-        planes.append(
-            pixels.transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)[:h, :w]
-        )
+        plane = pixels.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        # upsample subsampled components to frame resolution (nearest)
+        if hi < hmax or vi < vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        planes.append(plane[:h, :w])
     if ncomp == 1:
         out = planes[0]
-    else:  # JFIF YCbCr at 4:4:4 → RGB
+    else:  # JFIF YCbCr → RGB
         ycc = np.stack(planes, axis=-1)
         ycc[:, :, 1] -= 128.0
         ycc[:, :, 2] -= 128.0

@@ -313,3 +313,88 @@ def test_jpeg_backend_color_features_collapse_to_luma(spark):
     ) // 1000
     expect = _nn_resize(luma, 4, 4).astype("f4") / 255.0
     assert np.allclose(np.array(row["features"]), expect.reshape(-1))
+
+
+# ------------------------------------------- restart markers + 4:2:0
+
+@pytest.mark.parametrize("interval", [1, 3, 7, 35, 100])
+def test_restart_intervals_round_trip(interval):
+    img = RNG.randint(0, 256, (40, 56), dtype=np.uint8)  # 35 MCUs
+    b = jpeg_encode(img, restart_interval=interval)
+    assert jpeg_validate_reason(b) is None  # RSTs legal per validator
+    out = jpeg_decode(b)
+    assert int(np.max(np.abs(out.astype(int) - img.astype(int)))) <= 4
+    if interval < 35:
+        assert b.find(b"\xff\xd0") > 0  # markers really emitted
+
+
+def test_restart_markers_without_dri_still_rejected():
+    img = RNG.randint(0, 256, (16, 16), dtype=np.uint8)
+    b = jpeg_encode(img)
+    i = len(b) - 20
+    with pytest.raises(JpegFormatError, match="restart"):
+        jpeg_decode(b[:i] + b"\xff\xd0" + b[i:])
+
+
+def test_420_constant_color_round_trips_exactly():
+    img = np.full((20, 28, 3), (37, 130, 220), dtype=np.uint8)
+    b = jpeg_encode(img, subsampling="420")
+    assert np.array_equal(jpeg_decode(b), img)
+    assert jpeg_parse(b) == (28, 20)
+    i = b.find(b"\xff\xc0")
+    assert b[i + 11] == 0x22  # luma 2x2 sampling byte in SOF comp 0
+
+
+def test_420_luma_detail_survives_chroma_decimation():
+    # gray content in RGB: chroma is constant 128, so 4:2:0's loss is
+    # zero and all detail rides the full-resolution Y plane
+    y, x = np.mgrid[0:33, 0:41]
+    lum = ((x * 3 + y * 5) % 256).astype(np.uint8)
+    img = np.stack([lum, lum, lum], axis=-1)
+    out = jpeg_decode(jpeg_encode(img, subsampling="420"))
+    assert int(np.max(np.abs(out.astype(int) - img.astype(int)))) <= 4
+
+
+def test_420_smooth_chroma_bounded():
+    # chroma varying smoothly (constant per 2x2 box): box decimation is
+    # lossless on it, so the full pipeline stays near-lossless
+    y, x = np.mgrid[0:24, 0:32]
+    r = (((x // 2) * 8) % 256).astype(np.uint8)
+    bch = (((y // 2) * 8) % 256).astype(np.uint8)
+    img = np.stack([r, np.full_like(r, 90), bch], axis=-1)
+    out = jpeg_decode(jpeg_encode(img, subsampling="420"))
+    assert int(np.max(np.abs(out.astype(int) - img.astype(int)))) <= 8
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(1, 30),
+    h=st.integers(1, 30),
+    interval=st.integers(0, 5),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_hypothesis_420_any_dims_decode(w, h, interval, seed):
+    img = np.random.RandomState(seed).randint(
+        0, 256, (h, w, 3), dtype=np.uint8
+    )
+    b = jpeg_encode(img, subsampling="420", restart_interval=interval)
+    out = jpeg_decode(b)
+    assert out.shape == (h, w, 3)
+    # luma is full-resolution, so ITU-601 luma of the output tracks the
+    # input CLOSELY in the mean; individual pixels can deviate further
+    # where the decimated-chroma reconstruction clips R/G/B at 0/255
+    # (clipping breaks the luma identity — inherent to 4:2:0 on noise)
+    def luma(a):
+        return (
+            299 * a[:, :, 0].astype("i8")
+            + 587 * a[:, :, 1].astype("i8")
+            + 114 * a[:, :, 2].astype("i8")
+        ) // 1000
+    err = np.abs(luma(out) - luma(img))
+    assert float(err.mean()) <= 4.0
+    assert int(err.max()) <= 64
+
+
+def test_encoder_rejects_bad_subsampling():
+    with pytest.raises(ValueError):
+        jpeg_encode(np.zeros((8, 8, 3), dtype=np.uint8), subsampling="422")
