@@ -214,8 +214,15 @@ def test_fuzz_corrupted_streams_never_crash_unexpectedly(seed, nflips):
     # uint8 array or raise the module's typed error — never hang, never
     # escape with an IndexError/struct.error from half-parsed state
     rng = np.random.RandomState(seed)
-    img = rng.randint(0, 256, (16, 24), dtype=np.uint8)
-    b = bytearray(jpeg_encode(img))
+    if seed % 3 == 0:
+        img = rng.randint(0, 256, (16, 24), dtype=np.uint8)
+        b = bytearray(jpeg_encode(img, restart_interval=seed % 4))
+    elif seed % 3 == 1:
+        img = rng.randint(0, 256, (16, 24, 3), dtype=np.uint8)
+        b = bytearray(jpeg_encode(img, subsampling="420"))
+    else:
+        img = rng.randint(0, 256, (16, 24, 3), dtype=np.uint8)
+        b = bytearray(jpeg_encode(img))
     for _ in range(nflips):
         b[rng.randint(2, len(b))] ^= 1 << rng.randint(8)
     try:
