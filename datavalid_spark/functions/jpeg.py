@@ -379,8 +379,12 @@ def jpeg_encode(
 
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
-    if not isinstance(restart_interval, int) or restart_interval < 0:
-        raise ValueError("restart_interval must be a non-negative int")
+    if (
+        not isinstance(restart_interval, int)
+        or restart_interval < 0
+        or restart_interval > 0xFFFF
+    ):
+        raise ValueError("restart_interval must be an int in 0..65535")
 
     # per component: (level-shifted plane, h_i, v_i sampling factors)
     if arr.ndim == 2:
@@ -503,14 +507,16 @@ def _receive_extend(br: _BitReader, size: int) -> int:
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Baseline grayscale decode → uint8 (h, w).  Reads the stream's
-    own DQT/DHT (any valid canonical tables, not just this module's),
-    1-component grayscale or 3-component 4:4:4 YCbCr SOF0/SOF1 frames
-    in one interleaved scan, no restart intervals.  Returns (h, w)
-    uint8 for grayscale, (h, w, 3) RGB for color.  Raises
-    ``JpegFormatError`` on structural defects (same classes as
-    ``jpeg_parse``) or unsupported baseline features (progressive /
-    arithmetic / subsampled / >8-bit / multi-scan streams)."""
+    """Baseline decode → uint8 (h, w) grayscale or (h, w, 3) RGB.
+    Reads the stream's own DQT/DHT (any valid canonical tables, not
+    just this module's) with per-component table selection from
+    SOF/SOS; supports 1-component grayscale, 3-component 4:4:4 and
+    4:2:0 YCbCr frames in one interleaved scan, and DRI/RST0–7
+    restart intervals (predictor reset + byte realignment per
+    segment).  Raises ``JpegFormatError`` on structural defects (same
+    classes as ``jpeg_parse``) or unsupported baseline features
+    (progressive / arithmetic / other samplings / >8-bit /
+    multi-scan streams)."""
     data = bytes(data)
     if data[:2] != SOI:
         raise JpegFormatError("bad signature")
